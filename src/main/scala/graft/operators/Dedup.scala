@@ -1,0 +1,268 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators over `documents` / `embeddings` — the
+  * training-data-pipeline surface: exact hash dedup, MinHash+LSH,
+  * SimHash, n-gram Jaccard verification, and embedding-cosine near-dup.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - Exact dedup is a single hash-shuffle on md5(text) with map-side
+  *    partial aggregation.
+  *  - MinHash signatures are computed per-row with higher-order functions
+  *    (no shuffle at all); LSH banding turns the quadratic all-pairs
+  *    problem into an equi-join on (band, bucket) — the only shuffle is on
+  *    the band key, and candidate verification (dd05) touches only the
+  *    candidate pairs, never n².
+  *  - SimHash is one explode + two keyed aggregations; pairing is again
+  *    band-bucketed, never all-pairs.
+  *  - Embedding near-dup keeps the exact quadratic form only as the
+  *    correctness baseline; the LSH path for scale is
+  *    [[Similarity.ss02AnnLsh]].
+  *
+  * Portability convention: hash = md5 hex strings (identical in Spark and
+  * DuckDB); MinHash order = lexicographic on the hex string (any total
+  * order works for MinHash); vector math is quantized to integers so the
+  * oracle matches exactly (floor(x*1000), dot/norm comparisons done in
+  * integer arithmetic: cos ≥ t  ⟺  dot > 0 ∧ dot²·denom ≥ t²·denom·‖a‖²‖b‖²).
+  */
+object Dedup {
+  import Relational.Q
+
+  // Word-trigram shingles as a Column over `text` (1-based i, i up to n-2).
+  private val shinglesExpr: Column = expr(
+    """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+      |  i -> concat(element_at(split(text, ' '), i), ' ',
+      |              element_at(split(text, ' '), i + 1), ' ',
+      |              element_at(split(text, ' '), i + 2)))""".stripMargin)
+
+  private val shinglesSql: String =
+    """list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 2)),
+      |  i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])""".stripMargin
+
+  private val numHashes = 8 // 4 bands × 2 rows
+
+  // ---------------------------------------------------------------------
+  // dd01: exact dedup — hash-groupBy, keep min doc_id per content hash
+  // (the deterministic form of the reference's first-writer-wins
+  // INSERT OR IGNORE, /root/reference/src/database.rs:99-110 / SURVEY A13).
+  // ---------------------------------------------------------------------
+  def dd01ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  val dd01Oracle: String =
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dd02: MinHash signatures — k=8 permutations simulated by seeded md5;
+  // the signature is computed entirely inside per-row higher-order
+  // functions (shingle → transform → array_min): zero shuffles, scales
+  // linearly in corpus size.
+  // ---------------------------------------------------------------------
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val withSh = docs.select(col("doc_id"), shinglesExpr.as("shingles"))
+    (0 until numHashes).foldLeft(withSh) { (df, i) =>
+      df.withColumn(s"m$i",
+        expr(s"array_min(transform(shingles, s -> md5(concat('$i:', s))))"))
+    }.drop("shingles")
+  }
+
+  def dd02MinhashSig(s: SparkSession, dir: String): DataFrame =
+    minhashSignatures(Tables(s, dir, "documents"))
+
+  private val sigSql: String = {
+    val cols = (0 until numHashes).map(i =>
+      s"list_min(list_transform(sh, s -> md5('$i:' || s))) AS m$i").mkString(",\n  ")
+    s"""sig AS (SELECT doc_id,
+       |  $cols
+       | FROM (SELECT doc_id, $shinglesSql AS sh FROM documents) shs)""".stripMargin
+  }
+
+  val dd02Oracle: String =
+    s"""WITH $sigSql
+       |SELECT doc_id, m0, m1, m2, m3, m4, m5, m6, m7 FROM sig""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dd03: LSH candidate pairs — band the signature (4 bands × 2 rows),
+  // bucket-join on (band, md5(band rows)). The self-join is an equi-join
+  // on the bucket key: Catalyst plans a shuffled hash join keyed on
+  // (band, bkey), so cost is Σ bucket² not n².
+  // ---------------------------------------------------------------------
+  def lshBands(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until numHashes / 2).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+  }
+
+  def candidatePairs(docs: DataFrame): DataFrame = {
+    val bands = lshBands(minhashSignatures(docs))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+  }
+
+  def dd03LshPairs(s: SparkSession, dir: String): DataFrame =
+    candidatePairs(Tables(s, dir, "documents"))
+
+  private val bandsSql: String =
+    s"""$sigSql,
+       |bands AS (
+       | SELECT doc_id, 0 AS band, md5(m0 || m1) AS bkey FROM sig
+       | UNION ALL SELECT doc_id, 1, md5(m2 || m3) FROM sig
+       | UNION ALL SELECT doc_id, 2, md5(m4 || m5) FROM sig
+       | UNION ALL SELECT doc_id, 3, md5(m6 || m7) FROM sig),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+       | FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+
+  val dd03Oracle: String =
+    s"""WITH $bandsSql
+       |SELECT doc1, doc2 FROM cand""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dd04: SimHash — 32-bit signature over distinct word tokens. Bit source
+  // = first 8 hex digits of md5(token); per (doc, bitpos) the ±1 votes are
+  // summed and the sign becomes the bit. Two keyed aggregations, fully
+  // associative (map-side combinable).
+  // ---------------------------------------------------------------------
+  def dd04Simhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+        explode(array_distinct(expr("filter(split(text, ' '), x -> x != '')"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bits = toks.select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(31))).as("p"))
+      .withColumn("hexv",
+        expr("instr('0123456789abcdef', substring(h, CAST(p div 4 AS INT) + 1, 1)) - 1"))
+      .withColumn("vote",
+        when(expr("shiftright(hexv, p % 4) % 2") === 1, 1).otherwise(-1))
+    bits.groupBy(col("doc_id"), col("p"))
+      .agg(sum(col("vote")).as("s"))
+      .withColumn("bit", when(col("s") > 0, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("shiftleft(bit, p)")).as("simhash"))
+  }
+
+  val dd04Oracle: String =
+    """WITH toks AS (
+      | SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS tok
+      | FROM documents),
+      |bits AS (
+      | SELECT doc_id, md5(tok) AS h, p.p
+      | FROM toks CROSS JOIN (SELECT unnest(range(0, 32)) AS p) p),
+      |votes AS (
+      | SELECT doc_id, p,
+      |  CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(p // 4 AS INTEGER) + 1, 1)) - 1)
+      |             // CAST(2 ** (p % 4) AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END AS vote
+      | FROM bits),
+      |sums AS (SELECT doc_id, p, SUM(vote) AS s FROM votes GROUP BY doc_id, p)
+      |SELECT doc_id,
+      | CAST(SUM(CASE WHEN s > 0 THEN CAST(2 AS BIGINT) ** CAST(p AS INTEGER) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM sums GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dd05: n-gram Jaccard verification of the LSH candidates — exact
+  // set-intersection counts on candidate pairs only (never all-pairs).
+  // Output is pure integers (|A∩B|, |A∪B|) so the oracle is exact;
+  // is_dup applies the Jaccard ≥ 0.7 test in integer space (10·∩ ≥ 7·∪).
+  // ---------------------------------------------------------------------
+  def dd05JaccardVerify(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val cand = candidatePairs(docs)
+    val sh = docs.select(col("doc_id"),
+        explode(array_distinct(shinglesExpr)).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.as("s1"), col("doc1") === col("s1.doc_id"))
+      .join(sh.as("s2"), col("doc2") === col("s2.doc_id") &&
+        col("s1.shingle") === col("s2.shingle"))
+      .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("n_inter"))
+    cand
+      .join(inter, Seq("doc1", "doc2"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.as("z1"), col("doc1") === col("z1.doc_id"))
+      .join(sizes.as("z2"), col("doc2") === col("z2.doc_id"))
+      .select(col("doc1"), col("doc2"), col("n_inter"),
+        (col("z1.n_sh") + col("z2.n_sh") - col("n_inter")).as("n_union"),
+        (col("n_inter") * 10 >= (col("z1.n_sh") + col("z2.n_sh") - col("n_inter")) * 7).as("is_dup"))
+  }
+
+  val dd05Oracle: String =
+    s"""WITH $bandsSql,
+       |sh AS (
+       | SELECT doc_id, unnest(list_distinct($shinglesSql)) AS shingle
+       | FROM documents),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       | SELECT doc1, doc2, COUNT(*) AS n_inter
+       | FROM cand JOIN sh s1 ON doc1 = s1.doc_id JOIN sh s2 ON doc2 = s2.doc_id AND s1.shingle = s2.shingle
+       | GROUP BY doc1, doc2)
+       |SELECT c.doc1, c.doc2,
+       | CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       | CAST(z1.n_sh + z2.n_sh - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union,
+       | (COALESCE(i.n_inter, 0) * 10 >= (z1.n_sh + z2.n_sh - COALESCE(i.n_inter, 0)) * 7) AS is_dup
+       |FROM cand c LEFT JOIN inter i ON c.doc1 = i.doc1 AND c.doc2 = i.doc2
+       |JOIN sizes z1 ON c.doc1 = z1.doc_id JOIN sizes z2 ON c.doc2 = z2.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dd06: embedding-cosine near-dup pairs — quantized integer vector math
+  // (floor(x·1000)); cos ≥ 0.4 tested as dot > 0 ∧ 25·dot² ≥ 4·‖a‖²·‖b‖².
+  // This exact all-pairs form is the small-scale correctness baseline;
+  // at scale, block with Similarity.ss02AnnLsh buckets first.
+  // ---------------------------------------------------------------------
+  def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))").as("v"))
+      .withColumn("nrm", expr("aggregate(v, 0L, (acc, x) -> acc + x * x)"))
+
+  def dd06EmbNeardup(s: SparkSession, dir: String): DataFrame = {
+    val q = quantized(Tables(s, dir, "embeddings"))
+    val a = q.select(col("vec_id").as("vec1"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = q.select(col("vec_id").as("vec2"), col("v").as("v2"), col("nrm").as("n2"))
+    a.join(b, col("vec1") < col("vec2"))
+      .withColumn("dot", expr("aggregate(zip_with(v1, v2, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+      .filter(col("dot") > 0 && col("dot") * col("dot") * 25 >= col("n1") * col("n2") * 4)
+      .select(col("vec1"), col("vec2"), col("dot"), col("n1"), col("n2"))
+  }
+
+  val dd06Oracle: String =
+    """WITH q AS (
+      | SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+      | FROM embeddings),
+      |n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nrm FROM q),
+      |pairs AS (
+      | SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+      |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+      |  a.nrm AS n1, b.nrm AS n2
+      | FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT vec1, vec2, dot, n1, n2 FROM pairs
+      |WHERE dot > 0 AND dot * dot * 25 >= n1 * n2 * 4""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "dd01_exact_dedup" -> (dd01ExactDedup _),
+    "dd02_minhash_sig" -> (dd02MinhashSig _),
+    "dd03_lsh_pairs" -> (dd03LshPairs _),
+    "dd04_simhash" -> (dd04Simhash _),
+    "dd05_jaccard_verify" -> (dd05JaccardVerify _),
+    "dd06_emb_neardup" -> (dd06EmbNeardup _))
+
+  val oracles: Map[String, String] = Map(
+    "dd01_exact_dedup" -> dd01Oracle,
+    "dd02_minhash_sig" -> dd02Oracle,
+    "dd03_lsh_pairs" -> dd03Oracle,
+    "dd04_simhash" -> dd04Oracle,
+    "dd05_jaccard_verify" -> dd05Oracle,
+    "dd06_emb_neardup" -> dd06Oracle)
+}

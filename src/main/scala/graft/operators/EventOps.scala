@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Event-time operators over the `events` table — the batch counterparts of
+  * the Structured Streaming surface in [[graft.streaming.EventStream]]
+  * (SURVEY.md §2.D row D6: the reference is batch-only; the north star adds
+  * event windows).
+  *
+  * Timestamp convention: `events.ts` is nanosecond-precision parquet; Spark
+  * truncates to microseconds while DuckDB keeps nanos, so oracle-checked
+  * results never expose raw timestamps — they use floor-to-second epochs
+  * (`unix_timestamp`) or hour buckets, which agree exactly on both engines.
+  */
+object EventOps {
+  import Relational.Q
+
+  // ---------------------------------------------------------------------
+  // q20: tumbling window aggregate (D6 — window(ts, ...) equivalent in
+  // batch; streaming twin in graft.streaming.EventStream).
+  // ---------------------------------------------------------------------
+  def q20TumblingWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    ev.groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+  }
+
+  val q20Oracle: String =
+    """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch, event_type,
+      | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q21: running (cumulative) aggregate per key — ordered window frame.
+  // Decimal accumulation keeps the prefix sums exact at any partitioning.
+  // ---------------------------------------------------------------------
+  def q21RunningSum(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("event_id"), col("user_id"),
+      sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double").as("running_value"))
+  }
+
+  val q21Oracle: String =
+    """SELECT event_id, user_id,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q22: gap-based sessionization — lag + cumulative flag sum. The batch
+  // twin of flatMapGroupsWithState sessionization. 1800 s inactivity gap.
+  // Epochs floored to whole seconds so micro/nano precision can't diverge.
+  // ---------------------------------------------------------------------
+  def q22Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val es = unix_timestamp(col("ts"))
+    val gap = es - lag(es, 1).over(w)
+    ev.withColumn("new_s", when(gap.isNull || gap > 1800, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("user_id"), col("session_id").cast("long").as("session_id"))
+  }
+
+  val q22Oracle: String =
+    """WITH e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+      |g AS (SELECT event_id, user_id,
+      |  CASE WHEN es - LAG(es) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+      |        OR es - LAG(es) OVER (PARTITION BY user_id ORDER BY event_id) > 1800
+      |       THEN 1 ELSE 0 END AS new_s FROM e)
+      |SELECT event_id, user_id,
+      | CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q23: semi-structured JSON path extraction (B1/A8 — json_get! navigation,
+  // /root/reference/src/json.rs:1-42; per-line serde_json parse,
+  // src/wiki_data_line.rs:350).
+  // ---------------------------------------------------------------------
+  def q23JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    ev.select(col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+  }
+
+  val q23Oracle: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q24: argmax-latest per key (B13 — latest-population selection: keep the
+  // value whose time is max, /root/reference/src/wiki_data_line.rs:165-240).
+  // max_by over the unique event_id (the deterministic stand-in for the
+  // reference's (time, array-position) ordering).
+  // ---------------------------------------------------------------------
+  def q24ArgmaxLatest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    ev.groupBy(col("user_id"))
+      .agg(max_by(struct(col("event_id"), col("value")), col("event_id")).as("m"))
+      .select(col("user_id"), col("m.event_id").as("last_event"),
+        col("m.value").as("last_value"))
+  }
+
+  val q24Oracle: String =
+    """SELECT user_id, arg_max(event_id, event_id) AS last_event,
+      | arg_max(value, event_id) AS last_value
+      |FROM events GROUP BY user_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q20_tumbling_window" -> (q20TumblingWindow _),
+    "q21_running_sum" -> (q21RunningSum _),
+    "q22_sessionize" -> (q22Sessionize _),
+    "q23_json_extract" -> (q23JsonExtract _),
+    "q24_argmax_latest" -> (q24ArgmaxLatest _))
+
+  val oracles: Map[String, String] = Map(
+    "q20_tumbling_window" -> q20Oracle,
+    "q21_running_sum" -> q21Oracle,
+    "q22_sessionize" -> q22Oracle,
+    "q23_json_extract" -> q23Oracle,
+    "q24_argmax_latest" -> q24Oracle)
+}

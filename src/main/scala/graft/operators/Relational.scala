@@ -1,0 +1,493 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational operator inventory from SURVEY.md §2.C, re-expressed
+  * Spark-first over the driver's star schema.
+  *
+  * Each reference operator (geo-db post-processing SQL, cited per query as
+  * `/root/reference/<file>:<lines>`) is mapped onto the TPC-H-ish testdata so
+  * the driver's DuckDB oracle can verify it at sf0.01.
+  *
+  * Numeric-exactness convention shared by every query here: aggregates over
+  * floating-point columns are computed in DECIMAL space (exact, addition is
+  * associative so partial/map-side aggregation is safe AND the result is
+  * independent of Spark's partitioning) and cast to double only at the very
+  * end. That keeps results bit-identical to the DuckDB oracle while leaving
+  * Catalyst free to pick any physical plan.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  // ---------------------------------------------------------------------
+  // q01: aggregation with pushdown filter (C15 counts + partial aggregation;
+  // TPC-H Q1 shape). Reference: src/post/mod.rs:126,143 (COUNT), and the
+  // general GROUP BY usage in src/post/city_countries.sql:12-16.
+  // ---------------------------------------------------------------------
+  def q01PricingAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q01Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      | COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q02: per-group argmin via window (C2 — pick MIN(priority) country per
+  // city, src/post/city_countries.sql:10-23). Here: cheapest order per
+  // customer, deterministic tiebreak on o_orderkey.
+  // ---------------------------------------------------------------------
+  def q02ArgminPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    o.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("best_order"),
+        col("o_totalprice").as("best_price"))
+  }
+
+  val q02Oracle: String =
+    """SELECT o_custkey, o_orderkey AS best_order, o_totalprice AS best_price FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+      | FROM orders) t WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q03: anti join (C1 — NOT EXISTS delete, src/post/city_countries.sql:2-7).
+  // Customers with no orders.
+  // ---------------------------------------------------------------------
+  def q03AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  val q03Oracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q04: semi join (C18 — FK-existence filter, src/post/cleanup/07.sql:1-6).
+  // Customers with at least one order above 100k.
+  // ---------------------------------------------------------------------
+  def q04SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders").filter(col("o_totalprice") > 100000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_acctbal"))
+  }
+
+  val q04Oracle: String =
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q05: UPDATE ... FROM as left join + coalesce (C3 — join-update, used in
+  // every post stage, e.g. src/post/city_countries.sql:10-23). Unmatched
+  // rows keep the old value, exactly like SQL UPDATE.
+  // ---------------------------------------------------------------------
+  def q05UpdateJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val seg = Tables(s, dir, "customer").filter(col("c_acctbal") > 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    o.join(seg, o("o_custkey") === seg("c_custkey"), "left")
+      .select(o("o_orderkey"),
+        coalesce(seg("c_mktsegment"), o("o_orderpriority")).as("priority2"))
+  }
+
+  val q05Oracle: String =
+    """SELECT o_orderkey, COALESCE(c_mktsegment, o_orderpriority) AS priority2
+      |FROM orders LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 0) seg
+      |ON o_custkey = c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q06: bounded transitive closure (C4 — recursive CTE over the admin
+  // hierarchy, src/post/find_subdivision.sql:12-22). Synthetic hierarchy:
+  // customer -> nation -> region -> world. Set-based for ALL seeds at once
+  // (the reference loops per row, src/post/mod.rs:96-107 — see SURVEY C16).
+  // ---------------------------------------------------------------------
+
+  /** Iterative frontier expansion, the Spark shape of WITH RECURSIVE.
+    * `edges` has columns (id, parent); `seeds` a single column `seed`.
+    * Returns (seed, node, step) with step 0 = the seed itself.
+    * localCheckpoint() truncates lineage so 100 iterations stay plannable;
+    * each iteration is one shuffle-join, all seeds advance together.
+    */
+  def transitiveClosure(edges: DataFrame, seeds: DataFrame, maxSteps: Int = 100,
+      dedupPerStep: Boolean = false): DataFrame = {
+    var frontier = seeds.select(col("seed"), col("seed").as("node"), lit(0).as("step"))
+    var acc = frontier
+    var step = 0
+    var done = false
+    while (step < maxSteps && !done) {
+      var next = frontier.join(edges, frontier("node") === edges("id"))
+        .select(frontier("seed"), edges("parent").as("node"),
+          (frontier("step") + 1).as("step"))
+      if (dedupPerStep) next = next.dropDuplicates("seed", "node")
+      frontier = next.localCheckpoint()
+      if (frontier.isEmpty) done = true
+      else { acc = acc.unionAll(frontier); step += 1 }
+    }
+    acc
+  }
+
+  private def hierarchyEdges(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val n = Tables(s, dir, "nation")
+    val r = Tables(s, dir, "region")
+    val cN = c.select(concat(lit("C"), col("c_custkey").cast("string")).as("id"),
+      concat(lit("N"), col("c_nationkey").cast("string")).as("parent"))
+    val nR = n.select(concat(lit("N"), col("n_nationkey").cast("string")).as("id"),
+      concat(lit("R"), col("n_regionkey").cast("string")).as("parent"))
+    val rW = r.select(concat(lit("R"), col("r_regionkey").cast("string")).as("id"),
+      lit("W").as("parent"))
+    cN.unionAll(nR).unionAll(rW)
+  }
+
+  private val hierarchyEdgesSql: String =
+    """edges AS (
+      | SELECT 'C' || CAST(c_custkey AS VARCHAR) AS id, 'N' || CAST(c_nationkey AS VARCHAR) AS parent FROM customer
+      | UNION ALL
+      | SELECT 'N' || CAST(n_nationkey AS VARCHAR), 'R' || CAST(n_regionkey AS VARCHAR) FROM nation
+      | UNION ALL
+      | SELECT 'R' || CAST(r_regionkey AS VARCHAR), 'W' FROM region),
+      |seeds AS (SELECT 'C' || CAST(c_custkey AS VARCHAR) AS seed FROM customer),
+      |closure(seed, node, step) AS (
+      | SELECT seed, seed, 0 FROM seeds
+      | UNION ALL
+      | SELECT c.seed, e.parent, c.step + 1 FROM closure c JOIN edges e ON e.id = c.node WHERE c.step < 100)""".stripMargin
+
+  def q06Closure(s: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables(s, dir, "customer")
+      .select(concat(lit("C"), col("c_custkey").cast("string")).as("seed"))
+    transitiveClosure(hierarchyEdges(s, dir), seeds)
+  }
+
+  val q06Oracle: String =
+    s"""WITH RECURSIVE $hierarchyEdgesSql
+       |SELECT seed, node, step FROM closure""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q07: deepest matching ancestor (C5 — ordered scalar subquery picking the
+  // max-step is_2nd ancestor, src/post/find_subdivision.sql:9-32 and note †
+  // in SURVEY §2). "is_2nd" here = nation/region nodes; window + row_number
+  // with the deterministic (step DESC, node ASC) tiebreak SURVEY mandates.
+  // ---------------------------------------------------------------------
+  def q07DeepestAncestor(s: SparkSession, dir: String): DataFrame = {
+    val closure = q06Closure(s, dir)
+    val anc = closure.filter(col("node").startsWith("N") || col("node").startsWith("R"))
+    val w = Window.partitionBy(col("seed")).orderBy(col("step").desc, col("node").asc)
+    anc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("seed"), col("node").as("anc_node"), col("step").as("anc_step"))
+  }
+
+  val q07Oracle: String =
+    s"""WITH RECURSIVE $hierarchyEdgesSql
+       |SELECT seed, node AS anc_node, step AS anc_step FROM (
+       | SELECT seed, node, step,
+       |  ROW_NUMBER() OVER (PARTITION BY seed ORDER BY step DESC, node ASC) AS rn
+       | FROM closure WHERE node LIKE 'N%' OR node LIKE 'R%') t WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q08: language-prefix theta join (C7 — label.lang = code OR label.lang
+  // LIKE primary || '-%', src/post/per_city.sql:31-36). Kept hash-joinable:
+  // equi-join on the primary subtag plus the residual OR-predicate, instead
+  // of a nested-loop theta join — this is the 100 TB-safe shape.
+  // ---------------------------------------------------------------------
+  def q08PrefixLangJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val labels = docs.select(col("doc_id"),
+      concat(col("lang"),
+        when(col("doc_id") % 3 === 1, "-x")
+          .when(col("doc_id") % 3 === 2, "-y").otherwise("")).as("label_lang"))
+    val dim = docs.select(col("lang").as("code")).distinct()
+    labels.withColumn("primary", split(col("label_lang"), "-").getItem(0))
+      .join(broadcast(dim), col("primary") === col("code") &&
+        (col("label_lang") === col("code") ||
+          col("label_lang").startsWith(concat(col("code"), lit("-")))))
+      .select(col("doc_id"), col("label_lang"), col("code"))
+  }
+
+  val q08Oracle: String =
+    """WITH labels AS (
+      | SELECT doc_id, lang || CASE WHEN doc_id % 3 = 1 THEN '-x' WHEN doc_id % 3 = 2 THEN '-y' ELSE '' END AS label_lang
+      | FROM documents),
+      |dim AS (SELECT DISTINCT lang AS code FROM documents)
+      |SELECT doc_id, label_lang, code FROM labels JOIN dim
+      |ON label_lang = code OR label_lang LIKE code || '-%'""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q09: ordered DISTINCT group concat (C8 — GROUP_CONCAT(label, " / ") over
+  // SELECT DISTINCT, src/post/city_labels.sql:8-23). collect_list order is
+  // nondeterministic under shuffle (SURVEY §7.4 #2) so we sort inside the
+  // aggregate: array_sort(array_distinct(...)).
+  // ---------------------------------------------------------------------
+  def q09GroupConcat(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    li.select(col("l_orderkey"),
+        concat(col("l_returnflag"), col("l_linestatus")).as("tag"))
+      .groupBy(col("l_orderkey"))
+      .agg(concat_ws(" / ", array_sort(array_distinct(collect_list(col("tag"))))).as("tags"))
+  }
+
+  val q09Oracle: String =
+    """SELECT l_orderkey, string_agg(DISTINCT tag, ' / ' ORDER BY tag) AS tags
+      |FROM (SELECT l_orderkey, l_returnflag || l_linestatus AS tag FROM lineitem) t
+      |GROUP BY l_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q10: top-k per group (C9 — GROUP BY ... ORDER BY ... LIMIT 2,
+  // src/post/per_city.sql:38-40). Top-2 lineitems per order by price.
+  // ---------------------------------------------------------------------
+  def q10TopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+    li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("rn"))
+  }
+
+  val q10Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+      | SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |  ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+      | FROM lineitem) t WHERE rn <= 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q11: conditional label merge (C10 — nested iif null-handling + equality
+  // collapse + " / " concat, src/post/city_labels_by_country.sql:6-18).
+  // ---------------------------------------------------------------------
+  def q11LabelMerge(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val a = when(col("c_acctbal") > 5000, col("c_name"))
+    val b = when(col("c_custkey") % 3 === 0, col("c_mktsegment"))
+    c.select(col("c_custkey"),
+      when(a.isNull, b).when(b.isNull, a).when(a === b, a)
+        .otherwise(concat(a, lit(" / "), b)).as("merged"))
+  }
+
+  val q11Oracle: String =
+    """SELECT c_custkey,
+      | CASE WHEN a IS NULL THEN b WHEN b IS NULL THEN a WHEN a = b THEN a
+      |      ELSE a || ' / ' || b END AS merged
+      |FROM (SELECT c_custkey,
+      |  CASE WHEN c_acctbal > 5000 THEN c_name END AS a,
+      |  CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment END AS b
+      | FROM customer) t""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q12: multi-way join pipeline (C6/C11 — the 6-way mixed join of
+  // src/post/city_labels_by_country.sql:20-59). TPC-H Q5 shape: revenue by
+  // region; dims broadcast (nation/region are tiny — SURVEY C21).
+  // ---------------------------------------------------------------------
+  def q12RevenueByRegion(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val o = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val c = Tables(s, dir, "customer")
+    val sup = Tables(s, dir, "supplier")
+    val n = Tables(s, dir, "nation")
+    val r = Tables(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q12Oracle: String =
+    """SELECT r_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY r_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q13: DISTINCT projection (C12 — src/post/city_labels.sql:12-14).
+  // ---------------------------------------------------------------------
+  def q13Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(col("lang"), col("source")).distinct()
+
+  val q13Oracle: String = "SELECT DISTINCT lang, source FROM documents"
+
+  // ---------------------------------------------------------------------
+  // q14: IN-list filter + preference sort + LIMIT 1 per group (C13 —
+  // ORDER BY lang = 'eo' DESC LIMIT 1, src/post/esperanto_city_labels.sql:
+  // 10-18; deterministic tiebreak added per SURVEY §7.4 #1).
+  // ---------------------------------------------------------------------
+  def q14PreferencePick(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val w = Window.partitionBy(col("source"))
+      .orderBy((col("lang") === "de").desc, col("lang").asc, col("doc_id").asc)
+    docs.filter(col("lang").isin("de", "en", "es", "fr"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("source"), col("doc_id"), col("lang"))
+  }
+
+  val q14Oracle: String =
+    """SELECT source, doc_id, lang FROM (
+      | SELECT source, doc_id, lang,
+      |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY (lang = 'de') DESC, lang ASC, doc_id ASC) AS rn
+      | FROM documents WHERE lang IN ('de','en','es','fr')) t WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q15: NULL-remainder cascade (C14 — 4-tier label cascade where each stage
+  // fills only rows the previous left NULL, src/post/mod.rs:114-155).
+  // Expressed as sequential coalesce passes, the functional form of
+  // UPDATE ... WHERE x IS NULL.
+  // ---------------------------------------------------------------------
+  def q15NullCascade(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val t1 = c.withColumn("label", when(col("c_acctbal") > 7500, col("c_name")))
+    val t2 = t1.withColumn("label",
+      coalesce(col("label"), when(col("c_custkey") % 2 === 0, upper(col("c_mktsegment")))))
+    val t3 = t2.withColumn("label", coalesce(col("label"), lit("UNKNOWN")))
+    t3.select(col("c_custkey"), col("label"))
+  }
+
+  val q15Oracle: String =
+    """SELECT c_custkey,
+      | COALESCE(CASE WHEN c_acctbal > 7500 THEN c_name END,
+      |          CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment) END,
+      |          'UNKNOWN') AS label
+      |FROM customer""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q16: COUNT / COUNT(DISTINCT) (C15 — src/post/mod.rs:126,143).
+  // ---------------------------------------------------------------------
+  def q16Counts(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    li.agg(count(lit(1)).as("n_rows"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"))
+  }
+
+  val q16Oracle: String =
+    """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_partkey) AS n_parts,
+      | COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q17: keyed dedup (A13/C17 — INSERT OR IGNORE first-wins dedup,
+  // src/database.rs:99-110 and src/post/cleanup/02.sql:1-18). The
+  // reference's "first" is scan-order (unspecified); we use deterministic
+  // min(event_id), which SURVEY A13 notes is semantics-equivalent.
+  // ---------------------------------------------------------------------
+  def q17DedupFirstWins(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    ev.groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("event_id"))
+  }
+
+  val q17Oracle: String =
+    """SELECT user_id, event_type, MIN(event_id) AS event_id
+      |FROM events GROUP BY user_id, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q18: FK-existence cascade (C18 — delete rows with no surviving parent,
+  // src/post/cleanup/05.sql:1-6, 07.sql, 08.sql). Semi-join chain.
+  // ---------------------------------------------------------------------
+  def q18FkCascade(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val c = Tables(s, dir, "customer")
+    val li = Tables(s, dir, "lineitem")
+    o.join(c, o("o_custkey") === c("c_custkey"), "left_semi")
+      .join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  val q18Oracle: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q19: FK repoint / dimension inlining (C19 — cities.country Q-id → ISO
+  // via join, src/post/cleanup/05.sql:8-16). Broadcast the dim.
+  // ---------------------------------------------------------------------
+  def q19FkRepoint(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val n = Tables(s, dir, "nation")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .select(col("c_custkey"), col("n_name").as("nation"))
+  }
+
+  val q19Oracle: String =
+    """SELECT c_custkey, n_name AS nation
+      |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_agg" -> (q01PricingAgg _),
+    "q02_argmin_per_group" -> (q02ArgminPerGroup _),
+    "q03_anti_join" -> (q03AntiJoin _),
+    "q04_semi_join" -> (q04SemiJoin _),
+    "q05_update_join" -> (q05UpdateJoin _),
+    "q06_closure" -> (q06Closure _),
+    "q07_deepest_ancestor" -> (q07DeepestAncestor _),
+    "q08_prefix_lang_join" -> (q08PrefixLangJoin _),
+    "q09_group_concat" -> (q09GroupConcat _),
+    "q10_topk_per_group" -> (q10TopkPerGroup _),
+    "q11_label_merge" -> (q11LabelMerge _),
+    "q12_revenue_by_region" -> (q12RevenueByRegion _),
+    "q13_distinct" -> (q13Distinct _),
+    "q14_preference_pick" -> (q14PreferencePick _),
+    "q15_null_cascade" -> (q15NullCascade _),
+    "q16_counts" -> (q16Counts _),
+    "q17_dedup_first_wins" -> (q17DedupFirstWins _),
+    "q18_fk_cascade" -> (q18FkCascade _),
+    "q19_fk_repoint" -> (q19FkRepoint _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_agg" -> q01Oracle,
+    "q02_argmin_per_group" -> q02Oracle,
+    "q03_anti_join" -> q03Oracle,
+    "q04_semi_join" -> q04Oracle,
+    "q05_update_join" -> q05Oracle,
+    "q06_closure" -> q06Oracle,
+    "q07_deepest_ancestor" -> q07Oracle,
+    "q08_prefix_lang_join" -> q08Oracle,
+    "q09_group_concat" -> q09Oracle,
+    "q10_topk_per_group" -> q10Oracle,
+    "q11_label_merge" -> q11Oracle,
+    "q12_revenue_by_region" -> q12Oracle,
+    "q13_distinct" -> q13Oracle,
+    "q14_preference_pick" -> q14Oracle,
+    "q15_null_cascade" -> q15Oracle,
+    "q16_counts" -> q16Oracle,
+    "q17_dedup_first_wins" -> q17Oracle,
+    "q18_fk_cascade" -> q18Oracle,
+    "q19_fk_repoint" -> q19Oracle)
+}

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over `documents` — the LLM-training-data-pipeline
+  * surface (language-ID, quality scoring, token counting, fingerprinting)
+  * plus the extraction idioms from SURVEY.md §2.B that are expressible on the
+  * star schema (emission-order posexplode B6/B7, quantity parse B15).
+  *
+  * Everything stays in whole-stage-codegen'd built-ins (split / transform /
+  * aggregate / regexp) — no UDFs — and produces integer/string results so
+  * the DuckDB oracle matches bit-for-bit.
+  */
+object TextOps {
+  import Relational.Q
+
+  // ---------------------------------------------------------------------
+  // q25: emission-order indexed explode (B6/B7 — lang_index counts only
+  // *emitted* claims, so the filter runs BEFORE posexplode;
+  // /root/reference/src/wiki_data_line.rs:392-407 and SURVEY §7.4 #7).
+  // Tokens >4 chars, first 3 per doc.
+  // ---------------------------------------------------------------------
+  def q25PosexplodeFiltered(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    docs.select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> length(x) > 4)").as("toks"))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("idx", "token")))
+      .filter(col("idx") < 3)
+  }
+
+  val q25Oracle: String =
+    """SELECT doc_id, idx, token FROM (
+      | SELECT doc_id, CAST(generate_subscripts(l, 1) - 1 AS INTEGER) AS idx, unnest(l) AS token
+      | FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 4) AS l FROM documents) f
+      |) t WHERE idx < 3""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q26: quantity parsing (B15 — strips whitespace/,/./+ then casts;
+  // "+12,345" → 12345 and the deliberate "1.5" → 15 quirk;
+  // /root/reference/src/wiki_data_line.rs:507-523, SURVEY §7.4 #6).
+  // Applied to a synthesized messy numeral so both engines parse the same
+  // string the same way.
+  // ---------------------------------------------------------------------
+  def q26QuantityParse(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    docs.select(col("doc_id"),
+      regexp_replace(
+        concat(lit("+"), col("n_chars").cast("string"), lit(",00.5")),
+        "[\\s,.+]", "").cast("long").as("qty"))
+  }
+
+  val q26Oracle: String =
+    """SELECT doc_id,
+      | CAST(regexp_replace('+' || CAST(n_chars AS VARCHAR) || ',00.5', '[\s,.+]', '', 'g') AS BIGINT) AS qty
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // tx01: language identification — marker-token n-gram heuristic. Counts
+  // non-overlapping marker occurrences per language via the length-delta
+  // trick (pure codegen arithmetic, no UDF), then argmax with a
+  // deterministic (score DESC, lang DESC) struct-max tiebreak.
+  // ---------------------------------------------------------------------
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> " the ", "de" -> " der ", "es" -> " la ",
+    "fr" -> " le ", "zh" -> " shi ")
+
+  def tx01LangId(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val scored = langMarkers.foldLeft(docs.select(col("doc_id"), padded.as("p"))) {
+      case (df, (lang, marker)) =>
+        df.withColumn(s"score_$lang",
+          ((length(col("p")) - length(regexp_replace(col("p"), marker, ""))) / marker.length)
+            .cast("int"))
+    }
+    val candidates = array(langMarkers.map { case (lang, _) =>
+      struct(col(s"score_$lang").as("score"), lit(lang).as("lang"))
+    }: _*)
+    scored.select(col("doc_id"),
+      array_max(candidates).getField("lang").as("guessed_lang"),
+      array_max(candidates).getField("score").as("best_score"))
+  }
+
+  val tx01Oracle: String = {
+    val unions = langMarkers.map { case (lang, m) =>
+      s"""SELECT doc_id, '$lang' AS lang,
+         | CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', '$m', ''))) // ${m.length} AS INTEGER) AS score
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH scores AS (\n$unions\n)
+       |SELECT doc_id, lang AS guessed_lang, score AS best_score FROM (
+       | SELECT doc_id, lang, score,
+       |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+       | FROM scores) t WHERE rn = 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // tx02: quality scoring — length / token / stopword / distinct-token
+  // signals as exact integers (ratios left to the consumer so the oracle
+  // stays float-free).
+  // ---------------------------------------------------------------------
+  def tx02Quality(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    docs.select(col("doc_id"),
+      length(col("text")).as("len_chars"),
+      size(expr("filter(split(text, ' '), x -> x != '')")).as("n_tokens"),
+      size(expr("filter(split(text, ' '), x -> x IN ('the','a','of','and','la','le','der'))")).as("n_stopwords"),
+      size(array_distinct(expr("filter(split(text, ' '), x -> x != '')"))).as("n_distinct_tokens"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[a-z]", ""))).as("n_alpha_chars"))
+  }
+
+  val tx02Oracle: String =
+    """SELECT doc_id,
+      | length(text) AS len_chars,
+      | CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS INTEGER) AS n_tokens,
+      | CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','la','le','der'))) AS INTEGER) AS n_stopwords,
+      | CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS INTEGER) AS n_distinct_tokens,
+      | CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS INTEGER) AS n_alpha_chars
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // tx03: token counting — whitespace tokens plus a BPE-ish regex
+  // tokenization ([a-z]+ | digit runs | single other chars).
+  // ---------------------------------------------------------------------
+  def tx03TokenCount(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    docs.select(col("doc_id"),
+      size(expr("filter(split(text, ' '), x -> x != '')")).as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+')")).as("re_tokens"))
+  }
+
+  val tx03Oracle: String =
+    """SELECT doc_id,
+      | CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS INTEGER) AS ws_tokens,
+      | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS re_tokens
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // tx04: document fingerprinting — md5 content hash over canonicalized
+  // text plus a 31-ary polynomial rolling hash mod 1e9+7 (Karp-Rabin style)
+  // computed with the `aggregate` higher-order function: distributed,
+  // codegen-friendly, no UDF.
+  // ---------------------------------------------------------------------
+  def tx04Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    docs.select(col("doc_id"),
+        regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ").as("canon"))
+      .select(col("doc_id"),
+        md5(col("canon")).as("content_md5"),
+        expr("aggregate(sequence(1, length(canon)), 0L, (acc, i) -> (acc * 31 + ascii(substring(canon, i, 1))) % 1000000007)")
+          .as("poly_hash"))
+  }
+
+  val tx04Oracle: String =
+    """WITH c AS (
+      | SELECT doc_id, regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g') AS canon
+      | FROM documents)
+      |SELECT doc_id, md5(canon) AS content_md5,
+      | CAST(list_reduce(list_transform(range(1, length(canon) + 1), i -> CAST(ascii(substr(canon, CAST(i AS INTEGER), 1)) AS BIGINT)), (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS poly_hash
+      |FROM c""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q25_posexplode_filtered" -> (q25PosexplodeFiltered _),
+    "q26_quantity_parse" -> (q26QuantityParse _),
+    "tx01_langid" -> (tx01LangId _),
+    "tx02_quality" -> (tx02Quality _),
+    "tx03_token_count" -> (tx03TokenCount _),
+    "tx04_fingerprint" -> (tx04Fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "q25_posexplode_filtered" -> q25Oracle,
+    "q26_quantity_parse" -> q26Oracle,
+    "tx01_langid" -> tx01Oracle,
+    "tx02_quality" -> tx02Oracle,
+    "tx03_token_count" -> tx03Oracle,
+    "tx04_fingerprint" -> tx04Oracle)
+}
