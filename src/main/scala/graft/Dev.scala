@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: time queries repeatedly / print plans.
+  *
+  * Usage: graft.Dev <sfDir> <reps> [query ...]   (no names = all)
+  *        graft.Dev <sfDir> explain <query>      (formatted plan)
+  */
+object Dev {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    if (args(1) == "explain") {
+      SparkEntry.queries(args(2))(spark, sfDir).explain("formatted")
+    } else if (args(1) == "sql") {
+      Tables.names.foreach { n =>
+        Tables(spark, sfDir, n).createOrReplaceTempView(n)
+      }
+      val t0 = System.nanoTime()
+      spark.sql(args(2)).show(20, false)
+      println(f"sql ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    } else {
+      val reps = args(1).toInt
+      val names = if (args.length > 2) args.drop(2).toSeq
+                  else SparkEntry.queries.keys.toSeq.sorted
+      for (name <- names; r <- 1 to reps) {
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        println(f"$name rep$r ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,11 +1,18 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
   * All queries take the scale-factor directory at call time so the same
   * plan builds against sf0.001 (smoke), sf0.01 (oracle) and sf0.1 (bench).
+  *
+  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's vectorized
+  * reader rejects outright. We read it as raw nanos (legacy nanosAsLong) and
+  * rebuild a microsecond TimestampType column — all downstream event-time
+  * logic (hour buckets, whole-second epochs) is unaffected by the dropped
+  * sub-microsecond digits, and the DuckDB oracle agrees on those shapes.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -13,5 +20,9 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 }

@@ -32,16 +32,28 @@ import graft.Tables
 object Dedup {
   import Relational.Q
 
-  // Word-trigram shingles as a Column over `text` (1-based i, i up to n-2).
-  private val shinglesExpr: Column = expr(
-    """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-      |  i -> concat(element_at(split(text, ' '), i), ' ',
-      |              element_at(split(text, ' '), i + 1), ' ',
-      |              element_at(split(text, ' '), i + 2)))""".stripMargin)
+  // Word-trigram shingles. The token array is projected ONCE into `tk` and
+  // the shingle transform only indexes into it — inlining split() into the
+  // lambda would re-split the whole text per shingle (O(tokens²) per row;
+  // higher-order functions are interpreted, so that cost is real).
+  private val shinglesOverTk: Column = expr(
+    """transform(sequence(1, greatest(size(tk) - 2, 1)),
+      |  i -> concat(element_at(tk, i), ' ',
+      |              element_at(tk, i + 1), ' ',
+      |              element_at(tk, i + 2)))""".stripMargin)
+
+  /** (doc_id, shingles) with the tokenization materialized in its own
+    * projection so it is evaluated once per row. */
+  def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), shinglesOverTk.as("shingles"))
 
   private val shinglesSql: String =
-    """list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 2)),
-      |  i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])""".stripMargin
+    """list_transform(range(1, greatest(len(tk) - 1, 2)),
+      |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])""".stripMargin
+
+  private val tkSql: String =
+    "SELECT doc_id, string_split(text, ' ') AS tk FROM documents"
 
   private val numHashes = 8 // 4 bands × 2 rows
 
@@ -67,8 +79,7 @@ object Dedup {
   // linearly in corpus size.
   // ---------------------------------------------------------------------
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val withSh = docs.select(col("doc_id"), shinglesExpr.as("shingles"))
-    (0 until numHashes).foldLeft(withSh) { (df, i) =>
+    (0 until numHashes).foldLeft(shingled(docs)) { (df, i) =>
       df.withColumn(s"m$i",
         expr(s"array_min(transform(shingles, s -> md5(concat('$i:', s))))"))
     }.drop("shingles")
@@ -82,7 +93,7 @@ object Dedup {
       s"list_min(list_transform(sh, s -> md5('$i:' || s))) AS m$i").mkString(",\n  ")
     s"""sig AS (SELECT doc_id,
        |  $cols
-       | FROM (SELECT doc_id, $shinglesSql AS sh FROM documents) shs)""".stripMargin
+       | FROM (SELECT doc_id, $shinglesSql AS sh FROM ($tkSql) tks) shs)""".stripMargin
   }
 
   val dd02Oracle: String =
@@ -134,25 +145,24 @@ object Dedup {
   // ---------------------------------------------------------------------
   // dd04: SimHash — 32-bit signature over distinct word tokens. Bit source
   // = first 8 hex digits of md5(token); per (doc, bitpos) the ±1 votes are
-  // summed and the sign becomes the bit. Two keyed aggregations, fully
-  // associative (map-side combinable).
+  // summed and the sign becomes the bit. Computed entirely per-row with
+  // nested higher-order functions: zero shuffles, zero exploded rows —
+  // the shape that survives a 100 TB corpus (the alternative explode-by-32
+  // plus two keyed aggregations shuffles 32× the token count).
   // ---------------------------------------------------------------------
   def dd04Simhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    val toks = docs.select(col("doc_id"),
-        explode(array_distinct(expr("filter(split(text, ' '), x -> x != '')"))).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val bits = toks.select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(31))).as("p"))
-      .withColumn("hexv",
-        expr("instr('0123456789abcdef', substring(h, CAST(p div 4 AS INT) + 1, 1)) - 1"))
-      .withColumn("vote",
-        when(expr("shiftright(hexv, p % 4) % 2") === 1, 1).otherwise(-1))
-    bits.groupBy(col("doc_id"), col("p"))
-      .agg(sum(col("vote")).as("s"))
-      .withColumn("bit", when(col("s") > 0, 1L).otherwise(0L))
-      .groupBy(col("doc_id"))
-      .agg(sum(expr("shiftleft(bit, p)")).as("simhash"))
+    docs.select(col("doc_id"),
+        expr("transform(array_distinct(filter(split(text, ' '), x -> x != '')), t -> md5(t))").as("hs"))
+      .select(col("doc_id"),
+        expr("""aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, p) ->
+          acc + if(aggregate(hs, CAST(0 AS BIGINT), (a, h) ->
+                     a + if(shiftright(instr('0123456789abcdef',
+                              substring(h, CAST(p div 4 AS INT) + 1, 1)) - 1,
+                            p % 4) % 2 = 1,
+                            CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
+                   shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""")
+          .as("simhash"))
   }
 
   val dd04Oracle: String =
@@ -181,8 +191,8 @@ object Dedup {
   def dd05JaccardVerify(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val cand = candidatePairs(docs)
-    val sh = docs.select(col("doc_id"),
-        explode(array_distinct(shinglesExpr)).as("shingle"))
+    val sh = shingled(docs).select(col("doc_id"),
+        explode(array_distinct(col("shingles"))).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cand
       .join(sh.as("s1"), col("doc1") === col("s1.doc_id"))
@@ -203,7 +213,7 @@ object Dedup {
     s"""WITH $bandsSql,
        |sh AS (
        | SELECT doc_id, unnest(list_distinct($shinglesSql)) AS shingle
-       | FROM documents),
+       | FROM ($tkSql) tks),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
        |inter AS (
        | SELECT doc1, doc2, COUNT(*) AS n_inter

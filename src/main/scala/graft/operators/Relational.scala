@@ -136,19 +136,25 @@ object Relational {
     */
   def transitiveClosure(edges: DataFrame, seeds: DataFrame, maxSteps: Int = 100,
       dedupPerStep: Boolean = false): DataFrame = {
+    // The edge table is reused every iteration — persist it once instead of
+    // re-scanning (and re-shuffling) its source per step. With its size known
+    // after the first job, AQE turns each step's join into a broadcast join
+    // when the edges fit, which is the plan we'd want on a cluster too.
+    val e = edges.persist()
     var frontier = seeds.select(col("seed"), col("seed").as("node"), lit(0).as("step"))
     var acc = frontier
     var step = 0
     var done = false
     while (step < maxSteps && !done) {
-      var next = frontier.join(edges, frontier("node") === edges("id"))
-        .select(frontier("seed"), edges("parent").as("node"),
+      var next = frontier.join(e, frontier("node") === e("id"))
+        .select(frontier("seed"), e("parent").as("node"),
           (frontier("step") + 1).as("step"))
       if (dedupPerStep) next = next.dropDuplicates("seed", "node")
       frontier = next.localCheckpoint()
       if (frontier.isEmpty) done = true
       else { acc = acc.unionAll(frontier); step += 1 }
     }
+    e.unpersist()  // acc only references the checkpointed frontiers
     acc
   }
 

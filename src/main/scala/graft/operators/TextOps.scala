@@ -129,7 +129,7 @@ object TextOps {
     val docs = Tables(s, dir, "documents")
     docs.select(col("doc_id"),
       size(expr("filter(split(text, ' '), x -> x != '')")).as("ws_tokens"),
-      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+')")).as("re_tokens"))
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("re_tokens"))
   }
 
   val tx03Oracle: String =
