@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, EventOps, Relational, TextOps}
+import graft.operators.{Dedup, EventOps, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,10 +23,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ EventOps.queries ++ TextOps.queries ++ Dedup.queries
+    Relational.queries ++ EventOps.queries ++ TextOps.queries ++
+      Dedup.queries ++ Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++ Dedup.oracles
+    Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
+      Dedup.oracles ++ Similarity.oracles
 }

@@ -232,17 +232,19 @@ object Dedup {
   // This exact all-pairs form is the small-scale correctness baseline;
   // at scale, block with Similarity.ss02AnnLsh buckets first.
   // ---------------------------------------------------------------------
-  def quantized(emb: DataFrame): DataFrame =
+  def quantized(emb: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
     emb.select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))").as("v"))
-      .withColumn("nrm", expr("aggregate(v, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("nrm", expr("dot_l(v, v)"))
+  }
 
   def dd06EmbNeardup(s: SparkSession, dir: String): DataFrame = {
     val q = quantized(Tables(s, dir, "embeddings"))
     val a = q.select(col("vec_id").as("vec1"), col("v").as("v1"), col("nrm").as("n1"))
     val b = q.select(col("vec_id").as("vec2"), col("v").as("v2"), col("nrm").as("n2"))
     a.join(b, col("vec1") < col("vec2"))
-      .withColumn("dot", expr("aggregate(zip_with(v1, v2, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+      .withColumn("dot", expr("dot_l(v1, v2)"))
       .filter(col("dot") > 0 && col("dot") * col("dot") * 25 >= col("n1") * col("n2") * 4)
       .select(col("vec1"), col("vec2"), col("dot"), col("n1"), col("n2"))
   }

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (vec_id, embedding
+  * Array[Float], label) — the ANN surface of a training-data pipeline.
+  *
+  * Two tiers, both oracle-checkable:
+  *  - ss01: brute-force cosine top-k — the exact baseline. The query set is
+  *    broadcast, the dot products are computed map-side with zip_with /
+  *    aggregate (no shuffle until the final per-query top-k), so cost is
+  *    n_queries × corpus but never corpus².
+  *  - ss02: random-hyperplane LSH ANN — the 100 TB path. Each vector gets an
+  *    8-bit signature (sign of the dot product with 8 deterministic ±1
+  *    hyperplanes); candidates are an equi-join on the bucket key, rerank is
+  *    exact cosine within buckets only. Recall < 1 by construction; the
+  *    oracle runs the same algorithm so results still hash-match.
+  *
+  * Number conventions shared with [[Dedup]]: vectors are quantized to
+  * integers (floor(x·1000)) so dot products and norms are exact in both
+  * engines; cosine = dot / sqrt(n1·n2) computed from those exact integers is
+  * bit-identical IEEE math in Spark and DuckDB.
+  */
+object Similarity {
+  import Relational.Q
+
+  private val K = 10
+  private val numPlanes = 8
+
+  // (vec_id, v: Array[Long], nrm: Long) — quantized ints, shared with Dedup.
+  private def qvec(s: SparkSession, dir: String): DataFrame =
+    Dedup.quantized(Tables(s, dir, "embeddings"))
+      .select(col("vec_id"), col("v"), col("nrm"))
+
+  private val qvecSql: String =
+    """q AS (
+      | SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+      | FROM embeddings),
+      |qn AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nrm FROM q)""".stripMargin
+
+  // Exact integer dot product of two quantized vectors (columns v1, v2) —
+  // graft.functions.DotProductLong, codegen'd (registered by Dedup.quantized
+  // via qvec).
+  private val dotExpr = "dot_l(v1, v2)"
+
+  // ---------------------------------------------------------------------
+  // ss01: brute-force cosine top-k. Query set = every 100th vector. The
+  // query side is broadcast; the per-query top-k is one window over
+  // n_queries × corpus scored rows.
+  // ---------------------------------------------------------------------
+  def ss01BruteTopk(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir)
+    val qs = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
+    val cand = base
+      .select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"))
+    val scored = cand.join(broadcast(qs), col("q_id") =!= col("c_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos",
+        col("dot") / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+      .select(col("q_id"), col("c_id"), col("rnk"), col("dot"), col("cos"))
+  }
+
+  val ss01Oracle: String =
+    s"""WITH $qvecSql,
+       |scored AS (
+       | SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+       |  a.nrm AS n1, b.nrm AS n2
+       | FROM qn a JOIN qn b ON a.vec_id % 100 = 0 AND a.vec_id != b.vec_id)
+       |SELECT q_id, c_id, rnk, dot, cos FROM (
+       | SELECT q_id, c_id, dot,
+       |  dot / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS cos,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) DESC, c_id ASC) AS rnk
+       | FROM scored) t WHERE rnk <= $K""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ss02: LSH-bucketed ANN. Deterministic ±1 hyperplanes (parity of the
+  // first hex digit of md5("p:d")), precomputed DRIVER-SIDE and embedded as
+  // literals — the naive version evaluated 8×64 md5 calls per row inside an
+  // interpreted lambda. Signature bit p = sign of Σ_d v[d]·w(p,d); bucket =
+  // the 8-bit signature. Join on bucket, exact-cosine rerank inside buckets.
+  // At scale: the bucket join shuffles each side once on a 1-byte key and
+  // every bucket holds ~corpus/256 — no all-pairs anywhere.
+  // ---------------------------------------------------------------------
+  private val dims = 64
+
+  /** w(p)(d) ∈ {-1, +1} from md5 parity — same arithmetic both engines see. */
+  private[operators] val planes: Seq[Seq[Int]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    (0 until numPlanes).map { p =>
+      (1 to dims).map { d =>
+        val hex = mdig.digest(s"$p:$d".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (("0123456789abcdef".indexOf(hex(0)) % 2) * 2) - 1
+      }
+    }
+  }
+
+  private val planesLit: String =
+    planes.map(_.mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+
+  private val bucketExpr =
+    s"""aggregate(sequence(0, ${numPlanes - 1}), 0, (acc, p) ->
+       |  acc + if(aggregate(sequence(1, size(v)), CAST(0 AS BIGINT), (a, d) ->
+       |             a + element_at(v, d) * element_at(element_at($planesLit, p + 1), d)
+       |           ) > 0, shiftleft(1, p), 0))""".stripMargin
+
+  private val planesSqlLit: String =
+    planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  private val bucketSql: String =
+    s"""list_sum(list_transform(range(0, $numPlanes), p ->
+       |  CASE WHEN list_sum(list_transform(range(1, len(v) + 1), d ->
+       |         v[d] * ($planesSqlLit)[p + 1][d]))
+       |       > 0 THEN (2 ** p) ELSE 0 END))""".stripMargin
+
+  def ss02AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val bucketed = qvec(s, dir).withColumn("bucket", expr(bucketExpr))
+    val qs = bucketed.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"),
+        col("bucket"))
+    val cand = bucketed
+      .select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"),
+        col("bucket"))
+    val scored = cand.join(broadcast(qs), Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos",
+        col("dot") / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+      .select(col("q_id"), col("c_id"), col("bucket").cast("long").as("bucket"),
+        col("rnk"), col("cos"))
+  }
+
+  val ss02Oracle: String =
+    s"""WITH $qvecSql,
+       |bucketed AS (
+       | SELECT vec_id, v, nrm, CAST($bucketSql AS BIGINT) AS bucket FROM qn),
+       |scored AS (
+       | SELECT a.vec_id AS q_id, b.vec_id AS c_id, a.bucket AS bucket,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+       |  a.nrm AS n1, b.nrm AS n2
+       | FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
+       |  AND a.vec_id % 100 = 0 AND a.vec_id != b.vec_id)
+       |SELECT q_id, c_id, bucket, rnk, cos FROM (
+       | SELECT q_id, c_id, bucket,
+       |  dot / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS cos,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) DESC, c_id ASC) AS rnk
+       | FROM scored) t WHERE rnk <= $K""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "ss01_brute_topk" -> (ss01BruteTopk _),
+    "ss02_ann_lsh" -> (ss02AnnLsh _))
+
+  val oracles: Map[String, String] = Map(
+    "ss01_brute_topk" -> ss01Oracle,
+    "ss02_ann_lsh" -> ss02Oracle)
+}
