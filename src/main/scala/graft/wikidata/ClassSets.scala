@@ -1,0 +1,58 @@
+package graft.wikidata
+
+/** The six Q-id class sets driving entity classification
+  * (/root/reference/src/wiki_sparql.rs:69-131).
+  *
+  * The reference expands each seed to its transitive subclass closure
+  * server-side (SPARQL `wdt:P279+`, wiki_sparql.rs:34-43). In this engine the
+  * closure is an input: load a precomputed closure file (one `<setName>
+  * <TAB> <Qid>` per line) or pass explicit sets (tests use small fixture
+  * worlds). The sets are small (≤ a few hundred k ids) and read-only, so they
+  * travel to executors as broadcast variables, never as a join side.
+  *
+  * Note `secondLevelAdminDiv` is actually FIRST-level subdivisions — the
+  * field name is the reference's own misnomer, kept for traceability
+  * (wiki_sparql.rs:115-116).
+  */
+final case class ClassSets(
+    territorialEntities: Set[String],
+    humanSettlements: Set[String],
+    excluded: Set[String],
+    excludedSettlements: Set[String],
+    secondLevelAdminDiv: Set[String],
+    languages: Set[String])
+
+object ClassSets {
+  /** Seed classes (expanded to subclass closures upstream). */
+  val territorialEntitySeed = "Q56061"
+  val humanSettlementSeed = "Q486972"
+  val excludedSeeds: Set[String] =
+    Set("Q2974842", "Q123705", "Q131596", "Q40357", "Q695850")
+  val excludedSettlementSeeds: Set[String] =
+    Set("Q941150", "Q159313", "Q106505045", "Q22969563")
+  val secondLevelAdminDivSeed = "Q10864048"
+  val languageSeed = "Q34770"
+
+  /** Closure file: lines of `set<TAB>Qid` with set in
+    * {te, hs, excluded, excluded_hs, second, lang}. */
+  def fromClosureFile(path: String): ClassSets = {
+    val lines = scala.io.Source.fromFile(path).getLines()
+      .filter(_.nonEmpty).map { l =>
+        val Array(k, v) = l.split("\t", 2); (k, v)
+      }.toSeq
+    val m = lines.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    ClassSets(
+      m.getOrElse("te", Set(territorialEntitySeed)),
+      m.getOrElse("hs", Set(humanSettlementSeed)),
+      m.getOrElse("excluded", excludedSeeds),
+      m.getOrElse("excluded_hs", excludedSettlementSeeds),
+      m.getOrElse("second", Set(secondLevelAdminDivSeed)),
+      m.getOrElse("lang", Set(languageSeed)))
+  }
+
+  /** Seeds only — the minimal sets when no closure dump is supplied. */
+  def seedsOnly: ClassSets = ClassSets(
+    Set(territorialEntitySeed), Set(humanSettlementSeed),
+    excludedSeeds, excludedSettlementSeeds,
+    Set(secondLevelAdminDivSeed), Set(languageSeed))
+}

@@ -1,0 +1,85 @@
+package graft.wikidata
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI mirroring the reference's surface (/root/reference/src/main.rs:17-121):
+  *
+  *   ingest <dumpPath> <outDir> [closureFile]  — dump → 9 parquet tables
+  *   post <tablesDir> <outDir>                 — 9 tables → final 3 tables
+  *   entity <jsonFile> [closureFile]           — debug: show the 9 outputs
+  *                                               for a single-entity file
+  *
+  * The dump download itself is out of scope for the engine (SURVEY A1/A2):
+  * fetch `latest-all.json.bz2` to storage first; bz2 is block-splittable so
+  * `spark.read.text` parallelizes the decompress+parse for free (A3/A4).
+  */
+object Main {
+  private val nineTables = Seq("countries", "object_languages", "languages",
+    "territorial_entities", "territorial_entities_parents", "cities",
+    "cities_countries", "object_labels", "missing_p17")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS",
+          Runtime.getRuntime.availableProcessors.toString))
+      .config("spark.sql.session.timeZone", "UTC")
+      .appName("geodb-spark")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    args.toList match {
+      case "ingest" :: dump :: out :: rest =>
+        val classes = rest.headOption.map(ClassSets.fromClosureFile)
+          .getOrElse(ClassSets.seedsOnly)
+        val t = Extract.fromDump(spark, dump, classes)
+        write(t, out)
+      case "post" :: in :: out :: Nil =>
+        def rd(n: String) = spark.read.parquet(s"$in/$n")
+        val f = Post(rd("countries"), rd("object_languages"), rd("languages"),
+          rd("territorial_entities"), rd("territorial_entities_parents"),
+          rd("cities"), rd("cities_countries"), rd("object_labels"))
+        f.cities.write.mode("overwrite").parquet(s"$out/cities")
+        f.citiesLabels.write.mode("overwrite").parquet(s"$out/cities_labels")
+        f.citiesLanguages.write.mode("overwrite").parquet(s"$out/cities_languages")
+      case "entity" :: file :: rest =>
+        val classes = rest.headOption.map(ClassSets.fromClosureFile)
+          .getOrElse(ClassSets.seedsOnly)
+        val t = Extract.fromDump(spark, file, classes)
+        Seq(
+          "countries" -> t.countries.toDF(),
+          "object_languages" -> t.objectLanguages,
+          "languages" -> t.languages.toDF(),
+          "territorial_entities" -> t.territorialEntities.toDF(),
+          "territorial_entities_parents" -> t.teParents,
+          "cities" -> t.cities.toDF(),
+          "cities_countries" -> t.citiesCountries.toDF(),
+          "object_labels" -> t.objectLabels.toDF(),
+          "missing_p17" -> t.missingP17.toDF()
+        ).foreach { case (name, df) =>
+          println(s"== $name ==")
+          df.show(100, truncate = false)
+        }
+      case _ =>
+        System.err.println(
+          "usage: ingest <dump> <outDir> [closure] | post <in> <out> | entity <file> [closure]")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+
+  private def write(t: Extract.Tables, out: String): Unit = {
+    // Partition-parallel parquet writes replace the single-writer SQLite
+    // sink (A12); keyed dedups already applied upstream (A13).
+    t.countries.write.mode("overwrite").parquet(s"$out/countries")
+    t.objectLanguages.write.mode("overwrite").parquet(s"$out/object_languages")
+    t.languages.write.mode("overwrite").parquet(s"$out/languages")
+    t.territorialEntities.write.mode("overwrite").parquet(s"$out/territorial_entities")
+    t.teParents.write.mode("overwrite").parquet(s"$out/territorial_entities_parents")
+    t.cities.write.mode("overwrite").parquet(s"$out/cities")
+    t.citiesCountries.write.mode("overwrite").parquet(s"$out/cities_countries")
+    t.objectLabels.write.mode("overwrite").parquet(s"$out/object_labels")
+    t.missingP17.write.mode("overwrite").parquet(s"$out/missing_p17")
+  }
+}
