@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.DotProductLong
+
+/** Spark extension entry point: registers the engine's native Catalyst
+  * expressions so ANY session — including spark-sql / thrift users — can call
+  * them, not just code paths that invoke
+  * [[graft.functions.VectorFunctions.register]].
+  *
+  * Usage: `--conf spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_l"),
+      new ExpressionInfo(classOf[DotProductLong].getName, "dot_l"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProductLong(args(0), args(1))))
+  }
+}

@@ -190,9 +190,14 @@ object Dedup {
   // ---------------------------------------------------------------------
   def dd05JaccardVerify(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    val cand = candidatePairs(docs)
+    // Both subtrees feed multiple joins below; materialize each once
+    // (the shingle explosion is interpreted higher-order-function work and
+    // would otherwise run 3×, the LSH pipeline 2×). At cluster scale this is
+    // the "stage to a temp table" pattern.
+    val cand = candidatePairs(docs).localCheckpoint()
     val sh = shingled(docs).select(col("doc_id"),
         explode(array_distinct(col("shingles"))).as("shingle"))
+      .localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cand
       .join(sh.as("s1"), col("doc1") === col("s1.doc_id"))
