@@ -40,13 +40,95 @@ object Extract {
   def parse(lines: DataFrame): Dataset[Entity] = {
     val spark = lines.sparkSession
     import spark.implicits._
-    lines
+    // A real dump lands as many bz2 blocks / files and arrives well-split;
+    // a small single-file input would otherwise parse on ONE task. Shuffle
+    // the raw lines (cheap: strings, before from_json) only in that case.
+    val parallelism = spark.sparkContext.defaultParallelism
+    val split =
+      if (lines.rdd.getNumPartitions < parallelism) lines.repartition(parallelism)
+      else lines
+    split
       .filter(length(col("value")) > 1)
       .select(from_json(
         regexp_replace(col("value"), ",$", ""), entitySchema).as("e"))
       .select(col("e.*"))
       .as[Entity]
       .filter((e: Entity) => e.id.isDefined)
+  }
+
+  /** One flat tagged row covering every output table — the whole dump is
+    * deserialized from the wide Entity schema exactly ONCE (the per-task
+    * codegen for that schema is megabytes of generated source; paying it per
+    * output table dominated ingest wall time), and the 9 tables are cheap
+    * filters over this cached union. This is also the reference's own shape:
+    * one handle_line pass emitting tagged DataEntry rows to a router
+    * (SURVEY A14, §3.1). */
+  final case class RawOut(tag: String, id: String,
+      s1: Option[String], s2: Option[String],
+      n1: Option[Long], n2: Option[Long],
+      d1: Option[Double], d2: Option[Double],
+      b1: Option[Boolean])
+
+  private def emit(e: Entity, cs: ClassSets, now: WTime): Seq[RawOut] = {
+    val c = e.claims.getOrElse(emptyClaims)
+    if (EntityLogic.tombstoned(c)) return Seq.empty
+    val id = e.id.get
+    val out = scala.collection.mutable.ArrayBuffer.empty[RawOut]
+    def row(tag: String, s1: Option[String] = None, s2: Option[String] = None,
+        n1: Option[Long] = None, n2: Option[Long] = None,
+        d1: Option[Double] = None, d2: Option[Double] = None,
+        b1: Option[Boolean] = None): RawOut =
+      RawOut(tag, id, s1, s2, n1, n2, d1, d2, b1)
+
+    val excluded = EntityLogic.isSubclassOf(c, cs.excluded, now)
+    val isTe = EntityLogic.isSubclassOf(c, cs.territorialEntities, now) && !excluded
+    val isHs = EntityLogic.isSubclassOf(c, cs.humanSettlements, now) && !excluded &&
+      !EntityLogic.isSubclassOf(c, cs.excludedSettlements, now)
+    val isLang = EntityLogic.isSubclassOf(c, cs.languages, now)
+
+    // Country branch (wiki_data_line.rs:376-408) — BEFORE the TE branch, so
+    // its language rows carry branch 0 for the first-wins dedup (A13).
+    if (c.P297.isDefined) {
+      EntityLogic.country(id, c, now).foreach(r =>
+        out += row("country", s1 = Some(r.iso)))
+      EntityLogic.countryLanguages(id, c, now).foreach(r =>
+        out += row("olang", s1 = Some(r.lang_id), n1 = Some(r.lang_index),
+          n2 = Some(0L)))
+    }
+    if (isTe) {
+      val is2nd = EntityLogic.isSubclassOf(c, cs.secondLevelAdminDiv, now)
+      val te = EntityLogic.territorialEntity(id, c, is2nd)
+      out += row("te", s1 = te.iso, b1 = Some(is2nd))
+      EntityLogic.parentEdges(id, c, now).foreach(r =>
+        out += row("edge", s1 = Some(r.parent)))
+      EntityLogic.teLanguages(id, c, now).foreach(r =>
+        out += row("olang", s1 = Some(r.lang_id), n1 = Some(r.lang_index),
+          n2 = Some(1L)))
+      EntityLogic.plainLabels(id, e.labels).foreach(r =>
+        out += row("label", s1 = Some(r.lang), s2 = Some(r.label)))
+    }
+    if (isHs) {
+      if (c.P17.isEmpty) out += row("missing")
+      else {
+        // handle_place runs only past the missing-P17 gate
+        // (wiki_data_line.rs:125-135)
+        EntityLogic.parentEdges(id, c, now).foreach(r =>
+          out += row("edge", s1 = Some(r.parent)))
+        EntityLogic.cityCountries(id, c, now).foreach(r =>
+          out += row("cc", s1 = Some(r.country), n1 = Some(r.priority)))
+        val coords = EntityLogic.coordinates(c)
+        out += row("city", n1 = EntityLogic.population(c, now),
+          d1 = coords.map(_._1), d2 = coords.map(_._2))
+        EntityLogic.plainLabels(id, e.labels).foreach(r =>
+          out += row("label", s1 = Some(r.lang), s2 = Some(r.label)))
+        EntityLogic.nativeLabels(id, c, now).foreach(r =>
+          out += row("label", s1 = Some(r.lang), s2 = Some(r.label),
+            n1 = r.native_order))
+      }
+    }
+    if (isLang)
+      EntityLogic.language(id, c).foreach(r => out += row("lang", s1 = Some(r.code)))
+    out.toSeq
   }
 
   /** Full extraction over parsed entities. `now` is injected for
@@ -57,109 +139,46 @@ object Extract {
 
     val bc = spark.sparkContext.broadcast(classes)
 
-    // Tombstone filter (B3) once, then cache: every output scans this.
+    // Kept for debugging/tests; the output tables below deliberately do NOT
+    // read through this (see RawOut).
     val entities = raw.filter((e: Entity) =>
-      e.claims.forall(c => !EntityLogic.tombstoned(c))).cache()
+      e.claims.forall(c => !EntityLogic.tombstoned(c)))
 
-    def flags(e: Entity): (Boolean, Boolean, Boolean, Boolean) = {
-      val c = e.claims.getOrElse(emptyClaims)
-      val cs = bc.value
-      val excluded = EntityLogic.isSubclassOf(c, cs.excluded, now)
-      val isTe = EntityLogic.isSubclassOf(c, cs.territorialEntities, now) && !excluded
-      val isHs = EntityLogic.isSubclassOf(c, cs.humanSettlements, now) && !excluded &&
-        !EntityLogic.isSubclassOf(c, cs.excludedSettlements, now)
-      val isLang = EntityLogic.isSubclassOf(c, cs.languages, now)
-      (isTe, isHs, isLang, excluded)
-    }
+    val tagged = raw.flatMap((e: Entity) => emit(e, bc.value, now)).cache()
 
-    val countries = entities.flatMap { e =>
-      EntityLogic.country(e.id.get, e.claims.getOrElse(emptyClaims), now)
-    }
+    def part(tag: String) = tagged.filter((r: RawOut) => r.tag == tag)
 
-    // Language rows from the country branch (emitted before the TE branch —
-    // branch 0) and the TE branch (branch 1); PK(id, lang_id) is first-wins
-    // in the reference (setup.sql:14-20, database.rs:128-137) — replicated
-    // deterministically as min (branch, lang_index).
-    val countryLangs = entities.flatMap { e =>
-      val c = e.claims.getOrElse(emptyClaims)
-      if (c.P297.isDefined) EntityLogic.countryLanguages(e.id.get, c, now)
-      else Seq.empty[ObjectLanguageRow]
-    }.withColumn("branch", lit(0))
-    val teLangs = entities.flatMap { e =>
-      val (isTe, _, _, _) = flags(e)
-      if (isTe) EntityLogic.teLanguages(e.id.get, e.claims.getOrElse(emptyClaims), now)
-      else Seq.empty[ObjectLanguageRow]
-    }.withColumn("branch", lit(1))
+    val countries = part("country").map(r => CountryRow(r.id, r.s1.get))
+
+    // PK(id, lang_id) is first-wins in the reference (setup.sql:14-20,
+    // database.rs:128-137): country branch (n2=0) precedes TE branch (n2=1).
     val olWindow = Window.partitionBy(col("id"), col("lang_id"))
       .orderBy(col("branch"), col("lang_index"))
-    val objectLanguages = countryLangs.unionAll(teLangs)
+    val objectLanguages = part("olang")
+      .select(col("id"), col("s1").as("lang_id"), col("n1").as("lang_index"),
+        col("n2").as("branch"))
       .withColumn("rn", row_number().over(olWindow))
       .filter(col("rn") === 1)
       .select(col("id"), col("lang_id"), col("lang_index"))
 
-    val languages = entities.flatMap { e =>
-      val (_, _, isLang, _) = flags(e)
-      if (isLang) EntityLogic.language(e.id.get, e.claims.getOrElse(emptyClaims))
-      else None
-    }
+    val languages = part("lang").map(r => LanguageRow(r.id, r.s1.get))
 
-    val territorialEntities = entities.flatMap { e =>
-      val (isTe, _, _, _) = flags(e)
-      if (isTe) {
-        val c = e.claims.getOrElse(emptyClaims)
-        val is2nd = EntityLogic.isSubclassOf(c, bc.value.secondLevelAdminDiv, now)
-        Some(EntityLogic.territorialEntity(e.id.get, c, is2nd))
-      } else None
-    }
+    val territorialEntities = part("te")
+      .map(r => TERow(r.id, r.b1.get, r.s1))
 
-    // P131 edges from TEs and from settlements that pass the P17 gate
-    // (handle_place is only reached after the missing-P17 early return,
-    // wiki_data_line.rs:125-135). PK(id,parent) dedup per A13.
-    val teParents = entities.flatMap { e =>
-      val (isTe, isHs, _, _) = flags(e)
-      val c = e.claims.getOrElse(emptyClaims)
-      val fromTe = isTe
-      val fromHs = isHs && c.P17.isDefined
-      if (fromTe || fromHs) EntityLogic.parentEdges(e.id.get, c, now)
-      else Seq.empty[TEParentRow]
-    }.dropDuplicates("id", "parent").toDF()
+    val teParents = part("edge")
+      .map(r => TEParentRow(r.id, r.s1.get))
+      .dropDuplicates("id", "parent").toDF()
 
-    val settlements = entities.filter { e => flags(e)._2 }
+    val missingP17 = part("missing").map(r => MissingP17Row(r.id))
 
-    val missingP17 = settlements.flatMap { e =>
-      if (e.claims.getOrElse(emptyClaims).P17.isEmpty) Some(MissingP17Row(e.id.get))
-      else None
-    }
+    val cities = part("city").map(r => CityRow(r.id, r.n1, r.d1, r.d2))
 
-    val settlementsWithCountry = settlements.filter((e: Entity) =>
-      e.claims.getOrElse(emptyClaims).P17.isDefined)
+    val citiesCountries = part("cc")
+      .map(r => CityCountryRow(r.id, r.n1.get, r.s1.get))
 
-    val cities = settlementsWithCountry.map { e =>
-      val c = e.claims.getOrElse(emptyClaims)
-      val coords = EntityLogic.coordinates(c)
-      CityRow(e.id.get, EntityLogic.population(c, now),
-        coords.map(_._1), coords.map(_._2))
-    }
-
-    val citiesCountries = settlementsWithCountry.flatMap { e =>
-      EntityLogic.cityCountries(e.id.get, e.claims.getOrElse(emptyClaims), now)
-    }
-
-    // Labels: TE plain labels, settlement plain labels, settlement native
-    // labels — duplicates between the TE and settlement branches are REAL in
-    // the reference (NULL native_order never collides in SQLite's PK,
-    // SURVEY C17); the cleanup stage dedups later.
-    val objectLabels = entities.flatMap { e =>
-      val (isTe, isHs, _, _) = flags(e)
-      val c = e.claims.getOrElse(emptyClaims)
-      val id = e.id.get
-      val te = if (isTe) EntityLogic.plainLabels(id, e.labels)
-               else Seq.empty[ObjectLabelRow]
-      val hs = if (isHs && c.P17.isDefined)
-        EntityLogic.plainLabels(id, e.labels) ++ EntityLogic.nativeLabels(id, c, now)
-      else Seq.empty[ObjectLabelRow]
-      te ++ hs
-    }
+    val objectLabels = part("label")
+      .map(r => ObjectLabelRow(r.id, r.s1.get, r.s2.get, r.n1))
 
     Tables(entities, countries, objectLanguages, languages,
       territorialEntities, teParents, cities, citiesCountries,
