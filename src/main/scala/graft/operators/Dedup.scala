@@ -52,8 +52,10 @@ object Dedup {
     """list_transform(range(1, greatest(len(tk) - 1, 2)),
       |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])""".stripMargin
 
-  private val tkSql: String =
-    "SELECT doc_id, string_split(text, ' ') AS tk FROM documents"
+  private def tkSqlFrom(src: String): String =
+    s"SELECT doc_id, string_split(text, ' ') AS tk FROM $src"
+
+  private val tkSql: String = tkSqlFrom("documents")
 
   private val numHashes = 8 // 4 bands × 2 rows
 
@@ -88,13 +90,15 @@ object Dedup {
   def dd02MinhashSig(s: SparkSession, dir: String): DataFrame =
     minhashSignatures(Tables(s, dir, "documents"))
 
-  private val sigSql: String = {
+  private def sigSqlFrom(src: String): String = {
     val cols = (0 until numHashes).map(i =>
       s"list_min(list_transform(sh, s -> md5('$i:' || s))) AS m$i").mkString(",\n  ")
     s"""sig AS (SELECT doc_id,
        |  $cols
-       | FROM (SELECT doc_id, $shinglesSql AS sh FROM ($tkSql) tks) shs)""".stripMargin
+       | FROM (SELECT doc_id, $shinglesSql AS sh FROM (${tkSqlFrom(src)}) tks) shs)""".stripMargin
   }
+
+  private val sigSql: String = sigSqlFrom("documents")
 
   val dd02Oracle: String =
     s"""WITH $sigSql
@@ -127,8 +131,8 @@ object Dedup {
   def dd03LshPairs(s: SparkSession, dir: String): DataFrame =
     candidatePairs(Tables(s, dir, "documents"))
 
-  private val bandsSql: String =
-    s"""$sigSql,
+  private def bandsSqlFrom(src: String): String =
+    s"""${sigSqlFrom(src)},
        |bands AS (
        | SELECT doc_id, 0 AS band, md5(m0 || m1) AS bkey FROM sig
        | UNION ALL SELECT doc_id, 1, md5(m2 || m3) FROM sig
@@ -137,6 +141,8 @@ object Dedup {
        |cand AS (
        | SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
        | FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val bandsSql: String = bandsSqlFrom("documents")
 
   val dd03Oracle: String =
     s"""WITH $bandsSql
@@ -188,8 +194,9 @@ object Dedup {
   // Output is pure integers (|A∩B|, |A∪B|) so the oracle is exact;
   // is_dup applies the Jaccard ≥ 0.7 test in integer space (10·∩ ≥ 7·∪).
   // ---------------------------------------------------------------------
-  def dd05JaccardVerify(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
+  /** LSH candidates verified by exact n-gram Jaccard over an arbitrary
+    * (doc_id, text) input — reused by dd05 and the dd07 pipeline. */
+  def jaccardVerified(docs: DataFrame): DataFrame = {
     // Both subtrees feed multiple joins below; materialize each once
     // (the shingle explosion is interpreted higher-order-function work and
     // would otherwise run 3×, the LSH pipeline 2×). At cluster scale this is
@@ -214,22 +221,60 @@ object Dedup {
         (col("n_inter") * 10 >= (col("z1.n_sh") + col("z2.n_sh") - col("n_inter")) * 7).as("is_dup"))
   }
 
-  val dd05Oracle: String =
-    s"""WITH $bandsSql,
+  def dd05JaccardVerify(s: SparkSession, dir: String): DataFrame =
+    jaccardVerified(Tables(s, dir, "documents"))
+
+  private def verifyCtesFrom(src: String): String =
+    s"""${bandsSqlFrom(src)},
        |sh AS (
        | SELECT doc_id, unnest(list_distinct($shinglesSql)) AS shingle
-       | FROM ($tkSql) tks),
+       | FROM (${tkSqlFrom(src)}) tks),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
        |inter AS (
        | SELECT doc1, doc2, COUNT(*) AS n_inter
        | FROM cand JOIN sh s1 ON doc1 = s1.doc_id JOIN sh s2 ON doc2 = s2.doc_id AND s1.shingle = s2.shingle
-       | GROUP BY doc1, doc2)
-       |SELECT c.doc1, c.doc2,
-       | CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
-       | CAST(z1.n_sh + z2.n_sh - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union,
-       | (COALESCE(i.n_inter, 0) * 10 >= (z1.n_sh + z2.n_sh - COALESCE(i.n_inter, 0)) * 7) AS is_dup
-       |FROM cand c LEFT JOIN inter i ON c.doc1 = i.doc1 AND c.doc2 = i.doc2
-       |JOIN sizes z1 ON c.doc1 = z1.doc_id JOIN sizes z2 ON c.doc2 = z2.doc_id""".stripMargin
+       | GROUP BY doc1, doc2)""".stripMargin
+
+  private val verifySelect: String =
+    """SELECT c.doc1, c.doc2,
+      | CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+      | CAST(z1.n_sh + z2.n_sh - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union,
+      | (COALESCE(i.n_inter, 0) * 10 >= (z1.n_sh + z2.n_sh - COALESCE(i.n_inter, 0)) * 7) AS is_dup
+      |FROM cand c LEFT JOIN inter i ON c.doc1 = i.doc1 AND c.doc2 = i.doc2
+      |JOIN sizes z1 ON c.doc1 = z1.doc_id JOIN sizes z2 ON c.doc2 = z2.doc_id""".stripMargin
+
+  val dd05Oracle: String =
+    s"""WITH ${verifyCtesFrom("documents")}
+       |$verifySelect""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dd07: the full training-data dedup pipeline — exact dedup first (cheap
+  // hash groupBy; ALSO the scale guard: exact duplicates would otherwise
+  // share every LSH band and make buckets quadratic), then MinHash-LSH
+  // candidates on the survivors, exact Jaccard verification, and greedy
+  // removal of every doc that near-duplicates a smaller-id survivor
+  // (pairwise remove-larger, not transitive clustering — deterministic and
+  // mirrored exactly by the oracle).
+  // ---------------------------------------------------------------------
+  def dd07DedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val surv1 = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val sdocs = docs.join(surv1.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val removed = jaccardVerified(sdocs)
+      .filter(col("is_dup")).select(col("doc2").as("doc_id")).distinct()
+    sdocs.select(col("doc_id"))
+      .join(removed, Seq("doc_id"), "left_anti")
+  }
+
+  val dd07Oracle: String =
+    s"""WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |sdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN surv ON d.doc_id = surv.doc_id),
+       |${verifyCtesFrom("sdocs")},
+       |verified AS ($verifySelect),
+       |removed AS (SELECT DISTINCT doc2 FROM verified WHERE is_dup)
+       |SELECT doc_id FROM sdocs WHERE doc_id NOT IN (SELECT doc2 FROM removed)""".stripMargin
 
   // ---------------------------------------------------------------------
   // dd06: embedding-cosine near-dup pairs — quantized integer vector math
@@ -273,7 +318,8 @@ object Dedup {
     "dd03_lsh_pairs" -> (dd03LshPairs _),
     "dd04_simhash" -> (dd04Simhash _),
     "dd05_jaccard_verify" -> (dd05JaccardVerify _),
-    "dd06_emb_neardup" -> (dd06EmbNeardup _))
+    "dd06_emb_neardup" -> (dd06EmbNeardup _),
+    "dd07_dedup_pipeline" -> (dd07DedupPipeline _))
 
   val oracles: Map[String, String] = Map(
     "dd01_exact_dedup" -> dd01Oracle,
@@ -281,5 +327,6 @@ object Dedup {
     "dd03_lsh_pairs" -> dd03Oracle,
     "dd04_simhash" -> dd04Oracle,
     "dd05_jaccard_verify" -> dd05Oracle,
-    "dd06_emb_neardup" -> dd06Oracle)
+    "dd06_emb_neardup" -> dd06Oracle,
+    "dd07_dedup_pipeline" -> dd07Oracle)
 }

@@ -158,11 +158,85 @@ object Similarity {
        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) DESC, c_id ASC) AS rnk
        | FROM scored) t WHERE rnk <= $K""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ss03: IVF-style ANN. "Centroids" are a deterministic sample (every
+  // 250th vector — a k-means step would slot in here without changing the
+  // dataflow); every vector is assigned to its nearest centroid (argmax
+  // cosine, broadcast centroid set, map-side); queries probe the 2 nearest
+  // centroid lists and rerank exactly within them. At scale the probe join
+  // shuffles on the centroid id — each list is ~corpus/k — and the
+  // assignment pass is shuffle-free.
+  // ---------------------------------------------------------------------
+  private val nprobe = 2
+
+  def ss03AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir)
+    val cents = base.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("v2"), col("nrm").as("n2"))
+    def nearest(src: DataFrame, idCol: String, k: Int): DataFrame = {
+      val scored = src.select(col("vec_id").as(idCol), col("v").as("v1"),
+          col("nrm").as("n1"))
+        .join(broadcast(cents), lit(true))
+        .withColumn("ccos",
+          expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("ccos").desc, col("cent_id").asc)
+      scored.withColumn("crn", row_number().over(w)).filter(col("crn") <= k)
+        .select(col(idCol), col("cent_id"), col("crn"))
+    }
+    val assigned = nearest(base, "a_id", 1).select(col("a_id"), col("cent_id"))
+    val probes = nearest(base.filter(col("vec_id") % 100 === 0), "q_id", nprobe)
+      .select(col("q_id"), col("cent_id"))
+    val qs = base.select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
+    val cs = base.select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"))
+    val scored = probes.join(assigned, Seq("cent_id"))
+      .filter(col("q_id") =!= col("a_id"))
+      .select(col("q_id"), col("a_id").as("c_id")).distinct()
+      .join(broadcast(qs), Seq("q_id"))
+      .join(cs, Seq("c_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos",
+        col("dot") / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+      .select(col("q_id"), col("c_id"), col("rnk"), col("cos"))
+  }
+
+  val ss03Oracle: String =
+    s"""WITH $qvecSql,
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM qn WHERE vec_id % 250 = 0),
+       |cscored AS (
+       | SELECT qn.vec_id, cents.cent_id,
+       |  CAST(list_sum(list_transform(range(1, len(qn.v) + 1), i -> qn.v[i] * cents.cv[i])) AS BIGINT)
+       |    / sqrt(CAST(qn.nrm AS DOUBLE) * CAST(cents.cn AS DOUBLE)) AS ccos
+       | FROM qn CROSS JOIN cents),
+       |ranked AS (
+       | SELECT vec_id, cent_id,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS crn
+       | FROM cscored),
+       |assigned AS (SELECT vec_id AS a_id, cent_id FROM ranked WHERE crn = 1),
+       |probes AS (SELECT vec_id AS q_id, cent_id FROM ranked WHERE crn <= $nprobe AND vec_id % 100 = 0),
+       |pairs AS (
+       | SELECT DISTINCT p.q_id, a.a_id AS c_id
+       | FROM probes p JOIN assigned a ON p.cent_id = a.cent_id AND p.q_id != a.a_id),
+       |scored AS (
+       | SELECT pairs.q_id, pairs.c_id,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT)
+       |    / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos
+       | FROM pairs JOIN qn a ON pairs.q_id = a.vec_id JOIN qn b ON pairs.c_id = b.vec_id)
+       |SELECT q_id, c_id, rnk, cos FROM (
+       | SELECT q_id, c_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk
+       | FROM scored) t WHERE rnk <= $K""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ss01_brute_topk" -> (ss01BruteTopk _),
-    "ss02_ann_lsh" -> (ss02AnnLsh _))
+    "ss02_ann_lsh" -> (ss02AnnLsh _),
+    "ss03_ann_ivf" -> (ss03AnnIvf _))
 
   val oracles: Map[String, String] = Map(
     "ss01_brute_topk" -> ss01Oracle,
-    "ss02_ann_lsh" -> ss02Oracle)
+    "ss02_ann_lsh" -> ss02Oracle,
+    "ss03_ann_ivf" -> ss03Oracle)
 }
