@@ -158,6 +158,22 @@ object Relational {
     acc
   }
 
+  /** Skew-salted inner equi-join: replicates the (small-ish) right side
+    * `salt` ways and scatters left rows across the replicas, so one hot key
+    * spreads over `salt` reducers instead of stalling a single task. Use
+    * when AQE's skew-join split isn't available (e.g. the skewed side feeds
+    * a non-shuffle op). Left salt is derived deterministically from the
+    * row's key hash + a per-row counter; results equal the plain join. */
+  def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, salt: Int): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(hash(col(leftKey), monotonically_increasing_id()), lit(salt)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"))
+      .drop("__salt")
+  }
+
   private def hierarchyEdges(s: SparkSession, dir: String): DataFrame = {
     val c = Tables(s, dir, "customer")
     val n = Tables(s, dir, "nation")
