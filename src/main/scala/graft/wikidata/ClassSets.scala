@@ -55,4 +55,22 @@ object ClassSets {
     Set(territorialEntitySeed), Set(humanSettlementSeed),
     excludedSeeds, excludedSettlementSeeds,
     Set(secondLevelAdminDivSeed), Set(languageSeed))
+
+  /** Parse a `application/sparql-results+json` document (the reference's
+    * closure source, wiki_sparql.rs:34-67: the `?s` binding of
+    * `SELECT ?s WHERE { ?s wdt:P279+ wd:<seed> }`) into the Q-id set —
+    * the trailing path segment of each result URI. Run the SPARQL queries
+    * offline (one per seed), save the JSON responses, and load them here. */
+  def fromSparqlResultsJson(json: String): Set[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    val bindings = root.path("results").path("bindings")
+    val out = Set.newBuilder[String]
+    val it = bindings.elements()
+    while (it.hasNext) {
+      val uri = it.next().path("s").path("value").asText("")
+      if (uri.nonEmpty) out += uri.substring(uri.lastIndexOf('/') + 1)
+    }
+    out.result()
+  }
 }
