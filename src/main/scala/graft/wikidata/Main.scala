@@ -40,7 +40,10 @@ object Main {
         val f = Post(rd("countries"), rd("object_languages"), rd("languages"),
           rd("territorial_entities"), rd("territorial_entities_parents"),
           rd("cities"), rd("cities_countries"), rd("object_labels"))
-        f.cities.write.mode("overwrite").parquet(s"$out/cities")
+        // country-partitioned layout = the reference's cities(country) index
+        // (setup.sql:48) as partition pruning
+        f.cities.write.mode("overwrite").partitionBy("country")
+          .parquet(s"$out/cities")
         f.citiesLabels.write.mode("overwrite").parquet(s"$out/cities_labels")
         f.citiesLanguages.write.mode("overwrite").parquet(s"$out/cities_languages")
       case "entity" :: file :: rest =>
