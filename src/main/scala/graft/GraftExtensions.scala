@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.DotProductLong
+import graft.functions.{DotProductLong, MinHashSigs}
 
 /** Spark extension entry point: registers the engine's native Catalyst
   * expressions so ANY session — including spark-sql / thrift users — can call
@@ -20,5 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductLong].getName, "dot_l"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProductLong(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSigs(args(0), args(1).eval().asInstanceOf[Int])))
   }
 }

@@ -63,10 +63,84 @@ case class DotProductLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Runtime helper for [[MinHashSigs]]: one pass over the shingle array
+  * computing ALL k per-permutation minima, one MessageDigest reused for the
+  * whole row. Static entry point so generated code can call it directly. */
+object MinHashImpl {
+  private val HEX = "0123456789abcdef".toCharArray
+
+  def compute(shingles: ArrayData, k: Int): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val prefixes = Array.tabulate(k)(p => s"$p:".getBytes("UTF-8"))
+    val minima = new Array[String](k)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      if (s != null) {
+        val bytes = s.getBytes
+        var p = 0
+        while (p < k) {
+          md.reset()
+          md.update(prefixes(p))
+          md.update(bytes)
+          val dig = md.digest()
+          val hex = new Array[Char](32)
+          var j = 0
+          while (j < 16) {
+            hex(2 * j) = HEX((dig(j) >> 4) & 0xf)
+            hex(2 * j + 1) = HEX(dig(j) & 0xf)
+            j += 1
+          }
+          val h = new String(hex)
+          if (minima(p) == null || h.compareTo(minima(p)) < 0) minima(p) = h
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      minima.map(m =>
+        if (m == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(m)))
+  }
+}
+
+/** `minhash_sigs(shingles, k)` → array of the k MinHash signature values
+  * (min over shingles of md5("p:" ++ shingle), p = 0..k-1) — semantically
+  * identical to k separate `array_min(transform(shingles, s ->
+  * md5(concat('p:', s))))` columns, but one pass, no per-element lambda
+  * interpretation, no intermediate arrays. */
+case class MinHashSigs(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sigs expects array<string>, got ${other.sql}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType)
+  override def prettyName: String = "minhash_sigs"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashImpl.compute(input.asInstanceOf[ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashImpl.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
-  /** Registers `dot_l(arr<long>, arr<long>) -> long` so operators can use it
-    * in `expr(...)` strings. Idempotent; call once per query build. */
-  def register(spark: SparkSession): Unit =
+  /** Registers the native expressions so operators can use them in
+    * `expr(...)` strings. Idempotent; call once per query build. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_l", args => DotProductLong(args(0), args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sigs", args => MinHashSigs(args(0),
+        args(1).eval().asInstanceOf[Int]), "built-in")
+  }
 }

@@ -81,10 +81,15 @@ object Dedup {
   // linearly in corpus size.
   // ---------------------------------------------------------------------
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    (0 until numHashes).foldLeft(shingled(docs)) { (df, i) =>
-      df.withColumn(s"m$i",
-        expr(s"array_min(transform(shingles, s -> md5(concat('$i:', s))))"))
-    }.drop("shingles")
+    // One native pass for all k signature minima (graft.functions.MinHashSigs)
+    // instead of k interpreted array_min(transform(...)) passes — identical
+    // hex-string math, so the DuckDB oracle is unchanged.
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val sig = shingled(docs)
+      .withColumn("mh", expr(s"minhash_sigs(shingles, $numHashes)"))
+    (0 until numHashes).foldLeft(sig) { (df, i) =>
+      df.withColumn(s"m$i", col("mh").getItem(i))
+    }.drop("shingles", "mh")
   }
 
   def dd02MinhashSig(s: SparkSession, dir: String): DataFrame =
