@@ -120,11 +120,17 @@ object Post {
       col("lang").as("lab_lang"), col("label").as("lab_label"),
       primaryOf(col("lang")).as("lab_primary"))
 
-    def recursiveLabels(seeds: DataFrame): DataFrame = {
+    def recursiveLabels(seeds: DataFrame,
+        precomputed: Option[DataFrame] = None): DataFrame = {
       // seeds: single column `seed`. Result: (seed, full_label).
-      val closure = Relational.transitiveClosure(
-        teParents.select(col("id"), col("parent")), seeds,
-        maxSteps = 100, dedupPerStep = true)
+      // When the full-city closure already exists (stage 2), restrict it to
+      // the requested seeds instead of walking the graph again.
+      val closure = precomputed match {
+        case Some(cl) => cl.join(seeds, Seq("seed"), "left_semi")
+        case None => Relational.transitiveClosure(
+          teParents.select(col("id"), col("parent")), seeds,
+          maxSteps = 100, dedupPerStep = true)
+      }
       val cand = closure
         .join(langCodes, col("node") === col("holder"))
         .join(labelsP,
@@ -145,7 +151,7 @@ object Post {
 
     val unlabeled4 = c3.filter(col("native_label").isNull)
       .select(col("id").as("seed"))
-    val rec4 = recursiveLabels(unlabeled4)
+    val rec4 = recursiveLabels(unlabeled4, precomputed = Some(closureAll))
     val c4 = c3.join(rec4.as("r4"), c3("id") === col("r4.seed"), "left")
       .select(c3("id"), c3("country"), c3("population"), c3("lat"), c3("lon"),
         c3("2nd_id"),
