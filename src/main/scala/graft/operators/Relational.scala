@@ -470,8 +470,46 @@ object Relational {
       |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q27: hierarchical ROLLUP aggregate — subtotals + grand total in one
+  // pass (Expand keeps it a single shuffle; counts stay exact integers).
+  // ---------------------------------------------------------------------
+  def q27Rollup(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+  }
+
+  val q27Oracle: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q28: set operators — INTERSECT / EXCEPT between customer key sets
+  // (both plan as hash-aggregated semi/anti joins).
+  // ---------------------------------------------------------------------
+  def q28SetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val big = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+    val building = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    big.intersect(building).withColumn("src", lit("both"))
+      .unionAll(big.except(building).withColumn("src", lit("rich_only")))
+  }
+
+  val q28Oracle: String =
+    """WITH big AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+      |building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |SELECT c_custkey, 'both' AS src FROM (SELECT * FROM big INTERSECT SELECT * FROM building) t
+      |UNION ALL
+      |SELECT c_custkey, 'rich_only' FROM (SELECT * FROM big EXCEPT SELECT * FROM building) t""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q27_rollup" -> (q27Rollup _),
+    "q28_setops" -> (q28SetOps _),
     "q01_pricing_agg" -> (q01PricingAgg _),
     "q02_argmin_per_group" -> (q02ArgminPerGroup _),
     "q03_anti_join" -> (q03AntiJoin _),
@@ -493,6 +531,8 @@ object Relational {
     "q19_fk_repoint" -> (q19FkRepoint _))
 
   val oracles: Map[String, String] = Map(
+    "q27_rollup" -> q27Oracle,
+    "q28_setops" -> q28Oracle,
     "q01_pricing_agg" -> q01Oracle,
     "q02_argmin_per_group" -> q02Oracle,
     "q03_anti_join" -> q03Oracle,
