@@ -506,10 +506,26 @@ object Relational {
       |SELECT c_custkey, 'rich_only' FROM (SELECT * FROM big EXCEPT SELECT * FROM building) t""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q29: sketch aggregates — HyperLogLog++ distinct counts and quantile
+  // sketches, the constant-memory path for 100 TB cardinality/percentile
+  // questions (rows-only driver check: approximations have no exact oracle).
+  // ---------------------------------------------------------------------
+  def q29Sketches(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("nd_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
+          .as("p99_price"))
+  }
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "q27_rollup" -> (q27Rollup _),
     "q28_setops" -> (q28SetOps _),
+    "q29_sketches" -> (q29Sketches _),
     "q01_pricing_agg" -> (q01PricingAgg _),
     "q02_argmin_per_group" -> (q02ArgminPerGroup _),
     "q03_anti_join" -> (q03AntiJoin _),
