@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Native Catalyst expressions for the vector-similarity hot path.
   *
@@ -133,14 +134,85 @@ case class MinHashSigs(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Runtime helper for [[LshBucket]]: the deterministic ±1 hyperplane matrix
+  * — w(p)(d) = parity of the first hex digit of md5("p:d"), d 1-based, same
+  * arithmetic the DuckDB oracle evaluates — computed once per
+  * (numPlanes, dims) and cached process-wide, so per row the work is one
+  * primitive multiply-add loop. */
+object LshBucketImpl {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Int]]]()
+
+  private def planes(numPlanes: Int, dims: Int): Array[Array[Int]] =
+    cache.computeIfAbsent((numPlanes, dims), { key: (Int, Int) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(key._1) { p =>
+        Array.tabulate(key._2) { d0 =>
+          md.reset()
+          val dig = md.digest(s"$p:${d0 + 1}".getBytes("UTF-8"))
+          ((((dig(0) >> 4) & 0xf) % 2) * 2) - 1
+        }
+      }
+    })
+
+  def compute(v: ArrayData, numPlanes: Int): Int = {
+    val n = v.numElements()
+    val w = planes(numPlanes, n)
+    var bucket = 0
+    var p = 0
+    while (p < numPlanes) {
+      val wp = w(p)
+      var s = 0L
+      var d = 0
+      while (d < n) { s += v.getLong(d) * wp(d); d += 1 }
+      if (s > 0) bucket |= 1 << p
+      p += 1
+    }
+    bucket
+  }
+}
+
+/** `lsh_bucket(v, numPlanes)` → the random-hyperplane signature of a
+  * quantized vector: bit p set iff Σ_d v[d]·w(p,d) > 0. Semantically the
+  * nested `aggregate(sequence(...), aggregate(...))` HOF form, but that runs
+  * in the Catalyst interpreter (8×64 lambda evaluations per row); this is a
+  * codegen'd primitive loop against a cached plane matrix. */
+case class LshBucket(child: Expression, numPlanes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket expects array<bigint>, got ${other.sql}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lsh_bucket"
+
+  override def nullSafeEval(input: Any): Any =
+    LshBucketImpl.compute(input.asInstanceOf[ArrayData], numPlanes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.LshBucketImpl.compute($c, $numPlanes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Registers the native expressions so operators can use them in
-    * `expr(...)` strings. Idempotent; call once per query build. */
+    * `expr(...)` strings. Registration is skipped when the name already
+    * exists, so repeated calls (one per query build) stay silent —
+    * createOrReplaceTempFunction would WARN-spam the driver log. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_l", args => DotProductLong(args(0), args(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sigs", args => MinHashSigs(args(0),
-        args(1).eval().asInstanceOf[Int]), "built-in")
+    val reg = spark.sessionState.functionRegistry
+    def add(name: String)(builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    add("dot_l")(args => DotProductLong(args(0), args(1)))
+    add("minhash_sigs")(args =>
+      MinHashSigs(args(0), args(1).eval().asInstanceOf[Int]))
+    add("lsh_bucket")(args =>
+      LshBucket(args(0), args(1).eval().asInstanceOf[Int]))
   }
 }

@@ -104,14 +104,11 @@ object Similarity {
     }
   }
 
-  private val planesLit: String =
-    planes.map(_.mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
-
-  private val bucketExpr =
-    s"""aggregate(sequence(0, ${numPlanes - 1}), 0, (acc, p) ->
-       |  acc + if(aggregate(sequence(1, size(v)), CAST(0 AS BIGINT), (a, d) ->
-       |             a + element_at(v, d) * element_at(element_at($planesLit, p + 1), d)
-       |           ) > 0, shiftleft(1, p), 0))""".stripMargin
+  // Native codegen'd signature (graft.functions.LshBucket) — the same
+  // hyperplane-parity math as `planes` above, one primitive loop per row.
+  // The interpreted nested-aggregate HOF form this replaced made ss02 the
+  // slowest bench query (7.8 s at sf0.1).
+  private val bucketExpr = s"lsh_bucket(v, $numPlanes)"
 
   private val planesSqlLit: String =
     planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
@@ -173,19 +170,26 @@ object Similarity {
     val base = qvec(s, dir)
     val cents = base.filter(col("vec_id") % 250 === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("v2"), col("nrm").as("n2"))
-    def nearest(src: DataFrame, idCol: String, k: Int): DataFrame = {
-      val scored = src.select(col("vec_id").as(idCol), col("v").as("v1"),
-          col("nrm").as("n1"))
+    def centScored(src: DataFrame, idCol: String): DataFrame =
+      src.select(col("vec_id").as(idCol), col("v").as("v1"), col("nrm").as("n1"))
         .join(broadcast(cents), lit(true))
         .withColumn("ccos",
           expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("ccos").desc, col("cent_id").asc)
-      scored.withColumn("crn", row_number().over(w)).filter(col("crn") <= k)
-        .select(col(idCol), col("cent_id"), col("crn"))
-    }
-    val assigned = nearest(base, "a_id", 1).select(col("a_id"), col("cent_id"))
-    val probes = nearest(base.filter(col("vec_id") % 100 === 0), "q_id", nprobe)
+    // Assignment (k=1) is an argmax, NOT a top-k: max_by gets a map-side
+    // partial aggregate, where a window would sort-shuffle the full
+    // corpus×centroid product just to take row 1. Tiebreak matches the
+    // oracle's ORDER BY ccos DESC, cent_id ASC via the (ccos, -cent_id)
+    // struct ordering.
+    val assigned = centScored(base, "a_id")
+      .groupBy(col("a_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("ccos"), (-col("cent_id")).as("neg"))).as("cent_id"))
+    // Probes need the 2 nearest lists, and only for the query subset (1% of
+    // the corpus) — a window over that small set is fine.
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val probes = centScored(base.filter(col("vec_id") % 100 === 0), "q_id")
+      .withColumn("crn", row_number().over(wProbe)).filter(col("crn") <= nprobe)
       .select(col("q_id"), col("cent_id"))
     val qs = base.select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
     val cs = base.select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"))

@@ -44,8 +44,11 @@ object Extract {
     // a small single-file input would otherwise parse on ONE task. Shuffle
     // the raw lines (cheap: strings, before from_json) only in that case.
     val parallelism = spark.sparkContext.defaultParallelism
+    // queryExecution.toRdd probes the physical partitioning without the
+    // row-conversion lineage that `.rdd` would materialize.
     val split =
-      if (lines.rdd.getNumPartitions < parallelism) lines.repartition(parallelism)
+      if (lines.queryExecution.toRdd.getNumPartitions < parallelism)
+        lines.repartition(parallelism)
       else lines
     split
       .filter(length(col("value")) > 1)

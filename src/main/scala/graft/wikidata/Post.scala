@@ -166,10 +166,14 @@ object Post {
     // unspecified in SQLite).
     // ------------------------------------------------------------------
     def countrySlotLabels(targets: DataFrame): DataFrame = {
-      // targets: (tid, owner, country) — tid identifies the row; labels are
-      // looked up for `owner` (the city itself, or its subdivision).
+      // targets: (owner, t_country), distinct, both freshly aliased — labels
+      // are looked up for `owner` (the city itself, or its subdivision) in
+      // the languages of `t_country`. Keyed on that natural pair: a
+      // synthetic row id (monotonically_increasing_id) is NOT stable across
+      // the two evaluations of an uncached plan and can silently mis-join
+      // under AQE/task retry.
       val base = targets
-        .join(broadcast(countries.as("co")), col("country") === col("co.id"))
+        .join(broadcast(countries.as("co")), col("t_country") === col("co.id"))
         .join(langCodes.as("lc1"),
           col("lc1.holder") === col("co.id") && col("lc1.lang_index") === 0)
         .join(langCodes.as("lc2"),
@@ -184,17 +188,17 @@ object Post {
             col("lb2.lab_id") === col("owner") &&
             col("lb2.lab_primary") === col("lc2.code_primary") &&
             prefixMatch(col("lb2.lab_lang"), col("lc2.code")), "left")
-      withL2.groupBy(col("tid"))
+      withL2.groupBy(col("owner"), col("t_country"))
         .agg(min(col("lb1.lab_label")).as("label1"),
           min(col("lb2.lab_label")).as("label2"))
-        .select(col("tid"),
+        .select(col("owner"),
           mergeLabels(col("label1"), col("label2")).as("full_label"))
     }
 
     val targets5 = c4.filter(col("native_label").isNull)
-      .select(col("id").as("tid"), col("id").as("owner"), col("country"))
+      .select(col("id").as("owner"), col("country").as("t_country"))
     val by5 = countrySlotLabels(targets5)
-    val c5 = c4.join(by5.as("b5"), c4("id") === col("b5.tid"), "left")
+    val c5 = c4.join(by5.as("b5"), c4("id") === col("b5.owner"), "left")
       .select(c4("id"), c4("country"), c4("population"), c4("lat"), c4("lon"),
         c4("2nd_id"),
         coalesce(c4("native_label"), col("b5.full_label")).as("native_label"))
@@ -250,17 +254,16 @@ object Post {
     // preferred, then min) — the reference's UPDATE pick is unspecified.
     // ------------------------------------------------------------------
     val targets9 = c8.filter(col("2nd_native_label").isNull && col("2nd_id").isNotNull)
-      .select(col("2nd_id"), col("country")).distinct()
-      .withColumn("tid", monotonically_increasing_id())
-    val by9 = countrySlotLabels(
-      targets9.select(col("tid"), col("2nd_id").as("owner"), col("country")))
-    val by9Joined = targets9.as("t9")
-      .join(by9.as("b9"), col("t9.tid") === col("b9.tid"), "left")
-      .select(col("t9.2nd_id").as("sid"), col("b9.full_label").as("full_label"))
-    val wPick9 = Window.partitionBy(col("sid"))
+      .select(col("2nd_id").as("owner"), col("country").as("t_country")).distinct()
+    val by9 = countrySlotLabels(targets9)
+    // (owner, country) pairs that produced no row (dead country, no official
+    // language) are equivalent to a null full_label — both lose the pick
+    // below and coalesce(null) is a no-op, so no left-join-back is needed.
+    val wPick9 = Window.partitionBy(col("owner"))
       .orderBy(col("full_label").isNull.asc, col("full_label").asc)
-    val pick9 = by9Joined.withColumn("rn", row_number().over(wPick9))
-      .filter(col("rn") === 1).select(col("sid"), col("full_label"))
+    val pick9 = by9.withColumn("rn", row_number().over(wPick9))
+      .filter(col("rn") === 1)
+      .select(col("owner").as("sid"), col("full_label"))
     val c9 = c8.join(pick9.as("p9"), c8("2nd_id") === col("p9.sid"), "left")
       .select(c8("id"), c8("country"), c8("population"), c8("lat"), c8("lon"),
         c8("2nd_id"), c8("native_label"), c8("eo_label"),

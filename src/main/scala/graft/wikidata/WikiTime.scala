@@ -49,9 +49,11 @@ final case class WTime(year: Int, month: Int, day: Int,
     * so negative years order correctly. */
   def toSortableLong: Long = {
     require(month < 64 && day < 64 && hour < 64 && minute < 64 && second < 64)
+    // 6 bits per field, disjoint shifts (minute/second are 0-59 and NEED all
+    // 6 — a 5-bit slot makes (h=0, m=32) collide with (h=1, m=0)).
     (((year.toLong + 1000000L) << 30)
-      | (month.toLong << 25) | (day.toLong << 20)
-      | (hour.toLong << 15) | (minute.toLong << 10) | (second.toLong << 4))
+      | (month.toLong << 24) | (day.toLong << 18)
+      | (hour.toLong << 12) | (minute.toLong << 6) | second.toLong)
   }
 }
 

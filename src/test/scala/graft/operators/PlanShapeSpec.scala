@@ -29,4 +29,30 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
+
+  // The dedup/ANN SCALE path must never route through an all-pairs join.
+  // dd06/ss01 are the documented exact baselines (cartesian by construction)
+  // and stay exempt; these guards pin the plans a 100 TB run would use.
+  test("dd07: composed dedup pipeline is NLJ/cartesian-free") {
+    val plan = Dedup.dd07DedupPipeline(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("ss02: LSH ANN is NLJ/cartesian-free and codegen-bucketed") {
+    val df = Similarity.ss02AnnLsh(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the bucket signature must be the native expression, not the
+    // interpreted nested-aggregate HOF
+    assert(plan.contains("lsh_bucket"), plan.take(2000))
+  }
+
+  test("ss03: IVF assignment aggregates (no window over corpus×centroids)") {
+    val plan = Similarity.ss03AnnIvf(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("max_by"), plan.take(2000))
+  }
 }

@@ -52,6 +52,18 @@ class WikiTimeSpec extends AnyFunSuite {
     assert(c.toSortableLong < a.toSortableLong)
   }
 
+  test("toSortableLong gives every field 6 bits (minute 32 vs hour 1)") {
+    // The regression: with a 5-bit minute slot, (h=0, m=32) == (h=1, m=0).
+    val m32 = WTime(2000, 0, 0, 0, 32, 0)
+    val h1 = WTime(2000, 0, 0, 1, 0, 0)
+    assert(m32 < h1)
+    assert(m32.toSortableLong < h1.toSortableLong)
+    // And the same boundary for seconds vs minutes.
+    val s32 = WTime(2000, 0, 0, 0, 0, 32)
+    val m1 = WTime(2000, 0, 0, 0, 1, 0)
+    assert(s32.toSortableLong < m1.toSortableLong)
+  }
+
   val now = WTime(2026, 7, 11, 0, 0, 0)
 
   test("startActive tri-state") {
