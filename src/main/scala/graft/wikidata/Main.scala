@@ -4,14 +4,16 @@ import org.apache.spark.sql.SparkSession
 
 /** CLI mirroring the reference's surface (/root/reference/src/main.rs:17-121):
   *
+  *   fetch <url> <destFile>                    — resumable dump download
   *   ingest <dumpPath> <outDir> [closureFile]  — dump → 9 parquet tables
   *   post <tablesDir> <outDir>                 — 9 tables → final 3 tables
   *   entity <jsonFile> [closureFile]           — debug: show the 9 outputs
   *                                               for a single-entity file
   *
-  * The dump download itself is out of scope for the engine (SURVEY A1/A2):
-  * fetch `latest-all.json.bz2` to storage first; bz2 is block-splittable so
-  * `spark.read.text` parallelizes the decompress+parse for free (A3/A4).
+  * The download runs driver-side, not as a query-engine operator (SURVEY
+  * A1/A2): `fetch` lands `latest-all.json.bz2` once (resumable — see
+  * [[Fetch]]); bz2 is block-splittable so `spark.read.text` parallelizes the
+  * decompress+parse for free (A3/A4).
   */
 object Main {
   private val nineTables = Seq("countries", "object_languages", "languages",
@@ -28,8 +30,15 @@ object Main {
       .appName("geodb-spark")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // D5: 10 s progress/ETA lines + stalled-stage warnings for long runs
+    // (reference src/main.rs:192-225, src/post/mod.rs:22-94).
+    val progress = new graft.ProgressListener().start(spark)
 
     args.toList match {
+      case "fetch" :: url :: dest :: Nil =>
+        // Resumable dump download (A1/A2, reference src/input/http.rs):
+        // Range+ETag mid-stream resume, 32×8 s bounded open retries.
+        Fetch.download(url, java.nio.file.Paths.get(dest))
       case "ingest" :: dump :: out :: rest =>
         val classes = rest.headOption.map(ClassSets.fromClosureFile)
           .getOrElse(ClassSets.seedsOnly)
@@ -66,9 +75,11 @@ object Main {
         }
       case _ =>
         System.err.println(
-          "usage: ingest <dump> <outDir> [closure] | post <in> <out> | entity <file> [closure]")
+          "usage: fetch <url> <dest> | ingest <dump> <outDir> [closure] | " +
+            "post <in> <out> | entity <file> [closure]")
         sys.exit(2)
     }
+    progress.stop(spark)
     spark.stop()
   }
 
