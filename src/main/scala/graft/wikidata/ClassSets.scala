@@ -56,6 +56,50 @@ object ClassSets {
     excludedSeeds, excludedSettlementSeeds,
     Set(secondLevelAdminDivSeed), Set(languageSeed))
 
+  /** Live SPARQL closure fetch (wiki_sparql.rs:9-67): one GET per seed to a
+    * SPARQL endpoint — `SELECT ?s WHERE { ?s wdt:P279+ wd:<seed> . }`, the
+    * transitive subclass closure computed server-side — parsed by
+    * [[fromSparqlResultsJson]]. Driver-side utility, not a query-engine
+    * operator: the six sets are fetched once at job start and broadcast.
+    * Prefer [[fromClosureFile]] operationally (a closure snapshot is
+    * reproducible; the live graph changes daily) — this exists so the
+    * reference's front-to-back flow works without extra tooling. */
+  def fetchSubclasses(endpoint: String, seed: String,
+      userAgent: String = "graft geo-db",
+      timeoutMs: Int = 120000): Set[String] = {
+    val q = java.net.URLEncoder.encode(
+      s"SELECT ?s WHERE { ?s wdt:P279+ wd:$seed . }", "UTF-8")
+    val c = java.net.URI.create(s"$endpoint?query=$q").toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    c.setConnectTimeout(timeoutMs)
+    c.setReadTimeout(timeoutMs)
+    c.setRequestProperty("User-Agent", userAgent)
+    c.setRequestProperty("Accept", "application/sparql-results+json;charset=utf-8")
+    val code = c.getResponseCode
+    if (code != 200) {
+      c.disconnect()
+      throw new java.io.IOException(s"SPARQL endpoint returned HTTP $code")
+    }
+    val in = c.getInputStream
+    try fromSparqlResultsJson(
+      new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  /** The six sets from a live endpoint — new_from_http
+    * (wiki_sparql.rs:78-131): every seed is expanded AND included itself. */
+  def fromSparql(endpoint: String): ClassSets = {
+    def closure(seeds: Set[String]): Set[String] =
+      seeds ++ seeds.flatMap(fetchSubclasses(endpoint, _))
+    ClassSets(
+      closure(Set(territorialEntitySeed)),
+      closure(Set(humanSettlementSeed)),
+      closure(excludedSeeds),
+      closure(excludedSettlementSeeds),
+      closure(Set(secondLevelAdminDivSeed)),
+      closure(Set(languageSeed)))
+  }
+
   /** Parse a `application/sparql-results+json` document (the reference's
     * closure source, wiki_sparql.rs:34-67: the `?s` binding of
     * `SELECT ?s WHERE { ?s wdt:P279+ wd:<seed> }`) into the Q-id set —

@@ -40,7 +40,7 @@ object Main {
         // Range+ETag mid-stream resume, 32×8 s bounded open retries.
         Fetch.download(url, java.nio.file.Paths.get(dest))
       case "ingest" :: dump :: out :: rest =>
-        val classes = rest.headOption.map(ClassSets.fromClosureFile)
+        val classes = rest.headOption.map(loadClasses)
           .getOrElse(ClassSets.seedsOnly)
         val t = Extract.fromDump(spark, dump, classes)
         write(t, out)
@@ -56,7 +56,7 @@ object Main {
         f.citiesLabels.write.mode("overwrite").parquet(s"$out/cities_labels")
         f.citiesLanguages.write.mode("overwrite").parquet(s"$out/cities_languages")
       case "entity" :: file :: rest =>
-        val classes = rest.headOption.map(ClassSets.fromClosureFile)
+        val classes = rest.headOption.map(loadClasses)
           .getOrElse(ClassSets.seedsOnly)
         val t = Extract.fromDump(spark, file, classes)
         Seq(
@@ -82,6 +82,13 @@ object Main {
     progress.stop(spark)
     spark.stop()
   }
+
+  /** Class sets from a closure file, or live from a SPARQL endpoint when
+    * the argument is an http(s) URL (A9, wiki_sparql.rs:9-67). */
+  private def loadClasses(arg: String): ClassSets =
+    if (arg.startsWith("http://") || arg.startsWith("https://"))
+      ClassSets.fromSparql(arg)
+    else ClassSets.fromClosureFile(arg)
 
   private def write(t: Extract.Tables, out: String): Unit = {
     // Partition-parallel parquet writes replace the single-writer SQLite
