@@ -73,7 +73,11 @@ object MinHashImpl {
   def compute(shingles: ArrayData, k: Int): ArrayData = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val prefixes = Array.tabulate(k)(p => s"$p:".getBytes("UTF-8"))
-    val minima = new Array[String](k)
+    // Minima tracked as raw 16-byte digests: lexicographic order of the hex
+    // string is exactly unsigned byte order of the digest, so the hex
+    // conversion (32-char array + String per (shingle, p)) happens only k
+    // times at the end instead of k × |shingles| times.
+    val minima = new Array[Array[Byte]](k)
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
@@ -86,23 +90,37 @@ object MinHashImpl {
           md.update(prefixes(p))
           md.update(bytes)
           val dig = md.digest()
-          val hex = new Array[Char](32)
-          var j = 0
-          while (j < 16) {
-            hex(2 * j) = HEX((dig(j) >> 4) & 0xf)
-            hex(2 * j + 1) = HEX(dig(j) & 0xf)
-            j += 1
-          }
-          val h = new String(hex)
-          if (minima(p) == null || h.compareTo(minima(p)) < 0) minima(p) = h
+          if (minima(p) == null || compareUnsigned(dig, minima(p)) < 0)
+            minima(p) = dig
           p += 1
         }
       }
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      minima.map(m =>
-        if (m == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(m)))
+      minima.map { m =>
+        if (m == null) null
+        else {
+          val hex = new Array[Char](32)
+          var j = 0
+          while (j < 16) {
+            hex(2 * j) = HEX((m(j) >> 4) & 0xf)
+            hex(2 * j + 1) = HEX(m(j) & 0xf)
+            j += 1
+          }
+          org.apache.spark.unsafe.types.UTF8String.fromString(new String(hex))
+        }
+      })
+  }
+
+  private def compareUnsigned(a: Array[Byte], b: Array[Byte]): Int = {
+    var j = 0
+    while (j < 16) {
+      val c = (a(j) & 0xff) - (b(j) & 0xff)
+      if (c != 0) return c
+      j += 1
+    }
+    0
   }
 }
 

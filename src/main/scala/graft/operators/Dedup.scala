@@ -125,6 +125,12 @@ object Dedup {
   }
 
   def candidatePairs(docs: DataFrame): DataFrame = {
+    // The self-join computes the scan→shingle→minhash pipeline once per
+    // side; the two subtrees run as INDEPENDENT parallel stages, so on an
+    // under-utilized executor pool this finishes faster than staging the
+    // bands once (measured: localCheckpoint staging was wall-clock neutral
+    // warm and ~2× slower cold here). At cluster scale, where the corpus
+    // scan dominates, write the signature table once and join that instead.
     val bands = lshBands(minhashSignatures(docs))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
