@@ -25,4 +25,17 @@ object Tables {
       spark.read.parquet(s"$dir/events.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Rebalance `df` to the cluster's parallelism IFF its planned scan/RDD
+    * has fewer partitions — a CPU-dense downstream stage (shingling,
+    * hashing, vector math) is otherwise throttled to the input's split
+    * count. On a real corpus the scan has thousands of row-group splits and
+    * this is a no-op; it fires exactly in the cases where partition count,
+    * not data volume, is the bottleneck: a single-row-group local file, or
+    * an AQE-coalesced tiny join output feeding heavy per-row work.
+    * `queryExecution.toRdd` only PLANS the RDD (no job runs). */
+  def balanced(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

@@ -65,69 +65,58 @@ case class DotProductLong(left: Expression, right: Expression)
 }
 
 /** Runtime helper for [[MinHashSigs]]: one pass over the shingle array
-  * computing ALL k per-permutation minima, one MessageDigest reused for the
-  * whole row. Static entry point so generated code can call it directly. */
+  * computing ALL k per-permutation minima, ONE MD5 per shingle, one
+  * MessageDigest reused for the whole row. Static entry point so generated
+  * code can call it directly.
+  *
+  * Permutation scheme (shared verbatim with the DuckDB oracle): the base
+  * hash is the first 4 digest bytes of md5(shingle) as an unsigned 32-bit
+  * value h; permutation p maps it through the linear congruence
+  * `(A(p)·h + B(p)) mod 2147483647`. One digest feeds all k permutations —
+  * at 100 TB this is the difference between 1 and k MD5 passes over the
+  * corpus — and the signature values are BIGINTs, so band keys downstream
+  * are two 8-byte join columns instead of 32-char hex strings. */
 object MinHashImpl {
-  private val HEX = "0123456789abcdef".toCharArray
+  val Mod: Long = 2147483647L // 2^31 - 1 (prime)
+  // Arbitrary fixed odd multipliers/offsets < 2^23 / 2^30: A·h + B stays
+  // far below 2^63 for any 32-bit h, so the arithmetic is overflow-free in
+  // both Spark (ANSI) and DuckDB.
+  val A: Array[Long] = Array(976369L, 1982627L, 2916197L, 3946649L,
+    4975303L, 6012269L, 7045003L, 8095789L)
+  val B: Array[Long] = Array(178291199L, 282578489L, 378291191L, 477218579L,
+    581030603L, 685983289L, 786432001L, 881930311L)
 
   def compute(shingles: ArrayData, k: Int): ArrayData = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val prefixes = Array.tabulate(k)(p => s"$p:".getBytes("UTF-8"))
-    // Minima tracked as raw 16-byte digests: lexicographic order of the hex
-    // string is exactly unsigned byte order of the digest, so the hex
-    // conversion (32-char array + String per (shingle, p)) happens only k
-    // times at the end instead of k × |shingles| times.
-    val minima = new Array[Array[Byte]](k)
+    val minima = new Array[Long](k)
+    java.util.Arrays.fill(minima, Long.MaxValue)
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
       val s = shingles.getUTF8String(i)
       if (s != null) {
-        val bytes = s.getBytes
+        val dig = md.digest(s.getBytes) // digest() resets the MessageDigest
+        val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+          ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
         var p = 0
         while (p < k) {
-          md.reset()
-          md.update(prefixes(p))
-          md.update(bytes)
-          val dig = md.digest()
-          if (minima(p) == null || compareUnsigned(dig, minima(p)) < 0)
-            minima(p) = dig
+          val v = (A(p) * h + B(p)) % Mod
+          if (v < minima(p)) minima(p) = v
           p += 1
         }
       }
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      minima.map { m =>
-        if (m == null) null
-        else {
-          val hex = new Array[Char](32)
-          var j = 0
-          while (j < 16) {
-            hex(2 * j) = HEX((m(j) >> 4) & 0xf)
-            hex(2 * j + 1) = HEX(m(j) & 0xf)
-            j += 1
-          }
-          org.apache.spark.unsafe.types.UTF8String.fromString(new String(hex))
-        }
-      })
-  }
-
-  private def compareUnsigned(a: Array[Byte], b: Array[Byte]): Int = {
-    var j = 0
-    while (j < 16) {
-      val c = (a(j) & 0xff) - (b(j) & 0xff)
-      if (c != 0) return c
-      j += 1
-    }
-    0
+      minima.map(m => if (m == Long.MaxValue) null else java.lang.Long.valueOf(m)))
   }
 }
 
 /** `minhash_sigs(shingles, k)` → array of the k MinHash signature values
-  * (min over shingles of md5("p:" ++ shingle), p = 0..k-1) — semantically
-  * identical to k separate `array_min(transform(shingles, s ->
-  * md5(concat('p:', s))))` columns, but one pass, no per-element lambda
+  * (min over shingles of `(A(p)·h32(md5(shingle)) + B(p)) mod (2^31-1)`,
+  * p = 0..k-1) — semantically identical to k separate
+  * `array_min(transform(shingles, s -> (A·conv(substring(md5(s),1,8),16,10)
+  * + B) % M))` columns, but one MD5 and one pass per shingle, no lambda
   * interpretation, no intermediate arrays. */
 case class MinHashSigs(child: Expression, k: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -138,8 +127,7 @@ case class MinHashSigs(child: Expression, k: Int)
     case other => TypeCheckResult.TypeCheckFailure(
       s"minhash_sigs expects array<string>, got ${other.sql}")
   }
-  override def dataType: DataType =
-    ArrayType(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = ArrayType(LongType)
   override def prettyName: String = "minhash_sigs"
 
   override def nullSafeEval(input: Any): Any =

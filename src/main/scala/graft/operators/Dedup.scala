@@ -23,9 +23,11 @@ import graft.Tables
   *    correctness baseline; the LSH path for scale is
   *    [[Similarity.ss02AnnLsh]].
   *
-  * Portability convention: hash = md5 hex strings (identical in Spark and
-  * DuckDB); MinHash order = lexicographic on the hex string (any total
-  * order works for MinHash); vector math is quantized to integers so the
+  * Portability convention: base hash = first 8 hex digits of md5 parsed as
+  * a 32-bit integer (identical in Spark and DuckDB); MinHash permutations =
+  * linear congruences over Z_(2^31-1) from shared constant tables
+  * ([[graft.functions.MinHashImpl]]), so signatures are BIGINTs computed
+  * with ONE digest per shingle; vector math is quantized to integers so the
   * oracle matches exactly (floor(x*1000), dot/norm comparisons done in
   * integer arithmetic: cos ≥ t  ⟺  dot > 0 ∧ dot²·denom ≥ t²·denom·‖a‖²‖b‖²).
   */
@@ -43,9 +45,12 @@ object Dedup {
       |              element_at(tk, i + 2)))""".stripMargin)
 
   /** (doc_id, shingles) with the tokenization materialized in its own
-    * projection so it is evaluated once per row. */
+    * projection so it is evaluated once per row. The input is rebalanced
+    * ([[Tables.balanced]]) because shingling+hashing is CPU-bound: a
+    * single-row-group file must not serialize the whole stage onto one
+    * core (no-op when the scan already has enough splits). */
   def shingled(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    Tables.balanced(docs.select(col("doc_id"), split(col("text"), " ").as("tk")))
       .select(col("doc_id"), shinglesOverTk.as("shingles"))
 
   private val shinglesSql: String =
@@ -75,15 +80,14 @@ object Dedup {
       |FROM documents GROUP BY md5(text)""".stripMargin
 
   // ---------------------------------------------------------------------
-  // dd02: MinHash signatures — k=8 permutations simulated by seeded md5;
-  // the signature is computed entirely inside per-row higher-order
-  // functions (shingle → transform → array_min): zero shuffles, scales
-  // linearly in corpus size.
+  // dd02: MinHash signatures — k=8 permutations derived from ONE md5 per
+  // shingle: h = first 8 hex digits of md5(s) as a 32-bit value, permuted
+  // through (A(p)·h + B(p)) mod (2^31-1). One native per-row pass
+  // (graft.functions.MinHashSigs): zero shuffles, one digest per shingle,
+  // BIGINT signature values. The DuckDB oracle evaluates the identical
+  // arithmetic from the same constant tables.
   // ---------------------------------------------------------------------
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    // One native pass for all k signature minima (graft.functions.MinHashSigs)
-    // instead of k interpreted array_min(transform(...)) passes — identical
-    // hex-string math, so the DuckDB oracle is unchanged.
     graft.functions.VectorFunctions.register(docs.sparkSession)
     val sig = shingled(docs)
       .withColumn("mh", expr(s"minhash_sigs(shingles, $numHashes)"))
@@ -96,8 +100,10 @@ object Dedup {
     minhashSignatures(Tables(s, dir, "documents"))
 
   private def sigSqlFrom(src: String): String = {
+    import graft.functions.MinHashImpl.{A, B, Mod}
     val cols = (0 until numHashes).map(i =>
-      s"list_min(list_transform(sh, s -> md5('$i:' || s))) AS m$i").mkString(",\n  ")
+      s"list_min(list_transform(sh, s -> (${A(i)} * ('0x' || substr(md5(s), 1, 8))::BIGINT + ${B(i)}) % $Mod)) AS m$i")
+      .mkString(",\n  ")
     s"""sig AS (SELECT doc_id,
        |  $cols
        | FROM (SELECT doc_id, $shinglesSql AS sh FROM (${tkSqlFrom(src)}) tks) shs)""".stripMargin
@@ -111,17 +117,19 @@ object Dedup {
 
   // ---------------------------------------------------------------------
   // dd03: LSH candidate pairs — band the signature (4 bands × 2 rows),
-  // bucket-join on (band, md5(band rows)). The self-join is an equi-join
-  // on the bucket key: Catalyst plans a shuffled hash join keyed on
-  // (band, bkey), so cost is Σ bucket² not n².
+  // bucket-join directly on the two BIGINT band values (band, k1, k2): no
+  // hashing of the band at all, and the shuffle rows carry 8-byte keys
+  // instead of hex strings. Catalyst plans a shuffled hash join keyed on
+  // (band, k1, k2), so cost is Σ bucket² not n².
   // ---------------------------------------------------------------------
   def lshBands(sig: DataFrame): DataFrame = {
     val bandCols = (0 until numHashes / 2).map { b =>
       struct(lit(b).as("band"),
-        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("bkey"))
+        col(s"m${2 * b}").as("k1"), col(s"m${2 * b + 1}").as("k2"))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.k1").as("k1"), col("b.k2").as("k2"))
   }
 
   def candidatePairs(docs: DataFrame): DataFrame = {
@@ -133,8 +141,8 @@ object Dedup {
     // scan dominates, write the signature table once and join that instead.
     val bands = lshBands(minhashSignatures(docs))
     bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
+          col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .distinct()
   }
@@ -145,13 +153,13 @@ object Dedup {
   private def bandsSqlFrom(src: String): String =
     s"""${sigSqlFrom(src)},
        |bands AS (
-       | SELECT doc_id, 0 AS band, md5(m0 || m1) AS bkey FROM sig
-       | UNION ALL SELECT doc_id, 1, md5(m2 || m3) FROM sig
-       | UNION ALL SELECT doc_id, 2, md5(m4 || m5) FROM sig
-       | UNION ALL SELECT doc_id, 3, md5(m6 || m7) FROM sig),
+       | SELECT doc_id, 0 AS band, m0 AS k1, m1 AS k2 FROM sig
+       | UNION ALL SELECT doc_id, 1, m2, m3 FROM sig
+       | UNION ALL SELECT doc_id, 2, m4, m5 FROM sig
+       | UNION ALL SELECT doc_id, 3, m6, m7 FROM sig),
        |cand AS (
        | SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-       | FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+       | FROM bands a JOIN bands b ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id)""".stripMargin
 
   private val bandsSql: String = bandsSqlFrom("documents")
 
@@ -168,7 +176,7 @@ object Dedup {
   // plus two keyed aggregations shuffles 32× the token count).
   // ---------------------------------------------------------------------
   def dd04Simhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
+    val docs = Tables.balanced(Tables(s, dir, "documents"))
     docs.select(col("doc_id"),
         expr("transform(array_distinct(filter(split(text, ' '), x -> x != '')), t -> md5(t))").as("hs"))
       .select(col("doc_id"),
@@ -271,7 +279,13 @@ object Dedup {
     val docs = Tables(s, dir, "documents")
     val surv1 = docs.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
+    // Explicit rebalance before the checkpoint: AQE coalesces this small
+    // semi-join output to ~1 partition (right by bytes, wrong for the
+    // CPU-bound shingle/minhash stages that read the checkpoint). At
+    // cluster scale this is the standard post-filter rebalance before an
+    // expensive verification pass.
     val sdocs = docs.join(surv1.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint()
     val removed = jaccardVerified(sdocs)
       .filter(col("is_dup")).select(col("doc2").as("doc_id")).distinct()
@@ -295,7 +309,7 @@ object Dedup {
   // ---------------------------------------------------------------------
   def quantized(emb: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(emb.sparkSession)
-    emb.select(col("vec_id"), col("label"),
+    Tables.balanced(emb).select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))").as("v"))
       .withColumn("nrm", expr("dot_l(v, v)"))
   }
