@@ -305,7 +305,7 @@ object Dedup {
   // dd06: embedding-cosine near-dup pairs — quantized integer vector math
   // (floor(x·1000)); cos ≥ 0.4 tested as dot > 0 ∧ 25·dot² ≥ 4·‖a‖²·‖b‖².
   // This exact all-pairs form is the small-scale correctness baseline;
-  // at scale, block with Similarity.ss02AnnLsh buckets first.
+  // the bucketed scale path is dd08EmbNeardupLsh below.
   // ---------------------------------------------------------------------
   def quantized(emb: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(emb.sparkSession)
@@ -337,6 +337,74 @@ object Dedup {
       |SELECT vec1, vec2, dot, n1, n2 FROM pairs
       |WHERE dot > 0 AND dot * dot * 25 >= n1 * n2 * 4""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dd08: LSH-bucketed embedding near-dup — the 100 TB scale path dd06's
+  // all-pairs baseline points at, built exactly like the MinHash banding
+  // above: ONE native 16-plane random-hyperplane signature per vector
+  // (lsh_bucket, codegen'd), sliced into 4 tables × 4 planes; candidates
+  // are an equi-join on (table, 4-bit slice) with DISTINCT over
+  // multi-table collisions, and the exact integer cosine test runs on
+  // candidates only. Multi-table banding is what makes the recall/cost
+  // dial explicit: per-pair recall 1-(1-p^4)^4 with p = 1-θ/π (~50% at
+  // this data's θ≈60°; near-identical pairs ≈ always), candidate volume
+  // Σ bucket² per table, never n². dd06 remains the exact-recall
+  // baseline; the oracle runs the identical algorithm so rows hash-match.
+  // ---------------------------------------------------------------------
+  private val embTables = 4
+  private val embPlanesPerTable = 4
+  private val embSigPlanes = embTables * embPlanesPerTable
+
+  def dd08EmbNeardupLsh(s: SparkSession, dir: String): DataFrame = {
+    val mask = (1 << embPlanesPerTable) - 1
+    val q = quantized(Tables(s, dir, "embeddings"))
+      .withColumn("sig", expr(s"lsh_bucket(v, $embSigPlanes)"))
+    val tableCols = (0 until embTables).map { t =>
+      struct(lit(t).as("tbl"),
+        expr(s"shiftright(sig, ${t * embPlanesPerTable}) & $mask").as("bkey"))
+    }
+    val bands = q.select(col("vec_id"), col("v"), col("nrm"),
+        explode(array(tableCols: _*)).as("b"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("b.tbl").as("tbl"), col("b.bkey").as("bkey"))
+    val a = bands.select(col("vec_id").as("vec1"), col("v").as("v1"),
+      col("nrm").as("n1"), col("tbl"), col("bkey"))
+    val b = bands.select(col("vec_id").as("vec2"), col("v").as("v2"),
+      col("nrm").as("n2"), col("tbl"), col("bkey"))
+    a.join(b, Seq("tbl", "bkey"))
+      .filter(col("vec1") < col("vec2"))
+      .select(col("vec1"), col("v1"), col("n1"), col("vec2"), col("v2"), col("n2"))
+      .distinct()
+      .withColumn("dot", expr("dot_l(v1, v2)"))
+      .filter(col("dot") > 0 && col("dot") * col("dot") * 25 >= col("n1") * col("n2") * 4)
+      .select(col("vec1"), col("vec2"), col("dot"), col("n1"), col("n2"))
+  }
+
+  val dd08Oracle: String = {
+    val mask = (1 << embPlanesPerTable) - 1
+    val bandSelects = (0 until embTables).map(t =>
+      s"SELECT vec_id, v, nrm, $t AS tbl, (sig >> ${t * embPlanesPerTable}) & $mask AS bkey FROM sigs")
+      .mkString("\n UNION ALL ")
+    s"""WITH q AS (
+       | SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+       | FROM embeddings),
+       |n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nrm FROM q),
+       |sigs AS (
+       | SELECT vec_id, v, nrm, CAST(${Similarity.bucketSqlFor(embSigPlanes)} AS BIGINT) AS sig FROM n),
+       |bands AS (
+       | $bandSelects),
+       |cand AS (
+       | SELECT DISTINCT a.vec_id AS vec1, a.v AS v1, a.nrm AS n1,
+       |                 b.vec_id AS vec2, b.v AS v2, b.nrm AS n2
+       | FROM bands a JOIN bands b ON a.tbl = b.tbl AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+       |pairs AS (
+       | SELECT vec1, vec2,
+       |  CAST(list_sum(list_transform(range(1, len(v1) + 1), i -> v1[i] * v2[i])) AS BIGINT) AS dot,
+       |  n1, n2
+       | FROM cand)
+       |SELECT vec1, vec2, dot, n1, n2 FROM pairs
+       |WHERE dot > 0 AND dot * dot * 25 >= n1 * n2 * 4""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "dd01_exact_dedup" -> (dd01ExactDedup _),
     "dd02_minhash_sig" -> (dd02MinhashSig _),
@@ -344,7 +412,8 @@ object Dedup {
     "dd04_simhash" -> (dd04Simhash _),
     "dd05_jaccard_verify" -> (dd05JaccardVerify _),
     "dd06_emb_neardup" -> (dd06EmbNeardup _),
-    "dd07_dedup_pipeline" -> (dd07DedupPipeline _))
+    "dd07_dedup_pipeline" -> (dd07DedupPipeline _),
+    "dd08_emb_neardup_lsh" -> (dd08EmbNeardupLsh _))
 
   val oracles: Map[String, String] = Map(
     "dd01_exact_dedup" -> dd01Oracle,
@@ -353,5 +422,6 @@ object Dedup {
     "dd04_simhash" -> dd04Oracle,
     "dd05_jaccard_verify" -> dd05Oracle,
     "dd06_emb_neardup" -> dd06Oracle,
-    "dd07_dedup_pipeline" -> dd07Oracle)
+    "dd07_dedup_pipeline" -> dd07Oracle,
+    "dd08_emb_neardup_lsh" -> dd08Oracle)
 }

@@ -93,9 +93,9 @@ object Similarity {
   private val dims = 64
 
   /** w(p)(d) ∈ {-1, +1} from md5 parity — same arithmetic both engines see. */
-  private[operators] val planes: Seq[Seq[Int]] = {
+  private[operators] def planesFor(n: Int): Seq[Seq[Int]] = {
     val mdig = java.security.MessageDigest.getInstance("MD5")
-    (0 until numPlanes).map { p =>
+    (0 until n).map { p =>
       (1 to dims).map { d =>
         val hex = mdig.digest(s"$p:$d".getBytes("UTF-8"))
           .map("%02x".format(_)).mkString
@@ -103,21 +103,25 @@ object Similarity {
       }
     }
   }
+  private[operators] val planes: Seq[Seq[Int]] = planesFor(numPlanes)
 
   // Native codegen'd signature (graft.functions.LshBucket) — the same
   // hyperplane-parity math as `planes` above, one primitive loop per row.
   // The interpreted nested-aggregate HOF form this replaced made ss02 the
   // slowest bench query (7.8 s at sf0.1).
-  private val bucketExpr = s"lsh_bucket(v, $numPlanes)"
+  private[operators] val bucketExpr = s"lsh_bucket(v, $numPlanes)"
 
-  private val planesSqlLit: String =
-    planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
-
-  private val bucketSql: String =
-    s"""list_sum(list_transform(range(0, $numPlanes), p ->
+  /** DuckDB SQL for the n-plane signature of column `v` — the same plane
+    * matrix [[LshBucketImpl]] caches, embedded as literals. */
+  private[operators] def bucketSqlFor(n: Int): String = {
+    val lit = planesFor(n).map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""list_sum(list_transform(range(0, $n), p ->
        |  CASE WHEN list_sum(list_transform(range(1, len(v) + 1), d ->
-       |         v[d] * ($planesSqlLit)[p + 1][d]))
+       |         v[d] * ($lit)[p + 1][d]))
        |       > 0 THEN (2 ** p) ELSE 0 END))""".stripMargin
+  }
+
+  private[operators] val bucketSql: String = bucketSqlFor(numPlanes)
 
   def ss02AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val bucketed = qvec(s, dir).withColumn("bucket", expr(bucketExpr))

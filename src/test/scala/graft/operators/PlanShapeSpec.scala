@@ -50,6 +50,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("lsh_bucket"), plan.take(2000))
   }
 
+  test("dd08: bucketed embedding near-dup is NLJ/cartesian-free") {
+    val plan = Dedup.dd08EmbNeardupLsh(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("lsh_bucket"), plan.take(2000))
+  }
+
   test("ss03: IVF assignment aggregates (no window over corpus×centroids)") {
     val plan = Similarity.ss03AnnIvf(spark, dir)
       .queryExecution.executedPlan.toString
