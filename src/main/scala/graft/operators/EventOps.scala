@@ -113,17 +113,64 @@ object EventOps {
       | arg_max(value, event_id) AS last_value
       |FROM events GROUP BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q30: interval-join click attribution — for each click, the latest view
+  // by the same user within the 10 minutes before it. The batch twin of
+  // the watermarked stream-stream join in EventStream.attributedClicks.
+  // Plan shape: equi-join on user_id with the time range as a residual
+  // condition (stays hash-joinable); per-click winner via max_by — no
+  // window over the joined product. All comparisons are on floor-to-second
+  // epochs so micro- vs nano-second timestamp precision cannot diverge
+  // between engines. At 100 TB you'd additionally bucket both sides by
+  // coarse time so a user's full history never co-shuffles.
+  // ---------------------------------------------------------------------
+  def q30Attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ce"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        unix_timestamp(col("ts")).as("ve"))
+    clicks.join(views, Seq("user_id"))
+      .filter(col("ve") <= col("ce") && col("ve") >= col("ce") - 600)
+      .groupBy(col("click_id"), col("user_id"), col("ce"))
+      // Winner = latest view, ties broken by view_id. One sortable BIGINT
+      // key (epoch·10^8 + id — DuckDB's arg_max takes no struct key) keeps
+      // this a map-side-combinable max_by in both engines.
+      .agg(max_by(col("view_id"), col("ve") * 100000000L + col("view_id")).as("view_id"),
+        count(lit(1)).as("n_views"))
+      .select(col("click_id"), col("user_id"), col("ce").as("click_epoch"),
+        col("view_id"), col("n_views"))
+  }
+
+  val q30Oracle: String =
+    """WITH clicks AS (
+      | SELECT event_id AS click_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ce
+      | FROM events WHERE event_type = 'click'),
+      |views AS (
+      | SELECT user_id, event_id AS view_id, CAST(floor(epoch(ts)) AS BIGINT) AS ve
+      | FROM events WHERE event_type = 'view')
+      |SELECT c.click_id, c.user_id, c.ce AS click_epoch,
+      | arg_max(v.view_id, v.ve * 100000000 + v.view_id) AS view_id,
+      | COUNT(*) AS n_views
+      |FROM clicks c JOIN views v ON c.user_id = v.user_id
+      | AND v.ve <= c.ce AND v.ve >= c.ce - 600
+      |GROUP BY c.click_id, c.user_id, c.ce""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_tumbling_window" -> (q20TumblingWindow _),
     "q21_running_sum" -> (q21RunningSum _),
     "q22_sessionize" -> (q22Sessionize _),
     "q23_json_extract" -> (q23JsonExtract _),
-    "q24_argmax_latest" -> (q24ArgmaxLatest _))
+    "q24_argmax_latest" -> (q24ArgmaxLatest _),
+    "q30_attribution" -> (q30Attribution _))
 
   val oracles: Map[String, String] = Map(
     "q20_tumbling_window" -> q20Oracle,
     "q21_running_sum" -> q21Oracle,
     "q22_sessionize" -> q22Oracle,
     "q23_json_extract" -> q23Oracle,
-    "q24_argmax_latest" -> q24Oracle)
+    "q24_argmax_latest" -> q24Oracle,
+    "q30_attribution" -> q30Oracle)
 }

@@ -43,6 +43,35 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour", "15 minutes"))
       .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
 
+  /** Streaming exact dedup on event_id — the streaming form of the exact
+    * dedup / first-wins operators (dd01, q17). State holds one key per
+    * event_id seen, and the watermark BOUNDS that state: an id older than
+    * the watermark is evicted, so memory is O(ids per watermark window),
+    * not O(stream length) — the property that keeps this runnable forever
+    * on an unbounded stream. */
+  def dedupedEvents(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Watermarked stream-stream interval join — click attribution: each
+    * click joins the same user's views from the 10 minutes before it
+    * (streaming twin of EventOps.q30). The time bound is what makes an
+    * unbounded join feasible: with both sides watermarked and the join
+    * condition range-bounded, Spark derives how long each side's state
+    * must be retained and evicts the rest. */
+  def attributedClicks(clicks: DataFrame, views: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark).alias("c")
+    val v = views.withWatermark("ts", watermark).alias("v")
+    c.join(v, expr(
+      """c.user_id = v.user_id AND
+        |v.ts <= c.ts AND v.ts >= c.ts - interval 10 minutes""".stripMargin))
+      .select(col("c.event_id").as("click_id"), col("c.user_id").as("user_id"),
+        col("c.ts").as("click_ts"), col("v.event_id").as("view_id"),
+        col("v.ts").as("view_ts"))
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState — the streaming
     * form of EventOps.q22 (1800 s inactivity gap). Emits a Session row each
     * time a session closes: either a newer event arrives past the gap, or

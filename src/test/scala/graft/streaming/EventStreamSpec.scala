@@ -35,6 +35,47 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated event_ids across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStream.dedupedEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(0), 1, "click", 1.0), // same-batch duplicate
+        Event(2, ts(1), 1, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(1, ts(2), 1, "click", 1.0)) // cross-batch duplicate
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0))
+      assert(ids.sorted.toSeq == Seq(1L, 2L), ids.mkString(","))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join attributes clicks to prior views") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val q = EventStream.attributedClicks(clicks.toDF(), views.toDF())
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData(Event(10, ts(0), 1, "view", 0.0))
+      clicks.addData(
+        Event(20, ts(5), 1, "click", 1.0),  // 5 min after user 1's view: joins
+        Event(21, ts(30), 1, "click", 1.0), // 30 min after: outside the bound
+        Event(22, ts(6), 2, "click", 1.0))  // other user: no view at all
+      q.processAllAvailable()
+      val rows = spark.table("attr").select("click_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((20L, 10L)), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("sessionization closes a session when the gap is exceeded") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
