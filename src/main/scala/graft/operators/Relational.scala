@@ -521,8 +521,30 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // q31: skew-salted join, driver-checked — revenue per market segment
+  // computed through saltedJoin (orders scattered over 8 salt replicas of
+  // customer). The oracle is the PLAIN join: salting must be invisible in
+  // the results, only in the shuffle layout. C21's index dissolution story:
+  // when a hot key would stall one reducer and AQE's skew split can't
+  // apply, this is the manual tool.
+  // ---------------------------------------------------------------------
+  def q31SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(s, dir, "orders")
+    val customer = Tables(s, dir, "customer")
+    saltedJoin(orders, customer, "o_custkey", "c_custkey", 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+  }
+
+  val q31Oracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q31_salted_join" -> (q31SaltedJoin _),
     "q27_rollup" -> (q27Rollup _),
     "q28_setops" -> (q28SetOps _),
     "q29_sketches" -> (q29Sketches _),
@@ -547,6 +569,7 @@ object Relational {
     "q19_fk_repoint" -> (q19FkRepoint _))
 
   val oracles: Map[String, String] = Map(
+    "q31_salted_join" -> q31Oracle,
     "q27_rollup" -> q27Oracle,
     "q28_setops" -> q28Oracle,
     "q01_pricing_agg" -> q01Oracle,
