@@ -405,7 +405,47 @@ object Dedup {
        |WHERE dot > 0 AND dot * dot * 25 >= n1 * n2 * 4""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // tp01: the end-to-end corpus-curation pipeline a training-data run
+  // would ship — quality gate (token count ≥ 5 AND alpha ratio ≥ 0.3,
+  // both as exact integer tests) → exact dedup (min doc_id per content
+  // hash) → MinHash-LSH near-dup removal on the survivors. Composes the
+  // dd-operators over the filtered corpus; every stage keeps the scale
+  // shape it has standalone (the quality gate additionally SHRINKS the
+  // corpus before any shuffle, which is why it runs first).
+  // ---------------------------------------------------------------------
+  def tp01CorpusCuration(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val qual = docs.filter(
+      size(expr("filter(split(text, ' '), x -> x != '')")) >= 5 &&
+        (length(col("text")) - length(regexp_replace(col("text"), "[a-z]", ""))) * 10
+          >= length(col("text")) * 3)
+      .select(col("doc_id"), col("text"))
+    val surv1 = qual.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val sdocs = qual.join(surv1.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val removed = jaccardVerified(sdocs)
+      .filter(col("is_dup")).select(col("doc2").as("doc_id")).distinct()
+    sdocs.select(col("doc_id"))
+      .join(removed, Seq("doc_id"), "left_anti")
+  }
+
+  val tp01Oracle: String =
+    s"""WITH qual AS (
+       | SELECT doc_id, text FROM documents
+       | WHERE len(list_filter(string_split(text, ' '), x -> x != '')) >= 5
+       |  AND (length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))) * 10 >= length(text) * 3),
+       |surv AS (SELECT MIN(doc_id) AS doc_id FROM qual GROUP BY md5(text)),
+       |sdocs AS (SELECT q.doc_id, q.text FROM qual q JOIN surv ON q.doc_id = surv.doc_id),
+       |${verifyCtesFrom("sdocs")},
+       |verified AS ($verifySelect),
+       |removed AS (SELECT DISTINCT doc2 FROM verified WHERE is_dup)
+       |SELECT doc_id FROM sdocs WHERE doc_id NOT IN (SELECT doc2 FROM removed)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tp01_corpus_curation" -> (tp01CorpusCuration _),
     "dd01_exact_dedup" -> (dd01ExactDedup _),
     "dd02_minhash_sig" -> (dd02MinhashSig _),
     "dd03_lsh_pairs" -> (dd03LshPairs _),
@@ -416,6 +456,7 @@ object Dedup {
     "dd08_emb_neardup_lsh" -> (dd08EmbNeardupLsh _))
 
   val oracles: Map[String, String] = Map(
+    "tp01_corpus_curation" -> tp01Oracle,
     "dd01_exact_dedup" -> dd01Oracle,
     "dd02_minhash_sig" -> dd02Oracle,
     "dd03_lsh_pairs" -> dd03Oracle,

@@ -162,13 +162,74 @@ object TextOps {
       | CAST(list_reduce(list_transform(range(1, length(canon) + 1), i -> CAST(ascii(substr(canon, CAST(i AS INTEGER), 1)) AS BIGINT)), (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS poly_hash
       |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // tx05: text normalization — the canonical form trainers dedup/train on:
+  // lowercase, drop everything outside [a-z0-9 .,], collapse whitespace,
+  // trim. Pure codegen'd regexp chain; emitted alongside the original
+  // length so filters can gate on shrinkage (markup-heavy docs shrink most).
+  // ---------------------------------------------------------------------
+  def tx05Normalize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    docs.select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 .,]", " "),
+          " +", " ")).as("norm_text"),
+        length(col("text")).as("len_raw"))
+      .withColumn("len_norm", length(col("norm_text")))
+  }
+
+  val tx05Oracle: String =
+    """SELECT doc_id,
+      | trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 .,]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+      | length(text) AS len_raw,
+      | length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 .,]', ' ', 'g'), ' +', ' ', 'g'))) AS len_norm
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // tx06: PII scrubbing — emails and phone-shaped digit runs masked by
+  // regexp, with per-doc counts of what was masked. The corpus text has no
+  // planted PII, so (like q26's messy numeral) the input is synthesized
+  // deterministically per doc — both engines scrub the same string; the
+  // operator is the regex chain, which transfers to real corpora verbatim.
+  // ---------------------------------------------------------------------
+  private val emailRe = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+  private val phoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  def tx06PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val withPii = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.org or +1-555-01"), col("doc_id").cast("string"))
+    docs.select(col("doc_id"), withPii.as("t"))
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("scrubbed"),
+        size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(
+          regexp_replace(col("t"), emailRe, "<EMAIL>"), lit(phoneRe), lit(0)))
+          .as("n_phones"))
+  }
+
+  val tx06Oracle: String =
+    s"""WITH p AS (
+       | SELECT doc_id,
+       |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.org or +1-555-01' || CAST(doc_id AS VARCHAR) AS t
+       | FROM documents)
+       |SELECT doc_id,
+       | regexp_replace(regexp_replace(t, '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g') AS scrubbed,
+       | CAST(len(regexp_extract_all(t, '$emailRe')) AS INTEGER) AS n_emails,
+       | CAST(len(regexp_extract_all(regexp_replace(t, '$emailRe', '<EMAIL>', 'g'), '$phoneRe')) AS INTEGER) AS n_phones
+       |FROM p""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q25_posexplode_filtered" -> (q25PosexplodeFiltered _),
     "q26_quantity_parse" -> (q26QuantityParse _),
     "tx01_langid" -> (tx01LangId _),
     "tx02_quality" -> (tx02Quality _),
     "tx03_token_count" -> (tx03TokenCount _),
-    "tx04_fingerprint" -> (tx04Fingerprint _))
+    "tx04_fingerprint" -> (tx04Fingerprint _),
+    "tx05_normalize" -> (tx05Normalize _),
+    "tx06_pii_scrub" -> (tx06PiiScrub _))
 
   val oracles: Map[String, String] = Map(
     "q25_posexplode_filtered" -> q25Oracle,
@@ -176,5 +237,7 @@ object TextOps {
     "tx01_langid" -> tx01Oracle,
     "tx02_quality" -> tx02Oracle,
     "tx03_token_count" -> tx03Oracle,
-    "tx04_fingerprint" -> tx04Oracle)
+    "tx04_fingerprint" -> tx04Oracle,
+    "tx05_normalize" -> tx05Oracle,
+    "tx06_pii_scrub" -> tx06Oracle)
 }
