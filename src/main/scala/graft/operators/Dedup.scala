@@ -87,6 +87,25 @@ object Dedup {
   // BIGINT signature values. The DuckDB oracle evaluates the identical
   // arithmetic from the same constant tables.
   // ---------------------------------------------------------------------
+  /** Per-doc DISTINCT shingle sets (nulls dropped — Spark keeps a null in
+    * array_distinct where DuckDB's list_distinct drops it, so both engines
+    * filter explicitly). One tokenize+shingle pass over the corpus; the
+    * staged form of "write the signature table once". */
+  def shingleSets(docs: DataFrame): DataFrame =
+    shingled(docs).select(col("doc_id"),
+      array_distinct(expr("filter(shingles, x -> x IS NOT NULL)")).as("sh"))
+
+  /** MinHash signature columns m0..m7 derived from a staged shingle-set
+    * table — identical minima to computing over the raw shingle list
+    * (duplicates and nulls never win a min). */
+  def minhashSigsFromSets(sharr: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(sharr.sparkSession)
+    val sig = sharr.withColumn("mh", expr(s"minhash_sigs(sh, $numHashes)"))
+    (0 until numHashes).foldLeft(sig) { (df, i) =>
+      df.withColumn(s"m$i", col("mh").getItem(i))
+    }.drop("mh")
+  }
+
   def minhashSignatures(docs: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(docs.sparkSession)
     val sig = shingled(docs)
@@ -132,20 +151,21 @@ object Dedup {
         col("b.k1").as("k1"), col("b.k2").as("k2"))
   }
 
-  def candidatePairs(docs: DataFrame): DataFrame = {
-    // The self-join computes the scan→shingle→minhash pipeline once per
-    // side; the two subtrees run as INDEPENDENT parallel stages, so on an
-    // under-utilized executor pool this finishes faster than staging the
-    // bands once (measured: localCheckpoint staging was wall-clock neutral
-    // warm and ~2× slower cold here). At cluster scale, where the corpus
-    // scan dominates, write the signature table once and join that instead.
-    val bands = lshBands(minhashSignatures(docs))
+  /** Candidate pairs from a STAGED shingle-set table: the band self-join's
+    * two subtrees re-derive signatures from the checkpointed sets (a cheap
+    * narrow pass now that MinHash is one digest per shingle) instead of
+    * re-running tokenize+shingle — the interpreted HOF work — per side. */
+  def candidatePairsFromSets(sharr: DataFrame): DataFrame = {
+    val bands = lshBands(minhashSigsFromSets(sharr).drop("sh"))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
           col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .distinct()
   }
+
+  def candidatePairs(docs: DataFrame): DataFrame =
+    candidatePairsFromSets(shingleSets(docs).localCheckpoint())
 
   def dd03LshPairs(s: SparkSession, dir: String): DataFrame =
     candidatePairs(Tables(s, dir, "documents"))
@@ -214,30 +234,28 @@ object Dedup {
   // is_dup applies the Jaccard ≥ 0.7 test in integer space (10·∩ ≥ 7·∪).
   // ---------------------------------------------------------------------
   /** LSH candidates verified by exact n-gram Jaccard over an arbitrary
-    * (doc_id, text) input — reused by dd05 and the dd07 pipeline. */
+    * (doc_id, text) input — reused by dd05 and the dd07/tp01 pipelines.
+    *
+    * The shingle-set table is staged ONCE (one tokenize+shingle pass — the
+    * interpreted HOF work) and feeds both the LSH candidate generation and
+    * the verification joins; the intersection is a per-pair
+    * `array_intersect` on the two sets (codegen'd hash-set probe) instead
+    * of an exploded shingle-row join — candidates only ever carry two
+    * set arrays, and nothing re-tokenizes. At cluster scale the exploded
+    * join would shuffle |corpus|·|shingles| rows; this shuffles
+    * |candidates| rows of two ~KB arrays. */
   def jaccardVerified(docs: DataFrame): DataFrame = {
-    // Both subtrees feed multiple joins below; materialize each once
-    // (the shingle explosion is interpreted higher-order-function work and
-    // would otherwise run 3×, the LSH pipeline 2×). At cluster scale this is
-    // the "stage to a temp table" pattern.
-    val cand = candidatePairs(docs).localCheckpoint()
-    val sh = shingled(docs).select(col("doc_id"),
-        explode(array_distinct(col("shingles"))).as("shingle"))
-      .localCheckpoint()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = cand
-      .join(sh.as("s1"), col("doc1") === col("s1.doc_id"))
-      .join(sh.as("s2"), col("doc2") === col("s2.doc_id") &&
-        col("s1.shingle") === col("s2.shingle"))
-      .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("n_inter"))
+    val sharr = shingleSets(docs).localCheckpoint()
+    val cand = candidatePairsFromSets(sharr)
     cand
-      .join(inter, Seq("doc1", "doc2"), "left")
-      .na.fill(0L, Seq("n_inter"))
-      .join(sizes.as("z1"), col("doc1") === col("z1.doc_id"))
-      .join(sizes.as("z2"), col("doc2") === col("z2.doc_id"))
-      .select(col("doc1"), col("doc2"), col("n_inter"),
-        (col("z1.n_sh") + col("z2.n_sh") - col("n_inter")).as("n_union"),
-        (col("n_inter") * 10 >= (col("z1.n_sh") + col("z2.n_sh") - col("n_inter")) * 7).as("is_dup"))
+      .join(sharr.as("s1"), col("doc1") === col("s1.doc_id"))
+      .join(sharr.as("s2"), col("doc2") === col("s2.doc_id"))
+      .withColumn("n_inter",
+        size(array_intersect(col("s1.sh"), col("s2.sh"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("s1.sh")) + size(col("s2.sh"))).cast("long") - col("n_inter"))
+      .select(col("doc1"), col("doc2"), col("n_inter"), col("n_union"),
+        (col("n_inter") * 10 >= col("n_union") * 7).as("is_dup"))
   }
 
   def dd05JaccardVerify(s: SparkSession, dir: String): DataFrame =
@@ -245,22 +263,16 @@ object Dedup {
 
   private def verifyCtesFrom(src: String): String =
     s"""${bandsSqlFrom(src)},
-       |sh AS (
-       | SELECT doc_id, unnest(list_distinct($shinglesSql)) AS shingle
-       | FROM (${tkSqlFrom(src)}) tks),
-       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-       |inter AS (
-       | SELECT doc1, doc2, COUNT(*) AS n_inter
-       | FROM cand JOIN sh s1 ON doc1 = s1.doc_id JOIN sh s2 ON doc2 = s2.doc_id AND s1.shingle = s2.shingle
-       | GROUP BY doc1, doc2)""".stripMargin
+       |sets AS (
+       | SELECT doc_id, list_distinct(list_filter($shinglesSql, x -> x IS NOT NULL)) AS sh
+       | FROM (${tkSqlFrom(src)}) tks)""".stripMargin
 
   private val verifySelect: String =
     """SELECT c.doc1, c.doc2,
-      | CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
-      | CAST(z1.n_sh + z2.n_sh - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union,
-      | (COALESCE(i.n_inter, 0) * 10 >= (z1.n_sh + z2.n_sh - COALESCE(i.n_inter, 0)) * 7) AS is_dup
-      |FROM cand c LEFT JOIN inter i ON c.doc1 = i.doc1 AND c.doc2 = i.doc2
-      |JOIN sizes z1 ON c.doc1 = z1.doc_id JOIN sizes z2 ON c.doc2 = z2.doc_id""".stripMargin
+      | CAST(len(list_intersect(s1.sh, s2.sh)) AS BIGINT) AS n_inter,
+      | CAST(len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)) AS BIGINT) AS n_union,
+      | (len(list_intersect(s1.sh, s2.sh)) * 10 >= (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) * 7) AS is_dup
+      |FROM cand c JOIN sets s1 ON c.doc1 = s1.doc_id JOIN sets s2 ON c.doc2 = s2.doc_id""".stripMargin
 
   val dd05Oracle: String =
     s"""WITH ${verifyCtesFrom("documents")}
