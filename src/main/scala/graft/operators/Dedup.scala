@@ -456,7 +456,37 @@ object Dedup {
        |removed AS (SELECT DISTINCT doc2 FROM verified WHERE is_dup)
        |SELECT doc_id FROM sdocs WHERE doc_id NOT IN (SELECT doc2 FROM removed)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // cc01: near-dup CLUSTERS — connected components over the verified
+  // near-dup graph (min-label propagation, Relational.connectedComponents).
+  // dd07 removes pairwise larger-ids; clustering is the transitive form a
+  // curation run needs when near-duplication chains (A≈B≈C but A≉C): the
+  // component id (min doc_id) is the canonical survivor for the whole
+  // chain. The oracle walks the same graph with a recursive CTE.
+  // ---------------------------------------------------------------------
+  def cc01DupComponents(s: SparkSession, dir: String): DataFrame = {
+    val dup = jaccardVerified(Tables(s, dir, "documents"))
+      .filter(col("is_dup"))
+      .select(col("doc1").as("a"), col("doc2").as("b"))
+    Relational.connectedComponents(dup)
+      .select(col("node").as("doc_id"), col("component"))
+  }
+
+  val cc01Oracle: String =
+    s"""WITH RECURSIVE ${verifyCtesFrom("documents")},
+       |verified AS ($verifySelect),
+       |dup AS (SELECT doc1, doc2 FROM verified WHERE is_dup),
+       |e AS (SELECT doc1 AS a, doc2 AS b FROM dup
+       |      UNION SELECT doc2, doc1 FROM dup),
+       |nodes AS (SELECT DISTINCT a AS node FROM e),
+       |reach(a, b) AS (
+       | SELECT node, node FROM nodes
+       | UNION
+       | SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+       |SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "cc01_dup_components" -> (cc01DupComponents _),
     "tp01_corpus_curation" -> (tp01CorpusCuration _),
     "dd01_exact_dedup" -> (dd01ExactDedup _),
     "dd02_minhash_sig" -> (dd02MinhashSig _),
@@ -468,6 +498,7 @@ object Dedup {
     "dd08_emb_neardup_lsh" -> (dd08EmbNeardupLsh _))
 
   val oracles: Map[String, String] = Map(
+    "cc01_dup_components" -> cc01Oracle,
     "tp01_corpus_curation" -> tp01Oracle,
     "dd01_exact_dedup" -> dd01Oracle,
     "dd02_minhash_sig" -> dd02Oracle,

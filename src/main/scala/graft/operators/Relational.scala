@@ -174,6 +174,36 @@ object Relational {
       .drop("__salt")
   }
 
+  /** Connected components by min-label propagation: every node starts as
+    * its own label; each round takes the min over direct neighbors; stop at
+    * fixpoint. Rounds needed = graph diameter (dup clusters are tiny;
+    * for web-scale graphs swap in large-star/small-star, same dataflow).
+    * Each round is one shuffle-join + keyed min aggregate;
+    * localCheckpoint() truncates lineage per round. `edges` columns (a, b),
+    * treated as undirected. Returns (node, component = min node id in the
+    * component). */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = sym.join(labels, sym("b") === labels("node"))
+        .groupBy(sym("a").as("n2")).agg(min(col("label")).as("nl"))
+      val merged = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = merged.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = merged
+    }
+    sym.unpersist()
+    labels.select(col("node"), col("label").as("component"))
+  }
+
   private def hierarchyEdges(s: SparkSession, dir: String): DataFrame = {
     val c = Tables(s, dir, "customer")
     val n = Tables(s, dir, "nation")
