@@ -238,13 +238,86 @@ object Similarity {
        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk
        | FROM scored) t WHERE rnk <= $K""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ss04: k-means (Lloyd's) — the clustering step the IVF comment above
+  // points at, distributed and integer-exact so the oracle hash-matches:
+  // assignment is argmin of the EXACT squared distance ‖v‖²+‖c‖²-2·v·c
+  // over broadcast centroids (map-side, no shuffle of the corpus);
+  // the centroid update is posexplode → per-(cluster, dim) sum →
+  // truncate(sum/n) rebuilt into an integer vector. One full Lloyd
+  // round (assign → update → reassign), reporting per-cluster size and
+  // inertia. At scale each round is one narrow pass plus one
+  // (cluster, dim)-keyed aggregate — centroids stay broadcast-size.
+  // ---------------------------------------------------------------------
+  private def kmAssign(pts: DataFrame, cents: DataFrame): DataFrame =
+    pts.join(broadcast(cents), lit(true))
+      .withColumn("d2",
+        col("nrm") + col("cnrm") - expr("2 * dot_l(v, cv)"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("m"))
+      .select(col("vec_id"), col("m.cent_id").as("cluster"), col("m.d2").as("d2"))
+
+  def ss04Kmeans(s: SparkSession, dir: String): DataFrame = {
+    val pts = qvec(s, dir)
+    val c0 = pts.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val a1 = kmAssign(pts, c0)
+    // Per-dimension truncated mean: double division of exact integers is
+    // identical IEEE math in both engines, and BOTH truncate toward zero
+    // (Spark double→long cast; DuckDB trunc()) — integer `div` would
+    // diverge on negative sums (Spark truncates, DuckDB floors).
+    val c1 = a1.join(pts, Seq("vec_id"))
+      .select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("cluster"), col("d"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("mx", (col("sx").cast("double") / col("n")).cast("long"))
+      .groupBy(col("cluster"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, mx))), s -> s.mx)").as("cv"))
+      .select(col("cluster").as("cent_id"), col("cv"),
+        expr("dot_l(cv, cv)").as("cnrm"))
+    kmAssign(pts, c1)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
+  }
+
+  val ss04Oracle: String =
+    s"""WITH $qvecSql,
+       |c0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM qn WHERE vec_id % 250 = 0),
+       |s1 AS (
+       | SELECT qn.vec_id, c0.cent_id,
+       |  qn.nrm + c0.cnrm - 2 * CAST(list_sum(list_transform(range(1, len(qn.v) + 1), i -> qn.v[i] * c0.cv[i])) AS BIGINT) AS d2
+       | FROM qn CROSS JOIN c0),
+       |r1 AS (SELECT vec_id, cent_id, d2,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn FROM s1),
+       |a1 AS (SELECT vec_id, cent_id AS cluster, d2 FROM r1 WHERE rn = 1),
+       |dims AS (
+       | SELECT a1.cluster, generate_subscripts(qn.v, 1) AS d, unnest(qn.v) AS x
+       | FROM a1 JOIN qn ON a1.vec_id = qn.vec_id),
+       |means AS (
+       | SELECT cluster, d, CAST(trunc(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mx
+       | FROM dims GROUP BY cluster, d),
+       |c1 AS (
+       | SELECT cluster AS cent_id, list(mx ORDER BY d) AS cv FROM means GROUP BY cluster),
+       |c1n AS (SELECT cent_id, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cnrm FROM c1),
+       |s2 AS (
+       | SELECT qn.vec_id, c1n.cent_id,
+       |  qn.nrm + c1n.cnrm - 2 * CAST(list_sum(list_transform(range(1, len(qn.v) + 1), i -> qn.v[i] * c1n.cv[i])) AS BIGINT) AS d2
+       | FROM qn CROSS JOIN c1n),
+       |r2 AS (SELECT vec_id, cent_id, d2,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn FROM s2),
+       |a2 AS (SELECT vec_id, cent_id AS cluster, d2 FROM r2 WHERE rn = 1)
+       |SELECT cluster, COUNT(*) AS n_members, CAST(SUM(d2) AS BIGINT) AS inertia
+       |FROM a2 GROUP BY cluster""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ss01_brute_topk" -> (ss01BruteTopk _),
     "ss02_ann_lsh" -> (ss02AnnLsh _),
-    "ss03_ann_ivf" -> (ss03AnnIvf _))
+    "ss03_ann_ivf" -> (ss03AnnIvf _),
+    "ss04_kmeans" -> (ss04Kmeans _))
 
   val oracles: Map[String, String] = Map(
     "ss01_brute_topk" -> ss01Oracle,
     "ss02_ann_lsh" -> ss02Oracle,
-    "ss03_ann_ivf" -> ss03Oracle)
+    "ss03_ann_ivf" -> ss03Oracle,
+    "ss04_kmeans" -> ss04Oracle)
 }
