@@ -465,9 +465,13 @@ object Dedup {
   // chain. The oracle walks the same graph with a recursive CTE.
   // ---------------------------------------------------------------------
   def cc01DupComponents(s: SparkSession, dir: String): DataFrame = {
+    // Checkpoint the verified edges: connectedComponents' symmetrize union
+    // references them twice, which would re-run the whole verify pipeline
+    // per branch.
     val dup = jaccardVerified(Tables(s, dir, "documents"))
       .filter(col("is_dup"))
       .select(col("doc1").as("a"), col("doc2").as("b"))
+      .localCheckpoint()
     Relational.connectedComponents(dup)
       .select(col("node").as("doc_id"), col("component"))
   }

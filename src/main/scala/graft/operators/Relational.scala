@@ -188,16 +188,23 @@ object Relational {
       .distinct().persist()
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("label"))).head.getLong(0)
+    // Labels only ever DECREASE under min-propagation, so the label sum
+    // strictly decreases iff any label changed — one aggregate per round
+    // replaces an old-vs-new join as the convergence check.
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
       val nbrMin = sym.join(labels, sym("b") === labels("node"))
         .groupBy(sym("a").as("n2")).agg(min(col("label")).as("nl"))
       val merged = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = merged.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
+      val s = labelSum(merged)
+      converged = s == prevSum
+      prevSum = s
       labels = merged
     }
     sym.unpersist()
