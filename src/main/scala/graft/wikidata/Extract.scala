@@ -194,6 +194,44 @@ object Extract {
       now: WTime = WikiTime.now()): Tables =
     apply(parse(spark.read.text(path)), classes, now)
 
+  /** The 9 output tables in write order — shared by the batch CLI sink and
+    * the streaming sink. */
+  def tableMap(t: Tables): Seq[(String, DataFrame)] = Seq(
+    "countries" -> t.countries.toDF(),
+    "object_languages" -> t.objectLanguages,
+    "languages" -> t.languages.toDF(),
+    "territorial_entities" -> t.territorialEntities.toDF(),
+    "territorial_entities_parents" -> t.teParents,
+    "cities" -> t.cities.toDF(),
+    "cities_countries" -> t.citiesCountries.toDF(),
+    "object_labels" -> t.objectLabels.toDF(),
+    "missing_p17" -> t.missingP17.toDF())
+
+  /** Streaming flavor of the dump ingest — SURVEY A1's landing-dir mapping
+    * (`spark.readStream.format("text")` over a landing directory). Each
+    * NDJSON (optionally .bz2) file dropped into `landingDir` runs through
+    * the SAME batch extraction per micro-batch (foreachBatch: the 9-table
+    * fan-out needs a multi-sink) and appends to the parquet layout the
+    * batch CLI writes; the checkpoint gives exactly-once file→output
+    * tracking across restarts. Keyed dedups (A13) apply within each
+    * arriving batch — the dump is a bounded file set arriving
+    * incrementally, not a changelog. Default trigger AvailableNow:
+    * process everything landed, then stop (drop the trigger for a
+    * continuously watching ingest daemon). */
+  def streamIngest(spark: SparkSession, landingDir: String, outDir: String,
+      checkpointDir: String, classes: ClassSets,
+      now: WTime = WikiTime.now()): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.text(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        tableMap(apply(parse(batch), classes, now)).foreach { case (name, df) =>
+          df.write.mode("append").parquet(s"$outDir/$name")
+        }
+      }
+      .start()
+
   private val emptyClaims = Claims(None, None, None, None, None, None, None,
     None, None, None, None, None, None, None)
 }

@@ -93,17 +93,7 @@ object Main {
   private def write(t: Extract.Tables, out: String): Unit = {
     // Partition-parallel parquet writes replace the single-writer SQLite
     // sink (A12); keyed dedups already applied upstream (A13).
-    val tables = Seq(
-      "countries" -> t.countries.toDF(),
-      "object_languages" -> t.objectLanguages,
-      "languages" -> t.languages.toDF(),
-      "territorial_entities" -> t.territorialEntities.toDF(),
-      "territorial_entities_parents" -> t.teParents,
-      "cities" -> t.cities.toDF(),
-      "cities_countries" -> t.citiesCountries.toDF(),
-      "object_labels" -> t.objectLabels.toDF(),
-      "missing_p17" -> t.missingP17.toDF())
-    tables.foreach { case (name, df) =>
+    Extract.tableMap(t).foreach { case (name, df) =>
       val t0 = System.nanoTime()
       df.write.mode("overwrite").parquet(s"$out/$name")
       println(f"[ingest] wrote $name in ${(System.nanoTime() - t0) / 1e9}%.1f s")
