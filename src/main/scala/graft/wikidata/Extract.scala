@@ -65,7 +65,16 @@ object Extract {
     * output table dominated ingest wall time), and the 9 tables are cheap
     * filters over this cached union. This is also the reference's own shape:
     * one handle_line pass emitting tagged DataEntry rows to a router
-    * (SURVEY A14, §3.1). */
+    * (SURVEY A14, §3.1).
+    *
+    * Typed-vs-columnar, measured (ExtractPathBench, 38 MB / 52k-entity
+    * fixture, local[8], steady state): from_json parse alone 1.4 s; parse +
+    * typed emit + all 9 outputs 2.9 s. The emit surcharge ≈ 1× the parse
+    * cost that ANY design pays, so this one-pass route sits within ~2× of
+    * the theoretical floor — while 9 per-output columnar plans would re-pay
+    * the wide-schema parse per table (~9×), and a columnar emit of the
+    * B13/B17/B18 logic (custom time parser, qualifier walks) would live in
+    * interpreted HOF/UDF territory anyway. */
   final case class RawOut(tag: String, id: String,
       s1: Option[String], s2: Option[String],
       n1: Option[Long], n2: Option[Long],
