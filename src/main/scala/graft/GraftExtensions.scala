@@ -4,12 +4,15 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProductLong, MinHashSigs}
+import graft.functions.{DotProductLong, IntersectSize, LshBucket, MinHashSigs}
+import graft.plans.RewriteIntersectSize
 
 /** Spark extension entry point: registers the engine's native Catalyst
   * expressions so ANY session — including spark-sql / thrift users — can call
-  * them, not just code paths that invoke
-  * [[graft.functions.VectorFunctions.register]].
+  * them (not just code paths that invoke
+  * [[graft.functions.VectorFunctions.register]]), and installs the
+  * optimizer rule that rewrites `size(array_intersect(a, b))` to the
+  * allocation-free native [[IntersectSize]].
   *
   * Usage: `--conf spark.sql.extensions=graft.GraftExtensions`.
   */
@@ -25,5 +28,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashSigs(args(0), args(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LshBucket(args(0), args(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("intersect_size"),
+      new ExpressionInfo(classOf[IntersectSize].getName, "intersect_size"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        IntersectSize(args(0), args(1))))
+    ext.injectOptimizerRule(_ => RewriteIntersectSize)
   }
 }

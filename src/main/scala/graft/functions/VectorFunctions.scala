@@ -205,6 +205,71 @@ case class LshBucket(child: Expression, numPlanes: Int)
     copy(child = newChild)
 }
 
+/** Runtime helper for [[IntersectSize]]. */
+object IntersectSizeImpl {
+  /** Count of DISTINCT common elements, null matching null — exactly
+    * `size(array_intersect(a, b))` for array<string> inputs, without
+    * building the intersection array. */
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val right = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var rightNull = false
+    var i = 0
+    val nb = b.numElements()
+    while (i < nb) {
+      val s = b.getUTF8String(i)
+      if (s == null) rightNull = true else right.add(s)
+      i += 1
+    }
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var seenNull = false
+    var n = 0
+    var j = 0
+    val na = a.numElements()
+    while (j < na) {
+      val s = a.getUTF8String(j)
+      if (s == null) {
+        if (rightNull && !seenNull) { n += 1; seenNull = true }
+      } else if (right.contains(s) && seen.add(s)) n += 1
+      j += 1
+    }
+    n
+  }
+}
+
+/** `intersect_size(a, b)` ≡ `size(array_intersect(a, b))` for two
+  * array<string> columns, as one codegen'd hash-probe pass with no
+  * intersection-array allocation — the shape of the Jaccard verification
+  * hot path, where candidates × array materialization is real memory
+  * traffic at scale. Installed automatically by the optimizer rule
+  * [[graft.plans.RewriteIntersectSize]]. */
+case class IntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"intersect_size expects (array<string>, array<string>), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntersectSizeImpl.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.IntersectSizeImpl.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Registers the native expressions so operators can use them in
     * `expr(...)` strings. Registration is skipped when the name already
@@ -220,5 +285,6 @@ object VectorFunctions {
       MinHashSigs(args(0), args(1).eval().asInstanceOf[Int]))
     add("lsh_bucket")(args =>
       LshBucket(args(0), args(1).eval().asInstanceOf[Int]))
+    add("intersect_size")(args => IntersectSize(args(0), args(1)))
   }
 }

@@ -27,6 +27,7 @@ object Main {
         sys.env.getOrElse("SPARK_GRAFT_CPUS",
           Runtime.getRuntime.availableProcessors.toString))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .appName("geodb-spark")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

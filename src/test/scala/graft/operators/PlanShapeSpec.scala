@@ -58,6 +58,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("lsh_bucket"), plan.take(2000))
   }
 
+  test("dd05: size(array_intersect) is rewritten to native intersect_size") {
+    val plan = Dedup.dd05JaccardVerify(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("intersect_size"), plan.take(2000))
+    assert(!plan.contains("array_intersect"), plan.take(2000))
+  }
+
   test("ss03: IVF assignment aggregates (no window over corpus×centroids)") {
     val plan = Similarity.ss03AnnIvf(spark, dir)
       .queryExecution.executedPlan.toString
