@@ -58,6 +58,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("lsh_bucket"), plan.take(2000))
   }
 
+  test("tp01: curation pipeline is NLJ/cartesian-free") {
+    val plan = Dedup.tp01CorpusCuration(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q30: interval-join attribution stays hash-joinable") {
+    val plan = EventOps.q30Attribution(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("max_by"), plan.take(2000))
+  }
+
   test("dd05: size(array_intersect) is rewritten to native intersect_size") {
     val plan = Dedup.dd05JaccardVerify(spark, dir)
       .queryExecution.executedPlan.toString
