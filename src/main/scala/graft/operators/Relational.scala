@@ -188,8 +188,8 @@ object Relational {
       .distinct().persist()
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).head.getLong(0)
+    def labelSum(df: DataFrame): Long = // coalesce: empty graph sums to null
+      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
     // Labels only ever DECREASE under min-propagation, so the label sum
     // strictly decreases iff any label changed — one aggregate per round
     // replaces an old-vs-new join as the convergence check.

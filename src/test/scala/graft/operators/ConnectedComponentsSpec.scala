@@ -7,6 +7,12 @@ import graft.SparkSpec
   * a triangle, and an isolated edge. */
 class ConnectedComponentsSpec extends SparkSpec {
 
+  test("empty edge set gives empty components (no null-sum crash)") {
+    import spark.implicits._
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Relational.connectedComponents(edges).count() == 0)
+  }
+
   test("components of chain + triangle + pair") {
     import spark.implicits._
     // chain 10-11-12-13, triangle 20-21-22, pair 30-31
