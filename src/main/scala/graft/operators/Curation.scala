@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Dataset-curation operators for a training-data pipeline: deterministic
+  * train/val/test splitting, per-stratum mixture sampling, and eval-set
+  * decontamination. These sit downstream of the dedup/quality surface
+  * ([[Dedup]], [[TextOps]]) and upstream of tokenization.
+  *
+  * Scale notes (the whole point of these shapes):
+  *  - Splits/sampling are pure per-row hash arithmetic — zero shuffles,
+  *    fully codegen'd, and stable under re-runs/backfills because the
+  *    bucket derives from content, not from row order or RNG state.
+  *  - Decontamination joins the (huge) training side against the (small)
+  *    eval side on 60-bit n-gram hashes: the eval side broadcasts, so the
+  *    100 TB side never shuffles; shipping 8-byte hashes instead of raw
+  *    n-gram strings keeps the build side tiny.
+  */
+object Curation {
+  import Relational.Q
+
+  /** First 8 hex chars of md5 as a non-negative long in [0, 2^32) — the
+    * portable content-hash bucket both Spark and DuckDB compute
+    * identically. */
+  private def hashBucket(c: Column, mod: Int): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long") % mod
+
+  // ---------------------------------------------------------------------
+  // ds01: deterministic train/val/test split by content hash. 80/10/10 by
+  // md5 bucket — membership is a pure function of the document text, so
+  // the split survives re-ingestion, sharding changes, and incremental
+  // appends (unlike rand()-based sampling, which is neither stable nor
+  // reproducible across partitionings).
+  // ---------------------------------------------------------------------
+  def ds01HashSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    docs.select(col("doc_id"), hashBucket(col("text"), 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+  }
+
+  val ds01Oracle: String =
+    """SELECT doc_id, bucket,
+      | CASE WHEN bucket < 80 THEN 'train'
+      |      WHEN bucket < 90 THEN 'validation'
+      |      ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |  ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket
+      | FROM documents) t""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ds02: stratified mixture sampling — each language stratum keeps a
+  // configured percentage, selected by a salted content hash (salt keeps
+  // it independent of the ds01 split buckets). The rate table is a
+  // broadcast dim; the corpus side is a scan + filter, no shuffle.
+  // This is the "data mixture" knob of a training pipeline (e.g. upsample
+  // low-resource languages, downsample boilerplate-heavy sources).
+  // ---------------------------------------------------------------------
+  private val mixRates: Seq[(String, Int)] =
+    Seq("en" -> 40, "de" -> 80, "es" -> 100, "fr" -> 25, "zh" -> 60)
+
+  def ds02StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val rates = mixRates.toDF("lang", "keep_pct")
+    docs.join(broadcast(rates), Seq("lang"), "left")
+      .withColumn("bucket", hashBucket(concat(lit("mix1:"), col("text")), 100))
+      .filter(col("bucket") < coalesce(col("keep_pct"), lit(100)))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+  }
+
+  val ds02Oracle: String = {
+    val values = mixRates.map { case (l, p) => s"('$l', $p)" }.mkString(", ")
+    s"""WITH r(lang, keep_pct) AS (VALUES $values),
+       |b AS (SELECT doc_id, lang,
+       |  ('0x' || substr(md5('mix1:' || text), 1, 8))::BIGINT % 100 AS bucket
+       | FROM documents)
+       |SELECT b.doc_id, b.lang, b.bucket
+       |FROM b LEFT JOIN r USING (lang)
+       |WHERE b.bucket < COALESCE(r.keep_pct, 100)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // dc01: eval-set decontamination — flag training documents sharing any
+  // 5-token n-gram with the held-out eval slice (doc_id % 97 == 0 stands
+  // in for a benchmark suite). Grams are canonicalized (lowercase,
+  // alnum-only, collapsed whitespace) then reduced to 60-bit md5-prefix
+  // hashes; the distinct eval-gram set is small → broadcast, so the
+  // training side is scanned once with no shuffle before the final
+  // per-doc count. Output: contaminated doc_id + how many distinct eval
+  // grams it shares (the usual threshold input).
+  // ---------------------------------------------------------------------
+  private def gramHashes(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val toks = expr("filter(split(norm, ' '), x -> x != '')")
+    docs.select(col("doc_id"), norm.as("norm"))
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) >= 5,
+            transform(sequence(lit(1), size(col("toks")) - 4),
+              i => concat_ws(" ", slice(col("toks"), i, lit(5)))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gh"))
+  }
+
+  def dc01Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = gramHashes(Tables(s, dir, "documents"))
+    val train = grams.filter(col("doc_id") % 97 =!= 0).distinct()
+    val eval = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("gh")).distinct()
+    train.join(broadcast(eval), Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_grams"))
+  }
+
+  val dc01Oracle: String =
+    """WITH n AS (
+      | SELECT doc_id, list_filter(string_split(
+      |   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+      |   ' '), x -> x != '') AS toks
+      | FROM documents),
+      |g AS (
+      | SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+      |   i -> ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::BIGINT)) AS gh
+      | FROM n),
+      |train AS (SELECT DISTINCT doc_id, gh FROM g WHERE doc_id % 97 != 0),
+      |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0)
+      |SELECT t.doc_id, COUNT(*) AS n_hit_grams
+      |FROM train t JOIN ev USING (gh)
+      |GROUP BY t.doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "ds01_hash_split" -> (ds01HashSplit _),
+    "ds02_stratified_sample" -> (ds02StratifiedSample _),
+    "dc01_decontaminate" -> (dc01Decontaminate _))
+
+  val oracles: Map[String, String] = Map(
+    "ds01_hash_split" -> ds01Oracle,
+    "ds02_stratified_sample" -> ds02Oracle,
+    "dc01_decontaminate" -> dc01Oracle)
+}

@@ -158,13 +158,60 @@ object EventOps {
       | AND v.ve <= c.ce AND v.ve >= c.ce - 600
       |GROUP BY c.click_id, c.user_id, c.ce""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q32: as-of join — for each click, the most recent view at-or-before it
+  // by the same user, unbounded lookback (the canonical ASOF JOIN; q30 is
+  // the bounded-interval variant). Spark-first formulation: NO join at
+  // all — union both sides tagged, one shuffle on user_id, then a running
+  // `last(ignoreNulls)` carries the latest view record forward onto each
+  // click row (the distributed merge-scan an ASOF join compiles to in
+  // engines that have it natively). A range join here would explode to
+  // clicks×views per user before aggregating; this stays O(n log n) per
+  // user and needs exactly one exchange. Views are pre-deduped to one per
+  // (user, second) — max view_id — so the winner is well-defined when
+  // several views share a timestamp. Oracle: DuckDB's native ASOF LEFT
+  // JOIN over the same deduped sides.
+  // ---------------------------------------------------------------------
+  def q32AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), unix_timestamp(col("ts")).as("es"))
+      .agg(max(col("event_id")).as("view_id"))
+      .select(col("user_id"), col("es"), lit(0).as("tag"),
+        struct(col("es").as("ve"), col("view_id")).as("vrec"),
+        lit(null).cast("long").as("click_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"), lit(1).as("tag"),
+        lit(null).cast("struct<ve:bigint,view_id:bigint>").as("vrec"),
+        col("event_id").as("click_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("es"), col("tag"), col("click_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(clicks)
+      .withColumn("asof", last(col("vrec"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("click_id"), col("user_id"), col("es").as("click_epoch"),
+        col("asof.view_id").as("view_id"), col("asof.ve").as("view_epoch"))
+  }
+
+  val q32Oracle: String =
+    """WITH v AS (
+      | SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ve, max(event_id) AS view_id
+      | FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      |c AS (
+      | SELECT event_id AS click_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ce
+      | FROM events WHERE event_type = 'click')
+      |SELECT c.click_id, c.user_id, c.ce AS click_epoch, v.view_id, v.ve AS view_epoch
+      |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ce >= v.ve""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_tumbling_window" -> (q20TumblingWindow _),
     "q21_running_sum" -> (q21RunningSum _),
     "q22_sessionize" -> (q22Sessionize _),
     "q23_json_extract" -> (q23JsonExtract _),
     "q24_argmax_latest" -> (q24ArgmaxLatest _),
-    "q30_attribution" -> (q30Attribution _))
+    "q30_attribution" -> (q30Attribution _),
+    "q32_asof_join" -> (q32AsofJoin _))
 
   val oracles: Map[String, String] = Map(
     "q20_tumbling_window" -> q20Oracle,
@@ -172,5 +219,6 @@ object EventOps {
     "q22_sessionize" -> q22Oracle,
     "q23_json_extract" -> q23Oracle,
     "q24_argmax_latest" -> q24Oracle,
-    "q30_attribution" -> q30Oracle)
+    "q30_attribution" -> q30Oracle,
+    "q32_asof_join" -> q32Oracle)
 }

@@ -221,6 +221,54 @@ object TextOps {
        | CAST(len(regexp_extract_all(regexp_replace(t, '$emailRe', '<EMAIL>', 'g'), '$phoneRe')) AS INTEGER) AS n_phones
        |FROM p""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // tx07: intra-document repetition signals (Gopher-style quality gates):
+  // how many token 2-grams / 3-grams inside a doc are repeats of an
+  // earlier n-gram in the same doc. High dup fractions mark boilerplate /
+  // degenerate text. Pure per-row array arithmetic — zip_with over shifted
+  // slices builds the n-grams, array_distinct counts the unique ones — so
+  // the whole operator is a zero-shuffle codegen'd projection. Counts stay
+  // integers; the ratio is the consumer's division.
+  // ---------------------------------------------------------------------
+  def tx07Repetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val toks = expr("filter(split(text, ' '), x -> x != '')")
+    val n = size(col("toks"))
+    // zip_with over slices shifted by 1 (and 2) tokens; the when-guard
+    // keeps slice lengths non-negative for degenerate 0/1-token docs.
+    val g2 = when(n >= 2,
+      zip_with(slice(col("toks"), lit(1), n - 1), slice(col("toks"), lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b))).otherwise(array().cast("array<string>"))
+    val g3 = when(n >= 3,
+      zip_with(slice(col("toks"), lit(1), n - 2),
+        zip_with(slice(col("toks"), lit(2), n - 2), slice(col("toks"), lit(3), n - 2),
+          (b, c) => concat_ws(" ", b, c)),
+        (a, bc) => concat_ws(" ", a, bc))).otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), g2.as("g2"), g3.as("g3"))
+      .select(col("doc_id"),
+        size(col("g2")).as("n_2grams"),
+        (size(col("g2")) - size(array_distinct(col("g2")))).as("n_dup_2grams"),
+        size(col("g3")).as("n_3grams"),
+        (size(col("g3")) - size(array_distinct(col("g3")))).as("n_dup_3grams"))
+  }
+
+  val tx07Oracle: String =
+    """WITH t AS (
+      | SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      | FROM documents),
+      |g AS (
+      | SELECT doc_id,
+      |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS g2,
+      |  list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+      | FROM t)
+      |SELECT doc_id,
+      | CAST(len(g2) AS INTEGER) AS n_2grams,
+      | CAST(len(g2) - len(list_distinct(g2)) AS INTEGER) AS n_dup_2grams,
+      | CAST(len(g3) AS INTEGER) AS n_3grams,
+      | CAST(len(g3) - len(list_distinct(g3)) AS INTEGER) AS n_dup_3grams
+      |FROM g""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q25_posexplode_filtered" -> (q25PosexplodeFiltered _),
     "q26_quantity_parse" -> (q26QuantityParse _),
@@ -229,7 +277,8 @@ object TextOps {
     "tx03_token_count" -> (tx03TokenCount _),
     "tx04_fingerprint" -> (tx04Fingerprint _),
     "tx05_normalize" -> (tx05Normalize _),
-    "tx06_pii_scrub" -> (tx06PiiScrub _))
+    "tx06_pii_scrub" -> (tx06PiiScrub _),
+    "tx07_repetition" -> (tx07Repetition _))
 
   val oracles: Map[String, String] = Map(
     "q25_posexplode_filtered" -> q25Oracle,
@@ -239,5 +288,6 @@ object TextOps {
     "tx03_token_count" -> tx03Oracle,
     "tx04_fingerprint" -> tx04Oracle,
     "tx05_normalize" -> tx05Oracle,
-    "tx06_pii_scrub" -> tx06Oracle)
+    "tx06_pii_scrub" -> tx06Oracle,
+    "tx07_repetition" -> tx07Oracle)
 }
