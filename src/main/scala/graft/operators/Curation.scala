@@ -112,12 +112,16 @@ object Curation {
 
   def dc01Decontaminate(s: SparkSession, dir: String): DataFrame = {
     val grams = gramHashes(Tables(s, dir, "documents"))
-    val train = grams.filter(col("doc_id") % 97 =!= 0).distinct()
+    // No pre-join distinct on the training side: the broadcast join filters
+    // the corpus down to hit grams first, so the only shuffle in the plan
+    // is the final per-doc count over hits (tiny). countDistinct de-dups
+    // repeated grams within a doc at that point.
+    val train = grams.filter(col("doc_id") % 97 =!= 0)
     val eval = grams.filter(col("doc_id") % 97 === 0)
       .select(col("gh")).distinct()
     train.join(broadcast(eval), Seq("gh"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_hit_grams"))
+      .agg(countDistinct(col("gh")).as("n_hit_grams"))
   }
 
   val dc01Oracle: String =
@@ -130,9 +134,9 @@ object Curation {
       | SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
       |   i -> ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::BIGINT)) AS gh
       | FROM n),
-      |train AS (SELECT DISTINCT doc_id, gh FROM g WHERE doc_id % 97 != 0),
+      |train AS (SELECT doc_id, gh FROM g WHERE doc_id % 97 != 0),
       |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0)
-      |SELECT t.doc_id, COUNT(*) AS n_hit_grams
+      |SELECT t.doc_id, COUNT(DISTINCT t.gh) AS n_hit_grams
       |FROM train t JOIN ev USING (gh)
       |GROUP BY t.doc_id""".stripMargin
 

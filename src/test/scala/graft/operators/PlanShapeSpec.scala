@@ -84,4 +84,36 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("max_by"), plan.take(2000))
   }
+
+  test("q32: as-of join compiles to a single window pass — no join operator") {
+    val plan = EventOps.q32AsofJoin(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(plan.contains("Window"), plan.take(2000))
+  }
+
+  test("ds01/ds02: split and mixture sampling shuffle nothing on the corpus side") {
+    // ds01 is a pure projection: no exchange at all.
+    val p1 = Curation.ds01HashSplit(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange"), p1.take(2000))
+    // ds02's only exchange is the broadcast of the 5-row rate table.
+    val p2 = Curation.ds02StratifiedSample(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastHashJoin"), p2.take(2000))
+    assert(!p2.contains("ShuffleExchange"), p2.take(2000))
+  }
+
+  test("dc01: decontamination broadcasts the eval grams; corpus side shuffles only hits") {
+    val df = Curation.dc01Decontaminate(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the only hash exchanges allowed: the tiny eval-side distinct plus the
+    // two-phase distinct-count over hit grams. The full corpus gram stream
+    // reaches the broadcast join with no exchange beneath it — any fourth
+    // exchange means someone reintroduced a corpus-side pre-join shuffle.
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 3, s"expected <=3 hash exchanges, got $shuffles\n" + plan.take(3000))
+  }
 }
