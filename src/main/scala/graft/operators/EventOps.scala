@@ -204,6 +204,62 @@ object EventOps {
       |SELECT c.click_id, c.user_id, c.ce AS click_epoch, v.view_id, v.ve AS view_epoch
       |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ce >= v.ve""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q33: pivot — one column per event type, counts + exact value sums per
+  // user. Spark's pivot with an explicit value list compiles to a single
+  // hash aggregate with conditional branches (one shuffle, map-side
+  // combinable) — never a per-value self-join. The oracle states the same
+  // thing as FILTERed aggregates, which is exactly what the pivot lowers to.
+  // ---------------------------------------------------------------------
+  def q33Pivot(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    ev.groupBy(col("user_id"))
+      .pivot(col("event_type"), Seq("view", "click", "purchase"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum"))
+      .select(col("user_id"),
+        coalesce(col("view_n"), lit(0L)).as("view_n"), col("view_sum"),
+        coalesce(col("click_n"), lit(0L)).as("click_n"), col("click_sum"),
+        coalesce(col("purchase_n"), lit(0L)).as("purchase_n"), col("purchase_sum"))
+  }
+
+  val q33Oracle: String =
+    """SELECT user_id,
+      | COUNT(*) FILTER (WHERE event_type = 'view') AS view_n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS view_sum,
+      | COUNT(*) FILTER (WHERE event_type = 'click') AS click_n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click_sum,
+      | COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_sum
+      |FROM events GROUP BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q34: RANGE-frame window — trailing 1-hour sum/count per user over
+  // event time (q21 is the ROWS-frame twin). The frame is defined by the
+  // epoch value, not row position, so simultaneous events aggregate
+  // identically regardless of their physical order; decimal accumulation
+  // keeps the sums partitioning-independent.
+  // ---------------------------------------------------------------------
+  def q34RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"))
+      .rangeBetween(-3600L, Window.currentRow)
+    ev.select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("es"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      .select(col("event_id"), col("user_id"),
+        sum(col("v")).over(w).cast("double").as("trailing_sum"),
+        count(lit(1)).over(w).as("trailing_n"))
+  }
+
+  val q34Oracle: String =
+    """WITH e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+      |  CAST(value AS DECIMAL(18,2)) AS v FROM events)
+      |SELECT event_id, user_id,
+      | CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY es RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_sum,
+      | COUNT(*) OVER (PARTITION BY user_id ORDER BY es RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS trailing_n
+      |FROM e""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_tumbling_window" -> (q20TumblingWindow _),
     "q21_running_sum" -> (q21RunningSum _),
@@ -211,7 +267,9 @@ object EventOps {
     "q23_json_extract" -> (q23JsonExtract _),
     "q24_argmax_latest" -> (q24ArgmaxLatest _),
     "q30_attribution" -> (q30Attribution _),
-    "q32_asof_join" -> (q32AsofJoin _))
+    "q32_asof_join" -> (q32AsofJoin _),
+    "q33_pivot" -> (q33Pivot _),
+    "q34_range_frame" -> (q34RangeFrame _))
 
   val oracles: Map[String, String] = Map(
     "q20_tumbling_window" -> q20Oracle,
@@ -220,5 +278,7 @@ object EventOps {
     "q23_json_extract" -> q23Oracle,
     "q24_argmax_latest" -> q24Oracle,
     "q30_attribution" -> q30Oracle,
-    "q32_asof_join" -> q32Oracle)
+    "q32_asof_join" -> q32Oracle,
+    "q33_pivot" -> q33Oracle,
+    "q34_range_frame" -> q34Oracle)
 }
