@@ -1,0 +1,95 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics tests for the curation surface (Curation.scala) and the as-of
+  * join — planted fixtures pin the edge cases the sf-testdata oracle can't
+  * isolate: same-second as-of ties, no-prior-view nulls, normalization
+  * inside decontamination grams, and split determinism.
+  */
+class CurationSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("ds01: every doc lands in exactly one split, roughly 80/10/10") {
+    val out = Curation.ds01HashSplit(spark, dir).cache()
+    val total = out.count()
+    val bynm = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bynm.values.sum == total)
+    assert(bynm.keySet.subsetOf(Set("train", "validation", "test")))
+    val trainFrac = bynm.getOrElse("train", 0L).toDouble / total
+    assert(trainFrac > 0.6 && trainFrac < 0.95, s"train fraction $trainFrac")
+    // buckets are a pure function of content: re-running yields the same rows
+    val again = Curation.ds01HashSplit(spark, dir)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    out.unpersist()
+  }
+
+  test("ds02: kept docs respect their stratum's rate; unknown langs keep all") {
+    val kept = Curation.ds02StratifiedSample(spark, dir)
+    // es keeps 100% -> every es doc survives; fr keeps 25% -> strictly fewer
+    val docs = graft.Tables(spark, dir, "documents")
+    val esAll = docs.filter(col("lang") === "es").count()
+    val esKept = kept.filter(col("lang") === "es").count()
+    assert(esKept == esAll)
+    val frAll = docs.filter(col("lang") === "fr").count()
+    val frKept = kept.filter(col("lang") === "fr").count()
+    assert(frKept < frAll && frKept > 0, s"fr kept $frKept of $frAll")
+  }
+
+  test("dc01: planted 5-gram overlap is found through normalization; clean docs are not flagged") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("curation-docs").toFile
+    try {
+      // doc 0 is eval (0 % 97 == 0); doc 1 shares exactly one normalized
+      // 5-gram with it (case/punctuation differ); doc 2 shares none.
+      Seq(
+        (0L, "Alpha beta gamma delta epsilon zeta"),
+        (1L, "prefix words then ALPHA, beta gamma... delta EPSILON? no wait"),
+        (2L, "completely unrelated text with no shared phrases at all here")
+      ).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      // doc1 shares "alpha beta gamma delta epsilon"? Its normalized tokens
+      // are: prefix words then alpha beta gamma delta epsilon no wait —
+      // the gram "alpha beta gamma delta epsilon" appears in both.
+      val out = Curation.dc01Decontaminate(spark, tmp.getPath).collect()
+      assert(out.toSeq == Seq(Row(1L, 1L)), out.toSeq.toString)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+  }
+
+  test("q32: as-of picks the latest view at-or-before each click; no prior view -> null") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("curation-events").toFile
+    try {
+      def ns(sec: Long): Long = sec * 1000000000L
+      // (event_id, ts_nanos, user_id, event_type)
+      Seq(
+        (10L, ns(100), 1L, "view"),  // same second as click 20; deduped with 11
+        (11L, ns(100), 1L, "view"),  // max id at (u1, t100) -> the winner
+        (20L, ns(100), 1L, "click"), // same-second view IS eligible
+        (21L, ns(150), 1L, "click"), // latest view <= 150 is still t100
+        (30L, ns(50), 2L, "click"),  // u2 has no view before t50
+        (31L, ns(60), 2L, "view"),
+        (32L, ns(70), 2L, "click")   // u2's view at t60 attaches
+      ).toDF("event_id", "ts", "user_id", "event_type")
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val out = EventOps.q32AsofJoin(spark, tmp.getPath)
+        .orderBy("click_id").collect().toSeq
+      assert(out == Seq(
+        Row(20L, 1L, 100L, 11L, 100L),
+        Row(21L, 1L, 150L, 11L, 100L),
+        Row(30L, 2L, 50L, null, null),
+        Row(32L, 2L, 70L, 31L, 60L)), out.toString)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+  }
+}
