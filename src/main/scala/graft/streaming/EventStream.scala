@@ -72,6 +72,54 @@ object EventStream {
         col("v.ts").as("view_ts"))
   }
 
+  final case class AsofAttached(click_id: Long, user_id: Long,
+      click_ts: Timestamp, view_id: Option[Long], view_ts: Option[Timestamp])
+
+  final case class ViewState(ts: Long, id: Long)
+
+  /** Streaming as-of join — each click attaches to the same user's latest
+    * view at-or-before it (streaming twin of EventOps.q32). Unlike the
+    * interval join (attributedClicks), the lookback is unbounded, which a
+    * stream-stream join cannot express with finite state; the canonical
+    * streaming form is a one-record reduction: state per user = the single
+    * latest (ts, id) view, updated monotonically. State is O(distinct
+    * users) regardless of stream length — the as-of "join" never stores
+    * history. Within a micro-batch, rows process in (ts, view-first, id)
+    * order so a same-timestamp view is eligible and the max-id view wins
+    * ties, matching the batch twin exactly; across micro-batches a view
+    * that arrives AFTER a later-timestamped click has already been emitted
+    * cannot retro-attach (inherent to append-mode streaming — the batch
+    * twin is the backfill authority).
+    */
+  def asofAttach(events: Dataset[Event]): Dataset[AsofAttached] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[ViewState]): Iterator[AsofAttached] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[AsofAttached]
+      var cur = state.getOption
+      val ordered = rows.toSeq.sortBy(e =>
+        (e.ts.getTime, if (e.event_type == "view") 0 else 1, e.event_id))
+      for (e <- ordered) e.event_type match {
+        case "view" =>
+          val t = e.ts.getTime
+          if (cur.forall(s => s.ts < t || (s.ts == t && s.id < e.event_id)))
+            cur = Some(ViewState(t, e.event_id))
+        case "click" =>
+          out += AsofAttached(e.event_id, userId, e.ts,
+            cur.map(_.id), cur.map(s => new Timestamp(s.ts)))
+        case _ => ()
+      }
+      cur.foreach(state.update)
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState — the streaming
     * form of EventOps.q22 (1800 s inactivity gap). Emits a Session row each
     * time a session closes: either a newer event arrives past the gap, or

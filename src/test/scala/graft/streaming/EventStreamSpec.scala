@@ -76,6 +76,30 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of attaches clicks to the latest prior view with O(users) state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStream.asofAttach(input.toDS())
+      .writeStream.format("memory").queryName("asof")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(10, ts(0), 1, "view", 0.0),
+        Event(11, ts(0), 1, "view", 0.0),  // same ts: max id wins
+        Event(20, ts(0), 1, "click", 1.0), // same-second view is eligible
+        Event(30, ts(2), 2, "click", 1.0)) // user 2 has no view yet
+      q.processAllAvailable()
+      input.addData(
+        Event(21, ts(60), 1, "click", 1.0)) // still attaches to ts(0) view
+      q.processAllAvailable()
+      val rows = spark.table("asof")
+        .selectExpr("click_id", "view_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows == Set((20L, 11L), (30L, -1L), (21L, 11L)), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("sessionization closes a session when the gap is exceeded") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
