@@ -124,29 +124,99 @@ object Curation {
       .agg(countDistinct(col("gh")).as("n_hit_grams"))
   }
 
+  /** DuckDB CTE pair `{name}_n, {name}` producing (doc_id, gh) 5-gram
+    * hashes from `src` (a table name or aliased subquery with doc_id,
+    * text) — the SQL twin of [[gramHashes]]. */
+  private def gramSql(src: String, name: String): String =
+    s"""${name}_n AS (
+       | SELECT doc_id, list_filter(string_split(
+       |   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+       |   ' '), x -> x != '') AS toks
+       | FROM $src),
+       |$name AS (
+       | SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+       |   i -> ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::BIGINT)) AS gh
+       | FROM ${name}_n)""".stripMargin
+
   val dc01Oracle: String =
-    """WITH n AS (
-      | SELECT doc_id, list_filter(string_split(
-      |   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
-      |   ' '), x -> x != '') AS toks
-      | FROM documents),
-      |g AS (
-      | SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
-      |   i -> ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::BIGINT)) AS gh
-      | FROM n),
-      |train AS (SELECT doc_id, gh FROM g WHERE doc_id % 97 != 0),
-      |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0)
-      |SELECT t.doc_id, COUNT(DISTINCT t.gh) AS n_hit_grams
-      |FROM train t JOIN ev USING (gh)
-      |GROUP BY t.doc_id""".stripMargin
+    s"""WITH ${gramSql("documents", "g")},
+       |train AS (SELECT doc_id, gh FROM g WHERE doc_id % 97 != 0),
+       |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0)
+       |SELECT t.doc_id, COUNT(DISTINCT t.gh) AS n_hit_grams
+       |FROM train t JOIN ev USING (gh)
+       |GROUP BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // tp02: the complete training-data preparation pipeline, end to end in
+  // one plan — quality gate → exact dedup → MinHash-LSH near-dup removal
+  // (all via tp01) → benchmark-slice exclusion + 5-gram decontamination →
+  // deterministic train/val/test split → per-language mixture sampling of
+  // the train split. This is the "a user could run their whole curation
+  // job on this engine" demonstration; every stage is the scale-shaped
+  // variant (broadcast eval grams, hash-bucket splits, no corpus-side
+  // pre-join shuffles beyond what dedup itself needs).
+  // ---------------------------------------------------------------------
+  def tp02FullCuration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val keep = docs
+      .join(Dedup.tp01CorpusCuration(s, dir), Seq("doc_id"), "left_semi")
+      .filter(col("doc_id") % 97 =!= 0) // the benchmark slice never trains
+    val evalGrams = gramHashes(docs.filter(col("doc_id") % 97 === 0))
+      .select(col("gh")).distinct()
+    val contaminated = gramHashes(keep)
+      .join(broadcast(evalGrams), Seq("gh"))
+      .select(col("doc_id")).distinct()
+    val rates = mixRates.toDF("lang", "keep_pct")
+    keep.join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("bucket", hashBucket(col("text"), 100))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .withColumn("mixb", hashBucket(concat(lit("mix1:"), col("text")), 100))
+      .join(broadcast(rates), Seq("lang"), "left")
+      // mixture sampling applies to training data only; eval splits keep all
+      .filter(col("split") =!= "train" ||
+        col("mixb") < coalesce(col("keep_pct"), lit(100)))
+      .select(col("doc_id"), col("lang"), col("split"))
+  }
+
+  val tp02Oracle: String = {
+    val values = mixRates.map { case (l, p) => s"('$l', $p)" }.mkString(", ")
+    s"""WITH ${Dedup.tp01Ctes},
+       |keep AS (
+       | SELECT d.doc_id, d.text, d.lang FROM documents d
+       | JOIN tp01surv t ON d.doc_id = t.doc_id
+       | WHERE d.doc_id % 97 != 0),
+       |${gramSql("(SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0) _e", "evg")},
+       |${gramSql("keep", "kg")},
+       |contaminated AS (SELECT DISTINCT k.doc_id FROM kg k
+       |  WHERE k.gh IN (SELECT gh FROM evg)),
+       |r(lang, keep_pct) AS (VALUES $values),
+       |sp AS (
+       | SELECT doc_id, lang,
+       |  ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket,
+       |  ('0x' || substr(md5('mix1:' || text), 1, 8))::BIGINT % 100 AS mixb
+       | FROM keep
+       | WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+       |SELECT sp.doc_id, sp.lang,
+       | CASE WHEN bucket < 80 THEN 'train'
+       |      WHEN bucket < 90 THEN 'validation'
+       |      ELSE 'test' END AS split
+       |FROM sp LEFT JOIN r USING (lang)
+       |WHERE bucket >= 80 OR mixb < COALESCE(r.keep_pct, 100)""".stripMargin
+  }
 
   val queries: Map[String, Q] = Map(
     "ds01_hash_split" -> (ds01HashSplit _),
     "ds02_stratified_sample" -> (ds02StratifiedSample _),
-    "dc01_decontaminate" -> (dc01Decontaminate _))
+    "dc01_decontaminate" -> (dc01Decontaminate _),
+    "tp02_full_curation" -> (tp02FullCuration _))
 
   val oracles: Map[String, String] = Map(
     "ds01_hash_split" -> ds01Oracle,
     "ds02_stratified_sample" -> ds02Oracle,
-    "dc01_decontaminate" -> dc01Oracle)
+    "dc01_decontaminate" -> dc01Oracle,
+    "tp02_full_curation" -> tp02Oracle)
 }

@@ -444,8 +444,10 @@ object Dedup {
       .join(removed, Seq("doc_id"), "left_anti")
   }
 
-  val tp01Oracle: String =
-    s"""WITH qual AS (
+  /** tp01 as a reusable CTE chain ending in `tp01surv(doc_id)` — composed
+    * further by Curation.tp02's oracle. */
+  private[operators] val tp01Ctes: String =
+    s"""qual AS (
        | SELECT doc_id, text FROM documents
        | WHERE len(list_filter(string_split(text, ' '), x -> x != '')) >= 5
        |  AND (length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))) * 10 >= length(text) * 3),
@@ -453,8 +455,12 @@ object Dedup {
        |sdocs AS (SELECT q.doc_id, q.text FROM qual q JOIN surv ON q.doc_id = surv.doc_id),
        |${verifyCtesFrom("sdocs")},
        |verified AS ($verifySelect),
-       |removed AS (SELECT DISTINCT doc2 FROM verified WHERE is_dup)
-       |SELECT doc_id FROM sdocs WHERE doc_id NOT IN (SELECT doc2 FROM removed)""".stripMargin
+       |removed AS (SELECT DISTINCT doc2 FROM verified WHERE is_dup),
+       |tp01surv AS (SELECT doc_id FROM sdocs WHERE doc_id NOT IN (SELECT doc2 FROM removed))""".stripMargin
+
+  val tp01Oracle: String =
+    s"""WITH $tp01Ctes
+       |SELECT doc_id FROM tp01surv""".stripMargin
 
   // ---------------------------------------------------------------------
   // cc01: near-dup CLUSTERS — connected components over the verified
