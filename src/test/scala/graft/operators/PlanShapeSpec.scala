@@ -104,6 +104,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p2.contains("ShuffleExchange"), p2.take(2000))
   }
 
+  test("tp02: full curation pipeline is NLJ/cartesian-free; config dims broadcast") {
+    val plan = Curation.tp02FullCuration(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("dc01: decontamination broadcasts the eval grams; corpus side shuffles only hits") {
     val df = Curation.dc01Decontaminate(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
