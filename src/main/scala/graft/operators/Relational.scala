@@ -580,7 +580,33 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q35: FULL OUTER join — reconcile two sparse aggregates where either
+  // side may be missing a key (high-balance customers vs high-balance
+  // suppliers per nation). Both inputs pre-aggregate before the join, so
+  // the outer join runs on |nations|-sized sides regardless of fact-table
+  // scale; coalesce recovers the key from whichever side survived.
+  // ---------------------------------------------------------------------
+  def q35FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer").filter(col("c_acctbal") > 9900)
+      .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+    val su = Tables(s, dir, "supplier").filter(col("s_acctbal") > 9900)
+      .groupBy(col("s_nationkey").as("nk2")).agg(count(lit(1)).as("n_supp"))
+    c.join(su, c("nk") === su("nk2"), "full_outer")
+      .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+        col("n_cust"), col("n_supp"))
+  }
+
+  val q35Oracle: String =
+    """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer
+      |  WHERE c_acctbal > 9900 GROUP BY 1),
+      |s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier
+      |  WHERE s_acctbal > 9900 GROUP BY 1)
+      |SELECT COALESCE(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
+      |FROM c FULL OUTER JOIN s ON c.nk = s.nk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q35_full_outer" -> (q35FullOuter _),
     "q31_salted_join" -> (q31SaltedJoin _),
     "q27_rollup" -> (q27Rollup _),
     "q28_setops" -> (q28SetOps _),
@@ -606,6 +632,7 @@ object Relational {
     "q19_fk_repoint" -> (q19FkRepoint _))
 
   val oracles: Map[String, String] = Map(
+    "q35_full_outer" -> q35Oracle,
     "q31_salted_join" -> q31Oracle,
     "q27_rollup" -> q27Oracle,
     "q28_setops" -> q28Oracle,

@@ -269,6 +269,28 @@ object TextOps {
       | CAST(len(g3) - len(list_distinct(g3)) AS INTEGER) AS n_dup_3grams
       |FROM g""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // tx08: corpus-wide top-k terms (exact heavy hitters) — explode tokens,
+  // count, take the global top 20 with a deterministic (count DESC, token
+  // ASC) order. The plan is the scale shape for exact top-k: map-side
+  // partial counts, one shuffle to finalize, then TakeOrderedAndProject
+  // (per-partition top-k + driver merge of k·partitions rows — never a
+  // global sort of the full term dictionary).
+  // ---------------------------------------------------------------------
+  def tx08TopTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    docs.select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+  }
+
+  val tx08Oracle: String =
+    """SELECT token, COUNT(*) AS n FROM (
+      | SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+      | FROM documents) t
+      |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q25_posexplode_filtered" -> (q25PosexplodeFiltered _),
     "q26_quantity_parse" -> (q26QuantityParse _),
@@ -278,7 +300,8 @@ object TextOps {
     "tx04_fingerprint" -> (tx04Fingerprint _),
     "tx05_normalize" -> (tx05Normalize _),
     "tx06_pii_scrub" -> (tx06PiiScrub _),
-    "tx07_repetition" -> (tx07Repetition _))
+    "tx07_repetition" -> (tx07Repetition _),
+    "tx08_top_terms" -> (tx08TopTerms _))
 
   val oracles: Map[String, String] = Map(
     "q25_posexplode_filtered" -> q25Oracle,
@@ -289,5 +312,6 @@ object TextOps {
     "tx04_fingerprint" -> tx04Oracle,
     "tx05_normalize" -> tx05Oracle,
     "tx06_pii_scrub" -> tx06Oracle,
-    "tx07_repetition" -> tx07Oracle)
+    "tx07_repetition" -> tx07Oracle,
+    "tx08_top_terms" -> tx08Oracle)
 }
