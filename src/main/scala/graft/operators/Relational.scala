@@ -196,6 +196,11 @@ object Relational {
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
+      // Round body: propagate neighbor minima (one shuffle join + keyed min),
+      // then merge onto the label table. The merge join's probe side is the
+      // small aggregated nbrMin, which AQE turns into a broadcast — measured
+      // faster than the union+groupBy formulation, which re-shuffles the
+      // full label table every round.
       val nbrMin = sym.join(labels, sym("b") === labels("node"))
         .groupBy(sym("a").as("n2")).agg(min(col("label")).as("nl"))
       val merged = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
