@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProductLong, IntersectSize, LshBucket, MinHashSigs}
+import graft.functions.{DotProductLong, IntersectSize, LshBucket, MinHashSigs, NGramHashes}
 import graft.plans.RewriteIntersectSize
 
 /** Spark extension entry point: registers the engine's native Catalyst
@@ -38,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[IntersectSize].getName, "intersect_size"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         IntersectSize(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_hashes"),
+      new ExpressionInfo(classOf[NGramHashes].getName, "ngram_hashes"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NGramHashes(args(0), args(1).eval().asInstanceOf[Int])))
     ext.injectOptimizerRule(_ => RewriteIntersectSize)
   }
 }

@@ -205,6 +205,77 @@ case class LshBucket(child: Expression, numPlanes: Int)
     copy(child = newChild)
 }
 
+/** Runtime helper for [[NGramHashes]]: one MessageDigest and one
+  * StringBuilder reused across every n-gram of the row. */
+object NGramHashImpl {
+  /** 60-bit md5-prefix hash of each n-token gram of `toks` joined with a
+    * single space — bit-identical to the built-in chain
+    * `conv(substring(md5(concat_ws(' ', slice(toks, i, n))), 1, 15), 16, 10)`
+    * (15 hex chars = digest bytes 0..6 plus the high nibble of byte 7),
+    * including concat_ws's null-skipping. Returns one long per gram,
+    * empty array when the row has fewer than n tokens. */
+  def compute(toks: ArrayData, n: Int): ArrayData = {
+    val cnt = toks.numElements() - n + 1
+    if (cnt <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder(64)
+    val out = new Array[Any](cnt)
+    var i = 0
+    while (i < cnt) {
+      sb.setLength(0)
+      var first = true
+      var j = 0
+      while (j < n) {
+        val s = toks.getUTF8String(i + j)
+        if (s != null) {
+          if (!first) sb.append(' ')
+          sb.append(s.toString)
+          first = false
+        }
+        j += 1
+      }
+      val dig = md.digest(sb.toString.getBytes("UTF-8"))
+      var h = 0L
+      var k = 0
+      while (k < 7) { h = (h << 8) | (dig(k) & 0xffL); k += 1 }
+      h = (h << 4) | ((dig(7) >> 4) & 0xfL)
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `ngram_hashes(toks, n)` → array of 60-bit hashes of the n-token grams —
+  * the decontamination/fingerprint hot path. The built-in form
+  * (`transform(sequence(...), i -> conv(substring(md5(concat_ws(...)), ...)))`)
+  * interprets a lambda and materializes each gram string through four
+  * expression nodes per element; this is one codegen'd call reusing a
+  * single digest and buffer per row. */
+case class NGramHashes(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_hashes expects array<string>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    NGramHashImpl.compute(input.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NGramHashImpl.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Runtime helper for [[IntersectSize]]. */
 object IntersectSizeImpl {
   /** Count of DISTINCT common elements, null matching null — exactly
@@ -286,5 +357,7 @@ object VectorFunctions {
     add("lsh_bucket")(args =>
       LshBucket(args(0), args(1).eval().asInstanceOf[Int]))
     add("intersect_size")(args => IntersectSize(args(0), args(1)))
+    add("ngram_hashes")(args =>
+      NGramHashes(args(0), args(1).eval().asInstanceOf[Int]))
   }
 }

@@ -95,6 +95,13 @@ object Curation {
   // per-doc count. Output: contaminated doc_id + how many distinct eval
   // grams it shares (the usual threshold input).
   // ---------------------------------------------------------------------
+  /** (doc_id, gh) 5-gram hashes over canonicalized text. The gram hashing
+    * is the native one-pass `ngram_hashes` expression
+    * ([[graft.functions.NGramHashes]]) — bit-identical to the built-in
+    * `conv(substring(md5(concat_ws(' ', slice(toks, i, 5))), 1, 15), 16, 10)`
+    * chain the DuckDB oracle evaluates, but one reused digest/buffer per
+    * row instead of an interpreted lambda over four expression nodes per
+    * gram. */
   private def gramHashes(docs: DataFrame): DataFrame = {
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
@@ -102,12 +109,7 @@ object Curation {
     docs.select(col("doc_id"), norm.as("norm"))
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"),
-        explode(when(size(col("toks")) >= 5,
-            transform(sequence(lit(1), size(col("toks")) - 4),
-              i => concat_ws(" ", slice(col("toks"), i, lit(5)))))
-          .otherwise(array().cast("array<string>"))).as("gram"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gh"))
+        explode(expr("ngram_hashes(toks, 5)")).as("gh"))
   }
 
   def dc01Decontaminate(s: SparkSession, dir: String): DataFrame = {
