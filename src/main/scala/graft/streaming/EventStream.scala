@@ -72,6 +72,14 @@ object EventStream {
         col("v.ts").as("view_ts"))
   }
 
+  /** Stream-static enrichment join — each micro-batch joins the static
+    * dimension as a broadcast (the dim re-resolves per batch, so slowly
+    * changing dimensions pick up updates without restarting the query).
+    * The streaming side never shuffles: this is the scale-correct shape
+    * for attaching user/document metadata to an event firehose. */
+  def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   final case class AsofAttached(click_id: Long, user_id: Long,
       click_ts: Timestamp, view_id: Option[Long], view_ts: Option[Timestamp])
 

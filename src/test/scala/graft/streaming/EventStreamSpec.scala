@@ -76,6 +76,25 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each batch against the broadcast dim") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "trial")).toDF("user_id", "tier")
+    val q = EventStream.enriched(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 3, "view", 2.0)) // no dim row: left join keeps it
+      q.processAllAvailable()
+      val rows = spark.table("enr").selectExpr("event_id", "tier").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(rows == Set((1L, Some("gold")), (2L, None)), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming as-of attaches clicks to the latest prior view with O(users) state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
