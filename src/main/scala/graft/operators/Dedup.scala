@@ -118,12 +118,12 @@ object Dedup {
   def dd02MinhashSig(s: SparkSession, dir: String): DataFrame =
     minhashSignatures(Tables(s, dir, "documents"))
 
-  private def sigSqlFrom(src: String): String = {
+  private def sigSqlFrom(src: String, name: String = "sig"): String = {
     import graft.functions.MinHashImpl.{A, B, Mod}
     val cols = (0 until numHashes).map(i =>
       s"list_min(list_transform(sh, s -> (${A(i)} * ('0x' || substr(md5(s), 1, 8))::BIGINT + ${B(i)}) % $Mod)) AS m$i")
       .mkString(",\n  ")
-    s"""sig AS (SELECT doc_id,
+    s"""$name AS (SELECT doc_id,
        |  $cols
        | FROM (SELECT doc_id, $shinglesSql AS sh FROM (${tkSqlFrom(src)}) tks) shs)""".stripMargin
   }
@@ -495,7 +495,86 @@ object Dedup {
        | SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
        |SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dd09: INCREMENTAL dedup — a new batch (doc_id % 10 >= 8 stands in for
+  // today's crawl) checked against the existing corpus, never against
+  // itself: exact content-hash membership plus a cross-side LSH band join
+  // (new bands × old bands only — no old×old or new×new pairing) with
+  // Jaccard verification of the candidates. This is the daily-ingest
+  // shape at 100 TB: the old side's signatures/bands are a precomputed
+  // store read from disk (recomputed here because the testdata ships no
+  // store), the band join shuffles only the incremental batch against
+  // matching buckets, and verification touches candidate pairs alone.
+  // Output: each new doc that duplicates the corpus, flagged exact/near.
+  // ---------------------------------------------------------------------
+  def dd09IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 10 < 8)
+    val neu = docs.filter(col("doc_id") % 10 >= 8)
+    val exact = neu.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(old.select(md5(col("text")).as("h")).distinct(), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val setsOld = shingleSets(old).localCheckpoint()
+    val setsNew = shingleSets(neu).localCheckpoint()
+    val bandsOld = lshBands(minhashSigsFromSets(setsOld).drop("sh"))
+    val bandsNew = lshBands(minhashSigsFromSets(setsNew).drop("sh"))
+    val cand = bandsNew.as("n").join(bandsOld.as("o"),
+        col("n.band") === col("o.band") && col("n.k1") === col("o.k1") &&
+          col("n.k2") === col("o.k2"))
+      .select(col("n.doc_id").as("doc_new"), col("o.doc_id").as("doc_old"))
+      .distinct()
+    val near = cand
+      .join(setsNew.select(col("doc_id").as("doc_new"), col("sh").as("sh_n")), Seq("doc_new"))
+      .join(setsOld.select(col("doc_id").as("doc_old"), col("sh").as("sh_o")), Seq("doc_old"))
+      .filter(expr("""size(array_intersect(sh_n, sh_o)) * 10 >=
+        (size(sh_n) + size(sh_o) - size(array_intersect(sh_n, sh_o))) * 7"""))
+      .select(col("doc_new").as("doc_id")).distinct()
+    neu.select(col("doc_id"))
+      .join(exact.withColumn("dup_exact", lit(true)), Seq("doc_id"), "left")
+      .join(near.withColumn("dup_near", lit(true)), Seq("doc_id"), "left")
+      .filter(col("dup_exact").isNotNull || col("dup_near").isNotNull)
+      .select(col("doc_id"),
+        coalesce(col("dup_exact"), lit(false)).as("dup_exact"),
+        coalesce(col("dup_near"), lit(false)).as("dup_near"))
+  }
+
+  val dd09Oracle: String = {
+    val bandUnions = (b: String) => (0 until numHashes / 2).map(i =>
+      s"SELECT doc_id, $i AS band, m${2 * i} AS k1, m${2 * i + 1} AS k2 FROM $b")
+      .mkString("\n UNION ALL ")
+    s"""WITH docs_old AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+       |docs_new AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+       |${sigSqlFrom("docs_old", "sig_o")},
+       |${sigSqlFrom("docs_new", "sig_n")},
+       |bands_o AS (${bandUnions("sig_o")}),
+       |bands_n AS (${bandUnions("sig_n")}),
+       |cand AS (
+       | SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+       | FROM bands_n n JOIN bands_o o
+       |  ON n.band = o.band AND n.k1 = o.k1 AND n.k2 = o.k2),
+       |set_o AS (SELECT doc_id, list_distinct(list_filter($shinglesSql, x -> x IS NOT NULL)) AS sh
+       |  FROM (${tkSqlFrom("docs_old")}) tks),
+       |set_n AS (SELECT doc_id, list_distinct(list_filter($shinglesSql, x -> x IS NOT NULL)) AS sh
+       |  FROM (${tkSqlFrom("docs_new")}) tks),
+       |near AS (
+       | SELECT DISTINCT c.doc_new AS doc_id
+       | FROM cand c JOIN set_n s1 ON c.doc_new = s1.doc_id
+       |  JOIN set_o s2 ON c.doc_old = s2.doc_id
+       | WHERE len(list_intersect(s1.sh, s2.sh)) * 10 >=
+       |  (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) * 7),
+       |ex AS (
+       | SELECT DISTINCT n.doc_id FROM docs_new n
+       | WHERE md5(n.text) IN (SELECT md5(text) FROM docs_old))
+       |SELECT doc_id,
+       | doc_id IN (SELECT doc_id FROM ex) AS dup_exact,
+       | doc_id IN (SELECT doc_id FROM near) AS dup_near
+       |FROM docs_new
+       |WHERE doc_id IN (SELECT doc_id FROM ex)
+       |   OR doc_id IN (SELECT doc_id FROM near)""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "dd09_incremental" -> (dd09IncrementalDedup _),
     "cc01_dup_components" -> (cc01DupComponents _),
     "tp01_corpus_curation" -> (tp01CorpusCuration _),
     "dd01_exact_dedup" -> (dd01ExactDedup _),
@@ -508,6 +587,7 @@ object Dedup {
     "dd08_emb_neardup_lsh" -> (dd08EmbNeardupLsh _))
 
   val oracles: Map[String, String] = Map(
+    "dd09_incremental" -> dd09Oracle,
     "cc01_dup_components" -> cc01Oracle,
     "tp01_corpus_curation" -> tp01Oracle,
     "dd01_exact_dedup" -> dd01Oracle,

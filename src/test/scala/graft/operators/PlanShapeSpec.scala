@@ -58,6 +58,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("lsh_bucket"), plan.take(2000))
   }
 
+  test("dd09: incremental dedup joins new-vs-old bands only, NLJ/cartesian-free") {
+    val plan = Dedup.dd09IncrementalDedup(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // exact membership against the corpus must stay a semi join
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+  }
+
   test("tp01: curation pipeline is NLJ/cartesian-free") {
     val plan = Dedup.tp01CorpusCuration(spark, dir)
       .queryExecution.executedPlan.toString
