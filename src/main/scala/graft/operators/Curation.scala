@@ -112,6 +112,58 @@ object Curation {
         explode(expr("ngram_hashes(toks, 5)")).as("gh"))
   }
 
+  // ---------------------------------------------------------------------
+  // dd10: cross-document repeated-span detection — for every doc, how many
+  // of its DISTINCT 8-token spans also occur in at least one OTHER doc
+  // (the memorization-removal signal of Lee et al. 2022, "Deduplicating
+  // Training Data Makes Language Models Better", approximated at the
+  // fixed-length-gram granularity a shuffle engine handles natively
+  // instead of a distributed suffix array). Unlike dc01 this is
+  // corpus-vs-corpus, so neither side broadcasts; the scale shape is the
+  // canonical two-exchange plan: per-doc-distinct gram hashes (computed
+  // MAP-SIDE via array_distinct before the explode — no dedup shuffle),
+  // one exchange to count docs per gram, one exchange to join the gram
+  // stream back to the shared subset, then a tiny per-doc count. 60-bit
+  // hashes mean ~8 bytes cross the wire per span, never the span text.
+  // ---------------------------------------------------------------------
+  private def distinctGramHashes(docs: DataFrame, n: Int): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val toks = expr("filter(split(norm, ' '), x -> x != '')")
+    docs.select(col("doc_id"), norm.as("norm"))
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(s"ngram_hashes(toks, $n)"))).as("gh"))
+  }
+
+  def dd10RepeatedSpans(s: SparkSession, dir: String): DataFrame = {
+    val g = distinctGramHashes(Tables(s, dir, "documents"), 8)
+    // g is per-doc distinct, so count(*) per gh IS the distinct doc count
+    // and the final count(*) per doc IS the distinct shared-gram count —
+    // both stay plain counts (map-side partial agg), no countDistinct
+    // expansion anywhere.
+    val shared = g.groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("gh"))
+    g.join(shared, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  val dd10Oracle: String =
+    s"""WITH nrm AS (
+       | SELECT doc_id, list_filter(string_split(
+       |   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+       |   ' '), x -> x != '') AS toks
+       | FROM documents),
+       |g AS (
+       | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+       |   i -> ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT))) AS gh
+       | FROM nrm),
+       |shared AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2)
+       |SELECT g.doc_id, COUNT(*) AS n_shared_grams
+       |FROM g JOIN shared USING (gh)
+       |GROUP BY g.doc_id""".stripMargin
+
   def dc01Decontaminate(s: SparkSession, dir: String): DataFrame = {
     val grams = gramHashes(Tables(s, dir, "documents"))
     // No pre-join distinct on the training side: the broadcast join filters
@@ -214,11 +266,13 @@ object Curation {
     "ds01_hash_split" -> (ds01HashSplit _),
     "ds02_stratified_sample" -> (ds02StratifiedSample _),
     "dc01_decontaminate" -> (dc01Decontaminate _),
+    "dd10_repeated_spans" -> (dd10RepeatedSpans _),
     "tp02_full_curation" -> (tp02FullCuration _))
 
   val oracles: Map[String, String] = Map(
     "ds01_hash_split" -> ds01Oracle,
     "ds02_stratified_sample" -> ds02Oracle,
     "dc01_decontaminate" -> dc01Oracle,
+    "dd10_repeated_spans" -> dd10Oracle,
     "tp02_full_curation" -> tp02Oracle)
 }

@@ -507,16 +507,19 @@ object Dedup {
   // matching buckets, and verification touches candidate pairs alone.
   // Output: each new doc that duplicates the corpus, flagged exact/near.
   // ---------------------------------------------------------------------
-  def dd09IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
-    val old = docs.filter(col("doc_id") % 10 < 8)
-    val neu = docs.filter(col("doc_id") % 10 >= 8)
+  /** The dd09 core against a PRE-STAGED corpus side — `hashesOld` (h),
+    * `setsOld` (doc_id, sh) and `bandsOld` (doc_id, band, k1, k2) are the
+    * precomputed dedup store a production pipeline maintains on disk and
+    * reads, not recomputes, per increment. Both the batch query (dd09) and
+    * the streaming front door ([[graft.streaming.EventStream
+    * .incrementalDedupStream]]) delegate here, so the two entry points
+    * can never drift semantically. */
+  def incrementalFlags(neu: DataFrame, hashesOld: DataFrame,
+      setsOld: DataFrame, bandsOld: DataFrame): DataFrame = {
     val exact = neu.select(col("doc_id"), md5(col("text")).as("h"))
-      .join(old.select(md5(col("text")).as("h")).distinct(), Seq("h"), "left_semi")
+      .join(hashesOld, Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
-    val setsOld = shingleSets(old).localCheckpoint()
     val setsNew = shingleSets(neu).localCheckpoint()
-    val bandsOld = lshBands(minhashSigsFromSets(setsOld).drop("sh"))
     val bandsNew = lshBands(minhashSigsFromSets(setsNew).drop("sh"))
     val cand = bandsNew.as("n").join(bandsOld.as("o"),
         col("n.band") === col("o.band") && col("n.k1") === col("o.k1") &&
@@ -536,6 +539,17 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("dup_exact"), lit(false)).as("dup_exact"),
         coalesce(col("dup_near"), lit(false)).as("dup_near"))
+  }
+
+  def dd09IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 10 < 8)
+    val neu = docs.filter(col("doc_id") % 10 >= 8)
+    val setsOld = shingleSets(old).localCheckpoint()
+    incrementalFlags(neu,
+      old.select(md5(col("text")).as("h")).distinct(),
+      setsOld,
+      lshBands(minhashSigsFromSets(setsOld).drop("sh")))
   }
 
   val dd09Oracle: String = {

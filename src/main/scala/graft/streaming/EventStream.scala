@@ -80,6 +80,35 @@ object EventStream {
   def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming front door for incremental dedup — the daily-crawl shape:
+    * `newDocs` is a stream of (doc_id, text); the corpus-side dedup store
+    * (content hashes, shingle sets, LSH band keys) is staged ONCE up front
+    * — at real scale these are parquet tables the pipeline maintains, here
+    * `localCheckpoint` stands in — and every micro-batch runs the same
+    * exact+near checks as the batch query (dd09) via
+    * [[graft.operators.Dedup.incrementalFlags]], so the streaming and
+    * batch answers cannot drift. `foreachBatch` is the right vehicle (not
+    * a stream-stream join): the per-batch plan needs multi-step joins and
+    * aggregation over the FINISHED batch, and its output feeds an
+    * idempotent sink keyed by (batch_id, doc_id). Corpus state is static
+    * per query lifetime by design — newly ingested docs dedup against the
+    * corpus snapshot, and the store roll-forward is the nightly batch
+    * job's business, exactly like the reference's insert-conflict model.
+    */
+  def incrementalDedupStream(newDocs: DataFrame, corpus: DataFrame)
+      (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    val hashesOld = corpus.select(md5(col("text")).as("h"))
+      .distinct().localCheckpoint()
+    val setsOld = Dedup.shingleSets(corpus).localCheckpoint()
+    val bandsOld = Dedup.lshBands(Dedup.minhashSigsFromSets(setsOld).drop("sh"))
+      .localCheckpoint()
+    newDocs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(Dedup.incrementalFlags(batch, hashesOld, setsOld, bandsOld), batchId)
+      }.start()
+  }
+
   final case class AsofAttached(click_id: Long, user_id: Long,
       click_ts: Timestamp, view_id: Option[Long], view_ts: Option[Timestamp])
 

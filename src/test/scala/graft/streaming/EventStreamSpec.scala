@@ -149,4 +149,35 @@ class EventStreamSpec extends SparkSpec {
       assert(sessions(1).n_events == 1 && sessions(1).sum_value == 4.0)
     } finally q.stop()
   }
+
+  test("incremental dedup stream flags new-vs-corpus dups per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "a b c a b c"),
+      (3L, "old corpus text that nothing in the new batch resembles")
+    ).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Boolean, Boolean)]]
+    val q = EventStream.incrementalDedupStream(
+        input.toDF().toDF("doc_id", "text"), corpus) { (flags, batchId) =>
+      got.synchronized {
+        got(batchId) = flags.collect()
+          .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSet
+      }
+    }
+    try {
+      input.addData(
+        (8L, "the quick brown fox jumps over the lazy dog today"), // = doc 1
+        (28L, "a genuinely fresh document with entirely new content here"))
+      q.processAllAvailable()
+      // same distinct shingle set as doc 2 (text differs): near, not exact
+      input.addData((9L, "a b c a b c a b c"))
+      q.processAllAvailable()
+      val flagged = got.synchronized(got.toMap)
+      assert(flagged.values.toSet ==
+        Set(Set((8L, true, true)), Set((9L, false, true))), flagged.toString)
+    } finally q.stop()
+  }
 }
