@@ -43,7 +43,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Truncation-proof record: the full per-query JSON goes to a FILE, and
+    // the path + total print first — a capture window that loses the tail
+    // of stdout still leaves the result recoverable from disk.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      sys.props("java.io.tmpdir") + "/graft_bench.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes("UTF-8"))
+      println(f"[bench] wrote $outPath, total=$total%.2f s over ${results.size}%d queries")
+    } catch { case e: java.io.IOException =>
+      println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    println(json)
     spark.stop()
   }
 }

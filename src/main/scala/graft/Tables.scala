@@ -30,12 +30,23 @@ object Tables {
     * has fewer partitions — a CPU-dense downstream stage (shingling,
     * hashing, vector math) is otherwise throttled to the input's split
     * count. On a real corpus the scan has thousands of row-group splits and
-    * this is a no-op; it fires exactly in the cases where partition count,
-    * not data volume, is the bottleneck: a single-row-group local file, or
-    * an AQE-coalesced tiny join output feeding heavy per-row work.
-    * `queryExecution.toRdd` only PLANS the RDD (no job runs). */
+    * this is a no-op; it fires exactly where partition count, not data
+    * volume, is the bottleneck: a single-row-group local file feeding
+    * heavy per-row work.
+    *
+    * The partition-count probe is restricted to NON-adaptive physical
+    * plans: for those, `execute()` only PLANS the RDD (no job runs). An
+    * `AdaptiveSparkPlanExec` root would RUN its shuffle stages when asked
+    * for the RDD, so exchange-bearing inputs are returned untouched —
+    * their partitioning is AQE's business, and a caller that needs a
+    * rebalance after an AQE-coalesced join output uses an explicit
+    * `repartition` at the call site (as dd07/tp01 do). */
   def balanced(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.toRdd.getNumPartitions < p) df.repartition(p) else df
+    df.queryExecution.executedPlan match {
+      case _: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => df
+      case plan if plan.execute().getNumPartitions < p => df.repartition(p)
+      case _ => df
+    }
   }
 }

@@ -135,11 +135,19 @@ object EventOps {
     clicks.join(views, Seq("user_id"))
       .filter(col("ve") <= col("ce") && col("ve") >= col("ce") - 600)
       .groupBy(col("click_id"), col("user_id"), col("ce"))
-      // Winner = latest view, ties broken by view_id. One sortable BIGINT
-      // key (epoch·10^8 + id — DuckDB's arg_max takes no struct key) keeps
-      // this a map-side-combinable max_by in both engines.
-      .agg(max_by(col("view_id"), col("ve") * 100000000L + col("view_id")).as("view_id"),
-        count(lit(1)).as("n_views"))
+      // Winner = latest view, ties broken by view_id — expressed as a
+      // struct-ordered max_by so the contract holds for ANY id range
+      // (still a map-side-combinable aggregate). The oracle packs the same
+      // order into one BIGINT (DuckDB's arg_max takes no struct key),
+      // which is equivalent iff view_id < 10^8 — asserted below so a
+      // violating id set fails loudly instead of silently diverging.
+      .agg(max_by(col("view_id"), struct(col("ve"), col("view_id"))).as("view_id"),
+        count(lit(1)).as("n_views"),
+        max(col("view_id")).as("__max_vid"))
+      .withColumn("view_id",
+        when(col("__max_vid") < 100000000L, col("view_id"))
+          .otherwise(raise_error(lit("q30: view_id >= 1e8 breaks the oracle's packed max_by key"))))
+      .drop("__max_vid")
       .select(col("click_id"), col("user_id"), col("ce").as("click_epoch"),
         col("view_id"), col("n_views"))
   }

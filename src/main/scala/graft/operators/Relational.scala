@@ -188,11 +188,15 @@ object Relational {
       .distinct().persist()
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
-    def labelSum(df: DataFrame): Long = // coalesce: empty graph sums to null
-      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
     // Labels only ever DECREASE under min-propagation, so the label sum
     // strictly decreases iff any label changed — one aggregate per round
-    // replaces an old-vs-new join as the convergence check.
+    // replaces an old-vs-new join as the convergence check. Summed as
+    // decimal(38,0): a Long sum could wrap-overflow to the previous value
+    // on ~10^9 nodes × 10^12-scale ids and falsely converge; the decimal
+    // sum is exact (and just as cheap — one partial-aggregated pass).
+    def labelSum(df: DataFrame): java.math.BigDecimal = // empty graph → null
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
@@ -208,7 +212,7 @@ object Relational {
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint()
       val s = labelSum(merged)
-      converged = s == prevSum
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = merged
     }

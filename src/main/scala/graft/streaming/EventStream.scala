@@ -126,7 +126,11 @@ object EventStream {
     * ties, matching the batch twin exactly; across micro-batches a view
     * that arrives AFTER a later-timestamped click has already been emitted
     * cannot retro-attach (inherent to append-mode streaming — the batch
-    * twin is the backfill authority).
+    * twin is the backfill authority). The symmetric direction is guarded
+    * too: a LATE click (older than the stored view) must not attach to
+    * that future view — it gets null, because the correct earlier view
+    * was already superseded in the O(1) state. Both lossy directions are
+    * the price of O(users) state; q32 is the exact backfill.
     */
   def asofAttach(events: Dataset[Event]): Dataset[AsofAttached] = {
     val spark = events.sparkSession
@@ -144,8 +148,12 @@ object EventStream {
           if (cur.forall(s => s.ts < t || (s.ts == t && s.id < e.event_id)))
             cur = Some(ViewState(t, e.event_id))
         case "click" =>
+          // As-of invariant: never attach a view from the click's future
+          // (reachable only cross-batch, via a click arriving later than a
+          // newer view; in-batch ordering already guarantees ts ≤ click).
+          val eligible = cur.filter(_.ts <= e.ts.getTime)
           out += AsofAttached(e.event_id, userId, e.ts,
-            cur.map(_.id), cur.map(s => new Timestamp(s.ts)))
+            eligible.map(_.id), eligible.map(s => new Timestamp(s.ts)))
         case _ => ()
       }
       cur.foreach(state.update)

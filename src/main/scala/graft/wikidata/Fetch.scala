@@ -85,7 +85,13 @@ object Fetch {
         }
         // A clean EOF before content-length is also an interrupted stream
         // (the reference sees it as an io error from the bz2 decoder).
-        done = !interrupted && total.forall(written >= _)
+        // Conversely, written >= total is DONE even if the connection
+        // dropped on the very last byte: a reopen at byte `total` would
+        // only draw 416 Range Not Satisfiable forever.
+        done = total match {
+          case Some(t) => written >= t
+          case None => !interrupted
+        }
         if (!done) {
           zeroProgress = if (written == before) zeroProgress + 1 else 0
           if (zeroProgress >= cfg.maxOpenTries) throw new IOException(
