@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, EventOps, Multimodal, Relational, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, DedupStore, EventOps, Multimodal, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,12 +24,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ EventOps.queries ++ TextOps.queries ++
-      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Curation.queries
+      Dedup.queries ++ DedupStore.queries ++ Similarity.queries ++
+      Multimodal.queries ++ Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ Curation.oracles
+      Dedup.oracles ++ DedupStore.oracles ++ Similarity.oracles ++
+      Curation.oracles
 }

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The persistent dedup store — the write path behind incremental dedup
+  * (dd09). A production pipeline checks each day's crawl against the
+  * accumulated corpus WITHOUT re-reading (let alone re-tokenizing) that
+  * corpus: it maintains, on disk, exactly the three corpus-side inputs of
+  * [[Dedup.incrementalFlags]] and rolls them forward with each accepted
+  * increment. This is the Spark-scale form of the reference's
+  * insert-conflict sink (`/root/reference/src/database.rs:99-110`): the
+  * store IS the "already inserted" set, held as parquet instead of a
+  * SQLite unique index.
+  *
+  * Layout under `dir`:
+  *  - `hashes/` — (h: md5 hex of text). Exact-dup membership; append-only
+  *    (duplicate h across roll-forwards is harmless — consumers only ever
+  *    semi-join against it; a periodic compaction can rewrite it distinct).
+  *  - `sets/`   — (doc_id, sh: array of word-trigram shingles). Feeds the
+  *    exact-Jaccard verification of LSH candidates.
+  *  - `bands/`  — (doc_id, k1, k2) partitioned by `band`. The LSH band
+  *    keys; partitioning by band keeps each band's bucket file set
+  *    self-contained, so a band-keyed join reads co-located files and a
+  *    future bucket-pruned probe (one band at a time) scans 1/nBands of
+  *    the store.
+  *
+  * Scale notes: `build` makes ONE tokenize+shingle pass over the corpus
+  * (the sets are checkpointed, then hashes/bands derive from them);
+  * `rollForward` touches ONLY the increment — the standing corpus is
+  * never read, which at 100 TB is the entire point of the store.
+  */
+object DedupStore {
+
+  final case class Store(hashes: DataFrame, sets: DataFrame, bands: DataFrame)
+
+  /** Build (or rebuild) the store from a full corpus: one tokenize pass,
+    * three parquet tables. */
+  def build(docs: DataFrame, dir: String): Unit =
+    write(docs, dir, overwrite = true)
+
+  /** Append an ACCEPTED increment (docs that survived dedup) to the store.
+    * Reads nothing from the existing store — the increment's own
+    * hashes/sets/bands are computed and appended, so the cost is
+    * O(increment), independent of corpus size. */
+  def rollForward(dir: String, accepted: DataFrame): Unit =
+    write(accepted, dir, overwrite = false)
+
+  private def write(docs: DataFrame, dir: String, overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
+    // ONE tokenize+shingle pass: sets are materialized first, bands derive
+    // from the checkpointed sets, and the hash table needs no tokens at all.
+    val sets = Dedup.shingleSets(docs).localCheckpoint()
+    docs.select(md5(col("text")).as("h")).distinct()
+      .write.mode(mode).parquet(s"$dir/hashes")
+    sets.write.mode(mode).parquet(s"$dir/sets")
+    Dedup.lshBands(Dedup.minhashSigsFromSets(sets).drop("sh"))
+      .write.mode(mode).partitionBy("band").parquet(s"$dir/bands")
+  }
+
+  def read(s: SparkSession, dir: String): Store = Store(
+    s.read.parquet(s"$dir/hashes"),
+    s.read.parquet(s"$dir/sets"),
+    s.read.parquet(s"$dir/bands"))
+
+  /** dd09's check with the corpus side READ FROM THE STORE — the plan the
+    * daily job actually runs: the old side is three parquet scans (no
+    * split/minhash anywhere on it), the new side is tokenized once. */
+  def incrementalAgainstStore(neu: DataFrame, store: Store): DataFrame =
+    Dedup.incrementalFlags(neu, store.hashes, store.sets, store.bands)
+
+  /** Deterministic scratch location for a given input dir (the driver runs
+    * each query as a pure (session, sfDir) function — the store location
+    * must derive from the input, not from mutable state). */
+  private[operators] def storePathFor(dir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft_dedup_store_$tag"
+  }
+
+  // ---------------------------------------------------------------------
+  // dd11: the full nightly cycle — (re)build the store from the standing
+  // corpus, then run the incremental check READING it. Same split and same
+  // answer as dd09 (the oracle is shared), but the corpus side of the
+  // check plan is pure parquet scans; the recompute that dd09 performs
+  // in-memory is here the explicit, amortizable build job. The timed cost
+  // of this query = store build + store-backed check; at 100 TB only the
+  // check runs per increment.
+  // ---------------------------------------------------------------------
+  def dd11StoreIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 10 < 8)
+    val neu = docs.filter(col("doc_id") % 10 >= 8)
+    val storeDir = storePathFor(dir)
+    build(old, storeDir)
+    incrementalAgainstStore(neu, read(s, storeDir))
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    "dd11_store_incremental" -> (dd11StoreIncremental _))
+
+  // Same semantics as dd09, so the same oracle must hash-match.
+  val oracles: Map[String, String] = Map(
+    "dd11_store_incremental" -> Dedup.dd09Oracle)
+}

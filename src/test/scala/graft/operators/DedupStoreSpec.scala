@@ -1,0 +1,110 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.SparkSpec
+
+/** The dedup store's contract: (1) a store-backed incremental check gives
+  * bit-identical answers to recomputing the corpus side from raw text;
+  * (2) roll-forward appends make the store equivalent to a fresh build
+  * over the grown corpus; (3) the check's PLAN never re-tokenizes the
+  * corpus — the old side must be parquet scans only, which is the whole
+  * reason the store exists at 100 TB.
+  */
+class DedupStoreSpec extends SparkSpec {
+
+  // Same planted semantics as DedupSpec's dd09 fixture: 8=exact copy of 1,
+  // 9=shingle-set twin of 2 (near only), 18/19=new-vs-new twins (ignored),
+  // 28=fresh.
+  private def fixture: (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "a b c a b c"),
+      (3L, "old corpus text that nothing in the new batch resembles"))
+      .toDF("doc_id", "text")
+    val neu = Seq(
+      (8L, "the quick brown fox jumps over the lazy dog today"),
+      (9L, "a b c a b c a b c"),
+      (18L, "u v w x y z u v w x y z mutual twins"),
+      (19L, "u v w x y z u v w x y z mutual twins"),
+      (28L, "a genuinely fresh document with entirely new content here"))
+      .toDF("doc_id", "text")
+    (old, neu)
+  }
+
+  private def flagsSeq(df: DataFrame): Seq[Row] =
+    df.orderBy("doc_id").collect().toSeq
+
+  test("store-backed flags are identical to recomputing the corpus side") {
+    val (old, neu) = fixture
+    val dir = Files.createTempDirectory("dedup-store").toFile
+    try {
+      DedupStore.build(old, dir.getPath)
+      val viaStore = flagsSeq(
+        DedupStore.incrementalAgainstStore(neu, DedupStore.read(spark, dir.getPath)))
+      val setsOld = Dedup.shingleSets(old).localCheckpoint()
+      val recomputed = flagsSeq(Dedup.incrementalFlags(neu,
+        old.select(org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("text")).as("h")).distinct(),
+        setsOld,
+        Dedup.lshBands(Dedup.minhashSigsFromSets(setsOld).drop("sh"))))
+      assert(viaStore == recomputed, s"store=$viaStore recomputed=$recomputed")
+      assert(viaStore == Seq(Row(8L, true, true), Row(9L, false, true)),
+        viaStore.toString)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("rollForward(B) makes the store answer like a fresh build over A∪B") {
+    import spark.implicits._
+    val (old, _) = fixture
+    val batchB = Seq(
+      (48L, "rolled forward batch document with some novel words in it"))
+      .toDF("doc_id", "text")
+    // C: 58 = exact copy of B's 48 (only findable through the roll-forward),
+    // 59 = near twin of A's 2, 68 = fresh.
+    val batchC = Seq(
+      (58L, "rolled forward batch document with some novel words in it"),
+      (59L, "a b c a b c a b c"),
+      (68L, "completely unrelated closing document")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("dedup-store-rf").toFile
+    val dir2 = Files.createTempDirectory("dedup-store-fresh").toFile
+    try {
+      DedupStore.build(old, dir.getPath)
+      DedupStore.rollForward(dir.getPath, batchB)
+      val rolled = flagsSeq(
+        DedupStore.incrementalAgainstStore(batchC, DedupStore.read(spark, dir.getPath)))
+      DedupStore.build(old.unionAll(batchB), dir2.getPath)
+      val fresh = flagsSeq(
+        DedupStore.incrementalAgainstStore(batchC, DedupStore.read(spark, dir2.getPath)))
+      assert(rolled == fresh, s"rolled=$rolled fresh=$fresh")
+      assert(rolled == Seq(Row(58L, true, true), Row(59L, false, true)),
+        rolled.toString)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir2)
+    }
+  }
+
+  test("store-backed check plan never re-tokenizes the corpus") {
+    val (old, neu) = fixture
+    val dir = Files.createTempDirectory("dedup-store-plan").toFile
+    try {
+      DedupStore.build(old, dir.getPath)
+      val plan = DedupStore.incrementalAgainstStore(
+          neu, DedupStore.read(spark, dir.getPath))
+        .queryExecution.executedPlan.toString
+      // The new side's tokenize pass sits behind its localCheckpoint, and
+      // the old side is parquet — so the WHOLE plan must be split-free,
+      // and the only signature computation left is the new side's bands.
+      assert(!plan.contains("split("), plan.take(3000))
+      val sigCount = "minhash_sigs".r.findAllMatchIn(plan).size
+      assert(sigCount == 1, s"expected 1 minhash_sigs (new side only), got $sigCount")
+      assert(plan.contains("parquet"), "old side should scan the parquet store")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan.take(3000))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+}
