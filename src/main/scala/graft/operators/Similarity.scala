@@ -160,20 +160,106 @@ object Similarity {
        | FROM scored) t WHERE rnk <= $K""".stripMargin
 
   // ---------------------------------------------------------------------
-  // ss03: IVF-style ANN. "Centroids" are a deterministic sample (every
-  // 250th vector — a k-means step would slot in here without changing the
-  // dataflow); every vector is assigned to its nearest centroid (argmax
-  // cosine, broadcast centroid set, map-side); queries probe the 2 nearest
-  // centroid lists and rerank exactly within them. At scale the probe join
-  // shuffles on the centroid id — each list is ~corpus/k — and the
-  // assignment pass is shuffle-free.
+  // Lloyd iteration machinery shared by ss03 (IVF coarse quantizer) and
+  // ss04 (the clustering query): assignment is argmin of the EXACT squared
+  // distance ‖v‖²+‖c‖²-2·v·c over broadcast centroids (map-side, no
+  // corpus shuffle); the update is posexplode → per-(cluster, dim) sum →
+  // truncated integer mean rebuilt into a vector. Seeds = every 250th
+  // vector. The loop is DRIVER-ITERATED with a fixed round count (like
+  // transitiveClosure): fixed N keeps the oracle expressible as a finite
+  // CTE chain and the result deterministic; each round's centroids are
+  // localCheckpoint'd so lineage stays flat and the broadcast input is a
+  // materialized k-row table. Cluster ids inherit the seed's vec_id and
+  // stay stable across rounds; a cluster that empties simply drops out of
+  // the update (both engines agree).
+  // ---------------------------------------------------------------------
+  private def kmAssign(pts: DataFrame, cents: DataFrame): DataFrame =
+    pts.join(broadcast(cents), lit(true))
+      .withColumn("d2",
+        col("nrm") + col("cnrm") - expr("2 * dot_l(v, cv)"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("m"))
+      .select(col("vec_id"), col("m.cent_id").as("cluster"), col("m.d2").as("d2"))
+
+  // Per-dimension truncated mean: double division of exact integers is
+  // identical IEEE math in both engines, and BOTH truncate toward zero
+  // (Spark double→long cast; DuckDB trunc()) — integer `div` would
+  // diverge on negative sums (Spark truncates, DuckDB floors).
+  private def kmUpdate(assigned: DataFrame, pts: DataFrame): DataFrame =
+    assigned.join(pts, Seq("vec_id"))
+      .select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("cluster"), col("d"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("mx", (col("sx").cast("double") / col("n")).cast("long"))
+      .groupBy(col("cluster"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, mx))), s -> s.mx)").as("cv"))
+      .select(col("cluster").as("cent_id"), col("cv"),
+        expr("dot_l(cv, cv)").as("cnrm"))
+
+  private def seedCentroids(pts: DataFrame): DataFrame =
+    pts.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+
+  /** `rounds` full Lloyd rounds from the deterministic seed — returns the
+    * learned (cent_id, cv, cnrm). `pts` should be pinned (checkpointed)
+    * by the caller: every round scans it twice (assign + update). */
+  def learnedCentroids(pts: DataFrame, rounds: Int): DataFrame = {
+    var cents = seedCentroids(pts)
+    for (_ <- 1 to rounds)
+      cents = kmUpdate(kmAssign(pts, cents), pts).localCheckpoint()
+    cents
+  }
+
+  /** Oracle-side mirror of one Lloyd round r (reads c{r-1}, defines c{r});
+    * the same CTE text chains to any fixed round count. */
+  private def kmAssignSql(r: Int, prev: String): String =
+    s"""s$r AS (
+       | SELECT qn.vec_id, $prev.cent_id,
+       |  qn.nrm + $prev.cnrm - 2 * CAST(list_sum(list_transform(range(1, len(qn.v) + 1), i -> qn.v[i] * $prev.cv[i])) AS BIGINT) AS d2
+       | FROM qn CROSS JOIN $prev),
+       |r$r AS (SELECT vec_id, cent_id, d2,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn FROM s$r),
+       |a$r AS (SELECT vec_id, cent_id AS cluster, d2 FROM r$r WHERE rn = 1)""".stripMargin
+
+  private def kmRoundSql(r: Int): String = {
+    val prev = if (r == 1) "c0" else s"c${r - 1}"
+    s"""${kmAssignSql(r, prev)},
+       |dims$r AS (
+       | SELECT a$r.cluster, generate_subscripts(qn.v, 1) AS d, unnest(qn.v) AS x
+       | FROM a$r JOIN qn ON a$r.vec_id = qn.vec_id),
+       |means$r AS (
+       | SELECT cluster, d, CAST(trunc(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mx
+       | FROM dims$r GROUP BY cluster, d),
+       |c$r AS (
+       | SELECT cent_id, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cnrm
+       | FROM (SELECT cluster AS cent_id, list(mx ORDER BY d) AS cv FROM means$r GROUP BY cluster) t)""".stripMargin
+  }
+
+  private val kmSeedSql: String =
+    "c0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM qn WHERE vec_id % 250 = 0)"
+
+  private def kmChainSql(rounds: Int): String =
+    s"""$kmSeedSql,
+       |${(1 to rounds).map(kmRoundSql).mkString(",\n")}""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ss03: IVF-style ANN with a LEARNED coarse quantizer — the centroids
+  // are ss04's Lloyd iteration (2 rounds from the deterministic seed), so
+  // the inverted lists reflect the data's actual cluster structure instead
+  // of a row sample; every vector is assigned to its nearest centroid
+  // (argmax cosine, broadcast centroid set, map-side); queries probe the 2
+  // nearest centroid lists and rerank exactly within them. At scale the
+  // probe join shuffles on the centroid id — each list is ~corpus/k — and
+  // the assignment pass is shuffle-free; the quantizer training cost is
+  // amortized exactly like the dedup store's build (dd11).
   // ---------------------------------------------------------------------
   private val nprobe = 2
+  private val ivfRounds = 2
 
   def ss03AnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val base = qvec(s, dir)
-    val cents = base.filter(col("vec_id") % 250 === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("v2"), col("nrm").as("n2"))
+    val base = qvec(s, dir).localCheckpoint()
+    val cents = learnedCentroids(base, ivfRounds)
+      .select(col("cent_id"), col("cv").as("v2"), col("cnrm").as("n2"))
     def centScored(src: DataFrame, idCol: String): DataFrame =
       src.select(col("vec_id").as(idCol), col("v").as("v1"), col("nrm").as("n1"))
         .join(broadcast(cents), lit(true))
@@ -213,7 +299,8 @@ object Similarity {
 
   val ss03Oracle: String =
     s"""WITH $qvecSql,
-       |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM qn WHERE vec_id % 250 = 0),
+       |${kmChainSql(ivfRounds)},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
        |cscored AS (
        | SELECT qn.vec_id, cents.cent_id,
        |  CAST(list_sum(list_transform(range(1, len(qn.v) + 1), i -> qn.v[i] * cents.cv[i])) AS BIGINT)
@@ -239,75 +326,29 @@ object Similarity {
        | FROM scored) t WHERE rnk <= $K""".stripMargin
 
   // ---------------------------------------------------------------------
-  // ss04: k-means (Lloyd's) — the clustering step the IVF comment above
-  // points at, distributed and integer-exact so the oracle hash-matches:
-  // assignment is argmin of the EXACT squared distance ‖v‖²+‖c‖²-2·v·c
-  // over broadcast centroids (map-side, no shuffle of the corpus);
-  // the centroid update is posexplode → per-(cluster, dim) sum →
-  // truncate(sum/n) rebuilt into an integer vector. One full Lloyd
-  // round (assign → update → reassign), reporting per-cluster size and
-  // inertia. At scale each round is one narrow pass plus one
-  // (cluster, dim)-keyed aggregate — centroids stay broadcast-size.
+  // ss04: k-means (Lloyd's) to a fixed round count — kmRounds full
+  // assign→update rounds from the deterministic seed, then a final
+  // assignment under the learned centroids, reporting per-cluster size
+  // and inertia. Fixed-N (not data-dependent stopping) keeps the oracle a
+  // finite CTE chain and the answer deterministic; at scale each round is
+  // one broadcast-cross + two keyed aggregates — centroids stay
+  // broadcast-size, the corpus is scanned from a checkpoint.
   // ---------------------------------------------------------------------
-  private def kmAssign(pts: DataFrame, cents: DataFrame): DataFrame =
-    pts.join(broadcast(cents), lit(true))
-      .withColumn("d2",
-        col("nrm") + col("cnrm") - expr("2 * dot_l(v, cv)"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cent_id"))).as("m"))
-      .select(col("vec_id"), col("m.cent_id").as("cluster"), col("m.d2").as("d2"))
+  private val kmRounds = 3
 
   def ss04Kmeans(s: SparkSession, dir: String): DataFrame = {
-    val pts = qvec(s, dir)
-    val c0 = pts.filter(col("vec_id") % 250 === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val a1 = kmAssign(pts, c0)
-    // Per-dimension truncated mean: double division of exact integers is
-    // identical IEEE math in both engines, and BOTH truncate toward zero
-    // (Spark double→long cast; DuckDB trunc()) — integer `div` would
-    // diverge on negative sums (Spark truncates, DuckDB floors).
-    val c1 = a1.join(pts, Seq("vec_id"))
-      .select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
-      .groupBy(col("cluster"), col("d"))
-      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-      .withColumn("mx", (col("sx").cast("double") / col("n")).cast("long"))
-      .groupBy(col("cluster"))
-      .agg(expr("transform(array_sort(collect_list(struct(d, mx))), s -> s.mx)").as("cv"))
-      .select(col("cluster").as("cent_id"), col("cv"),
-        expr("dot_l(cv, cv)").as("cnrm"))
-    kmAssign(pts, c1)
+    val pts = qvec(s, dir).localCheckpoint()
+    kmAssign(pts, learnedCentroids(pts, kmRounds))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
   }
 
   val ss04Oracle: String =
     s"""WITH $qvecSql,
-       |c0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM qn WHERE vec_id % 250 = 0),
-       |s1 AS (
-       | SELECT qn.vec_id, c0.cent_id,
-       |  qn.nrm + c0.cnrm - 2 * CAST(list_sum(list_transform(range(1, len(qn.v) + 1), i -> qn.v[i] * c0.cv[i])) AS BIGINT) AS d2
-       | FROM qn CROSS JOIN c0),
-       |r1 AS (SELECT vec_id, cent_id, d2,
-       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn FROM s1),
-       |a1 AS (SELECT vec_id, cent_id AS cluster, d2 FROM r1 WHERE rn = 1),
-       |dims AS (
-       | SELECT a1.cluster, generate_subscripts(qn.v, 1) AS d, unnest(qn.v) AS x
-       | FROM a1 JOIN qn ON a1.vec_id = qn.vec_id),
-       |means AS (
-       | SELECT cluster, d, CAST(trunc(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mx
-       | FROM dims GROUP BY cluster, d),
-       |c1 AS (
-       | SELECT cluster AS cent_id, list(mx ORDER BY d) AS cv FROM means GROUP BY cluster),
-       |c1n AS (SELECT cent_id, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cnrm FROM c1),
-       |s2 AS (
-       | SELECT qn.vec_id, c1n.cent_id,
-       |  qn.nrm + c1n.cnrm - 2 * CAST(list_sum(list_transform(range(1, len(qn.v) + 1), i -> qn.v[i] * c1n.cv[i])) AS BIGINT) AS d2
-       | FROM qn CROSS JOIN c1n),
-       |r2 AS (SELECT vec_id, cent_id, d2,
-       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn FROM s2),
-       |a2 AS (SELECT vec_id, cent_id AS cluster, d2 FROM r2 WHERE rn = 1)
+       |${kmChainSql(kmRounds)},
+       |${kmAssignSql(kmRounds + 1, s"c$kmRounds")}
        |SELECT cluster, COUNT(*) AS n_members, CAST(SUM(d2) AS BIGINT) AS inertia
-       |FROM a2 GROUP BY cluster""".stripMargin
+       |FROM a${kmRounds + 1} GROUP BY cluster""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "ss01_brute_topk" -> (ss01BruteTopk _),
