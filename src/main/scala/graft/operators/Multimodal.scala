@@ -1,5 +1,10 @@
 package graft.operators
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.awt.image.BufferedImage
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -8,16 +13,22 @@ import graft.Tables
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, decoded/feature-extracted in partition-sized batches.
   *
-  * The Spark-side shape is the real deliverable — schema (binary payload +
-  * metadata struct), partitioning (decode is a narrow mapPartitions, no
-  * shuffle; feature vectors are fixed-width arrays ready for
-  * [[Similarity]]-style ANN), and batch amortization (any native codec would
-  * be initialized once per partition, not per row).
+  * The Spark-side shape is the deliverable — schema (binary payload + typed
+  * metadata), partitioning (decode is a narrow mapPartitions, no shuffle;
+  * feature vectors are fixed-width arrays ready for [[Similarity]]-style
+  * ANN), and batch amortization (codec state initialized once per
+  * partition, not per row).
   *
-  * ==STUB== The byte→pixel/sample decode itself is a DETERMINISTIC FAKE
-  * (`decodeStub`): real image/audio codecs are not available in this
-  * container. Swap `decodeStub` for a real codec call (e.g. javax.imageio /
-  * ffmpeg bindings) without touching any of the Spark plumbing around it.
+  * The IMAGE path is real end-to-end: payloads are genuine PNG bytes
+  * (encoded with `javax.imageio`, deterministic pixels derived from the
+  * doc id), and decode runs `ImageIO.read` → integer Rec.601 luma plane.
+  * PNG is lossless, so features depend only on the pixel function — the
+  * spec pins them against a golden hash.
+  *
+  * ==STUB== Audio/video byte→sample decode remains a DETERMINISTIC FAKE
+  * (`decodeStub`): the JDK ships no audio/video codecs and this container
+  * has no ffmpeg. Swap `decodeStub` for a codec binding without touching
+  * any of the Spark plumbing around it.
   */
 object Multimodal {
   import Relational.Q
@@ -29,25 +40,81 @@ object Multimodal {
   final case class FrameFeatures(media_id: Long, frame_idx: Int,
       features: Array[Float])
 
-  /** Synthetic media table over `documents`: deterministic binary payloads
-    * (the UTF-8 bytes) tagged with a kind and fake dimensions. Stands in for
-    * `spark.read.format("binaryFile")` over a media landing dir. */
-  def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRow] = {
-    import s.implicits._
-    Tables(s, dir, "documents")
-      .select(col("doc_id").as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-        encode(col("text"), "UTF-8").as("bytes"),
-        (col("doc_id") % 64 + 16).cast("int").as("width"),
-        (col("doc_id") % 48 + 16).cast("int").as("height"),
-        lit(3).cast("int").as("channels"))
-      .as[MediaRow]
+  /** Deterministic w×h RGB image for id — the fixture generator for the
+    * real PNG path (pixel = mixed bits of (id, x, y); nothing here depends
+    * on the PNG encoder, which is lossless either way). */
+  private[operators] def syntheticImage(id: Long, w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = id * 1315423911L + x * 2654435761L + y * 97531L
+        img.setRGB(x, y, ((v >>> 16) & 0xffffffL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    img
   }
 
-  /** ==STUB== stand-in for a real codec: deterministically expands `bytes`
-    * to a w×h "pixel" plane. Replace with a real decode; the signature (one
-    * media payload → fixed-shape plane) is what the pipeline relies on. */
+  private[operators] def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic media table over `documents`: image rows carry REAL PNG
+    * payloads; audio/video rows carry the UTF-8 text bytes (their decode is
+    * the declared stub). Stands in for `spark.read.format("binaryFile")`
+    * over a media landing dir — the per-row encode work is exactly the
+    * narrow, shuffle-free shape a binary-file scan has. */
+  def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.balanced(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val kind = ((id % 3) + 3) % 3 match {
+            case 0 => "image"; case 1 => "audio"; case _ => "video"
+          }
+          val w = (id % 64 + 16).toInt
+          val h = (id % 48 + 16).toInt
+          val bytes =
+            if (kind == "image") encodePng(syntheticImage(id, w, h))
+            else text.getBytes("UTF-8")
+          MediaRow(id, kind, bytes, w, h, 3)
+        }
+      }
+  }
+
+  /** REAL image decode: PNG/BMP/etc bytes → integer Rec.601 luma plane
+    * ((299·R + 587·G + 114·B) / 1000 per pixel, row-major). */
+  def decodeImage(bytes: Array[Byte]): Array[Byte] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Byte](w * h)
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        out(i) = luma.toByte
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** ==STUB== stand-in for an audio/video codec: deterministically expands
+    * `bytes` to a w×h "sample" plane. The image path no longer goes through
+    * here — see [[decodeImage]]. */
   def decodeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val out = new Array[Byte](math.max(w * h, 1))
     if (bytes.nonEmpty) {
@@ -62,15 +129,20 @@ object Multimodal {
     out
   }
 
+  private def decode(m: MediaRow): Array[Byte] = m.kind match {
+    case "image" => decodeImage(m.bytes)
+    case _ => decodeStub(m.bytes, m.width, m.height) // STUB: no A/V codec in the JDK
+  }
+
   /** Fixed-width block-mean features over the decoded plane. Narrow
-    * per-partition pass: decoder state would be reused across the batch. */
+    * per-partition pass; the codec registry lookup is amortized across the
+    * batch (ImageIO scans its plugin registry on first use per JVM). */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      // (a real codec would be constructed HERE, once per partition)
       rows.map { m =>
-        val plane = decodeStub(m.bytes, m.width, m.height)
+        val plane = decode(m)
         val feats = new Array[Float](dim)
         val block = math.max(plane.length / dim, 1)
         var b = 0
@@ -87,18 +159,35 @@ object Multimodal {
     }
   }
 
-  /** "Resize": re-decode at a new target shape — shows that shape params
-    * flow through the plumbing (the stub just re-strides). */
+  /** Resize: images are REALLY rescaled (decode → bilinear draw at w×h →
+    * lossless re-encode, still a decodable PNG payload); other kinds
+    * re-stride through the stub. Shape params flow through the plumbing
+    * either way. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.map(m => m.copy(bytes = decodeStub(m.bytes, w, h),
-      width = w, height = h))
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val bytes =
+          if (m.kind == "image") {
+            val src = ImageIO.read(new ByteArrayInputStream(m.bytes))
+            val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(src, 0, 0, w, h, null)
+            } finally g.dispose()
+            encodePng(dst)
+          } else decodeStub(m.bytes, w, h)
+        m.copy(bytes = bytes, width = w, height = h)
+      }
+    }
   }
 
   /** Frame sampling for `video` rows: every `stride`-th frame gets its own
-    * feature vector — one input row fans out to n_frames rows (flatMap, still
-    * narrow / shuffle-free). */
+    * feature vector — one input row fans out to n_frames rows (flatMap,
+    * still narrow / shuffle-free). Frame decode is the declared A/V stub. */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 4,
       maxFrames: Int = 8, dim: Int = 8): Dataset[FrameFeatures] = {
     val spark = media.sparkSession

@@ -1,17 +1,83 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+
 import graft.SparkSpec
 
-/** Drives the multimodal plumbing end-to-end on the sf0.001 testdata. */
+/** Drives the multimodal plumbing end-to-end on the sf0.001 testdata.
+  * The image path is REAL (PNG encode via ImageIO, decode via ImageIO):
+  * golden-checked against hand-derived pixel values and against an
+  * independent pure-Scala recomputation of the whole
+  * pixels→luma→block-mean pipeline (PNG is lossless, so the two must be
+  * bit-identical floats).
+  */
 class MultimodalSpec extends SparkSpec {
 
   val dir = "/root/testdata/sf0.001"
 
-  test("media table carries binary payloads with typed metadata") {
+  test("media table carries binary payloads with typed metadata; image rows are real PNGs") {
     val m = Multimodal.mediaFromDocuments(spark, dir).collect()
     assert(m.nonEmpty)
     assert(m.forall(r => r.bytes.nonEmpty && r.width >= 16 && r.height >= 16))
     assert(m.map(_.kind).toSet == Set("image", "audio", "video"))
+    val pngMagic = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+    assert(m.filter(_.kind == "image")
+      .forall(_.bytes.take(4).sameElements(pngMagic)), "image payloads must be PNG")
+  }
+
+  test("golden: hand-built 2x2 PNG decodes to exact luma features") {
+    import spark.implicits._
+    // grays 10/20/30/40 -> luma == gray value; dim=4 -> one pixel per block
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    img.setRGB(0, 0, gray(10)); img.setRGB(1, 0, gray(20))
+    img.setRGB(0, 1, gray(30)); img.setRGB(1, 1, gray(40))
+    val media = Seq(Multimodal.MediaRow(7L, "image",
+      Multimodal.encodePng(img), 2, 2, 3)).toDS()
+    val feats = Multimodal.extractFeatures(media, dim = 4).collect().head
+    assert(feats.features.toSeq == Seq(10f, 20f, 30f, 40f), feats.features.toSeq)
+  }
+
+  test("golden: PNG encode->ImageIO decode features match an independent recomputation") {
+    // Pure-Scala reference: same pixel function, same luma, same block
+    // means — but WITHOUT going through PNG bytes or the Spark pipeline.
+    def reference(id: Long, w: Int, h: Int, dim: Int): Seq[Float] = {
+      val plane = new Array[Byte](w * h)
+      var y = 0; var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = id * 1315423911L + x * 2654435761L + y * 97531L
+          val rgb = ((v >>> 16) & 0xffffffL).toInt
+          val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          plane(i) = luma.toByte; i += 1; x += 1
+        }
+        y += 1
+      }
+      val feats = new Array[Float](dim)
+      val block = math.max(plane.length / dim, 1)
+      var b = 0
+      while (b < dim) {
+        var s = 0L; var n = 0; var j = b * block
+        while (j < math.min((b + 1) * block, plane.length)) {
+          s += plane(j) & 0xff; n += 1; j += 1
+        }
+        feats(b) = if (n == 0) 0f else s.toFloat / n
+        b += 1
+      }
+      feats.toSeq
+    }
+    val out = Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(spark, dir).filter(_.kind == "image"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { f =>
+      val w = (f.media_id % 64 + 16).toInt
+      val h = (f.media_id % 48 + 16).toInt
+      assert(f.features.toSeq == reference(f.media_id, w, h, 16),
+        s"media ${f.media_id}: decoded features diverge from reference")
+    }
   }
 
   test("feature extraction is deterministic and fixed-width") {
@@ -25,11 +91,17 @@ class MultimodalSpec extends SparkSpec {
     assert(m1 == m2)
   }
 
-  test("resize re-shapes the payload") {
+  test("resize re-shapes the payload (images stay decodable PNGs)") {
     val r = Multimodal.resize(
-      Multimodal.mediaFromDocuments(spark, dir).limit(5), 32, 32).collect()
-    assert(r.forall(m => m.width == 32 && m.height == 32 &&
-      m.bytes.length == 32 * 32))
+      Multimodal.mediaFromDocuments(spark, dir).limit(6), 32, 32).collect()
+    assert(r.forall(m => m.width == 32 && m.height == 32))
+    r.foreach { m =>
+      if (m.kind == "image") {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.bytes))
+        assert(img.getWidth == 32 && img.getHeight == 32)
+      } else assert(m.bytes.length == 32 * 32)
+    }
   }
 
   test("frame sampling fans out only video rows") {
