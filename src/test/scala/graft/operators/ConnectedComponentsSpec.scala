@@ -13,6 +13,23 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(Relational.connectedComponents(edges).count() == 0)
   }
 
+  test("long chain (diameter 24) converges exactly, one round per hop") {
+    import spark.implicits._
+    // Pure min-label propagation needs `diameter` rounds on a path graph —
+    // this pins both exactness on the worst-case shape and the round cost
+    // a web-scale graph would pay (where large-star/small-star's
+    // O(log d) rounds, noted in connectedComponents' scaladoc, take over).
+    // Node ids descend along the chain so labels must flow AGAINST the id
+    // order the whole way.
+    val nodes = (0 to 24).map(i => 1000L - i)
+    val edges = nodes.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("a", "b")
+    val got = Relational.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 25)
+    assert(got.values.toSet == Set(976L), // min id = 1000 - 24
+      s"all 25 chain nodes must share the min label; got ${got.values.toSet}")
+  }
+
   test("components of chain + triangle + pair") {
     import spark.implicits._
     // chain 10-11-12-13, triangle 20-21-22, pair 30-31

@@ -2,9 +2,58 @@ package graft.operators
 
 import graft.SparkSpec
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
 /** Salted join must be result-equivalent to the plain join (the salt only
-  * changes the physical distribution). */
+  * changes the physical distribution) — and under a HOT KEY, the salt must
+  * actually flatten the shuffle: the skew-stress test synthesizes a key
+  * owning ~20 % of all rows and checks the reducer-partition layout both
+  * ways, documenting when q31's tool is worth reaching for. */
 class SaltedJoinSpec extends SparkSpec {
+
+  test("hot key (~20% of rows): results equal plain join AND shuffle flattens") {
+    import spark.implicits._
+    val n = 50000
+    val hot = 421L
+    // left: every 5th row hits the hot key; the rest spread over 1000 keys
+    val left = spark.range(n).select(
+      when(col("id") % 5 === 0, lit(hot)).otherwise(col("id") % 1000).as("k"),
+      col("id").as("payload"))
+    val right = spark.range(1000).select(col("id").as("rk"),
+      (col("id") * 3).as("attr"))
+
+    val plain = left.join(right, left("k") === right("rk"))
+      .select(col("payload"), col("attr")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val salted = Relational.saltedJoin(left, right, "k", "rk", salt = 8)
+      .select(col("payload"), col("attr")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(plain.nonEmpty && salted == plain)
+
+    // Reducer layout, mirrored with the same murmur3 hash + pmod Spark's
+    // HashPartitioning applies to the shuffle keys. The salt column here
+    // reproduces saltedJoin's derivation (key hash + per-row counter, mod
+    // salt) deterministically via the payload.
+    val parts = 32
+    def maxOverMedian(df: DataFrame, keys: Seq[Column]): Double = {
+      val counts = df.groupBy(pmod(hash(keys: _*), lit(parts)).as("p"))
+        .count().select("count").collect().map(_.getLong(0)).sorted
+      counts.max.toDouble / counts(counts.length / 2)
+    }
+    val plainRatio = maxOverMedian(left, Seq(col("k")))
+    val saltedRatio = maxOverMedian(
+      left.withColumn("__salt", pmod(hash(col("k"), col("payload")), lit(8))),
+      Seq(col("k"), col("__salt")))
+    // one partition holds the hot key's 10k rows vs ~1.5k median
+    assert(plainRatio >= 4.0, f"expected heavy skew, got $plainRatio%.2f")
+    // salted: the hot key's rows spread over 8 replicas (~1.25k each),
+    // which STACK on whatever base load their partitions already carry —
+    // so the bound is ~ (median + hot/salt) / median ≈ 1.8–2.1, not 1.0;
+    // assert ≤ 2.5 to leave headroom while staying far below plainRatio.
+    assert(saltedRatio <= 2.5, f"salt should flatten, got $saltedRatio%.2f")
+  }
 
   test("salted join returns exactly the plain join's rows") {
     val dir = "/root/testdata/sf0.001"
