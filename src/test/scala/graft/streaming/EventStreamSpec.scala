@@ -8,12 +8,159 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.SparkSpec
 import EventStream.{Event, Session}
 
-/** Drives the streaming operators through a MemoryStream source and memory
-  * sink — real micro-batch execution, watermarks and state included. */
-class EventStreamSpec extends SparkSpec {
+/** The STATEFUL streaming scenarios (keyed state / state stores involved),
+  * shared between the default HDFS-backed state store suite and the
+  * RocksDB suite — a long-running production stream runs RocksDB
+  * (`spark.sql.streaming.stateStore.providerClass`), so the state logic
+  * must be verified under both providers. Each query's provider is fixed
+  * at start from the session conf; the conf is set around each scenario
+  * and restored after.
+  */
+trait StatefulStreamingScenarios { this: SparkSpec =>
 
-  private def ts(minute: Int): Timestamp =
+  /** None = Spark's default (HDFS-backed) provider. */
+  def stateStoreProvider: Option[String]
+
+  private def withProvider[T](f: => T): T = stateStoreProvider match {
+    case None => f
+    case Some(cls) =>
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val old = spark.conf.getOption(key)
+      spark.conf.set(key, cls)
+      try f finally old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+  }
+
+  protected def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2026-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("streaming dedup drops repeated event_ids across micro-batches") {
+    withProvider {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val input = MemoryStream[Event]
+      val q = EventStream.dedupedEvents(input.toDF())
+        .writeStream.format("memory").queryName("dedup")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(
+          Event(1, ts(0), 1, "click", 1.0),
+          Event(1, ts(0), 1, "click", 1.0), // same-batch duplicate
+          Event(2, ts(1), 1, "click", 2.0))
+        q.processAllAvailable()
+        input.addData(Event(1, ts(2), 1, "click", 1.0)) // cross-batch duplicate
+        q.processAllAvailable()
+        val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0))
+        assert(ids.sorted.toSeq == Seq(1L, 2L), ids.mkString(","))
+      } finally { q.stop(); spark.catalog.dropTempView("dedup") }
+    }
+  }
+
+  test("streaming as-of attaches clicks to the latest prior view with O(users) state") {
+    withProvider {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val input = MemoryStream[Event]
+      val q = EventStream.asofAttach(input.toDS())
+        .writeStream.format("memory").queryName("asof")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(
+          Event(10, ts(0), 1, "view", 0.0),
+          Event(11, ts(0), 1, "view", 0.0),  // same ts: max id wins
+          Event(20, ts(0), 1, "click", 1.0), // same-second view is eligible
+          Event(30, ts(2), 2, "click", 1.0)) // user 2 has no view yet
+        q.processAllAvailable()
+        input.addData(
+          Event(21, ts(60), 1, "click", 1.0)) // still attaches to ts(0) view
+        q.processAllAvailable()
+        input.addData(
+          Event(22, ts(-60), 1, "click", 1.0)) // LATE click, older than the
+        q.processAllAvailable()                // stored view: null, never a
+        val rows = spark.table("asof")         // future view (as-of guard)
+          .selectExpr("click_id", "view_id").collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+        assert(rows == Set((20L, 11L), (30L, -1L), (21L, 11L), (22L, -1L)),
+          rows.mkString(","))
+      } finally { q.stop(); spark.catalog.dropTempView("asof") }
+    }
+  }
+
+  test("sessionization closes a session when the gap is exceeded") {
+    withProvider {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val input = MemoryStream[Event]
+      val q = EventStream.sessionize(input.toDS(), gapSeconds = 600,
+          watermark = "0 seconds")
+        .writeStream.format("memory").queryName("sess")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // user 1: two events 5 min apart (one session), then one 30 min later
+        // (closes the first). A later event advances the watermark far enough
+        // to time the second session out.
+        input.addData(
+          Event(1, ts(0), 1, "click", 1.0),
+          Event(2, ts(5), 1, "click", 2.0))
+        q.processAllAvailable()
+        input.addData(Event(3, ts(35), 1, "click", 4.0))
+        q.processAllAvailable()
+        input.addData(Event(4, ts(300), 2, "view", 0.0))
+        q.processAllAvailable()
+        input.addData(Event(5, ts(600), 2, "view", 0.0))
+        q.processAllAvailable()
+        val sessions = spark.table("sess").as[Session].collect()
+          .filter(_.user_id == 1).sortBy(_.session_start.getTime)
+        assert(sessions.length == 2)
+        assert(sessions(0).n_events == 2 && sessions(0).sum_value == 3.0)
+        assert(sessions(0).session_start == ts(0) && sessions(0).session_end == ts(5))
+        assert(sessions(1).n_events == 1 && sessions(1).sum_value == 4.0)
+      } finally { q.stop(); spark.catalog.dropTempView("sess") }
+    }
+  }
+
+  test("incremental dedup stream flags new-vs-corpus dups per micro-batch") {
+    withProvider {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val corpus = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog today"),
+        (2L, "a b c a b c"),
+        (3L, "old corpus text that nothing in the new batch resembles")
+      ).toDF("doc_id", "text")
+      val input = MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Boolean, Boolean)]]
+      val q = EventStream.incrementalDedupStream(
+          input.toDF().toDF("doc_id", "text"), corpus) { (flags, batchId) =>
+        got.synchronized {
+          got(batchId) = flags.collect()
+            .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSet
+        }
+      }
+      try {
+        input.addData(
+          (8L, "the quick brown fox jumps over the lazy dog today"), // = doc 1
+          (28L, "a genuinely fresh document with entirely new content here"))
+        q.processAllAvailable()
+        // same distinct shingle set as doc 2 (text differs): near, not exact
+        input.addData((9L, "a b c a b c a b c"))
+        q.processAllAvailable()
+        val flagged = got.synchronized(got.toMap)
+        assert(flagged.values.toSet ==
+          Set(Set((8L, true, true)), Set((9L, false, true))), flagged.toString)
+      } finally q.stop()
+    }
+  }
+}
+
+/** Drives the streaming operators through a MemoryStream source and memory
+  * sink — real micro-batch execution, watermarks and state included —
+  * under the DEFAULT (HDFS-backed) state store provider. */
+class EventStreamSpec extends SparkSpec with StatefulStreamingScenarios {
+
+  override def stateStoreProvider: Option[String] = None
 
   test("windowed counts aggregate by tumbling event-time window") {
     implicit val sqlCtx = spark.sqlContext
@@ -32,26 +179,6 @@ class EventStreamSpec extends SparkSpec {
         .selectExpr("event_type", "n", "sum_value").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
       assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
-    } finally q.stop()
-  }
-
-  test("streaming dedup drops repeated event_ids across micro-batches") {
-    implicit val sqlCtx = spark.sqlContext
-    import spark.implicits._
-    val input = MemoryStream[Event]
-    val q = EventStream.dedupedEvents(input.toDF())
-      .writeStream.format("memory").queryName("dedup")
-      .outputMode(OutputMode.Append()).start()
-    try {
-      input.addData(
-        Event(1, ts(0), 1, "click", 1.0),
-        Event(1, ts(0), 1, "click", 1.0), // same-batch duplicate
-        Event(2, ts(1), 1, "click", 2.0))
-      q.processAllAvailable()
-      input.addData(Event(1, ts(2), 1, "click", 1.0)) // cross-batch duplicate
-      q.processAllAvailable()
-      val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0))
-      assert(ids.sorted.toSeq == Seq(1L, 2L), ids.mkString(","))
     } finally q.stop()
   }
 
@@ -94,90 +221,12 @@ class EventStreamSpec extends SparkSpec {
       assert(rows == Set((1L, Some("gold")), (2L, None)), rows.mkString(","))
     } finally q.stop()
   }
+}
 
-  test("streaming as-of attaches clicks to the latest prior view with O(users) state") {
-    implicit val sqlCtx = spark.sqlContext
-    import spark.implicits._
-    val input = MemoryStream[Event]
-    val q = EventStream.asofAttach(input.toDS())
-      .writeStream.format("memory").queryName("asof")
-      .outputMode(OutputMode.Append()).start()
-    try {
-      input.addData(
-        Event(10, ts(0), 1, "view", 0.0),
-        Event(11, ts(0), 1, "view", 0.0),  // same ts: max id wins
-        Event(20, ts(0), 1, "click", 1.0), // same-second view is eligible
-        Event(30, ts(2), 2, "click", 1.0)) // user 2 has no view yet
-      q.processAllAvailable()
-      input.addData(
-        Event(21, ts(60), 1, "click", 1.0)) // still attaches to ts(0) view
-      q.processAllAvailable()
-      val rows = spark.table("asof")
-        .selectExpr("click_id", "view_id").collect()
-        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
-      assert(rows == Set((20L, 11L), (30L, -1L), (21L, 11L)), rows.mkString(","))
-    } finally q.stop()
-  }
-
-  test("sessionization closes a session when the gap is exceeded") {
-    implicit val sqlCtx = spark.sqlContext
-    import spark.implicits._
-    val input = MemoryStream[Event]
-    val q = EventStream.sessionize(input.toDS(), gapSeconds = 600,
-        watermark = "0 seconds")
-      .writeStream.format("memory").queryName("sess")
-      .outputMode(OutputMode.Append()).start()
-    try {
-      // user 1: two events 5 min apart (one session), then one 30 min later
-      // (closes the first). A later event advances the watermark far enough
-      // to time the second session out.
-      input.addData(
-        Event(1, ts(0), 1, "click", 1.0),
-        Event(2, ts(5), 1, "click", 2.0))
-      q.processAllAvailable()
-      input.addData(Event(3, ts(35), 1, "click", 4.0))
-      q.processAllAvailable()
-      input.addData(Event(4, ts(300), 2, "view", 0.0))
-      q.processAllAvailable()
-      input.addData(Event(5, ts(600), 2, "view", 0.0))
-      q.processAllAvailable()
-      val sessions = spark.table("sess").as[Session].collect()
-        .filter(_.user_id == 1).sortBy(_.session_start.getTime)
-      assert(sessions.length == 2)
-      assert(sessions(0).n_events == 2 && sessions(0).sum_value == 3.0)
-      assert(sessions(0).session_start == ts(0) && sessions(0).session_end == ts(5))
-      assert(sessions(1).n_events == 1 && sessions(1).sum_value == 4.0)
-    } finally q.stop()
-  }
-
-  test("incremental dedup stream flags new-vs-corpus dups per micro-batch") {
-    implicit val sqlCtx = spark.sqlContext
-    import spark.implicits._
-    val corpus = Seq(
-      (1L, "the quick brown fox jumps over the lazy dog today"),
-      (2L, "a b c a b c"),
-      (3L, "old corpus text that nothing in the new batch resembles")
-    ).toDF("doc_id", "text")
-    val input = MemoryStream[(Long, String)]
-    val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Boolean, Boolean)]]
-    val q = EventStream.incrementalDedupStream(
-        input.toDF().toDF("doc_id", "text"), corpus) { (flags, batchId) =>
-      got.synchronized {
-        got(batchId) = flags.collect()
-          .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSet
-      }
-    }
-    try {
-      input.addData(
-        (8L, "the quick brown fox jumps over the lazy dog today"), // = doc 1
-        (28L, "a genuinely fresh document with entirely new content here"))
-      q.processAllAvailable()
-      // same distinct shingle set as doc 2 (text differs): near, not exact
-      input.addData((9L, "a b c a b c a b c"))
-      q.processAllAvailable()
-      val flagged = got.synchronized(got.toMap)
-      assert(flagged.values.toSet ==
-        Set(Set((8L, true, true)), Set((9L, false, true))), flagged.toString)
-    } finally q.stop()
-  }
+/** The same stateful scenarios under RocksDB — the provider every
+  * long-running production stream uses (bounded JVM heap: state lives
+  * off-heap/on-disk in RocksDB instead of the executor heap). */
+class RocksDbEventStreamSpec extends SparkSpec with StatefulStreamingScenarios {
+  override def stateStoreProvider: Option[String] = Some(
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 }
