@@ -496,6 +496,22 @@ object Dedup {
        |SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a""".stripMargin
 
   // ---------------------------------------------------------------------
+  // cc02: the SAME clustering contract as cc01, computed by alternating
+  // large-star/small-star edge rewriting (Relational.connectedComponentsStar)
+  // — O(log diameter) rounds instead of O(diameter), the algorithm a
+  // web-scale dup graph needs. Two independent implementations, one
+  // oracle: both must hash-match the recursive-CTE ground truth.
+  // ---------------------------------------------------------------------
+  def cc02DupComponentsStar(s: SparkSession, dir: String): DataFrame = {
+    val dup = jaccardVerified(Tables(s, dir, "documents"))
+      .filter(col("is_dup"))
+      .select(col("doc1").as("a"), col("doc2").as("b"))
+      .localCheckpoint()
+    Relational.connectedComponentsStar(dup)
+      .select(col("node").as("doc_id"), col("component"))
+  }
+
+  // ---------------------------------------------------------------------
   // dd09: INCREMENTAL dedup — a new batch (doc_id % 10 >= 8 stands in for
   // today's crawl) checked against the existing corpus, never against
   // itself: exact content-hash membership plus a cross-side LSH band join
@@ -590,6 +606,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "dd09_incremental" -> (dd09IncrementalDedup _),
     "cc01_dup_components" -> (cc01DupComponents _),
+    "cc02_dup_components_star" -> (cc02DupComponentsStar _),
     "tp01_corpus_curation" -> (tp01CorpusCuration _),
     "dd01_exact_dedup" -> (dd01ExactDedup _),
     "dd02_minhash_sig" -> (dd02MinhashSig _),
@@ -603,6 +620,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dd09_incremental" -> dd09Oracle,
     "cc01_dup_components" -> cc01Oracle,
+    "cc02_dup_components_star" -> cc01Oracle,
     "tp01_corpus_curation" -> tp01Oracle,
     "dd01_exact_dedup" -> dd01Oracle,
     "dd02_minhash_sig" -> dd02Oracle,

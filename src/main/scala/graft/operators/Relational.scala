@@ -220,6 +220,76 @@ object Relational {
     labels.select(col("node"), col("label").as("component"))
   }
 
+  /** Connected components by alternating large-star/small-star edge
+    * rewriting (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the WEB-SCALE path the min-label propagation
+    * above points at: rounds needed are O(log diameter) instead of
+    * O(diameter), because every round rewires whole neighborhoods at
+    * their minimum rather than moving labels one hop.
+    *
+    *  - large-star at u: every strictly-larger neighbor is re-pointed at
+    *    min(N(u) ∪ u) — one keyed min + one equi-join per round.
+    *  - small-star at u (edges held at their larger endpoint): u and its
+    *    ≤-neighbors all re-point at the neighborhood min.
+    *
+    * Both phases are groupBy+join dataflows on the edge list itself — no
+    * per-node state table — so each round shuffles only edges, and the
+    * edge count never grows beyond the input (rewrites replace, duplicates
+    * collapse via distinct). Fixpoint = the edge list stops changing
+    * (count equality + except-empty; edges are a set here). Returns the
+    * same (node, component = min id) contract as
+    * [[connectedComponents]] — cc01/cc02 share one oracle.
+    *
+    * `onRound` observes each completed round (spec hook for the
+    * O(log d) claim). */
+  def connectedComponentsStar(edges: DataFrame,
+      onRound: Int => Unit = _ => ()): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a"), col("b"))
+        .unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy(col("a").as("u"))
+        .agg(min(col("b")).as("mb"))
+        .select(col("u"), least(col("u"), col("mb")).as("m"))
+      sym.join(mins, sym("a") === mins("u"))
+        .where(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // hold each edge at its larger endpoint
+      val dir = e.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      val mins = dir.groupBy(col("a").as("u"))
+        .agg(min(col("b")).as("m"))
+      dir.join(mins, dir("a") === mins("u"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionAll(mins.select(col("u").as("a"), col("m").as("b")))
+        .where(col("a") =!= col("b"))
+        .distinct()
+    }
+    val nodes = edges.select(col("a")).unionAll(edges.select(col("b")))
+      .distinct().localCheckpoint()
+    var e = edges.select(col("a"), col("b")).where(col("a") =!= col("b"))
+      .distinct().localCheckpoint()
+    var round = 0
+    var done = e.isEmpty
+    while (!done) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      round += 1
+      onRound(round)
+      done = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+    }
+    // After convergence every edge is (node, root); roots appear only on
+    // the right — re-attach them (and any self-component node) from the
+    // original node set. Qualified aliases: when the loop never runs
+    // (empty graph) both sides still share the input's lineage.
+    nodes.as("n").join(e.as("e"), col("n.a") === col("e.a"), "left")
+      .select(col("n.a").as("node"),
+        coalesce(col("e.b"), col("n.a")).as("component"))
+  }
+
   private def hierarchyEdges(s: SparkSession, dir: String): DataFrame = {
     val c = Tables(s, dir, "customer")
     val n = Tables(s, dir, "nation")
