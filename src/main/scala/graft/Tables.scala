@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * All queries take the scale-factor directory at call time so the same
   * plan builds against sf0.001 (smoke), sf0.01 (oracle) and sf0.1 (bench).
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's vectorized
-  * reader rejects outright. We read it as raw nanos (legacy nanosAsLong) and
+  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's schema
+  * converter rejects outright. We read it through an EXPLICIT schema typing
+  * ts as raw nano LONGs (INT64 underneath — no legacy conf mutation, so a
+  * user's other nanos-parquet reads in the same session are untouched) and
   * rebuild a microsecond TimestampType column — all downstream event-time
   * logic (hour buckets, whole-second epochs) is unaffected by the dropped
   * sub-microsecond digits, and the DuckDB oracle agrees on those shapes.
@@ -19,10 +21,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // The driver testdata events schema (TESTDATA.md), with ts as the raw
+  // INT64 nano count the file actually stores.
+  private val eventsRawSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING")
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
+      spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
 

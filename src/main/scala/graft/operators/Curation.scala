@@ -262,9 +262,69 @@ object Curation {
        |WHERE bucket >= 80 OR mixb < COALESCE(r.keep_pct, 100)""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // ds03: sequence packing — the GPT-style "concatenate the corpus in
+  // doc_id order, cut every `budget` tokens" training-prep step. Each doc
+  // gets its global token start offset, its training-sequence id, and a
+  // straddles-boundary flag (the docs a packer would split or pad around).
+  //
+  // A global running sum is inherently order-serial, so the SCALE shape is
+  // the classic two-phase distributed prefix sum: (1) order-preserving
+  // buckets (doc_id ranges) are summed independently — map-side,
+  // parallel; (2) the tiny per-bucket totals table gets an exclusive
+  // prefix (window over ~corpus/B rows); (3) each doc's offset = its
+  // bucket's prefix + a within-bucket cumsum (window PARTITIONED by
+  // bucket — parallel again). No stage ever windows over the whole corpus
+  // in one partition; the oracle runs the plain global window and must
+  // match exactly.
+  // ---------------------------------------------------------------------
+  private val packBudget = 512L
+  private val packBucketWidth = 256L
+
+  def ds03SequencePack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("n_tokens"),
+      expr(s"doc_id div $packBucketWidth").as("bkt"))
+    val bucketPrefix = toks.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("bsum"))
+      .withColumn("bpre",
+        coalesce(sum(col("bsum")).over(
+          Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bkt"), col("bpre"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(broadcast(bucketPrefix), Seq("bkt"))
+      .withColumn("start_off",
+        col("bpre") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .withColumn("seq_id", expr(s"start_off div $packBudget"))
+      .withColumn("straddles",
+        col("n_tokens") > 0 &&
+          expr(s"(start_off + n_tokens - 1) div $packBudget") =!= col("seq_id"))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        col("seq_id"), col("straddles"))
+  }
+
+  val ds03Oracle: String =
+    s"""WITH t AS (
+       | SELECT doc_id,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+       | FROM documents),
+       |c AS (
+       | SELECT doc_id, n_tokens,
+       |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+       | FROM t)
+       |SELECT doc_id, n_tokens, start_off,
+       | start_off // $packBudget AS seq_id,
+       | (n_tokens > 0 AND (start_off + n_tokens - 1) // $packBudget != start_off // $packBudget) AS straddles
+       |FROM c""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ds01_hash_split" -> (ds01HashSplit _),
     "ds02_stratified_sample" -> (ds02StratifiedSample _),
+    "ds03_sequence_pack" -> (ds03SequencePack _),
     "dc01_decontaminate" -> (dc01Decontaminate _),
     "dd10_repeated_spans" -> (dd10RepeatedSpans _),
     "tp02_full_curation" -> (tp02FullCuration _))
@@ -272,6 +332,7 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "ds01_hash_split" -> ds01Oracle,
     "ds02_stratified_sample" -> ds02Oracle,
+    "ds03_sequence_pack" -> ds03Oracle,
     "dc01_decontaminate" -> dc01Oracle,
     "dd10_repeated_spans" -> dd10Oracle,
     "tp02_full_curation" -> tp02Oracle)

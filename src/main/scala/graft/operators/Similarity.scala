@@ -350,15 +350,89 @@ object Similarity {
        |SELECT cluster, COUNT(*) AS n_members, CAST(SUM(d2) AS BIGINT) AS inertia
        |FROM a${kmRounds + 1} GROUP BY cluster""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ss05: PERSISTED IVF index — the index-build/query split every
+  // production ANN service runs (and the similarity-side twin of the
+  // dd11 dedup store): `buildIvfIndex` trains the quantizer and writes
+  //   <dir>/centroids  (cent_id, cv, cnrm)
+  //   <dir>/lists      (vec_id, v, nrm) partitioned by cent_id — the
+  //                    inverted lists, physically clustered by centroid
+  // and the query path probes nprobe centroid lists READ FROM DISK —
+  // assignment is never recomputed at query time. Partitioning the lists
+  // by cent_id means a probe that broadcasts its (few) centroid ids can
+  // dynamically prune to nprobe/k of the index files — at 100 TB the
+  // query cost is driven by list size, not corpus size. Same assignment
+  // and probe semantics as ss03, so the two share one oracle.
+  // ---------------------------------------------------------------------
+  def buildIvfIndex(pts: DataFrame, dir: String, rounds: Int = ivfRounds): Unit = {
+    val cents = learnedCentroids(pts, rounds).localCheckpoint()
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    // ss03's cosine-argmax assignment (max_by, map-side partial agg) — the
+    // build is the ONLY place assignment runs; queries just read lists.
+    val assigned = pts
+      .select(col("vec_id"), col("v").as("v1"), col("nrm").as("n1"))
+      .join(broadcast(cents.select(col("cent_id"), col("cv").as("v2"),
+        col("cnrm").as("n2"))), lit(true))
+      .withColumn("ccos",
+        expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("ccos"), (-col("cent_id")).as("neg"))).as("cent_id"))
+    assigned.join(pts, Seq("vec_id"))
+      .select(col("cent_id"), col("vec_id"), col("v"), col("nrm"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/lists")
+  }
+
+  private[operators] def indexPathFor(dir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft_ivf_index_$tag"
+  }
+
+  def ss05AnnIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val idxDir = indexPathFor(dir)
+    buildIvfIndex(base, idxDir)
+    val cents = s.read.parquet(s"$idxDir/centroids")
+      .select(col("cent_id"), col("cv").as("v2"), col("cnrm").as("n2"))
+    val lists = s.read.parquet(s"$idxDir/lists")
+    // probe: nearest nprobe centroids per query (small query set → window ok)
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val probes = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("ccos",
+        expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+      .withColumn("crn", row_number().over(wProbe)).filter(col("crn") <= nprobe)
+      .select(col("q_id"), col("cent_id"))
+    val qs = base.select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
+    val scored = probes.join(lists, Seq("cent_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"), col("v").as("v2"),
+        col("nrm").as("n2"))
+      .join(broadcast(qs), Seq("q_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos",
+        col("dot") / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+      .select(col("q_id"), col("c_id"), col("rnk"), col("cos"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ss01_brute_topk" -> (ss01BruteTopk _),
     "ss02_ann_lsh" -> (ss02AnnLsh _),
     "ss03_ann_ivf" -> (ss03AnnIvf _),
-    "ss04_kmeans" -> (ss04Kmeans _))
+    "ss04_kmeans" -> (ss04Kmeans _),
+    "ss05_ann_ivf_indexed" -> (ss05AnnIvfIndexed _))
 
   val oracles: Map[String, String] = Map(
     "ss01_brute_topk" -> ss01Oracle,
     "ss02_ann_lsh" -> ss02Oracle,
     "ss03_ann_ivf" -> ss03Oracle,
-    "ss04_kmeans" -> ss04Oracle)
+    "ss04_kmeans" -> ss04Oracle,
+    // identical semantics to ss03 — the index is a physical artifact only
+    "ss05_ann_ivf_indexed" -> ss03Oracle)
 }

@@ -109,6 +109,23 @@ object EventStream {
       }.start()
   }
 
+  /** The PRODUCTION form of [[incrementalDedupStream]]: the corpus side is
+    * the on-disk dedup store ([[graft.operators.DedupStore]]) instead of
+    * raw text staged at query start — the stream never tokenizes the
+    * corpus, it reads the maintained hashes/sets/bands parquet. The store
+    * roll-forward (appending accepted docs) stays the nightly batch job's
+    * business (`DedupStore.rollForward`); each micro-batch dedups against
+    * the store as of query start. */
+  def incrementalDedupStreamFromStore(newDocs: DataFrame, storeDir: String)
+      (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.DedupStore
+    val store = DedupStore.read(newDocs.sparkSession, storeDir)
+    newDocs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(DedupStore.incrementalAgainstStore(batch, store), batchId)
+      }.start()
+  }
+
   final case class AsofAttached(click_id: Long, user_id: Long,
       click_ts: Timestamp, view_id: Option[Long], view_ts: Option[Timestamp])
 

@@ -203,6 +203,40 @@ class EventStreamSpec extends SparkSpec with StatefulStreamingScenarios {
     } finally q.stop()
   }
 
+  test("store-backed incremental dedup stream matches the staged-corpus form") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "a b c a b c"),
+      (3L, "old corpus text that nothing in the new batch resembles")
+    ).toDF("doc_id", "text")
+    val storeDir = java.nio.file.Files.createTempDirectory("stream-store").toFile
+    try {
+      graft.operators.DedupStore.build(corpus, storeDir.getPath)
+      val input = MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Boolean, Boolean)]]
+      val q = EventStream.incrementalDedupStreamFromStore(
+          input.toDF().toDF("doc_id", "text"), storeDir.getPath) { (flags, batchId) =>
+        got.synchronized {
+          got(batchId) = flags.collect()
+            .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSet
+        }
+      }
+      try {
+        input.addData(
+          (8L, "the quick brown fox jumps over the lazy dog today"), // = doc 1
+          (28L, "a genuinely fresh document with entirely new content here"))
+        q.processAllAvailable()
+        input.addData((9L, "a b c a b c a b c")) // near twin of doc 2
+        q.processAllAvailable()
+        val flagged = got.synchronized(got.toMap)
+        assert(flagged.values.toSet ==
+          Set(Set((8L, true, true)), Set((9L, false, true))), flagged.toString)
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(storeDir)
+  }
+
   test("stream-static enrichment joins each batch against the broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
