@@ -121,6 +121,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("ds03: packing's corpus window is bucket-partitioned (no global sort)") {
+    val plan = Curation.ds03SequencePack(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the per-doc cumsum must run inside bkt partitions — a plan whose
+    // corpus-side window lost its partition spec would serialize the
+    // whole corpus through one task at 100 TB
+    assert(plan.contains("hashpartitioning(bkt"), plan.take(3000))
+    // the bucket-prefix table (corpus/256 rows) joins in as a broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("ss05: indexed ANN reads lists from parquet, never re-assigns") {
+    val plan = Similarity.ss05AnnIvfIndexed(spark, dir)
+      .queryExecution.executedPlan.toString
+    // assignment (the max_by argmax) belongs to the index BUILD only —
+    // its presence here would mean the query path recomputes the index
+    assert(!plan.contains("max_by"), plan.take(3000))
+    assert(plan.contains("graft_ivf_index"),
+      "probe side must scan the on-disk index\n" + plan.take(3000))
+  }
+
+  test("cc02: star-contraction components stay NLJ/cartesian-free") {
+    val plan = Dedup.cc02DupComponentsStar(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("dd11: store-backed incremental check never tokenizes the corpus") {
+    val plan = graft.operators.DedupStore.dd11StoreIncremental(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("split("), plan.take(3000))
+    assert("minhash_sigs".r.findAllMatchIn(plan).size == 1, // new side only
+      plan.take(3000))
+    assert(plan.contains("graft_dedup_store"), plan.take(3000))
+  }
+
   test("dc01: decontamination broadcasts the eval grams; corpus side shuffles only hits") {
     val df = Curation.dc01Decontaminate(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
