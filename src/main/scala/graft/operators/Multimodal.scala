@@ -219,9 +219,45 @@ object Multimodal {
     sampleFrames(mediaFromDocuments(s, dir))
       .toDF().select(col("media_id"), col("frame_idx"))
 
+  /** aHash-style perceptual hash over a feature Dataset: bit b set iff
+    * block-mean b exceeds the image's mean of block means. Identical
+    * pixels → identical hash regardless of how the PNG was encoded
+    * (decode is exact); the standard cheap image-dedup key. */
+  def withPerceptualHash(feats: Dataset[MediaFeatures]): DataFrame =
+    feats.toDF()
+      .withColumn("avg_f", expr(
+        "aggregate(features, CAST(0.0 AS DOUBLE), (a, x) -> a + x) / size(features)"))
+      .withColumn("phash", expr(
+        """aggregate(sequence(0, size(features) - 1), CAST(0 AS BIGINT),
+          |  (acc, i) -> acc + IF(element_at(features, i + 1) > avg_f,
+          |                       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin))
+      .drop("avg_f")
+
+  /** mm03: image near-dup via perceptual hash — the cross-modal closing of
+    * the loop: REAL decode → block-mean features → aHash → exact dedup
+    * group-by on the hash (same scale shape as dd01: one hash shuffle,
+    * map-side partial agg). Output flags every image whose hash collides
+    * with a smaller media_id (rows-only driver check — codec ops are not
+    * SQL-expressible; MultimodalSpec pins the semantics with planted
+    * duplicate images). */
+  def mm03ImageNeardup(s: SparkSession, dir: String): DataFrame = {
+    // checkpoint: both the group table and the flag join read `hashed`,
+    // which would otherwise re-run the whole decode pipeline per branch
+    val hashed = withPerceptualHash(extractFeatures(
+      mediaFromDocuments(s, dir).filter((m: MediaRow) => m.kind == "image")))
+      .localCheckpoint()
+    val groups = hashed.groupBy(col("phash"))
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_images"))
+    hashed.select(col("media_id"), col("phash"))
+      .join(groups, Seq("phash"))
+      .select(col("media_id"), col("phash"), col("keep_id"), col("n_images"),
+        (col("media_id") =!= col("keep_id")).as("is_dup"))
+  }
+
   val queries: Map[String, Q] = Map(
     "mm01_media_features" -> (mm01Features _),
-    "mm02_frame_sample" -> (mm02FrameSample _))
+    "mm02_frame_sample" -> (mm02FrameSample _),
+    "mm03_image_neardup" -> (mm03ImageNeardup _))
 
   val oracles: Map[String, String] = Map.empty
 }

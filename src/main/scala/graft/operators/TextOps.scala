@@ -291,6 +291,48 @@ object TextOps {
       | FROM documents) t
       |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // tx09: out-of-vocabulary rate against a LEARNED corpus vocabulary —
+  // the integer-exact core of a CCNet-style LM quality filter: build the
+  // top-1000 token vocabulary (count desc, token asc — deterministic),
+  // broadcast it, and score each doc by how many of its tokens fall
+  // outside. Two shuffles total at any scale: the partial-aggregated
+  // vocab count and the per-doc regroup; the vocab membership join is a
+  // broadcast, and the top-k is TakeOrderedAndProject (tx08's shape),
+  // never a full sort. All-integer outputs so the oracle hash-matches.
+  // ---------------------------------------------------------------------
+  private val vocabSize = 1000
+
+  def tx09OovRate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(expr("filter(split(text, ' '), x -> x != '')")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("n_in_vocab"))
+      .withColumn("oov_pct",
+        expr("((n_tokens - n_in_vocab) * 100) div n_tokens"))
+  }
+
+  val tx09Oracle: String =
+    s"""WITH toks AS (
+       | SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+       | FROM documents),
+       |v AS (
+       | SELECT tok FROM (
+       |  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+       |  ORDER BY cnt DESC, tok ASC LIMIT $vocabSize) t)
+       |SELECT t.doc_id, COUNT(*) AS n_tokens,
+       | CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
+       | ((COUNT(*) - CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)) * 100)
+       |   // COUNT(*) AS oov_pct
+       |FROM toks t LEFT JOIN v ON t.tok = v.tok
+       |GROUP BY t.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q25_posexplode_filtered" -> (q25PosexplodeFiltered _),
     "q26_quantity_parse" -> (q26QuantityParse _),
@@ -301,7 +343,8 @@ object TextOps {
     "tx05_normalize" -> (tx05Normalize _),
     "tx06_pii_scrub" -> (tx06PiiScrub _),
     "tx07_repetition" -> (tx07Repetition _),
-    "tx08_top_terms" -> (tx08TopTerms _))
+    "tx08_top_terms" -> (tx08TopTerms _),
+    "tx09_oov_rate" -> (tx09OovRate _))
 
   val oracles: Map[String, String] = Map(
     "q25_posexplode_filtered" -> q25Oracle,
@@ -313,5 +356,6 @@ object TextOps {
     "tx05_normalize" -> tx05Oracle,
     "tx06_pii_scrub" -> tx06Oracle,
     "tx07_repetition" -> tx07Oracle,
-    "tx08_top_terms" -> tx08Oracle)
+    "tx08_top_terms" -> tx08Oracle,
+    "tx09_oov_rate" -> tx09Oracle)
 }

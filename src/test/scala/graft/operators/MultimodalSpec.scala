@@ -104,6 +104,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mm03: identical pixels share a perceptual hash; planted dup is flagged") {
+    import spark.implicits._
+    // two byte-for-byte re-encodes of the SAME pixels (PNG is lossless, so
+    // the decoded planes — and hence the aHash — must collide), plus one
+    // genuinely different image
+    val imgA = Multimodal.syntheticImage(5L, 24, 20)
+    val dupRows = Seq(
+      Multimodal.MediaRow(100L, "image", Multimodal.encodePng(imgA), 24, 20, 3),
+      Multimodal.MediaRow(200L, "image", Multimodal.encodePng(imgA), 24, 20, 3),
+      Multimodal.MediaRow(300L, "image",
+        Multimodal.encodePng(Multimodal.syntheticImage(99L, 24, 20)), 24, 20, 3))
+      .toDS()
+    val hashed = Multimodal.withPerceptualHash(
+        Multimodal.extractFeatures(dupRows))
+      .select("media_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed(100L) == hashed(200L), "identical pixels must collide")
+    assert(hashed(100L) != hashed(300L), "different image must not collide")
+    // and the full query flags the planted dup on real testdata shapes
+    val out = Multimodal.mm03ImageNeardup(spark, dir)
+    assert(out.count() > 0)
+    assert(out.filter("is_dup AND media_id = keep_id").count() == 0,
+      "keeper is never its own dup")
+  }
+
   test("frame sampling fans out only video rows") {
     val frames = Multimodal.sampleFrames(
       Multimodal.mediaFromDocuments(spark, dir)).collect()
