@@ -65,6 +65,35 @@ object DedupStore {
     s.read.parquet(s"$dir/sets"),
     s.read.parquet(s"$dir/bands"))
 
+  /** Periodic maintenance for an append-only store: collapse the duplicate
+    * content hashes that accumulate across roll-forwards (appending each
+    * increment's DISTINCT hashes still duplicates hashes already present)
+    * and rewrite the file sets the small appends fragmented. Answers are
+    * unchanged — consumers semi-join hashes and equi-join bands, both
+    * multiplicity-insensitive... but a smaller hash table broadcasts where
+    * a fragmented one shuffles. Runs table-at-a-time through a temp dir so
+    * a crash mid-compact leaves the readable original in place. */
+  def compact(s: SparkSession, dir: String): Unit = {
+    val parallelism = s.sparkContext.defaultParallelism
+    def rewrite(table: String, df: DataFrame, partitionCols: Seq[String]): Unit = {
+      val tmp = s"$dir/.compact_$table"
+      val w = df.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
+      val dst = new org.apache.hadoop.fs.Path(s"$dir/$table")
+      fs.delete(dst, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    }
+    rewrite("hashes",
+      s.read.parquet(s"$dir/hashes").distinct().repartition(parallelism), Seq.empty)
+    rewrite("sets",
+      s.read.parquet(s"$dir/sets").repartition(parallelism), Seq.empty)
+    rewrite("bands",
+      s.read.parquet(s"$dir/bands").repartition(parallelism), Seq("band"))
+  }
+
   /** dd09's check with the corpus side READ FROM THE STORE — the plan the
     * daily job actually runs: the old side is three parquet scans (no
     * split/minhash anywhere on it), the new side is tokenized once. */

@@ -88,6 +88,34 @@ class DedupStoreSpec extends SparkSpec {
     }
   }
 
+  test("compact() preserves answers and collapses duplicate hashes") {
+    import spark.implicits._
+    val (old, neu) = fixture
+    // Roll forward a batch whose first doc repeats an old text verbatim, so
+    // the append duplicates a hash the store already holds.
+    val batchB = Seq(
+      (48L, "the quick brown fox jumps over the lazy dog today"),
+      (49L, "rolled forward batch document with some novel words in it"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("dedup-store-compact").toFile
+    try {
+      DedupStore.build(old, dir.getPath)
+      DedupStore.rollForward(dir.getPath, batchB)
+      val hashesBefore = spark.read.parquet(s"${dir.getPath}/hashes").count()
+      val before = flagsSeq(
+        DedupStore.incrementalAgainstStore(neu, DedupStore.read(spark, dir.getPath)))
+      DedupStore.compact(spark, dir.getPath)
+      val after = flagsSeq(
+        DedupStore.incrementalAgainstStore(neu, DedupStore.read(spark, dir.getPath)))
+      assert(after == before, s"before=$before after=$after")
+      val hashes = spark.read.parquet(s"${dir.getPath}/hashes")
+      assert(hashes.count() < hashesBefore, "compaction should drop the duplicate hash")
+      assert(hashes.count() == hashes.distinct().count())
+      // bands must come back still partitioned by band (the column survives).
+      assert(spark.read.parquet(s"${dir.getPath}/bands").columns.contains("band"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("store-backed check plan never re-tokenizes the corpus") {
     val (old, neu) = fixture
     val dir = Files.createTempDirectory("dedup-store-plan").toFile
