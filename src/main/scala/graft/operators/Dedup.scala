@@ -523,20 +523,77 @@ object Dedup {
   // matching buckets, and verification touches candidate pairs alone.
   // Output: each new doc that duplicates the corpus, flagged exact/near.
   // ---------------------------------------------------------------------
+  /** Broadcast Bloom filters over the corpus side's exact hashes and
+    * packed LSH band keys — the classic membership pre-filter for
+    * incremental dedup at scale. A mostly-novel daily batch is the common
+    * case; without the filter EVERY new row shuffles into the semi-join
+    * and every new band row shuffles into the band join, even though
+    * almost none of them will match. With it, only bloom hits (true
+    * matches + the fpp tail) reach the shuffles, and the filters
+    * themselves are megabytes: answers are unchanged because every hit is
+    * still confirmed by the real join — the bloom can only let extra rows
+    * THROUGH to confirmation, never drop a true match.
+    *
+    * Sizing dial (documented, not hidden): `expectedItems`/`fpp` fix the
+    * bit size, and merge-compatibility across [[DedupStore.rollForward]]
+    * requires every increment to use the same constants. At ~1e9 corpus
+    * docs and fpp 3% the hash filter is ~0.9 GB — near the practical
+    * broadcast ceiling; beyond that, partition the corpus and bloom per
+    * range, or lean on Spark's conf-first runtime row-level bloom
+    * filtering (see RuntimeBloomFilterSpec) which builds on the shuffled
+    * side instead of broadcasting.
+    */
+  final case class BloomPrefilter(
+      hashes: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+      bands: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]) {
+    /** Named so plan-shape specs can pin the pre-filter's presence. */
+    def hashFilter: Column = {
+      val b = hashes
+      udf((h: String) => b.value.mightContainString(h)).withName("bloom_hash").apply(col("h"))
+    }
+    def bandFilter: Column = {
+      val b = bands
+      udf((k: Long) => b.value.mightContainLong(k)).withName("bloom_band")
+        .apply(bandKey)
+    }
+  }
+
+  /** One 64-bit key per (band, k1, k2) row — packing collisions only add
+    * bloom false positives, which the verifying join removes. */
+  private def bandKey: Column = xxhash64(col("band"), col("k1"), col("k2"))
+
+  object BloomPrefilter {
+    // Merge-compat constants shared by every store build/roll-forward.
+    val expectedItems = 4_000_000L
+    val fpp = 0.03
+
+    def build(s: SparkSession, hashesOld: DataFrame, bandsOld: DataFrame): BloomPrefilter =
+      BloomPrefilter(
+        s.sparkContext.broadcast(
+          hashesOld.stat.bloomFilter("h", expectedItems, fpp)),
+        s.sparkContext.broadcast(
+          bandsOld.select(bandKey.as("bk")).stat.bloomFilter("bk", expectedItems, fpp)))
+  }
+
   /** The dd09 core against a PRE-STAGED corpus side — `hashesOld` (h),
     * `setsOld` (doc_id, sh) and `bandsOld` (doc_id, band, k1, k2) are the
     * precomputed dedup store a production pipeline maintains on disk and
     * reads, not recomputes, per increment. Both the batch query (dd09) and
     * the streaming front door ([[graft.streaming.EventStream
     * .incrementalDedupStream]]) delegate here, so the two entry points
-    * can never drift semantically. */
+    * can never drift semantically. When `prefilter` is set, the new side
+    * is bloom-screened before BOTH shuffles (see [[BloomPrefilter]]);
+    * results are identical either way. */
   def incrementalFlags(neu: DataFrame, hashesOld: DataFrame,
-      setsOld: DataFrame, bandsOld: DataFrame): DataFrame = {
-    val exact = neu.select(col("doc_id"), md5(col("text")).as("h"))
+      setsOld: DataFrame, bandsOld: DataFrame,
+      prefilter: Option[BloomPrefilter] = None): DataFrame = {
+    val hashedNew = neu.select(col("doc_id"), md5(col("text")).as("h"))
+    val exact = prefilter.fold(hashedNew)(p => hashedNew.filter(p.hashFilter))
       .join(hashesOld, Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
     val setsNew = shingleSets(neu).localCheckpoint()
-    val bandsNew = lshBands(minhashSigsFromSets(setsNew).drop("sh"))
+    val allBandsNew = lshBands(minhashSigsFromSets(setsNew).drop("sh"))
+    val bandsNew = prefilter.fold(allBandsNew)(p => allBandsNew.filter(p.bandFilter))
     val cand = bandsNew.as("n").join(bandsOld.as("o"),
         col("n.band") === col("o.band") && col("n.k1") === col("o.k1") &&
           col("n.k2") === col("o.k2"))
@@ -566,6 +623,26 @@ object Dedup {
       old.select(md5(col("text")).as("h")).distinct(),
       setsOld,
       lshBands(minhashSigsFromSets(setsOld).drop("sh")))
+  }
+
+  // ---------------------------------------------------------------------
+  // dd12: dd09 with broadcast Bloom pre-filters on both membership probes
+  // (exact hash + LSH band key). Same split, same answer, same oracle —
+  // what changes is the PLAN: the mostly-novel batch is screened against
+  // two megabyte-scale filters before anything shuffles, which at 100 TB
+  // turns "shuffle today's whole crawl against the corpus store" into
+  // "shuffle the hits". Blooms are built here in-query; the production
+  // path persists them in the DedupStore and rolls them forward.
+  // ---------------------------------------------------------------------
+  def dd12BloomIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 10 < 8)
+    val neu = docs.filter(col("doc_id") % 10 >= 8)
+    val setsOld = shingleSets(old).localCheckpoint()
+    val hashesOld = old.select(md5(col("text")).as("h")).distinct().localCheckpoint()
+    val bandsOld = lshBands(minhashSigsFromSets(setsOld).drop("sh")).localCheckpoint()
+    incrementalFlags(neu, hashesOld, setsOld, bandsOld,
+      Some(BloomPrefilter.build(s, hashesOld, bandsOld)))
   }
 
   val dd09Oracle: String = {
@@ -605,6 +682,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "dd09_incremental" -> (dd09IncrementalDedup _),
+    "dd12_bloom_incremental" -> (dd12BloomIncremental _),
     "cc01_dup_components" -> (cc01DupComponents _),
     "cc02_dup_components_star" -> (cc02DupComponentsStar _),
     "tp01_corpus_curation" -> (tp01CorpusCuration _),
@@ -619,6 +697,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dd09_incremental" -> dd09Oracle,
+    "dd12_bloom_incremental" -> dd09Oracle,
     "cc01_dup_components" -> cc01Oracle,
     "cc02_dup_components_star" -> cc01Oracle,
     "tp01_corpus_curation" -> tp01Oracle,

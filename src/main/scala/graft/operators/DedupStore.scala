@@ -26,6 +26,10 @@ import graft.Tables
   *    self-contained, so a band-keyed join reads co-located files and a
   *    future bucket-pruned probe (one band at a time) scans 1/nBands of
   *    the store.
+  *  - `bloom_hashes.bin` / `bloom_bands.bin` — megabyte-scale Bloom
+  *    sidecars over `hashes` and the packed band keys, merged in place on
+  *    each roll-forward. The incremental check broadcasts them and screens
+  *    the new batch BEFORE either shuffle ([[Dedup.BloomPrefilter]]).
   *
   * Scale notes: `build` makes ONE tokenize+shingle pass over the corpus
   * (the sets are checkpointed, then hashes/bands derive from them);
@@ -34,7 +38,8 @@ import graft.Tables
   */
 object DedupStore {
 
-  final case class Store(hashes: DataFrame, sets: DataFrame, bands: DataFrame)
+  final case class Store(hashes: DataFrame, sets: DataFrame, bands: DataFrame,
+      blooms: Option[Dedup.BloomPrefilter] = None)
 
   /** Build (or rebuild) the store from a full corpus: one tokenize pass,
     * three parquet tables. */
@@ -52,18 +57,70 @@ object DedupStore {
     val mode = if (overwrite) "overwrite" else "append"
     // ONE tokenize+shingle pass: sets are materialized first, bands derive
     // from the checkpointed sets, and the hash table needs no tokens at all.
+    val s = docs.sparkSession
     val sets = Dedup.shingleSets(docs).localCheckpoint()
-    docs.select(md5(col("text")).as("h")).distinct()
-      .write.mode(mode).parquet(s"$dir/hashes")
+    val hashes = docs.select(md5(col("text")).as("h")).distinct().localCheckpoint()
+    val bands = Dedup.lshBands(Dedup.minhashSigsFromSets(sets).drop("sh"))
+      .localCheckpoint()
+    hashes.write.mode(mode).parquet(s"$dir/hashes")
     sets.write.mode(mode).parquet(s"$dir/sets")
-    Dedup.lshBands(Dedup.minhashSigsFromSets(sets).drop("sh"))
-      .write.mode(mode).partitionBy("band").parquet(s"$dir/bands")
+    bands.write.mode(mode).partitionBy("band").parquet(s"$dir/bands")
+    // Bloom sidecars: build-from-scratch on overwrite, merge-in-place on
+    // roll-forward (same size constants everywhere → merge-compatible).
+    val fresh = Dedup.BloomPrefilter.build(s, hashes, bands)
+    val (bh, bb) =
+      if (overwrite) (fresh.hashes.value, fresh.bands.value)
+      else readBloomFiles(s, dir) match {
+        case Some((oh, ob)) =>
+          oh.mergeInPlace(fresh.hashes.value); ob.mergeInPlace(fresh.bands.value); (oh, ob)
+        case None => (fresh.hashes.value, fresh.bands.value)
+      }
+    writeBloomFiles(s, dir, bh, bb)
+  }
+
+  private def fs(s: SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+
+  /** Bloom sidecars live next to the tables; writes go through a temp
+    * name + rename so a crash leaves the previous readable pair. */
+  private def writeBloomFiles(s: SparkSession, dir: String,
+      bh: org.apache.spark.util.sketch.BloomFilter,
+      bb: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val f = fs(s, dir)
+    for ((name, filter) <- Seq("bloom_hashes" -> bh, "bloom_bands" -> bb)) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$name.tmp")
+      val out = f.create(tmp, true)
+      try filter.writeTo(out) finally out.close()
+      val dst = new org.apache.hadoop.fs.Path(s"$dir/$name.bin")
+      f.delete(dst, false)
+      f.rename(tmp, dst)
+    }
+  }
+
+  private def readBloomFiles(s: SparkSession, dir: String)
+      : Option[(org.apache.spark.util.sketch.BloomFilter,
+                org.apache.spark.util.sketch.BloomFilter)] = {
+    val f = fs(s, dir)
+    def one(name: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.bin")
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+        finally in.close()
+      }
+    }
+    for (h <- one("bloom_hashes"); b <- one("bloom_bands")) yield (h, b)
   }
 
   def read(s: SparkSession, dir: String): Store = Store(
     s.read.parquet(s"$dir/hashes"),
     s.read.parquet(s"$dir/sets"),
-    s.read.parquet(s"$dir/bands"))
+    s.read.parquet(s"$dir/bands"),
+    readBloomFiles(s, dir).map { case (h, b) =>
+      Dedup.BloomPrefilter(s.sparkContext.broadcast(h), s.sparkContext.broadcast(b))
+    })
 
   /** Periodic maintenance for an append-only store: collapse the duplicate
     * content hashes that accumulate across roll-forwards (appending each
@@ -92,13 +149,22 @@ object DedupStore {
       s.read.parquet(s"$dir/sets").repartition(parallelism), Seq.empty)
     rewrite("bands",
       s.read.parquet(s"$dir/bands").repartition(parallelism), Seq("band"))
+    // Rebuild the bloom sidecars from the compacted tables — same content
+    // (blooms have no deletes to lose), but derived from one source of
+    // truth instead of a merge chain.
+    val rebuilt = Dedup.BloomPrefilter.build(s,
+      s.read.parquet(s"$dir/hashes"), s.read.parquet(s"$dir/bands"))
+    writeBloomFiles(s, dir, rebuilt.hashes.value, rebuilt.bands.value)
   }
 
   /** dd09's check with the corpus side READ FROM THE STORE — the plan the
     * daily job actually runs: the old side is three parquet scans (no
-    * split/minhash anywhere on it), the new side is tokenized once. */
+    * split/minhash anywhere on it), the new side is tokenized once and
+    * bloom-screened against the persisted sidecars before either shuffle
+    * (when the store has them — older stores without sidecars still
+    * answer identically, just without the pre-filter). */
   def incrementalAgainstStore(neu: DataFrame, store: Store): DataFrame =
-    Dedup.incrementalFlags(neu, store.hashes, store.sets, store.bands)
+    Dedup.incrementalFlags(neu, store.hashes, store.sets, store.bands, store.blooms)
 
   /** Deterministic scratch location for a given input dir (the driver runs
     * each query as a pure (session, sfDir) function — the store location

@@ -108,6 +108,8 @@ class DedupStoreSpec extends SparkSpec {
       val after = flagsSeq(
         DedupStore.incrementalAgainstStore(neu, DedupStore.read(spark, dir.getPath)))
       assert(after == before, s"before=$before after=$after")
+      assert(DedupStore.read(spark, dir.getPath).blooms.isDefined,
+        "compaction must rebuild the bloom sidecars")
       val hashes = spark.read.parquet(s"${dir.getPath}/hashes")
       assert(hashes.count() < hashesBefore, "compaction should drop the duplicate hash")
       assert(hashes.count() == hashes.distinct().count())
@@ -117,9 +119,14 @@ class DedupStoreSpec extends SparkSpec {
   }
 
   test("store-backed check plan never re-tokenizes the corpus") {
-    val (old, neu) = fixture
+    val (old, neuLocal) = fixture
     val dir = Files.createTempDirectory("dedup-store-plan").toFile
     try {
+      // Read the new batch from parquet — over a LocalRelation the
+      // optimizer folds the bloom-filter UDFs away at plan time, which
+      // hides exactly the nodes this test pins.
+      neuLocal.write.mode("overwrite").parquet(s"${dir.getPath}/neu")
+      val neu = spark.read.parquet(s"${dir.getPath}/neu")
       DedupStore.build(old, dir.getPath)
       val plan = DedupStore.incrementalAgainstStore(
           neu, DedupStore.read(spark, dir.getPath))
@@ -133,6 +140,9 @@ class DedupStoreSpec extends SparkSpec {
       assert(plan.contains("parquet"), "old side should scan the parquet store")
       assert(!plan.contains("BroadcastNestedLoopJoin") &&
         !plan.contains("CartesianProduct"), plan.take(3000))
+      // The persisted bloom sidecars screen the new side before each shuffle.
+      assert(plan.contains("bloom_hash") && plan.contains("bloom_band"),
+        plan.take(3000))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 }
