@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProductLong, IntersectSize, LshBucket, MinHashSigs, NGramHashes}
+import graft.functions.{DotProductLong, IntersectSize, LshBucket, MinHashSigs, NGramHashes, ZOrder2}
 import graft.plans.RewriteIntersectSize
 
 /** Spark extension entry point: registers the engine's native Catalyst
@@ -43,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NGramHashes].getName, "ngram_hashes"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         NGramHashes(args(0), args(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ZOrder2(args(0), args(1))))
     ext.injectOptimizerRule(_ => RewriteIntersectSize)
   }
 }

@@ -359,5 +359,6 @@ object VectorFunctions {
     add("intersect_size")(args => IntersectSize(args(0), args(1)))
     add("ngram_hashes")(args =>
       NGramHashes(args(0), args(1).eval().asInstanceOf[Int]))
+    add("zorder2")(args => ZOrder2(args(0), args(1)))
   }
 }

@@ -164,6 +164,66 @@ object Curation {
        |FROM g JOIN shared USING (gh)
        |GROUP BY g.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dd13: corpus-wide paragraph dedup (RefinedWeb/Falcon-style) — exact
+  // dedup at SUB-document granularity: chop each doc into fixed 20-token
+  // chunks (the paragraph stand-in for this corpus, which has no line
+  // breaks), keep only the FIRST occurrence of each chunk corpus-wide
+  // (first = lowest (doc_id, chunk_idx)), and report per doc how many of
+  // its chunks survive. Catches the boilerplate/navigation text that
+  // whole-document dedup (dd01) misses because the surrounding document
+  // differs.
+  //
+  // Scale shape: chunks are hashed to 60 bits map-side (8 bytes on the
+  // wire, never chunk text); the winner per chunk hash is a min-struct
+  // AGGREGATE (map-side partial, so a chunk repeated across half the
+  // corpus collapses locally instead of hot-keying a window sort), and
+  // the join back to the chunk stream is hash-equi on the same key. Two
+  // exchanges total, same as dd10.
+  // ---------------------------------------------------------------------
+  private val chunkWidth = 20
+
+  def dd13ParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val toks = expr("filter(split(text, ' '), x -> x != '')")
+    // sequence(0, n-1) is DESCENDING for n = 0, so guard empty docs.
+    val chunkList = expr(
+      s"""CASE WHEN size(toks) > 0 THEN
+         |  transform(sequence(0, cast(ceil(size(toks) / $chunkWidth.0) as int) - 1),
+         |    i -> conv(substring(md5(concat_ws(' ',
+         |           slice(toks, i * $chunkWidth + 1, $chunkWidth))), 1, 15), 16, 10))
+         |ELSE CAST(array() AS array<string>) END""".stripMargin)
+    val chunks = docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), posexplode(chunkList).as(Seq("idx", "ch")))
+      .select(col("doc_id"), col("idx"), col("ch").cast("long").as("ch"))
+    val winners = chunks.groupBy(col("ch"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+      .select(col("ch"), col("w.doc_id").as("w_doc"), col("w.idx").as("w_idx"))
+    chunks.join(winners, Seq("ch"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("doc_id") === col("w_doc") && col("idx") === col("w_idx"),
+          lit(1))).as("n_kept_chunks"))
+  }
+
+  val dd13Oracle: String =
+    s"""WITH t AS (
+       | SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+       | FROM documents),
+       |c AS (
+       | SELECT doc_id, i AS idx,
+       |  ('0x' || substr(md5(array_to_string(
+       |     toks[(i * $chunkWidth + 1):(i * $chunkWidth + $chunkWidth)], ' ')), 1, 15))::BIGINT AS ch
+       | FROM t, LATERAL unnest(range(0, CAST(ceil(len(toks) / $chunkWidth.0) AS INT))) AS u(i)
+       | WHERE len(toks) > 0),
+       |r AS (
+       | SELECT doc_id, idx,
+       |  ROW_NUMBER() OVER (PARTITION BY ch ORDER BY doc_id, idx) AS rn
+       | FROM c)
+       |SELECT doc_id, COUNT(*) AS n_chunks,
+       | CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_chunks
+       |FROM r GROUP BY doc_id""".stripMargin
+
   def dc01Decontaminate(s: SparkSession, dir: String): DataFrame = {
     val grams = gramHashes(Tables(s, dir, "documents"))
     // No pre-join distinct on the training side: the broadcast join filters
@@ -321,19 +381,150 @@ object Curation {
        | (n_tokens > 0 AND (start_off + n_tokens - 1) // $packBudget != start_off // $packBudget) AS straddles
        |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ds04: leakage-free GROUP split — ds01 hashes each document, which can
+  // put two documents from the same crawl source on opposite sides of the
+  // train/test fence; near-identical boilerplate from one site then leaks
+  // eval answers into training. The standard fix (group-wise splitting) is
+  // to hash the GROUP key so every document of a source lands in the same
+  // split. Still pure per-row hash arithmetic — zero shuffles, no
+  // group-by: membership derives from the source string alone, so appends
+  // from a known source join their group's split without reading anything.
+  // ---------------------------------------------------------------------
+  def ds04SourceSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    docs.select(col("doc_id"), col("source"),
+      hashBucket(concat(lit("grp1:"), col("source")), 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+  }
+
+  val ds04Oracle: String =
+    """SELECT doc_id, source, bucket,
+      | CASE WHEN bucket < 80 THEN 'train'
+      |      WHEN bucket < 90 THEN 'validation'
+      |      ELSE 'test' END AS split
+      |FROM (SELECT doc_id, source,
+      |  ('0x' || substr(md5('grp1:' || source), 1, 8))::BIGINT % 100 AS bucket
+      | FROM documents) t""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ds05: per-language token-budget selection — "take documents, in a
+  // deterministic priority order, until each language's token budget is
+  // spent" (the fixed-token-count mixture recipe of every pretraining
+  // run). A doc is kept iff the tokens BEFORE it in its language fit the
+  // budget, so the kept set is a prefix of the per-language order and the
+  // output carries the running offset a packer would resume from.
+  //
+  // Scale shape: the running sum reuses ds03's two-phase distributed
+  // prefix sum, but partitioned by language — per-(lang, doc_id-range)
+  // bucket sums map-side, a tiny per-lang bucket-prefix window, then a
+  // within-bucket window. No per-language serial scan of the corpus: the
+  // widest window in the plan holds ~corpus/B rows (bucket totals), and
+  // a 100 TB language never collapses into one partition.
+  // ---------------------------------------------------------------------
+  private[operators] val langTokenBudget = 2000L
+
+  def ds05TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), col("lang"),
+      size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("n_tokens"),
+      expr(s"doc_id div $packBucketWidth").as("bkt"))
+    val bucketPrefix = toks.groupBy(col("lang"), col("bkt"))
+      .agg(sum(col("n_tokens")).as("bsum"))
+      .withColumn("bpre",
+        coalesce(sum(col("bsum")).over(
+          Window.partitionBy(col("lang")).orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("lang"), col("bkt"), col("bpre"))
+    val wIn = Window.partitionBy(col("lang"), col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(broadcast(bucketPrefix), Seq("lang", "bkt"))
+      .withColumn("start_off",
+        col("bpre") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .filter(col("start_off") < langTokenBudget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("start_off"))
+  }
+
+  val ds05Oracle: String =
+    s"""WITH t AS (
+       | SELECT doc_id, lang,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+       | FROM documents),
+       |c AS (
+       | SELECT doc_id, lang, n_tokens,
+       |  COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+       | FROM t)
+       |SELECT doc_id, lang, n_tokens, start_off
+       |FROM c WHERE start_off < $langTokenBudget""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ds06: Z-order (Morton) layout key — multi-dimensional data clustering.
+  // A 100 TB table filtered on TWO columns at once (user × time, lat ×
+  // lon, shard × length) can only be sorted by one of them; Z-ordering
+  // interleaves the bits of both so every aligned power-of-2 rectangle in
+  // (x, y) space occupies a contiguous key range. Written out with
+  // [[zorderClustered]], parquet min/max row-group stats then prune BOTH
+  // dimensions' predicates. The key itself is the native codegen'd
+  // [[graft.functions.ZOrder2]] (12 mask-shift ops per value).
+  // ---------------------------------------------------------------------
+  def ds06ZorderKey(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val ev = Tables(s, dir, "events")
+    ev.select(col("event_id"),
+      (col("event_id") % 4096).as("x"),
+      (col("user_id") % 4096).as("y"))
+      .withColumn("zkey", expr("zorder2(x, y)"))
+  }
+
+  val ds06Oracle: String =
+    """SELECT event_id, x, y,
+      | CAST(list_sum(list_transform(range(0, 12), i ->
+      |   (((x >> i) & 1) * (1::BIGINT << (2*i))) +
+      |   (((y >> i) & 1) * (1::BIGINT << (2*i + 1))))) AS BIGINT) AS zkey
+      |FROM (SELECT event_id, event_id % 4096 AS x, user_id % 4096 AS y
+      |      FROM events) t""".stripMargin
+
+  /** Cluster `df` for multi-dimensional scan pruning: range-partition and
+    * sort by the Morton key of (x, y). Each output file then covers a
+    * near-disjoint zkey range (range partitioner boundaries + in-file
+    * sort), so a reader's two-sided rectangle predicate — rewritten as
+    * zkey BETWEEN bounds — skips every non-overlapping row group via
+    * parquet min/max stats. `numFiles` sizes the write; at scale you'd
+    * target ~1 GB files. */
+  def zorderClustered(df: DataFrame, x: String, y: String, numFiles: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    df.withColumn("zkey", expr(s"zorder2($x, $y)"))
+      .repartitionByRange(numFiles, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ds01_hash_split" -> (ds01HashSplit _),
     "ds02_stratified_sample" -> (ds02StratifiedSample _),
     "ds03_sequence_pack" -> (ds03SequencePack _),
+    "ds04_source_split" -> (ds04SourceSplit _),
+    "ds05_token_budget" -> (ds05TokenBudget _),
+    "ds06_zorder_key" -> (ds06ZorderKey _),
     "dc01_decontaminate" -> (dc01Decontaminate _),
     "dd10_repeated_spans" -> (dd10RepeatedSpans _),
+    "dd13_paragraph_dedup" -> (dd13ParagraphDedup _),
     "tp02_full_curation" -> (tp02FullCuration _))
 
   val oracles: Map[String, String] = Map(
     "ds01_hash_split" -> ds01Oracle,
     "ds02_stratified_sample" -> ds02Oracle,
     "ds03_sequence_pack" -> ds03Oracle,
+    "ds04_source_split" -> ds04Oracle,
+    "ds05_token_budget" -> ds05Oracle,
+    "ds06_zorder_key" -> ds06Oracle,
     "dc01_decontaminate" -> dc01Oracle,
     "dd10_repeated_spans" -> dd10Oracle,
+    "dd13_paragraph_dedup" -> dd13Oracle,
     "tp02_full_curation" -> tp02Oracle)
 }

@@ -268,8 +268,45 @@ object EventOps {
       | COUNT(*) OVER (PARTITION BY user_id ORDER BY es RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS trailing_n
       |FROM e""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q37: interval join — EVERY (click, view) pair of the same user with
+  // the view in the 10 minutes before the click. q30 aggregates this to
+  // one winner per click; q37 emits the pairs themselves — the batch twin
+  // of the watermarked stream-stream join
+  // ([[graft.streaming.EventStream.attributedClicks]]), kept in lockstep so
+  // the streaming path has a replayable backfill authority. Plan shape:
+  // hash equi-join on user_id with the time window as a residual filter —
+  // never a cartesian; at 100 TB both sides additionally bucket by coarse
+  // time so one user's history never co-shuffles in full.
+  // ---------------------------------------------------------------------
+  def q37IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ce"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        unix_timestamp(col("ts")).as("ve"))
+    clicks.join(views, Seq("user_id"))
+      .filter(col("ve") <= col("ce") && col("ve") >= col("ce") - 600)
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        (col("ce") - col("ve")).as("gap_s"))
+  }
+
+  val q37Oracle: String =
+    """WITH clicks AS (
+      | SELECT event_id AS click_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ce
+      | FROM events WHERE event_type = 'click'),
+      |views AS (
+      | SELECT user_id, event_id AS view_id, CAST(floor(epoch(ts)) AS BIGINT) AS ve
+      | FROM events WHERE event_type = 'view')
+      |SELECT c.click_id, v.view_id, c.user_id, c.ce - v.ve AS gap_s
+      |FROM clicks c JOIN views v ON c.user_id = v.user_id
+      | AND v.ve <= c.ce AND v.ve >= c.ce - 600""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_tumbling_window" -> (q20TumblingWindow _),
+    "q37_interval_join" -> (q37IntervalJoin _),
     "q21_running_sum" -> (q21RunningSum _),
     "q22_sessionize" -> (q22Sessionize _),
     "q23_json_extract" -> (q23JsonExtract _),
@@ -288,5 +325,6 @@ object EventOps {
     "q30_attribution" -> q30Oracle,
     "q32_asof_join" -> q32Oracle,
     "q33_pivot" -> q33Oracle,
-    "q34_range_frame" -> q34Oracle)
+    "q34_range_frame" -> q34Oracle,
+    "q37_interval_join" -> q37Oracle)
 }

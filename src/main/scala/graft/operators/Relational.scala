@@ -684,7 +684,27 @@ object Relational {
       |SELECT COALESCE(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
       |FROM c FULL OUTER JOIN s ON c.nk = s.nk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q36: CUBE — all 2^k grouping-set combinations in ONE pass (Spark
+  // expands the sets inside a single Expand + hash aggregate; k separate
+  // GROUP BYs would be k scans of a 100 TB input). Null grouping markers
+  // are safe here because lang/source are non-nullable in the data; a
+  // nullable-dimension cube would add grouping_id() to disambiguate.
+  // ---------------------------------------------------------------------
+  def q36Cube(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    docs.cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
+  val q36Oracle: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY CUBE (lang, source)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q36_cube" -> (q36Cube _),
     "q35_full_outer" -> (q35FullOuter _),
     "q31_salted_join" -> (q31SaltedJoin _),
     "q27_rollup" -> (q27Rollup _),
@@ -712,6 +732,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q35_full_outer" -> q35Oracle,
+    "q36_cube" -> q36Oracle,
     "q31_salted_join" -> q31Oracle,
     "q27_rollup" -> q27Oracle,
     "q28_setops" -> q28Oracle,

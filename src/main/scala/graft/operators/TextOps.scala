@@ -333,6 +333,38 @@ object TextOps {
        |FROM toks t LEFT JOIN v ON t.tok = v.tok
        |GROUP BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // tx10: BPE merge-pair mining — the inner statistic of tokenizer
+  // training: count every ADJACENT token pair corpus-wide and surface the
+  // top candidates (count DESC, pair ASC — the deterministic order a BPE
+  // trainer would merge in). One explode over zip_with'd slices (no
+  // self-join of token positions), map-side partial counts, then the
+  // tx08 top-k shape: TakeOrderedAndProject over the pair dictionary,
+  // never a global sort. Iterating this query with a re-tokenize between
+  // rounds IS the BPE training loop; each round is this same plan.
+  // ---------------------------------------------------------------------
+  def tx10BpePairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val toks = expr("filter(split(text, ' '), x -> x != '')")
+    val n = size(col("toks"))
+    val pairs = when(n >= 2,
+      zip_with(slice(col("toks"), lit(1), n - 1), slice(col("toks"), lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b))).otherwise(array().cast("array<string>"))
+    docs.select(toks.as("toks"))
+      .select(explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(20)
+  }
+
+  val tx10Oracle: String =
+    """SELECT pair, COUNT(*) AS n FROM (
+      | SELECT unnest(list_transform(range(1, len(toks)),
+      |   i -> toks[i] || ' ' || toks[i+1])) AS pair
+      | FROM (SELECT list_filter(string_split(text, ' '), x -> x != '') AS toks
+      |       FROM documents) t) p
+      |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q25_posexplode_filtered" -> (q25PosexplodeFiltered _),
     "q26_quantity_parse" -> (q26QuantityParse _),
@@ -344,7 +376,8 @@ object TextOps {
     "tx06_pii_scrub" -> (tx06PiiScrub _),
     "tx07_repetition" -> (tx07Repetition _),
     "tx08_top_terms" -> (tx08TopTerms _),
-    "tx09_oov_rate" -> (tx09OovRate _))
+    "tx09_oov_rate" -> (tx09OovRate _),
+    "tx10_bpe_pairs" -> (tx10BpePairs _))
 
   val oracles: Map[String, String] = Map(
     "q25_posexplode_filtered" -> q25Oracle,
@@ -357,5 +390,6 @@ object TextOps {
     "tx06_pii_scrub" -> tx06Oracle,
     "tx07_repetition" -> tx07Oracle,
     "tx08_top_terms" -> tx08Oracle,
-    "tx09_oov_rate" -> tx09Oracle)
+    "tx09_oov_rate" -> tx09Oracle,
+    "tx10_bpe_pairs" -> tx10Oracle)
 }

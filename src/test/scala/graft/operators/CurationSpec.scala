@@ -65,6 +65,67 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("ds04: documents from one source NEVER straddle the split fence") {
+    val out = Curation.ds04SourceSplit(spark, dir)
+    val perSource = out.groupBy("source")
+      .agg(countDistinct(col("split")).as("n_splits")).collect()
+    assert(perSource.nonEmpty)
+    for (r <- perSource)
+      assert(r.getLong(1) == 1L, s"source ${r.getString(0)} spans splits")
+    // and the group split disagrees with the per-doc split for SOME doc —
+    // otherwise it wouldn't be doing anything ds01 doesn't
+    val doc = Curation.ds01HashSplit(spark, dir).select("doc_id", "split")
+      .withColumnRenamed("split", "doc_split")
+    val joined = out.join(doc, "doc_id")
+      .filter(col("split") =!= col("doc_split")).count()
+    assert(joined > 0, "group split never disagrees with doc split?")
+  }
+
+  test("ds05: kept docs are exactly the per-language budget prefix") {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // independent reference: walk each language in doc_id order, keep while
+    // the running total BEFORE the doc is under budget (matches the oracle)
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1).toSeq.flatMap { case (id, _, n) =>
+        val keep = acc < Curation.langTokenBudget
+        acc += n
+        if (keep) Some(id) else None
+      }
+    }.toSet
+    val got = Curation.ds05TokenBudget(spark, dir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(got.nonEmpty && got.size < docs.length,
+      "budget should bite at this scale factor")
+  }
+
+  test("dd13: first occurrence of a repeated chunk wins; repeats are dropped") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("dd13-docs").toFile
+    try {
+      // 20-token chunks built explicitly: A repeated across docs 1 and 2
+      // (and twice inside doc 3); B unique to doc 1; C unique to doc 2.
+      def chunk(word: String) = Seq.fill(20)(word).mkString(" ")
+      Seq(
+        (1L, chunk("alpha") + " " + chunk("beta")),  // A B -> both kept
+        (2L, chunk("alpha") + " " + chunk("gamma")), // A dropped, C kept
+        (3L, chunk("delta") + " " + chunk("delta"))  // intra-doc repeat: 1 of 2
+      ).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val out = Curation.dd13ParagraphDedup(spark, tmp.getPath)
+        .orderBy("doc_id").collect().toSeq
+      assert(out == Seq(
+        Row(1L, 2L, 2L), Row(2L, 2L, 1L), Row(3L, 2L, 1L)), out.toString)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+  }
+
   test("q32: as-of picks the latest view at-or-before each click; no prior view -> null") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("curation-events").toFile

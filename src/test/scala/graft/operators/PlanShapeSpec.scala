@@ -170,4 +170,51 @@ class PlanShapeSpec extends SparkSpec {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(shuffles <= 3, s"expected <=3 hash exchanges, got $shuffles\n" + plan.take(3000))
   }
+
+  test("ds05: budget cumsum windows are (lang, bkt)-partitioned — no per-lang serial scan") {
+    val plan = Curation.ds05TokenBudget(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the corpus-side window must keep its bucket partitioning; losing it
+    // would serialize each language through one task at 100 TB
+    assert(plan.contains("hashpartitioning(lang"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("dd13: paragraph dedup is NLJ/cartesian-free with a min-struct winner agg") {
+    val plan = Curation.dd13ParagraphDedup(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // winner per chunk hash must stay an aggregate (map-side partial —
+    // skew-proof), never a row_number window over the chunk stream
+    assert(plan.contains("min("), plan.take(3000))
+    assert(!plan.contains("row_number"), plan.take(3000))
+  }
+
+  test("tx10: BPE pair mining tops out via TakeOrderedAndProject, not a global sort") {
+    val plan = TextOps.tx10BpePairs(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("ds06: zorder key is the native expression and shuffles nothing") {
+    val plan = Curation.ds06ZorderKey(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("zorder2"), plan.take(2000))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("q36: cube computes all grouping sets in one Expand pass (one scan)") {
+    val plan = Relational.q36Cube(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan.take(2000))
+    assert("FileScan".r.findAllIn(plan).size == 1, plan.take(2000))
+  }
+
+  test("q37: interval join stays hash-joinable (time bound is residual)") {
+    val plan = EventOps.q37IntervalJoin(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }
