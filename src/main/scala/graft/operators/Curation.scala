@@ -490,6 +490,43 @@ object Curation {
       |FROM (SELECT event_id, event_id % 4096 AS x, user_id % 4096 AS y
       |      FROM events) t""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ds07: deterministic k-per-stratum sampling — "give me exactly 50 docs
+  // per language, reproducibly" (fixed-size eval slices, human-review
+  // samples, per-stratum debugging corpora). The sample is the k smallest
+  // salted content hashes per stratum: content-derived like ds01/ds02, so
+  // re-runs, re-shards and appends agree on the sample (an append only
+  // swaps members if a new doc hashes below the current k-th).
+  //
+  // Scale shape: rank-limit pushdown. The `row_number <= k` filter lets
+  // Spark insert WindowGroupLimit BEFORE the shuffle (partial top-k per
+  // map task, like TakeOrderedAndProject per group), so the exchange
+  // carries ~k rows per (task × stratum), never the full corpus —
+  // plan-pinned. Skewed strata cost map-side heap work only.
+  // ---------------------------------------------------------------------
+  private[operators] val groupSampleK = 50
+
+  def ds07GroupSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"),
+        md5(concat(lit("samp1:"), col("text"))).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= groupSampleK)
+      .select(col("doc_id"), col("lang"), col("rn"))
+  }
+
+  val ds07Oracle: String =
+    s"""WITH h AS (
+       | SELECT doc_id, lang, md5('samp1:' || text) AS h FROM documents),
+       |r AS (
+       | SELECT doc_id, lang,
+       |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+       | FROM h)
+       |SELECT doc_id, lang, CAST(rn AS INT) AS rn
+       |FROM r WHERE rn <= $groupSampleK""".stripMargin
+
   /** Cluster `df` for multi-dimensional scan pruning: range-partition and
     * sort by the Morton key of (x, y). Each output file then covers a
     * near-disjoint zkey range (range partitioner boundaries + in-file
@@ -504,6 +541,52 @@ object Curation {
       .sortWithinPartitions(col("zkey"))
   }
 
+  // ---------------------------------------------------------------------
+  // tp03: the corpus report card — the fleet-management question every
+  // data team asks between pipeline runs, answered in ONE plan: per
+  // language, how many documents and tokens do we hold, how many are
+  // exact-dup copies, how many share n-grams with the eval suite, and how
+  // much of the token mass is out-of-vocabulary. Composes the dd01 dup
+  // groups, the tx09 learned-vocab OOV scores and the dc01 contamination
+  // flags; everything is integer sums, so the oracle hash-matches
+  // exactly. Scale: the per-doc joins are hash-equi on doc_id / content
+  // hash; the final per-language rollup is ~|langs| rows.
+  // ---------------------------------------------------------------------
+  def tp03CorpusReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val base = docs.select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+    val dupGroups = docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_copies"))
+    val oov = TextOps.tx09OovRate(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("n_in_vocab"))
+    val contaminated = dc01Decontaminate(s, dir)
+      .select(col("doc_id"), lit(1L).as("is_cont"))
+    base.join(dupGroups, Seq("h"))
+      .join(oov, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_tokens"), lit(0L))).as("total_tokens"),
+        count(when(col("n_copies") > 1, lit(1))).as("n_dup_docs"),
+        count(col("is_cont")).as("n_contaminated"),
+        sum(coalesce(col("n_tokens") - col("n_in_vocab"), lit(0L))).as("total_oov"))
+  }
+
+  val tp03Oracle: String =
+    s"""WITH d AS (SELECT doc_id, lang, md5(text) AS h FROM documents),
+       |g AS (SELECT md5(text) AS h, COUNT(*) AS n_copies FROM documents GROUP BY 1),
+       |ov AS (SELECT doc_id, n_tokens, n_in_vocab FROM (${graft.operators.TextOps.oracles("tx09_oov_rate")}) q),
+       |ct AS (SELECT doc_id FROM ($dc01Oracle) q2)
+       |SELECT d.lang, COUNT(*) AS n_docs,
+       | CAST(SUM(COALESCE(ov.n_tokens, 0)) AS BIGINT) AS total_tokens,
+       | CAST(SUM(CASE WHEN g.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       | CAST(SUM(CASE WHEN ct.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       | CAST(SUM(COALESCE(ov.n_tokens - ov.n_in_vocab, 0)) AS BIGINT) AS total_oov
+       |FROM d JOIN g USING (h)
+       |LEFT JOIN ov USING (doc_id)
+       |LEFT JOIN ct USING (doc_id)
+       |GROUP BY d.lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ds01_hash_split" -> (ds01HashSplit _),
     "ds02_stratified_sample" -> (ds02StratifiedSample _),
@@ -511,10 +594,12 @@ object Curation {
     "ds04_source_split" -> (ds04SourceSplit _),
     "ds05_token_budget" -> (ds05TokenBudget _),
     "ds06_zorder_key" -> (ds06ZorderKey _),
+    "ds07_group_sample" -> (ds07GroupSample _),
     "dc01_decontaminate" -> (dc01Decontaminate _),
     "dd10_repeated_spans" -> (dd10RepeatedSpans _),
     "dd13_paragraph_dedup" -> (dd13ParagraphDedup _),
-    "tp02_full_curation" -> (tp02FullCuration _))
+    "tp02_full_curation" -> (tp02FullCuration _),
+    "tp03_corpus_report" -> (tp03CorpusReport _))
 
   val oracles: Map[String, String] = Map(
     "ds01_hash_split" -> ds01Oracle,
@@ -523,8 +608,10 @@ object Curation {
     "ds04_source_split" -> ds04Oracle,
     "ds05_token_budget" -> ds05Oracle,
     "ds06_zorder_key" -> ds06Oracle,
+    "ds07_group_sample" -> ds07Oracle,
     "dc01_decontaminate" -> dc01Oracle,
     "dd10_repeated_spans" -> dd10Oracle,
     "dd13_paragraph_dedup" -> dd13Oracle,
-    "tp02_full_curation" -> tp02Oracle)
+    "tp02_full_curation" -> tp02Oracle,
+    "tp03_corpus_report" -> tp03Oracle)
 }

@@ -512,6 +512,43 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // cc03: canonical-representative selection — the step that turns cluster
+  // ids into an actionable rewrite: per dup cluster keep ONE document (the
+  // longest; ties to the lowest doc_id) and map every member to it. The
+  // output is the (doc_id → canon_id) substitution table a curation
+  // pipeline applies to drop near-dup redundancy while keeping the best
+  // exemplar. Winner is a max_by STRUCT aggregate (map-side partial —
+  // cluster size never hot-keys a sort), then one equi-join back.
+  // ---------------------------------------------------------------------
+  def cc03Canonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val sized = cc01DupComponents(s, dir)
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .localCheckpoint() // referenced twice; the CC rounds must not re-run
+    val canon = sized.groupBy(col("component"))
+      .agg(max_by(col("doc_id"),
+        struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("canon_id"))
+    sized.join(canon, Seq("component"))
+      .select(col("doc_id"), col("component"), col("canon_id"),
+        (col("doc_id") === col("canon_id")).as("is_canon"))
+  }
+
+  val cc03Oracle: String =
+    s"""WITH comp AS (SELECT * FROM ($cc01Oracle) t),
+       |sized AS (
+       | SELECT c.doc_id, c.component, d.n_chars
+       | FROM comp c JOIN documents d USING (doc_id)),
+       |canon AS (
+       | SELECT component, doc_id AS canon_id FROM (
+       |  SELECT component, doc_id,
+       |   ROW_NUMBER() OVER (PARTITION BY component
+       |     ORDER BY n_chars DESC, doc_id ASC) AS rn
+       |  FROM sized) r WHERE rn = 1)
+       |SELECT s.doc_id, s.component, canon.canon_id,
+       | s.doc_id = canon.canon_id AS is_canon
+       |FROM sized s JOIN canon USING (component)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // dd09: INCREMENTAL dedup — a new batch (doc_id % 10 >= 8 stands in for
   // today's crawl) checked against the existing corpus, never against
   // itself: exact content-hash membership plus a cross-side LSH band join
@@ -685,6 +722,7 @@ object Dedup {
     "dd12_bloom_incremental" -> (dd12BloomIncremental _),
     "cc01_dup_components" -> (cc01DupComponents _),
     "cc02_dup_components_star" -> (cc02DupComponentsStar _),
+    "cc03_canonical" -> (cc03Canonical _),
     "tp01_corpus_curation" -> (tp01CorpusCuration _),
     "dd01_exact_dedup" -> (dd01ExactDedup _),
     "dd02_minhash_sig" -> (dd02MinhashSig _),
@@ -700,6 +738,7 @@ object Dedup {
     "dd12_bloom_incremental" -> dd09Oracle,
     "cc01_dup_components" -> cc01Oracle,
     "cc02_dup_components_star" -> cc01Oracle,
+    "cc03_canonical" -> cc03Oracle,
     "tp01_corpus_curation" -> tp01Oracle,
     "dd01_exact_dedup" -> dd01Oracle,
     "dd02_minhash_sig" -> dd02Oracle,

@@ -25,10 +25,16 @@ import graft.Tables
   * PNG is lossless, so features depend only on the pixel function — the
   * spec pins them against a golden hash.
   *
-  * ==STUB== Audio/video byte→sample decode remains a DETERMINISTIC FAKE
-  * (`decodeStub`): the JDK ships no audio/video codecs and this container
-  * has no ffmpeg. Swap `decodeStub` for a codec binding without touching
-  * any of the Spark plumbing around it.
+  * The AUDIO path is real end-to-end too: payloads are genuine RIFF/WAV
+  * bytes (16-bit PCM mono, written with `javax.sound.sampled`), and decode
+  * runs `AudioSystem.getAudioInputStream` back to the exact samples (PCM
+  * is lossless). Frame features (RMS energy, zero crossings) are integer
+  * math, so they golden-check exactly.
+  *
+  * ==STUB== Only VIDEO byte→frame decode remains a DETERMINISTIC FAKE
+  * (`decodeStub`): the JDK ships no video codec and this container has no
+  * ffmpeg. Swap `decodeStub` for a codec binding without touching any of
+  * the Spark plumbing around it.
   */
 object Multimodal {
   import Relational.Q
@@ -64,11 +70,65 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic 16-bit PCM waveform for id — the fixture generator for
+    * the real WAV path (mixed-bits pseudo-noise; nothing depends on the
+    * WAV container, which is lossless for PCM). */
+  private[operators] def syntheticSamples(id: Long, n: Int): Array[Short] = {
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      val v = id * 6364136223846793005L + i * 1442695040888963407L
+      out(i) = (v >>> 33).toShort
+      i += 1
+    }
+    out
+  }
+
+  /** REAL WAV encode: samples → RIFF/WAVE bytes (16-bit PCM mono 8 kHz,
+    * little-endian) via `javax.sound.sampled.AudioSystem.write`. */
+  private[operators] def encodeWav(samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(raw), fmt, samples.length)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode: WAV bytes → 16-bit PCM samples via
+    * `AudioSystem.getAudioInputStream` (PCM in a RIFF container is
+    * lossless, so this returns the exact encoded samples). */
+  def decodeAudio(bytes: Array[Byte]): Array[Short] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    try {
+      val raw = ais.readAllBytes()
+      val bigEndian = ais.getFormat.isBigEndian
+      val out = new Array[Short](raw.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) =
+          if (bigEndian) (((raw(2 * i) & 0xff) << 8) | (raw(2 * i + 1) & 0xff)).toShort
+          else ((raw(2 * i) & 0xff) | ((raw(2 * i + 1) & 0xff) << 8)).toShort
+        i += 1
+      }
+      out
+    } finally ais.close()
+  }
+
   /** Synthetic media table over `documents`: image rows carry REAL PNG
-    * payloads; audio/video rows carry the UTF-8 text bytes (their decode is
-    * the declared stub). Stands in for `spark.read.format("binaryFile")`
-    * over a media landing dir — the per-row encode work is exactly the
-    * narrow, shuffle-free shape a binary-file scan has. */
+    * payloads, audio rows REAL WAV payloads; video rows carry the UTF-8
+    * text bytes (their decode is the declared stub). Stands in for
+    * `spark.read.format("binaryFile")` over a media landing dir — the
+    * per-row encode work is exactly the narrow, shuffle-free shape a
+    * binary-file scan has. */
   def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
     Tables.balanced(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
@@ -80,9 +140,11 @@ object Multimodal {
           }
           val w = (id % 64 + 16).toInt
           val h = (id % 48 + 16).toInt
-          val bytes =
-            if (kind == "image") encodePng(syntheticImage(id, w, h))
-            else text.getBytes("UTF-8")
+          val bytes = kind match {
+            case "image" => encodePng(syntheticImage(id, w, h))
+            case "audio" => encodeWav(syntheticSamples(id, (2048 + id % 1024).toInt))
+            case _ => text.getBytes("UTF-8")
+          }
           MediaRow(id, kind, bytes, w, h, 3)
         }
       }
@@ -131,7 +193,11 @@ object Multimodal {
 
   private def decode(m: MediaRow): Array[Byte] = m.kind match {
     case "image" => decodeImage(m.bytes)
-    case _ => decodeStub(m.bytes, m.width, m.height) // STUB: no A/V codec in the JDK
+    case "audio" =>
+      // real WAV decode; fold 16-bit samples to a byte plane (high byte,
+      // offset-binary) so the block-mean feature shape is kind-agnostic
+      decodeAudio(m.bytes).map(s => (((s >> 8) + 128) & 0xff).toByte)
+    case _ => decodeStub(m.bytes, m.width, m.height) // STUB: no video codec in the JDK
   }
 
   /** Fixed-width block-mean features over the decoded plane. Narrow
@@ -254,10 +320,42 @@ object Multimodal {
         (col("media_id") =!= col("keep_id")).as("is_dup"))
   }
 
+  final case class AudioFrame(media_id: Long, frame_idx: Int,
+      rms: Long, zero_crossings: Int)
+
+  /** Per-frame audio features over REALLY-decoded PCM: RMS energy
+    * (floor(sqrt(mean(s²))) — integer-exact) and zero-crossing count (the
+    * classic cheap voicing/noise signal) per `frameLen`-sample frame.
+    * Narrow flatMap fan-out, same shape as [[sampleFrames]]. */
+  def audioFrames(media: Dataset[MediaRow], frameLen: Int = 256,
+      maxFrames: Int = 8): Dataset[AudioFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter((m: MediaRow) => m.kind == "audio").flatMap { m =>
+      val s = decodeAudio(m.bytes)
+      val n = math.min(s.length / frameLen, maxFrames)
+      (0 until n).map { f =>
+        var sumSq = 0L
+        var zc = 0
+        var i = f * frameLen
+        while (i < (f + 1) * frameLen) {
+          sumSq += s(i).toLong * s(i)
+          if (i > f * frameLen && ((s(i) >= 0) != (s(i - 1) >= 0))) zc += 1
+          i += 1
+        }
+        AudioFrame(m.media_id, f, math.sqrt(sumSq.toDouble / frameLen).toLong, zc)
+      }
+    }
+  }
+
+  def mm04AudioFrames(s: SparkSession, dir: String): DataFrame =
+    audioFrames(mediaFromDocuments(s, dir)).toDF()
+
   val queries: Map[String, Q] = Map(
     "mm01_media_features" -> (mm01Features _),
     "mm02_frame_sample" -> (mm02FrameSample _),
-    "mm03_image_neardup" -> (mm03ImageNeardup _))
+    "mm03_image_neardup" -> (mm03ImageNeardup _),
+    "mm04_audio_frames" -> (mm04AudioFrames _))
 
   val oracles: Map[String, String] = Map.empty
 }

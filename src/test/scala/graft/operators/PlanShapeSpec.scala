@@ -211,6 +211,22 @@ class PlanShapeSpec extends SparkSpec {
     assert("FileScan".r.findAllIn(plan).size == 1, plan.take(2000))
   }
 
+  test("ds07: rank limit pushes below the shuffle (WindowGroupLimit)") {
+    val plan = Curation.ds07GroupSample(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the rn <= k filter must become a partial per-map-task top-k, so the
+    // exchange ships ~k rows per stratum instead of the whole corpus
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
+  test("tp03: corpus report is NLJ/cartesian-free; vocab joins as a broadcast") {
+    val plan = Curation.tp03CorpusReport(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("q37: interval join stays hash-joinable (time bound is residual)") {
     val plan = EventOps.q37IntervalJoin(spark, dir)
       .queryExecution.executedPlan.toString

@@ -203,6 +203,42 @@ class EventStreamSpec extends SparkSpec with StatefulStreamingScenarios {
     } finally q.stop()
   }
 
+  test("stream-stream interval join stays in lockstep with its batch twin (q37)") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      // (event_id, minute, user_id, kind) — covers in-window, boundary-out
+      // (11 min), multi-view fan-out, and cross-user isolation
+      val evs = Seq(
+        (10L, 0, 1L, "view"), (11L, 4, 1L, "view"), (20L, 5, 1L, "click"),
+        (12L, 28, 1L, "view"), (21L, 30, 1L, "click"),
+        (13L, 2, 2L, "view"), (30L, 6, 2L, "click"), (31L, 13, 2L, "click"))
+      val tmp = java.nio.file.Files.createTempDirectory("q37-lockstep").toFile
+      try {
+        evs.map { case (id, m, u, k) => (id, ts(m).getTime * 1000000L, u, k) }
+          .toDF("event_id", "ts", "user_id", "event_type")
+          .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+        val batch = graft.operators.EventOps.q37IntervalJoin(spark, tmp.getPath)
+          .select("click_id", "view_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val clicks = MemoryStream[Event]
+        val views = MemoryStream[Event]
+        val q = EventStream.attributedClicks(clicks.toDF(), views.toDF())
+          .writeStream.format("memory").queryName("q37_lockstep")
+          .outputMode(OutputMode.Append()).start()
+        try {
+          views.addData(evs.filter(_._4 == "view")
+            .map { case (id, m, u, k) => Event(id, ts(m), u, k, 0.0) })
+          clicks.addData(evs.filter(_._4 == "click")
+            .map { case (id, m, u, k) => Event(id, ts(m), u, k, 0.0) })
+          q.processAllAvailable()
+          val stream = spark.table("q37_lockstep").select("click_id", "view_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          assert(batch == Set((20L, 10L), (20L, 11L), (21L, 12L), (30L, 13L)), batch)
+          assert(stream == batch, s"batch=$batch stream=$stream")
+        } finally q.stop()
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("store-backed incremental dedup stream matches the staged-corpus form") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
