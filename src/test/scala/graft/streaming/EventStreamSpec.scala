@@ -153,16 +153,8 @@ trait StatefulStreamingScenarios { this: SparkSpec =>
       } finally q.stop()
     }
   }
-}
-
-/** Drives the streaming operators through a MemoryStream source and memory
-  * sink — real micro-batch execution, watermarks and state included —
-  * under the DEFAULT (HDFS-backed) state store provider. */
-class EventStreamSpec extends SparkSpec with StatefulStreamingScenarios {
-
-  override def stateStoreProvider: Option[String] = None
-
   test("windowed counts aggregate by tumbling event-time window") {
+    withProvider {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[Event]
@@ -179,10 +171,12 @@ class EventStreamSpec extends SparkSpec with StatefulStreamingScenarios {
         .selectExpr("event_type", "n", "sum_value").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
       assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
-    } finally q.stop()
+    } finally { q.stop(); spark.catalog.dropTempView("wc") }
+  }
   }
 
   test("stream-stream interval join attributes clicks to prior views") {
+    withProvider {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val clicks = MemoryStream[Event]
@@ -200,10 +194,12 @@ class EventStreamSpec extends SparkSpec with StatefulStreamingScenarios {
       val rows = spark.table("attr").select("click_id", "view_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(rows == Set((20L, 10L)), rows.mkString(","))
-    } finally q.stop()
+    } finally { q.stop(); spark.catalog.dropTempView("attr") }
+  }
   }
 
   test("stream-stream interval join stays in lockstep with its batch twin (q37)") {
+    withProvider {
       implicit val sqlCtx = spark.sqlContext
       import spark.implicits._
       // (event_id, minute, user_id, kind) — covers in-window, boundary-out
@@ -235,9 +231,22 @@ class EventStreamSpec extends SparkSpec with StatefulStreamingScenarios {
             .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
           assert(batch == Set((20L, 10L), (20L, 11L), (21L, 12L), (30L, 13L)), batch)
           assert(stream == batch, s"batch=$batch stream=$stream")
-        } finally q.stop()
+        } finally { q.stop(); spark.catalog.dropTempView("q37_lockstep") }
       } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
+  }
+
+}
+
+/** Drives the streaming operators through a MemoryStream source and memory
+  * sink — real micro-batch execution, watermarks and state included —
+  * under the DEFAULT (HDFS-backed) state store provider. */
+class EventStreamSpec extends SparkSpec with StatefulStreamingScenarios {
+
+  override def stateStoreProvider: Option[String] = None
+
+
+
 
   test("store-backed incremental dedup stream matches the staged-corpus form") {
     implicit val sqlCtx = spark.sqlContext
