@@ -421,12 +421,41 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("rnk"), col("cos"))
   }
 
+  // ---------------------------------------------------------------------
+  // ss06: ANN recall measurement — the honesty metric for the approximate
+  // tier: what fraction of the brute-force (ss01) top-k pairs does the
+  // IVF path (ss03) actually return? Running this per corpus snapshot is
+  // how a production ANN deployment tunes its probe count / table count
+  // dial; integer outputs so the oracle hash-matches. The exact side is
+  // the documented quadratic baseline — this query is an offline audit,
+  // not a serving path.
+  // ---------------------------------------------------------------------
+  def ss06AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = ss01BruteTopk(s, dir).select(col("q_id"), col("c_id"))
+    val approx = ss03AnnIvf(s, dir)
+      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "c_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_pct", expr("(n_hit * 100) div n_exact"))
+  }
+
+  val ss06Oracle: String =
+    s"""WITH ex AS (SELECT q_id, c_id FROM ($ss01Oracle) a),
+       |ap AS (SELECT q_id, c_id FROM ($ss03Oracle) b)
+       |SELECT COUNT(*) AS n_exact,
+       | CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       | (CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
+       |   // COUNT(*) AS recall_pct
+       |FROM ex LEFT JOIN ap USING (q_id, c_id)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ss01_brute_topk" -> (ss01BruteTopk _),
     "ss02_ann_lsh" -> (ss02AnnLsh _),
     "ss03_ann_ivf" -> (ss03AnnIvf _),
     "ss04_kmeans" -> (ss04Kmeans _),
-    "ss05_ann_ivf_indexed" -> (ss05AnnIvfIndexed _))
+    "ss05_ann_ivf_indexed" -> (ss05AnnIvfIndexed _),
+    "ss06_ann_recall" -> (ss06AnnRecall _))
 
   val oracles: Map[String, String] = Map(
     "ss01_brute_topk" -> ss01Oracle,
@@ -434,5 +463,6 @@ object Similarity {
     "ss03_ann_ivf" -> ss03Oracle,
     "ss04_kmeans" -> ss04Oracle,
     // identical semantics to ss03 — the index is a physical artifact only
-    "ss05_ann_ivf_indexed" -> ss03Oracle)
+    "ss05_ann_ivf_indexed" -> ss03Oracle,
+    "ss06_ann_recall" -> ss06Oracle)
 }

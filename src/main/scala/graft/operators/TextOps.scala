@@ -365,6 +365,31 @@ object TextOps {
       |       FROM documents) t) p
       |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // tx11: BPE-ish token counting — whitespace tokens vs pretokenizer
+  // units. LLM cost/budget accounting needs the TOKENIZER's token count,
+  // not the whitespace one; the standard pretokenizer splits into letter
+  // runs / digit runs / single punctuation (the GPT-2 regex family,
+  // reduced to the engine-portable core). Pure per-row regexp work,
+  // codegen'd, zero shuffles. The alternation's branches start from
+  // disjoint character classes, so leftmost-first (Java) and RE2 (DuckDB)
+  // semantics cannot diverge.
+  // ---------------------------------------------------------------------
+  def tx11BpeTokenCount(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    docs.select(col("doc_id"),
+      size(expr("filter(split(text, ' '), x -> x != '')")).as("n_ws_tokens"),
+      size(expr(
+        "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .as("n_bpe_tokens"))
+  }
+
+  val tx11Oracle: String =
+    """SELECT doc_id,
+      | CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS INTEGER) AS n_ws_tokens,
+      | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens
+      |FROM documents""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q25_posexplode_filtered" -> (q25PosexplodeFiltered _),
     "q26_quantity_parse" -> (q26QuantityParse _),
@@ -377,7 +402,8 @@ object TextOps {
     "tx07_repetition" -> (tx07Repetition _),
     "tx08_top_terms" -> (tx08TopTerms _),
     "tx09_oov_rate" -> (tx09OovRate _),
-    "tx10_bpe_pairs" -> (tx10BpePairs _))
+    "tx10_bpe_pairs" -> (tx10BpePairs _),
+    "tx11_bpe_token_count" -> (tx11BpeTokenCount _))
 
   val oracles: Map[String, String] = Map(
     "q25_posexplode_filtered" -> q25Oracle,
@@ -391,5 +417,6 @@ object TextOps {
     "tx07_repetition" -> tx07Oracle,
     "tx08_top_terms" -> tx08Oracle,
     "tx09_oov_rate" -> tx09Oracle,
-    "tx10_bpe_pairs" -> tx10Oracle)
+    "tx10_bpe_pairs" -> tx10Oracle,
+    "tx11_bpe_token_count" -> tx11Oracle)
 }
