@@ -126,6 +126,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("dd13: empty and sub-chunk docs don't break the chunker") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("dd13-edge").toFile
+    try {
+      Seq(
+        (1L, ""),            // zero tokens -> zero chunks -> absent
+        (2L, "only three words"), // shorter than one chunk -> 1 partial chunk
+        (3L, "only three words")  // identical partial chunk -> deduped
+      ).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val out = Curation.dd13ParagraphDedup(spark, tmp.getPath)
+        .orderBy("doc_id").collect().toSeq
+      assert(out == Seq(Row(2L, 1L, 1L), Row(3L, 1L, 0L)), out.toString)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+  }
+
   test("q32: as-of picks the latest view at-or-before each click; no prior view -> null") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("curation-events").toFile
