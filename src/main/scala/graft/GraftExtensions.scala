@@ -46,8 +46,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("zorder2"),
       new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
-      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        ZOrder2(args(0), args(1))))
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // explicit arity check: surplus args must not be silently dropped
+        // (zorder2(x, y, z) returning the 2-D key would mis-cluster data)
+        if (args.length != 2) throw new IllegalArgumentException(
+          s"zorder2 expects exactly 2 arguments, got ${args.length}")
+        ZOrder2(args(0), args(1))
+      }))
     ext.injectOptimizerRule(_ => RewriteIntersectSize)
   }
 }

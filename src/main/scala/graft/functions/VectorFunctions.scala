@@ -359,6 +359,10 @@ object VectorFunctions {
     add("intersect_size")(args => IntersectSize(args(0), args(1)))
     add("ngram_hashes")(args =>
       NGramHashes(args(0), args(1).eval().asInstanceOf[Int]))
-    add("zorder2")(args => ZOrder2(args(0), args(1)))
+    add("zorder2") { args =>
+      if (args.length != 2) throw new IllegalArgumentException(
+        s"zorder2 expects exactly 2 arguments, got ${args.length}")
+      ZOrder2(args(0), args(1))
+    }
   }
 }

@@ -28,6 +28,14 @@ object Curation {
   private def hashBucket(c: Column, mod: Int): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long") % mod
 
+  /** The ONE bucket→split mapping (80/10/10) shared by every split fence
+    * (ds01 per-doc, ds04 per-source, tp02's pipeline stage) — changing the
+    * ratios happens here and in the oracles, nowhere else. */
+  private def splitOf(bucket: Column): Column =
+    when(bucket < 80, "train")
+      .when(bucket < 90, "validation")
+      .otherwise("test")
+
   // ---------------------------------------------------------------------
   // ds01: deterministic train/val/test split by content hash. 80/10/10 by
   // md5 bucket — membership is a pure function of the document text, so
@@ -38,10 +46,7 @@ object Curation {
   def ds01HashSplit(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     docs.select(col("doc_id"), hashBucket(col("text"), 100).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "validation")
-          .otherwise("test"))
+      .withColumn("split", splitOf(col("bucket")))
   }
 
   val ds01Oracle: String =
@@ -284,10 +289,7 @@ object Curation {
     val rates = mixRates.toDF("lang", "keep_pct")
     keep.join(contaminated, Seq("doc_id"), "left_anti")
       .withColumn("bucket", hashBucket(col("text"), 100))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "validation")
-          .otherwise("test"))
+      .withColumn("split", splitOf(col("bucket")))
       .withColumn("mixb", hashBucket(concat(lit("mix1:"), col("text")), 100))
       .join(broadcast(rates), Seq("lang"), "left")
       // mixture sampling applies to training data only; eval splits keep all
@@ -341,23 +343,38 @@ object Curation {
   private val packBudget = 512L
   private val packBucketWidth = 256L
 
-  def ds03SequencePack(s: SparkSession, dir: String): DataFrame = {
+  /** The two-phase distributed prefix sum shared by ds03 (global order)
+    * and ds05 (per-language order): doc_id-range buckets are summed
+    * independently (map-side, parallel), the tiny per-partition bucket
+    * totals get an exclusive prefix window, and each doc's `start_off` =
+    * its bucket's prefix + a within-bucket cumsum — so no stage ever
+    * windows a full partition's corpus through one task. Input: (doc_id,
+    * n_tokens [, partCols...]); output adds bkt/bpre/start_off. */
+  private def withStartOffsets(docsTokens: DataFrame,
+      partCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables(s, dir, "documents")
-    val toks = docs.select(col("doc_id"),
-      size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("n_tokens"),
-      expr(s"doc_id div $packBucketWidth").as("bkt"))
-    val bucketPrefix = toks.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("bsum"))
+    val pc = partCols.map(col)
+    val toks = docsTokens.withColumn("bkt", expr(s"doc_id div $packBucketWidth"))
+    val bucketPrefix = toks.groupBy(pc :+ col("bkt"): _*)
+      .agg(sum(col("n_tokens")).as("bsum"))
       .withColumn("bpre",
         coalesce(sum(col("bsum")).over(
-          Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+          Window.partitionBy(pc: _*).orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select(col("bkt"), col("bpre"))
-    val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .select(pc :+ col("bkt") :+ col("bpre"): _*)
+    val wIn = Window.partitionBy(pc :+ col("bkt"): _*).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    toks.join(broadcast(bucketPrefix), Seq("bkt"))
+    toks.join(broadcast(bucketPrefix), partCols :+ "bkt")
       .withColumn("start_off",
         col("bpre") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+  }
+
+  def ds03SequencePack(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("n_tokens"))
+    withStartOffsets(toks, Seq.empty)
       .withColumn("seq_id", expr(s"start_off div $packBudget"))
       .withColumn("straddles",
         col("n_tokens") > 0 &&
@@ -395,10 +412,7 @@ object Curation {
     val docs = Tables(s, dir, "documents")
     docs.select(col("doc_id"), col("source"),
       hashBucket(concat(lit("grp1:"), col("source")), 100).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "validation")
-          .otherwise("test"))
+      .withColumn("split", splitOf(col("bucket")))
   }
 
   val ds04Oracle: String =
@@ -428,24 +442,10 @@ object Curation {
   private[operators] val langTokenBudget = 2000L
 
   def ds05TokenBudget(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables(s, dir, "documents")
     val toks = docs.select(col("doc_id"), col("lang"),
-      size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("n_tokens"),
-      expr(s"doc_id div $packBucketWidth").as("bkt"))
-    val bucketPrefix = toks.groupBy(col("lang"), col("bkt"))
-      .agg(sum(col("n_tokens")).as("bsum"))
-      .withColumn("bpre",
-        coalesce(sum(col("bsum")).over(
-          Window.partitionBy(col("lang")).orderBy(col("bkt"))
-            .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("lang"), col("bkt"), col("bpre"))
-    val wIn = Window.partitionBy(col("lang"), col("bkt")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    toks.join(broadcast(bucketPrefix), Seq("lang", "bkt"))
-      .withColumn("start_off",
-        col("bpre") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("n_tokens"))
+    withStartOffsets(toks, Seq("lang"))
       .filter(col("start_off") < langTokenBudget)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("start_off"))
   }
@@ -555,8 +555,10 @@ object Curation {
   def tp03CorpusReport(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val base = docs.select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
-    val dupGroups = docs.groupBy(md5(col("text")).as("h"))
-      .agg(count(lit(1)).as("n_copies"))
+    // the dd01 surface IS the dup-group authority — reuse it so tp03's
+    // n_dup_docs can never drift from the dedup operator it reports on
+    val dupGroups = Dedup.dd01ExactDedup(s, dir)
+      .select(col("text_hash").as("h"), col("n_copies"))
     val oov = TextOps.tx09OovRate(s, dir)
       .select(col("doc_id"), col("n_tokens"), col("n_in_vocab"))
     val contaminated = dc01Decontaminate(s, dir)

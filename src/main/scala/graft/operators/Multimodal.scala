@@ -104,11 +104,26 @@ object Multimodal {
 
   /** REAL audio decode: WAV bytes → 16-bit PCM samples via
     * `AudioSystem.getAudioInputStream` (PCM in a RIFF container is
-    * lossless, so this returns the exact encoded samples). */
+    * lossless, so this returns the exact encoded samples). Non-16-bit /
+    * unsigned / float WAV flavors are CONVERTED to 16-bit signed PCM by
+    * the JDK first (or rejected loudly if no converter exists) — raw
+    * byte-pairing must never misread an 8-bit or float32 stream as PCM16.
+    * Multi-channel streams come back channel-INTERLEAVED; frame features
+    * over them measure combined energy. */
   def decodeAudio(bytes: Array[Byte]): Array[Short] = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new ByteArrayInputStream(bytes))
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val src = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     try {
+      val f = src.getFormat
+      val ais =
+        if (f.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+          f.getSampleSizeInBits == 16) src
+        else try AudioSystem.getAudioInputStream(
+          new AudioFormat(f.getSampleRate, 16, f.getChannels, true, false), src)
+        catch {
+          case e: IllegalArgumentException => throw new IllegalArgumentException(
+            s"decodeAudio: unsupported WAV flavor $f (no PCM16 converter)", e)
+        }
       val raw = ais.readAllBytes()
       val bigEndian = ais.getFormat.isBigEndian
       val out = new Array[Short](raw.length / 2)
@@ -120,7 +135,7 @@ object Multimodal {
         i += 1
       }
       out
-    } finally ais.close()
+    } finally src.close()
   }
 
   /** Synthetic media table over `documents`: image rows carry REAL PNG
