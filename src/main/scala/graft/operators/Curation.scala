@@ -201,9 +201,22 @@ object Curation {
     val chunks = docs.select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), posexplode(chunkList).as(Seq("idx", "ch")))
       .select(col("doc_id"), col("idx"), col("ch").cast("long").as("ch"))
+    // The winner key is PACKED into one BIGINT (doc_id·2^20 + idx) so the
+    // aggregate is a plain codegen'd HashAggregate with map-side partials —
+    // both min(struct(...)) and min_by(struct ordering) fall back to
+    // SortAggregate, a per-phase sort of the whole chunk stream at 100 TB.
+    // Packing is lexicographic iff idx < 2^20 and doc_id < 2^43 — asserted
+    // loudly (q30's pattern) so a violating corpus fails instead of
+    // silently mis-picking winners.
     val winners = chunks.groupBy(col("ch"))
-      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
-      .select(col("ch"), col("w.doc_id").as("w_doc"), col("w.idx").as("w_idx"))
+      .agg(min(col("doc_id") * 1048576L + col("idx")).as("wp"),
+        max(col("idx")).as("__mi"), max(col("doc_id")).as("__md"))
+      .withColumn("wp",
+        when(col("__mi") < 1048576 && col("__md") < 8796093022208L, col("wp"))
+          .otherwise(raise_error(
+            lit("dd13: idx >= 2^20 or doc_id >= 2^43 breaks the packed winner key"))))
+      .select(col("ch"), expr("wp div 1048576").as("w_doc"),
+        (col("wp") % 1048576L).as("w_idx"))
     chunks.join(winners, Seq("ch"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),

@@ -178,7 +178,14 @@ object Similarity {
       .withColumn("d2",
         col("nrm") + col("cnrm") - expr("2 * dot_l(v, cv)"))
       .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cent_id"))).as("m"))
+      // min_by with a struct ordering still plans as SortAggregate (struct
+      // buffers are not hash-aggregable), but the sort's groups are the
+      // k≪n centroid rows per vector and the partial aggregate combines
+      // map-side, so the exchange carries one row per vector. Packing
+      // (d2, cent_id) into one BIGINT (dd13's trick) is unsafe here: d2's
+      // magnitude is data-dependent, so no static bit split exists.
+      .agg(min_by(struct(col("cent_id"), col("d2")),
+        struct(col("d2"), col("cent_id"))).as("m"))
       .select(col("vec_id"), col("m.cent_id").as("cluster"), col("m.d2").as("d2"))
 
   // Per-dimension truncated mean: double division of exact integers is

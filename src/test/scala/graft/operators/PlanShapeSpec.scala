@@ -185,9 +185,12 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
-    // winner per chunk hash must stay an aggregate (map-side partial —
-    // skew-proof), never a row_number window over the chunk stream
-    assert(plan.contains("min("), plan.take(3000))
+    // winner per chunk hash must stay a codegen'd HASH aggregate (map-side
+    // partial — skew-proof): never a row_number window over the chunk
+    // stream, and never the SortAggregate fallback that a struct-keyed
+    // min/min_by would plan (the packed-BIGINT key is what prevents it)
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+    assert(!plan.contains("SortAggregate"), plan.take(3000))
     assert(!plan.contains("row_number"), plan.take(3000))
   }
 
