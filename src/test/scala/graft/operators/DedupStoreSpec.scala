@@ -145,4 +145,32 @@ class DedupStoreSpec extends SparkSpec {
         plan.take(3000))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
+
+  test("bands are partition-pruned: a one-band probe scans 1/nBands of the store") {
+    val (old, _) = fixture
+    val dir = Files.createTempDirectory("dedup-store-prune").toFile
+    try {
+      DedupStore.build(old, dir.getPath)
+      val store = DedupStore.read(spark, dir.getPath)
+      // the layout promise from the store docs: partitioning by `band`
+      // makes a band-at-a-time probe read only that band's files —
+      // the predicate must land in PartitionFilters, not a post-scan Filter
+      val plan = store.bands
+        .filter(org.apache.spark.sql.functions.col("band") === 2)
+        .queryExecution.executedPlan
+      val scan = plan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      assert(scan.partitionFilters.exists(_.toString.contains("band")),
+        s"band predicate must prune partitions: ${scan.partitionFilters}")
+      // and the pruned scan indeed READS a strict subset of the files
+      // (input_file_name reflects execution; .inputFiles would list the
+      // whole unpruned relation)
+      import org.apache.spark.sql.functions.{col, input_file_name}
+      val all = store.bands.select(input_file_name()).distinct().count()
+      val pruned = store.bands.filter(col("band") === 2)
+        .select(input_file_name()).distinct().count()
+      assert(pruned < all && pruned > 0, s"pruned=$pruned all=$all")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
 }
