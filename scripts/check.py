@@ -41,20 +41,43 @@ def main(outdir, sfdir):
     for name in sorted(oracle):
         sql = oracle[name]
         try:
+            # fetchall() BEFORE any further con.execute(): duckdb-python
+            # invalidates the pending result when the connection runs the
+            # next statement.
             sp = con.execute(
                 f"SELECT * FROM '{outdir}/{name}/*.parquet'")
             sp_cols = [d[0] for d in sp.description]
             sp_rows = sp.fetchall()
+            sp_types = [str(t) for t in con.execute(
+                f"SELECT * FROM '{outdir}/{name}/*.parquet' LIMIT 0"
+            ).arrow().schema.types]
             du = con.execute(sql)
             du_cols = [d[0] for d in du.description]
             du_rows = du.fetchall()
+            du_types = [str(t) for t in con.execute(
+                f"SELECT * FROM ({sql}) q LIMIT 0").arrow().schema.types]
         except Exception as e:
             fails.append((name, f"ERROR {e}"))
             continue
         c1, r1 = canon(sp_rows, sp_cols)
         c2, r2 = canon(du_rows, du_cols)
+        # The driver hashes typed (arrow) values, so an oracle whose SUM
+        # stays HUGEINT mismatches a BIGINT parquet column even when every
+        # value is equal. Compare dtypes here so that fails locally first.
+        # Integer WIDTH differences (int32 row_number vs BIGINT) are
+        # normalized away — the driver's r4 capture hash-matched those —
+        # but hugeint/decimal/float-vs-int divergence stays fatal.
+        def norm(t):
+            return "int" if t in ("int8", "int16", "int32", "int64") else t
+        t1 = [norm(t) for _, t in sorted(zip(sp_cols, sp_types))]
+        t2 = [norm(t) for _, t in sorted(zip(du_cols, du_types))]
         if c1 != c2:
             fails.append((name, f"schema mismatch spark={c1} duck={c2}"))
+        elif t1 != t2:
+            fails.append((name, "dtype mismatch "
+                          + ", ".join(f"{c}: spark={a} duck={b}"
+                                      for c, a, b in zip(c1, t1, t2)
+                                      if a != b)))
         elif len(r1) != len(r2):
             fails.append((name, f"rowcount spark={len(r1)} duck={len(r2)}"))
         elif r1 != r2:

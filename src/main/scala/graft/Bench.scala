@@ -29,33 +29,51 @@ object Bench {
     // any data-size-dependent AQE decisions are still made fresh (and
     // timed) on the real input.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      // Sub-second queries are dominated by shared-host scheduling noise
+      // (a 0.24 s join was captured at 1.69 s in one driver round), so
+      // they get a median-of-3; anything slower is measured once — its
+      // signal already dwarfs the jitter and two extra runs cost minutes.
+      val first = timed(fn)
+      val runs = if (first < 0.5) Seq(first, timed(fn), timed(fn)) else Seq(first)
       // Nudge the ContextCleaner: accumulated broadcast/checkpoint blocks
       // from one query otherwise bleed GC pressure into the next timing.
       System.gc()
-      name -> dt
+      name -> runs
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    def ms(v: Double): String = f"$v%.3f"
+    val median = results.map { case (k, rs) => k -> rs.sorted.apply(rs.size / 2) }
+    val qs = median.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+    val total = median.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Truncation-proof record: the full per-query JSON goes to a FILE, and
-    // the path + total print first — a capture window that loses the tail
-    // of stdout still leaves the result recoverable from disk.
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qs.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    // Truncation-proof record, full detail (every timed run) to a FILE.
+    val runsJson = results.map { case (k, rs) =>
+      "\"" + k + "\":[" + rs.map(ms).mkString(",") + "]" }.mkString("{", ",", "}")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       sys.props("java.io.tmpdir") + "/graft_bench.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (json + "\n").getBytes("UTF-8"))
+        (json + "\n" + s"""{"metric":"runs","queries":$runsJson,"sf":"$sfDir"}""" + "\n")
+          .getBytes("UTF-8"))
       println(f"[bench] wrote $outPath, total=$total%.2f s over ${results.size}%d queries")
     } catch { case e: java.io.IOException =>
       println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    // The driver keeps only a TAIL of stdout, so the per-query map is
+    // printed LAST as short (<1 KB) individually-valid JSON lines — a
+    // window too small for the full one-line JSON still retains complete
+    // trailing chunks — and the canonical one-line JSON is the final line
+    // (ms precision keeps it ~2.5 KB for 86 queries).
+    qs.grouped(20).zipWithIndex.foreach { case (chunk, i) =>
+      println(s"""{"metric":"part","idx":${i + 1},"queries":${chunk.mkString("{", ",", "}")}}""")
     }
     println(json)
     spark.stop()

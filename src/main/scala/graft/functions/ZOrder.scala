@@ -1,7 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -25,6 +24,67 @@ object ZOrderImpl {
     * LAYOUT device, not an identity). */
   def compute(x: Long, y: Long): Long =
     spread(x) | (spread(y) << 1)
+
+  /** Decompose the rectangle [xLo,xHi] × [yLo,yHi] into at most
+    * `maxRanges` ascending, disjoint `(zLo, zHi)` key intervals whose
+    * union COVERS every Morton key inside the rectangle — the read-side
+    * rewrite that makes a zorder-clustered layout prunable by anyone, not
+    * just its author. Quadtree walk in z-order: a quadrant fully inside
+    * the rectangle contributes its whole (contiguous) key range; a
+    * partially-overlapping quadrant splits, until either single cells are
+    * reached or the work budget is hit — then the quadrant's full range is
+    * emitted CONSERVATIVELY. A superset is always safe: the caller
+    * re-applies the exact x/y predicates, the ranges only decide which
+    * files/row-groups are worth opening (cf. the BIGMIN/LITMAX literature;
+    * the budgeted-quadtree form trades a few extra covered keys for
+    * strictly bounded range counts). */
+  def zRanges(xLo: Long, xHi: Long, yLo: Long, yHi: Long,
+      maxRanges: Int = 64): Seq[(Long, Long)] = {
+    require(0 <= xLo && xLo <= xHi && xHi < (1L << 31) &&
+      0 <= yLo && yLo <= yHi && yHi < (1L << 31),
+      s"rectangle out of the 31-bit domain: [$xLo,$xHi]x[$yLo,$yHi]")
+    require(maxRanges >= 1, "maxRanges must be >= 1")
+    val workBudget = maxRanges.toLong * 4
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def visit(cx: Long, cy: Long, bits: Int): Unit = {
+      val size = 1L << bits
+      val cxHi = cx + size - 1
+      val cyHi = cy + size - 1
+      if (cx > xHi || cxHi < xLo || cy > yHi || cyHi < yLo) return
+      val inside = cx >= xLo && cxHi <= xHi && cy >= yLo && cyHi <= yHi
+      if (inside || bits == 0 || buf.length >= workBudget) {
+        val z0 = compute(cx, cy)
+        buf += ((z0, z0 + (size * size - 1))) // cell = contiguous z block
+      } else {
+        val h = size >> 1
+        // z-order quadrant visit (x-bit minor) keeps emissions ascending
+        visit(cx, cy, bits - 1); visit(cx + h, cy, bits - 1)
+        visit(cx, cy + h, bits - 1); visit(cx + h, cy + h, bits - 1)
+      }
+    }
+    visit(0L, 0L, 31)
+    // coalesce touching neighbours, then enforce maxRanges by closing the
+    // SMALLEST inter-range gaps first (each merge covers few extra keys)
+    val merged = buf.foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: tail, (l, h)) if l <= hi + 1 => (lo, math.max(hi, h)) :: tail
+      case (acc, r) => r :: acc
+    }.reverse.toIndexedSeq
+    if (merged.length <= maxRanges) merged
+    else {
+      val gaps = merged.sliding(2).zipWithIndex.collect {
+        case (Seq((_, h1), (l2, _)), i) => (l2 - h1, i)
+      }.toIndexedSeq
+      val keep = gaps.sortBy(-_._1).take(maxRanges - 1).map(_._2).toSet
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var cur = merged.head
+      for (i <- 1 until merged.length) {
+        if (keep(i - 1)) { out += cur; cur = merged(i) }
+        else cur = (cur._1, merged(i)._2)
+      }
+      out += cur
+      out.toIndexedSeq
+    }
+  }
 }
 
 /** `zorder2(x, y)` → the 62-bit Morton (Z-order) key interleaving the two
@@ -39,15 +99,14 @@ object ZOrderImpl {
   * per row per dimension).
   */
 case class ZOrder2(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType == LongType)
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"zorder2 expects (bigint, bigint), " +
-        s"got (${left.dataType.sql}, ${right.dataType.sql})")
-  }
+  // ImplicitCastInputTypes widens INT/SMALLINT/etc. inputs to BIGINT at
+  // analysis time (a layout key over a narrow id column is the common
+  // call); non-numeric inputs still fail analysis via the inherited check.
+  // (Seq[DataType] <: Seq[AbstractDataType] — the parent type itself is
+  // private[sql], so the override narrows the covariant return type.)
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
   override def dataType: DataType = LongType
   override def prettyName: String = "zorder2"
 

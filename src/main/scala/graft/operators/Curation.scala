@@ -210,11 +210,14 @@ object Curation {
     // silently mis-picking winners.
     val winners = chunks.groupBy(col("ch"))
       .agg(min(col("doc_id") * 1048576L + col("idx")).as("wp"),
-        max(col("idx")).as("__mi"), max(col("doc_id")).as("__md"))
+        max(col("idx")).as("__mi"), max(col("doc_id")).as("__md"),
+        min(col("doc_id")).as("__nd"))
       .withColumn("wp",
-        when(col("__mi") < 1048576 && col("__md") < 8796093022208L, col("wp"))
+        when(col("__mi") < 1048576 && col("__md") < 8796093022208L &&
+            col("__nd") >= 0, col("wp"))
           .otherwise(raise_error(
-            lit("dd13: idx >= 2^20 or doc_id >= 2^43 breaks the packed winner key"))))
+            lit("dd13: idx >= 2^20, doc_id >= 2^43, or doc_id < 0 " +
+              "breaks the packed winner key"))))
       .select(col("ch"), expr("wp div 1048576").as("w_doc"),
         (col("wp") % 1048576L).as("w_idx"))
     chunks.join(winners, Seq("ch"))
@@ -403,11 +406,11 @@ object Curation {
        | FROM documents),
        |c AS (
        | SELECT doc_id, n_tokens,
-       |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+       |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
        | FROM t)
        |SELECT doc_id, n_tokens, start_off,
-       | start_off // $packBudget AS seq_id,
+       | CAST(start_off // $packBudget AS BIGINT) AS seq_id,
        | (n_tokens > 0 AND (start_off + n_tokens - 1) // $packBudget != start_off // $packBudget) AS straddles
        |FROM c""".stripMargin
 
@@ -470,8 +473,8 @@ object Curation {
        | FROM documents),
        |c AS (
        | SELECT doc_id, lang, n_tokens,
-       |  COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+       |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
        | FROM t)
        |SELECT doc_id, lang, n_tokens, start_off
        |FROM c WHERE start_off < $langTokenBudget""".stripMargin
@@ -552,6 +555,25 @@ object Curation {
     df.withColumn("zkey", expr(s"zorder2($x, $y)"))
       .repartitionByRange(numFiles, col("zkey"))
       .sortWithinPartitions(col("zkey"))
+  }
+
+  /** Read-side rewrite for a [[zorderClustered]] table: the rectangle
+    * [xLo,xHi] × [yLo,yHi] becomes a disjunction of `zkey BETWEEN`
+    * intervals ([[graft.functions.ZOrderImpl.zRanges]]) that parquet
+    * min/max stats can prune on — BOTH dimensions at once — AND the exact
+    * x/y predicates (the z-ranges are a covering superset, so the column
+    * predicates stay authoritative). Without this helper the layout's
+    * pruning was only usable by hand-derived BETWEEN bounds; this is the
+    * index surface the reference exposes over its cities lat/lon-adjacent
+    * lookups (reference `src/setup.sql:48-51`). */
+  def zRectScan(df: DataFrame, x: String, y: String,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long,
+      maxRanges: Int = 64): DataFrame = {
+    val ranges = graft.functions.ZOrderImpl.zRanges(xLo, xHi, yLo, yHi, maxRanges)
+    val zPred = ranges.map { case (lo, hi) => col("zkey").between(lo, hi) }
+      .reduce(_ || _)
+    df.filter(zPred &&
+      col(x).between(xLo, xHi) && col(y).between(yLo, yHi))
   }
 
   // ---------------------------------------------------------------------

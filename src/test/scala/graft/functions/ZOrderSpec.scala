@@ -63,6 +63,81 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("zRanges: ascending disjoint intervals covering every key in the rectangle") {
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 200) {
+      val xLo = rnd.nextInt(60); val xHi = xLo + rnd.nextInt(64 - xLo)
+      val yLo = rnd.nextInt(60); val yHi = yLo + rnd.nextInt(64 - yLo)
+      val ranges = ZOrderImpl.zRanges(xLo, xHi, yLo, yHi, maxRanges = 64)
+      assert(ranges.nonEmpty && ranges.size <= 64)
+      for (Seq((_, h1), (l2, _)) <- ranges.sliding(2))
+        assert(h1 + 1 < l2, s"not ascending-disjoint-coalesced: $ranges")
+      // every key inside the rectangle is covered (the pruning contract)
+      for (x <- xLo to xHi; y <- yLo to yHi) {
+        val z = ZOrderImpl.compute(x, y)
+        assert(ranges.exists { case (lo, hi) => lo <= z && z <= hi },
+          s"($x,$y) z=$z escapes [$xLo,$xHi]x[$yLo,$yHi] -> $ranges")
+      }
+    }
+    // aligned power-of-2 square = exactly one contiguous range, no slop
+    assert(ZOrderImpl.zRanges(16, 23, 8, 15) ==
+      Seq((ZOrderImpl.compute(16, 8), ZOrderImpl.compute(16, 8) + 63)))
+  }
+
+  test("zRanges: budget bounds the range count on huge rectangles, still covering") {
+    // a worst-case thin diagonal-ish rectangle over the full 31-bit domain
+    val ranges = ZOrderImpl.zRanges(12345L, 2000000000L, 777L, 1999999999L,
+      maxRanges = 16)
+    assert(ranges.size <= 16)
+    for (Seq((_, h1), (l2, _)) <- ranges.sliding(2)) assert(h1 < l2)
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 5000) {
+      val x = 12345L + (math.abs(rnd.nextLong()) % (2000000000L - 12345L + 1))
+      val y = 777L + (math.abs(rnd.nextLong()) % (1999999999L - 777L + 1))
+      val z = ZOrderImpl.compute(x, y)
+      assert(ranges.exists { case (lo, hi) => lo <= z && z <= hi })
+    }
+  }
+
+  test("zRectScan: rectangle answer identical to the plain x/y filter, and prunes files on BOTH dimensions") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("zorder-read").toFile
+    try {
+      val rnd = new scala.util.Random(11)
+      val df = (1 to 8000).map(i =>
+        (i.toLong, rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+        .toDF("id", "x", "y")
+      graft.operators.Curation.zorderClustered(df, "x", "y", 16)
+        .write.mode("overwrite").parquet(tmp.getPath)
+      val t = spark.read.parquet(tmp.getPath)
+      val total = t.select(input_file_name()).distinct().count()
+      assert(total > 8)
+      // correctness: the rewrite changes WHICH FILES are opened, never rows
+      val got = graft.operators.Curation
+        .zRectScan(t, "x", "y", 100, 180, 600, 700)
+        .select("id").as[Long].collect().sorted
+      val want = t.filter(col("x").between(100, 180) && col("y").between(600, 700))
+        .select("id").as[Long].collect().sorted
+      assert(got.sameElements(want) && got.nonEmpty)
+      // pruning: the files the z-ranges ADMIT (zPred alone, before the
+      // exact x/y predicates) are a strict subset of all files — this is
+      // what footer min/max stats skip. Check a rectangle thin in x and
+      // one thin in y: both dimensions prune through the one zkey column.
+      def admitted(xLo: Long, xHi: Long, yLo: Long, yHi: Long): Long = {
+        val ranges = ZOrderImpl.zRanges(xLo, xHi, yLo, yHi, 64)
+        val zPred = ranges.map { case (lo, hi) => col("zkey").between(lo, hi) }
+          .reduce(_ || _)
+        t.filter(zPred).select(input_file_name()).distinct().count()
+      }
+      val thinX = admitted(0, 30, 0, 1023)
+      val thinY = admitted(0, 1023, 0, 30)
+      assert(thinX < total, s"x-thin rectangle admitted all $total files")
+      assert(thinY < total, s"y-thin rectangle admitted all $total files")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+  }
+
   test("zorderClustered writes range-disjoint files — min/max stats prune rectangles") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("zorder-layout").toFile
