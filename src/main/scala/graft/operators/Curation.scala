@@ -577,6 +577,22 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // ds08: the Z-order READ side as a checked query — a two-sided rectangle
+  // over the (x, y) domain answered through the zkey rewrite: zRanges
+  // decomposes the rectangle into BETWEEN intervals (what parquet min/max
+  // stats prune on a ds06-clustered layout), the exact column predicates
+  // stay on top. The answer must equal the plain rectangle filter — the
+  // oracle IS the plain filter, so a covering bug in the decomposition
+  // (a dropped key) or a masking bug (zkey of the wrong bits) hash-fails.
+  // ---------------------------------------------------------------------
+  def ds08ZrectQuery(s: SparkSession, dir: String): DataFrame =
+    zRectScan(ds06ZorderKey(s, dir), "x", "y", 100, 900, 200, 777)
+
+  val ds08Oracle: String =
+    s"""SELECT * FROM ($ds06Oracle) z
+       |WHERE x BETWEEN 100 AND 900 AND y BETWEEN 200 AND 777""".stripMargin
+
+  // ---------------------------------------------------------------------
   // tp03: the corpus report card — the fleet-management question every
   // data team asks between pipeline runs, answered in ONE plan: per
   // language, how many documents and tokens do we hold, how many are
@@ -632,6 +648,7 @@ object Curation {
     "ds05_token_budget" -> (ds05TokenBudget _),
     "ds06_zorder_key" -> (ds06ZorderKey _),
     "ds07_group_sample" -> (ds07GroupSample _),
+    "ds08_zrect_query" -> (ds08ZrectQuery _),
     "dc01_decontaminate" -> (dc01Decontaminate _),
     "dd10_repeated_spans" -> (dd10RepeatedSpans _),
     "dd13_paragraph_dedup" -> (dd13ParagraphDedup _),
@@ -646,6 +663,7 @@ object Curation {
     "ds05_token_budget" -> ds05Oracle,
     "ds06_zorder_key" -> ds06Oracle,
     "ds07_group_sample" -> ds07Oracle,
+    "ds08_zrect_query" -> ds08Oracle,
     "dc01_decontaminate" -> dc01Oracle,
     "dd10_repeated_spans" -> dd10Oracle,
     "dd13_paragraph_dedup" -> dd13Oracle,

@@ -147,8 +147,13 @@ object DedupStore {
       s.read.parquet(s"$dir/hashes").distinct().repartition(parallelism), Seq.empty)
     rewrite("sets",
       s.read.parquet(s"$dir/sets").repartition(parallelism), Seq.empty)
+    // Repartition ON the band column so each band's rows land in one task:
+    // the rewrite restores ONE file per band partition no matter how many
+    // roll-forwards fragmented it. (At sizes where a single band outgrows
+    // one task, add a second split key here — the partition layout and its
+    // consumers don't change.)
     rewrite("bands",
-      s.read.parquet(s"$dir/bands").repartition(parallelism), Seq("band"))
+      s.read.parquet(s"$dir/bands").repartition(col("band")), Seq("band"))
     // Rebuild the bloom sidecars from the compacted tables — same content
     // (blooms have no deletes to lose), but derived from one source of
     // truth instead of a merge chain.

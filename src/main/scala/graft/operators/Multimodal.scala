@@ -31,10 +31,13 @@ import graft.Tables
   * is lossless). Frame features (RMS energy, zero crossings) are integer
   * math, so they golden-check exactly.
   *
-  * ==STUB== Only VIDEO byte→frame decode remains a DETERMINISTIC FAKE
-  * (`decodeStub`): the JDK ships no video codec and this container has no
-  * ffmpeg. Swap `decodeStub` for a codec binding without touching any of
-  * the Spark plumbing around it.
+  * The VIDEO path decodes real bytes too: payloads are a self-describing
+  * raw-frame container (GRVF: magic + u16 width/height/frame-count header
+  * + uncompressed 8-bit gray frames — the JDK ships no video codec, so
+  * the fixture generator IS the encoder), and decode parses the header
+  * and slices exact frame planes, failing loudly on a malformed payload.
+  * An ffmpeg-style codec binding would replace [[encodeRawVideo]] /
+  * [[decodeVideo]] only — none of the Spark plumbing around them.
   */
 object Multimodal {
   import Relational.Q
@@ -138,9 +141,56 @@ object Multimodal {
     } finally src.close()
   }
 
+  /** Deterministic 8-bit gray frames for id — the fixture generator for
+    * the raw-video path (pixel = mixed bits of (id, frame, i)). */
+  private[operators] def syntheticFrames(id: Long, w: Int, h: Int,
+      n: Int): Array[Array[Byte]] =
+    Array.tabulate(n) { f =>
+      val plane = new Array[Byte](w * h)
+      var i = 0
+      while (i < plane.length) {
+        val v = id * 1315423911L + f * 2654435761L + i * 1442695040888963407L
+        plane(i) = (v >>> 40).toByte
+        i += 1
+      }
+      plane
+    }
+
+  /** REAL (if trivial) video container encode: `GRVF` magic, version byte,
+    * u16-LE width/height/frame-count, then raw row-major 8-bit gray
+    * frames. Self-describing; [[decodeVideo]] trusts only the bytes. */
+  private[operators] def encodeRawVideo(w: Int, h: Int,
+      frames: Array[Array[Byte]]): Array[Byte] = {
+    require(frames.forall(_.length == w * h), "encodeRawVideo: frame size mismatch")
+    val out = new Array[Byte](11 + frames.length * w * h)
+    out(0) = 'G'; out(1) = 'R'; out(2) = 'V'; out(3) = 'F'; out(4) = 1
+    def u16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    u16(5, w); u16(7, h); u16(9, frames.length)
+    var off = 11
+    for (fr <- frames) { System.arraycopy(fr, 0, out, off, fr.length); off += fr.length }
+    out
+  }
+
+  /** REAL video decode: GRVF bytes → (width, height, frames). Validates
+    * the magic, version and exact byte count — a malformed payload fails
+    * loudly instead of yielding garbage planes. */
+  def decodeVideo(bytes: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+    require(bytes.length >= 11 && bytes(0) == 'G' && bytes(1) == 'R' &&
+      bytes(2) == 'V' && bytes(3) == 'F' && bytes(4) == 1,
+      "decodeVideo: not a GRVF v1 payload")
+    def u16(off: Int) = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    val w = u16(5); val h = u16(7); val n = u16(9)
+    require(bytes.length == 11 + n * w * h,
+      s"decodeVideo: payload ${bytes.length} B != header promise ${11 + n * w * h} B")
+    (w, h, Array.tabulate(n)(f =>
+      java.util.Arrays.copyOfRange(bytes, 11 + f * w * h, 11 + (f + 1) * w * h)))
+  }
+
   /** Synthetic media table over `documents`: image rows carry REAL PNG
-    * payloads, audio rows REAL WAV payloads; video rows carry the UTF-8
-    * text bytes (their decode is the declared stub). Stands in for
+    * payloads, audio rows REAL WAV payloads, video rows REAL GRVF
+    * raw-frame payloads. Stands in for
     * `spark.read.format("binaryFile")` over a media landing dir — the
     * per-row encode work is exactly the narrow, shuffle-free shape a
     * binary-file scan has. */
@@ -149,7 +199,7 @@ object Multimodal {
     Tables.balanced(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .mapPartitions { rows =>
-        rows.map { case (id, text) =>
+        rows.map { case (id, _) =>
           val kind = ((id % 3) + 3) % 3 match {
             case 0 => "image"; case 1 => "audio"; case _ => "video"
           }
@@ -158,7 +208,7 @@ object Multimodal {
           val bytes = kind match {
             case "image" => encodePng(syntheticImage(id, w, h))
             case "audio" => encodeWav(syntheticSamples(id, (2048 + id % 1024).toInt))
-            case _ => text.getBytes("UTF-8")
+            case _ => encodeRawVideo(w, h, syntheticFrames(id, w, h, (id % 12 + 4).toInt))
           }
           MediaRow(id, kind, bytes, w, h, 3)
         }
@@ -189,30 +239,16 @@ object Multimodal {
     out
   }
 
-  /** ==STUB== stand-in for an audio/video codec: deterministically expands
-    * `bytes` to a w×h "sample" plane. The image path no longer goes through
-    * here — see [[decodeImage]]. */
-  def decodeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val out = new Array[Byte](math.max(w * h, 1))
-    if (bytes.nonEmpty) {
-      var i = 0
-      while (i < out.length) {
-        // deterministic pseudo-decode: stride through the payload
-        out(i) = (bytes(((i.toLong * 2654435761L) % bytes.length).toInt)
-          ^ (i & 0x7f)).toByte
-        i += 1
-      }
-    }
-    out
-  }
-
   private def decode(m: MediaRow): Array[Byte] = m.kind match {
     case "image" => decodeImage(m.bytes)
     case "audio" =>
       // real WAV decode; fold 16-bit samples to a byte plane (high byte,
       // offset-binary) so the block-mean feature shape is kind-agnostic
       decodeAudio(m.bytes).map(s => (((s >> 8) + 128) & 0xff).toByte)
-    case _ => decodeStub(m.bytes, m.width, m.height) // STUB: no video codec in the JDK
+    case _ =>
+      // real GRVF decode; the "plane" is the frames concatenated in time
+      // order, so block-mean features see the whole clip
+      decodeVideo(m.bytes)._3.flatten
   }
 
   /** Fixed-width block-mean features over the decoded plane. Narrow
@@ -240,17 +276,18 @@ object Multimodal {
     }
   }
 
-  /** Resize: images are REALLY rescaled (decode → bilinear draw at w×h →
-    * lossless re-encode, still a decodable PNG payload); other kinds
-    * re-stride through the stub. Shape params flow through the plumbing
-    * either way. */
+  /** Resize — every kind re-encodes a REAL payload: images decode →
+    * bilinear redraw → lossless PNG re-encode; audio decodes → nearest
+    * resample to w·h samples → WAV re-encode; video decodes → per-frame
+    * nearest-neighbor rescale → GRVF re-encode. Shape params flow through
+    * the plumbing and the output stays decodable by the same codecs. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.map { m =>
-        val bytes =
-          if (m.kind == "image") {
+        val bytes = m.kind match {
+          case "image" =>
             val src = ImageIO.read(new ByteArrayInputStream(m.bytes))
             val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
             val g = dst.createGraphics()
@@ -260,23 +297,44 @@ object Multimodal {
               g.drawImage(src, 0, 0, w, h, null)
             } finally g.dispose()
             encodePng(dst)
-          } else decodeStub(m.bytes, w, h)
+          case "audio" =>
+            val s0 = decodeAudio(m.bytes)
+            val n = w * h
+            encodeWav(Array.tabulate(n)(i =>
+              s0(((i.toLong * s0.length) / n).toInt)))
+          case _ =>
+            val (vw, vh, frames) = decodeVideo(m.bytes)
+            encodeRawVideo(w, h, frames.map { fr =>
+              val out = new Array[Byte](w * h)
+              var y = 0; var i = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  out(i) = fr((y * vh / h) * vw + (x * vw / w))
+                  i += 1; x += 1
+                }
+                y += 1
+              }
+              out
+            })
+        }
         m.copy(bytes = bytes, width = w, height = h)
       }
     }
   }
 
-  /** Frame sampling for `video` rows: every `stride`-th frame gets its own
-    * feature vector — one input row fans out to n_frames rows (flatMap,
-    * still narrow / shuffle-free). Frame decode is the declared A/V stub. */
+  /** Frame sampling for `video` rows: every `stride`-th REAL container
+    * frame gets its own feature vector — one input row fans out to
+    * n_frames rows (flatMap, still narrow / shuffle-free). */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 4,
       maxFrames: Int = 8, dim: Int = 8): Dataset[FrameFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter((m: MediaRow) => m.kind == "video").flatMap { m =>
-      val nFrames = math.min(math.max(m.bytes.length / 64, 1), maxFrames * stride)
+      val frames = decodeVideo(m.bytes)._3
+      val nFrames = math.min(frames.length, maxFrames * stride)
       (0 until nFrames by stride).map { f =>
-        val frame = decodeStub(m.bytes.drop(f * 7), 8, 8)
+        val frame = frames(f)
         val feats = new Array[Float](dim)
         var i = 0
         while (i < frame.length) {

@@ -32,7 +32,7 @@ object Similarity {
   private val numPlanes = 8
 
   // (vec_id, v: Array[Long], nrm: Long) — quantized ints, shared with Dedup.
-  private def qvec(s: SparkSession, dir: String): DataFrame =
+  private[operators] def qvec(s: SparkSession, dir: String): DataFrame =
     Dedup.quantized(Tables(s, dir, "embeddings"))
       .select(col("vec_id"), col("v"), col("nrm"))
 
@@ -304,11 +304,11 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("rnk"), col("cos"))
   }
 
-  val ss03Oracle: String =
-    s"""WITH $qvecSql,
-       |${kmChainSql(ivfRounds)},
-       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
-       |cscored AS (
+  /** The ANN probe tail shared by ss03/ss05/ss07: score all vectors
+    * against `cents`, assign (crn=1), probe (crn<=nprobe over the query
+    * subset), rerank exactly within probed lists. */
+  private val annProbeTailSql: String =
+    s"""cscored AS (
        | SELECT qn.vec_id, cents.cent_id,
        |  CAST(list_sum(list_transform(range(1, len(qn.v) + 1), i -> qn.v[i] * cents.cv[i])) AS BIGINT)
        |    / sqrt(CAST(qn.nrm AS DOUBLE) * CAST(cents.cn AS DOUBLE)) AS ccos
@@ -331,6 +331,23 @@ object Similarity {
        | SELECT q_id, c_id, cos,
        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk
        | FROM scored) t WHERE rnk <= $K""".stripMargin
+
+  /** ss07: the centroid chain trains on the OLD subset (qn → qno via the
+    * word-boundary rewrite — seeds, assignment and means CTEs all read
+    * qno), but the probe tail scores the FULL corpus against those frozen
+    * centroids: exactly what build-on-old + roll-forward produces. */
+  val ss07Oracle: String =
+    s"""WITH $qvecSql,
+       |qno AS (SELECT * FROM qn WHERE vec_id % 10 != 3),
+       |${kmChainSql(ivfRounds).replaceAll("\\bqn\\b", "qno")},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |$annProbeTailSql""".stripMargin
+
+  val ss03Oracle: String =
+    s"""WITH $qvecSql,
+       |${kmChainSql(ivfRounds)},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |$annProbeTailSql""".stripMargin
 
   // ---------------------------------------------------------------------
   // ss04: k-means (Lloyd's) to a fixed round count — kmRounds full
@@ -371,11 +388,11 @@ object Similarity {
   // query cost is driven by list size, not corpus size. Same assignment
   // and probe semantics as ss03, so the two share one oracle.
   // ---------------------------------------------------------------------
-  def buildIvfIndex(pts: DataFrame, dir: String, rounds: Int = ivfRounds): Unit = {
-    val cents = learnedCentroids(pts, rounds).localCheckpoint()
-    cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    // ss03's cosine-argmax assignment (max_by, map-side partial agg) — the
-    // build is the ONLY place assignment runs; queries just read lists.
+  /** ss03's cosine-argmax assignment (max_by, map-side partial agg) of
+    * `pts` against a FIXED centroid set — shared by the index build and
+    * [[appendToIvfIndex]], so the roll-forward can never drift from the
+    * build's assignment rule. */
+  private[operators] def assignToCentroids(pts: DataFrame, cents: DataFrame): DataFrame = {
     val assigned = pts
       .select(col("vec_id"), col("v").as("v1"), col("nrm").as("n1"))
       .join(broadcast(cents.select(col("cent_id"), col("cv").as("v2"),
@@ -387,7 +404,29 @@ object Similarity {
         struct(col("ccos"), (-col("cent_id")).as("neg"))).as("cent_id"))
     assigned.join(pts, Seq("vec_id"))
       .select(col("cent_id"), col("vec_id"), col("v"), col("nrm"))
+  }
+
+  def buildIvfIndex(pts: DataFrame, dir: String, rounds: Int = ivfRounds): Unit = {
+    val cents = learnedCentroids(pts, rounds).localCheckpoint()
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    // the build is the ONLY place full-corpus assignment runs; queries
+    // just read lists, and appends assign their increment only.
+    assignToCentroids(pts, cents)
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/lists")
+  }
+
+  /** Roll the persisted index forward over an increment (dd11's
+    * rollForward, similarity-side): assign `newVecs` against the STORED
+    * centroids — never re-training, never re-reading the existing lists —
+    * and append their rows to the cent_id-partitioned lists. Work is
+    * O(increment × k); the existing corpus is untouched on disk. Quantizer
+    * drift under appended data is bounded offline by the ss06 recall
+    * audit; when recall sags, rebuild — exactly the IVF maintenance story
+    * of a production ANN service. */
+  def appendToIvfIndex(s: SparkSession, dir: String, newVecs: DataFrame): Unit = {
+    val cents = s.read.parquet(s"$dir/centroids")
+    assignToCentroids(newVecs, cents)
+      .write.mode("append").partitionBy("cent_id").parquet(s"$dir/lists")
   }
 
   private[operators] def indexPathFor(dir: String): String = {
@@ -396,10 +435,10 @@ object Similarity {
     s"${sys.props("java.io.tmpdir")}/graft_ivf_index_$tag"
   }
 
-  def ss05AnnIvfIndexed(s: SparkSession, dir: String): DataFrame = {
-    val base = qvec(s, dir).localCheckpoint()
-    val idxDir = indexPathFor(dir)
-    buildIvfIndex(base, idxDir)
+  /** The disk-index probe path: nearest nprobe centroids per query, exact
+    * rerank within the probed inverted lists — shared by ss05 and ss07.
+    * Assignment is never recomputed here (plan-pinned). */
+  private def probeIvfIndex(s: SparkSession, base: DataFrame, idxDir: String): DataFrame = {
     val cents = s.read.parquet(s"$idxDir/centroids")
       .select(col("cent_id"), col("cv").as("v2"), col("cnrm").as("n2"))
     val lists = s.read.parquet(s"$idxDir/lists")
@@ -426,6 +465,34 @@ object Similarity {
       .orderBy(col("cos").desc, col("c_id").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
       .select(col("q_id"), col("c_id"), col("rnk"), col("cos"))
+  }
+
+  def ss05AnnIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val idxDir = indexPathFor(dir)
+    buildIvfIndex(base, idxDir)
+    probeIvfIndex(s, base, idxDir)
+  }
+
+  // ---------------------------------------------------------------------
+  // ss07: IVF index ROLL-FORWARD — the maintenance story ss05 lacked:
+  // an index built on the standing corpus (vec_id % 10 != 3 — the
+  // increment residue is 3 so the % 250 == 0 quantizer seeds stay in the
+  // standing set), grown by appending the increment via
+  // [[appendToIvfIndex]] —
+  // assignment against the STORED centroids, O(increment) work, no
+  // retraining, no touch of the existing lists — then probed exactly like
+  // ss05. The oracle trains its centroid chain on the OLD subset only and
+  // assigns the full corpus against those centroids: the roll-forward
+  // must be indistinguishable from a one-shot build with the same frozen
+  // quantizer (IvfIndexSpec pins list-level equality too).
+  // ---------------------------------------------------------------------
+  def ss07AnnIndexRollforward(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val idxDir = indexPathFor(dir + "#rollforward")
+    buildIvfIndex(base.filter(col("vec_id") % 10 =!= 3), idxDir)
+    appendToIvfIndex(s, idxDir, base.filter(col("vec_id") % 10 === 3))
+    probeIvfIndex(s, base, idxDir)
   }
 
   // ---------------------------------------------------------------------
@@ -462,7 +529,8 @@ object Similarity {
     "ss03_ann_ivf" -> (ss03AnnIvf _),
     "ss04_kmeans" -> (ss04Kmeans _),
     "ss05_ann_ivf_indexed" -> (ss05AnnIvfIndexed _),
-    "ss06_ann_recall" -> (ss06AnnRecall _))
+    "ss06_ann_recall" -> (ss06AnnRecall _),
+    "ss07_ann_index_rollforward" -> (ss07AnnIndexRollforward _))
 
   val oracles: Map[String, String] = Map(
     "ss01_brute_topk" -> ss01Oracle,
@@ -471,5 +539,6 @@ object Similarity {
     "ss04_kmeans" -> ss04Oracle,
     // identical semantics to ss03 — the index is a physical artifact only
     "ss05_ann_ivf_indexed" -> ss03Oracle,
-    "ss06_ann_recall" -> ss06Oracle)
+    "ss06_ann_recall" -> ss06Oracle,
+    "ss07_ann_index_rollforward" -> ss07Oracle)
 }

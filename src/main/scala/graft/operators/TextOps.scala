@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -390,6 +390,103 @@ object TextOps {
       | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // tx12: BPE merge APPLICATION — the other half of tokenizer training.
+  // tx10 mines the best pair; tx12 closes the loop: apply the top-ranked
+  // merge to the token stream, re-mine over the merged corpus, repeat K
+  // rounds (mine → merge → re-mine — the actual BPE training iteration).
+  //
+  // The merge itself is greedy left-to-right non-overlapping, expressed as
+  // a FOLD over the token array with a string accumulator: each token is
+  // tagged with a \u0001 separator, and a step either fuses the incoming
+  // token onto the accumulator (when the accumulator ends with SEP+a and
+  // the token is SEP+b) or appends it. endsWith(acc, SEP+a) is exact
+  // last-token equality because SEP never occurs inside a token, and a
+  // fused token a||b can never re-match as `a` (that would need b = ""),
+  // so the fold IS the greedy pass — 'x x x' merges to ['xx','x'], not
+  // ['xx','xx'].
+  //
+  // Scale shape: each round is (1) the tx10 mining plan — map-side partial
+  // counts + TakeOrderedAndProject top-1, never a global sort — and (2) a
+  // pure per-row merge pass. The only driver-side data movement is the
+  // ONE mined pair per round (same driver-loop coordination as ss04's
+  // k-means; localCheckpoint truncates the growing lineage). The mined
+  // pair enters the next plan as a lit() Column, never spliced into SQL
+  // text. Oracle: the same K rounds as a generated CTE chain whose fold
+  // is DuckDB list_reduce — both sides COMPUTE the pairs, so the oracle
+  // stays self-contained.
+  // ---------------------------------------------------------------------
+  private[operators] val bpeRounds = 3
+  private val SEP = "\u0001"
+
+  private[operators] def minedTopPair(docs: DataFrame): Option[(String, String)] = {
+    val n = size(col("toks"))
+    val pairs = when(n >= 2,
+      zip_with(slice(col("toks"), lit(1), n - 1), slice(col("toks"), lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b))).otherwise(array().cast("array<string>"))
+    docs.select(explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(1).collect().headOption.map { r =>
+        val Array(a, b) = r.getString(0).split(" ", 2)
+        (a, b)
+      }
+  }
+
+  private[operators] def mergedToks(a: String, b: String): Column = {
+    val tagged = transform(col("toks"), t => concat(lit(SEP), t))
+    val folded = aggregate(tagged, lit(""), (acc, x) =>
+      when(endswith(acc, lit(SEP + a)) && x === lit(SEP + b),
+        concat(acc, x.substr(lit(2), length(x))))
+        .otherwise(concat(acc, x)))
+    filter(split(folded, SEP), z => z =!= "")
+  }
+
+  def tx12BpeMergeApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    var cur = docs.select(col("doc_id"),
+      expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+    for (_ <- 1 to bpeRounds) {
+      minedTopPair(cur).foreach { case (a, b) =>
+        cur = cur.withColumn("toks", mergedToks(a, b)).localCheckpoint()
+      }
+    }
+    cur.select(col("doc_id"), size(col("toks")).as("n_tokens"),
+      concat_ws(" ", col("toks")).as("merged_text"))
+  }
+
+  val tx12Oracle: String = {
+    val sb = new StringBuilder(
+      """WITH r0 AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        | FROM documents)""".stripMargin)
+    for (i <- 1 to bpeRounds) {
+      val p = i - 1
+      sb.append(s""",
+         |p$i AS (
+         | SELECT pair FROM (
+         |  SELECT unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i+1])) AS pair FROM r$p) t
+         | GROUP BY pair ORDER BY COUNT(*) DESC, pair ASC LIMIT 1),
+         |m$i AS (
+         | SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+         | FROM p$i),
+         |r$i AS (
+         | SELECT doc_id, CASE WHEN len(toks) = 0 THEN toks ELSE
+         |  list_filter(string_split(
+         |   list_reduce(list_transform(toks, t -> chr(1) || t), (acc, x) ->
+         |    CASE WHEN ends_with(acc, chr(1) || m$i.a) AND x = chr(1) || m$i.b
+         |         THEN acc || substr(x, 2) ELSE acc || x END), chr(1)),
+         |   z -> z != '') END AS toks
+         | FROM r$p CROSS JOIN m$i)""".stripMargin)
+    }
+    sb.append(s"""
+       |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+       | array_to_string(toks, ' ') AS merged_text
+       |FROM r$bpeRounds""".stripMargin)
+    sb.toString
+  }
+
   val queries: Map[String, Q] = Map(
     "q25_posexplode_filtered" -> (q25PosexplodeFiltered _),
     "q26_quantity_parse" -> (q26QuantityParse _),
@@ -403,7 +500,8 @@ object TextOps {
     "tx08_top_terms" -> (tx08TopTerms _),
     "tx09_oov_rate" -> (tx09OovRate _),
     "tx10_bpe_pairs" -> (tx10BpePairs _),
-    "tx11_bpe_token_count" -> (tx11BpeTokenCount _))
+    "tx11_bpe_token_count" -> (tx11BpeTokenCount _),
+    "tx12_bpe_merge_apply" -> (tx12BpeMergeApply _))
 
   val oracles: Map[String, String] = Map(
     "q25_posexplode_filtered" -> q25Oracle,
@@ -418,5 +516,6 @@ object TextOps {
     "tx08_top_terms" -> tx08Oracle,
     "tx09_oov_rate" -> tx09Oracle,
     "tx10_bpe_pairs" -> tx10Oracle,
-    "tx11_bpe_token_count" -> tx11Oracle)
+    "tx11_bpe_token_count" -> tx11Oracle,
+    "tx12_bpe_merge_apply" -> tx12Oracle)
 }

@@ -173,4 +173,40 @@ class DedupStoreSpec extends SparkSpec {
       assert(pruned < all && pruned > 0, s"pruned=$pruned all=$all")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
+
+  test("compaction policy at sf0.1: 3 roll-forwards fragment, compact restores one file per band") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables(spark, "/root/testdata/sf0.1", "documents")
+    val old = docs.filter(col("doc_id") % 10 < 6)
+    val checkBatch = docs.filter(col("doc_id") % 10 === 9).localCheckpoint()
+    val dir = Files.createTempDirectory("dedup-store-policy").toFile
+    def bandFileCounts(): Map[String, Int] = {
+      val bandsDir = new java.io.File(s"${dir.getPath}/bands")
+      bandsDir.listFiles().filter(f => f.isDirectory && f.getName.startsWith("band="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    try {
+      DedupStore.build(old, dir.getPath)
+      for (r <- 6 to 8)
+        DedupStore.rollForward(dir.getPath, docs.filter(col("doc_id") % 10 === r))
+      val fragmented = bandFileCounts()
+      assert(fragmented.nonEmpty && fragmented.values.exists(_ >= 4),
+        s"3 roll-forwards should fragment band partitions: $fragmented")
+      val before = flagsSeq(DedupStore.incrementalAgainstStore(
+        checkBatch, DedupStore.read(spark, dir.getPath)))
+      assert(before.nonEmpty)
+      DedupStore.compact(spark, dir.getPath)
+      val compacted = bandFileCounts()
+      assert(compacted.keySet == fragmented.keySet, "compaction must keep every band")
+      assert(compacted.values.forall(_ == 1),
+        s"compaction must restore one file per band partition: $compacted")
+      val hashes = spark.read.parquet(s"${dir.getPath}/hashes")
+      assert(hashes.count() == hashes.distinct().count(),
+        "compaction must leave hashes distinct")
+      val after = flagsSeq(DedupStore.incrementalAgainstStore(
+        checkBatch, DedupStore.read(spark, dir.getPath)))
+      assert(after == before, "the dd11 check must be unchanged by compaction")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** ss07 IVF roll-forward: appending an increment against the STORED
+  * centroids must be indistinguishable from a one-shot build with the same
+  * frozen quantizer; the probe must keep ss05's index-scan plan shape; and
+  * the grown index must keep useful recall against the exact baseline. */
+class IvfIndexSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("roll-forward lists equal a one-shot assignment under the stored centroids") {
+    val base = graft.operators.Similarity.qvec(spark, dir).localCheckpoint()
+    val idxDir = java.nio.file.Files.createTempDirectory("ivf-rf").toString
+    try {
+      val old = base.filter(col("vec_id") % 10 =!= 3)
+      val inc = base.filter(col("vec_id") % 10 === 3)
+      Similarity.buildIvfIndex(old, idxDir)
+      Similarity.appendToIvfIndex(spark, idxDir, inc)
+      val cents = spark.read.parquet(s"$idxDir/centroids")
+      // partition-column cent_id reads back as its inferred (int) type
+      val rolled = spark.read.parquet(s"$idxDir/lists")
+        .select(col("vec_id"), col("cent_id").cast("long")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val oneShot = Similarity.assignToCentroids(base, cents)
+        .select(col("vec_id"), col("cent_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rolled.size == base.count())
+      assert(rolled == oneShot,
+        "append drifted from the build's assignment rule")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+    }
+  }
+
+  test("append assigns the increment only — no retraining, no corpus re-read") {
+    val base = graft.operators.Similarity.qvec(spark, dir).localCheckpoint()
+    val idxDir = java.nio.file.Files.createTempDirectory("ivf-rf2").toString
+    try {
+      Similarity.buildIvfIndex(base.filter(col("vec_id") % 10 =!= 3), idxDir)
+      val cents = spark.read.parquet(s"$idxDir/centroids")
+      val plan = Similarity
+        .assignToCentroids(base.filter(col("vec_id") % 10 === 3), cents)
+        .queryExecution.executedPlan.toString
+      // retraining would show Lloyd's per-dimension update aggregate
+      assert(!plan.contains("collect_list"), plan.take(3000))
+      // the standing inverted lists must not be an input of the append
+      assert(!plan.contains(s"$idxDir/lists"), plan.take(3000))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+    }
+  }
+
+  test("ss07 probe keeps the index-scan shape and useful recall on the grown index") {
+    val plan = Similarity.ss07AnnIndexRollforward(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("max_by"), plan.take(3000)) // no re-assignment
+    assert(plan.contains("graft_ivf_index"),
+      "probe must scan the on-disk index\n" + plan.take(3000))
+    // ss06's honesty metric over the grown index: brute-force top-k hits
+    val exact = Similarity.ss01BruteTopk(spark, dir).select(col("q_id"), col("c_id"))
+    val approx = Similarity.ss07AnnIndexRollforward(spark, dir)
+      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+    val r = exact.join(approx, Seq("q_id", "c_id"), "left")
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0L))).as("h"))
+      .collect()(0)
+    val recallPct = r.getLong(1) * 100 / r.getLong(0)
+    assert(recallPct >= 30, s"recall $recallPct% — quantizer drift broke the index")
+  }
+}

@@ -23,6 +23,53 @@ class MultimodalSpec extends SparkSpec {
     val pngMagic = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
     assert(m.filter(_.kind == "image")
       .forall(_.bytes.take(4).sameElements(pngMagic)), "image payloads must be PNG")
+    assert(m.filter(_.kind == "video")
+      .forall(r => new String(r.bytes.take(4), "US-ASCII") == "GRVF"),
+      "video payloads must be GRVF containers")
+  }
+
+  test("GRVF encode -> decode round-trips exact frames; malformed payloads fail loudly") {
+    val frames = Multimodal.syntheticFrames(42L, 6, 4, 3)
+    val bytes = Multimodal.encodeRawVideo(6, 4, frames)
+    val (w, h, back) = Multimodal.decodeVideo(bytes)
+    assert(w == 6 && h == 4 && back.length == 3)
+    for (f <- 0 until 3) assert(back(f).sameElements(frames(f)))
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeVideo(bytes.dropRight(1)) // truncated
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeVideo("not a video".getBytes("UTF-8")) // bad magic
+    }
+  }
+
+  test("golden: hand-built 2-frame video decodes to exact frame features") {
+    import spark.implicits._
+    // frame 0 all-zero -> features 0; frame 1 all-0xFF -> 255·8/64 = 31.875
+    val frames = Array(new Array[Byte](64), Array.fill(64)(0xff.toByte))
+    val media = Seq(Multimodal.MediaRow(9L, "video",
+      Multimodal.encodeRawVideo(8, 8, frames), 8, 8, 3)).toDS()
+    val out = Multimodal.sampleFrames(media, stride = 1, maxFrames = 8, dim = 8)
+      .collect().sortBy(_.frame_idx)
+    assert(out.length == 2)
+    assert(out(0).features.toSeq == Seq.fill(8)(0f), out(0).features.toSeq)
+    assert(out(1).features.toSeq == Seq.fill(8)(31.875f), out(1).features.toSeq)
+  }
+
+  test("sampled frame features match an independent recomputation from the generator") {
+    val out = Multimodal.sampleFrames(
+        Multimodal.mediaFromDocuments(spark, dir)).collect()
+    assert(out.nonEmpty)
+    for (ff <- out.take(20)) {
+      val id = ff.media_id
+      val w = (id % 64 + 16).toInt
+      val h = (id % 48 + 16).toInt
+      val frame = Multimodal.syntheticFrames(id, w, h, (id % 12 + 4).toInt)(ff.frame_idx)
+      val ref = new Array[Float](8)
+      for (i <- frame.indices)
+        ref(i % 8) += (frame(i) & 0xff).toFloat / frame.length
+      assert(ff.features.toSeq == ref.toSeq,
+        s"media $id frame ${ff.frame_idx}: container decode diverged")
+    }
   }
 
   test("golden: hand-built 2x2 PNG decodes to exact luma features") {
@@ -91,16 +138,24 @@ class MultimodalSpec extends SparkSpec {
     assert(m1 == m2)
   }
 
-  test("resize re-shapes the payload (images stay decodable PNGs)") {
+  test("resize re-encodes REAL payloads for every kind (still decodable)") {
     val r = Multimodal.resize(
       Multimodal.mediaFromDocuments(spark, dir).limit(6), 32, 32).collect()
     assert(r.forall(m => m.width == 32 && m.height == 32))
     r.foreach { m =>
-      if (m.kind == "image") {
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(m.bytes))
-        assert(img.getWidth == 32 && img.getHeight == 32)
-      } else assert(m.bytes.length == 32 * 32)
+      m.kind match {
+        case "image" =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.bytes))
+          assert(img.getWidth == 32 && img.getHeight == 32)
+        case "audio" =>
+          assert(Multimodal.decodeAudio(m.bytes).length == 32 * 32,
+            "audio resize must resample to w*h samples in a decodable WAV")
+        case _ =>
+          val (w, h, frames) = Multimodal.decodeVideo(m.bytes)
+          assert(w == 32 && h == 32 && frames.nonEmpty,
+            "video resize must rescale every frame in a decodable GRVF")
+      }
     }
   }
 
