@@ -572,8 +572,10 @@ object Curation {
     val ranges = graft.functions.ZOrderImpl.zRanges(xLo, xHi, yLo, yHi, maxRanges)
     val zPred = ranges.map { case (lo, hi) => col("zkey").between(lo, hi) }
       .reduce(_ || _)
-    df.filter(zPred &&
-      col(x).between(xLo, xHi) && col(y).between(yLo, yHi))
+    // exact predicates FIRST: codegen short-circuits the conjunction, so
+    // rows outside the rectangle never evaluate the multi-interval zPred —
+    // whose real job is row-group stats pruning, done before row eval
+    df.filter(col(x).between(xLo, xHi) && col(y).between(yLo, yHi) && zPred)
   }
 
   // ---------------------------------------------------------------------
