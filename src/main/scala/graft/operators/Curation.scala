@@ -595,6 +595,55 @@ object Curation {
        |WHERE x BETWEEN 100 AND 900 AND y BETWEEN 200 AND 777""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ds09: epoch sharding — the deterministic corpus shuffle every training
+  // run performs before writing shards: a pseudorandom but REPRODUCIBLE
+  // permutation (md5 of a seeded doc_id, so re-runs, re-shards and
+  // backfills agree), bucketed into a fixed shard count, with each doc's
+  // 1-based position within its shard. Downstream, shard s / position p
+  // IS the training order — no RNG state, no row-order dependence.
+  //
+  // Scale shape: the naive form is ROW_NUMBER over each shard — one task
+  // sorting corpus/nShards rows (~TBs each at 100 TB). Instead the rank is
+  // two-phase like ds03's prefix sum: per-(shard, hkey-range) bucket
+  // counts map-side, a tiny per-shard bucket-prefix window (nShards ×
+  // nBuckets rows total), then a within-bucket row_number — the widest
+  // sort any task runs is one (shard, bucket) slice, corpus/(16·64) rows.
+  // ---------------------------------------------------------------------
+  private val epochShards = 16
+
+  def ds09EpochShards(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+    val keyed = docs.select(col("doc_id"),
+      conv(substring(md5(concat(lit("epoch1:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long").as("hkey"))
+      .withColumn("shard", (col("hkey") % epochShards).cast("int"))
+      .withColumn("bkt", expr("hkey div 67108864")) // 2^26 → ≤64 buckets
+    val bucketPrefix = keyed.groupBy(col("shard"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("pre",
+        coalesce(sum(col("c")).over(
+          Window.partitionBy(col("shard")).orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("bkt"), col("pre"))
+    val wIn = Window.partitionBy(col("shard"), col("bkt"))
+      .orderBy(col("hkey"), col("doc_id"))
+    keyed.join(broadcast(bucketPrefix), Seq("shard", "bkt"))
+      .withColumn("pos", col("pre") + row_number().over(wIn))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  val ds09Oracle: String =
+    s"""WITH k AS (
+       | SELECT doc_id,
+       |  ('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hkey
+       | FROM documents)
+       |SELECT doc_id, CAST(hkey % $epochShards AS INT) AS shard,
+       | CAST(ROW_NUMBER() OVER (PARTITION BY hkey % $epochShards
+       |   ORDER BY hkey, doc_id) AS BIGINT) AS pos
+       |FROM k""".stripMargin
+
+  // ---------------------------------------------------------------------
   // tp03: the corpus report card — the fleet-management question every
   // data team asks between pipeline runs, answered in ONE plan: per
   // language, how many documents and tokens do we hold, how many are
@@ -651,6 +700,7 @@ object Curation {
     "ds06_zorder_key" -> (ds06ZorderKey _),
     "ds07_group_sample" -> (ds07GroupSample _),
     "ds08_zrect_query" -> (ds08ZrectQuery _),
+    "ds09_epoch_shards" -> (ds09EpochShards _),
     "dc01_decontaminate" -> (dc01Decontaminate _),
     "dd10_repeated_spans" -> (dd10RepeatedSpans _),
     "dd13_paragraph_dedup" -> (dd13ParagraphDedup _),
@@ -666,6 +716,7 @@ object Curation {
     "ds06_zorder_key" -> ds06Oracle,
     "ds07_group_sample" -> ds07Oracle,
     "ds08_zrect_query" -> ds08Oracle,
+    "ds09_epoch_shards" -> ds09Oracle,
     "dc01_decontaminate" -> dc01Oracle,
     "dd10_repeated_spans" -> dd10Oracle,
     "dd13_paragraph_dedup" -> dd13Oracle,

@@ -419,7 +419,8 @@ object TextOps {
   private[operators] val bpeRounds = 3
   private val SEP = "\u0001"
 
-  private[operators] def minedTopPair(docs: DataFrame): Option[(String, String)] = {
+  private[operators] def minedTopPairWithCount(
+      docs: DataFrame): Option[(String, String, Long)] = {
     val n = size(col("toks"))
     val pairs = when(n >= 2,
       zip_with(slice(col("toks"), lit(1), n - 1), slice(col("toks"), lit(2), n - 1),
@@ -429,9 +430,12 @@ object TextOps {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(1).collect().headOption.map { r =>
         val Array(a, b) = r.getString(0).split(" ", 2)
-        (a, b)
+        (a, b, r.getLong(1))
       }
   }
+
+  private[operators] def minedTopPair(docs: DataFrame): Option[(String, String)] =
+    minedTopPairWithCount(docs).map { case (a, b, _) => (a, b) }
 
   private[operators] def mergedToks(a: String, b: String): Column = {
     val tagged = transform(col("toks"), t => concat(lit(SEP), t))
@@ -455,22 +459,24 @@ object TextOps {
       concat_ws(" ", col("toks")).as("merged_text"))
   }
 
-  val tx12Oracle: String = {
+  /** The shared K-round CTE chain for tx12/tx13: pc$i mines round i's top
+    * pair WITH its count, m$i splits it, r$i applies the greedy merge. */
+  private def bpeChainSql(rounds: Int): String = {
     val sb = new StringBuilder(
       """WITH r0 AS (
         | SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
         | FROM documents)""".stripMargin)
-    for (i <- 1 to bpeRounds) {
+    for (i <- 1 to rounds) {
       val p = i - 1
       sb.append(s""",
-         |p$i AS (
-         | SELECT pair FROM (
+         |pc$i AS (
+         | SELECT pair, COUNT(*) AS n FROM (
          |  SELECT unnest(list_transform(range(1, len(toks)),
          |    i -> toks[i] || ' ' || toks[i+1])) AS pair FROM r$p) t
-         | GROUP BY pair ORDER BY COUNT(*) DESC, pair ASC LIMIT 1),
+         | GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1),
          |m$i AS (
-         | SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
-         | FROM p$i),
+         | SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b, n
+         | FROM pc$i),
          |r$i AS (
          | SELECT doc_id, CASE WHEN len(toks) = 0 THEN toks ELSE
          |  list_filter(string_split(
@@ -480,11 +486,42 @@ object TextOps {
          |   z -> z != '') END AS toks
          | FROM r$p CROSS JOIN m$i)""".stripMargin)
     }
-    sb.append(s"""
+    sb.toString
+  }
+
+  val tx12Oracle: String =
+    s"""${bpeChainSql(bpeRounds)}
        |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
        | array_to_string(toks, ' ') AS merged_text
-       |FROM r$bpeRounds""".stripMargin)
-    sb.toString
+       |FROM r$bpeRounds""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // tx13: the learned MERGE TABLE — the artifact BPE training actually
+  // ships (the ordered merge list a tokenizer loads). Same loop as tx12,
+  // but the deliverable is the per-round (a, b, count) rows instead of
+  // the re-tokenized corpus. The count is the pair's frequency in the
+  // corpus state it was mined FROM — the merge priority signal.
+  // ---------------------------------------------------------------------
+  def tx13BpeMergeTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    var cur = docs.select(col("doc_id"),
+      expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (round <- 1 to bpeRounds) {
+      minedTopPairWithCount(cur).foreach { case (a, b, n) =>
+        merges += ((round, a, b, n))
+        cur = cur.withColumn("toks", mergedToks(a, b)).localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("round", "a", "b", "n")
+  }
+
+  val tx13Oracle: String = {
+    val rows = (1 to bpeRounds)
+      .map(i => s"SELECT $i AS round, a, b, n FROM m$i")
+      .mkString("\nUNION ALL\n")
+    s"${bpeChainSql(bpeRounds)}\n$rows"
   }
 
   val queries: Map[String, Q] = Map(
@@ -501,7 +538,8 @@ object TextOps {
     "tx09_oov_rate" -> (tx09OovRate _),
     "tx10_bpe_pairs" -> (tx10BpePairs _),
     "tx11_bpe_token_count" -> (tx11BpeTokenCount _),
-    "tx12_bpe_merge_apply" -> (tx12BpeMergeApply _))
+    "tx12_bpe_merge_apply" -> (tx12BpeMergeApply _),
+    "tx13_bpe_merge_table" -> (tx13BpeMergeTable _))
 
   val oracles: Map[String, String] = Map(
     "q25_posexplode_filtered" -> q25Oracle,
@@ -517,5 +555,6 @@ object TextOps {
     "tx09_oov_rate" -> tx09Oracle,
     "tx10_bpe_pairs" -> tx10Oracle,
     "tx11_bpe_token_count" -> tx11Oracle,
-    "tx12_bpe_merge_apply" -> tx12Oracle)
+    "tx12_bpe_merge_apply" -> tx12Oracle,
+    "tx13_bpe_merge_table" -> tx13Oracle)
 }

@@ -121,6 +121,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("ds09: epoch-shard rank is (shard,bkt)-partitioned (no per-shard corpus sort)") {
+    val plan = Curation.ds09EpochShards(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the within-bucket row_number must run inside (shard, bkt) slices —
+    // a window partitioned by shard alone would sort corpus/nShards rows
+    // through single tasks at 100 TB
+    assert(plan.contains("hashpartitioning(shard"), plan.take(3000))
+    assert(plan.contains("bkt"), plan.take(3000))
+    // the per-shard bucket-prefix table (nShards × nBuckets rows) broadcasts
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("ds03: packing's corpus window is bucket-partitioned (no global sort)") {
     val plan = Curation.ds03SequencePack(spark, dir)
       .queryExecution.executedPlan.toString
