@@ -341,6 +341,42 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // tp04: curation → packing, end to end — tokenize and sequence-pack the
+  // TRAIN split that tp02's full curation pipeline emits (the last hop
+  // before a training job reads shards). One plan: tp02's quality gate /
+  // dedup / decontamination / split / mixture stages feed a left-semi
+  // join, then ds03's two-phase distributed prefix sum assigns every
+  // surviving train document its global token offset and sequence id.
+  // Composing the stages keeps each one's scale shape — the semi-join is
+  // hash-equi on doc_id, and no stage windows the corpus globally.
+  // ---------------------------------------------------------------------
+  def tp04PackTrain(s: SparkSession, dir: String): DataFrame = {
+    val train = tp02FullCuration(s, dir)
+      .filter(col("split") === "train").select(col("doc_id"))
+    val docs = Tables(s, dir, "documents").join(train, Seq("doc_id"), "left_semi")
+    val toks = docs.select(col("doc_id"),
+      size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("n_tokens"))
+    withStartOffsets(toks, Seq.empty)
+      .withColumn("seq_id", expr(s"start_off div $packBudget"))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"), col("seq_id"))
+  }
+
+  lazy val tp04Oracle: String =
+    s"""WITH tr AS (SELECT doc_id FROM ($tp02Oracle) q WHERE split = 'train'),
+       |t AS (
+       | SELECT d.doc_id,
+       |  CAST(len(list_filter(string_split(d.text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+       | FROM documents d JOIN tr USING (doc_id)),
+       |c AS (
+       | SELECT doc_id, n_tokens,
+       |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+       | FROM t)
+       |SELECT doc_id, n_tokens, start_off,
+       | CAST(start_off // $packBudget AS BIGINT) AS seq_id
+       |FROM c""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ds03: sequence packing — the GPT-style "concatenate the corpus in
   // doc_id order, cut every `budget` tokens" training-prep step. Each doc
   // gets its global token start offset, its training-sequence id, and a
@@ -705,7 +741,8 @@ object Curation {
     "dd10_repeated_spans" -> (dd10RepeatedSpans _),
     "dd13_paragraph_dedup" -> (dd13ParagraphDedup _),
     "tp02_full_curation" -> (tp02FullCuration _),
-    "tp03_corpus_report" -> (tp03CorpusReport _))
+    "tp03_corpus_report" -> (tp03CorpusReport _),
+    "tp04_pack_train" -> (tp04PackTrain _))
 
   val oracles: Map[String, String] = Map(
     "ds01_hash_split" -> ds01Oracle,
@@ -721,5 +758,6 @@ object Curation {
     "dd10_repeated_spans" -> dd10Oracle,
     "dd13_paragraph_dedup" -> dd13Oracle,
     "tp02_full_curation" -> tp02Oracle,
-    "tp03_corpus_report" -> tp03Oracle)
+    "tp03_corpus_report" -> tp03Oracle,
+    "tp04_pack_train" -> tp04Oracle)
 }

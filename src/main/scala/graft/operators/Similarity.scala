@@ -429,6 +429,25 @@ object Similarity {
       .write.mode("append").partitionBy("cent_id").parquet(s"$dir/lists")
   }
 
+  /** Periodic maintenance mirroring [[graft.operators.DedupStore.compact]]:
+    * roll-forwards append small files into the inverted-list partitions;
+    * this rewrites each list as ONE file (repartition ON cent_id), through
+    * a temp dir + rename so a crash mid-compact leaves the readable
+    * original. Assignments are read, never recomputed — answers unchanged,
+    * probe scans stop paying per-file open costs. */
+  def compactIvfIndex(s: SparkSession, dir: String): Unit = {
+    val tmp = s"$dir/.compact_lists"
+    s.read.parquet(s"$dir/lists")
+      .withColumn("cent_id", col("cent_id").cast("long"))
+      .repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/lists")
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
   private[operators] def indexPathFor(dir: String): String = {
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)

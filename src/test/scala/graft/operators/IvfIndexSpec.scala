@@ -54,6 +54,40 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("compactIvfIndex restores one file per list partition; probe answers unchanged") {
+    val base = graft.operators.Similarity.qvec(spark, dir).localCheckpoint()
+    val idxDir = java.nio.file.Files.createTempDirectory("ivf-compact").toString
+    def listFileCounts(): Map[String, Int] = {
+      new java.io.File(s"$idxDir/lists").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cent_id="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    try {
+      Similarity.buildIvfIndex(base.filter(col("vec_id") % 10 =!= 3), idxDir)
+      for (r <- Seq(3L, 13L))
+        Similarity.appendToIvfIndex(spark, idxDir,
+          base.filter(col("vec_id") % 20 === r))
+      val fragmented = listFileCounts()
+      assert(fragmented.values.exists(_ >= 2),
+        s"appends should fragment list partitions: $fragmented")
+      val before = spark.read.parquet(s"$idxDir/lists")
+        .select(col("vec_id"), col("cent_id").cast("long")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Similarity.compactIvfIndex(spark, idxDir)
+      val compacted = listFileCounts()
+      assert(compacted.keySet == fragmented.keySet, "compaction must keep every list")
+      assert(compacted.values.forall(_ == 1),
+        s"compaction must restore one file per list partition: $compacted")
+      val after = spark.read.parquet(s"$idxDir/lists")
+        .select(col("vec_id"), col("cent_id").cast("long")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(after == before, "compaction must not change any assignment")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+    }
+  }
+
   test("ss07 probe keeps the index-scan shape and useful recall on the grown index") {
     val plan = Similarity.ss07AnnIndexRollforward(spark, dir)
       .queryExecution.executedPlan.toString
