@@ -38,6 +38,37 @@ object EventOps {
       |FROM events GROUP BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q38: windowed top-k heavy hitters — per hour window, the k most active
+  // users (count DESC, user_id ASC). The batch twin of
+  // EventStream.topUsersPerWindow; the rank-limit filter lets Spark plan
+  // WindowGroupLimit (partial per-map-task top-k before the shuffle),
+  // ds07's scale shape over a time dimension.
+  // ---------------------------------------------------------------------
+  private[graft] val windowTopK = 3
+
+  def q38WindowTopk(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val counts = ev.groupBy(
+      unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+      col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("hour_epoch"))
+      .orderBy(col("n").desc, col("user_id").asc)
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= windowTopK)
+  }
+
+  val q38Oracle: String =
+    s"""SELECT hour_epoch, user_id, n, CAST(rnk AS INT) AS rnk FROM (
+       | SELECT hour_epoch, user_id, n,
+       |  ROW_NUMBER() OVER (PARTITION BY hour_epoch ORDER BY n DESC, user_id ASC) AS rnk
+       | FROM (
+       |  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+       |   user_id, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2) c) t
+       |WHERE rnk <= $windowTopK""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q21: running (cumulative) aggregate per key — ordered window frame.
   // Decimal accumulation keeps the prefix sums exact at any partitioning.
   // ---------------------------------------------------------------------
@@ -306,6 +337,8 @@ object EventOps {
 
   val queries: Map[String, Q] = Map(
     "q20_tumbling_window" -> (q20TumblingWindow _),
+    "q38_window_topk" -> (q38WindowTopk _),
+    "q38_window_topk" -> (q38WindowTopk _),
     "q37_interval_join" -> (q37IntervalJoin _),
     "q21_running_sum" -> (q21RunningSum _),
     "q22_sessionize" -> (q22Sessionize _),
@@ -318,6 +351,7 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "q20_tumbling_window" -> q20Oracle,
+    "q38_window_topk" -> q38Oracle,
     "q21_running_sum" -> q21Oracle,
     "q22_sessionize" -> q22Oracle,
     "q23_json_extract" -> q23Oracle,

@@ -182,6 +182,53 @@ object EventStream {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class WindowTopK(hour_epoch: Long, user_id: Long, n: Long, rnk: Int)
+
+  final case class TopKState(counts: Map[Long, Long])
+
+  /** Windowed TOP-K heavy hitters — the streaming twin of EventOps.q38
+    * (per-hour top-k users by event count). Rank-of-an-aggregate is not
+    * expressible as a streaming windowed agg (the rank needs the FINISHED
+    * window), so the canonical form is keyed state per open window: counts
+    * accumulate in a map, and the top-k rows are emitted EXACTLY ONCE when
+    * the event-time timeout fires — i.e. when the watermark passes the
+    * window end and the window can no longer change. State is
+    * O(open windows × distinct users per window): the watermark bounds how
+    * many windows stay open, so an unbounded stream runs in bounded
+    * memory. Ties break to the lower user_id, matching the batch twin. */
+  def topUsersPerWindow(events: Dataset[Event], k: Int = 3,
+      watermark: String = "30 minutes"): Dataset[WindowTopK] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(hourEpoch: Long, rows: Iterator[Event],
+        state: GroupState[TopKState]): Iterator[WindowTopK] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.toSeq.flatMap(_.counts.toSeq
+          .sortBy { case (u, n) => (-n, u) }.take(k).zipWithIndex
+          .map { case ((u, n), i) => WindowTopK(hourEpoch, u, n, i + 1) })
+        state.remove()
+        out.iterator
+      } else {
+        val m0 = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long])
+        val m = rows.foldLeft(m0) { (m, e) =>
+          m.updated(e.user_id, m.getOrElse(e.user_id, 0L) + 1L)
+        }
+        state.update(TopKState(m))
+        // fire when the watermark passes the window END — every row of this
+        // window has ts < end and survived the late filter (ts >= watermark),
+        // so end > watermark always holds when this runs
+        state.setTimeoutTimestamp((hourEpoch + 3600L) * 1000L)
+        Iterator.empty
+      }
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(e => e.ts.getTime / 3600000L * 3600L)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState — the streaming
     * form of EventOps.q22 (1800 s inactivity gap). Emits a Session row each
     * time a session closes: either a newer event arrives past the gap, or

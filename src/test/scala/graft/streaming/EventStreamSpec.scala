@@ -121,6 +121,47 @@ trait StatefulStreamingScenarios { this: SparkSpec =>
     }
   }
 
+  test("windowed top-k emits each window exactly once at watermark close, matching the batch rank") {
+    withProvider {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val input = MemoryStream[Event]
+      val q = EventStream.topUsersPerWindow(input.toDS(), k = 3,
+          watermark = "0 seconds")
+        .writeStream.format("memory").queryName("topk")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // hour 10: user1 ×3, user2 ×2, user3 ×1, user4 ×1 (tie → lower id)
+        input.addData(
+          Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "click", 1.0),
+          Event(3, ts(2), 1, "click", 1.0), Event(4, ts(3), 2, "click", 1.0),
+          Event(5, ts(4), 2, "click", 1.0), Event(6, ts(5), 3, "click", 1.0),
+          Event(7, ts(6), 4, "click", 1.0))
+        q.processAllAvailable()
+        // hour 11 opens; its arrival moves the watermark past hour 10's end
+        input.addData(
+          Event(8, ts(60), 5, "click", 1.0), Event(9, ts(61), 5, "click", 1.0),
+          Event(10, ts(62), 1, "click", 1.0))
+        q.processAllAvailable()
+        // advance far enough to close hour 11 too (timeouts fire next batch)
+        input.addData(Event(99, ts(240), 9, "click", 1.0))
+        q.processAllAvailable()
+        input.addData(Event(100, ts(300), 9, "click", 1.0))
+        q.processAllAvailable()
+        val got = spark.table("topk").as[EventStream.WindowTopK].collect()
+          .map(r => (r.hour_epoch, r.rnk) -> (r.user_id, r.n)).toMap
+        val h10 = ts(0).getTime / 3600000L * 3600L
+        val h11 = ts(60).getTime / 3600000L * 3600L
+        // the batch-twin ranking (count DESC, user_id ASC), hand-derived
+        assert(got((h10, 1)) == (1L, 3L) && got((h10, 2)) == (2L, 2L) &&
+          got((h10, 3)) == (3L, 1L), got.toString)
+        assert(got((h11, 1)) == (5L, 2L) && got((h11, 2)) == (1L, 1L), got.toString)
+        // exactly once per closed window, and the open tail window not yet
+        assert(got.size == 5, got.toString)
+      } finally { q.stop(); spark.catalog.dropTempView("topk") }
+    }
+  }
+
   test("incremental dedup stream flags new-vs-corpus dups per micro-batch") {
     withProvider {
       implicit val sqlCtx = spark.sqlContext
