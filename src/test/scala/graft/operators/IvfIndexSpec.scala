@@ -88,6 +88,17 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("probe dynamically partition-prunes the inverted lists (DPP on cent_id)") {
+    // THE 100 TB property of the persisted index: a probe that needs
+    // nprobe of k centroid lists must read only those partitions — the
+    // broadcast probe side feeds a dynamic pruning subquery into the
+    // lists scan's PartitionFilters.
+    val plan = Similarity.ss05AnnIvfIndexed(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "lists scan lost dynamic partition pruning\n" + plan.take(3000))
+  }
+
   test("ss07 probe keeps the index-scan shape and useful recall on the grown index") {
     val plan = Similarity.ss07AnnIndexRollforward(spark, dir)
       .queryExecution.executedPlan.toString
