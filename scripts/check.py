@@ -5,7 +5,9 @@ Compares each Spark result parquet (written by graft.Verify) against the
 DuckDB result of the corresponding oracle SQL, with columns sorted by name
 and rows sorted by all columns — the same shape the driver hashes.
 
-Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
+Usage: python3 scripts/check.py <verify_out_dir> <sf_dir> [query ...]
+Extra args restrict the compare to those query names (matches graft.Verify's
+optional filter for the fast local loop); the driver always checks all.
 """
 import json, math, sys
 
@@ -30,12 +32,14 @@ def canon(rows, cols):
     return [cols[i] for i in order], out
 
 
-def main(outdir, sfdir):
+def main(outdir, sfdir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_ok = 0
     fails = []
     for name in sorted(oracle):
@@ -94,4 +98,4 @@ def main(outdir, sfdir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:])))

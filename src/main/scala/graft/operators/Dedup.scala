@@ -279,6 +279,44 @@ object Dedup {
        |$verifySelect""".stripMargin
 
   // ---------------------------------------------------------------------
+  // dd14: CONTAINMENT verification of the LSH candidates — the asymmetric
+  // complement of dd05's Jaccard: C(A→B) = |A∩B| / |A| answers "is doc A
+  // mostly inside doc B", which Jaccard misses whenever the sizes differ
+  // (a boilerplate template inside a long page has tiny Jaccard but ~1.0
+  // containment — the template/quotation-detection signal). Same staged
+  // shingle sets, same candidates-only join shape as dd05; both
+  // directions flagged at 90% in integer space (10·∩ ≥ 9·|side|).
+  // ---------------------------------------------------------------------
+  def containmentVerified(docs: DataFrame): DataFrame = {
+    val sharr = shingleSets(docs).localCheckpoint()
+    val cand = candidatePairsFromSets(sharr)
+    cand
+      .join(sharr.as("s1"), col("doc1") === col("s1.doc_id"))
+      .join(sharr.as("s2"), col("doc2") === col("s2.doc_id"))
+      .withColumn("n_inter",
+        size(array_intersect(col("s1.sh"), col("s2.sh"))).cast("long"))
+      .withColumn("n_a", size(col("s1.sh")).cast("long"))
+      .withColumn("n_b", size(col("s2.sh")).cast("long"))
+      .select(col("doc1"), col("doc2"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter") * 10 >= col("n_a") * 9).as("a_in_b"),
+        (col("n_inter") * 10 >= col("n_b") * 9).as("b_in_a"))
+  }
+
+  def dd14ContainmentVerify(s: SparkSession, dir: String): DataFrame =
+    containmentVerified(Tables(s, dir, "documents"))
+
+  val dd14Oracle: String =
+    s"""WITH ${verifyCtesFrom("documents")}
+       |SELECT c.doc1, c.doc2,
+       | CAST(len(list_intersect(s1.sh, s2.sh)) AS BIGINT) AS n_inter,
+       | CAST(len(s1.sh) AS BIGINT) AS n_a,
+       | CAST(len(s2.sh) AS BIGINT) AS n_b,
+       | (len(list_intersect(s1.sh, s2.sh)) * 10 >= len(s1.sh) * 9) AS a_in_b,
+       | (len(list_intersect(s1.sh, s2.sh)) * 10 >= len(s2.sh) * 9) AS b_in_a
+       |FROM cand c JOIN sets s1 ON c.doc1 = s1.doc_id
+       | JOIN sets s2 ON c.doc2 = s2.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // dd07: the full training-data dedup pipeline — exact dedup first (cheap
   // hash groupBy; ALSO the scale guard: exact duplicates would otherwise
   // share every LSH band and make buckets quadratic), then MinHash-LSH
@@ -729,6 +767,7 @@ object Dedup {
     "dd03_lsh_pairs" -> (dd03LshPairs _),
     "dd04_simhash" -> (dd04Simhash _),
     "dd05_jaccard_verify" -> (dd05JaccardVerify _),
+    "dd14_containment_verify" -> (dd14ContainmentVerify _),
     "dd06_emb_neardup" -> (dd06EmbNeardup _),
     "dd07_dedup_pipeline" -> (dd07DedupPipeline _),
     "dd08_emb_neardup_lsh" -> (dd08EmbNeardupLsh _))
@@ -745,6 +784,7 @@ object Dedup {
     "dd03_lsh_pairs" -> dd03Oracle,
     "dd04_simhash" -> dd04Oracle,
     "dd05_jaccard_verify" -> dd05Oracle,
+    "dd14_containment_verify" -> dd14Oracle,
     "dd06_emb_neardup" -> dd06Oracle,
     "dd07_dedup_pipeline" -> dd07Oracle,
     "dd08_emb_neardup_lsh" -> dd08Oracle)

@@ -90,4 +90,42 @@ class DedupSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(tmp)
     }
   }
+
+  test("dd14: containment is asymmetric where Jaccard is symmetric") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("dedup-docs-cont").toFile
+    try {
+      // Doc 2 = doc 1's text + 3 extra words: every shingle of 1 appears
+      // in 2 (containment 1→2 = 1.0) but 2 has 3 junction/extra shingles
+      // of its own (Jaccard = 20/23 ≈ 0.87 < 0.9), so a_in_b must flag
+      // and b_in_a must not — the template-inside-a-longer-page signal
+      // that symmetric Jaccard (dd05) misses by construction. Docs 3/4
+      // are identical → contained both ways. Jaccard 0.87 band-matches
+      // w.h.p. with 4 bands × 2 rows; the candidate assert below fails
+      // loudly if this fixture ever stops being an LSH candidate.
+      val template = (1 to 22).map(i => s"w$i").mkString(" ")
+      Seq(
+        (1L, template),
+        (2L, template + " extra tail words"),
+        (3L, "p q r s t u v p q r s t u v both ways twin"),
+        (4L, "p q r s t u v p q r s t u v both ways twin"),
+        (5L, "nothing in common with anything else at all here")
+      ).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val out = Dedup.dd14ContainmentVerify(spark, tmp.getPath)
+        .orderBy("doc1", "doc2").collect().toSeq
+      val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"fixture lost its LSH candidate: $out")
+      assert(pairs.contains((3L, 4L)), s"fixture lost its LSH candidate: $out")
+      val r12 = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+      assert(r12.getLong(2) == 20L && r12.getLong(3) == 20L &&
+        r12.getLong(4) == 23L, r12.toString)
+      assert(r12.getBoolean(5) && !r12.getBoolean(6), r12.toString)
+      val r34 = out.find(r => r.getLong(0) == 3L && r.getLong(1) == 4L).get
+      assert(r34.getBoolean(5) && r34.getBoolean(6), r34.toString)
+      assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), out.toString)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+  }
 }
