@@ -282,6 +282,53 @@ object Curation {
        |GROUP BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // dc02: the benchmark-integrity report — dc01 in the other direction.
+  // dc01 answers "which TRAINING docs must be dropped"; dc02 answers the
+  // question the eval owner asks: per EVAL doc, what fraction of its
+  // distinct 5-grams leak into the training corpus, and how many
+  // (gram, training-doc) pairs carry the leak — the evidence needed to
+  // retire a compromised benchmark instead of trusting its scores.
+  //
+  // Scale shape: the training gram stream (the 100 TB side) is filtered
+  // by the BROADCAST distinct eval-gram set before its only shuffle (a
+  // per-gram aggregate over hits), and the final join back to per-eval-doc
+  // grams is hits-sized × eval-sized — never corpus-wide. All-integer
+  // output, so the oracle hash-matches exactly.
+  // ---------------------------------------------------------------------
+  def dc02ContaminationReport(s: SparkSession, dir: String): DataFrame = {
+    val grams = gramHashes(Tables(s, dir, "documents"))
+    val evGrams = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"), col("gh")).distinct()
+    val evSet = evGrams.select(col("gh")).distinct()
+    val hits = grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evSet), Seq("gh"))
+      .groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("n_train_docs"))
+    evGrams.join(hits, Seq("gh"), "left")
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("n_train_docs")).as("n_hit_grams"),
+        sum(coalesce(col("n_train_docs"), lit(0L))).as("n_leak_pairs"))
+      .withColumn("contam_pct",
+        expr("(n_hit_grams * 100) div n_grams"))
+  }
+
+  val dc02Oracle: String =
+    s"""WITH ${gramSql("documents", "g")},
+       |ev AS (SELECT DISTINCT doc_id AS eval_id, gh FROM g WHERE doc_id % 97 = 0),
+       |evs AS (SELECT DISTINCT gh FROM ev),
+       |hits AS (
+       | SELECT g.gh, COUNT(DISTINCT g.doc_id) AS n_train_docs
+       | FROM g JOIN evs USING (gh) WHERE g.doc_id % 97 != 0
+       | GROUP BY g.gh)
+       |SELECT ev.eval_id, COUNT(*) AS n_grams,
+       | CAST(COUNT(h.n_train_docs) AS BIGINT) AS n_hit_grams,
+       | CAST(COALESCE(SUM(h.n_train_docs), 0) AS BIGINT) AS n_leak_pairs,
+       | CAST((COUNT(h.n_train_docs) * 100) // COUNT(*) AS BIGINT) AS contam_pct
+       |FROM ev LEFT JOIN hits h USING (gh)
+       |GROUP BY ev.eval_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // tp02: the complete training-data preparation pipeline, end to end in
   // one plan — quality gate → exact dedup → MinHash-LSH near-dup removal
   // (all via tp01) → benchmark-slice exclusion + 5-gram decontamination →
@@ -680,6 +727,67 @@ object Curation {
        |FROM k""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ds10: temperature-scaled language mixture — the multilingual
+  // upsampling recipe (XLM-R/mT5's exponent-smoothed sampling): each
+  // language's target token share ∝ (its token mass)^(1/T) with T = 2, so
+  // low-resource languages are upsampled relative to their raw frequency,
+  // then documents are kept by a content-stable hash draw at the
+  // language's keep rate against a corpus-half token budget. T = 2 means
+  // the weight is sqrt(tokens) — IEEE-exact in both engines (sqrt is
+  // correctly rounded; pow(x, 0.7) is not), so the keep decision is
+  // reproducible bit-for-bit.
+  //
+  // Scale shape: the per-language totals are a |langs|-row aggregate —
+  // broadcast back over the corpus, so the doc-level pass is one
+  // map-side scan; the only corpus-wide exchange is the token-count
+  // groupBy's partial-aggregated shuffle.
+  // ---------------------------------------------------------------------
+  def ds10TempMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val t = docs.select(col("doc_id"), col("lang"),
+      expr("size(filter(split(text, ' '), x -> x != ''))").cast("long")
+        .as("n_tokens"))
+    val langTot = t.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("lang_toks"))
+      .withColumn("w", sqrt(col("lang_toks").cast("double")))
+    val tot = langTot.agg(sum(col("w")).as("sw"),
+      sum(col("lang_toks")).as("st"))
+    val rates = langTot.crossJoin(broadcast(tot))
+      .withColumn("target_toks",
+        col("w") / col("sw") * col("st").cast("double") / 2.0)
+      .withColumn("keep_rate",
+        least(lit(1.0), col("target_toks") / col("lang_toks").cast("double")))
+      .select(col("lang"), col("lang_toks"), col("keep_rate"))
+    t.join(broadcast(rates), Seq("lang"))
+      .withColumn("u",
+        conv(substring(md5(concat(lit("mix1:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("double") / 4294967296.0)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("lang_toks"),
+        round(col("keep_rate"), 6).as("keep_rate"),
+        (col("u") < col("keep_rate")).as("kept"))
+  }
+
+  val ds10Oracle: String =
+    """WITH t AS (
+      | SELECT doc_id, lang,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+      | FROM documents),
+      |lt AS (
+      | SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_toks,
+      |  sqrt(CAST(SUM(n_tokens) AS DOUBLE)) AS w
+      | FROM t GROUP BY lang),
+      |tot AS (SELECT SUM(w) AS sw, CAST(SUM(lang_toks) AS BIGINT) AS st FROM lt),
+      |r AS (
+      | SELECT lang, lang_toks,
+      |  least(1.0, (w / sw * CAST(st AS DOUBLE) / 2.0) / CAST(lang_toks AS DOUBLE)) AS keep_rate
+      | FROM lt CROSS JOIN tot)
+      |SELECT t.doc_id, t.lang, t.n_tokens, r.lang_toks,
+      | round(r.keep_rate, 6) AS keep_rate,
+      | (CAST(('0x' || substr(md5('mix1:' || CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+      |   / 4294967296.0 < r.keep_rate) AS kept
+      |FROM t JOIN r USING (lang)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // tp03: the corpus report card — the fleet-management question every
   // data team asks between pipeline runs, answered in ONE plan: per
   // language, how many documents and tokens do we hold, how many are
@@ -737,7 +845,9 @@ object Curation {
     "ds07_group_sample" -> (ds07GroupSample _),
     "ds08_zrect_query" -> (ds08ZrectQuery _),
     "ds09_epoch_shards" -> (ds09EpochShards _),
+    "ds10_temp_mixture" -> (ds10TempMixture _),
     "dc01_decontaminate" -> (dc01Decontaminate _),
+    "dc02_contamination_report" -> (dc02ContaminationReport _),
     "dd10_repeated_spans" -> (dd10RepeatedSpans _),
     "dd13_paragraph_dedup" -> (dd13ParagraphDedup _),
     "tp02_full_curation" -> (tp02FullCuration _),
@@ -754,7 +864,9 @@ object Curation {
     "ds07_group_sample" -> ds07Oracle,
     "ds08_zrect_query" -> ds08Oracle,
     "ds09_epoch_shards" -> ds09Oracle,
+    "ds10_temp_mixture" -> ds10Oracle,
     "dc01_decontaminate" -> dc01Oracle,
+    "dc02_contamination_report" -> dc02Oracle,
     "dd10_repeated_spans" -> dd10Oracle,
     "dd13_paragraph_dedup" -> dd13Oracle,
     "tp02_full_curation" -> tp02Oracle,

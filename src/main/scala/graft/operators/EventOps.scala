@@ -338,7 +338,6 @@ object EventOps {
   val queries: Map[String, Q] = Map(
     "q20_tumbling_window" -> (q20TumblingWindow _),
     "q38_window_topk" -> (q38WindowTopk _),
-    "q38_window_topk" -> (q38WindowTopk _),
     "q37_interval_join" -> (q37IntervalJoin _),
     "q21_running_sum" -> (q21RunningSum _),
     "q22_sessionize" -> (q22Sessionize _),

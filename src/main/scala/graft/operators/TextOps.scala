@@ -524,6 +524,71 @@ object TextOps {
     s"${bpeChainSql(bpeRounds)}\n$rows"
   }
 
+  // ---------------------------------------------------------------------
+  // tx14: bigram-LM cross-entropy scoring — the LEARNED half of a
+  // CCNet/Gopher-style quality filter: train an add-½-smoothed bigram
+  // language model on the corpus itself, then score every document by its
+  // mean surprisal, bits per bigram = avg over bigrams of
+  // -log2((c(w1,w2) + ½) / (c(w1·) + ½·V)). Fluent, common text scores
+  // low; gibberish and boilerplate-with-rare-tokens score high — the
+  // standard perplexity-gate signal, learned with no external model.
+  //
+  // Scale shape: the bigram/context count tables are dictionary-sized
+  // (≪ corpus), built with map-side partial counts; the score pass
+  // re-joins the corpus bigram stream to them by hash equi-join (the
+  // dictionary shuffles, the corpus stream shuffles ONCE on (w1,w2) and
+  // the context join piggy-backs on w1), then one per-doc regroup. V is
+  // a 1-row aggregate cross-joined in-plan — never a driver collect.
+  // The per-doc mean is rounded to 4 decimals so the double sum's
+  // last-ulp noise (summation order, log2 libm differences) can't leak
+  // into the hash compare; every input to the rounding is ≤1e-13 from
+  // the oracle's value.
+  // ---------------------------------------------------------------------
+  def tx14LmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val toksE = expr("filter(split(lower(text), ' '), x -> x != '')")
+    val n = size(col("toks"))
+    val pairsArr = when(n >= 2,
+      zip_with(slice(col("toks"), lit(1), n - 1), slice(col("toks"), lit(2), n - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bi = docs.select(col("doc_id"), toksE.as("toks"))
+      .select(col("doc_id"), explode(pairsArr).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val ctx = big.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+    val vocab = docs.select(explode(toksE).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    bi.join(big, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("bits",
+        -log2((col("cb").cast("double") + lit(0.5)) /
+          (col("cu").cast("double") + lit(0.5) * col("v").cast("double"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sb"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sb") / col("n_bigrams").cast("double"), 4).as("bits_per_bigram"))
+  }
+
+  val tx14Oracle: String =
+    """WITH t AS (
+      | SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+      | FROM documents),
+      |bi AS (
+      | SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+      |  unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+      | FROM t),
+      |big AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY w1, w2),
+      |ctx AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM big GROUP BY w1),
+      |voc AS (SELECT COUNT(DISTINCT tok) AS v FROM (
+      | SELECT unnest(toks) AS tok FROM t) u)
+      |SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+      | round(SUM(-log2((CAST(cb AS DOUBLE) + 0.5) /
+      |   (CAST(cu AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))) / COUNT(*), 4) AS bits_per_bigram
+      |FROM bi JOIN big USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc
+      |GROUP BY bi.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q25_posexplode_filtered" -> (q25PosexplodeFiltered _),
     "q26_quantity_parse" -> (q26QuantityParse _),
@@ -539,7 +604,8 @@ object TextOps {
     "tx10_bpe_pairs" -> (tx10BpePairs _),
     "tx11_bpe_token_count" -> (tx11BpeTokenCount _),
     "tx12_bpe_merge_apply" -> (tx12BpeMergeApply _),
-    "tx13_bpe_merge_table" -> (tx13BpeMergeTable _))
+    "tx13_bpe_merge_table" -> (tx13BpeMergeTable _),
+    "tx14_lm_score" -> (tx14LmScore _))
 
   val oracles: Map[String, String] = Map(
     "q25_posexplode_filtered" -> q25Oracle,
@@ -556,5 +622,6 @@ object TextOps {
     "tx10_bpe_pairs" -> tx10Oracle,
     "tx11_bpe_token_count" -> tx11Oracle,
     "tx12_bpe_merge_apply" -> tx12Oracle,
-    "tx13_bpe_merge_table" -> tx13Oracle)
+    "tx13_bpe_merge_table" -> tx13Oracle,
+    "tx14_lm_score" -> tx14Oracle)
 }
