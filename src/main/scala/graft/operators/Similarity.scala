@@ -596,6 +596,157 @@ object Similarity {
        |   // COUNT(*) AS recall_pct
        |FROM ex LEFT JOIN ap USING (q_id, c_id)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ss09/ss10: product quantization — the memory-bound ANN tier (Jégou et
+  // al. 2011, "Product Quantization for Nearest Neighbor Search"): the
+  // 64-dim vector splits into 4 independent 16-dim subspaces, each with
+  // its own Lloyd-learned codebook (the SAME exact-integer machinery as
+  // ss03/ss04, run per subspace), and every vector is stored as 4 small
+  // codes. At 100 TB the encode table is ~1/100th the raw vectors — the
+  // point of PQ is that the ADC scan touches codes, never raw floats.
+  //
+  //  - ss09: the encode table (vec_id, m, code) — the index artifact; one
+  //    broadcast-assign pass per subspace, each a single partial-agg'd
+  //    argmin shuffle.
+  //  - ss10: asymmetric-distance (ADC) top-k — each query computes its
+  //    EXACT integer d² to every subspace centroid (a tiny per-query
+  //    lookup table, broadcast), and a candidate's distance is the sum of
+  //    its 4 codes' LUT entries. The scan is one map-side pass over the
+  //    wide code table (array-of-maps lookup, no join on the corpus
+  //    side); the only corpus shuffle is the final per-query top-k
+  //    window. Everything stays in exact BIGINTs, so the oracle
+  //    hash-matches despite the two-engine Lloyd chains.
+  // ---------------------------------------------------------------------
+  private val pqM = 4
+  private val pqSubDims = dims / pqM // 16
+  private val pqRounds = 2
+
+  private def pqSubVecs(base: DataFrame, m: Int): DataFrame =
+    base.select(col("vec_id"),
+        slice(col("v"), m * pqSubDims + 1, pqSubDims).as("v"))
+      .withColumn("nrm", expr("dot_l(v, v)"))
+
+  /** Per-subspace (m, cent_id, cv, cnrm) codebooks and (vec_id, m, code)
+    * assignments from the shared Lloyd machinery. */
+  private def pqParts(base: DataFrame): Seq[(Int, DataFrame, DataFrame)] =
+    (0 until pqM).map { m =>
+      val pts = pqSubVecs(base, m).localCheckpoint()
+      val cents = learnedCentroids(pts, pqRounds)
+      val codes = kmAssign(pts, cents)
+        .select(col("vec_id"), col("cluster").as("code"))
+      (m, cents, codes)
+    }
+
+  def ss09PqEncode(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    pqParts(base).map { case (m, _, codes) =>
+      codes.select(col("vec_id"), lit(m).as("m"), col("code"))
+    }.reduce(_ unionAll _)
+  }
+
+  def ss10PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val parts = pqParts(base)
+    // Wide code row per vector: codes[m] — built once, the "PQ index".
+    val codesWide = parts.map { case (m, _, codes) =>
+      codes.select(col("vec_id"), lit(m).as("m"), col("code"))
+    }.reduce(_ unionAll _)
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
+        .as("codes"))
+    // Per-query LUTs: one row per query holding an array (by m) of
+    // code→d² maps — tiny (n_queries × M × k entries), broadcast.
+    val luts = parts.map { case (m, cents, _) =>
+      pqSubVecs(base, m).filter(col("vec_id") % 100 === 0)
+        .join(broadcast(cents), lit(true))
+        .withColumn("d2", col("nrm") + col("cnrm") - expr("2 * dot_l(v, cv)"))
+        .select(col("vec_id").as("q_id"), lit(m).as("m"),
+          col("cent_id").as("code"), col("d2"))
+    }.reduce(_ unionAll _)
+      .groupBy(col("q_id"), col("m"))
+      .agg(map_from_entries(collect_list(struct(col("code"), col("d2")))).as("mp"))
+      .groupBy(col("q_id"))
+      // structs holding MAPs aren't orderable (no array_sort) — collect a
+      // m→LUT map instead and index it 0..M-1 into a positional array.
+      .agg(map_from_entries(collect_list(struct(col("m"), col("mp")))).as("mpm"))
+      .withColumn("mps",
+        expr(s"transform(sequence(0, ${pqM - 1}), i -> element_at(mpm, i))"))
+      .select(col("q_id"), col("mps"))
+    val adc = codesWide.crossJoin(broadcast(luts))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("adc_d2", expr(
+        "aggregate(zip_with(mps, codes, (mp, cd) -> element_at(mp, cd)), 0L, (acc, x) -> acc + x)"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("vec_id"))
+    adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+      .select(col("q_id"), col("vec_id").as("c_id"), col("rnk"), col("adc_d2"))
+  }
+
+  // --- oracle side: the per-subspace Lloyd chain with suffixed CTE names.
+  private def pqSubSql(m: Int): String = {
+    val lo = m * pqSubDims + 1
+    val hi = (m + 1) * pqSubDims
+    s"""q$m AS (SELECT vec_id, v[$lo:$hi] AS v FROM qn),
+       |qn$m AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nrm FROM q$m)""".stripMargin
+  }
+
+  private def pqAssignSql(m: Int, r: Int, prev: String): String =
+    s"""s${m}_$r AS (
+       | SELECT q.vec_id, p.cent_id,
+       |  q.nrm + p.cnrm - 2 * CAST(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * p.cv[i])) AS BIGINT) AS d2
+       | FROM qn$m q CROSS JOIN $prev p),
+       |r${m}_$r AS (SELECT vec_id, cent_id, d2,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn FROM s${m}_$r),
+       |a${m}_$r AS (SELECT vec_id, cent_id AS cluster, d2 FROM r${m}_$r WHERE rn = 1)""".stripMargin
+
+  private def pqRoundSql(m: Int, r: Int): String = {
+    val prev = s"c${m}_${r - 1}"
+    s"""${pqAssignSql(m, r, prev)},
+       |dims${m}_$r AS (
+       | SELECT a.cluster, generate_subscripts(q.v, 1) AS d, unnest(q.v) AS x
+       | FROM a${m}_$r a JOIN qn$m q ON a.vec_id = q.vec_id),
+       |means${m}_$r AS (
+       | SELECT cluster, d, CAST(trunc(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mx
+       | FROM dims${m}_$r GROUP BY cluster, d),
+       |c${m}_$r AS (
+       | SELECT cent_id, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cnrm
+       | FROM (SELECT cluster AS cent_id, list(mx ORDER BY d) AS cv FROM means${m}_$r GROUP BY cluster) t)""".stripMargin
+  }
+
+  /** CTE chain per subspace m: slice → seed c{m}_0 → rounds → final encode
+    * assignment e{m} against c{m}_{pqRounds}. */
+  private def pqChainSql(m: Int): String =
+    s"""${pqSubSql(m)},
+       |c${m}_0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM qn$m WHERE vec_id % 250 = 0),
+       |${(1 to pqRounds).map(pqRoundSql(m, _)).mkString(",\n")},
+       |${pqAssignSql(m, pqRounds + 1, s"c${m}_$pqRounds")},
+       |e$m AS (SELECT vec_id, cluster AS code FROM a${m}_${pqRounds + 1})""".stripMargin
+
+  val ss09Oracle: String =
+    s"""WITH $qvecSql,
+       |${(0 until pqM).map(pqChainSql).mkString(",\n")}
+       |${(0 until pqM).map(m => s"SELECT vec_id, $m AS m, code FROM e$m")
+          .mkString("\nUNION ALL\n")}""".stripMargin
+
+  val ss10Oracle: String =
+    s"""WITH $qvecSql,
+       |${(0 until pqM).map(pqChainSql).mkString(",\n")},
+       |${(0 until pqM).map(m =>
+            s"""l$m AS (
+               | SELECT q.vec_id AS q_id, c.cent_id AS code,
+               |  q.nrm + c.cnrm - 2 * CAST(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.cv[i])) AS BIGINT) AS d2
+               | FROM qn$m q CROSS JOIN c${m}_$pqRounds c WHERE q.vec_id % 100 = 0)""".stripMargin)
+          .mkString(",\n")},
+       |adc AS (
+       | SELECT q_id, c_id, CAST(SUM(d2) AS BIGINT) AS adc_d2 FROM (
+       |  ${(0 until pqM).map(m =>
+             s"SELECT l.q_id, e.vec_id AS c_id, l.d2 FROM e$m e JOIN l$m l ON e.code = l.code")
+            .mkString("\n  UNION ALL\n  ")}
+       | ) u WHERE q_id != c_id GROUP BY q_id, c_id)
+       |SELECT q_id, c_id, rnk, adc_d2 FROM (
+       | SELECT q_id, c_id, adc_d2,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, c_id) AS rnk
+       | FROM adc) t WHERE rnk <= $K""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ss01_brute_topk" -> (ss01BruteTopk _),
     "ss02_ann_lsh" -> (ss02AnnLsh _),
@@ -604,7 +755,9 @@ object Similarity {
     "ss05_ann_ivf_indexed" -> (ss05AnnIvfIndexed _),
     "ss06_ann_recall" -> (ss06AnnRecall _),
     "ss07_ann_index_rollforward" -> (ss07AnnIndexRollforward _),
-    "ss08_ann_multiprobe" -> (ss08AnnMultiprobe _))
+    "ss08_ann_multiprobe" -> (ss08AnnMultiprobe _),
+    "ss09_pq_encode" -> (ss09PqEncode _),
+    "ss10_pq_adc" -> (ss10PqAdc _))
 
   val oracles: Map[String, String] = Map(
     "ss01_brute_topk" -> ss01Oracle,
@@ -615,5 +768,7 @@ object Similarity {
     "ss05_ann_ivf_indexed" -> ss03Oracle,
     "ss06_ann_recall" -> ss06Oracle,
     "ss07_ann_index_rollforward" -> ss07Oracle,
-    "ss08_ann_multiprobe" -> ss08Oracle)
+    "ss08_ann_multiprobe" -> ss08Oracle,
+    "ss09_pq_encode" -> ss09Oracle,
+    "ss10_pq_adc" -> ss10Oracle)
 }
