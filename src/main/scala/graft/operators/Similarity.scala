@@ -621,48 +621,69 @@ object Similarity {
   private val pqSubDims = dims / pqM // 16
   private val pqRounds = 2
 
-  private def pqSubVecs(base: DataFrame, m: Int): DataFrame =
-    base.select(col("vec_id"),
-        slice(col("v"), m * pqSubDims + 1, pqSubDims).as("v"))
+  /** One pass over the corpus → the tagged subvector stream (vec_id, m, v,
+    * nrm): all 4 subspaces travel in ONE dataframe so Lloyd's rounds run
+    * as single jobs (one barrier per round) instead of 4 sequential
+    * per-subspace chains. */
+  private def pqPtsAll(base: DataFrame): DataFrame =
+    base.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${pqM - 1}), m -> struct(m, slice(v, m * $pqSubDims + 1, $pqSubDims) AS sv))"))
+        .as("p"))
+      .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("v"))
       .withColumn("nrm", expr("dot_l(v, v)"))
 
-  /** Per-subspace (m, cent_id, cv, cnrm) codebooks and (vec_id, m, code)
-    * assignments from the shared Lloyd machinery. */
-  private def pqParts(base: DataFrame): Seq[(Int, DataFrame, DataFrame)] =
-    (0 until pqM).map { m =>
-      val pts = pqSubVecs(base, m).localCheckpoint()
-      val cents = learnedCentroids(pts, pqRounds)
-      val codes = kmAssign(pts, cents)
-        .select(col("vec_id"), col("cluster").as("code"))
-      (m, cents, codes)
-    }
+  // Tagged-union Lloyd: identical per-subspace math to kmAssign/kmUpdate
+  // with m carried through every key, so all codebooks learn in lockstep.
+  private def pqAssignAll(pts: DataFrame, cents: DataFrame): DataFrame =
+    pts.join(broadcast(cents), Seq("m"))
+      .withColumn("d2", col("nrm") + col("cnrm") - expr("2 * dot_l(v, cv)"))
+      .groupBy(col("m"), col("vec_id"))
+      .agg(min_by(struct(col("cent_id"), col("d2")),
+        struct(col("d2"), col("cent_id"))).as("x"))
+      .select(col("m"), col("vec_id"), col("x.cent_id").as("cluster"))
 
-  def ss09PqEncode(s: SparkSession, dir: String): DataFrame = {
-    val base = qvec(s, dir).localCheckpoint()
-    pqParts(base).map { case (m, _, codes) =>
-      codes.select(col("vec_id"), lit(m).as("m"), col("code"))
-    }.reduce(_ unionAll _)
+  private def pqUpdateAll(assigned: DataFrame, pts: DataFrame): DataFrame =
+    assigned.join(pts, Seq("m", "vec_id"))
+      .select(col("m"), col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("m"), col("cluster"), col("d"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("mx", (col("sx").cast("double") / col("n")).cast("long"))
+      .groupBy(col("m"), col("cluster"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, mx))), s -> s.mx)").as("cv"))
+      .select(col("m"), col("cluster").as("cent_id"), col("cv"),
+        expr("dot_l(cv, cv)").as("cnrm"))
+
+  /** (pts, codebooks, codes): the tagged subvector stream, the learned
+    * (m, cent_id, cv, cnrm) codebooks, and the (vec_id, m, code) encode. */
+  private def pqAll(base: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val pts = pqPtsAll(base).localCheckpoint()
+    var cents = pts.filter(col("vec_id") % 250 === 0)
+      .select(col("m"), col("vec_id").as("cent_id"),
+        col("v").as("cv"), col("nrm").as("cnrm"))
+    for (_ <- 1 to pqRounds)
+      cents = pqUpdateAll(pqAssignAll(pts, cents), pts).localCheckpoint()
+    (pts, cents,
+      pqAssignAll(pts, cents).select(col("vec_id"), col("m"),
+        col("cluster").as("code")))
   }
 
+  def ss09PqEncode(s: SparkSession, dir: String): DataFrame =
+    pqAll(qvec(s, dir).localCheckpoint())._3
+
   def ss10PqAdc(s: SparkSession, dir: String): DataFrame = {
-    val base = qvec(s, dir).localCheckpoint()
-    val parts = pqParts(base)
+    val (pts, cents, codes) = pqAll(qvec(s, dir).localCheckpoint())
     // Wide code row per vector: codes[m] — built once, the "PQ index".
-    val codesWide = parts.map { case (m, _, codes) =>
-      codes.select(col("vec_id"), lit(m).as("m"), col("code"))
-    }.reduce(_ unionAll _)
+    val codesWide = codes
       .groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
         .as("codes"))
     // Per-query LUTs: one row per query holding an array (by m) of
     // code→d² maps — tiny (n_queries × M × k entries), broadcast.
-    val luts = parts.map { case (m, cents, _) =>
-      pqSubVecs(base, m).filter(col("vec_id") % 100 === 0)
-        .join(broadcast(cents), lit(true))
-        .withColumn("d2", col("nrm") + col("cnrm") - expr("2 * dot_l(v, cv)"))
-        .select(col("vec_id").as("q_id"), lit(m).as("m"),
-          col("cent_id").as("code"), col("d2"))
-    }.reduce(_ unionAll _)
+    val luts = pts.filter(col("vec_id") % 100 === 0)
+      .join(broadcast(cents), Seq("m"))
+      .withColumn("d2", col("nrm") + col("cnrm") - expr("2 * dot_l(v, cv)"))
+      .select(col("vec_id").as("q_id"), col("m"),
+        col("cent_id").as("code"), col("d2"))
       .groupBy(col("q_id"), col("m"))
       .agg(map_from_entries(collect_list(struct(col("code"), col("d2")))).as("mp"))
       .groupBy(col("q_id"))
