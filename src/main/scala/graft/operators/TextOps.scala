@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -589,6 +590,98 @@ object TextOps {
       |FROM bi JOIN big USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc
       |GROUP BY bi.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // tx15: TF-IDF top terms per document — the classic distinctive-term
+  // surface (search snippets, topic labeling, per-doc keywords): score =
+  // tf · ln((N+1)/(df+1)), top 3 per doc (score desc, term asc). Scale
+  // shape: tf is the corpus's one per-(doc, term) shuffle; df derives
+  // from tf (dictionary-sized, partial-agg'd); N is a 1-row aggregate
+  // cross-joined in-plan; the per-doc top-3 is a WindowGroupLimit (map
+  // tasks keep ≤3 rows per doc before the exchange, ds07's shape). The
+  // rank orders on the raw double score — ln differs by ≤1 ulp across
+  // engines, and two scores tie only at identical (tf, df), where the
+  // term-asc tiebreak decides — so the emitted rounded score can't mask
+  // an ordering divergence.
+  // ---------------------------------------------------------------------
+  def tx15Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(expr("filter(split(text, ' '), x -> x != '')")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("tok")).crossJoin(broadcast(nd))
+      .withColumn("score", col("tf").cast("double") *
+        log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("tok"), col("rnk"), col("tf"), col("df"),
+        round(col("score"), 4).as("tfidf"))
+  }
+
+  val tx15Oracle: String =
+    """WITH toks AS (
+      | SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+      | FROM documents),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT doc_id, tok, rnk, tf, df, round(score, 4) AS tfidf FROM (
+      | SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+      |  CAST(tf.tf AS DOUBLE) * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)) AS score,
+      |  ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |    ORDER BY CAST(tf.tf AS DOUBLE) * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)) DESC,
+      |      tf.tok ASC) AS rnk
+      | FROM tf JOIN df USING (tok) CROSS JOIN nd) t
+      |WHERE rnk <= 3""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // tx16: exact length percentiles per language via the histogram trick —
+  // the 100 TB way to answer "median / p90 document length": a global
+  // sort (what percentile_disc does naively) is the one thing that can't
+  // scale, but the distinct-length histogram per language is tiny, so the
+  // corpus contributes one partial-agg'd shuffle to build it and the
+  // cumulative walk runs over the dictionary, never the corpus. The
+  // percentile is the inverse-CDF definition in pure integers (min length
+  // whose 2·cum ≥ n, 10·cum ≥ 9·n) — exact, and oracle-hash-identical.
+  // ---------------------------------------------------------------------
+  def tx16LengthPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val t = docs.select(col("lang"),
+      expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("len"))
+    val hist = t.groupBy(col("lang"), col("len")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = hist.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+    hist.withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(tot), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(max(col("n")).as("n_docs"),
+        min(when(col("cum") * 2 >= col("n"), col("len"))).as("median_len"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("len"))).as("p90_len"),
+        max(col("len")).as("max_len"))
+  }
+
+  val tx16Oracle: String =
+    """WITH t AS (
+      | SELECT lang,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS len
+      | FROM documents),
+      |hist AS (SELECT lang, len, COUNT(*) AS c FROM t GROUP BY lang, len),
+      |cum AS (
+      | SELECT lang, len, c,
+      |  CAST(SUM(c) OVER (PARTITION BY lang ORDER BY len
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      | FROM hist),
+      |tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY lang)
+      |SELECT cum.lang, MAX(n) AS n_docs,
+      | MIN(CASE WHEN cum * 2 >= n THEN len END) AS median_len,
+      | MIN(CASE WHEN cum * 10 >= n * 9 THEN len END) AS p90_len,
+      | MAX(len) AS max_len
+      |FROM cum JOIN tot USING (lang)
+      |GROUP BY cum.lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q25_posexplode_filtered" -> (q25PosexplodeFiltered _),
     "q26_quantity_parse" -> (q26QuantityParse _),
@@ -605,7 +698,9 @@ object TextOps {
     "tx11_bpe_token_count" -> (tx11BpeTokenCount _),
     "tx12_bpe_merge_apply" -> (tx12BpeMergeApply _),
     "tx13_bpe_merge_table" -> (tx13BpeMergeTable _),
-    "tx14_lm_score" -> (tx14LmScore _))
+    "tx14_lm_score" -> (tx14LmScore _),
+    "tx15_tfidf" -> (tx15Tfidf _),
+    "tx16_length_percentiles" -> (tx16LengthPercentiles _))
 
   val oracles: Map[String, String] = Map(
     "q25_posexplode_filtered" -> q25Oracle,
@@ -623,5 +718,7 @@ object TextOps {
     "tx11_bpe_token_count" -> tx11Oracle,
     "tx12_bpe_merge_apply" -> tx12Oracle,
     "tx13_bpe_merge_table" -> tx13Oracle,
-    "tx14_lm_score" -> tx14Oracle)
+    "tx14_lm_score" -> tx14Oracle,
+    "tx15_tfidf" -> tx15Oracle,
+    "tx16_length_percentiles" -> tx16Oracle)
 }
