@@ -19,7 +19,13 @@ object Dev {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    if (args(1) == "explain") {
+    if (args(1) == "counts") {
+      val q = SparkEntry.queries.keySet
+      val o = SparkEntry.oracleSql.keySet
+      println(s"queries=${q.size} oracles=${o.size}")
+      println("rows-only: " + (q -- o).toSeq.sorted.mkString(", "))
+      println("orphan oracles: " + (o -- q).toSeq.sorted.mkString(", "))
+    } else if (args(1) == "explain") {
       SparkEntry.queries(args(2))(spark, sfDir).explain("formatted")
     } else if (args(1) == "sql") {
       graft.functions.VectorFunctions.register(spark)
