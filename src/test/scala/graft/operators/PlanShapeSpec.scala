@@ -267,4 +267,51 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("ds10: mixture rates broadcast back; one corpus-side hash exchange") {
+    val plan = Curation.ds10TempMixture(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // both hash exchanges live inside the |langs|-row rate-table build
+    // (token-count agg + weight normalization) — the corpus stream itself
+    // must reach the broadcast join with no exchange: nothing in the plan
+    // may partition on the per-doc key
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"expected <=2 hash exchanges, got $shuffles\n" + plan.take(3000))
+    assert(!plan.contains("hashpartitioning(doc_id"), plan.take(3000))
+  }
+
+  test("dc02: leak report screens training grams by broadcast before any shuffle") {
+    val plan = Curation.dc02ContaminationReport(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("tx15: per-doc top-3 terms push a partial WindowGroupLimit below the exchange") {
+    val plan = TextOps.tx15Tfidf(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("tx16: percentile walk runs over the histogram, windowed per language") {
+    val plan = TextOps.tx16LengthPercentiles(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the cumulative window partitions by lang over the DICTIONARY (post-
+    // aggregate); the corpus contributes only the histogram partial-agg.
+    assert(plan.contains("hashpartitioning(lang"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("ss10: ADC scan is one map-side pass — no join on the corpus code side") {
+    val plan = Similarity.ss10PqAdc(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the candidate × query scoring must be the broadcast LUT cross join
+    // (tiny side), never a shuffled join of the corpus code table
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("ShuffledHashJoin"), plan.take(3000))
+  }
 }
