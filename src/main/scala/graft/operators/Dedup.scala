@@ -279,6 +279,42 @@ object Dedup {
        |$verifySelect""".stripMargin
 
   // ---------------------------------------------------------------------
+  // dd15: signature-ESTIMATED Jaccard for the LSH candidates — the O(k)
+  // screen that runs before dd05's exact O(|sets|) verify at scale: the
+  // fraction of agreeing MinHash components is an unbiased estimate of
+  // the Jaccard similarity, costs 8 integer compares per pair (the
+  // signatures already exist from banding — no shingle sets shipped),
+  // and filters the candidate stream so only plausible pairs pay the
+  // exact set intersection. Pure integers (n_agree of 8, percent via
+  // div), so the oracle hash-matches.
+  // ---------------------------------------------------------------------
+  def dd15SigEstimate(s: SparkSession, dir: String): DataFrame = {
+    val sharr = shingleSets(Tables(s, dir, "documents")).localCheckpoint()
+    val sig = minhashSigsFromSets(sharr).drop("sh")
+    val cand = candidatePairsFromSets(sharr)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"s1.m$i") === col(s"s2.m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("s1"), col("doc1") === col("s1.doc_id"))
+      .join(sig.as("s2"), col("doc2") === col("s2.doc_id"))
+      .select(col("doc1"), col("doc2"), agree.as("n_agree"))
+      .withColumn("est_pct", expr(s"(n_agree * 100) div $numHashes"))
+  }
+
+  val dd15Oracle: String = {
+    val agree = (0 until numHashes)
+      .map(i => s"CASE WHEN s1.m$i = s2.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ${bandsSqlFrom("documents")}
+       |SELECT c.doc1, c.doc2,
+       | CAST($agree AS BIGINT) AS n_agree,
+       | CAST((($agree) * 100) // $numHashes AS BIGINT) AS est_pct
+       |FROM cand c JOIN sig s1 ON c.doc1 = s1.doc_id
+       | JOIN sig s2 ON c.doc2 = s2.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // dd14: CONTAINMENT verification of the LSH candidates — the asymmetric
   // complement of dd05's Jaccard: C(A→B) = |A∩B| / |A| answers "is doc A
   // mostly inside doc B", which Jaccard misses whenever the sizes differ
@@ -768,6 +804,7 @@ object Dedup {
     "dd04_simhash" -> (dd04Simhash _),
     "dd05_jaccard_verify" -> (dd05JaccardVerify _),
     "dd14_containment_verify" -> (dd14ContainmentVerify _),
+    "dd15_sig_estimate" -> (dd15SigEstimate _),
     "dd06_emb_neardup" -> (dd06EmbNeardup _),
     "dd07_dedup_pipeline" -> (dd07DedupPipeline _),
     "dd08_emb_neardup_lsh" -> (dd08EmbNeardupLsh _))
@@ -785,6 +822,7 @@ object Dedup {
     "dd04_simhash" -> dd04Oracle,
     "dd05_jaccard_verify" -> dd05Oracle,
     "dd14_containment_verify" -> dd14Oracle,
+    "dd15_sig_estimate" -> dd15Oracle,
     "dd06_emb_neardup" -> dd06Oracle,
     "dd07_dedup_pipeline" -> dd07Oracle,
     "dd08_emb_neardup_lsh" -> dd08Oracle)

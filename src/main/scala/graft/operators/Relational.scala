@@ -703,8 +703,30 @@ object Relational {
       | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY CUBE (lang, source)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q39: explicit GROUPING SETS — the report shapes ROLLUP/CUBE can't
+  // express: per-language totals, per-source totals, and the grand total
+  // (but NOT the (lang, source) cross) in ONE Expand pass over one scan —
+  // three separate aggregations' worth of answers for a single corpus
+  // read at 100 TB.
+  // ---------------------------------------------------------------------
+  def q39GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    docs.groupingSets(
+        Seq(Seq(col("lang")), Seq(col("source")), Seq()),
+        col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
+  val q39Oracle: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY GROUPING SETS ((lang), (source), ())""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q36_cube" -> (q36Cube _),
+    "q39_grouping_sets" -> (q39GroupingSets _),
     "q35_full_outer" -> (q35FullOuter _),
     "q31_salted_join" -> (q31SaltedJoin _),
     "q27_rollup" -> (q27Rollup _),
@@ -733,6 +755,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q35_full_outer" -> q35Oracle,
     "q36_cube" -> q36Oracle,
+    "q39_grouping_sets" -> q39Oracle,
     "q31_salted_join" -> q31Oracle,
     "q27_rollup" -> q27Oracle,
     "q28_setops" -> q28Oracle,
