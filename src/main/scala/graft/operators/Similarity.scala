@@ -361,7 +361,10 @@ object Similarity {
   /** The ANN probe tail shared by ss03/ss05/ss07: score all vectors
     * against `cents`, assign (crn=1), probe (crn<=nprobe over the query
     * subset), rerank exactly within probed lists. */
-  private val annProbeTailSql: String =
+  /** Coarse-quantizer CTEs shared by the exact-rerank tail (ss03/ss07) and
+    * the IVF-PQ tail (ss11): score vs `cents`, assign (crn=1), probe
+    * (crn<=nprobe over queries), candidate pairs. */
+  private val annProbePrefixSql: String =
     s"""cscored AS (
        | SELECT qn.vec_id, cents.cent_id,
        |  CAST(list_sum(list_transform(range(1, len(qn.v) + 1), i -> qn.v[i] * cents.cv[i])) AS BIGINT)
@@ -375,7 +378,10 @@ object Similarity {
        |probes AS (SELECT vec_id AS q_id, cent_id FROM ranked WHERE crn <= $nprobe AND vec_id % 100 = 0),
        |pairs AS (
        | SELECT DISTINCT p.q_id, a.a_id AS c_id
-       | FROM probes p JOIN assigned a ON p.cent_id = a.cent_id AND p.q_id != a.a_id),
+       | FROM probes p JOIN assigned a ON p.cent_id = a.cent_id AND p.q_id != a.a_id)""".stripMargin
+
+  private val annProbeTailSql: String =
+    s"""$annProbePrefixSql,
        |scored AS (
        | SELECT pairs.q_id, pairs.c_id,
        |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT)
@@ -670,16 +676,16 @@ object Similarity {
   def ss09PqEncode(s: SparkSession, dir: String): DataFrame =
     pqAll(qvec(s, dir).localCheckpoint())._3
 
-  def ss10PqAdc(s: SparkSession, dir: String): DataFrame = {
-    val (pts, cents, codes) = pqAll(qvec(s, dir).localCheckpoint())
-    // Wide code row per vector: codes[m] — built once, the "PQ index".
-    val codesWide = codes
-      .groupBy(col("vec_id"))
+  /** Wide code row per vector: codes[m] — built once, the "PQ index". */
+  private def pqCodesWide(codes: DataFrame): DataFrame =
+    codes.groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
         .as("codes"))
-    // Per-query LUTs: one row per query holding an array (by m) of
-    // code→d² maps — tiny (n_queries × M × k entries), broadcast.
-    val luts = pts.filter(col("vec_id") % 100 === 0)
+
+  /** Per-query LUTs: one row per query holding an array (by m) of code→d²
+    * maps — tiny (n_queries × M × k entries), broadcast. */
+  private def pqQueryLuts(pts: DataFrame, cents: DataFrame): DataFrame =
+    pts.filter(col("vec_id") % 100 === 0)
       .join(broadcast(cents), Seq("m"))
       .withColumn("d2", col("nrm") + col("cnrm") - expr("2 * dot_l(v, cv)"))
       .select(col("vec_id").as("q_id"), col("m"),
@@ -693,13 +699,70 @@ object Similarity {
       .withColumn("mps",
         expr(s"transform(sequence(0, ${pqM - 1}), i -> element_at(mpm, i))"))
       .select(col("q_id"), col("mps"))
-    val adc = codesWide.crossJoin(broadcast(luts))
+
+  private val pqAdcExpr: String =
+    "aggregate(zip_with(mps, codes, (mp, cd) -> element_at(mp, cd)), 0L, (acc, x) -> acc + x)"
+
+  def ss10PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val (pts, cents, codes) = pqAll(qvec(s, dir).localCheckpoint())
+    val adc = pqCodesWide(codes).crossJoin(broadcast(pqQueryLuts(pts, cents)))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("adc_d2", expr(
-        "aggregate(zip_with(mps, codes, (mp, cd) -> element_at(mp, cd)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("adc_d2", expr(pqAdcExpr))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("vec_id"))
     adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
       .select(col("q_id"), col("vec_id").as("c_id"), col("rnk"), col("adc_d2"))
+  }
+
+  // ---------------------------------------------------------------------
+  // ss11: IVF-PQ — the full FAISS-style serving architecture in one
+  // declarative plan: the coarse quantizer (ss03's learned full-vector
+  // centroids) partitions the corpus into inverted lists, and candidates
+  // inside the nprobe probed lists are scored by PQ ADC (ss10's LUT
+  // lookup) instead of exact rerank — the configuration that serves
+  // billion-vector corpora from codes ~1/100th the raw size while
+  // touching ~nprobe/k of them per query.
+  //
+  // Scale shape: the (cent_id, vec_id, codes) list-codes table is the
+  // stored index (one corpus equi-join at build, = the physical layout
+  // write); the query path joins it to the BROADCAST probe set and the
+  // BROADCAST query LUTs — one map-side pass over the index, and the
+  // only per-query shuffle is the final top-k window.
+  // ---------------------------------------------------------------------
+  def ss11IvfPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    // coarse quantizer: identical machinery and tiebreaks to ss03
+    val cents = learnedCentroids(base, ivfRounds)
+      .select(col("cent_id"), col("cv").as("v2"), col("cnrm").as("n2"))
+    def centScored(src: DataFrame, idCol: String): DataFrame =
+      src.select(col("vec_id").as(idCol), col("v").as("v1"), col("nrm").as("n1"))
+        .join(broadcast(cents), lit(true))
+        .withColumn("ccos",
+          expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+    val assigned = centScored(base, "a_id")
+      .groupBy(col("a_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("ccos"), (-col("cent_id")).as("neg"))).as("cent_id"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val probes = centScored(base.filter(col("vec_id") % 100 === 0), "q_id")
+      .withColumn("crn", row_number().over(wProbe)).filter(col("crn") <= nprobe)
+      .select(col("q_id"), col("cent_id"))
+    // PQ side: codebooks + codes, then the stored list-codes layout
+    val (pts, pcents, codes) = pqAll(base)
+    val listCodes = assigned.join(pqCodesWide(codes),
+        col("a_id") === col("vec_id"))
+      .select(col("cent_id"), col("vec_id"), col("codes"))
+    val adc = listCodes.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .join(broadcast(pqQueryLuts(pts, pcents)), Seq("q_id"))
+      .withColumn("adc_d2", expr(pqAdcExpr))
+      // a vector on two probed lists' boundary can't appear twice: lists
+      // partition the corpus, but DISTINCT the (q, c) pairs like ss03 to
+      // keep the contract explicit
+      .select(col("q_id"), col("vec_id").as("c_id"), col("adc_d2")).distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("c_id"))
+    adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+      .select(col("q_id"), col("c_id"), col("rnk"), col("adc_d2"))
   }
 
   // --- oracle side: the per-subspace Lloyd chain with suffixed CTE names.
@@ -768,6 +831,31 @@ object Similarity {
        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, c_id) AS rnk
        | FROM adc) t WHERE rnk <= $K""".stripMargin
 
+  /** ss11: coarse chain (kmChainSql → cents) + probe prefix (pairs) + PQ
+    * chains; candidates from the probed lists only, scored by ADC. */
+  val ss11Oracle: String =
+    s"""WITH $qvecSql,
+       |${kmChainSql(ivfRounds)},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |$annProbePrefixSql,
+       |${(0 until pqM).map(pqChainSql).mkString(",\n")},
+       |${(0 until pqM).map(m =>
+            s"""l$m AS (
+               | SELECT q.vec_id AS q_id, c.cent_id AS code,
+               |  q.nrm + c.cnrm - 2 * CAST(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.cv[i])) AS BIGINT) AS d2
+               | FROM qn$m q CROSS JOIN c${m}_$pqRounds c WHERE q.vec_id % 100 = 0)""".stripMargin)
+          .mkString(",\n")},
+       |adc AS (
+       | SELECT q_id, c_id, CAST(SUM(d2) AS BIGINT) AS adc_d2 FROM (
+       |  ${(0 until pqM).map(m =>
+             s"SELECT pr.q_id, pr.c_id, l.d2 FROM pairs pr JOIN e$m e ON pr.c_id = e.vec_id JOIN l$m l ON l.q_id = pr.q_id AND l.code = e.code")
+            .mkString("\n  UNION ALL\n  ")}
+       | ) u GROUP BY q_id, c_id)
+       |SELECT q_id, c_id, rnk, adc_d2 FROM (
+       | SELECT q_id, c_id, adc_d2,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, c_id) AS rnk
+       | FROM adc) t WHERE rnk <= $K""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ss01_brute_topk" -> (ss01BruteTopk _),
     "ss02_ann_lsh" -> (ss02AnnLsh _),
@@ -778,7 +866,8 @@ object Similarity {
     "ss07_ann_index_rollforward" -> (ss07AnnIndexRollforward _),
     "ss08_ann_multiprobe" -> (ss08AnnMultiprobe _),
     "ss09_pq_encode" -> (ss09PqEncode _),
-    "ss10_pq_adc" -> (ss10PqAdc _))
+    "ss10_pq_adc" -> (ss10PqAdc _),
+    "ss11_ivf_pq" -> (ss11IvfPqAdc _))
 
   val oracles: Map[String, String] = Map(
     "ss01_brute_topk" -> ss01Oracle,
@@ -791,5 +880,6 @@ object Similarity {
     "ss07_ann_index_rollforward" -> ss07Oracle,
     "ss08_ann_multiprobe" -> ss08Oracle,
     "ss09_pq_encode" -> ss09Oracle,
-    "ss10_pq_adc" -> ss10Oracle)
+    "ss10_pq_adc" -> ss10Oracle,
+    "ss11_ivf_pq" -> ss11Oracle)
 }
