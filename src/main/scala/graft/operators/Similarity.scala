@@ -626,6 +626,12 @@ object Similarity {
   private val pqM = 4
   private val pqSubDims = dims / pqM // 16
   private val pqRounds = 2
+  // PQ codebooks seed DENSER than the coarse quantizer's % 250: ADC can
+  // only discriminate between code combinations, so per-subspace code
+  // count is the resolution dial (real PQ uses 256). Every 25th vector →
+  // 20 codes/subspace at sf0.01, 200 at sf0.1; recall_pct (ss12) is the
+  // measurement that justifies the denser dial.
+  private val pqSeedMod = 25
 
   /** One pass over the corpus → the tagged subvector stream (vec_id, m, v,
     * nrm): all 4 subspaces travel in ONE dataframe so Lloyd's rounds run
@@ -663,7 +669,7 @@ object Similarity {
     * (m, cent_id, cv, cnrm) codebooks, and the (vec_id, m, code) encode. */
   private def pqAll(base: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val pts = pqPtsAll(base).localCheckpoint()
-    var cents = pts.filter(col("vec_id") % 250 === 0)
+    var cents = pts.filter(col("vec_id") % pqSeedMod === 0)
       .select(col("m"), col("vec_id").as("cent_id"),
         col("v").as("cv"), col("nrm").as("cnrm"))
     for (_ <- 1 to pqRounds)
@@ -800,7 +806,7 @@ object Similarity {
     * assignment e{m} against c{m}_{pqRounds}. */
   private def pqChainSql(m: Int): String =
     s"""${pqSubSql(m)},
-       |c${m}_0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM qn$m WHERE vec_id % 250 = 0),
+       |c${m}_0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM qn$m WHERE vec_id % $pqSeedMod = 0),
        |${(1 to pqRounds).map(pqRoundSql(m, _)).mkString(",\n")},
        |${pqAssignSql(m, pqRounds + 1, s"c${m}_$pqRounds")},
        |e$m AS (SELECT vec_id, cluster AS code FROM a${m}_${pqRounds + 1})""".stripMargin
@@ -856,6 +862,33 @@ object Similarity {
        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, c_id) AS rnk
        | FROM adc) t WHERE rnk <= $K""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ss12: PQ recall audit — ss06's honesty metric for the quantized tier:
+  // what fraction of the brute-force top-k does IVF-PQ (ss11) return?
+  // Quantization loses recall two ways (coarse probe misses + ADC
+  // distance distortion); this is the dial-tuning measurement (M,
+  // sub-dims, nprobe) a deployment runs per corpus snapshot. Integer
+  // output; oracle nests both tiers' chains.
+  // ---------------------------------------------------------------------
+  def ss12PqRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = ss01BruteTopk(s, dir).select(col("q_id"), col("c_id"))
+    val approx = ss11IvfPqAdc(s, dir)
+      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "c_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_pct", expr("(n_hit * 100) div n_exact"))
+  }
+
+  val ss12Oracle: String =
+    s"""WITH ex AS (SELECT q_id, c_id FROM ($ss01Oracle) a),
+       |ap AS (SELECT q_id, c_id FROM ($ss11Oracle) b)
+       |SELECT COUNT(*) AS n_exact,
+       | CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       | (CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
+       |   // COUNT(*) AS recall_pct
+       |FROM ex LEFT JOIN ap USING (q_id, c_id)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ss01_brute_topk" -> (ss01BruteTopk _),
     "ss02_ann_lsh" -> (ss02AnnLsh _),
@@ -867,7 +900,8 @@ object Similarity {
     "ss08_ann_multiprobe" -> (ss08AnnMultiprobe _),
     "ss09_pq_encode" -> (ss09PqEncode _),
     "ss10_pq_adc" -> (ss10PqAdc _),
-    "ss11_ivf_pq" -> (ss11IvfPqAdc _))
+    "ss11_ivf_pq" -> (ss11IvfPqAdc _),
+    "ss12_pq_recall" -> (ss12PqRecall _))
 
   val oracles: Map[String, String] = Map(
     "ss01_brute_topk" -> ss01Oracle,
@@ -881,5 +915,6 @@ object Similarity {
     "ss08_ann_multiprobe" -> ss08Oracle,
     "ss09_pq_encode" -> ss09Oracle,
     "ss10_pq_adc" -> ss10Oracle,
-    "ss11_ivf_pq" -> ss11Oracle)
+    "ss11_ivf_pq" -> ss11Oracle,
+    "ss12_pq_recall" -> ss12Oracle)
 }

@@ -7,19 +7,21 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** ss09/ss10 product quantization on a planted two-cluster corpus: the
-  * subspace codebooks must preserve the cluster structure (every member of
-  * a cluster gets the same 4 codes as its seed), and the ADC top-k must
-  * return same-cluster candidates — the property that makes PQ an ANN
-  * index rather than a hash. Vectors get a small per-id jitter so raw
-  * values differ within a cluster while codes agree.
+  * subspace codebooks must preserve the cluster structure (a member's
+  * codes always trace back to seeds of its OWN cluster — codebook entries
+  * inherit their seed's vec_id, and Lloyd can't migrate a centroid across
+  * two far-apart clusters), and the ADC top-k must return same-cluster
+  * candidates — the property that makes PQ an ANN index rather than a
+  * hash. Vectors get a small per-id jitter so raw values differ within a
+  * cluster.
   *
-  * Seeds are vec_id % 250 == 0, so ids run 0..250 to plant exactly two:
-  * id 0 in cluster A (+1-ish), id 250 in cluster B (-1-ish); queries are
+  * Ids run 0..250: cluster A (+1-ish) is id < 126, B (-1-ish) the rest;
+  * PQ seeds are every 25th id (both clusters get several), queries are
   * vec_id % 100 == 0 → 0, 100 (both A) and 200 (B).
   */
 class PqSpec extends SparkSpec {
 
-  test("ss09/ss10: codes follow clusters; ADC top-k stays in-cluster") {
+  test("ss09/ss10: codes stay within clusters; ADC top-k stays in-cluster") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("pq-emb").toFile
     try {
@@ -36,14 +38,13 @@ class PqSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
       // exactly 4 codes per vector
       assert(codes.size == 251 * 4, s"${codes.size} code cells")
-      // every member shares all 4 codes with its cluster's seed
+      // a member's code must be a centroid descended from its own
+      // cluster's seeds (cent_id inherits the seed vec_id): A-members
+      // (+1-ish) code to seeds < 126, B-members to seeds >= 126
       val inA = (id: Long) => id < 126
-      (0 to 250).foreach { id =>
-        val seed = if (inA(id)) 0L else 250L
-        (0 until 4).foreach { m =>
-          assert(codes((id.toLong, m)) == codes((seed, m)),
-            s"vec $id subspace $m code ${codes((id.toLong, m))} != seed's ${codes((seed, m))}")
-        }
+      codes.foreach { case ((id, m), code) =>
+        assert(inA(id) == inA(code),
+          s"vec $id subspace $m coded to the other cluster's centroid $code")
       }
       val top = Similarity.ss10PqAdc(spark, tmp.getPath)
         .select(col("q_id"), col("c_id")).collect()
