@@ -788,6 +788,56 @@ object Curation {
       |FROM t JOIN r USING (lang)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ds11: deterministic weighted source interleave — the ORDER in which a
+  // mixture is read: give each source an integer weight (here 1..4 from a
+  // stable name hash; in production the mixture config) and assign every
+  // doc the virtual-time key pos_in_source · (12 / w) — weighted fair
+  // queueing's finish tag with LCM(1..4) = 12 keeping it an exact
+  // integer. Reading in ascending (ikey, source, pos) interleaves
+  // sources proportionally to weight at every prefix — the property
+  // "every training window sees the configured mixture", with no RNG and
+  // stable under re-sharding.
+  //
+  // Scale shape: pos is the ds09 two-phase rank partitioned by source —
+  // per-(source, id-range) bucket counts, a tiny broadcast prefix, a
+  // within-bucket row_number — so no task ever sorts one source's full
+  // stream; the weight table is per-source arithmetic, no join at all.
+  // ---------------------------------------------------------------------
+  def ds11SourceInterleave(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+    val keyed = docs.select(col("doc_id"), col("source"))
+      .withColumn("w", hashBucket(concat(lit("mixw:"), col("source")), 4) + 1)
+      .withColumn("bkt", expr("doc_id div 256"))
+    val bucketPrefix = keyed.groupBy(col("source"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("pre",
+        coalesce(sum(col("c")).over(
+          Window.partitionBy(col("source")).orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("bkt"), col("pre"))
+    val wIn = Window.partitionBy(col("source"), col("bkt")).orderBy(col("doc_id"))
+    keyed.join(broadcast(bucketPrefix), Seq("source", "bkt"))
+      .withColumn("pos", col("pre") + row_number().over(wIn))
+      .select(col("doc_id"), col("source"), col("w").cast("int").as("weight"),
+        col("pos"), (col("pos") * expr("12 div w")).as("ikey"))
+  }
+
+  val ds11Oracle: String =
+    """WITH k AS (
+      | SELECT doc_id, source,
+      |  (('0x' || substr(md5('mixw:' || source), 1, 8))::BIGINT % 4) + 1 AS w
+      | FROM documents),
+      |p AS (
+      | SELECT doc_id, source, w,
+      |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS pos
+      | FROM k)
+      |SELECT doc_id, source, CAST(w AS INT) AS weight,
+      | CAST(pos AS BIGINT) AS pos,
+      | CAST(pos * (12 // w) AS BIGINT) AS ikey
+      |FROM p""".stripMargin
+
+  // ---------------------------------------------------------------------
   // tp03: the corpus report card — the fleet-management question every
   // data team asks between pipeline runs, answered in ONE plan: per
   // language, how many documents and tokens do we hold, how many are
@@ -846,6 +896,7 @@ object Curation {
     "ds08_zrect_query" -> (ds08ZrectQuery _),
     "ds09_epoch_shards" -> (ds09EpochShards _),
     "ds10_temp_mixture" -> (ds10TempMixture _),
+    "ds11_source_interleave" -> (ds11SourceInterleave _),
     "dc01_decontaminate" -> (dc01Decontaminate _),
     "dc02_contamination_report" -> (dc02ContaminationReport _),
     "dd10_repeated_spans" -> (dd10RepeatedSpans _),
@@ -865,6 +916,7 @@ object Curation {
     "ds08_zrect_query" -> ds08Oracle,
     "ds09_epoch_shards" -> ds09Oracle,
     "ds10_temp_mixture" -> ds10Oracle,
+    "ds11_source_interleave" -> ds11Oracle,
     "dc01_decontaminate" -> dc01Oracle,
     "dc02_contamination_report" -> dc02Oracle,
     "dd10_repeated_spans" -> dd10Oracle,

@@ -586,6 +586,29 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // cc04: dup-cluster size distribution — the shape-of-the-problem report
+  // read before choosing a dedup strategy: how many clusters of size 2,
+  // 3, ... exist, and how many documents would removal reclaim at each
+  // size (every member but the canonical survivor). Two dictionary-sized
+  // aggregates over cc01's components — the corpus contributes nothing
+  // beyond what cc01 already computed.
+  // ---------------------------------------------------------------------
+  def cc04ClusterSizes(s: SparkSession, dir: String): DataFrame =
+    cc01DupComponents(s, dir)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_removable", col("n_clusters") * (col("sz") - 1))
+
+  val cc04Oracle: String =
+    s"""WITH comp AS (SELECT * FROM ($cc01Oracle) t),
+       |sizes AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
+       |SELECT sz, COUNT(*) AS n_clusters,
+       | CAST(COUNT(*) * (sz - 1) AS BIGINT) AS n_removable
+       |FROM sizes GROUP BY sz""".stripMargin
+
+  // ---------------------------------------------------------------------
   // cc03: canonical-representative selection — the step that turns cluster
   // ids into an actionable rewrite: per dup cluster keep ONE document (the
   // longest; ties to the lowest doc_id) and map every member to it. The
@@ -795,6 +818,7 @@ object Dedup {
     "dd09_incremental" -> (dd09IncrementalDedup _),
     "dd12_bloom_incremental" -> (dd12BloomIncremental _),
     "cc01_dup_components" -> (cc01DupComponents _),
+    "cc04_cluster_sizes" -> (cc04ClusterSizes _),
     "cc02_dup_components_star" -> (cc02DupComponentsStar _),
     "cc03_canonical" -> (cc03Canonical _),
     "tp01_corpus_curation" -> (tp01CorpusCuration _),
@@ -813,6 +837,7 @@ object Dedup {
     "dd09_incremental" -> dd09Oracle,
     "dd12_bloom_incremental" -> dd09Oracle,
     "cc01_dup_components" -> cc01Oracle,
+    "cc04_cluster_sizes" -> cc04Oracle,
     "cc02_dup_components_star" -> cc01Oracle,
     "cc03_canonical" -> cc03Oracle,
     "tp01_corpus_curation" -> tp01Oracle,
