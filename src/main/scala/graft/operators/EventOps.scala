@@ -335,9 +335,79 @@ object EventOps {
       |FROM clicks c JOIN views v ON c.user_id = v.user_id
       | AND v.ve <= c.ce AND v.ve >= c.ce - 600""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q40: funnel analysis — the ORDERED conversion sequence (view → click
+  // → purchase) per user, where each stage only counts if it happens at
+  // or after the previous stage's first completion (a purchase before
+  // ever clicking is not a conversion). Three cascaded min-aggregates,
+  // each a hash equi-join on user_id + partial-agg'd min — no windows
+  // over the event stream, no per-user sort; at 100 TB each stage's
+  // aggregate collapses map-side to one row per user.
+  // ---------------------------------------------------------------------
+  def q40Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("e"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("e")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("e") >= col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("e")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("e") >= col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("e")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"))
+  }
+
+  val q40Oracle: String =
+    """WITH e AS (
+      | SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS e
+      | FROM events),
+      |v AS (SELECT user_id, MIN(e) AS t_view FROM e
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.e) AS t_click FROM e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.e >= v.t_view GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.e) AS t_purchase FROM e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.e >= c.t_click GROUP BY e.user_id)
+      |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q41: retention cohorts — users grouped by first-active hour, counted
+  // at each subsequent hour offset (the triangle every growth dashboard
+  // draws). The corpus reduces to distinct (user, hour) pairs first (one
+  // partial-agg'd exchange), the per-user cohort is a min over that
+  // already-small set, and the final rollup is cohort×offset-sized.
+  // ---------------------------------------------------------------------
+  def q41RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val acts = ev.select(col("user_id"),
+      unix_timestamp(date_trunc("hour", col("ts"))).as("h")).distinct()
+    val coh = acts.groupBy(col("user_id")).agg(min(col("h")).as("h0"))
+    acts.join(coh, Seq("user_id"))
+      .select(col("h0").as("cohort_hour"),
+        expr("(h - h0) div 3600").as("offset_h"))
+      .groupBy(col("cohort_hour"), col("offset_h"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val q41Oracle: String =
+    """WITH acts AS (
+      | SELECT DISTINCT user_id,
+      |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h
+      | FROM events),
+      |coh AS (SELECT user_id, MIN(h) AS h0 FROM acts GROUP BY user_id)
+      |SELECT h0 AS cohort_hour, (h - h0) // 3600 AS offset_h,
+      | COUNT(*) AS n_users
+      |FROM acts JOIN coh USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_tumbling_window" -> (q20TumblingWindow _),
     "q38_window_topk" -> (q38WindowTopk _),
+    "q40_funnel" -> (q40Funnel _),
+    "q41_retention_cohorts" -> (q41RetentionCohorts _),
     "q37_interval_join" -> (q37IntervalJoin _),
     "q21_running_sum" -> (q21RunningSum _),
     "q22_sessionize" -> (q22Sessionize _),
@@ -351,6 +421,8 @@ object EventOps {
   val oracles: Map[String, String] = Map(
     "q20_tumbling_window" -> q20Oracle,
     "q38_window_topk" -> q38Oracle,
+    "q40_funnel" -> q40Oracle,
+    "q41_retention_cohorts" -> q41Oracle,
     "q21_running_sum" -> q21Oracle,
     "q22_sessionize" -> q22Oracle,
     "q23_json_extract" -> q23Oracle,
