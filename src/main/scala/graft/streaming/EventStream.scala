@@ -276,4 +276,70 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  final case class FunnelRow(user_id: Long, t_view: Option[Long],
+      t_click: Option[Long], t_purchase: Option[Long])
+
+  final case class FunnelState(v: Option[Long], c: Option[Long],
+      p: Option[Long], last: Long)
+
+  /** Streaming funnel — the twin of EventOps.q40 (first view → first
+    * click at-or-after it → first purchase at-or-after that). State is
+    * THREE timestamps per user; within each micro-batch rows fold in
+    * event-time order (view before click before purchase on ties), so
+    * in-order and same-batch data reproduce the batch answer exactly. A
+    * cross-batch REGRESSION (an earlier view arriving after a click was
+    * already folded against a later view) is lossy by design — O(1)
+    * state can't re-audition discarded clicks; q40 is the exact backfill
+    * authority, the asofAttach contract. One FunnelRow per user is
+    * emitted when the event-time timeout fires after `idleGapSeconds` of
+    * user inactivity (watermark-driven); a user active again later
+    * starts a fresh funnel epoch. */
+  def funnelProgress(events: Dataset[Event], idleGapSeconds: Long = 3600,
+      watermark: String = "30 minutes"): Dataset[FunnelRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val stageRank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[FunnelState]): Iterator[FunnelRow] = {
+      if (state.hasTimedOut) {
+        // the batch twin anchors on the first view: viewless users emit no row
+        val out = state.getOption.filter(_.v.isDefined)
+          .map(s => FunnelRow(userId, s.v, s.c, s.p)).iterator
+        state.remove()
+        out
+      } else {
+        var s = state.getOption.getOrElse(FunnelState(None, None, None, 0L))
+        val ordered = rows.toSeq
+          .filter(e => stageRank.contains(e.event_type))
+          .sortBy(e => (e.ts.getTime, stageRank(e.event_type), e.event_id))
+        for (e <- ordered) {
+          val t = e.ts.getTime / 1000L
+          e.event_type match {
+            case "view" if s.v.forall(t < _) =>
+              s = s.copy(v = Some(t))
+            case "click" if s.v.exists(_ <= t) && s.c.forall(t < _) =>
+              s = s.copy(c = Some(t))
+            case "purchase" if s.c.exists(_ <= t) && s.p.forall(t < _) =>
+              s = s.copy(p = Some(t))
+            case _ => ()
+          }
+          s = s.copy(last = math.max(s.last, e.ts.getTime))
+        }
+        if (s.v.isDefined || s.last > 0) {
+          state.update(s)
+          state.setTimeoutTimestamp(s.last + idleGapSeconds * 1000L)
+        }
+        Iterator.empty
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

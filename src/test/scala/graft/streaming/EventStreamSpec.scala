@@ -277,6 +277,59 @@ trait StatefulStreamingScenarios { this: SparkSpec =>
   }
   }
 
+  test("streaming funnel emits per-user stage times at idle timeout, matching q40") {
+    withProvider {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      // user 1: full funnel in order; user 2: purchase BEFORE any click —
+      // must not count; user 3: click before its only view — no click
+      // stage; user 4: clicks only, no view — no row at all.
+      val evs = Seq(
+        (1L, 0, 1L, "view"), (2L, 5, 1L, "click"), (3L, 9, 1L, "purchase"),
+        (4L, 1, 2L, "view"), (5L, 2, 2L, "purchase"), (6L, 6, 2L, "click"),
+        (7L, 3, 3L, "click"), (8L, 7, 3L, "view"),
+        (9L, 4, 4L, "click"))
+      val tmp = java.nio.file.Files.createTempDirectory("q40-lockstep").toFile
+      try {
+        evs.map { case (id, m, u, k) => (id, ts(m).getTime * 1000000L, u, k) }
+          .toDF("event_id", "ts", "user_id", "event_type")
+          .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+        val batch = graft.operators.EventOps.q40Funnel(spark, tmp.getPath)
+          .collect().map(r => r.getLong(0) ->
+            (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+        val input = MemoryStream[Event]
+        val q = EventStream.funnelProgress(input.toDS(),
+            idleGapSeconds = 600, watermark = "0 seconds")
+          .writeStream.format("memory").queryName("funnel")
+          .outputMode(OutputMode.Append()).start()
+        try {
+          input.addData(evs.map { case (id, m, u, k) => Event(id, ts(m), u, k, 0.0) })
+          q.processAllAvailable()
+          // advance the watermark far past every user's idle deadline;
+          // timeouts fire on the NEXT batch after the watermark moves
+          input.addData(Event(99, ts(120), 9, "error", 0.0))
+          q.processAllAvailable()
+          input.addData(Event(100, ts(180), 9, "error", 0.0))
+          q.processAllAvailable()
+          val stream = spark.table("funnel").as[EventStream.FunnelRow].collect()
+            .map(r => r.user_id -> (r.t_view, r.t_click, r.t_purchase)).toMap
+          val batchN = batch.map { case (u, (v, c, p)) =>
+            u -> (v.map(_.asInstanceOf[Long]), c.map(_.asInstanceOf[Long]),
+              p.map(_.asInstanceOf[Long]))
+          }
+          assert(batchN.keySet == Set(1L, 2L, 3L), batchN.toString)
+          assert(stream == batchN, s"batch=$batchN stream=$stream")
+          // hand-derived: u1 full funnel; u2 reaches click@6 but its
+          // purchase@2 PRECEDED the click, so the purchase stage stays
+          // empty; u3's click preceded its first view — view only
+          assert(stream(1L)._3.isDefined, stream.toString)
+          assert(stream(2L)._2.isDefined && stream(2L)._3.isEmpty, stream.toString)
+          assert(stream(3L)._2.isEmpty && stream(3L)._3.isEmpty, stream.toString)
+        } finally { q.stop(); spark.catalog.dropTempView("funnel") }
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+  }
+
 }
 
 /** Drives the streaming operators through a MemoryStream source and memory
