@@ -838,6 +838,74 @@ object Curation {
       |FROM p""".stripMargin
 
   // ---------------------------------------------------------------------
+  // tp05: mixture → reading order → shards, end to end — the data-order
+  // deliverable a pretraining run actually consumes: ds10's temperature
+  // mixture decides WHAT to read, ds11's weighted-fair-queueing key
+  // decides in WHAT ORDER (per-language weights on the kept subset), and
+  // a round-robin over the global interleave rank decides WHERE each doc
+  // lands (shard s, position p) — so every shard individually preserves
+  // the configured mixture at every prefix.
+  //
+  // Scale shape: the global interleave rank is the two-phase trick a
+  // THIRD time — per-(ikey-range) bucket counts, one tiny ordered prefix
+  // over the bucket table, within-bucket row_number — so the "global
+  // sort" never materializes; everything else is per-row arithmetic.
+  // ---------------------------------------------------------------------
+  def tp05MixtureShards(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kept = ds10TempMixture(s, dir).filter(col("kept"))
+      .select(col("doc_id"), col("lang"))
+    // per-language position within the KEPT subset (ds09's two-phase rank)
+    val keyed = kept
+      .withColumn("w", hashBucket(concat(lit("mixw:"), col("lang")), 4) + 1)
+      .withColumn("bkt", expr("doc_id div 256"))
+    val posPrefix = keyed.groupBy(col("lang"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("pre",
+        coalesce(sum(col("c")).over(
+          Window.partitionBy(col("lang")).orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("bkt"), col("pre"))
+    val wPos = Window.partitionBy(col("lang"), col("bkt")).orderBy(col("doc_id"))
+    val interleaved = keyed.join(broadcast(posPrefix), Seq("lang", "bkt"))
+      .withColumn("pos", col("pre") + row_number().over(wPos))
+      .withColumn("ikey", col("pos") * expr("12 div w"))
+      .select(col("doc_id"), col("lang"), col("pos"), col("ikey"))
+    // global rank over (ikey, lang, pos) without a global sort
+    val ranked = interleaved.withColumn("ibkt", expr("ikey div 4096"))
+    val rankPrefix = ranked.groupBy(col("ibkt")).agg(count(lit(1)).as("c"))
+      .withColumn("rpre",
+        coalesce(sum(col("c")).over(Window.orderBy(col("ibkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("ibkt"), col("rpre"))
+    val wRank = Window.partitionBy(col("ibkt"))
+      .orderBy(col("ikey"), col("lang"), col("pos"))
+    ranked.join(broadcast(rankPrefix), Seq("ibkt"))
+      .withColumn("r", col("rpre") + row_number().over(wRank))
+      .select(col("doc_id"), col("lang"), col("ikey"),
+        ((col("r") - 1) % epochShards).cast("int").as("shard"),
+        expr(s"(r - 1) div $epochShards").as("shard_pos"))
+  }
+
+  val tp05Oracle: String =
+    s"""WITH m AS (SELECT * FROM ($ds10Oracle) t),
+       |k AS (SELECT doc_id, lang FROM m WHERE kept),
+       |p AS (
+       | SELECT doc_id, lang,
+       |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS pos,
+       |  (('0x' || substr(md5('mixw:' || lang), 1, 8))::BIGINT % 4) + 1 AS w
+       | FROM k),
+       |i AS (SELECT doc_id, lang, pos, CAST(pos * (12 // w) AS BIGINT) AS ikey FROM p),
+       |r AS (
+       | SELECT doc_id, lang, ikey,
+       |  ROW_NUMBER() OVER (ORDER BY ikey, lang, pos) AS r
+       | FROM i)
+       |SELECT doc_id, lang, ikey,
+       | CAST((r - 1) % $epochShards AS INT) AS shard,
+       | CAST((r - 1) // $epochShards AS BIGINT) AS shard_pos
+       |FROM r""".stripMargin
+
+  // ---------------------------------------------------------------------
   // tp03: the corpus report card — the fleet-management question every
   // data team asks between pipeline runs, answered in ONE plan: per
   // language, how many documents and tokens do we hold, how many are
@@ -903,7 +971,8 @@ object Curation {
     "dd13_paragraph_dedup" -> (dd13ParagraphDedup _),
     "tp02_full_curation" -> (tp02FullCuration _),
     "tp03_corpus_report" -> (tp03CorpusReport _),
-    "tp04_pack_train" -> (tp04PackTrain _))
+    "tp04_pack_train" -> (tp04PackTrain _),
+    "tp05_mixture_shards" -> (tp05MixtureShards _))
 
   val oracles: Map[String, String] = Map(
     "ds01_hash_split" -> ds01Oracle,
@@ -923,5 +992,6 @@ object Curation {
     "dd13_paragraph_dedup" -> dd13Oracle,
     "tp02_full_curation" -> tp02Oracle,
     "tp03_corpus_report" -> tp03Oracle,
-    "tp04_pack_train" -> tp04Oracle)
+    "tp04_pack_train" -> tp04Oracle,
+    "tp05_mixture_shards" -> tp05Oracle)
 }
