@@ -724,9 +724,67 @@ object Relational {
       | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY GROUPING SETS ((lang), (source), ())""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q42: NTILE quartiles within groups — "bucket customers into account-
+  // balance quartiles per market segment" (cohort assignment, A/B strata,
+  // spend tiers). NTILE is rank arithmetic over the per-segment order;
+  // segments are few and independent, so the per-partition sort runs
+  // parallel across segments. c_acctbal DOUBLEs only ORDER — never
+  // aggregate — so cross-engine hashing is safe; ties break on c_custkey.
+  // ---------------------------------------------------------------------
+  def q42Ntile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables(s, dir, "customer")
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    c.select(col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).as("quartile"))
+      .groupBy(col("c_mktsegment"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
+  }
+
+  val q42Oracle: String =
+    """SELECT c_mktsegment, quartile, COUNT(*) AS n,
+      | MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+      |FROM (
+      | SELECT c_custkey, c_mktsegment,
+      |  CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+      |    ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS quartile
+      | FROM customer) t
+      |GROUP BY c_mktsegment, quartile""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q43: correlated subqueries through Catalyst's decorrelation — the SQL
+  // surface users actually write (scalar subquery + correlated EXISTS),
+  // handed to spark.sql so RewriteCorrelatedScalarSubquery turns the
+  // per-row "nation average" into ONE aggregate + join (never N
+  // re-executions) and the EXISTS into a left-semi hash join. The oracle
+  // is the same text in DuckDB — both engines must agree that
+  // decorrelation preserves semantics.
+  // ---------------------------------------------------------------------
+  private val q43Sql: String =
+    """SELECT c.c_custkey, c.c_nationkey
+      |FROM customer c
+      |WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+      |                     WHERE c2.c_nationkey = c.c_nationkey)
+      |  AND EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)""".stripMargin
+
+  def q43Correlated(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach { n =>
+      Tables(s, dir, n).createOrReplaceTempView(n)
+    }
+    s.sql(q43Sql)
+  }
+
+  val q43Oracle: String = q43Sql
+
   val queries: Map[String, Q] = Map(
     "q36_cube" -> (q36Cube _),
     "q39_grouping_sets" -> (q39GroupingSets _),
+    "q42_ntile" -> (q42Ntile _),
+    "q43_correlated" -> (q43Correlated _),
     "q35_full_outer" -> (q35FullOuter _),
     "q31_salted_join" -> (q31SaltedJoin _),
     "q27_rollup" -> (q27Rollup _),
@@ -756,6 +814,8 @@ object Relational {
     "q35_full_outer" -> q35Oracle,
     "q36_cube" -> q36Oracle,
     "q39_grouping_sets" -> q39Oracle,
+    "q42_ntile" -> q42Oracle,
+    "q43_correlated" -> q43Oracle,
     "q31_salted_join" -> q31Oracle,
     "q27_rollup" -> q27Oracle,
     "q28_setops" -> q28Oracle,
