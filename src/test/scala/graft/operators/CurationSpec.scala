@@ -171,4 +171,62 @@ class CurationSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(tmp)
     }
   }
+
+  test("ds11: ascending ikey interleaves sources proportionally to weight at every prefix") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ds11-prop").toFile
+    try {
+      // two sources, enough docs each that neither exhausts early
+      (0 until 400).map { i =>
+        (i.toLong, s"text $i", "en", if (i % 2 == 0) "alpha" else "beta")
+      }.toDF("doc_id", "text", "lang", "source")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val rows = Curation.ds11SourceInterleave(spark, tmp.getPath)
+        .orderBy(col("ikey"), col("source"), col("pos"))
+        .select(col("source"), col("weight")).collect()
+      val weights = rows.map(r => r.getString(0) -> r.getInt(1)).toMap
+      // weighted-fair-queueing invariant: in any prefix, each source's
+      // count stays within ±1 virtual-time slot of its weight share
+      var counts = Map.empty[String, Long].withDefaultValue(0L)
+      rows.zipWithIndex.foreach { case (r, i) =>
+        counts = counts.updated(r.getString(0), counts(r.getString(0)) + 1)
+        val wTot = weights.values.sum.toDouble
+        weights.foreach { case (src, w) =>
+          val expected = (i + 1) * w / wTot
+          assert(math.abs(counts(src) - expected) <= weights.size + 1,
+            s"prefix ${i + 1}: $src has ${counts(src)}, expected ~$expected (w=$w)")
+        }
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+  }
+
+  test("tp05: shards are balanced and each preserves the mixture order") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tp05-shards").toFile
+    try {
+      (0 until 600).map { i =>
+        val lang = Seq("en", "de", "fr")(i % 3)
+        (i.toLong, (s"w$i " * 20).trim, lang, "src")
+      }.toDF("doc_id", "text", "lang", "source")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val out = Curation.tp05MixtureShards(spark, tmp.getPath).collect()
+      assert(out.nonEmpty)
+      // round-robin over the global rank → shard sizes differ by at most 1
+      val sizes = out.groupBy(_.getInt(3)).view.mapValues(_.length).toMap
+      assert(sizes.values.max - sizes.values.min <= 1, sizes.toString)
+      // within a shard, ascending shard_pos must follow ascending ikey
+      out.groupBy(_.getInt(3)).foreach { case (_, rows) =>
+        val byPos = rows.sortBy(_.getLong(4)).map(_.getLong(2))
+        assert(byPos.sameElements(byPos.sorted), "shard order broke the interleave")
+      }
+      // only ds10-kept docs appear
+      val kept = Curation.ds10TempMixture(spark, tmp.getPath)
+        .filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(out.map(_.getLong(0)).toSet == kept)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+  }
 }
