@@ -315,6 +315,37 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // dd16: the LSH S-curve audit — for every verified candidate pair,
+  // the THEORETICAL probability banding finds a pair of its Jaccard:
+  // p = 1 - (1 - j^r)^b with r=2 rows, b=4 bands. Reading p against
+  // is_dup is how the band/row dial is tuned ("pairs at our 0.7
+  // threshold are found with p≈0.88 — acceptable false-negative
+  // budget?"). The expression tree is identical on both engines and
+  // uses only correctly-rounded IEEE ops (div, mul, sub) — no pow —
+  // so the doubles hash-match bit-for-bit.
+  // ---------------------------------------------------------------------
+  def dd16LshCurve(s: SparkSession, dir: String): DataFrame = {
+    val v = jaccardVerified(Tables(s, dir, "documents"))
+    val j = col("n_inter").cast("double") / col("n_union").cast("double")
+    val q = lit(1.0) - j * j
+    v.select(col("doc1"), col("doc2"), col("n_inter"), col("n_union"),
+      col("is_dup"),
+      round(j, 6).as("jaccard"),
+      round(lit(1.0) - q * q * q * q, 6).as("p_found"))
+  }
+
+  val dd16Oracle: String =
+    s"""WITH ${verifyCtesFrom("documents")},
+       |verified AS ($verifySelect)
+       |SELECT doc1, doc2, n_inter, n_union, is_dup,
+       | round(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE), 6) AS jaccard,
+       | round(1.0 - (1.0 - (CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)) * (CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)))
+       |   * (1.0 - (CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)) * (CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)))
+       |   * (1.0 - (CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)) * (CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)))
+       |   * (1.0 - (CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)) * (CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE))), 6) AS p_found
+       |FROM verified""".stripMargin
+
+  // ---------------------------------------------------------------------
   // dd14: CONTAINMENT verification of the LSH candidates — the asymmetric
   // complement of dd05's Jaccard: C(A→B) = |A∩B| / |A| answers "is doc A
   // mostly inside doc B", which Jaccard misses whenever the sizes differ
@@ -829,6 +860,7 @@ object Dedup {
     "dd05_jaccard_verify" -> (dd05JaccardVerify _),
     "dd14_containment_verify" -> (dd14ContainmentVerify _),
     "dd15_sig_estimate" -> (dd15SigEstimate _),
+    "dd16_lsh_curve" -> (dd16LshCurve _),
     "dd06_emb_neardup" -> (dd06EmbNeardup _),
     "dd07_dedup_pipeline" -> (dd07DedupPipeline _),
     "dd08_emb_neardup_lsh" -> (dd08EmbNeardupLsh _))
@@ -848,6 +880,7 @@ object Dedup {
     "dd05_jaccard_verify" -> dd05Oracle,
     "dd14_containment_verify" -> dd14Oracle,
     "dd15_sig_estimate" -> dd15Oracle,
+    "dd16_lsh_curve" -> dd16Oracle,
     "dd06_emb_neardup" -> dd06Oracle,
     "dd07_dedup_pipeline" -> dd07Oracle,
     "dd08_emb_neardup_lsh" -> dd08Oracle)

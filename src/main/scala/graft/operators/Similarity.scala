@@ -863,6 +863,57 @@ object Similarity {
        | FROM adc) t WHERE rnk <= $K""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ss13: quantizer drift monitor — the "when do we retrain" signal for
+  // the roll-forward index (ss07): train centroids on the STANDING
+  // corpus (residue-3 increment held out, ss07's split), assign
+  // everything under those frozen centroids, and report per-list how the
+  // increment lands vs the standing members — per-mille occupancy of
+  // old/new per list in exact integers. A list whose new-share runs far
+  // above its old-share is where the increment's distribution drifted
+  // from the training corpus; persistent drift = retrain. One broadcast
+  // assignment pass + a |lists|-row report.
+  // ---------------------------------------------------------------------
+  def ss13QuantizerDrift(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val cents = learnedCentroids(base.filter(col("vec_id") % 10 =!= 3), ivfRounds)
+    val assigned = assignToCentroids(base, cents)
+      .withColumn("is_new", (col("vec_id") % 10 === 3).cast("long"))
+    val tot = assigned.agg(sum(lit(1) - col("is_new")).as("tot_old"),
+      sum(col("is_new")).as("tot_new"))
+    assigned.groupBy(col("cent_id"))
+      .agg(sum(lit(1) - col("is_new")).as("n_old"),
+        sum(col("is_new")).as("n_new"))
+      .crossJoin(broadcast(tot))
+      .select(col("cent_id"), col("n_old"), col("n_new"),
+        expr("(n_old * 1000) div tot_old").as("old_share_pm"),
+        expr("(n_new * 1000) div tot_new").as("new_share_pm"))
+  }
+
+  val ss13Oracle: String =
+    s"""WITH $qvecSql,
+       |qno AS (SELECT * FROM qn WHERE vec_id % 10 != 3),
+       |${kmChainSql(ivfRounds).replaceAll("\\bqn\\b", "qno")},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |cscored AS (
+       | SELECT qn.vec_id, cents.cent_id,
+       |  CAST(list_sum(list_transform(range(1, len(qn.v) + 1), i -> qn.v[i] * cents.cv[i])) AS BIGINT)
+       |    / sqrt(CAST(qn.nrm AS DOUBLE) * CAST(cents.cn AS DOUBLE)) AS ccos
+       | FROM qn CROSS JOIN cents),
+       |assigned AS (
+       | SELECT vec_id, cent_id, CASE WHEN vec_id % 10 = 3 THEN 1 ELSE 0 END AS is_new
+       | FROM (SELECT vec_id, cent_id,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn
+       |  FROM cscored) t WHERE rn = 1),
+       |tot AS (SELECT CAST(SUM(1 - is_new) AS BIGINT) AS tot_old,
+       |        CAST(SUM(is_new) AS BIGINT) AS tot_new FROM assigned)
+       |SELECT cent_id, CAST(SUM(1 - is_new) AS BIGINT) AS n_old,
+       | CAST(SUM(is_new) AS BIGINT) AS n_new,
+       | (CAST(SUM(1 - is_new) AS BIGINT) * 1000) // tot_old AS old_share_pm,
+       | (CAST(SUM(is_new) AS BIGINT) * 1000) // tot_new AS new_share_pm
+       |FROM assigned CROSS JOIN tot
+       |GROUP BY cent_id, tot_old, tot_new""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ss12: PQ recall audit — ss06's honesty metric for the quantized tier:
   // what fraction of the brute-force top-k does IVF-PQ (ss11) return?
   // Quantization loses recall two ways (coarse probe misses + ADC
@@ -901,7 +952,8 @@ object Similarity {
     "ss09_pq_encode" -> (ss09PqEncode _),
     "ss10_pq_adc" -> (ss10PqAdc _),
     "ss11_ivf_pq" -> (ss11IvfPqAdc _),
-    "ss12_pq_recall" -> (ss12PqRecall _))
+    "ss12_pq_recall" -> (ss12PqRecall _),
+    "ss13_quantizer_drift" -> (ss13QuantizerDrift _))
 
   val oracles: Map[String, String] = Map(
     "ss01_brute_topk" -> ss01Oracle,
@@ -916,5 +968,6 @@ object Similarity {
     "ss09_pq_encode" -> ss09Oracle,
     "ss10_pq_adc" -> ss10Oracle,
     "ss11_ivf_pq" -> ss11Oracle,
-    "ss12_pq_recall" -> ss12Oracle)
+    "ss12_pq_recall" -> ss12Oracle,
+    "ss13_quantizer_drift" -> ss13Oracle)
 }
