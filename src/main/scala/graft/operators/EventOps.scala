@@ -403,11 +403,40 @@ object EventOps {
       |FROM acts JOIN coh USING (user_id)
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q44: LAG/LEAD navigation — per user, each event's gap to its
+  // predecessor and successor (the inputs to inter-arrival analysis,
+  // anomaly gaps, and the gap histogram behind choosing q22's session
+  // threshold). One window per user ordered by (ts, event_id) — at
+  // 100 TB the per-user partitions sort independently; skewed users cost
+  // map-side sort only, not a shuffle hotspot, because the window key IS
+  // the shuffle key.
+  // ---------------------------------------------------------------------
+  def q44LagLead(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("e"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("e"), col("event_id"))
+    ev.select(col("event_id"), col("user_id"),
+      (col("e") - lag(col("e"), 1).over(w)).as("gap_prev_s"),
+      (lead(col("e"), 1).over(w) - col("e")).as("gap_next_s"))
+  }
+
+  val q44Oracle: String =
+    """SELECT event_id, user_id,
+      | e - LAG(e, 1) OVER w AS gap_prev_s,
+      | LEAD(e, 1) OVER w - e AS gap_next_s
+      |FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e
+      |      FROM events) t
+      |WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_tumbling_window" -> (q20TumblingWindow _),
     "q38_window_topk" -> (q38WindowTopk _),
     "q40_funnel" -> (q40Funnel _),
     "q41_retention_cohorts" -> (q41RetentionCohorts _),
+    "q44_lag_lead" -> (q44LagLead _),
     "q37_interval_join" -> (q37IntervalJoin _),
     "q21_running_sum" -> (q21RunningSum _),
     "q22_sessionize" -> (q22Sessionize _),
@@ -423,6 +452,7 @@ object EventOps {
     "q38_window_topk" -> q38Oracle,
     "q40_funnel" -> q40Oracle,
     "q41_retention_cohorts" -> q41Oracle,
+    "q44_lag_lead" -> q44Oracle,
     "q21_running_sum" -> q21Oracle,
     "q22_sessionize" -> q22Oracle,
     "q23_json_extract" -> q23Oracle,
