@@ -327,6 +327,28 @@ object Relational {
        |SELECT seed, node, step FROM closure""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q45: the SAME bounded closure through Spark 4's native WITH RECURSIVE
+  // — the SQL surface a user migrating recursive queries writes verbatim.
+  // q06 is the driver-iterated set-based form (explicit checkpointing,
+  // the 100 TB shape); q45 hands the identical text to spark.sql and the
+  // oracle runs it in DuckDB — three engines' answers for one recursion,
+  // all hash-equal.
+  // ---------------------------------------------------------------------
+  // q06Oracle's CAST(... AS VARCHAR) is a DuckDB-ism (Spark's VARCHAR
+  // needs a length); STRING is accepted by BOTH engines, so this text is
+  // the portable form both run verbatim.
+  private val q45Sql: String =
+    s"""WITH RECURSIVE ${hierarchyEdgesSql.replace("AS VARCHAR", "AS STRING")}
+       |SELECT seed, node, step FROM closure""".stripMargin
+
+  def q45RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "nation", "region").foreach { n =>
+      Tables(s, dir, n).createOrReplaceTempView(n)
+    }
+    s.sql(q45Sql)
+  }
+
+  // ---------------------------------------------------------------------
   // q07: deepest matching ancestor (C5 — ordered scalar subquery picking the
   // max-step is_2nd ancestor, src/post/find_subdivision.sql:9-32 and note †
   // in SURVEY §2). "is_2nd" here = nation/region nodes; window + row_number
@@ -785,6 +807,7 @@ object Relational {
     "q39_grouping_sets" -> (q39GroupingSets _),
     "q42_ntile" -> (q42Ntile _),
     "q43_correlated" -> (q43Correlated _),
+    "q45_recursive_cte" -> (q45RecursiveCte _),
     "q35_full_outer" -> (q35FullOuter _),
     "q31_salted_join" -> (q31SaltedJoin _),
     "q27_rollup" -> (q27Rollup _),
@@ -816,6 +839,7 @@ object Relational {
     "q39_grouping_sets" -> q39Oracle,
     "q42_ntile" -> q42Oracle,
     "q43_correlated" -> q43Oracle,
+    "q45_recursive_cte" -> q45Sql,
     "q31_salted_join" -> q31Oracle,
     "q27_rollup" -> q27Oracle,
     "q28_setops" -> q28Oracle,
