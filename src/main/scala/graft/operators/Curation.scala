@@ -626,6 +626,31 @@ object Curation {
        |SELECT doc_id, lang, CAST(rn AS INT) AS rn
        |FROM r WHERE rn <= $groupSampleK""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ds12: global fixed-k content-stable sample — ds07 without the strata:
+  // "exactly 200 documents from the whole corpus, reproducibly". The k
+  // smallest salted content hashes overall, so re-runs/re-shards/appends
+  // agree (an append only swaps members if a new doc hashes below the
+  // k-th). Plan shape: TakeOrderedAndProject — each map task keeps its
+  // local k, the driver merges heaps; no window, no full sort, and the
+  // exchange carries k rows per task at any corpus size.
+  // ---------------------------------------------------------------------
+  private val globalSampleK = 200
+
+  def ds12GlobalSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    docs.select(col("doc_id"), col("lang"),
+        md5(concat(lit("gsamp1:"), col("text"))).as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(globalSampleK)
+      .select(col("doc_id"), col("lang"), col("h"))
+  }
+
+  val ds12Oracle: String =
+    s"""SELECT doc_id, lang, h FROM (
+       | SELECT doc_id, lang, md5('gsamp1:' || text) AS h FROM documents) t
+       |ORDER BY h, doc_id LIMIT $globalSampleK""".stripMargin
+
   /** Cluster `df` for multi-dimensional scan pruning: range-partition and
     * sort by the Morton key of (x, y). Each output file then covers a
     * near-disjoint zkey range (range partitioner boundaries + in-file
@@ -965,6 +990,7 @@ object Curation {
     "ds09_epoch_shards" -> (ds09EpochShards _),
     "ds10_temp_mixture" -> (ds10TempMixture _),
     "ds11_source_interleave" -> (ds11SourceInterleave _),
+    "ds12_global_sample" -> (ds12GlobalSample _),
     "dc01_decontaminate" -> (dc01Decontaminate _),
     "dc02_contamination_report" -> (dc02ContaminationReport _),
     "dd10_repeated_spans" -> (dd10RepeatedSpans _),
@@ -986,6 +1012,7 @@ object Curation {
     "ds09_epoch_shards" -> ds09Oracle,
     "ds10_temp_mixture" -> ds10Oracle,
     "ds11_source_interleave" -> ds11Oracle,
+    "ds12_global_sample" -> ds12Oracle,
     "dc01_decontaminate" -> dc01Oracle,
     "dc02_contamination_report" -> dc02Oracle,
     "dd10_repeated_spans" -> dd10Oracle,

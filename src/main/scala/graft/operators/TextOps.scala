@@ -682,6 +682,38 @@ object TextOps {
       |FROM cum JOIN tot USING (lang)
       |GROUP BY cum.lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // tx17: language-ID confusion matrix — the EVALUATION of tx01 against
+  // the labeled corpus: counts per (actual, guessed) cell plus each
+  // actual language's accuracy in per-mille. This is how a production
+  // langid filter's quality is tracked release-over-release; all-integer
+  // so it hash-matches. The per-cell rollup is |langs|² — the corpus
+  // contributes only tx01's shuffle-free scoring pass plus one count.
+  // ---------------------------------------------------------------------
+  def tx17LangidConfusion(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val cells = tx01LangId(s, dir)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"), col("guessed_lang"))
+      .agg(count(lit(1)).as("n"))
+    val tots = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+    cells.join(broadcast(tots), Seq("lang"))
+      .select(col("lang"), col("guessed_lang"), col("n"),
+        expr("case when lang = guessed_lang then (n * 1000) div n_lang end")
+          .as("accuracy_pm"))
+  }
+
+  val tx17Oracle: String =
+    s"""WITH g AS (SELECT * FROM ($tx01Oracle) t),
+       |cells AS (
+       | SELECT d.lang, g.guessed_lang, COUNT(*) AS n
+       | FROM g JOIN documents d USING (doc_id)
+       | GROUP BY d.lang, g.guessed_lang),
+       |tots AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang FROM cells GROUP BY lang)
+       |SELECT c.lang, c.guessed_lang, c.n,
+       | CASE WHEN c.lang = c.guessed_lang THEN (c.n * 1000) // t.n_lang END AS accuracy_pm
+       |FROM cells c JOIN tots t USING (lang)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q25_posexplode_filtered" -> (q25PosexplodeFiltered _),
     "q26_quantity_parse" -> (q26QuantityParse _),
@@ -700,7 +732,8 @@ object TextOps {
     "tx13_bpe_merge_table" -> (tx13BpeMergeTable _),
     "tx14_lm_score" -> (tx14LmScore _),
     "tx15_tfidf" -> (tx15Tfidf _),
-    "tx16_length_percentiles" -> (tx16LengthPercentiles _))
+    "tx16_length_percentiles" -> (tx16LengthPercentiles _),
+    "tx17_langid_confusion" -> (tx17LangidConfusion _))
 
   val oracles: Map[String, String] = Map(
     "q25_posexplode_filtered" -> q25Oracle,
@@ -720,5 +753,6 @@ object TextOps {
     "tx13_bpe_merge_table" -> tx13Oracle,
     "tx14_lm_score" -> tx14Oracle,
     "tx15_tfidf" -> tx15Oracle,
-    "tx16_length_percentiles" -> tx16Oracle)
+    "tx16_length_percentiles" -> tx16Oracle,
+    "tx17_langid_confusion" -> tx17Oracle)
 }
