@@ -734,7 +734,11 @@ object Similarity {
   // BROADCAST query LUTs — one map-side pass over the index, and the
   // only per-query shuffle is the final top-k window.
   // ---------------------------------------------------------------------
-  def ss11IvfPqAdc(s: SparkSession, dir: String): DataFrame = {
+  /** The IVF-PQ candidate stream shared by ss11 (ADC top-k is the answer)
+    * and ss14 (ADC is the SCREEN, exact rerank is the answer): distinct
+    * (q_id, c_id, adc_d2) for candidates inside the probed lists. Returns
+    * (base, adcScored). */
+  private def ivfPqScored(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = qvec(s, dir).localCheckpoint()
     // coarse quantizer: identical machinery and tiebreaks to ss03
     val cents = learnedCentroids(base, ivfRounds)
@@ -766,9 +770,57 @@ object Similarity {
       // partition the corpus, but DISTINCT the (q, c) pairs like ss03 to
       // keep the contract explicit
       .select(col("q_id"), col("vec_id").as("c_id"), col("adc_d2")).distinct()
+    (base, adc)
+  }
+
+  def ss11IvfPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val (_, adc) = ivfPqScored(s, dir)
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("c_id"))
     adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
       .select(col("q_id"), col("c_id"), col("rnk"), col("adc_d2"))
+  }
+
+  // ---------------------------------------------------------------------
+  // ss14: ADC screen + EXACT rerank — the standard two-stage production
+  // serve (FAISS's index.search with refine): the quantized tier keeps
+  // the ADC top-4k per query (cheap, code-table-only), and only those
+  // ~4k·n_queries survivors touch raw vectors for the exact cosine
+  // rerank. Recovers most of the recall ADC distortion loses (measured
+  // by ss15 against ss12) while the raw-vector reads stay a vanishing
+  // fraction of the corpus at scale.
+  // ---------------------------------------------------------------------
+  private val rerankPool = 4 * K
+
+  def ss14IvfPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val (base, adc) = ivfPqScored(s, dir)
+    val wScreen = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("c_id"))
+    val screened = adc.withColumn("srn", row_number().over(wScreen))
+      .filter(col("srn") <= rerankPool)
+      .select(col("q_id"), col("c_id"))
+    val qs = base.select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
+    val cs = base.select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"))
+    val exact = screened
+      .join(broadcast(qs), Seq("q_id"))
+      .join(cs, Seq("c_id"))
+      .withColumn("cos",
+        expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    exact.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+      .select(col("q_id"), col("c_id"), col("rnk"), col("cos"))
+  }
+
+  // ---------------------------------------------------------------------
+  // ss15: rerank recall audit — ss12's measurement for the two-stage
+  // serve; the delta over ss12 is exactly what the exact rerank buys.
+  // ---------------------------------------------------------------------
+  def ss15RerankRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = ss01BruteTopk(s, dir).select(col("q_id"), col("c_id"))
+    val approx = ss14IvfPqRerank(s, dir)
+      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "c_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_pct", expr("(n_hit * 100) div n_exact"))
   }
 
   // --- oracle side: the per-subspace Lloyd chain with suffixed CTE names.
@@ -837,9 +889,9 @@ object Similarity {
        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, c_id) AS rnk
        | FROM adc) t WHERE rnk <= $K""".stripMargin
 
-  /** ss11: coarse chain (kmChainSql → cents) + probe prefix (pairs) + PQ
-    * chains; candidates from the probed lists only, scored by ADC. */
-  val ss11Oracle: String =
+  /** Shared ss11/ss14 CTE prefix: coarse chain (kmChainSql → cents) +
+    * probe prefix (pairs) + PQ chains + the probed-list ADC scores. */
+  private val ivfPqAdcCtesSql: String =
     s"""WITH $qvecSql,
        |${kmChainSql(ivfRounds)},
        |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
@@ -856,11 +908,40 @@ object Similarity {
        |  ${(0 until pqM).map(m =>
              s"SELECT pr.q_id, pr.c_id, l.d2 FROM pairs pr JOIN e$m e ON pr.c_id = e.vec_id JOIN l$m l ON l.q_id = pr.q_id AND l.code = e.code")
             .mkString("\n  UNION ALL\n  ")}
-       | ) u GROUP BY q_id, c_id)
+       | ) u GROUP BY q_id, c_id)""".stripMargin
+
+  val ss11Oracle: String =
+    s"""$ivfPqAdcCtesSql
        |SELECT q_id, c_id, rnk, adc_d2 FROM (
        | SELECT q_id, c_id, adc_d2,
        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, c_id) AS rnk
        | FROM adc) t WHERE rnk <= $K""".stripMargin
+
+  val ss14Oracle: String =
+    s"""$ivfPqAdcCtesSql,
+       |screen AS (
+       | SELECT q_id, c_id FROM (
+       |  SELECT q_id, c_id,
+       |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, c_id) AS srn
+       |  FROM adc) t WHERE srn <= $rerankPool),
+       |ex AS (
+       | SELECT s.q_id, s.c_id,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT)
+       |    / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos
+       | FROM screen s JOIN qn a ON s.q_id = a.vec_id JOIN qn b ON s.c_id = b.vec_id)
+       |SELECT q_id, c_id, rnk, cos FROM (
+       | SELECT q_id, c_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk
+       | FROM ex) t WHERE rnk <= $K""".stripMargin
+
+  val ss15Oracle: String =
+    s"""WITH ex AS (SELECT q_id, c_id FROM ($ss01Oracle) a),
+       |ap AS (SELECT q_id, c_id FROM ($ss14Oracle) b)
+       |SELECT COUNT(*) AS n_exact,
+       | CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       | (CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
+       |   // COUNT(*) AS recall_pct
+       |FROM ex LEFT JOIN ap USING (q_id, c_id)""".stripMargin
 
   // ---------------------------------------------------------------------
   // ss13: quantizer drift monitor — the "when do we retrain" signal for
@@ -953,7 +1034,9 @@ object Similarity {
     "ss10_pq_adc" -> (ss10PqAdc _),
     "ss11_ivf_pq" -> (ss11IvfPqAdc _),
     "ss12_pq_recall" -> (ss12PqRecall _),
-    "ss13_quantizer_drift" -> (ss13QuantizerDrift _))
+    "ss13_quantizer_drift" -> (ss13QuantizerDrift _),
+    "ss14_ivf_pq_rerank" -> (ss14IvfPqRerank _),
+    "ss15_rerank_recall" -> (ss15RerankRecall _))
 
   val oracles: Map[String, String] = Map(
     "ss01_brute_topk" -> ss01Oracle,
@@ -969,5 +1052,7 @@ object Similarity {
     "ss10_pq_adc" -> ss10Oracle,
     "ss11_ivf_pq" -> ss11Oracle,
     "ss12_pq_recall" -> ss12Oracle,
-    "ss13_quantizer_drift" -> ss13Oracle)
+    "ss13_quantizer_drift" -> ss13Oracle,
+    "ss14_ivf_pq_rerank" -> ss14Oracle,
+    "ss15_rerank_recall" -> ss15Oracle)
 }
