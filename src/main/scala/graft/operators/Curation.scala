@@ -329,6 +329,93 @@ object Curation {
        |GROUP BY ev.eval_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // dc03: SPAN-level decontamination — dc01 says which training docs are
+  // contaminated; dc03 says WHERE, as merged token ranges, which is what a
+  // pipeline that redacts leaked passages (instead of dropping whole
+  // documents) actually consumes. Each eval-gram hit marks tokens
+  // [gstart, gstart+4]; overlapping or adjacent marks merge into maximal
+  // spans by the classic islands pattern (fixed gram length ⇒ interval end
+  // is monotone in start, so a lag test is exact).
+  //
+  // Scale shape: identical to dc01 until the hits exist — positional gram
+  // stream filtered by the BROADCAST eval set before any shuffle. The
+  // islands window partitions by doc_id over HITS ONLY (sparse, bounded
+  // per doc), never over the corpus gram stream.
+  // ---------------------------------------------------------------------
+  def dc03SpanDecontaminate(s: SparkSession, dir: String): DataFrame =
+    spanDecontaminate(Tables(s, dir, "documents"))
+
+  /** [[dc03SpanDecontaminate]] over any (doc_id, text) frame — factored so
+    * the islands merge is testable on planted contamination (CurationSpec),
+    * since the synthetic corpus yields almost no natural cross-split
+    * grams. Eval membership: doc_id % 97 == 0, as in dc01/dc02. */
+  def spanDecontaminate(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val toks = expr("filter(split(norm, ' '), x -> x != '')")
+    val grams = docs
+      .select(col("doc_id"), norm.as("norm"))
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), posexplode(expr("ngram_hashes(toks, 5)")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("gstart"), col("col").as("gh"))
+    val eval = grams.filter(col("doc_id") % 97 === 0).select(col("gh")).distinct()
+    // eval is distinct ⇒ the join is 1:1 per (doc, gstart); no dedup needed
+    val hits = grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(eval), Seq("gh"))
+      .select(col("doc_id"), col("gstart"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("gstart"))
+    hits
+      .withColumn("ni", when(lag(col("gstart"), 1).over(w).isNull ||
+        col("gstart") > lag(col("gstart"), 1).over(w) + 5, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("ni")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("gstart")).as("span_start"),
+        (max(col("gstart")) + 4).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** Positional twin of [[gramSql]]: CTEs `{name}_n, {name}` producing
+    * (doc_id, gstart, gh) with gstart the 1-based token index of the
+    * gram's first token. */
+  private def posGramSql(src: String, name: String): String =
+    s"""${name}_n AS (
+       | SELECT doc_id, list_filter(string_split(
+       |   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+       |   ' '), x -> x != '') AS toks
+       | FROM $src),
+       |$name AS (
+       | SELECT doc_id, u.i AS gstart, u.gh FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+       |    i -> {'i': i,
+       |          'gh': ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::BIGINT}))
+       |    AS u
+       |  FROM ${name}_n))""".stripMargin
+
+  val dc03Oracle: String =
+    s"""WITH ${posGramSql("documents", "g")},
+       |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+       |hits AS (
+       | SELECT t.doc_id, t.gstart FROM g t JOIN ev USING (gh)
+       | WHERE t.doc_id % 97 != 0),
+       |m AS (
+       | SELECT doc_id, gstart,
+       |  CASE WHEN lag(gstart) OVER w IS NULL
+       |        OR gstart > lag(gstart) OVER w + 5 THEN 1 ELSE 0 END AS ni
+       | FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY gstart)),
+       |i AS (
+       | SELECT doc_id, gstart,
+       |  SUM(ni) OVER (PARTITION BY doc_id ORDER BY gstart
+       |    ROWS UNBOUNDED PRECEDING) AS isl
+       | FROM m)
+       |SELECT doc_id, CAST(MIN(gstart) AS BIGINT) AS span_start,
+       | CAST(MAX(gstart) + 4 AS BIGINT) AS span_end,
+       | CAST(COUNT(*) AS BIGINT) AS n_grams
+       |FROM i GROUP BY doc_id, isl""".stripMargin
+
+  // ---------------------------------------------------------------------
   // tp02: the complete training-data preparation pipeline, end to end in
   // one plan — quality gate → exact dedup → MinHash-LSH near-dup removal
   // (all via tp01) → benchmark-slice exclusion + 5-gram decontamination →
@@ -993,6 +1080,7 @@ object Curation {
     "ds12_global_sample" -> (ds12GlobalSample _),
     "dc01_decontaminate" -> (dc01Decontaminate _),
     "dc02_contamination_report" -> (dc02ContaminationReport _),
+    "dc03_span_decontaminate" -> (dc03SpanDecontaminate _),
     "dd10_repeated_spans" -> (dd10RepeatedSpans _),
     "dd13_paragraph_dedup" -> (dd13ParagraphDedup _),
     "tp02_full_curation" -> (tp02FullCuration _),
@@ -1015,6 +1103,7 @@ object Curation {
     "ds12_global_sample" -> ds12Oracle,
     "dc01_decontaminate" -> dc01Oracle,
     "dc02_contamination_report" -> dc02Oracle,
+    "dc03_span_decontaminate" -> dc03Oracle,
     "dd10_repeated_spans" -> dd10Oracle,
     "dd13_paragraph_dedup" -> dd13Oracle,
     "tp02_full_curation" -> tp02Oracle,

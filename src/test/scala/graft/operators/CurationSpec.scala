@@ -229,4 +229,27 @@ class CurationSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(tmp)
     }
   }
+
+  test("dc03: islands merge — separate, overlapping, and adjacent spans") {
+    import spark.implicits._
+    // doc 194 (194 % 97 == 0) is the eval doc; its 5-grams are the leak set
+    val docs = Seq(
+      194L -> "a b c d e f g h i j",
+      // two isolated hits: [1,5] and [11,15], gap > gram span → two islands
+      1L -> "a b c d e z1 z2 z3 z4 z5 f g h i j",
+      // six consecutive overlapping hits → one span covering all 10 tokens
+      2L -> "a b c d e f g h i j",
+      // hits at gstart 1 and 6 touch exactly (6 == 1+5) → merged island
+      3L -> "a b c d e a b c d e",
+      // no eval grams at all → absent from the output
+      4L -> "u v w x y z u v w x y z"
+    ).toDF("doc_id", "text")
+    val got = Curation.spanDecontaminate(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expected = Set(
+      (1L, 1L, 5L, 1L), (1L, 11L, 15L, 1L),
+      (2L, 1L, 10L, 6L),
+      (3L, 1L, 10L, 2L))
+    assert(got == expected, got.toString)
+  }
 }
