@@ -431,7 +431,30 @@ object EventOps {
       |      FROM events) t
       |WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q46: UNPIVOT — q33's inverse, and stated as the round-trip law:
+  // unpivot(pivot(events)) == the long-form GROUP BY (minus the
+  // zero-count cells pivot materializes). Spark lowers the stack() to a
+  // Generate over the one-shuffle pivot aggregate — wide→long costs no
+  // extra exchange.
+  // ---------------------------------------------------------------------
+  def q46Unpivot(s: SparkSession, dir: String): DataFrame =
+    q33Pivot(s, dir).select(col("user_id"), expr(
+      """stack(3,
+        | 'view', view_n, view_sum,
+        | 'click', click_n, click_sum,
+        | 'purchase', purchase_n, purchase_sum) AS (event_type, n, sum_v)""".stripMargin))
+      .filter(col("n") > 0)
+      .select(col("user_id"), col("event_type"), col("n"), col("sum_v"))
+
+  val q46Oracle: String =
+    """SELECT user_id, event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+      |FROM events WHERE event_type IN ('view', 'click', 'purchase')
+      |GROUP BY user_id, event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q46_unpivot" -> (q46Unpivot _),
     "q20_tumbling_window" -> (q20TumblingWindow _),
     "q38_window_topk" -> (q38WindowTopk _),
     "q40_funnel" -> (q40Funnel _),
@@ -448,6 +471,7 @@ object EventOps {
     "q34_range_frame" -> (q34RangeFrame _))
 
   val oracles: Map[String, String] = Map(
+    "q46_unpivot" -> q46Oracle,
     "q20_tumbling_window" -> q20Oracle,
     "q38_window_topk" -> q38Oracle,
     "q40_funnel" -> q40Oracle,

@@ -777,6 +777,35 @@ object Relational {
       |GROUP BY c_mktsegment, quartile""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q47: distribution-rank window functions — PERCENT_RANK, CUME_DIST and
+  // NTH_VALUE per market segment. The ranks are exact rational arithmetic
+  // ((rank-1)/(n-1), rows≤/n) over a UNIQUE order (acctbal, custkey), so
+  // the doubles are single IEEE divisions of exact integers — identical
+  // across engines, no rounding fence needed. NTH_VALUE carries an
+  // EXPLICIT running ROWS frame in both engines so default-frame
+  // differences can never bite.
+  // ---------------------------------------------------------------------
+  def q47DistRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables(s, dir, "customer")
+    val ord = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    val running = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c.select(col("c_custkey"), col("c_mktsegment"),
+      percent_rank().over(ord).as("pct_rank"),
+      cume_dist().over(ord).as("cum_dist"),
+      nth_value(col("c_custkey"), 3).over(running).as("third_key"))
+  }
+
+  val q47Oracle: String =
+    """SELECT c_custkey, c_mktsegment,
+      | PERCENT_RANK() OVER w AS pct_rank,
+      | CUME_DIST() OVER w AS cum_dist,
+      | NTH_VALUE(c_custkey, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_key
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q43: correlated subqueries through Catalyst's decorrelation — the SQL
   // surface users actually write (scalar subquery + correlated EXISTS),
   // handed to spark.sql so RewriteCorrelatedScalarSubquery turns the
@@ -808,6 +837,7 @@ object Relational {
     "q42_ntile" -> (q42Ntile _),
     "q43_correlated" -> (q43Correlated _),
     "q45_recursive_cte" -> (q45RecursiveCte _),
+    "q47_dist_rank" -> (q47DistRank _),
     "q35_full_outer" -> (q35FullOuter _),
     "q31_salted_join" -> (q31SaltedJoin _),
     "q27_rollup" -> (q27Rollup _),
@@ -840,6 +870,7 @@ object Relational {
     "q42_ntile" -> q42Oracle,
     "q43_correlated" -> q43Oracle,
     "q45_recursive_cte" -> q45Sql,
+    "q47_dist_rank" -> q47Oracle,
     "q31_salted_join" -> q31Oracle,
     "q27_rollup" -> q27Oracle,
     "q28_setops" -> q28Oracle,

@@ -714,8 +714,54 @@ object TextOps {
        | CASE WHEN c.lang = c.guessed_lang THEN (c.n * 1000) // t.n_lang END AS accuracy_pm
        |FROM cells c JOIN tots t USING (lang)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // tx18: Heaps-law vocabulary-growth curve — distinct-token counts over
+  // growing doc_id prefixes, the release-over-release corpus diversity
+  // metric (a flattening curve means new data adds volume, not variety).
+  // Scale shape: each token contributes exactly once, at its FIRST doc;
+  // tokens bucket to the smallest prefix threshold containing that doc,
+  // and vocab(T) is a running sum over the ≤|thresholds| bucket counts —
+  // two keyed aggregates plus a constant-size window, never a
+  // per-threshold corpus scan and never a fd<T theta join.
+  // ---------------------------------------------------------------------
+  // Geometric from 1: the synthetic corpus draws from a small lexicon, so
+  // the interesting part of the curve is the first few docs; real corpora
+  // fill the right-hand thresholds instead.
+  private val vocabThresholds = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L)
+
+  def tx18VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val first = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x != '')")).as("token"))
+      .groupBy(col("token")).agg(min(col("doc_id")).as("fd"))
+    val bucket = vocabThresholds.reverse.foldLeft(lit(null).cast("long")) {
+      (acc, t) => when(col("fd") < t, lit(t)).otherwise(acc)
+    }
+    first.select(bucket.as("t")).filter(col("t").isNotNull)
+      .groupBy(col("t")).agg(count(lit(1)).as("nv"))
+      .select(col("t").as("threshold"),
+        sum(col("nv")).over(Window.orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("vocab"))
+  }
+
+  val tx18Oracle: String = {
+    val cases = vocabThresholds.map(t => s"WHEN fd < $t THEN $t").mkString(" ")
+    s"""WITH tok AS (
+       | SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+       | FROM documents),
+       |f AS (SELECT token, MIN(doc_id) AS fd FROM tok GROUP BY token),
+       |b AS (SELECT CASE $cases END AS t FROM f),
+       |c AS (SELECT t, COUNT(*) AS nv FROM b WHERE t IS NOT NULL GROUP BY t)
+       |SELECT CAST(t AS BIGINT) AS threshold,
+       | CAST(SUM(nv) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab
+       |FROM c""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q25_posexplode_filtered" -> (q25PosexplodeFiltered _),
+    "tx18_vocab_growth" -> (tx18VocabGrowth _),
     "q26_quantity_parse" -> (q26QuantityParse _),
     "tx01_langid" -> (tx01LangId _),
     "tx02_quality" -> (tx02Quality _),
@@ -737,6 +783,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q25_posexplode_filtered" -> q25Oracle,
+    "tx18_vocab_growth" -> tx18Oracle,
     "q26_quantity_parse" -> q26Oracle,
     "tx01_langid" -> tx01Oracle,
     "tx02_quality" -> tx02Oracle,
