@@ -1021,7 +1021,125 @@ object Similarity {
        |   // COUNT(*) AS recall_pct
        |FROM ex LEFT JOIN ap USING (q_id, c_id)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ss16/ss17/ss18: SCALAR quantization (SQ8) — the third compression
+  // tier beside PQ (ss09-ss12) and IVF (ss03-ss08): each dimension maps
+  // independently to an 8-bit code against per-dimension [min, max]
+  // learned from the corpus (FAISS SQ8). Cheaper to train than PQ (one
+  // min/max aggregate, no Lloyd rounds), 8× smaller than raw, and decoded
+  // by pure arithmetic — no codebook join on the serve path.
+  //  - ss16: the trained encode table (vec_id, d, code), long-form like
+  //    ss09. Train = ONE per-dimension min/max aggregate (64 rows,
+  //    broadcast back); encode = one map-side pass.
+  //  - ss17: asymmetric top-k — the query keeps its EXACT integer vector;
+  //    candidates dequantize per-dimension (mn + (code·(mx−mn)) div 255,
+  //    all BIGINT — Spark `div` and DuckDB `//` agree on non-negatives)
+  //    and score by exact integer L2 on the reconstruction. One map-side
+  //    scan over the code table (queries broadcast), final top-k window —
+  //    the ss10 serving shape with arithmetic instead of LUTs.
+  //  - ss18: the honesty metric — recall of ss17 against the ss01 exact
+  //    top-k, same form as ss06/ss12/ss15. SQ8's per-dim independence
+  //    preserves geometry better than 4-subspace PQ at this dimension
+  //    count, which the recall number quantifies.
+  // ---------------------------------------------------------------------
+  /** Per-dimension SQ8 stats (d, mn, mx) — 64 rows. */
+  private def sqStats(base: DataFrame): DataFrame =
+    base.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+
+  /** Long-form encode stream (vec_id, d, code, mn, mx) with stats attached
+    * (broadcast) — code in [0, 255]. */
+  private def sqEncoded(base: DataFrame): DataFrame =
+    base.select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+      .join(broadcast(sqStats(base)), Seq("d"))
+      .withColumn("code", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(expr("((x - mn) * 255) div (mx - mn)")))
+
+  def ss16SqEncode(s: SparkSession, dir: String): DataFrame =
+    sqEncoded(qvec(s, dir).localCheckpoint())
+      .select(col("vec_id"), col("d").cast("long").as("d"), col("code"))
+
+  /** Oracle CTE prefix shared by ss16/ss17/ss18: positional explode,
+    * per-dim stats, codes, and the dequantized reconstruction. */
+  private val sqCtesSql: String =
+    s"""ex AS (
+       | SELECT vec_id, u.d, u.x FROM (
+       |  SELECT vec_id, unnest(list_transform(range(1, $dims + 1),
+       |    i -> {'d': i - 1, 'x': v[i]})) AS u
+       |  FROM qn)),
+       |st AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY d),
+       |co AS (
+       | SELECT vec_id, d, CASE WHEN mx = mn THEN 0
+       |   ELSE ((x - mn) * 255) // (mx - mn) END AS code, mn, mx
+       | FROM ex JOIN st USING (d)),
+       |rec AS (
+       | SELECT vec_id, list(mn + (code * (mx - mn)) // 255 ORDER BY d) AS rv
+       | FROM co GROUP BY vec_id)""".stripMargin
+
+  val ss16Oracle: String =
+    s"""WITH $qvecSql,
+       |$sqCtesSql
+       |SELECT vec_id, CAST(d AS BIGINT) AS d, CAST(code AS BIGINT) AS code
+       |FROM co""".stripMargin
+
+  def ss17SqTopk(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    // reconstructed candidate vectors, reassembled in dimension order
+    val rec = sqEncoded(base)
+      .withColumn("rx", col("mn") + expr("(code * (mx - mn)) div 255"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, rx))), s -> s.rx)").as("rv"))
+    val qs = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
+    val scored = rec.crossJoin(broadcast(qs))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sq_d2",
+        col("n1") + expr("dot_l(rv, rv)") - expr("2 * dot_l(v1, rv)"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sq_d2"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+      .select(col("q_id"), col("vec_id").as("c_id"), col("rnk"), col("sq_d2"))
+  }
+
+  val ss17Oracle: String =
+    s"""WITH $qvecSql,
+       |$sqCtesSql,
+       |qs AS (SELECT vec_id AS q_id, v AS v1, nrm AS n1 FROM qn WHERE vec_id % 100 = 0),
+       |sc AS (
+       | SELECT q.q_id, r.vec_id AS c_id,
+       |  CAST(q.n1
+       |   + list_sum(list_transform(r.rv, x -> x * x))
+       |   - 2 * list_sum(list_transform(range(1, $dims + 1), i -> q.v1[i] * r.rv[i]))
+       |   AS BIGINT) AS sq_d2
+       | FROM rec r CROSS JOIN qs q WHERE q.q_id != r.vec_id),
+       |rk AS (
+       | SELECT q_id, c_id, sq_d2,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sq_d2, c_id) AS rnk
+       | FROM sc)
+       |SELECT q_id, c_id, CAST(rnk AS INT) AS rnk, sq_d2 FROM rk WHERE rnk <= $K""".stripMargin
+
+  def ss18SqRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = ss01BruteTopk(s, dir).select(col("q_id"), col("c_id"))
+    val approx = ss17SqTopk(s, dir)
+      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "c_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_pct", expr("(n_hit * 100) div n_exact"))
+  }
+
+  val ss18Oracle: String =
+    s"""WITH ex AS (SELECT q_id, c_id FROM ($ss01Oracle) a),
+       |ap AS (SELECT q_id, c_id FROM ($ss17Oracle) b)
+       |SELECT COUNT(*) AS n_exact,
+       | CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       | (CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
+       |   // COUNT(*) AS recall_pct
+       |FROM ex LEFT JOIN ap USING (q_id, c_id)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ss16_sq_encode" -> (ss16SqEncode _),
+    "ss17_sq_topk" -> (ss17SqTopk _),
+    "ss18_sq_recall" -> (ss18SqRecall _),
     "ss01_brute_topk" -> (ss01BruteTopk _),
     "ss02_ann_lsh" -> (ss02AnnLsh _),
     "ss03_ann_ivf" -> (ss03AnnIvf _),
@@ -1039,6 +1157,9 @@ object Similarity {
     "ss15_rerank_recall" -> (ss15RerankRecall _))
 
   val oracles: Map[String, String] = Map(
+    "ss16_sq_encode" -> ss16Oracle,
+    "ss17_sq_topk" -> ss17Oracle,
+    "ss18_sq_recall" -> ss18Oracle,
     "ss01_brute_topk" -> ss01Oracle,
     "ss02_ann_lsh" -> ss02Oracle,
     "ss03_ann_ivf" -> ss03Oracle,
