@@ -738,6 +738,72 @@ object Curation {
        | SELECT doc_id, lang, md5('gsamp1:' || text) AS h FROM documents) t
        |ORDER BY h, doc_id LIMIT $globalSampleK""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ds13: curriculum ordering — the full training order as a function of a
+  // QUALITY signal: cleanest documents first (type-token ratio per-mille,
+  // exact integers from tx02's signals), in three phases, shuffled
+  // content-stably within each phase. The scale shape avoids every global
+  // row sort:
+  //  - phase boundaries come from the SCORE HISTOGRAM (≤1001 rows — score
+  //    is a per-mille), not an NTILE over the corpus: a score's phase is
+  //    1 + (docs_strictly_better * 3) div n, so equal scores share a
+  //    phase and assignment is one broadcast lookup;
+  //  - position within phase is the ds09 two-phase rank (bucket counts →
+  //    tiny prefix window → one (phase, bucket)-slice sort per task);
+  //  - the global position adds the 3-row phase-offset prefix.
+  // The oracle states the same order as one ROW_NUMBER — tiny at sf0.01,
+  // which is exactly why the oracle may sort globally and the engine
+  // must not.
+  // ---------------------------------------------------------------------
+  def ds13Curriculum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = "filter(split(text, ' '), x -> x != '')"
+    val scored = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        expr(s"(cast(size(array_distinct($toks)) as bigint) * 1000) div " +
+          s"greatest(cast(size($toks) as bigint), 1)").as("score"))
+    val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
+    val wAbove = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val phaseOf = hist
+      .withColumn("cb", coalesce(sum(col("c")).over(wAbove), lit(0L)))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .select(col("score"),
+        (expr("(cb * 3) div n") + 1).cast("int").as("phase"))
+    val keyed = scored.join(broadcast(phaseOf), Seq("score"))
+      .select(col("doc_id"), col("phase"),
+        conv(substring(md5(concat(lit("curr1:"), col("text"))), 1, 8), 16, 10)
+          .cast("long").as("hkey"))
+    val ranked = twoPhaseRank(keyed, "phase")
+    val wPh = Window.orderBy(col("phase"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranked.groupBy(col("phase")).agg(count(lit(1)).as("pc"))
+      .withColumn("off", coalesce(sum(col("pc")).over(wPh), lit(0L)))
+      .select(col("phase"), col("off"))
+    ranked.join(broadcast(offsets), Seq("phase"))
+      .select(col("doc_id"), col("phase"), (col("off") + col("pos")).as("pos"))
+  }
+
+  val ds13Oracle: String =
+    s"""WITH s AS (
+       | SELECT doc_id,
+       |  (CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) * 1000)
+       |    // greatest(CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT), 1) AS score,
+       |  ('0x' || substr(md5('curr1:' || text), 1, 8))::BIGINT AS hkey
+       | FROM documents),
+       |h AS (SELECT score, COUNT(*) AS c FROM s GROUP BY score),
+       |p AS (
+       | SELECT score,
+       |  CAST((COALESCE(SUM(c) OVER (ORDER BY score DESC
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 3)
+       |    // SUM(c) OVER () + 1 AS INT) AS phase
+       | FROM h)
+       |SELECT s.doc_id, p.phase,
+       | CAST(ROW_NUMBER() OVER (ORDER BY p.phase, s.hkey, s.doc_id) AS BIGINT) AS pos
+       |FROM s JOIN p USING (score)""".stripMargin
+
   /** Cluster `df` for multi-dimensional scan pruning: range-partition and
     * sort by the Morton key of (x, y). Each output file then covers a
     * near-disjoint zkey range (range partitioner boundaries + in-file
@@ -806,25 +872,36 @@ object Curation {
   // ---------------------------------------------------------------------
   private val epochShards = 16
 
-  def ds09EpochShards(s: SparkSession, dir: String): DataFrame = {
+  /** Two-phase rank: 1-based position of each row within its `part`
+    * group under (hkey, doc_id) order, WITHOUT a per-part global sort.
+    * hkey sub-buckets (div 2^26, ≤64 buckets) are counted map-side, a
+    * tiny per-part bucket-prefix window (|parts| × 64 rows) assigns
+    * offsets, and the widest sort any task runs is one (part, bucket)
+    * slice. Input needs columns (part, hkey, doc_id); output adds pos. */
+  private def twoPhaseRank(keyed: DataFrame, part: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val bucketed = keyed.withColumn("bkt", expr("hkey div 67108864"))
+    val bucketPrefix = bucketed.groupBy(col(part), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("pre",
+        coalesce(sum(col("c")).over(
+          Window.partitionBy(col(part)).orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(part), col("bkt"), col("pre"))
+    val wIn = Window.partitionBy(col(part), col("bkt"))
+      .orderBy(col("hkey"), col("doc_id"))
+    bucketed.join(broadcast(bucketPrefix), Seq(part, "bkt"))
+      .withColumn("pos", col("pre") + row_number().over(wIn))
+      .drop("bkt", "pre")
+  }
+
+  def ds09EpochShards(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val keyed = docs.select(col("doc_id"),
       conv(substring(md5(concat(lit("epoch1:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
         .cast("long").as("hkey"))
       .withColumn("shard", (col("hkey") % epochShards).cast("int"))
-      .withColumn("bkt", expr("hkey div 67108864")) // 2^26 → ≤64 buckets
-    val bucketPrefix = keyed.groupBy(col("shard"), col("bkt"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("pre",
-        coalesce(sum(col("c")).over(
-          Window.partitionBy(col("shard")).orderBy(col("bkt"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("shard"), col("bkt"), col("pre"))
-    val wIn = Window.partitionBy(col("shard"), col("bkt"))
-      .orderBy(col("hkey"), col("doc_id"))
-    keyed.join(broadcast(bucketPrefix), Seq("shard", "bkt"))
-      .withColumn("pos", col("pre") + row_number().over(wIn))
+    twoPhaseRank(keyed, "shard")
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
@@ -1078,6 +1155,7 @@ object Curation {
     "ds10_temp_mixture" -> (ds10TempMixture _),
     "ds11_source_interleave" -> (ds11SourceInterleave _),
     "ds12_global_sample" -> (ds12GlobalSample _),
+    "ds13_curriculum" -> (ds13Curriculum _),
     "dc01_decontaminate" -> (dc01Decontaminate _),
     "dc02_contamination_report" -> (dc02ContaminationReport _),
     "dc03_span_decontaminate" -> (dc03SpanDecontaminate _),
@@ -1101,6 +1179,7 @@ object Curation {
     "ds10_temp_mixture" -> ds10Oracle,
     "ds11_source_interleave" -> ds11Oracle,
     "ds12_global_sample" -> ds12Oracle,
+    "ds13_curriculum" -> ds13Oracle,
     "dc01_decontaminate" -> dc01Oracle,
     "dc02_contamination_report" -> dc02Oracle,
     "dc03_span_decontaminate" -> dc03Oracle,
