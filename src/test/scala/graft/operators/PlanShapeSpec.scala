@@ -314,4 +314,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
     assert(!plan.contains("ShuffledHashJoin"), plan.take(3000))
   }
+
+  test("ss17: SQ scan attaches stats and queries by broadcast only") {
+    val plan = Similarity.ss17SqTopk(spark, dir)
+      .queryExecution.executedPlan.toString
+    // per-dim stats (64 rows) and the query set both broadcast; the code
+    // table itself must never be the build or shuffle side of a join
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("ShuffledHashJoin"), plan.take(3000))
+  }
+
+  test("tx18: vocab growth has no threshold theta-join and no corpus-wide window") {
+    val plan = TextOps.tx18VocabGrowth(spark, dir)
+      .queryExecution.executedPlan.toString
+    // token→bucket is a projection; the only window runs over the
+    // ≤|thresholds|-row bucket counts
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("ds13: curriculum never sorts the corpus globally") {
+    val plan = Curation.ds13Curriculum(spark, dir)
+      .queryExecution.executedPlan.toString
+    // phase lookup + bucket prefix broadcast back; rows sort only within
+    // their (phase, bucket) slice — a rangepartitioning over the full
+    // corpus would mean a global sort snuck in
+    assert(!plan.contains("rangepartitioning"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }
