@@ -191,13 +191,74 @@ object Geo {
        | FROM p JOIN s USING (nat))
        |SELECT pt_id, site_id, CAST(d2 AS BIGINT) AS d2 FROM d WHERE rn = 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // geo04: k-nearest sites per point (k = 3) — the "closest few cities,
+  // in order" lookup behind the reference's prioritized adjacency lists
+  // (`src/setup.sql:52-57`: cities_countries(priority)). The certificate
+  // generalizes from geo01: if a point's 3×3 neighborhood holds at least
+  // k candidates AND the k-th best has d2 ≤ g², the true top-k all lie
+  // within distance g, hence inside the neighborhood — certified.
+  // Points failing either condition escalate; the last level (domain-
+  // spanning) needs no certificate and emits whatever exists (< k rows
+  // when the corpus itself has < k sites, matching the oracle's
+  // ROW_NUMBER ≤ k inner semantics). Per-level ranking windows run over
+  // CANDIDATES (bounded by cell density × 9), never the corpus.
+  // ---------------------------------------------------------------------
+  private val knnK = 3
+
+  def geo04TopkKnn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = points(s, dir).drop("nat")
+    val st = sites(s, dir).drop("nat")
+    val w = Window.partitionBy(col("pt_id")).orderBy(col("d2"), col("site_id"))
+    var residue = pts
+    var out: Option[DataFrame] = None
+    for ((g, isLast) <- levels.map(g => (g, g == levels.last))) {
+      val ranked = levelCandidates(residue, st, g, Seq.empty)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= knnK)
+      val certified =
+        if (isLast) ranked
+        else {
+          val ok = ranked.groupBy(col("pt_id"))
+            .agg(count(lit(1)).as("cnt"), max(col("d2")).as("kmax"))
+            .filter(col("cnt") === knnK && col("kmax") <= g * g)
+            .select(col("pt_id"))
+          ranked.join(ok, Seq("pt_id"))
+        }
+      val picked = certified.select(col("pt_id"), col("site_id"),
+        col("rnk"), col("d2"))
+      out = Some(out.map(_.union(picked)).getOrElse(picked))
+      residue = residue.join(picked.select("pt_id").distinct(), Seq("pt_id"), "left_anti")
+    }
+    out.get
+  }
+
+  val geo04Oracle: String =
+    s"""WITH p AS (
+       | SELECT c_custkey AS pt_id, (c_custkey*37)%$D AS px, (c_custkey*91)%$D AS py
+       | FROM customer),
+       |s AS (
+       | SELECT s_suppkey AS site_id, (s_suppkey*53)%$D AS sx, (s_suppkey*71)%$D AS sy
+       | FROM supplier),
+       |d AS (
+       | SELECT pt_id, site_id,
+       |  (px-sx)*(px-sx) + (py-sy)*(py-sy) AS d2,
+       |  ROW_NUMBER() OVER (PARTITION BY pt_id
+       |    ORDER BY (px-sx)*(px-sx) + (py-sy)*(py-sy), site_id) AS rn
+       | FROM p CROSS JOIN s)
+       |SELECT pt_id, site_id, CAST(rn AS INT) AS rnk, CAST(d2 AS BIGINT) AS d2
+       |FROM d WHERE rn <= $knnK""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "geo01_grid_knn" -> (geo01GridKnn _),
     "geo02_radius_join" -> (geo02RadiusJoin _),
-    "geo03_country_knn" -> (geo03CountryKnn _))
+    "geo03_country_knn" -> (geo03CountryKnn _),
+    "geo04_topk_knn" -> (geo04TopkKnn _))
 
   val oracles: Map[String, String] = Map(
     "geo01_grid_knn" -> geo01Oracle,
     "geo02_radius_join" -> geo02Oracle,
-    "geo03_country_knn" -> geo03Oracle)
+    "geo03_country_knn" -> geo03Oracle,
+    "geo04_topk_knn" -> geo04Oracle)
 }

@@ -68,9 +68,27 @@ class GeoSpec extends SparkSpec {
     assert(country.size < nPts, "expected some customers in siteless nations")
   }
 
+  test("geo04: certified top-3 equals brute force, ranks included") {
+    import graft.Tables
+    val pts = Tables(spark, dir, "customer").select("c_custkey").collect()
+      .map(r => (r.getLong(0), (r.getLong(0) * 37) % D, (r.getLong(0) * 91) % D))
+    val st = Tables(spark, dir, "supplier").select("s_suppkey").collect()
+      .map(r => (r.getLong(0), (r.getLong(0) * 53) % D, (r.getLong(0) * 71) % D))
+    val expected = pts.toSeq.flatMap { case (pid, px, py) =>
+      st.map { case (sid, sx, sy) =>
+        (sid, (px - sx) * (px - sx) + (py - sy) * (py - sy))
+      }.sortBy { case (sid, dd) => (dd, sid) }.take(3).zipWithIndex.map {
+        case ((sid, dd), i) => (pid, sid, i + 1, dd)
+      }
+    }.toSet
+    val got = Geo.geo04TopkKnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got == expected)
+  }
+
   test("geo plans: every level is a hash equi-join — no NLJ, no cartesian") {
     for (df <- Seq(Geo.geo01GridKnn(spark, dir), Geo.geo02RadiusJoin(spark, dir),
-        Geo.geo03CountryKnn(spark, dir))) {
+        Geo.geo03CountryKnn(spark, dir), Geo.geo04TopkKnn(spark, dir))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
       assert(!plan.contains("CartesianProduct"), plan.take(2000))
