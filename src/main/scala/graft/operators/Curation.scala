@@ -804,6 +804,28 @@ object Curation {
        | CAST(ROW_NUMBER() OVER (ORDER BY p.phase, s.hkey, s.doc_id) AS BIGINT) AS pos
        |FROM s JOIN p USING (score)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // tp06: curriculum → worker shards, the capstone composing ds13 with
+  // the sharding a data-parallel run consumes: ROUND-ROBIN over the
+  // curriculum position, so (a) shard sizes differ by at most 1 and
+  // (b) ascending shard_pos within every shard preserves the curriculum
+  // order — each worker sees cleanest-first locally, not just globally
+  // (contiguous blocks would give worker 0 all of phase 1 and worker N
+  // none). Pure arithmetic on ds13's output: zero additional shuffles.
+  // ---------------------------------------------------------------------
+  private val currShards = 8
+
+  def tp06CurriculumShards(s: SparkSession, dir: String): DataFrame =
+    ds13Curriculum(s, dir).select(col("doc_id"), col("phase"), col("pos"),
+      ((col("pos") - 1) % currShards).cast("int").as("shard"),
+      (expr(s"(pos - 1) div $currShards") + 1).as("shard_pos"))
+
+  val tp06Oracle: String =
+    s"""SELECT doc_id, phase, pos,
+       | CAST((pos - 1) % $currShards AS INT) AS shard,
+       | (pos - 1) // $currShards + 1 AS shard_pos
+       |FROM ($ds13Oracle) c""".stripMargin
+
   /** Cluster `df` for multi-dimensional scan pruning: range-partition and
     * sort by the Morton key of (x, y). Each output file then covers a
     * near-disjoint zkey range (range partitioner boundaries + in-file
@@ -1164,7 +1186,8 @@ object Curation {
     "tp02_full_curation" -> (tp02FullCuration _),
     "tp03_corpus_report" -> (tp03CorpusReport _),
     "tp04_pack_train" -> (tp04PackTrain _),
-    "tp05_mixture_shards" -> (tp05MixtureShards _))
+    "tp05_mixture_shards" -> (tp05MixtureShards _),
+    "tp06_curriculum_shards" -> (tp06CurriculumShards _))
 
   val oracles: Map[String, String] = Map(
     "ds01_hash_split" -> ds01Oracle,
@@ -1188,5 +1211,6 @@ object Curation {
     "tp02_full_curation" -> tp02Oracle,
     "tp03_corpus_report" -> tp03Oracle,
     "tp04_pack_train" -> tp04Oracle,
-    "tp05_mixture_shards" -> tp05Oracle)
+    "tp05_mixture_shards" -> tp05Oracle,
+    "tp06_curriculum_shards" -> tp06Oracle)
 }

@@ -305,6 +305,83 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // ss19: FILTERED ANN — label-constrained vector search ("same-class
+  // neighbors only"), the metadata-filter serving mode every production
+  // vector store exposes. Same learned-IVF probe as ss03; the label
+  // equality lands BEFORE the exact rerank projection, so candidates
+  // failing the filter never pay the 64-dim dot product and never reach
+  // the top-k window — pre-filtering inside the inverted-list scan, not
+  // post-filtering the results (post-filtering under-fills k when the
+  // filter is selective; the rank here is dense within the filtered set).
+  // Labels ride as a corpus-side hash-join attach; at 100 TB the
+  // inverted lists would simply store the label column.
+  // ---------------------------------------------------------------------
+  def ss19FilteredTopk(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val labels = graft.Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val cents = learnedCentroids(base, ivfRounds)
+      .select(col("cent_id"), col("cv").as("v2"), col("cnrm").as("n2"))
+    def centScored(src: DataFrame, idCol: String): DataFrame =
+      src.select(col("vec_id").as(idCol), col("v").as("v1"), col("nrm").as("n1"))
+        .join(broadcast(cents), lit(true))
+        .withColumn("ccos",
+          expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+    val assigned = centScored(base, "a_id")
+      .groupBy(col("a_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("ccos"), (-col("cent_id")).as("neg"))).as("cent_id"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val probes = centScored(base.filter(col("vec_id") % 100 === 0), "q_id")
+      .withColumn("crn", row_number().over(wProbe)).filter(col("crn") <= nprobe)
+      .select(col("q_id"), col("cent_id"))
+    val qs = base.select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
+      .join(labels.withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("label", "l1"), Seq("q_id"))
+    val cs = base.select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"))
+      .join(labels.withColumnRenamed("vec_id", "c_id")
+        .withColumnRenamed("label", "l2"), Seq("c_id"))
+    val scored = probes.join(assigned, Seq("cent_id"))
+      .filter(col("q_id") =!= col("a_id"))
+      .select(col("q_id"), col("a_id").as("c_id")).distinct()
+      .join(broadcast(qs), Seq("q_id"))
+      .join(cs, Seq("c_id"))
+      .filter(col("l1") === col("l2")) // BEFORE the dot/cos projections
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos",
+        col("dot") / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+      .select(col("q_id"), col("c_id"), col("l2").as("label"), col("rnk"), col("cos"))
+  }
+
+  // lazy: annProbePrefixSql is declared later in the file (Scala vals
+  // initialize in declaration order; the oracles map forces this at the
+  // end of object init, when everything is available)
+  lazy val ss19Oracle: String =
+    s"""WITH $qvecSql,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |${kmChainSql(ivfRounds)},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |$annProbePrefixSql,
+       |scored AS (
+       | SELECT pairs.q_id, pairs.c_id, lb.label,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT)
+       |    / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos
+       | FROM pairs
+       | JOIN qn a ON pairs.q_id = a.vec_id
+       | JOIN qn b ON pairs.c_id = b.vec_id
+       | JOIN lab la ON la.vec_id = pairs.q_id
+       | JOIN lab lb ON lb.vec_id = pairs.c_id
+       | WHERE la.label = lb.label)
+       |SELECT q_id, c_id, label, rnk, cos FROM (
+       | SELECT q_id, c_id, label, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk
+       | FROM scored) t WHERE rnk <= $K""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ss08: MULTI-PROBE LSH ANN (Lv et al., VLDB'07) — the recall dial for
   // the ss02 tier that doesn't cost more tables: each query probes its own
   // bucket AND the 8 Hamming-distance-1 buckets (the weakest-bit
@@ -1140,6 +1217,7 @@ object Similarity {
     "ss16_sq_encode" -> (ss16SqEncode _),
     "ss17_sq_topk" -> (ss17SqTopk _),
     "ss18_sq_recall" -> (ss18SqRecall _),
+    "ss19_filtered_topk" -> (ss19FilteredTopk _),
     "ss01_brute_topk" -> (ss01BruteTopk _),
     "ss02_ann_lsh" -> (ss02AnnLsh _),
     "ss03_ann_ivf" -> (ss03AnnIvf _),
@@ -1160,6 +1238,7 @@ object Similarity {
     "ss16_sq_encode" -> ss16Oracle,
     "ss17_sq_topk" -> ss17Oracle,
     "ss18_sq_recall" -> ss18Oracle,
+    "ss19_filtered_topk" -> ss19Oracle,
     "ss01_brute_topk" -> ss01Oracle,
     "ss02_ann_lsh" -> ss02Oracle,
     "ss03_ann_ivf" -> ss03Oracle,
