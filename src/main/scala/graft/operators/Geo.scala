@@ -29,10 +29,10 @@ import graft.Tables
   * candidate at all. Three bounded levels, each an equi-join over only the
   * residue of the previous one — at production density the level-0 residue
   * is already ~0, and no level is ever a BroadcastNestedLoopJoin or
-  * CartesianProduct (GeoSpec pins the plans). A production run would
-  * localCheckpoint each residue like the CC loop (Relational.scala) does;
-  * at 3 levels the lazy recompute is a small constant and keeps these
-  * single-action queries.
+  * CartesianProduct (GeoSpec pins the level plans). Each level's certified
+  * set is localCheckpoint'd (the CC-loop pattern, Relational.scala): it
+  * feeds both the output union and the next residue, and cutting the DAG
+  * there stops lower levels re-executing upper subtrees.
   */
 object Geo {
   import Relational.Q
@@ -46,7 +46,7 @@ object Geo {
   private val levels = Seq(128L, 512L, 2048L)
 
   /** Probe points: customers at deterministic synthetic coordinates. */
-  private def points(s: SparkSession, dir: String): DataFrame =
+  private[operators] def points(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "customer").select(
       col("c_custkey").as("pt_id"),
       ((col("c_custkey") * 37) % D).as("px"),
@@ -54,7 +54,7 @@ object Geo {
       col("c_nationkey").cast("int").as("nat"))
 
   /** Sites: suppliers at deterministic synthetic coordinates. */
-  private def sites(s: SparkSession, dir: String): DataFrame =
+  private[operators] def sites(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "supplier").select(
       col("s_suppkey").as("site_id"),
       ((col("s_suppkey") * 53) % D).as("sx"),
@@ -68,7 +68,7 @@ object Geo {
     * residue point, equi-joined to sites on (cellx, celly, extraKeys). A
     * (point, site) pair can only meet in the site's unique cell, so
     * candidates need no dedup. */
-  private def levelCandidates(residue: DataFrame, st: DataFrame, g: Long,
+  private[operators] def levelCandidates(residue: DataFrame, st: DataFrame, g: Long,
       extraKeys: Seq[String]): DataFrame = {
     val probes = residue
       .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
@@ -99,8 +99,16 @@ object Geo {
     var residue = pts
     var out: Option[DataFrame] = None
     for (g <- levels) {
+      // localCheckpoint: `confirmed` feeds BOTH the output union and the
+      // next residue's anti-join, and each level chains on the previous —
+      // without the cut, level L's subtree re-executes O(2^(levels-L))
+      // times through the DAG. Certified sets shrink level over level, so
+      // the materialization is small; same pattern as the CC rounds
+      // (Relational.scala). Level-join plan shapes stay pinned via
+      // levelCandidates directly (GeoSpec).
       val confirmed = levelBest(residue, st, g, extraKeys)
         .filter(col("d2") <= g * g)
+        .localCheckpoint()
       out = Some(out.map(_.union(confirmed)).getOrElse(confirmed))
       residue = residue.join(confirmed.select("pt_id"), Seq("pt_id"), "left_anti")
     }
@@ -226,8 +234,9 @@ object Geo {
             .select(col("pt_id"))
           ranked.join(ok, Seq("pt_id"))
         }
+      // same DAG-cut rationale as gridNearest
       val picked = certified.select(col("pt_id"), col("site_id"),
-        col("rnk"), col("d2"))
+        col("rnk"), col("d2")).localCheckpoint()
       out = Some(out.map(_.union(picked)).getOrElse(picked))
       residue = residue.join(picked.select("pt_id").distinct(), Seq("pt_id"), "left_anti")
     }

@@ -87,11 +87,20 @@ class GeoSpec extends SparkSpec {
   }
 
   test("geo plans: every level is a hash equi-join — no NLJ, no cartesian") {
-    for (df <- Seq(Geo.geo01GridKnn(spark, dir), Geo.geo02RadiusJoin(spark, dir),
-        Geo.geo03CountryKnn(spark, dir), Geo.geo04TopkKnn(spark, dir))) {
-      val plan = df.queryExecution.executedPlan.toString
+    // The ladder localCheckpoints each level, so the final plan no longer
+    // shows the level joins — pin the LEVEL plan itself (the shape every
+    // level executes), for each cell size and for the keyed geo03 variant.
+    val pts = Geo.points(spark, dir)
+    val st = Geo.sites(spark, dir)
+    for (g <- Seq(128L, 512L, 2048L); keys <- Seq(Seq.empty[String], Seq("nat"))) {
+      val plan = Geo.levelCandidates(pts, st, g, keys)
+        .queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
       assert(!plan.contains("CartesianProduct"), plan.take(2000))
     }
+    // geo02 is a single un-checkpointed level end-to-end
+    val p2 = Geo.geo02RadiusJoin(spark, dir).queryExecution.executedPlan.toString
+    assert(!p2.contains("BroadcastNestedLoopJoin"), p2.take(2000))
+    assert(!p2.contains("CartesianProduct"), p2.take(2000))
   }
 }
