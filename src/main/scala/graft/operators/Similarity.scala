@@ -382,6 +382,70 @@ object Similarity {
        | FROM scored) t WHERE rnk <= $K""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ss20: filtered-ANN recall audit — ss19 measured against the
+  // label-constrained BRUTE-FORCE truth (ss01's scan with the same label
+  // equality). The number quantifies what filtering costs the probe: the
+  // IVF lists were trained label-blind, so a selective filter can empty
+  // the probed lists while matches hide in unprobed ones — the audit is
+  // how a production deployment decides between pre-filter probing and
+  // per-label partitioned indexes.
+  // ---------------------------------------------------------------------
+  private def filteredBrute(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir)
+    val labels = graft.Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val qs = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
+      .join(labels.withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("label", "l1"), Seq("q_id"))
+    val cand = base
+      .select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"))
+      .join(labels.withColumnRenamed("vec_id", "c_id")
+        .withColumnRenamed("label", "l2"), Seq("c_id"))
+    val scored = cand.join(broadcast(qs), col("q_id") =!= col("c_id"))
+      .filter(col("l1") === col("l2"))
+      .withColumn("cos",
+        expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+      .select(col("q_id"), col("c_id"))
+  }
+
+  def ss20FilteredRecall(s: SparkSession, dir: String): DataFrame = {
+    val approx = ss19FilteredTopk(s, dir)
+      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+    filteredBrute(s, dir).join(approx, Seq("q_id", "c_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_pct", expr("(n_hit * 100) div n_exact"))
+  }
+
+  lazy val ss20Oracle: String =
+    s"""WITH ex AS (
+       | SELECT q_id, c_id FROM (
+       |  SELECT a.q_id, a.c_id,
+       |   ROW_NUMBER() OVER (PARTITION BY a.q_id ORDER BY a.cos DESC, a.c_id ASC) AS rnk
+       |  FROM (
+       |   WITH $qvecSql,
+       |   lab AS (SELECT vec_id, label FROM embeddings)
+       |   SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    CAST(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) AS BIGINT)
+       |      / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)) AS cos
+       |   FROM qn q JOIN lab lq ON lq.vec_id = q.vec_id
+       |    CROSS JOIN qn c
+       |    JOIN lab lc ON lc.vec_id = c.vec_id
+       |   WHERE q.vec_id % 100 = 0 AND q.vec_id != c.vec_id
+       |     AND lq.label = lc.label) a) t
+       | WHERE rnk <= $K),
+       |ap AS (SELECT q_id, c_id FROM ($ss19Oracle) b)
+       |SELECT COUNT(*) AS n_exact,
+       | CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       | (CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
+       |   // COUNT(*) AS recall_pct
+       |FROM ex LEFT JOIN ap USING (q_id, c_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ss08: MULTI-PROBE LSH ANN (Lv et al., VLDB'07) — the recall dial for
   // the ss02 tier that doesn't cost more tables: each query probes its own
   // bucket AND the 8 Hamming-distance-1 buckets (the weakest-bit
@@ -1218,6 +1282,7 @@ object Similarity {
     "ss17_sq_topk" -> (ss17SqTopk _),
     "ss18_sq_recall" -> (ss18SqRecall _),
     "ss19_filtered_topk" -> (ss19FilteredTopk _),
+    "ss20_filtered_recall" -> (ss20FilteredRecall _),
     "ss01_brute_topk" -> (ss01BruteTopk _),
     "ss02_ann_lsh" -> (ss02AnnLsh _),
     "ss03_ann_ivf" -> (ss03AnnIvf _),
@@ -1239,6 +1304,7 @@ object Similarity {
     "ss17_sq_topk" -> ss17Oracle,
     "ss18_sq_recall" -> ss18Oracle,
     "ss19_filtered_topk" -> ss19Oracle,
+    "ss20_filtered_recall" -> ss20Oracle,
     "ss01_brute_topk" -> ss01Oracle,
     "ss02_ann_lsh" -> ss02Oracle,
     "ss03_ann_ivf" -> ss03Oracle,
