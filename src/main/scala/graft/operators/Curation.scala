@@ -805,6 +805,50 @@ object Curation {
        |FROM s JOIN p USING (score)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ds14: dataset version diff — the change manifest between two corpus
+  // snapshots (what a data registry shows per release, and what
+  // incremental consumers like dd09/dd11 take as their increment):
+  // added / removed / changed by CONTENT HASH, never by byte-comparing
+  // documents across the wire. One full-outer hash join on doc_id, with
+  // 16-byte hashes as the only payload — the canonical shape at 100 TB.
+  // Versions are carved deterministically from the corpus (v1 drops
+  // doc_id%10==7, v2 drops %10==3 and rewrites %10==5) so the oracle
+  // reproduces them exactly.
+  // ---------------------------------------------------------------------
+  def ds14VersionDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val v1 = docs.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"), md5(col("text")).as("h1"))
+    val v2 = docs.filter(col("doc_id") % 10 =!= 3)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 10 === 5, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("h2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("same"))
+      .filter(col("status") =!= "same")
+      .select(col("doc_id"), col("status"))
+  }
+
+  val ds14Oracle: String =
+    """WITH v1 AS (
+      | SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 10 != 7),
+      |v2 AS (
+      | SELECT doc_id,
+      |  md5(CASE WHEN doc_id % 10 = 5 THEN text || ' v2' ELSE text END) AS h2
+      | FROM documents WHERE doc_id % 10 != 3)
+      |SELECT doc_id, status FROM (
+      | SELECT doc_id,
+      |  CASE WHEN h1 IS NULL THEN 'added'
+      |       WHEN h2 IS NULL THEN 'removed'
+      |       WHEN h1 != h2 THEN 'changed' ELSE 'same' END AS status
+      | FROM v1 FULL OUTER JOIN v2 USING (doc_id)) t
+      |WHERE status != 'same'""".stripMargin
+
+  // ---------------------------------------------------------------------
   // tp06: curriculum → worker shards, the capstone composing ds13 with
   // the sharding a data-parallel run consumes: ROUND-ROBIN over the
   // curriculum position, so (a) shard sizes differ by at most 1 and
@@ -1178,6 +1222,7 @@ object Curation {
     "ds11_source_interleave" -> (ds11SourceInterleave _),
     "ds12_global_sample" -> (ds12GlobalSample _),
     "ds13_curriculum" -> (ds13Curriculum _),
+    "ds14_version_diff" -> (ds14VersionDiff _),
     "dc01_decontaminate" -> (dc01Decontaminate _),
     "dc02_contamination_report" -> (dc02ContaminationReport _),
     "dc03_span_decontaminate" -> (dc03SpanDecontaminate _),
@@ -1203,6 +1248,7 @@ object Curation {
     "ds11_source_interleave" -> ds11Oracle,
     "ds12_global_sample" -> ds12Oracle,
     "ds13_curriculum" -> ds13Oracle,
+    "ds14_version_diff" -> ds14Oracle,
     "dc01_decontaminate" -> dc01Oracle,
     "dc02_contamination_report" -> dc02Oracle,
     "dc03_span_decontaminate" -> dc03Oracle,
