@@ -33,6 +33,14 @@ import graft.Tables
   * set is localCheckpoint'd (the CC-loop pattern, Relational.scala): it
   * feeds both the output union and the next residue, and cutting the DAG
   * there stops lower levels re-executing upper subtrees.
+  *
+  * Skew: real-world point sets concentrate (cities cluster on coasts), so
+  * a hot cell can dominate its shuffle partition. Because every level is a
+  * PLAIN shuffle hash join on the cell key, the standard answers apply
+  * unchanged — AQE skew-join splitting (pinned working in AqeSkewJoinSpec)
+  * or salting the hot cells (q31's machinery); nothing in the ladder
+  * assumes uniform density, only that a 3×3 neighborhood is a covering
+  * superset.
   */
 object Geo {
   import Relational.Q
