@@ -849,6 +849,84 @@ object Curation {
       |WHERE status != 'same'""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ds15: SCD2 snapshot merge — collapse a sequence of full dataset
+  // snapshots into slowly-changing-dimension type-2 validity intervals
+  // (key, value, valid_from, valid_to; open interval = current). The
+  // warehouse twin of ds14's set diff: ds14 says WHAT changed between two
+  // versions, ds15 materializes WHEN each value held across all of them,
+  // covering updates (new interval), deletes (closed interval with no
+  // successor), and late inserts (interval starting past v1). Three
+  // deterministic snapshots derive from `customer` (v1 misses key%5=0 —
+  // later inserts; v2 bumps key%7=0 balances; v3 drops key%11=0 — deletes
+  // — and bumps key%3=0), and the merge is the islands pattern shared
+  // with dc03: one window over (key, version) marks a new segment at any
+  // presence gap or value change, a running sum names segments, one
+  // aggregate emits [min_ver, max_ver+1) intervals. At 100 TB this is a
+  // single hash-shuffle on the key with a ≤n_versions-row window per key
+  // — never a global sort — and value equality is on doubles read from
+  // the SAME parquet plus exact IEEE adds, so both engines see identical
+  // bits and the interval boundaries hash-match.
+  // ---------------------------------------------------------------------
+  def ds15Scd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables(s, dir, "customer")
+    val b2 = when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+      .otherwise(col("c_acctbal"))
+    val v1 = cust.filter(col("c_custkey") % 5 =!= 0)
+      .select(col("c_custkey"), col("c_acctbal").as("bal"), lit(1).as("ver"))
+    val v2 = cust.select(col("c_custkey"), b2.as("bal"), lit(2).as("ver"))
+    val v3 = cust.filter(col("c_custkey") % 11 =!= 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 3 === 0, b2 + 50.0).otherwise(b2).as("bal"),
+        lit(3).as("ver"))
+    val w = Window.partitionBy(col("c_custkey")).orderBy(col("ver"))
+    val lastVer = 3
+    v1.unionByName(v2).unionByName(v3)
+      .withColumn("brk",
+        when(lag(col("ver"), 1).over(w).isNull ||
+          lag(col("ver"), 1).over(w) =!= col("ver") - 1 ||
+          lag(col("bal"), 1).over(w) =!= col("bal"), 1).otherwise(0))
+      .withColumn("seg", sum(col("brk")).over(w))
+      .groupBy(col("c_custkey"), col("seg"))
+      .agg(min(col("bal")).as("acctbal"),
+        min(col("ver")).cast("int").as("valid_from"),
+        max(col("ver")).as("mv"))
+      .withColumn("valid_to",
+        when(col("mv") === lastVer, lit(null)).otherwise(col("mv") + 1)
+          .cast("int"))
+      .select(col("c_custkey"), col("acctbal"), col("valid_from"),
+        col("valid_to"))
+  }
+
+  val ds15Oracle: String =
+    """WITH v2bal AS (
+      | SELECT c_custkey,
+      |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS b2,
+      |  c_acctbal AS b1
+      | FROM customer),
+      |snaps AS (
+      | SELECT c_custkey, b1 AS bal, 1 AS ver FROM v2bal WHERE c_custkey % 5 != 0
+      | UNION ALL
+      | SELECT c_custkey, b2, 2 FROM v2bal
+      | UNION ALL
+      | SELECT c_custkey,
+      |  CASE WHEN c_custkey % 3 = 0 THEN b2 + 50.0 ELSE b2 END, 3
+      | FROM v2bal WHERE c_custkey % 11 != 0),
+      |brks AS (
+      | SELECT c_custkey, bal, ver,
+      |  CASE WHEN LAG(ver) OVER w IS NULL OR LAG(ver) OVER w != ver - 1
+      |        OR LAG(bal) OVER w != bal THEN 1 ELSE 0 END AS brk
+      | FROM snaps WINDOW w AS (PARTITION BY c_custkey ORDER BY ver)),
+      |segs AS (
+      | SELECT c_custkey, bal, ver,
+      |  SUM(brk) OVER (PARTITION BY c_custkey ORDER BY ver) AS seg
+      | FROM brks)
+      |SELECT c_custkey, MIN(bal) AS acctbal,
+      | CAST(MIN(ver) AS INT) AS valid_from,
+      | CAST(CASE WHEN MAX(ver) = 3 THEN NULL ELSE MAX(ver) + 1 END AS INT) AS valid_to
+      |FROM segs GROUP BY c_custkey, seg""".stripMargin
+
+  // ---------------------------------------------------------------------
   // tp06: curriculum → worker shards, the capstone composing ds13 with
   // the sharding a data-parallel run consumes: ROUND-ROBIN over the
   // curriculum position, so (a) shard sizes differ by at most 1 and
@@ -1223,6 +1301,7 @@ object Curation {
     "ds12_global_sample" -> (ds12GlobalSample _),
     "ds13_curriculum" -> (ds13Curriculum _),
     "ds14_version_diff" -> (ds14VersionDiff _),
+    "ds15_scd2" -> (ds15Scd2 _),
     "dc01_decontaminate" -> (dc01Decontaminate _),
     "dc02_contamination_report" -> (dc02ContaminationReport _),
     "dc03_span_decontaminate" -> (dc03SpanDecontaminate _),
@@ -1249,6 +1328,7 @@ object Curation {
     "ds12_global_sample" -> ds12Oracle,
     "ds13_curriculum" -> ds13Oracle,
     "ds14_version_diff" -> ds14Oracle,
+    "ds15_scd2" -> ds15Oracle,
     "dc01_decontaminate" -> dc01Oracle,
     "dc02_contamination_report" -> dc02Oracle,
     "dc03_span_decontaminate" -> dc03Oracle,

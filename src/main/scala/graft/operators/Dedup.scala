@@ -677,6 +677,138 @@ object Dedup {
        |FROM sized s JOIN canon USING (component)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // cc06: BOUNDED label propagation on the dup graph — the same verified
+  // edges as cc01 under Relational.labelPropagation's fixed 3 synchronous
+  // min-label rounds instead of running to fixpoint. This is the
+  // clustering a 100 TB dup graph actually schedules when the full CC
+  // fixpoint (round count = diameter, unknown up front) can't be afforded:
+  // a fixed round budget with a precise guarantee — after k rounds every
+  // node within k hops of its component's minimum carries the final label,
+  // so small-diameter dup clusters (the overwhelming shape of near-dup
+  // graphs) are EXACTLY cc01's answer while a pathological chain stays
+  // partially merged. Deterministic for the fixed budget, so the oracle is
+  // the same recurrence unrolled to 3 steps in SQL.
+  // ---------------------------------------------------------------------
+  private val lpRounds = 3
+
+  def cc06LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val dup = jaccardVerified(Tables(s, dir, "documents"))
+      .filter(col("is_dup"))
+      .select(col("doc1").as("a"), col("doc2").as("b"))
+      .localCheckpoint()
+    Relational.labelPropagation(dup, lpRounds)
+      .select(col("node").as("doc_id"), col("label"))
+  }
+
+  /** One unrolled min-label round r (reads l{r-1}, defines l{r}); `e` is
+    * the symmetrized edge CTE, so every node has ≥1 neighbor and the
+    * neighbor-min join is inner, like the Spark side. */
+  private def lpRoundSql(r: Int): String =
+    s"""l$r AS (
+       | SELECT l.node, LEAST(l.lab, m.mn) AS lab
+       | FROM l${r - 1} l JOIN (
+       |  SELECT e.b AS node, MIN(p.lab) AS mn
+       |  FROM e JOIN l${r - 1} p ON e.a = p.node GROUP BY e.b) m
+       | USING (node))""".stripMargin
+
+  val cc06Oracle: String =
+    s"""WITH ${verifyCtesFrom("documents")},
+       |verified AS ($verifySelect),
+       |dup AS (SELECT doc1, doc2 FROM verified WHERE is_dup),
+       |e AS (SELECT doc1 AS a, doc2 AS b FROM dup
+       |      UNION SELECT doc2, doc1 FROM dup),
+       |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM e),
+       |${(1 to lpRounds).map(lpRoundSql).mkString(",\n")}
+       |SELECT node AS doc_id, lab AS label FROM l$lpRounds""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // cc05: fixed-iteration PageRank over the customer↔supplier interaction
+  // graph (who bought from whom, orders⋈lineitem, supplier ids offset by
+  // 10^7 into a shared id space; edges symmetrized so the bipartite graph
+  // has no dangling nodes and rank flows both ways). Centrality is the
+  // corpus-weighting signal a web-scale curation pipeline derives from
+  // its link graph (cf. Common Crawl's harmonic-centrality ranking);
+  // here it's the engine operator: 3 damping-0.85 iterations in exact
+  // non-negative BIGINT arithmetic (Relational.pageRank — Spark `div` and
+  // DuckDB `//` agree on non-negatives), so the oracle is the identical
+  // recurrence unrolled in SQL and the result hash-matches bit-for-bit,
+  // no float summation order anywhere.
+  // ---------------------------------------------------------------------
+  private val prIters = 3
+
+  def cc05PageRank(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (lit(10000000L) + col("l_suppkey")).as("dst"))
+      .distinct()
+    val e = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    Relational.pageRank(e, prIters)
+  }
+
+  private def prRoundSql(r: Int): String =
+    s"""r$r AS (
+       | SELECT ed.dst AS node,
+       |  CAST(150000000 + (85 * SUM(r${r - 1}.pr // ed.outdeg)) // 100 AS BIGINT) AS pr
+       | FROM ed JOIN r${r - 1} ON ed.src = r${r - 1}.node GROUP BY ed.dst)""".stripMargin
+
+  val cc05Oracle: String =
+    s"""WITH e0 AS (
+       | SELECT DISTINCT o.o_custkey AS src, 10000000 + l.l_suppkey AS dst
+       | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+       |n AS (SELECT DISTINCT src AS node FROM e),
+       |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM n),
+       |${(1 to prIters).map(prRoundSql).mkString(",\n")}
+       |SELECT node, pr FROM r$prIters""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // cc07: triangle counting on the co-purchase graph (parts appearing in
+  // the same order), the third graph-analytics primitive beside
+  // components (cc01/cc02) and centrality (cc05): per-node triangle
+  // participation is the local-clustering signal that separates
+  // community-embedded nodes from bridge/spam nodes in a web-corpus
+  // link graph. The Spark side runs the DEGREE-ORDERED enumeration
+  // (Cohen, "Graph Twiddling in a MapReduce World", 2009; Suri &
+  // Vassilvitskii, WWW'11): every edge is oriented from its lower
+  // (degree, id) endpoint to the higher, so each triangle is generated
+  // by exactly one wedge — at the vertex whose out-degree is bounded by
+  // O(√E) on any graph — and the wedge join never explodes at a
+  // high-degree hub the way naive a<b<c enumeration does (a 10^6-degree
+  // node contributes C(10^6,2) wedges naively, but its oriented
+  // out-degree stays ~√E). The oracle enumerates naively in SQL: the
+  // triangle SET is orientation-invariant, so both must hash-match.
+  // ---------------------------------------------------------------------
+  def cc07Triangles(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val e0 = l.as("x").join(l.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    Relational.triangleCounts(e0)
+  }
+
+  val cc07Oracle: String =
+    """WITH e AS (
+      | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      | FROM lineitem x JOIN lineitem y
+      |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |tri AS (
+      | SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      | FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+      | SELECT x AS node FROM tri
+      | UNION ALL SELECT y FROM tri
+      | UNION ALL SELECT z FROM tri) t
+      |GROUP BY node""".stripMargin
+
+  // ---------------------------------------------------------------------
   // dd09: INCREMENTAL dedup — a new batch (doc_id % 10 >= 8 stands in for
   // today's crawl) checked against the existing corpus, never against
   // itself: exact content-hash membership plus a cross-side LSH band join
@@ -852,6 +984,9 @@ object Dedup {
     "cc04_cluster_sizes" -> (cc04ClusterSizes _),
     "cc02_dup_components_star" -> (cc02DupComponentsStar _),
     "cc03_canonical" -> (cc03Canonical _),
+    "cc05_pagerank" -> (cc05PageRank _),
+    "cc06_label_prop" -> (cc06LabelProp _),
+    "cc07_triangles" -> (cc07Triangles _),
     "tp01_corpus_curation" -> (tp01CorpusCuration _),
     "dd01_exact_dedup" -> (dd01ExactDedup _),
     "dd02_minhash_sig" -> (dd02MinhashSig _),
@@ -872,6 +1007,9 @@ object Dedup {
     "cc04_cluster_sizes" -> cc04Oracle,
     "cc02_dup_components_star" -> cc01Oracle,
     "cc03_canonical" -> cc03Oracle,
+    "cc05_pagerank" -> cc05Oracle,
+    "cc06_label_prop" -> cc06Oracle,
+    "cc07_triangles" -> cc07Oracle,
     "tp01_corpus_curation" -> tp01Oracle,
     "dd01_exact_dedup" -> dd01Oracle,
     "dd02_minhash_sig" -> dd02Oracle,

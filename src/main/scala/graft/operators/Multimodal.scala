@@ -424,11 +424,53 @@ object Multimodal {
   def mm04AudioFrames(s: SparkSession, dir: String): DataFrame =
     audioFrames(mediaFromDocuments(s, dir)).toDF()
 
+  final case class Scene(media_id: Long, scene_idx: Int,
+      start_frame: Int, n_frames: Int, cut_mad: Long)
+
+  /** Scene segmentation over REALLY-decoded GRVF frames: a cut opens a new
+    * scene at frame t when the mean absolute pixel difference against
+    * frame t−1 is ≥ `madThreshold` (integer-exact: Σ|Δ| compared against
+    * threshold·w·h, no division). The canonical video-curation primitive —
+    * training pipelines sample one frame PER SCENE, not per fixed stride
+    * (mm02), or a long static shot floods the batch with near-identical
+    * frames. Per-row imperative decode+diff in a typed flatMap: narrow,
+    * shuffle-free, exactly the shape that scales to a binary-file lake —
+    * each task decodes only its own rows, nothing crosses the wire but
+    * the compact scene table. cut_mad = Σ|Δ| at the opening cut (0 for
+    * scene 0), auditable against the threshold. */
+  def sceneCuts(media: Dataset[MediaRow], madThreshold: Int = 24): Dataset[Scene] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter((m: MediaRow) => m.kind == "video").flatMap { m =>
+      val (w, h, frames) = decodeVideo(m.bytes)
+      val lim = madThreshold.toLong * w * h
+      val starts = scala.collection.mutable.ArrayBuffer((0, 0L))
+      for (t <- 1 until frames.length) {
+        var sad = 0L
+        val prev = frames(t - 1); val cur = frames(t)
+        var i = 0
+        while (i < cur.length) {
+          sad += math.abs((cur(i) & 0xff) - (prev(i) & 0xff))
+          i += 1
+        }
+        if (sad >= lim) starts += ((t, sad))
+      }
+      starts.toSeq.zipWithIndex.map { case ((st, mad), idx) =>
+        val end = if (idx + 1 < starts.length) starts(idx + 1)._1 else frames.length
+        Scene(m.media_id, idx, st, end - st, mad)
+      }
+    }
+  }
+
+  def mm05SceneCuts(s: SparkSession, dir: String): DataFrame =
+    sceneCuts(mediaFromDocuments(s, dir)).toDF()
+
   val queries: Map[String, Q] = Map(
     "mm01_media_features" -> (mm01Features _),
     "mm02_frame_sample" -> (mm02FrameSample _),
     "mm03_image_neardup" -> (mm03ImageNeardup _),
-    "mm04_audio_frames" -> (mm04AudioFrames _))
+    "mm04_audio_frames" -> (mm04AudioFrames _),
+    "mm05_scene_cuts" -> (mm05SceneCuts _))
 
   val oracles: Map[String, String] = Map.empty
 }

@@ -290,6 +290,108 @@ object Relational {
         coalesce(col("e.b"), col("n.a")).as("component"))
   }
 
+  /** Fixed-iteration PageRank over a directed edge list `(src, dst)` with
+    * NO dangling nodes (callers symmetrize or otherwise guarantee every
+    * node has out-edges — a dangling node would silently leak rank mass).
+    *
+    * All arithmetic is non-negative BIGINT so the result is hash-exact
+    * against any engine whose integer division truncates-or-floors
+    * (identical on non-negatives): ranks start at SCALE per node and each
+    * iteration computes
+    *   r'(v) = (15·SCALE)/100 + (85 · Σ_{u→v} r(u) div outdeg(u)) div 100
+    * — the standard damping-0.85 update with the 1/N normalization folded
+    * into SCALE. A fixed `iters` (not convergence-stopping) keeps the
+    * answer a finite deterministic recurrence; ranking quality needs only
+    * a handful of iterations (Page et al., 1999, report ordering stabilizes
+    * long before value convergence).
+    *
+    * Scale shape: `edges` is degree-annotated, hash-partitioned on src and
+    * pinned ONCE (localCheckpoint preserves the partitioning, so the
+    * per-iteration join re-shuffles only the N-row rank table, never the
+    * E-row edge table); each iteration is that join plus one keyed sum
+    * (map-side partials). Rank overflow headroom: Σ contributions ≤ total
+    * mass ≈ N·SCALE — at 10^9 nodes × 10^9 SCALE that is 10^18, within
+    * BIGINT; larger graphs drop SCALE. Returns (node, pr). */
+  def pageRank(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000L): DataFrame = {
+    val base = scale * 15L / 100L
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ed = edges.join(deg, Seq("src"))
+      .repartition(col("src")).localCheckpoint()
+    var ranks = edges.select(col("src").as("node")).distinct()
+      .withColumn("pr", lit(scale)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      ranks = ed.join(ranks, ed("src") === ranks("node"))
+        .select(col("dst"), expr("pr div outdeg").as("c"))
+        .groupBy(col("dst"))
+        .agg((lit(base) + expr("(85 * sum(c)) div 100")).as("pr"))
+        .select(col("dst").as("node"), col("pr"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** BOUNDED min-label propagation — the label-propagation community pass
+    * as its own operator: `rounds` synchronous rounds of
+    *   l'(v) = min(l(v), min_{u~v} l(u)),   l₀(v) = v
+    * over undirected `(a, b)` edges, WITHOUT running to fixpoint. This is
+    * what a web-scale graph job actually schedules when full-diameter
+    * convergence (connectedComponents above) is unaffordable: labels after
+    * k rounds identify every cluster whose members sit within k hops of
+    * the cluster's minimum id — dup clusters (tiny diameter) are exact
+    * long before a long path graph is. Deterministic for any fixed
+    * `rounds`, so it oracles as an unrolled k-step recurrence. Same
+    * per-round dataflow as the fixpoint version: one shuffle join + keyed
+    * min, lineage cut per round. Returns (node, label). */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct().repartition(col("a")).localCheckpoint()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val nbrMin = sym.join(labels, sym("a") === labels("node"))
+        .groupBy(sym("b").as("n2")).agg(min(col("label")).as("nl"))
+      labels = labels.join(nbrMin, labels("node") === nbrMin("n2"))
+        .select(col("node"), least(col("label"), col("nl")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** Per-node triangle counts by DEGREE-ORDERED wedge enumeration (Cohen
+    * 2009; Suri & Vassilvitskii, WWW'11). `edges` are undirected, stored
+    * once as (a, b) with a < b, distinct. Each edge is oriented from its
+    * lower (degree, id) endpoint to the higher; every triangle then has
+    * exactly ONE vertex with two out-edges into it (the minimum in that
+    * total order), so the wedge self-join generates each triangle once —
+    * and the join's fan-out at any vertex is its ORIENTED out-degree,
+    * which is O(√E) on any graph, where naive a<b<c enumeration pays
+    * C(deg, 2) at every hub (a 10^6-degree node → 5·10^11 wedges).
+    * Returns (node, n_tri) for nodes in ≥1 triangle. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("a"), col("b")).localCheckpoint()
+    val deg = e0.select(col("a").as("n")).unionAll(e0.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient low (deg, id) → high; ties fall back to id order (a < b here)
+    val or = e0
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          array(col("a"), col("b"))).otherwise(array(col("b"), col("a"))).as("p"))
+      .select(col("p").getItem(0).as("u"), col("p").getItem(1).as("w"))
+      .localCheckpoint() // wedge join reads it twice
+    val wedges = or.as("e1").join(or.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
+      .select(col("e1.u").as("u"), col("e1.w").as("w1"), col("e2.w").as("w2"))
+    // closing edge is undirected; e0 stores it as (min, max) = (w1, w2)
+    val tri = wedges.join(e0,
+      col("w1") === col("a") && col("w2") === col("b"))
+    tri.select(explode(array(col("u"), col("w1"), col("w2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
   private def hierarchyEdges(s: SparkSession, dir: String): DataFrame = {
     val c = Tables(s, dir, "customer")
     val n = Tables(s, dir, "nation")
@@ -346,6 +448,34 @@ object Relational {
       Tables(s, dir, n).createOrReplaceTempView(n)
     }
     s.sql(q45Sql)
+  }
+
+  // ---------------------------------------------------------------------
+  // q48: correlated LATERAL join — the per-row dependent subquery surface
+  // ("top 3 orders FOR EACH customer" written as a subquery that reads the
+  // outer row). One portable text, run verbatim by BOTH engines: DuckDB
+  // executes the lateral directly; Spark's Catalyst DECORRELATES it
+  // (DecorrelateInnerQuery + RewriteLateralSubquery turn the per-row
+  // ORDER BY ... LIMIT 3 into a partitioned window over one equi-join) —
+  // so the naive nested-loop the syntax implies never executes; the plan
+  // is the same shuffle-join + window top-k q10 writes by hand. That
+  // rewrite IS the 100 TB story: lateral syntax scales exactly as far as
+  // the optimizer's decorrelation, which .explain confirms here (no
+  // CartesianProduct / no per-row subquery re-execution). Ties broken by
+  // o_orderkey so the LIMIT is deterministic.
+  // ---------------------------------------------------------------------
+  private val q48Sql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t""".stripMargin
+
+  def q48Lateral(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach { n =>
+      Tables(s, dir, n).createOrReplaceTempView(n)
+    }
+    s.sql(q48Sql)
   }
 
   // ---------------------------------------------------------------------
@@ -838,6 +968,7 @@ object Relational {
     "q43_correlated" -> (q43Correlated _),
     "q45_recursive_cte" -> (q45RecursiveCte _),
     "q47_dist_rank" -> (q47DistRank _),
+    "q48_lateral" -> (q48Lateral _),
     "q35_full_outer" -> (q35FullOuter _),
     "q31_salted_join" -> (q31SaltedJoin _),
     "q27_rollup" -> (q27Rollup _),
@@ -871,6 +1002,7 @@ object Relational {
     "q43_correlated" -> q43Oracle,
     "q45_recursive_cte" -> q45Sql,
     "q47_dist_rank" -> q47Oracle,
+    "q48_lateral" -> q48Sql,
     "q31_salted_join" -> q31Oracle,
     "q27_rollup" -> q27Oracle,
     "q28_setops" -> q28Oracle,

@@ -1277,7 +1277,100 @@ object Similarity {
        |   // COUNT(*) AS recall_pct
        |FROM ex LEFT JOIN ap USING (q_id, c_id)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ss21/ss22: IVF + SQ8 — the coarse-quantizer/scalar-code COMBINATION
+  // (FAISS's IndexIVFScalarQuantizer), completing the tier matrix: IVF
+  // bounds WHICH candidates are scored (nprobe lists instead of the
+  // corpus), SQ8 bounds WHAT is stored per candidate (64 bytes of codes
+  // instead of raw vectors). Same learned-IVF probe as ss03 (identical
+  // assignment/probe CTEs), but the rerank scores the SQ8 RECONSTRUCTION
+  // (ss17's integer-exact asymmetric distance) rather than the exact
+  // vector — the serving shape where lists hold only codes and the raw
+  // corpus is never touched at query time. At 100 TB the probe join
+  // shuffles on cent_id exactly like ss03, and the candidate side carries
+  // 8× less data than ss03's exact rerank. ss22 is the honesty metric
+  // against the ss01 exact top-k (ss06/ss12/ss18's form) — quantifying
+  // what stacking both compressions costs vs either alone.
+  // ---------------------------------------------------------------------
+  def ss21IvfSq(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val cents = learnedCentroids(base, ivfRounds)
+      .select(col("cent_id"), col("cv").as("v2"), col("cnrm").as("n2"))
+    def centScored(src: DataFrame, idCol: String): DataFrame =
+      src.select(col("vec_id").as(idCol), col("v").as("v1"), col("nrm").as("n1"))
+        .join(broadcast(cents), lit(true))
+        .withColumn("ccos",
+          expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+    val assigned = centScored(base, "a_id")
+      .groupBy(col("a_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("ccos"), (-col("cent_id")).as("neg"))).as("cent_id"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val probes = centScored(base.filter(col("vec_id") % 100 === 0), "q_id")
+      .withColumn("crn", row_number().over(wProbe)).filter(col("crn") <= nprobe)
+      .select(col("q_id"), col("cent_id"))
+    val pairs = probes.join(assigned, Seq("cent_id"))
+      .filter(col("q_id") =!= col("a_id"))
+      .select(col("q_id"), col("a_id").as("c_id")).distinct()
+    val rec = sqEncoded(base)
+      .withColumn("rx", col("mn") + expr("(code * (mx - mn)) div 255"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, rx))), s -> s.rx)").as("rv"))
+    val qs = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
+    val scored = pairs
+      .join(broadcast(qs), Seq("q_id"))
+      .join(rec.select(col("vec_id").as("c_id"), col("rv")), Seq("c_id"))
+      .withColumn("sq_d2",
+        col("n1") + expr("dot_l(rv, rv)") - expr("2 * dot_l(v1, rv)"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sq_d2"), col("c_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+      .select(col("q_id"), col("c_id"), col("rnk"), col("sq_d2"))
+  }
+
+  val ss21Oracle: String =
+    s"""WITH $qvecSql,
+       |${kmChainSql(ivfRounds)},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |$annProbePrefixSql,
+       |$sqCtesSql,
+       |qs AS (SELECT vec_id AS q_id, v AS v1, nrm AS n1 FROM qn WHERE vec_id % 100 = 0),
+       |sc AS (
+       | SELECT p.q_id, p.c_id,
+       |  CAST(q.n1
+       |   + list_sum(list_transform(r.rv, x -> x * x))
+       |   - 2 * list_sum(list_transform(range(1, $dims + 1), i -> q.v1[i] * r.rv[i]))
+       |   AS BIGINT) AS sq_d2
+       | FROM pairs p JOIN qs q ON p.q_id = q.q_id JOIN rec r ON p.c_id = r.vec_id),
+       |rk AS (
+       | SELECT q_id, c_id, sq_d2,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sq_d2, c_id) AS rnk
+       | FROM sc)
+       |SELECT q_id, c_id, CAST(rnk AS INT) AS rnk, sq_d2 FROM rk WHERE rnk <= $K""".stripMargin
+
+  def ss22IvfSqRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = ss01BruteTopk(s, dir).select(col("q_id"), col("c_id"))
+    val approx = ss21IvfSq(s, dir)
+      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "c_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_pct", expr("(n_hit * 100) div n_exact"))
+  }
+
+  val ss22Oracle: String =
+    s"""WITH ex AS (SELECT q_id, c_id FROM ($ss01Oracle) a),
+       |ap AS (SELECT q_id, c_id FROM ($ss21Oracle) b)
+       |SELECT COUNT(*) AS n_exact,
+       | CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       | (CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
+       |   // COUNT(*) AS recall_pct
+       |FROM ex LEFT JOIN ap USING (q_id, c_id)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ss21_ivf_sq" -> (ss21IvfSq _),
+    "ss22_ivf_sq_recall" -> (ss22IvfSqRecall _),
     "ss16_sq_encode" -> (ss16SqEncode _),
     "ss17_sq_topk" -> (ss17SqTopk _),
     "ss18_sq_recall" -> (ss18SqRecall _),
@@ -1300,6 +1393,8 @@ object Similarity {
     "ss15_rerank_recall" -> (ss15RerankRecall _))
 
   val oracles: Map[String, String] = Map(
+    "ss21_ivf_sq" -> ss21Oracle,
+    "ss22_ivf_sq_recall" -> ss22Oracle,
     "ss16_sq_encode" -> ss16Oracle,
     "ss17_sq_topk" -> ss17Oracle,
     "ss18_sq_recall" -> ss18Oracle,

@@ -252,4 +252,31 @@ class CurationSpec extends SparkSpec {
       (3L, 1L, 10L, 2L))
     assert(got == expected, got.toString)
   }
+
+  test("ds15: SCD2 intervals partition each key's presence, no overlaps") {
+    val out = Curation.ds15Scd2(spark, dir).cache()
+    val rows = out.collect().map(r => (r.getLong(0), r.getDouble(1),
+      r.getInt(2), if (r.isNullAt(3)) Int.MaxValue else r.getInt(3)))
+    // structural invariants of any SCD2 merge:
+    rows.groupBy(_._1).foreach { case (k, ivs) =>
+      val sorted = ivs.sortBy(_._3)
+      sorted.foreach { case (_, _, from, to) =>
+        assert(from < to, s"key $k: empty/negative interval [$from, $to)") }
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 <= b._3, s"key $k: overlapping intervals $a $b")
+          // adjacent intervals with equal value would mean a missed merge
+          // (a break was emitted without a change or gap)
+          assert(a._4 < b._3 || a._2 != b._2,
+            s"key $k: un-merged adjacent equal-value intervals $a $b")
+        case _ => ()
+      }
+    }
+    // deletions exist (key%11=0 keys absent from v3 close their interval)
+    // and every key mutated at v2 (key%7=0) has an interval opening there
+    assert(rows.exists(r => r._4 == 3), "expected closed intervals at v3")
+    assert(rows.filter(_._1 % 7 == 0).exists(_._3 == 2),
+      "expected v2-opening intervals for bumped keys")
+    out.unpersist()
+  }
 }

@@ -55,6 +55,33 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).features.toSeq == Seq.fill(8)(31.875f), out(1).features.toSeq)
   }
 
+  test("sceneCuts: planted cut found, sub-threshold drift ignored") {
+    import spark.implicits._
+    // 4 frames of 4×2: f0=0s, f1=0s (no diff), f2=100s (Σ|Δ|=800 ≥
+    // 24·8=192 → cut), f3=101s (Σ|Δ|=8 < 192 → same scene).
+    val mk = (v: Int) => Array.fill(8)(v.toByte)
+    val frames = Array(mk(0), mk(0), mk(100), mk(101))
+    val media = Seq(Multimodal.MediaRow(3L, "video",
+      Multimodal.encodeRawVideo(4, 2, frames), 4, 2, 4)).toDS()
+    val got = Multimodal.sceneCuts(media).collect().sortBy(_.scene_idx)
+    assert(got.toSeq == Seq(
+      Multimodal.Scene(3L, 0, 0, 2, 0L),
+      Multimodal.Scene(3L, 1, 2, 2, 800L)), got.toSeq.toString)
+  }
+
+  test("sceneCuts: single-frame and static videos yield one scene") {
+    import spark.implicits._
+    val one = Array(Array.fill(8)(7.toByte))
+    val static = Array.fill(3)(Array.fill(8)(9.toByte))
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", Multimodal.encodeRawVideo(4, 2, one), 4, 2, 1),
+      Multimodal.MediaRow(2L, "video", Multimodal.encodeRawVideo(4, 2, static), 4, 2, 3)
+    ).toDS()
+    val got = Multimodal.sceneCuts(media).collect()
+      .map(s => (s.media_id, s.scene_idx, s.start_frame, s.n_frames)).toSet
+    assert(got == Set((1L, 0, 0, 1), (2L, 0, 0, 3)), got.toString)
+  }
+
   test("sampled frame features match an independent recomputation from the generator") {
     val out = Multimodal.sampleFrames(
         Multimodal.mediaFromDocuments(spark, dir)).collect()

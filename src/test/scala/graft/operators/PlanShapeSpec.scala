@@ -343,4 +343,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("q48: lateral subquery decorrelates — no per-row nested loop") {
+    // The whole point of shipping LATERAL syntax: Catalyst must rewrite
+    // the correlated ORDER BY ... LIMIT 3 into a join + partitioned
+    // window. A CartesianProduct/NLJ here would mean the per-row
+    // subquery survived to execution — unusable at scale.
+    val plan = Relational.q48Lateral(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("WindowGroupLimit") || plan.contains("Window"),
+      plan.take(3000))
+  }
+
+  test("cc05: pagerank iterations re-shuffle ranks, never the edge table") {
+    // The degree-annotated edge table is checkpointed hash-partitioned on
+    // src; each iteration's join must reuse that layout (no Exchange on
+    // the edge side of the join). A rough but effective proxy: the final
+    // plan (one iteration deep, thanks to per-iteration checkpoints) has
+    // no more than the two expected exchanges (rank-side repartition +
+    // contribution aggregate).
+    val plan = Dedup.cc05PageRank(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n" +
+      plan.take(3000))
+  }
 }
