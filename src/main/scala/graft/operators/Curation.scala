@@ -927,6 +927,45 @@ object Curation {
       |FROM segs GROUP BY c_custkey, seg""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ds16: TEMPORAL split with leakage audit — the time-based train/test
+  // protocol (train strictly before the cutoff, test strictly after)
+  // that evaluation-honest pipelines use instead of random splits when
+  // data has a time axis: a random split lets the model see the future.
+  // Split at entity (user) granularity: users entirely before the cutoff
+  // → train, entirely after → test, straddling users are LEAKY — their
+  // pre-cutoff rows would encode post-cutoff behavior through the entity
+  // — and are dropped, with the audit counts (n_train/n_test) kept so
+  // the cost of the drop is visible. One hash aggregate on the entity
+  // key; epoch-floored comparisons (q20's convention) so nano-vs-micro
+  // timestamp precision can't move an event across the cutoff.
+  // ---------------------------------------------------------------------
+  private val temporalCutoffEpoch = 1705795200L // 2024-01-21T00:00:00Z
+
+  def ds16TemporalSplit(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    ev.groupBy(col("user_id"))
+      .agg(
+        count(when(unix_timestamp(col("ts")) < temporalCutoffEpoch, 1))
+          .as("n_train"),
+        count(when(unix_timestamp(col("ts")) >= temporalCutoffEpoch, 1))
+          .as("n_test"))
+      .withColumn("assignment",
+        when(col("n_train") > 0 && col("n_test") > 0, "drop")
+          .when(col("n_test") > 0, "test").otherwise("train"))
+  }
+
+  val ds16Oracle: String =
+    s"""SELECT user_id,
+       | COUNT(CASE WHEN floor(epoch(ts)) < $temporalCutoffEpoch THEN 1 END) AS n_train,
+       | COUNT(CASE WHEN floor(epoch(ts)) >= $temporalCutoffEpoch THEN 1 END) AS n_test,
+       | CASE WHEN COUNT(CASE WHEN floor(epoch(ts)) < $temporalCutoffEpoch THEN 1 END) > 0
+       |        AND COUNT(CASE WHEN floor(epoch(ts)) >= $temporalCutoffEpoch THEN 1 END) > 0
+       |       THEN 'drop'
+       |      WHEN COUNT(CASE WHEN floor(epoch(ts)) >= $temporalCutoffEpoch THEN 1 END) > 0
+       |       THEN 'test' ELSE 'train' END AS assignment
+       |FROM events GROUP BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // tp06: curriculum → worker shards, the capstone composing ds13 with
   // the sharding a data-parallel run consumes: ROUND-ROBIN over the
   // curriculum position, so (a) shard sizes differ by at most 1 and
@@ -1302,6 +1341,7 @@ object Curation {
     "ds13_curriculum" -> (ds13Curriculum _),
     "ds14_version_diff" -> (ds14VersionDiff _),
     "ds15_scd2" -> (ds15Scd2 _),
+    "ds16_temporal_split" -> (ds16TemporalSplit _),
     "dc01_decontaminate" -> (dc01Decontaminate _),
     "dc02_contamination_report" -> (dc02ContaminationReport _),
     "dc03_span_decontaminate" -> (dc03SpanDecontaminate _),
@@ -1329,6 +1369,7 @@ object Curation {
     "ds13_curriculum" -> ds13Oracle,
     "ds14_version_diff" -> ds14Oracle,
     "ds15_scd2" -> ds15Oracle,
+    "ds16_temporal_split" -> ds16Oracle,
     "dc01_decontaminate" -> dc01Oracle,
     "dc02_contamination_report" -> dc02Oracle,
     "dc03_span_decontaminate" -> dc03Oracle,

@@ -722,6 +722,47 @@ object Dedup {
        |SELECT node AS doc_id, lab AS label FROM l$lpRounds""".stripMargin
 
   // ---------------------------------------------------------------------
+  // cc08: bounded 2-core peel of the dup graph — the cluster-COHESION
+  // audit: cc01 says which docs are connected; cc08 says which clusters
+  // are held together by MULTIPLE independent matches (every surviving
+  // doc has ≥2 verified dup partners) versus pairwise chains, where
+  // A~B~C~D may be transitive drift with A and D not actually similar.
+  // Peel verdicts gate whether a cluster is safe to collapse to one
+  // canonical doc (cc03) or needs pairwise re-verification. Fixed 3
+  // peel rounds (Relational.kCore), oracled as the unrolled recurrence.
+  // ---------------------------------------------------------------------
+  private val kcoreK = 2
+  private val kcoreRounds = 3
+
+  def cc08KCore(s: SparkSession, dir: String): DataFrame = {
+    val dup = jaccardVerified(Tables(s, dir, "documents"))
+      .filter(col("is_dup"))
+      .select(col("doc1").as("a"), col("doc2").as("b"))
+      .localCheckpoint()
+    Relational.kCore(dup, kcoreK, kcoreRounds)
+      .select(col("node").as("doc_id"), col("deg"))
+  }
+
+  /** One unrolled peel round r: degrees of e{r-1}, keep-set, both-endpoint
+    * semi-join filter. */
+  private def kcoreRoundSql(r: Int): String =
+    s"""k$r AS (
+       | SELECT a AS n FROM (SELECT a, COUNT(*) AS d FROM e${r - 1} GROUP BY a) t
+       | WHERE d >= $kcoreK),
+       |e$r AS (
+       | SELECT e.a, e.b FROM e${r - 1} e
+       | WHERE e.a IN (SELECT n FROM k$r) AND e.b IN (SELECT n FROM k$r))""".stripMargin
+
+  val cc08Oracle: String =
+    s"""WITH ${verifyCtesFrom("documents")},
+       |verified AS ($verifySelect),
+       |dup AS (SELECT doc1, doc2 FROM verified WHERE is_dup),
+       |e0 AS (SELECT doc1 AS a, doc2 AS b FROM dup
+       |       UNION SELECT doc2, doc1 FROM dup),
+       |${(1 to kcoreRounds).map(kcoreRoundSql).mkString(",\n")}
+       |SELECT a AS doc_id, COUNT(*) AS deg FROM e$kcoreRounds GROUP BY a""".stripMargin
+
+  // ---------------------------------------------------------------------
   // cc05: fixed-iteration PageRank over the customer↔supplier interaction
   // graph (who bought from whom, orders⋈lineitem, supplier ids offset by
   // 10^7 into a shared id space; edges symmetrized so the bipartite graph
@@ -987,6 +1028,7 @@ object Dedup {
     "cc05_pagerank" -> (cc05PageRank _),
     "cc06_label_prop" -> (cc06LabelProp _),
     "cc07_triangles" -> (cc07Triangles _),
+    "cc08_kcore" -> (cc08KCore _),
     "tp01_corpus_curation" -> (tp01CorpusCuration _),
     "dd01_exact_dedup" -> (dd01ExactDedup _),
     "dd02_minhash_sig" -> (dd02MinhashSig _),
@@ -1010,6 +1052,7 @@ object Dedup {
     "cc05_pagerank" -> cc05Oracle,
     "cc06_label_prop" -> cc06Oracle,
     "cc07_triangles" -> cc07Oracle,
+    "cc08_kcore" -> cc08Oracle,
     "tp01_corpus_curation" -> tp01Oracle,
     "dd01_exact_dedup" -> dd01Oracle,
     "dd02_minhash_sig" -> dd02Oracle,

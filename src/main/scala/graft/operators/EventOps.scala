@@ -86,6 +86,34 @@ object EventOps {
       |FROM events""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q49: LOCF gap-fill (last observation carried forward) — the
+  // feature-engineering staple "value of the last purchase as of every
+  // event", written as last(expr, ignoreNulls) over an unbounded-preceding
+  // frame instead of the naive as-of self-join (q32's shape): ONE window
+  // pass per key, no join, no state blow-up — at 100 TB this is a single
+  // hash-shuffle on user_id with a per-key streaming frame, and the same
+  // IGNORE NULLS text runs verbatim in DuckDB. Ordered by event_id
+  // (q21's portable convention — nano-vs-micro timestamp truncation can
+  // never reorder ties). Nulls before a user's first purchase stay null:
+  // LOCF fills forward only, never backward.
+  // ---------------------------------------------------------------------
+  def q49Locf(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("event_id"), col("user_id"),
+      last(when(col("event_type") === "purchase", col("value")),
+        ignoreNulls = true).over(w).as("last_purchase_value"))
+  }
+
+  val q49Oracle: String =
+    """SELECT event_id, user_id,
+      | LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |  OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+      |  AS last_purchase_value
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q22: gap-based sessionization — lag + cumulative flag sum. The batch
   // twin of flatMapGroupsWithState sessionization. 1800 s inactivity gap.
   // Epochs floored to whole seconds so micro/nano precision can't diverge.
@@ -462,6 +490,7 @@ object EventOps {
     "q44_lag_lead" -> (q44LagLead _),
     "q37_interval_join" -> (q37IntervalJoin _),
     "q21_running_sum" -> (q21RunningSum _),
+    "q49_locf" -> (q49Locf _),
     "q22_sessionize" -> (q22Sessionize _),
     "q23_json_extract" -> (q23JsonExtract _),
     "q24_argmax_latest" -> (q24ArgmaxLatest _),
@@ -478,6 +507,7 @@ object EventOps {
     "q41_retention_cohorts" -> q41Oracle,
     "q44_lag_lead" -> q44Oracle,
     "q21_running_sum" -> q21Oracle,
+    "q49_locf" -> q49Oracle,
     "q22_sessionize" -> q22Oracle,
     "q23_json_extract" -> q23Oracle,
     "q24_argmax_latest" -> q24Oracle,

@@ -365,6 +365,33 @@ object Relational {
     labels
   }
 
+  /** BOUNDED k-core peel: `rounds` synchronous rounds of "drop every node
+    * with degree < k (and its edges)" over undirected (a, b) edges — the
+    * cohesion filter that separates structurally-dense subgraphs from
+    * chains and pendants (Seidman 1983; on a dup graph, a 2-core keeps
+    * clusters where every member has ≥2 independent matches and sheds
+    * transitive-drift chains). Like [[labelPropagation]], the FIXED round
+    * budget is the contract a web-scale job schedules: peeling converges
+    * in ≤ rounds on shallow structures (the overwhelming case), and the
+    * answer is deterministic for any budget, so the oracle is the same
+    * recurrence unrolled. Each round = one degree aggregate + two
+    * semi-joins, lineage cut per round. Returns (node, deg) of the
+    * surviving subgraph. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("a")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("a").as("n"))
+      e = e.join(keep, e("a") === keep("n"), "left_semi")
+        .join(keep, e("b") === keep("n"), "left_semi")
+        .localCheckpoint()
+    }
+    // e is symmetric, so per-node out-degree IS the degree
+    e.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Per-node triangle counts by DEGREE-ORDERED wedge enumeration (Cohen
     * 2009; Suri & Vassilvitskii, WWW'11). `edges` are undirected, stored
     * once as (a, b) with a < b, distinct. Each edge is oriented from its

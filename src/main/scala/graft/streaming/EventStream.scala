@@ -43,6 +43,26 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour", "15 minutes"))
       .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
 
+  /** NATIVE session windows — Spark's built-in `session_window` dynamic-gap
+    * aggregation, the declarative counterpart of the
+    * flatMapGroupsWithState sessionization below ([[sessionize]]): the
+    * state store merges overlapping candidate windows per key and the
+    * watermark closes a session once no event can extend it. Use THIS form
+    * when per-session output is an aggregate the engine already knows
+    * (count/sum/min/max — it stays inside the state-store operator,
+    * no user state classes); drop to flatMapGroupsWithState only for
+    * custom state shapes or emit conditions. Same 30-minute gap as the
+    * batch twin (q22) and [[sessionize]]. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n"), col("sum_value"))
+
   /** Streaming exact dedup on event_id — the streaming form of the exact
     * dedup / first-wins operators (dd01, q17). State holds one key per
     * event_id seen, and the watermark BOUNDS that state: an id older than

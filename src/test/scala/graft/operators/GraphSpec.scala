@@ -84,6 +84,31 @@ class GraphSpec extends SparkSpec {
       got.toString)
   }
 
+  test("kCore: peels chains and pendants, keeps the dense core") {
+    import spark.implicits._
+    // Triangle {1,2,3} with a pendant chain 3–4–5, plus an isolated edge
+    // 8–9. 2-core: round 1 drops 5 and 9 (degree 1, and 8 with it);
+    // round 2 drops 4 (its degree fell to 1). The triangle survives with
+    // every degree = 2.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (8L, 9L)).toDF("a", "b")
+    val got = Relational.kCore(edges, 2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), got.toString)
+  }
+
+  test("kCore: budget bounds the peel — deep chains survive partially") {
+    import spark.implicits._
+    // Pure chain of 8 nodes: each round removes only the two endpoints
+    // (degree 1). After 2 rounds, nodes 3..6 remain as a shorter chain —
+    // the bounded budget is the contract, identical to the unrolled
+    // oracle recurrence.
+    val edges = (1L to 7L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Relational.kCore(edges, 2, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(3L -> 1L, 4L -> 2L, 5L -> 2L, 6L -> 1L), got.toString)
+  }
+
   test("labelPropagation: small-diameter clusters are exact within budget") {
     import spark.implicits._
     // Triangle {20,21,22} + pair {30,31}: diameter ≤ 2, so a 2-round

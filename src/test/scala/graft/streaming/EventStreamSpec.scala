@@ -216,6 +216,39 @@ trait StatefulStreamingScenarios { this: SparkSpec =>
   }
   }
 
+  test("native session_window merges within gap, splits across it, closes at watermark") {
+    withProvider {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionWindows(input.toDF())
+      .writeStream.format("memory").queryName("sw")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: events at minutes 0 and 10 (one session, gap < 30); next
+      // at minute 50 (40-min gap → NEW session). user 2: single event.
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(50), 1, "click", 4.0),
+        Event(4, ts(5), 2, "view", 8.0))
+      // advance the watermark far enough to close every session
+      input.addData(Event(99, ts(300), 9, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sw")
+        .selectExpr("user_id", "n", "sum_value",
+          "CAST(session_end AS LONG) - CAST(session_start AS LONG)")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      // session length = span + gap extension (30 min past the last event)
+      assert(rows.contains((1L, 2L, 3.0, 600L + 1800L)), rows.toString)
+      assert(rows.contains((1L, 1L, 4.0, 1800L)), rows.toString)
+      assert(rows.contains((2L, 1L, 8.0, 1800L)), rows.toString)
+    } finally { q.stop(); spark.catalog.dropTempView("sw") }
+  }
+  }
+
   test("stream-stream interval join attributes clicks to prior views") {
     withProvider {
     implicit val sqlCtx = spark.sqlContext
