@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProductLong, IntersectSize, LshBucket, MinHashSigs, NGramHashes, ZOrder2}
+import graft.functions.{BloomMightContain, DotProductLong, IntersectSize, LshBucket, MinHashSigs, NGramHashes, ZOrder2}
 import graft.plans.RewriteIntersectSize
 
 /** Spark extension entry point: registers the engine's native Catalyst
@@ -53,6 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"zorder2 expects exactly 2 arguments, got ${args.length}")
         ZOrder2(args(0), args(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomMightContain(args(0), args(1))))
     ext.injectOptimizerRule(_ => RewriteIntersectSize)
   }
 }

@@ -405,8 +405,8 @@ object Relational {
     * Even oriented, most wedges do NOT close (closure probability on a
     * sparse graph is E/~V², well under 1%), so shuffling every wedge into
     * the closing-edge join moves ~100× more rows than survive it. A
-    * broadcast Bloom filter over the xxhash64-packed edge keys (dd12's
-    * prefilter pattern — megabytes for 10^8 edges) screens wedges
+    * Bloom filter over the xxhash64-packed edge keys (dd12's prefilter
+    * pattern — megabytes for 10^8 edges) screens wedges
     * MAP-SIDE in the stage that generates them; only might-close wedges
     * (true closures + the fpp tail) reach the shuffle, and the real join
     * still confirms every survivor, so results are identical — measured
@@ -414,16 +414,17 @@ object Relational {
     * generation, not shuffle). Returns (node, n_tri) for nodes in ≥1
     * triangle. */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val s = edges.sparkSession
     val e0 = edges.select(col("a"), col("b")).localCheckpoint()
     val nEdges = e0.count()
-    val closeBloom = s.sparkContext.broadcast(
+    // serialized into a foldable binary literal: rides the broadcast task
+    // binary, deserialized once per JVM, tested inside whole-stage codegen
+    // (graft.functions.BloomMightContain) — no per-row UDF boxing on the
+    // wedge stream
+    val closeBloom = graft.functions.BloomMightContain.serialize(
       e0.select(xxhash64(col("a"), col("b")).as("k"))
         .stat.bloomFilter("k", math.max(nEdges, 1000L), 0.01))
-    val mightClose = {
-      val b = closeBloom
-      udf((k: Long) => b.value.mightContainLong(k)).withName("bloom_close")
-    }
+    def mightClose(k: Column): Column =
+      call_function("bloom_might_contain", k, lit(closeBloom))
     val deg0 = e0.select(col("a").as("n")).unionAll(e0.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     // The degree table has ≤2E rows of two longs; checkpointed inputs hide
