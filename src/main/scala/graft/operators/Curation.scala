@@ -966,6 +966,53 @@ object Curation {
        |FROM events GROUP BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ds17: deterministic weighted PRIORITY SAMPLE (Duffield–Lund–Thorup,
+  // "Priority sampling", JACM 54(6) 2007): each row gets priority
+  // q = w/u for u uniform on (0,1], the k highest-priority rows are the
+  // sample, and any subset-sum is estimated unbiasedly by Σ max(w, τ)
+  // over sampled members, τ = the (k+1)-th priority — the
+  // variance-near-optimal way to downsample a corpus while preserving
+  // weighted statistics (long docs matter more than short ones). The
+  // uniform derives from the content hash — u = (h+1)/2^32, h the first
+  // 8 md5 hex digits — so the sample is reproducible under re-runs and
+  // backfills (the ds01 property), and the whole comparison runs in
+  // BIGINT: q = (w·2^32) div (h+1), where Spark `div` and DuckDB `//`
+  // agree (non-negative operands), ties broken by doc_id.
+  //
+  // Scale shape: one codegen'd per-row projection, then
+  // TakeOrderedAndProject over k+1 — per-partition heaps, no global
+  // sort, no corpus-wide window; the only driver-side state is the
+  // (k+1)-row head. τ comes from that head, never a second pass.
+  // ---------------------------------------------------------------------
+  private val prioK = 100
+
+  def ds17PrioritySample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val withP = docs.select(col("doc_id"), col("n_chars"),
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("u32"))
+      .withColumn("priority", expr("(n_chars * 4294967296) div (u32 + 1)"))
+    // TakeOrderedAndProject(k+1); ≤ k+1 rows from here on
+    val head = withP.orderBy(col("priority").desc, col("doc_id"))
+      .limit(prioK + 1).localCheckpoint()
+    val tau = head.agg(min(col("priority")).as("tau"))
+    head.orderBy(col("priority").desc, col("doc_id")).limit(prioK)
+      .crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("n_chars"), col("priority"),
+        greatest(col("n_chars"), coalesce(col("tau"), lit(0L))).as("est_weight"))
+  }
+
+  val ds17Oracle: String =
+    s"""WITH p AS (
+       | SELECT doc_id, n_chars,
+       |  (n_chars * 4294967296) // (('0x' || substr(md5(text), 1, 8))::BIGINT + 1) AS priority
+       | FROM documents),
+       |r AS (SELECT p.*, ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rn FROM p),
+       |tau AS (SELECT MIN(priority) AS t FROM r WHERE rn <= ${prioK + 1})
+       |SELECT doc_id, n_chars, priority,
+       | CAST(GREATEST(n_chars, COALESCE((SELECT t FROM tau), 0)) AS BIGINT) AS est_weight
+       |FROM r WHERE rn <= $prioK""".stripMargin
+
+  // ---------------------------------------------------------------------
   // tp06: curriculum → worker shards, the capstone composing ds13 with
   // the sharding a data-parallel run consumes: ROUND-ROBIN over the
   // curriculum position, so (a) shard sizes differ by at most 1 and
@@ -1342,6 +1389,7 @@ object Curation {
     "ds14_version_diff" -> (ds14VersionDiff _),
     "ds15_scd2" -> (ds15Scd2 _),
     "ds16_temporal_split" -> (ds16TemporalSplit _),
+    "ds17_priority_sample" -> (ds17PrioritySample _),
     "dc01_decontaminate" -> (dc01Decontaminate _),
     "dc02_contamination_report" -> (dc02ContaminationReport _),
     "dc03_span_decontaminate" -> (dc03SpanDecontaminate _),
@@ -1370,6 +1418,7 @@ object Curation {
     "ds14_version_diff" -> ds14Oracle,
     "ds15_scd2" -> ds15Oracle,
     "ds16_temporal_split" -> ds16Oracle,
+    "ds17_priority_sample" -> ds17Oracle,
     "dc01_decontaminate" -> dc01Oracle,
     "dc02_contamination_report" -> dc02Oracle,
     "dc03_span_decontaminate" -> dc03Oracle,

@@ -547,6 +547,51 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // q50: per-group skyline (pareto front) — the dominance filter of
+  // Börzsönyi/Kossmann/Stocker's SKYLINE OF operator (ICDE 2001): a
+  // (n_chars, n_tokens) point survives iff no other document in its
+  // language is ≥ in both dimensions and > in one. The naive formulation
+  // is a NOT EXISTS theta self-join — quadratic and cartesian-shaped; the
+  // engine runs the 2D SWEEP instead: distinct points sorted
+  // (n_chars DESC, n_tokens DESC) within each language are on the front
+  // exactly when their n_tokens strictly exceeds the running max over all
+  // earlier points (an earlier point has more chars, or equal chars and
+  // more tokens — either way it dominates iff its tokens are ≥). One
+  // hash-partitioned window per language over DISTINCT points (bounded by
+  // the value-domain, not the corpus), zero self-joins. The oracle runs
+  // the identical sweep; integers end-to-end so it hash-matches.
+  // ---------------------------------------------------------------------
+  def q50Skyline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val pts = docs.select(col("lang"), col("n_chars"),
+        size(expr("filter(split(text, ' '), x -> x != '')")).cast("long")
+          .as("n_tokens"))
+      .groupBy(col("lang"), col("n_chars"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"))
+    val sweep = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("n_tokens").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("prev_max", max(col("n_tokens")).over(sweep))
+      .filter(col("prev_max").isNull || col("prev_max") < col("n_tokens"))
+      .select(col("lang"), col("n_chars"), col("n_tokens"), col("n_docs"))
+  }
+
+  val q50Oracle: String =
+    """WITH pts AS (
+      | SELECT lang, n_chars,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs
+      | FROM documents
+      | GROUP BY lang, n_chars, 3),
+      |sw AS (
+      | SELECT pts.*, MAX(n_tokens) OVER (PARTITION BY lang
+      |   ORDER BY n_chars DESC, n_tokens DESC
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      | FROM pts)
+      |SELECT lang, n_chars, n_tokens, n_docs FROM sw
+      |WHERE prev_max IS NULL OR prev_max < n_tokens""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q07: deepest matching ancestor (C5 — ordered scalar subquery picking the
   // max-step is_2nd ancestor, src/post/find_subdivision.sql:9-32 and note †
   // in SURVEY §2). "is_2nd" here = nation/region nodes; window + row_number
@@ -1037,6 +1082,7 @@ object Relational {
     "q45_recursive_cte" -> (q45RecursiveCte _),
     "q47_dist_rank" -> (q47DistRank _),
     "q48_lateral" -> (q48Lateral _),
+    "q50_skyline" -> (q50Skyline _),
     "q35_full_outer" -> (q35FullOuter _),
     "q31_salted_join" -> (q31SaltedJoin _),
     "q27_rollup" -> (q27Rollup _),
@@ -1071,6 +1117,7 @@ object Relational {
     "q45_recursive_cte" -> q45Sql,
     "q47_dist_rank" -> q47Oracle,
     "q48_lateral" -> q48Sql,
+    "q50_skyline" -> q50Oracle,
     "q31_salted_join" -> q31Oracle,
     "q27_rollup" -> q27Oracle,
     "q28_setops" -> q28Oracle,
