@@ -777,17 +777,23 @@ object Dedup {
   // ---------------------------------------------------------------------
   private val prIters = 3
 
-  def cc05PageRank(s: SparkSession, dir: String): DataFrame = {
+  /** The shared customer↔supplier interaction graph (who bought from
+    * whom through orders⋈lineitem; supplier ids offset by 10^7 into the
+    * customer id space, symmetrized) — cc05's centrality and cc09's
+    * k-hop reach both analyze this graph. */
+  private def interactionEdges(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val l = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"),
         (lit(10000000L) + col("l_suppkey")).as("dst"))
       .distinct()
-    val e = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+    e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    Relational.pageRank(e, prIters)
   }
+
+  def cc05PageRank(s: SparkSession, dir: String): DataFrame =
+    Relational.pageRank(interactionEdges(s, dir), prIters)
 
   private def prRoundSql(r: Int): String =
     s"""r$r AS (
@@ -848,6 +854,52 @@ object Dedup {
       | UNION ALL SELECT y FROM tri
       | UNION ALL SELECT z FROM tri) t
       |GROUP BY node""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // cc09: bounded multi-source BFS — k-hop reach over the cc05
+  // interaction graph from a seed set (customers of nation 0): "every
+  // account and supplier within 3 hops of this cohort", the
+  // neighborhood-expansion primitive behind influence radii, trust
+  // propagation from seed domains, and fraud-ring tracing. Fixed round
+  // budget like cc06/cc08 (distances ≤ k exact, nothing farther
+  // emitted), so the oracle is the min-distance recurrence unrolled in
+  // SQL. Per round the engine re-shuffles only the frontier table
+  // against the statically hash-partitioned edges (Relational
+  // .bfsDistances); integer distances end-to-end → hash-exact.
+  // ---------------------------------------------------------------------
+  private val bfsRounds = 3
+  private val bfsSeedNation = 0
+
+  def cc09BfsHops(s: SparkSession, dir: String): DataFrame = {
+    val e = interactionEdges(s, dir)
+    val cohort = Tables(s, dir, "customer")
+      .filter(col("c_nationkey") === bfsSeedNation)
+      .select(col("c_custkey").as("node"))
+    // seeds restricted to graph nodes: a customer with no orders is not
+    // in the graph, and the oracle's d0 draws from the edge node set too
+    val seeds = e.select(col("src").as("node")).distinct()
+      .join(cohort, Seq("node"), "left_semi")
+    Relational.bfsDistances(e, seeds, bfsRounds)
+  }
+
+  private def bfsRoundSql(r: Int): String =
+    s"""d$r AS (
+       | SELECT node, MIN(dist) AS dist FROM (
+       |  SELECT node, dist FROM d${r - 1}
+       |  UNION ALL
+       |  SELECT e.dst, d${r - 1}.dist + 1 FROM e JOIN d${r - 1} ON e.src = d${r - 1}.node) u
+       | GROUP BY node)""".stripMargin
+
+  val cc09Oracle: String =
+    s"""WITH e0 AS (
+       | SELECT DISTINCT o.o_custkey AS src, 10000000 + l.l_suppkey AS dst
+       | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |d0 AS (
+       | SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist FROM e
+       | WHERE src IN (SELECT c_custkey FROM customer WHERE c_nationkey = $bfsSeedNation)),
+       |${(1 to bfsRounds).map(bfsRoundSql).mkString(",\n")}
+       |SELECT node, dist FROM d$bfsRounds""".stripMargin
 
   // ---------------------------------------------------------------------
   // dd09: INCREMENTAL dedup — a new batch (doc_id % 10 >= 8 stands in for
@@ -1029,6 +1081,7 @@ object Dedup {
     "cc06_label_prop" -> (cc06LabelProp _),
     "cc07_triangles" -> (cc07Triangles _),
     "cc08_kcore" -> (cc08KCore _),
+    "cc09_bfs_hops" -> (cc09BfsHops _),
     "tp01_corpus_curation" -> (tp01CorpusCuration _),
     "dd01_exact_dedup" -> (dd01ExactDedup _),
     "dd02_minhash_sig" -> (dd02MinhashSig _),
@@ -1053,6 +1106,7 @@ object Dedup {
     "cc06_label_prop" -> cc06Oracle,
     "cc07_triangles" -> cc07Oracle,
     "cc08_kcore" -> cc08Oracle,
+    "cc09_bfs_hops" -> cc09Oracle,
     "tp01_corpus_curation" -> tp01Oracle,
     "dd01_exact_dedup" -> dd01Oracle,
     "dd02_minhash_sig" -> dd02Oracle,

@@ -365,6 +365,34 @@ object Relational {
     labels
   }
 
+  /** BOUNDED multi-source BFS: `rounds` synchronous relaxations of
+    *   d'(v) = min(d(v), min_{u→v} d(u) + 1),   d₀ = 0 on `seeds`
+    * over directed (src, dst) edges — the k-hop reach query ("everything
+    * within 3 hops of these nodes") that backs influence radii, trust
+    * propagation from seed domains, and contamination-neighborhood
+    * expansion on a dup graph. The FIXED round budget is the same
+    * contract as [[labelPropagation]]: distances ≤ rounds are exact,
+    * nothing farther is emitted, and the answer is deterministic for any
+    * budget — so it oracles as the unrolled recurrence. Per round: one
+    * shuffle join against the static hash-partitioned edge table + a
+    * keyed min; the frontier table (not the edges) is the only thing
+    * re-shuffled, lineage cut per round. Returns (node, dist) for nodes
+    * reached within `rounds` hops, seeds at 0. */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    var d = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val prop = e.join(d, e("src") === d("node"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      d = d.unionAll(prop).groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    d
+  }
+
   /** BOUNDED k-core peel: `rounds` synchronous rounds of "drop every node
     * with degree < k (and its edges)" over undirected (a, b) edges — the
     * cohesion filter that separates structurally-dense subgraphs from
