@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -344,6 +345,87 @@ object Dedup {
        |   * (1.0 - (CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)) * (CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)))
        |   * (1.0 - (CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)) * (CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE))), 6) AS p_found
        |FROM verified""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dd17: SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo, SIGMOD'95) —
+  // the OTHER classic candidate-generation family beside LSH banding:
+  // sort the corpus by a blocking key (here the 32-char prefix of the
+  // canonicalized text), slide a fixed window of w=8 over the sorted
+  // order, and emit every in-window pair as a candidate, then verify
+  // with the same exact n-gram Jaccard as dd05. Near-identical texts
+  // sort adjacent, so SNM finds prefix-preserving near-dups in O(n·w)
+  // candidates where LSH's recall depends on its band dial — running
+  // both and unioning candidates is the standard belt-and-braces setup.
+  //
+  // Scale shape: the "sort" is NEVER a single-partition window — the
+  // global rank is the two-phase scheme (ds03's): prefix BUCKETS of the
+  // key are order-convex, so per-bucket counts + an exclusive prefix
+  // over the tiny bucket table + a within-bucket row_number compose the
+  // exact global rank with every heavy stage partitioned. Window pairing
+  // is an equi-join on rank+d (d ∈ 1..w-1), and verification touches
+  // candidates only.
+  // ---------------------------------------------------------------------
+  private val snmKeyLen = 32
+  private val snmWindow = 8 // each doc pairs with the next w-1 in sort order
+
+  def dd17SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val keyed = docs.select(col("doc_id"), substring(norm, 1, snmKeyLen).as("key"))
+      .withColumn("bkt", substring(col("key"), 1, 2))
+    // two-phase global rank over (key, doc_id): the bucket table is
+    // ~|alphabet|² rows, so ITS prefix window is trivially small; the
+    // corpus-side window is partitioned by bucket
+    val pre = keyed.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
+      .withColumn("bpre", coalesce(sum(col("bn")).over(
+        Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("bkt"), col("bpre"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("key"), col("doc_id"))
+    val ranked = keyed.join(broadcast(pre), Seq("bkt"))
+      .withColumn("rn", col("bpre") + row_number().over(wIn))
+      .select(col("doc_id"), col("rn")).localCheckpoint()
+    val lhs = ranked.select(col("doc_id").as("doc1"), col("rn"))
+      .withColumn("d", explode(expr(s"sequence(1, ${snmWindow - 1})")))
+      .select(col("doc1"), (col("rn") + col("d")).as("rn2"),
+        col("d").cast("long").as("win_d"))
+    val cand = lhs.join(
+        ranked.select(col("doc_id").as("doc2"), col("rn").as("rnb")),
+        col("rn2") === col("rnb"))
+      .select(col("doc1"), col("doc2"), col("win_d"))
+    val sharr = shingleSets(docs).localCheckpoint()
+    cand
+      .join(sharr.as("s1"), col("doc1") === col("s1.doc_id"))
+      .join(sharr.as("s2"), col("doc2") === col("s2.doc_id"))
+      .withColumn("n_inter",
+        size(array_intersect(col("s1.sh"), col("s2.sh"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("s1.sh")) + size(col("s2.sh"))).cast("long") - col("n_inter"))
+      .select(col("doc1"), col("doc2"), col("win_d"), col("n_inter"),
+        col("n_union"),
+        (col("n_inter") * 10 >= col("n_union") * 7).as("is_dup"))
+  }
+
+  val dd17Oracle: String =
+    s"""WITH n AS (
+       | SELECT doc_id,
+       |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS key0
+       | FROM documents),
+       |r AS (
+       | SELECT doc_id, ROW_NUMBER() OVER (ORDER BY substr(key0, 1, $snmKeyLen), doc_id) AS rn
+       | FROM n),
+       |cand AS (
+       | SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(b.rn - a.rn AS BIGINT) AS win_d
+       | FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + ${snmWindow - 1}),
+       |sets AS (
+       | SELECT doc_id, list_distinct(list_filter($shinglesSql, x -> x IS NOT NULL)) AS sh
+       | FROM (${tkSqlFrom("documents")}) tks)
+       |SELECT c.doc1, c.doc2, c.win_d,
+       | CAST(len(list_intersect(s1.sh, s2.sh)) AS BIGINT) AS n_inter,
+       | CAST(len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)) AS BIGINT) AS n_union,
+       | (len(list_intersect(s1.sh, s2.sh)) * 10 >= (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) * 7) AS is_dup
+       |FROM cand c JOIN sets s1 ON c.doc1 = s1.doc_id JOIN sets s2 ON c.doc2 = s2.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // dd14: CONTAINMENT verification of the LSH candidates — the asymmetric
@@ -1091,6 +1173,7 @@ object Dedup {
     "dd14_containment_verify" -> (dd14ContainmentVerify _),
     "dd15_sig_estimate" -> (dd15SigEstimate _),
     "dd16_lsh_curve" -> (dd16LshCurve _),
+    "dd17_sorted_neighborhood" -> (dd17SortedNeighborhood _),
     "dd06_emb_neardup" -> (dd06EmbNeardup _),
     "dd07_dedup_pipeline" -> (dd07DedupPipeline _),
     "dd08_emb_neardup_lsh" -> (dd08EmbNeardupLsh _))
@@ -1116,6 +1199,7 @@ object Dedup {
     "dd14_containment_verify" -> dd14Oracle,
     "dd15_sig_estimate" -> dd15Oracle,
     "dd16_lsh_curve" -> dd16Oracle,
+    "dd17_sorted_neighborhood" -> dd17Oracle,
     "dd06_emb_neardup" -> dd06Oracle,
     "dd07_dedup_pipeline" -> dd07Oracle,
     "dd08_emb_neardup_lsh" -> dd08Oracle)
