@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, DedupStore, EventOps, Geo, Multimodal, Relational, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, DedupStore, EventOps, Geo, MatView, Multimodal, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,12 +25,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ EventOps.queries ++ TextOps.queries ++
       Dedup.queries ++ DedupStore.queries ++ Similarity.queries ++
-      Multimodal.queries ++ Curation.queries ++ Geo.queries
+      Multimodal.queries ++ Curation.queries ++ Geo.queries ++ MatView.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
       Dedup.oracles ++ DedupStore.oracles ++ Similarity.oracles ++
-      Curation.oracles ++ Geo.oracles
+      Curation.oracles ++ Geo.oracles ++ MatView.oracles
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The incremental-view contract: (1) merge(state, partials(increment))
+  * equals a full recompute over base ∪ increment for any split — the
+  * monoid property mv01's oracle hash-check rests on; (2) the roll-forward
+  * plan reads the state table and the increment ONLY — at 100 TB the base
+  * corpus must never be rescanned, pinned here at the file level. */
+class MatViewSpec extends SparkSpec {
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.orderBy("lang").collect().map(_.toString).toSeq
+
+  test("roll-forward equals full recompute, including increment-only groups") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    // force a group that exists ONLY in the increment: rewrite the lang of
+    // the increment's rows so the union path must surface a new key
+    val base = docs.filter(col("doc_id") % 10 =!= 3)
+    val inc = docs.filter(col("doc_id") % 10 === 3)
+      .withColumn("lang",
+        when(col("doc_id") % 20 === 3, lit("zz")).otherwise(col("lang")))
+    val dir = Files.createTempDirectory("mv-spec").toFile
+    try {
+      MatView.buildState(base, s"${dir.getPath}/state")
+      val merged = MatView.rollForward(spark, s"${dir.getPath}/state", inc)
+      val full = MatView.partials(base.unionByName(inc))
+      assert(canon(merged) === canon(full))
+      assert(merged.filter(col("lang") === "zz").count() === 1)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("roll-forward scans state + increment files, never the base corpus") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val dir = Files.createTempDirectory("mv-scan").toFile
+    try {
+      // base and increment written to DISTINCT parquet dirs so the scan
+      // set is checkable by path
+      docs.filter(col("doc_id") % 10 =!= 3).write.parquet(s"${dir.getPath}/base")
+      docs.filter(col("doc_id") % 10 === 3).write.parquet(s"${dir.getPath}/inc")
+      val base = spark.read.parquet(s"${dir.getPath}/base")
+      MatView.buildState(base, s"${dir.getPath}/state")
+      val merged = MatView.rollForward(spark, s"${dir.getPath}/state",
+        spark.read.parquet(s"${dir.getPath}/inc"))
+      // logical-plan file set (AQE hides FileSourceScanExec pre-execution)
+      val scanned = merged.inputFiles.toSeq
+      assert(scanned.nonEmpty)
+      assert(!scanned.exists(_.contains("/base/")),
+        s"roll-forward must not read the base corpus: ${scanned.mkString(", ")}")
+      assert(scanned.exists(_.contains("/state")) &&
+        scanned.exists(_.contains("/inc/")), scanned.mkString(", "))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+}
