@@ -984,6 +984,62 @@ object Dedup {
        |SELECT node, dist FROM d$bfsRounds""".stripMargin
 
   // ---------------------------------------------------------------------
+  // cc10: bounded WEIGHTED shortest paths (Bellman–Ford rounds) over the
+  // interaction graph — cc09's metric upgrade: hop cost falls with
+  // relationship strength (wt = max(1, 10 − #distinct orders on the
+  // edge)), so "distance" reads as relationship friction, the signal
+  // behind supplier-risk propagation and trust-weighted reach. Same
+  // fixed-budget contract as cc09 (exact for paths of ≤ k edges); all
+  // weights are non-negative BIGINTs so min/+ relaxation is exact and
+  // the oracle is the recurrence unrolled. Per round the frontier alone
+  // re-shuffles against the statically partitioned weighted edges
+  // (Relational.ssspDistances).
+  // ---------------------------------------------------------------------
+  private def weightedInteractionEdges(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val w0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("src"),
+        (lit(10000000L) + col("l_suppkey")).as("dst"))
+      .agg(countDistinct(col("o_orderkey")).as("n_ord"))
+      .select(col("src"), col("dst"),
+        greatest(lit(1L), lit(10L) - col("n_ord")).as("wt"))
+    // src < 10^7 ≤ dst, so the reversed copies can never collide
+    w0.unionAll(w0.select(col("dst").as("src"), col("src").as("dst"), col("wt")))
+  }
+
+  def cc10Sssp(s: SparkSession, dir: String): DataFrame = {
+    val e = weightedInteractionEdges(s, dir)
+    val cohort = Tables(s, dir, "customer")
+      .filter(col("c_nationkey") === bfsSeedNation)
+      .select(col("c_custkey").as("node"))
+    val seeds = e.select(col("src").as("node")).distinct()
+      .join(cohort, Seq("node"), "left_semi")
+    Relational.ssspDistances(e, seeds, bfsRounds)
+  }
+
+  private def ssspRoundSql(r: Int): String =
+    s"""d$r AS (
+       | SELECT node, MIN(dist) AS dist FROM (
+       |  SELECT node, dist FROM d${r - 1}
+       |  UNION ALL
+       |  SELECT e.dst, d${r - 1}.dist + e.wt FROM e JOIN d${r - 1} ON e.src = d${r - 1}.node) u
+       | GROUP BY node)""".stripMargin
+
+  val cc10Oracle: String =
+    s"""WITH w0 AS (
+       | SELECT o.o_custkey AS src, 10000000 + l.l_suppkey AS dst,
+       |  GREATEST(1, 10 - COUNT(DISTINCT o.o_orderkey)) AS wt
+       | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       | GROUP BY 1, 2),
+       |e AS (SELECT src, dst, wt FROM w0 UNION ALL SELECT dst, src, wt FROM w0),
+       |d0 AS (
+       | SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist FROM e
+       | WHERE src IN (SELECT c_custkey FROM customer WHERE c_nationkey = $bfsSeedNation)),
+       |${(1 to bfsRounds).map(ssspRoundSql).mkString(",\n")}
+       |SELECT node, dist FROM d$bfsRounds""".stripMargin
+
+  // ---------------------------------------------------------------------
   // dd09: INCREMENTAL dedup — a new batch (doc_id % 10 >= 8 stands in for
   // today's crawl) checked against the existing corpus, never against
   // itself: exact content-hash membership plus a cross-side LSH band join
@@ -1164,6 +1220,7 @@ object Dedup {
     "cc07_triangles" -> (cc07Triangles _),
     "cc08_kcore" -> (cc08KCore _),
     "cc09_bfs_hops" -> (cc09BfsHops _),
+    "cc10_sssp" -> (cc10Sssp _),
     "tp01_corpus_curation" -> (tp01CorpusCuration _),
     "dd01_exact_dedup" -> (dd01ExactDedup _),
     "dd02_minhash_sig" -> (dd02MinhashSig _),
@@ -1190,6 +1247,7 @@ object Dedup {
     "cc07_triangles" -> cc07Oracle,
     "cc08_kcore" -> cc08Oracle,
     "cc09_bfs_hops" -> cc09Oracle,
+    "cc10_sssp" -> cc10Oracle,
     "tp01_corpus_curation" -> tp01Oracle,
     "dd01_exact_dedup" -> dd01Oracle,
     "dd02_minhash_sig" -> dd02Oracle,

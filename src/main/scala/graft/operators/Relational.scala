@@ -378,14 +378,26 @@ object Relational {
     * keyed min; the frontier table (not the edges) is the only thing
     * re-shuffled, lineage cut per round. Returns (node, dist) for nodes
     * reached within `rounds` hops, seeds at 0. */
-  def bfsDistances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
+    ssspDistances(edges.select(col("src"), col("dst"))
+      .withColumn("wt", lit(1L)), seeds, rounds)
+
+  /** BOUNDED single/multi-source shortest paths — `rounds` synchronous
+    * Bellman–Ford relaxations of
+    *   d'(v) = min(d(v), min_{u→v} d(u) + wt(u,v)),   d₀ = 0 on `seeds`
+    * over weighted (src, dst, wt) edges; [[bfsDistances]] is the wt=1
+    * special case. Distances exact for every shortest path using ≤
+    * `rounds` edges (the Bellman–Ford invariant) — the fixed budget is
+    * the same 100 TB contract as the other iterative operators here.
+    * Non-negative integer weights keep min/+ exact for the oracle. */
+  def ssspDistances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("wt"))
       .repartition(col("src")).persist()
     var d = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
     for (_ <- 1 to rounds) {
       val prop = e.join(d, e("src") === d("node"))
-        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+        .select(col("dst").as("node"), (col("dist") + col("wt")).as("dist"))
       d = d.unionAll(prop).groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()
     }
