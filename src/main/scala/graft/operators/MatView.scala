@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -103,9 +104,62 @@ object MatView {
       | CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
       |FROM documents GROUP BY lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mv02: DAY-PARTITIONED incremental event rollup — the time-dimension
+  // variant of mv01 and the canonical warehouse nightly: a standing
+  // (day, event_type) aggregate over the event stream, state laid out
+  // partitionBy(day) so (a) serving "one day's numbers" partition-prunes
+  // to that day's files (pinned in MatViewSpec) and (b) a late-data
+  // backfill only rewrites the affected day partitions. Value sums ride
+  // in DECIMAL(18,2) — exact, associative, partition-order-independent —
+  // and only the served projection casts to double, so the merged view
+  // hash-matches the oracle's one-pass recompute over all events.
+  // ---------------------------------------------------------------------
+  private val dayCol = "unix_timestamp(ts) div 86400"
+
+  private[operators] def eventPartials(ev: DataFrame): DataFrame =
+    ev.groupBy(expr(dayCol).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("sum_val"))
+
+  def buildEventState(ev: DataFrame, stateDir: String): Unit =
+    eventPartials(ev).write.partitionBy("day").mode("overwrite").parquet(stateDir)
+
+  /** Merge an increment into the day-partitioned state. The partitionBy
+    * column reads back as the inferred INT — recast to BIGINT before the
+    * union so the monoid merge stays type-stable. */
+  def rollForwardEvents(s: SparkSession, stateDir: String,
+      increment: DataFrame): DataFrame =
+    s.read.parquet(stateDir).withColumn("day", col("day").cast("long"))
+      .unionByName(eventPartials(increment))
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sum_val")).cast(DecimalType(18, 2)).as("sum_val"))
+
+  def mv02EventRollforward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    // the standing state covers everything before the stream's last day;
+    // that final day is "tonight's batch"
+    val lastDay = ev.agg(max(expr(dayCol))).head.getLong(0)
+    val stateDir = statePathFor(dir) + "_ev"
+    buildEventState(ev.filter(expr(dayCol) < lastDay), stateDir)
+    rollForwardEvents(s, stateDir, ev.filter(expr(dayCol) === lastDay))
+      .select(col("day"), col("event_type"), col("n_events"),
+        col("sum_val").cast("double").as("sum_value"))
+  }
+
+  val mv02Oracle: String =
+    """SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, event_type,
+      | CAST(COUNT(*) AS BIGINT) AS n_events,
+      | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "mv01_agg_rollforward" -> (mv01AggRollforward _))
+    "mv01_agg_rollforward" -> (mv01AggRollforward _),
+    "mv02_event_rollforward" -> (mv02EventRollforward _))
 
   val oracles: Map[String, String] = Map(
-    "mv01_agg_rollforward" -> mv01Oracle)
+    "mv01_agg_rollforward" -> mv01Oracle,
+    "mv02_event_rollforward" -> mv02Oracle)
 }

@@ -55,4 +55,27 @@ class MatViewSpec extends SparkSpec {
         scanned.exists(_.contains("/inc/")), scanned.mkString(", "))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
+
+  test("mv02 state partition-prunes by day and merge equals full recompute") {
+    val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+    val day = expr("unix_timestamp(ts) div 86400")
+    val lastDay = ev.agg(max(day)).head.getLong(0)
+    val dir = Files.createTempDirectory("mv-ev").toFile
+    try {
+      MatView.buildEventState(ev.filter(day < lastDay), s"${dir.getPath}/state")
+      // a one-day serve reads a strict file subset (day is a partition col)
+      val st = spark.read.parquet(s"${dir.getPath}/state")
+      val all = st.select(input_file_name()).distinct().count()
+      val oneDay = st.filter(col("day") === (lastDay - 1))
+        .select(input_file_name()).distinct().count()
+      assert(oneDay > 0 && oneDay < all, s"one-day=$oneDay all=$all")
+      // merged view ≡ one-pass recompute over every event
+      val merged = MatView.rollForwardEvents(spark, s"${dir.getPath}/state",
+        ev.filter(day === lastDay))
+      val full = MatView.eventPartials(ev)
+      val canonEv = (df: org.apache.spark.sql.DataFrame) =>
+        df.orderBy("day", "event_type").collect().map(_.toString).toSeq
+      assert(canonEv(merged) === canonEv(full))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
 }
