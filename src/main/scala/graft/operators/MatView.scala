@@ -137,6 +137,34 @@ object MatView {
       .agg(sum(col("n_events")).as("n_events"),
         sum(col("sum_val")).cast(DecimalType(18, 2)).as("sum_val"))
 
+  /** One micro-batch / backfill merge into the day-partitioned state:
+    * partials of `batch` are merged into ONLY the day partitions the
+    * batch touches — the affected-day list is collected (bounded by days
+    * per batch, not corpus size), prunes the state read, and dynamic
+    * partition overwrite rewrites just those directories. Per-batch
+    * state I/O is O(affected days); the standing table is never
+    * rewritten. Streaming front door: [[graft.streaming.EventStream
+    * .eventRollupStream]]. */
+  def mergeEventBatch(batch: DataFrame, stateDir: String): Unit = {
+    val s = batch.sparkSession
+    val incr = eventPartials(batch).localCheckpoint()
+    val days = incr.select(col("day")).distinct().collect().map(_.getLong(0))
+    if (days.nonEmpty) {
+      val existing =
+        if (new java.io.File(stateDir).exists())
+          s.read.parquet(stateDir).withColumn("day", col("day").cast("long"))
+            .filter(col("day").isin(days.toSeq: _*))
+        else incr.limit(0)
+      existing.unionByName(incr)
+        .groupBy(col("day"), col("event_type"))
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("sum_val")).cast(DecimalType(18, 2)).as("sum_val"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(stateDir)
+    }
+  }
+
   def mv02EventRollforward(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir, "events")
     // the standing state covers everything before the stream's last day;
@@ -155,11 +183,71 @@ object MatView {
       | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mv03: incremental DEDUP-AWARE corpus report — the non-trivial view:
+  // "docs / unique texts / duplicated docs per language" cannot be
+  // maintained from per-language scalars alone (an increment that adds a
+  // copy of an OLD text flips that old doc into the dup count), so the
+  // state is per-(text-hash, lang) copy counts — the same O(distinct
+  // texts) scale class as the dedup store, and exactly the state an
+  // exact-dedup pipeline already materializes. Roll-forward merges
+  // counts (monoid again); the report derives from the MERGED STATE
+  // ALONE — dup status via a hash-total self-aggregation of the state,
+  // never by re-hashing the corpus. The oracle recomputes from raw
+  // documents in one pass; hash-equality proves the view maintenance.
+  // ---------------------------------------------------------------------
+  private[operators] def hashLangPartials(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+
+  def buildHashState(docs: DataFrame, stateDir: String): Unit =
+    hashLangPartials(docs).write.mode("overwrite").parquet(stateDir)
+
+  def rollForwardHashes(s: SparkSession, stateDir: String,
+      increment: DataFrame): DataFrame =
+    s.read.parquet(stateDir).unionByName(hashLangPartials(increment))
+      .groupBy(col("h"), col("lang"))
+      .agg(sum(col("n")).as("n"))
+
+  /** Report served from state only: one aggregation for cross-language
+    * hash totals (dup status), one per-language rollup. */
+  private def dedupReport(state: DataFrame): DataFrame = {
+    val st = state.localCheckpoint()
+    val tot = st.groupBy(col("h")).agg(sum(col("n")).as("tot"))
+    st.join(tot, Seq("h"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_unique_texts"),
+        sum(when(col("tot") > 1, col("n")).otherwise(lit(0L))).as("n_dup_docs"))
+  }
+
+  def mv03DedupReportRollforward(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val stateDir = statePathFor(dir) + "_hl"
+    buildHashState(docs.filter(col("doc_id") % 10 =!= 3), stateDir)
+    dedupReport(rollForwardHashes(s, stateDir,
+      docs.filter(col("doc_id") % 10 === 3)))
+  }
+
+  val mv03Oracle: String =
+    """WITH g AS (
+      | SELECT md5(text) AS h, lang, CAST(COUNT(*) AS BIGINT) AS n
+      | FROM documents GROUP BY 1, 2),
+      |t AS (SELECT h, SUM(n) AS tot FROM g GROUP BY h)
+      |SELECT g.lang,
+      | CAST(SUM(g.n) AS BIGINT) AS n_docs,
+      | CAST(COUNT(*) AS BIGINT) AS n_unique_texts,
+      | CAST(SUM(CASE WHEN t.tot > 1 THEN g.n ELSE 0 END) AS BIGINT) AS n_dup_docs
+      |FROM g JOIN t USING (h)
+      |GROUP BY g.lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "mv01_agg_rollforward" -> (mv01AggRollforward _),
-    "mv02_event_rollforward" -> (mv02EventRollforward _))
+    "mv02_event_rollforward" -> (mv02EventRollforward _),
+    "mv03_dedup_report_rollforward" -> (mv03DedupReportRollforward _))
 
   val oracles: Map[String, String] = Map(
     "mv01_agg_rollforward" -> mv01Oracle,
-    "mv02_event_rollforward" -> mv02Oracle)
+    "mv02_event_rollforward" -> mv02Oracle,
+    "mv03_dedup_report_rollforward" -> mv03Oracle)
 }

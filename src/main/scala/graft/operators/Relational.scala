@@ -587,6 +587,53 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // q51: MERGE INTO semantics (ANSI upsert) — WHEN MATCHED THEN UPDATE,
+  // WHEN NOT MATCHED THEN INSERT, the warehouse ingest verb that
+  // subsumes q05's UPDATE…FROM. The delta here is deterministic:
+  // balance adjustments for custkey % 17 == 0 (matched branch) plus
+  // brand-new accounts cloned above the key space (not-matched branch).
+  // Spark-first shape: the matched branch is a LEFT join of the target
+  // against the (small, broadcast) delta with coalesce-based column
+  // merge — the 100 TB side is scanned once and never shuffled; the
+  // not-matched branch is a broadcast anti-join of the delta against
+  // the target keys; union of the two IS the merged table. The single
+  // float op (bal + 100.0) is one correctly-rounded IEEE add on both
+  // engines, so the result hash-matches.
+  // ---------------------------------------------------------------------
+  def q51MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+    val delta = cust.filter(col("c_custkey") % 17 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") + lit(100.0)).as("new_bal"))
+      .unionByName(
+        cust.filter(col("c_custkey") % 100 === 0)
+          .select((col("c_custkey") + lit(1000000L)).as("c_custkey"),
+            lit(0.0).as("new_bal")))
+    val updated = cust.join(broadcast(delta), Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        coalesce(col("new_bal"), col("c_acctbal")).as("c_acctbal"),
+        col("c_mktsegment"))
+    val inserted = delta.join(cust.select(col("c_custkey")), Seq("c_custkey"),
+        "left_anti")
+      .select(col("c_custkey"), lit("new account").as("c_name"),
+        lit(-1).cast("int").as("c_nationkey"), col("new_bal").as("c_acctbal"),
+        lit("NEW").as("c_mktsegment"))
+    updated.unionByName(inserted)
+  }
+
+  val q51Oracle: String =
+    """WITH delta AS (
+      | SELECT c_custkey, c_acctbal + 100.0 AS new_bal FROM customer
+      | WHERE c_custkey % 17 = 0
+      | UNION ALL
+      | SELECT c_custkey + 1000000, 0.0 FROM customer WHERE c_custkey % 100 = 0)
+      |SELECT c.c_custkey, c.c_name, c.c_nationkey,
+      | COALESCE(d.new_bal, c.c_acctbal) AS c_acctbal, c.c_mktsegment
+      |FROM customer c LEFT JOIN delta d USING (c_custkey)
+      |UNION ALL
+      |SELECT d.c_custkey, 'new account', CAST(-1 AS INT), d.new_bal, 'NEW'
+      |FROM delta d ANTI JOIN customer c USING (c_custkey)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q50: per-group skyline (pareto front) — the dominance filter of
   // Börzsönyi/Kossmann/Stocker's SKYLINE OF operator (ICDE 2001): a
   // (n_chars, n_tokens) point survives iff no other document in its
@@ -1123,6 +1170,7 @@ object Relational {
     "q47_dist_rank" -> (q47DistRank _),
     "q48_lateral" -> (q48Lateral _),
     "q50_skyline" -> (q50Skyline _),
+    "q51_merge_upsert" -> (q51MergeUpsert _),
     "q35_full_outer" -> (q35FullOuter _),
     "q31_salted_join" -> (q31SaltedJoin _),
     "q27_rollup" -> (q27Rollup _),
@@ -1158,6 +1206,7 @@ object Relational {
     "q47_dist_rank" -> q47Oracle,
     "q48_lateral" -> q48Sql,
     "q50_skyline" -> q50Oracle,
+    "q51_merge_upsert" -> q51Oracle,
     "q31_salted_join" -> q31Oracle,
     "q27_rollup" -> q27Oracle,
     "q28_setops" -> q28Oracle,

@@ -146,6 +146,21 @@ object EventStream {
       }.start()
   }
 
+  /** Streaming maintenance of the mv02 day-partitioned event rollup —
+    * the live twin of the nightly [[graft.operators.MatView
+    * .rollForwardEvents]]: every micro-batch merges its (day,
+    * event_type) partials into only the day partitions it touches
+    * ([[graft.operators.MatView.mergeEventBatch]] — pruned state read +
+    * dynamic partition overwrite). Decimal monoid sums make the merge
+    * order-independent, so the state after any batch interleaving equals
+    * the batch recompute — asserted by MatViewSpec's streaming case. */
+  def eventRollupStream(events: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.MatView.mergeEventBatch(batch, stateDir)
+      }.start()
+
   final case class AsofAttached(click_id: Long, user_id: Long,
       click_ts: Timestamp, view_id: Option[Long], view_ts: Option[Timestamp])
 

@@ -78,4 +78,32 @@ class MatViewSpec extends SparkSpec {
       assert(canonEv(merged) === canonEv(full))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
+
+  test("streaming rollup: interleaved micro-batches converge to the batch recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    import graft.streaming.EventStream.Event
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ev(id: Long, dayOff: Long, typ: String, v: Double) =
+      Event(id, new java.sql.Timestamp((1700000000L + dayOff * 86400 + id) * 1000L),
+        id % 3, typ, v)
+    val b1 = Seq(ev(1, 0, "view", 1.25), ev(2, 0, "click", 2.50), ev(3, 1, "view", 0.75))
+    val b2 = Seq(ev(4, 0, "view", 4.00), ev(5, 2, "purchase", 9.99)) // day 0 again
+    val dir = Files.createTempDirectory("mv-stream").toFile
+    try {
+      val input = MemoryStream[Event]
+      val q = EventStream.eventRollupStream(input.toDF(), s"${dir.getPath}/state")
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      q.stop()
+      val state = spark.read.parquet(s"${dir.getPath}/state")
+        .withColumn("day", col("day").cast("long"))
+      val full = MatView.eventPartials((b1 ++ b2).toDF())
+      val canonEv = (df: org.apache.spark.sql.DataFrame) =>
+        df.select("day", "event_type", "n_events", "sum_val")
+          .orderBy("day", "event_type").collect().map(_.toString).toSeq
+      assert(canonEv(state) === canonEv(full))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
 }
