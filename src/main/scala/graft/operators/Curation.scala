@@ -986,14 +986,20 @@ object Curation {
   // ---------------------------------------------------------------------
   private val prioK = 100
 
-  def ds17PrioritySample(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
-    val withP = docs.select(col("doc_id"), col("n_chars"),
+  /** The corpus-side stage of ds17 (pre-checkpoint) — per-row priority
+    * arithmetic + TakeOrderedAndProject(k+1); plan pinned by
+    * PlanShapeSpec, which needs it BEFORE the lineage cut. */
+  private[operators] def prioHead(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("n_chars"),
         conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("u32"))
       .withColumn("priority", expr("(n_chars * 4294967296) div (u32 + 1)"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(prioK + 1)
+
+  def ds17PrioritySample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
     // TakeOrderedAndProject(k+1); ≤ k+1 rows from here on
-    val head = withP.orderBy(col("priority").desc, col("doc_id"))
-      .limit(prioK + 1).localCheckpoint()
+    val head = prioHead(docs).localCheckpoint()
     val tau = head.agg(min(col("priority")).as("tau"))
     head.orderBy(col("priority").desc, col("doc_id")).limit(prioK)
       .crossJoin(broadcast(tau))

@@ -368,24 +368,29 @@ object Dedup {
   private val snmKeyLen = 32
   private val snmWindow = 8 // each doc pairs with the next w-1 in sort order
 
-  def dd17SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
+  /** The two-phase global rank over (key, doc_id) (pre-checkpoint; plan
+    * pinned by PlanShapeSpec): the bucket table is ~|alphabet|² rows, so
+    * ITS prefix window is trivially small; the corpus-side window is
+    * partitioned by bucket. */
+  private[operators] def snmRanked(docs: DataFrame): DataFrame = {
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
     val keyed = docs.select(col("doc_id"), substring(norm, 1, snmKeyLen).as("key"))
       .withColumn("bkt", substring(col("key"), 1, 2))
-    // two-phase global rank over (key, doc_id): the bucket table is
-    // ~|alphabet|² rows, so ITS prefix window is trivially small; the
-    // corpus-side window is partitioned by bucket
     val pre = keyed.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
       .withColumn("bpre", coalesce(sum(col("bn")).over(
         Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select(col("bkt"), col("bpre"))
     val wIn = Window.partitionBy(col("bkt")).orderBy(col("key"), col("doc_id"))
-    val ranked = keyed.join(broadcast(pre), Seq("bkt"))
+    keyed.join(broadcast(pre), Seq("bkt"))
       .withColumn("rn", col("bpre") + row_number().over(wIn))
-      .select(col("doc_id"), col("rn")).localCheckpoint()
+      .select(col("doc_id"), col("rn"))
+  }
+
+  def dd17SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val ranked = snmRanked(docs).localCheckpoint()
     val lhs = ranked.select(col("doc_id").as("doc1"), col("rn"))
       .withColumn("d", explode(expr(s"sequence(1, ${snmWindow - 1})")))
       .select(col("doc1"), (col("rn") + col("d")).as("rn2"),
@@ -870,8 +875,10 @@ object Dedup {
       .select(col("o_custkey").as("src"),
         (lit(10000000L) + col("l_suppkey")).as("dst"))
       .distinct()
+    // no distinct after symmetrizing: custkeys < 10^7 ≤ offset suppkeys,
+    // so a reversed copy can never equal a forward edge — the union IS
+    // the distinct symmetric edge set, one full shuffle cheaper
     e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
   }
 
   def cc05PageRank(s: SparkSession, dir: String): DataFrame =

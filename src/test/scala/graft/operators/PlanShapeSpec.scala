@@ -370,4 +370,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n" +
       plan.take(3000))
   }
+
+  test("q50: skyline is the windowed sweep — no quadratic dominance self-join") {
+    val plan = Relational.q50Skyline(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
+  }
+
+  test("ds17: priority sample head is TakeOrdered over per-row arithmetic — no global sort") {
+    val plan = Curation.prioHead(graft.Tables(spark, dir, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("rangepartitioning"),
+      "a full range-partitioned sort snuck into the sample:\n" + plan.take(3000))
+  }
+
+  test("dd17: SNM corpus rank window is bucket-partitioned; pairing stays equi-join") {
+    // corpus-side row_number must carry the bkt partition key — an empty
+    // partition spec would serialize the whole corpus through one task
+    val rankPlan = Dedup.snmRanked(graft.Tables(spark, dir, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(rankPlan.contains("hashpartitioning(bkt"), rankPlan.take(3000))
+    assert(!rankPlan.contains("rangepartitioning"), rankPlan.take(3000))
+    val plan = Dedup.dd17SortedNeighborhood(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }
