@@ -433,6 +433,75 @@ object Dedup {
        |FROM cand c JOIN sets s1 ON c.doc1 = s1.doc_id JOIN sets s2 ON c.doc2 = s2.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // dd18: PREFIX-FILTERING set-similarity join (Chaudhuri/Ganti/Kaushik
+  // ICDE'06; Xiao et al. PPJoin, WWW'08) — the third candidate-generation
+  // family beside LSH banding (dd03) and sorted neighborhood (dd17), and
+  // the only one of the three with a LOSSLESS guarantee: order every
+  // doc's shingle set by global rarity (document frequency asc, shingle
+  // asc) and keep only the first n − ceil(t·n) + 1 entries; two sets
+  // with Jaccard ≥ t MUST share at least one prefix entry, so the
+  // prefix-token equi-join generates a candidate superset with ZERO
+  // false negatives at threshold t — recall 1.0 by theorem, not by
+  // band-dial tuning. Verification is dd05's exact integer Jaccard.
+  //
+  // Scale shape: document frequencies are one hash aggregate over the
+  // exploded shingle stream; the rarity sort happens PER DOC (array_sort
+  // of (df, shingle) structs — bounded by doc length, no corpus window);
+  // the candidate join keys on the RAREST shingles, which is exactly
+  // what bounds its fan-out (a shingle shared by k docs contributes
+  // C(k,2) pairs only if it survives into prefixes, and frequent
+  // shingles never do). ceil is integer arithmetic ((n·7+9) div 10) so
+  // both engines agree bit-for-bit.
+  // ---------------------------------------------------------------------
+  def dd18PrefixFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val sharr = shingleSets(docs).localCheckpoint()
+    val tok = sharr.select(col("doc_id"), explode(col("sh")).as("tok"))
+    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val pref = tok.join(dfreq, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      .withColumn("n", size(col("ord")))
+      .withColumn("p", expr("n - ((n * 7 + 9) div 10) + 1"))
+      .select(col("doc_id"),
+        explode(expr("transform(slice(ord, 1, p), x -> x.tok)")).as("tok"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+    cand
+      .join(sharr.as("s1"), col("doc1") === col("s1.doc_id"))
+      .join(sharr.as("s2"), col("doc2") === col("s2.doc_id"))
+      .withColumn("n_inter",
+        size(array_intersect(col("s1.sh"), col("s2.sh"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("s1.sh")) + size(col("s2.sh"))).cast("long") - col("n_inter"))
+      .select(col("doc1"), col("doc2"), col("n_inter"), col("n_union"),
+        (col("n_inter") * 10 >= col("n_union") * 7).as("is_dup"))
+  }
+
+  val dd18Oracle: String =
+    s"""WITH sets AS (
+       | SELECT doc_id, list_distinct(list_filter($shinglesSql, x -> x IS NOT NULL)) AS sh
+       | FROM (${tkSqlFrom("documents")}) tks),
+       |tok AS (SELECT doc_id, unnest(sh) AS tok FROM sets),
+       |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY tok),
+       |r AS (
+       | SELECT t.doc_id, t.tok,
+       |  ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rn,
+       |  COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+       | FROM tok t JOIN dfreq d USING (tok)),
+       |pref AS (SELECT doc_id, tok FROM r WHERE rn <= n - ((n * 7 + 9) // 10) + 1),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+       | FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id)
+       |SELECT c.doc1, c.doc2,
+       | CAST(len(list_intersect(s1.sh, s2.sh)) AS BIGINT) AS n_inter,
+       | CAST(len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)) AS BIGINT) AS n_union,
+       | (len(list_intersect(s1.sh, s2.sh)) * 10 >= (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) * 7) AS is_dup
+       |FROM cand c JOIN sets s1 ON c.doc1 = s1.doc_id JOIN sets s2 ON c.doc2 = s2.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // dd14: CONTAINMENT verification of the LSH candidates — the asymmetric
   // complement of dd05's Jaccard: C(A→B) = |A∩B| / |A| answers "is doc A
   // mostly inside doc B", which Jaccard misses whenever the sizes differ
@@ -1238,6 +1307,7 @@ object Dedup {
     "dd15_sig_estimate" -> (dd15SigEstimate _),
     "dd16_lsh_curve" -> (dd16LshCurve _),
     "dd17_sorted_neighborhood" -> (dd17SortedNeighborhood _),
+    "dd18_prefix_filter" -> (dd18PrefixFilter _),
     "dd06_emb_neardup" -> (dd06EmbNeardup _),
     "dd07_dedup_pipeline" -> (dd07DedupPipeline _),
     "dd08_emb_neardup_lsh" -> (dd08EmbNeardupLsh _))
@@ -1265,6 +1335,7 @@ object Dedup {
     "dd15_sig_estimate" -> dd15Oracle,
     "dd16_lsh_curve" -> dd16Oracle,
     "dd17_sorted_neighborhood" -> dd17Oracle,
+    "dd18_prefix_filter" -> dd18Oracle,
     "dd06_emb_neardup" -> dd06Oracle,
     "dd07_dedup_pipeline" -> dd07Oracle,
     "dd08_emb_neardup_lsh" -> dd08Oracle)

@@ -128,4 +128,27 @@ class DedupSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(tmp)
     }
   }
+
+  test("dd18: prefix filtering is LOSSLESS at the threshold — recall 1.0 vs brute force") {
+    import org.apache.spark.sql.functions._
+    // The theorem under dd18: any pair with Jaccard >= 0.7 shares a
+    // prefix token, so the candidate join cannot miss it. Check against
+    // the exhaustive all-pairs ground truth (fine at sf0.001's size).
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val sharr = Dedup.shingleSets(docs).localCheckpoint()
+    val brute = sharr.as("a").crossJoin(sharr.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("ni", size(array_intersect(col("a.sh"), col("b.sh"))))
+      .withColumn("nu", size(col("a.sh")) + size(col("b.sh")) - col("ni"))
+      .filter(col("ni") * 10 >= col("nu") * 7)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.dd18PrefixFilter(spark, "/root/testdata/sf0.001")
+      .filter(col("is_dup"))
+      .select(col("doc1"), col("doc2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture has no >=0.7 pairs; recall check is vacuous")
+    assert(brute.subsetOf(found),
+      s"prefix filter missed true pairs: ${brute -- found}")
+  }
 }
