@@ -1040,6 +1040,39 @@ object Curation {
        | (pos - 1) // $currShards + 1 AS shard_pos
        |FROM ($ds13Oracle) c""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // tp07: the DAILY-INGEST cycle capstone — today's batch (doc_id % 10 >=
+  // 8, the dd09/dd11 convention) checked against the persistent dedup
+  // store ([[DedupStore]] — the corpus side is read from disk, never
+  // re-tokenized), survivors assigned their content-hash train/val/test
+  // split (the ds01 fence). This is the composition a 100 TB pipeline
+  // runs nightly: maintained store in, deduplicated + routed batch out;
+  // every stage keeps its standalone plan shape (store band join on the
+  // increment only, anti-join drop, per-row split arithmetic). The
+  // oracle nests dd09's full recurrence as the dup set — so the store
+  // path is ALSO re-proven equivalent to the from-scratch computation
+  // every time this query is checked.
+  // ---------------------------------------------------------------------
+  def tp07IngestCycle(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val neu = docs.filter(col("doc_id") % 10 >= 8)
+    val dups = DedupStore.dd11StoreIncremental(s, dir).select(col("doc_id"))
+    neu.join(dups, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), hashBucket(col("text"), 100).as("bucket"))
+      .select(col("doc_id"), col("bucket"), splitOf(col("bucket")).as("split"))
+  }
+
+  val tp07Oracle: String =
+    s"""WITH dups AS (SELECT doc_id FROM (${Dedup.dd09Oracle}) d),
+       |nw AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8)
+       |SELECT doc_id, bucket,
+       | CASE WHEN bucket < 80 THEN 'train'
+       |      WHEN bucket < 90 THEN 'validation'
+       |      ELSE 'test' END AS split
+       |FROM (SELECT doc_id,
+       |  ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket
+       | FROM nw WHERE doc_id NOT IN (SELECT doc_id FROM dups)) t""".stripMargin
+
   /** Cluster `df` for multi-dimensional scan pruning: range-partition and
     * sort by the Morton key of (x, y). Each output file then covers a
     * near-disjoint zkey range (range partitioner boundaries + in-file
@@ -1405,7 +1438,8 @@ object Curation {
     "tp03_corpus_report" -> (tp03CorpusReport _),
     "tp04_pack_train" -> (tp04PackTrain _),
     "tp05_mixture_shards" -> (tp05MixtureShards _),
-    "tp06_curriculum_shards" -> (tp06CurriculumShards _))
+    "tp06_curriculum_shards" -> (tp06CurriculumShards _),
+    "tp07_ingest_cycle" -> (tp07IngestCycle _))
 
   val oracles: Map[String, String] = Map(
     "ds01_hash_split" -> ds01Oracle,
@@ -1434,5 +1468,6 @@ object Curation {
     "tp03_corpus_report" -> tp03Oracle,
     "tp04_pack_train" -> tp04Oracle,
     "tp05_mixture_shards" -> tp05Oracle,
-    "tp06_curriculum_shards" -> tp06Oracle)
+    "tp06_curriculum_shards" -> tp06Oracle,
+    "tp07_ingest_cycle" -> tp07Oracle)
 }
