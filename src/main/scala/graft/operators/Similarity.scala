@@ -1368,7 +1368,74 @@ object Similarity {
        |   // COUNT(*) AS recall_pct
        |FROM ex LEFT JOIN ap USING (q_id, c_id)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ss23: exact kNN CLASSIFICATION — the eval primitive a labeled
+  // embedding table exists for ("does neighborhood structure predict the
+  // label?"): each held-out query (vec_id % 100 == 0) takes its K=10
+  // exact-cosine nearest TRAIN vectors (the complement — queries never
+  // vote) and predicts by majority, ties broken toward the smaller
+  // label. The vote pick is a packed-BIGINT min ((1000−cnt)·1000+label)
+  // so the argmax stays a codegen'd HashAggregate (dd13's pattern, not
+  // a SortAggregate struct-min); counts ≤ K and labels < 1000 by guard.
+  // Integer end-to-end after the shared exact-cosine ranking, so the
+  // oracle hash-matches.
+  // ---------------------------------------------------------------------
+  def ss23KnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir)
+    val labels = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val qs = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
+    val tr = base.filter(col("vec_id") % 100 =!= 0)
+      .select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"))
+    val scored = tr.join(broadcast(qs))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos",
+        col("dot") / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    val nb = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K).select(col("q_id"), col("c_id"))
+    val votes = nb.join(labels, nb("c_id") === labels("vec_id"))
+      .groupBy(col("q_id"), col("label")).agg(count(lit(1)).as("cnt"))
+      .withColumn("label",
+        when(col("label") >= 0 && col("label") < 1000, col("label"))
+          .otherwise(raise_error(lit("ss23: label outside packed range"))))
+    val pick = votes
+      .groupBy(col("q_id"))
+      .agg(min((lit(1000L) - col("cnt")) * 1000L + col("label")).as("p"))
+      .select(col("q_id"), (col("p") % 1000).cast("int").as("pred_label"),
+        (lit(1000L) - expr("p div 1000")).as("n_votes"))
+    pick.join(labels, pick("q_id") === labels("vec_id"))
+      .select(col("q_id"), col("label").as("true_label"),
+        col("pred_label"), col("n_votes"),
+        (col("label") === col("pred_label")).as("correct"))
+  }
+
+  val ss23Oracle: String =
+    s"""WITH $qvecSql,
+       |scored AS (
+       | SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+       |  a.nrm AS n1, b.nrm AS n2
+       | FROM qn a JOIN qn b ON a.vec_id % 100 = 0 AND b.vec_id % 100 != 0),
+       |nb AS (
+       | SELECT q_id, c_id FROM (
+       |  SELECT q_id, c_id,
+       |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) DESC, c_id ASC) AS rnk
+       |  FROM scored) t WHERE rnk <= $K),
+       |votes AS (
+       | SELECT nb.q_id, e.label, CAST(COUNT(*) AS BIGINT) AS cnt
+       | FROM nb JOIN embeddings e ON nb.c_id = e.vec_id GROUP BY 1, 2),
+       |pick AS (SELECT q_id, MIN((1000 - cnt) * 1000 + label) AS p FROM votes GROUP BY q_id)
+       |SELECT p.q_id, t.label AS true_label,
+       | CAST(p.p % 1000 AS INT) AS pred_label,
+       | CAST(1000 - p.p // 1000 AS BIGINT) AS n_votes,
+       | (t.label = p.p % 1000) AS correct
+       |FROM pick p JOIN embeddings t ON p.q_id = t.vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ss23_knn_classify" -> (ss23KnnClassify _),
     "ss21_ivf_sq" -> (ss21IvfSq _),
     "ss22_ivf_sq_recall" -> (ss22IvfSqRecall _),
     "ss16_sq_encode" -> (ss16SqEncode _),
@@ -1395,6 +1462,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "ss21_ivf_sq" -> ss21Oracle,
     "ss22_ivf_sq_recall" -> ss22Oracle,
+    "ss23_knn_classify" -> ss23Oracle,
     "ss16_sq_encode" -> ss16Oracle,
     "ss17_sq_topk" -> ss17Oracle,
     "ss18_sq_recall" -> ss18Oracle,
