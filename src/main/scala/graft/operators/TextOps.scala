@@ -591,6 +591,70 @@ object TextOps {
       |GROUP BY bi.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // tx19: PMI collocation mining (Church & Hanks 1990) — which adjacent
+  // word pairs co-occur far above chance: PMI(a,b) =
+  // log2(p(ab)/(p(a)p(b))) over the corpus token/bigram streams, the
+  // standard multiword-expression and tokenizer-merge-candidate signal
+  // complementing raw-count BPE mining (tx10: frequency; tx19: lift).
+  // The SELECTION is pure integer (c_ab ≥ threshold) — never a ranking
+  // on the float score, which could flip on cross-libm log ulps; the
+  // reported pmi rounds the log2 of one deterministic double expression
+  // to 4 decimals (tx14's convention). Two hash aggregates + one join of
+  // the thresholded (small) pair set against the unigram counts; scalar
+  // totals ride a broadcast cross join.
+  // ---------------------------------------------------------------------
+  private val colloMinCount = 5
+
+  def tx19Collocations(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val toksE = expr("filter(split(lower(text), ' '), x -> x != '')")
+    val n = size(col("toks"))
+    val pairsArr = when(n >= 2,
+      zip_with(slice(col("toks"), lit(1), n - 1), slice(col("toks"), lit(2), n - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val toks = docs.select(col("doc_id"), toksE.as("toks")).localCheckpoint()
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bi = toks.select(explode(pairsArr).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= colloMinCount)
+    val totals = toks.select(
+      sum(size(col("toks"))).as("nt"),
+      sum(greatest(size(col("toks")) - 1, lit(0))).as("nb"))
+    big
+      .join(uni.select(col("w").as("w1"), col("c").as("ca")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("cb")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("cab"),
+        // + 0.0 normalizes IEEE negative zero (round can yield -0.0 for
+        // tiny negative lifts, and -0.0 vs 0.0 diverges in sort/hash)
+        (round(log2(col("cab").cast("double") * col("nt") * col("nt") /
+          (col("nb").cast("double") * col("ca") * col("cb"))), 4) + lit(0.0)).as("pmi"))
+  }
+
+  val tx19Oracle: String =
+    s"""WITH t AS (
+       | SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+       | FROM documents),
+       |uni AS (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+       | SELECT unnest(toks) AS tok FROM t) u GROUP BY 1),
+       |bi AS (
+       | SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+       |  unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+       | FROM t),
+       |big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cab FROM bi
+       | GROUP BY 1, 2 HAVING COUNT(*) >= $colloMinCount),
+       |tot AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS nt,
+       |  CAST(SUM(GREATEST(len(toks) - 1, 0)) AS BIGINT) AS nb FROM t)
+       |SELECT big.w1, big.w2, cab,
+       | round(log2(CAST(cab AS DOUBLE) * nt * nt /
+       |   (CAST(nb AS DOUBLE) * a.c * b.c)), 4) + 0.0 AS pmi
+       |FROM big JOIN uni a ON big.w1 = a.w
+       | JOIN uni b ON big.w2 = b.w CROSS JOIN tot""".stripMargin
+
+  // ---------------------------------------------------------------------
   // tx15: TF-IDF top terms per document — the classic distinctive-term
   // surface (search snippets, topic labeling, per-doc keywords): score =
   // tf · ln((N+1)/(df+1)), top 3 per doc (score desc, term asc). Scale
@@ -762,6 +826,7 @@ object TextOps {
   val queries: Map[String, Q] = Map(
     "q25_posexplode_filtered" -> (q25PosexplodeFiltered _),
     "tx18_vocab_growth" -> (tx18VocabGrowth _),
+    "tx19_collocations" -> (tx19Collocations _),
     "q26_quantity_parse" -> (q26QuantityParse _),
     "tx01_langid" -> (tx01LangId _),
     "tx02_quality" -> (tx02Quality _),
@@ -784,6 +849,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q25_posexplode_filtered" -> q25Oracle,
     "tx18_vocab_growth" -> tx18Oracle,
+    "tx19_collocations" -> tx19Oracle,
     "q26_quantity_parse" -> q26Oracle,
     "tx01_langid" -> tx01Oracle,
     "tx02_quality" -> tx02Oracle,
