@@ -1041,6 +1041,69 @@ object Curation {
        |FROM ($ds13Oracle) c""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ds18: CONSISTENT-HASH shard assignment (Karger et al. STOC'97) — the
+  // resharding story plain hash-mod cannot tell: docs map to the ring
+  // successor among shard points (16 replicas per shard for balance),
+  // so growing 8 → 9 shards moves only ~1/9 of the corpus (pinned by
+  // CurationSpec) where `% n` reshuffles nearly everything. Output is
+  // both assignments plus the moved flag — the migration manifest a
+  // 100 TB reshard executes.
+  //
+  // Scale shape: the ring is N·R packed literals (point·64 + shard)
+  // baked into the plan; assignment is a per-row array scan — ZERO
+  // shuffles, no join, the corpus is touched once map-side. The oracle
+  // computes the identical successor via the explode + conditional-min
+  // formulation; the packed-min trick keeps the argmin associative.
+  // ---------------------------------------------------------------------
+  private val ringReplicas = 16
+
+  private[operators] def ringPacked(nShards: Int): Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (for { sh <- 0 until nShards; r <- 0 until ringReplicas } yield {
+      val hex = md.digest(s"$sh:$r".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) * 64L + sh
+    }).sorted
+  }
+
+  def ds18ConsistentShards(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    def assign(packed: Seq[Long]): Column = {
+      val arr = array(packed.map(lit): _*)
+      coalesce(array_min(filter(arr, x => x >= col("h64"))),
+        lit(packed.min)) % 64
+    }
+    docs.select(col("doc_id"),
+        (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") * 64L)
+          .as("h64"))
+      .select(col("doc_id"),
+        assign(ringPacked(8)).as("shard8"),
+        assign(ringPacked(9)).as("shard9"))
+      .withColumn("moved", col("shard8") =!= col("shard9"))
+  }
+
+  private def ringSql(n: Int): String =
+    s"""SELECT ('0x' || substr(md5(CAST(t.s AS VARCHAR) || ':' || CAST(u.r AS VARCHAR)), 1, 8))::BIGINT * 64 + t.s AS packed
+       |FROM range(0, $n) t(s), range(0, $ringReplicas) u(r)""".stripMargin
+
+  val ds18Oracle: String =
+    s"""WITH ring8 AS (${ringSql(8)}),
+       |ring9 AS (${ringSql(9)}),
+       |d AS (
+       | SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT * 64 AS h64
+       | FROM documents),
+       |a8 AS (
+       | SELECT doc_id,
+       |  COALESCE(MIN(CASE WHEN packed >= h64 THEN packed END), MIN(packed)) % 64 AS shard8
+       | FROM d CROSS JOIN ring8 GROUP BY doc_id, h64),
+       |a9 AS (
+       | SELECT doc_id,
+       |  COALESCE(MIN(CASE WHEN packed >= h64 THEN packed END), MIN(packed)) % 64 AS shard9
+       | FROM d CROSS JOIN ring9 GROUP BY doc_id, h64)
+       |SELECT doc_id, shard8, shard9, shard8 != shard9 AS moved
+       |FROM a8 JOIN a9 USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // tp07: the DAILY-INGEST cycle capstone — today's batch (doc_id % 10 >=
   // 8, the dd09/dd11 convention) checked against the persistent dedup
   // store ([[DedupStore]] — the corpus side is read from disk, never
@@ -1429,6 +1492,7 @@ object Curation {
     "ds15_scd2" -> (ds15Scd2 _),
     "ds16_temporal_split" -> (ds16TemporalSplit _),
     "ds17_priority_sample" -> (ds17PrioritySample _),
+    "ds18_consistent_shards" -> (ds18ConsistentShards _),
     "dc01_decontaminate" -> (dc01Decontaminate _),
     "dc02_contamination_report" -> (dc02ContaminationReport _),
     "dc03_span_decontaminate" -> (dc03SpanDecontaminate _),
@@ -1459,6 +1523,7 @@ object Curation {
     "ds15_scd2" -> ds15Oracle,
     "ds16_temporal_split" -> ds16Oracle,
     "ds17_priority_sample" -> ds17Oracle,
+    "ds18_consistent_shards" -> ds18Oracle,
     "dc01_decontaminate" -> dc01Oracle,
     "dc02_contamination_report" -> dc02Oracle,
     "dc03_span_decontaminate" -> dc03Oracle,

@@ -279,4 +279,20 @@ class CurationSpec extends SparkSpec {
       "expected v2-opening intervals for bumped keys")
     out.unpersist()
   }
+
+  test("ds18: growing 8 -> 9 shards moves roughly 1/9 of docs, never most of them") {
+    import org.apache.spark.sql.functions.col
+    val out = Curation.ds18ConsistentShards(spark, "/root/testdata/sf0.01")
+      .localCheckpoint()
+    val n = out.count().toDouble
+    val moved = out.filter(col("moved")).count().toDouble
+    // consistent hashing's contract: expected moved fraction = 1/9 ≈ 0.11;
+    // allow generous slack for the 128-point ring's variance, but a
+    // hash-mod-style reshuffle (~8/9 moved) must fail loudly
+    assert(moved / n > 0.02 && moved / n < 0.35,
+      s"moved fraction ${moved / n} outside consistent-hashing range")
+    // every shard id in range
+    assert(out.filter(col("shard8") < 0 || col("shard8") > 7 ||
+      col("shard9") < 0 || col("shard9") > 8).count() === 0)
+  }
 }
