@@ -460,6 +460,50 @@ object EventOps {
       |WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q52: TIME-WEIGHTED average — the metric plain AVG gets wrong on
+  // irregular event streams (a value held for an hour must weigh 60×
+  // one held for a minute): per user, each value is weighted by the
+  // seconds until the NEXT event (q44's lead navigation; the open-ended
+  // last observation carries no weight). The sums run in exact integer
+  // space — values quantized to thousandths (the ss-family floor(x·1000)
+  // convention), durations in whole seconds over the q44 epoch ordering
+  // so both engines pair identical neighbors — and only the final
+  // served ratio divides, one exact IEEE op. One window + one hash
+  // aggregate per user key; no self-join.
+  // ---------------------------------------------------------------------
+  def q52TimeWeighted(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("e"),
+        expr("cast(floor(value * 1000) as bigint)").as("v1000"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("e"), col("event_id"))
+    ev.withColumn("dt", lead(col("e"), 1).over(w) - col("e"))
+      .filter(col("dt").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(col("v1000") * col("dt")).as("w_sum"),
+        sum(col("dt")).as("dt_sum"))
+      .filter(col("dt_sum") > 0)
+      .select(col("user_id"), col("w_sum"), col("dt_sum"),
+        (col("w_sum").cast("double") / (col("dt_sum") * 1000L)).as("twa"))
+  }
+
+  val q52Oracle: String =
+    """WITH e AS (
+      | SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+      |  CAST(floor(value * 1000) AS BIGINT) AS v1000
+      | FROM events),
+      |d AS (
+      | SELECT user_id, v1000,
+      |  LEAD(e, 1) OVER (PARTITION BY user_id ORDER BY e, event_id) - e AS dt
+      | FROM e)
+      |SELECT user_id,
+      | CAST(SUM(v1000 * dt) AS BIGINT) AS w_sum,
+      | CAST(SUM(dt) AS BIGINT) AS dt_sum,
+      | CAST(CAST(SUM(v1000 * dt) AS BIGINT) AS DOUBLE) / (CAST(SUM(dt) AS BIGINT) * 1000) AS twa
+      |FROM d WHERE dt IS NOT NULL
+      |GROUP BY user_id HAVING SUM(dt) > 0""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q46: UNPIVOT — q33's inverse, and stated as the round-trip law:
   // unpivot(pivot(events)) == the long-form GROUP BY (minus the
   // zero-count cells pivot materializes). Spark lowers the stack() to a
@@ -488,6 +532,7 @@ object EventOps {
     "q40_funnel" -> (q40Funnel _),
     "q41_retention_cohorts" -> (q41RetentionCohorts _),
     "q44_lag_lead" -> (q44LagLead _),
+    "q52_time_weighted" -> (q52TimeWeighted _),
     "q37_interval_join" -> (q37IntervalJoin _),
     "q21_running_sum" -> (q21RunningSum _),
     "q49_locf" -> (q49Locf _),
@@ -506,6 +551,7 @@ object EventOps {
     "q40_funnel" -> q40Oracle,
     "q41_retention_cohorts" -> q41Oracle,
     "q44_lag_lead" -> q44Oracle,
+    "q52_time_weighted" -> q52Oracle,
     "q21_running_sum" -> q21Oracle,
     "q49_locf" -> q49Oracle,
     "q22_sessionize" -> q22Oracle,
