@@ -8,29 +8,54 @@ import org.apache.spark.sql.functions._
   * All queries take the scale-factor directory at call time so the same
   * plan builds against sf0.001 (smoke), sf0.01 (oracle) and sf0.1 (bench).
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's schema
-  * converter rejects outright. We read it through an EXPLICIT schema typing
-  * ts as raw nano LONGs (INT64 underneath — no legacy conf mutation, so a
-  * user's other nanos-parquet reads in the same session are untouched) and
-  * rebuild a microsecond TimestampType column — all downstream event-time
-  * logic (hour buckets, whole-second epochs) is unaffected by the dropped
-  * sub-microsecond digits, and the DuckDB oracle agrees on those shapes.
+  * `events.ts` has shipped in THREE encodings across driver testdata
+  * generations and local fixtures, so the loader dispatches on what the
+  * file actually contains rather than assuming one:
+  *   - TIMESTAMP(MICROS) (current driver testdata; also what a Spark
+  *     `Timestamp` write produces) → read normally, cast NTZ→LTZ (a
+  *     no-op re-labeling under the UTC session zone).
+  *   - raw INT64 nano counts with no logical type (this repo's spec
+  *     fixtures, mirroring the older driver encoding) → rebuild a
+  *     microsecond TimestampType column with `div 1000`.
+  *   - TIMESTAMP(NANOS) (older driver testdata), which Spark's schema
+  *     converter rejects outright → re-read through an EXPLICIT schema
+  *     typing ts as raw nano LONGs (INT64 underneath — no legacy conf
+  *     mutation, so a user's other nanos-parquet reads in the same
+  *     session are untouched), then the same `div 1000` rebuild.
+  * Whole-second event-time logic (hour buckets, epochs) is unaffected by
+  * the dropped sub-microsecond digits in the nano paths, and the DuckDB
+  * oracle agrees on those shapes.
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  // The driver testdata events schema (TESTDATA.md), with ts as the raw
-  // INT64 nano count the file actually stores.
+  // The events schema (TESTDATA.md) with ts as a raw INT64 nano count —
+  // the explicit-schema fallback for TIMESTAMP(NANOS) files.
   private val eventsRawSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
       "value DOUBLE, props STRING")
 
+  private def nanosToTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val path = s"$dir/events.parquet"
+      try {
+        val df = spark.read.parquet(path)
+        df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => nanosToTs(df)
+          case _ =>
+            df.withColumn("ts",
+              col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        }
+      } catch {
+        // TIMESTAMP(NANOS) files fail schema inference (ILLEGAL_PARQUET_TYPE)
+        case _: org.apache.spark.sql.AnalysisException =>
+          nanosToTs(spark.read.schema(eventsRawSchema).parquet(path))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Rebalance `df` to the cluster's parallelism IFF its planned scan/RDD
