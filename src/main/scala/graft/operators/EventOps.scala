@@ -12,10 +12,11 @@ import graft.Tables
   * (SURVEY.md §2.D row D6: the reference is batch-only; the north star adds
   * event windows).
   *
-  * Timestamp convention: `events.ts` is nanosecond-precision parquet; Spark
-  * truncates to microseconds while DuckDB keeps nanos, so oracle-checked
-  * results never expose raw timestamps — they use floor-to-second epochs
-  * (`unix_timestamp`) or hour buckets, which agree exactly on both engines.
+  * Timestamp convention: `events.ts` has shipped at nanosecond and
+  * microsecond precision across testdata generations (see [[graft.Tables]]),
+  * so oracle-checked results never expose raw timestamps — they use
+  * floor-to-second epochs (`unix_timestamp`) or hour buckets, which agree
+  * exactly on both engines under every encoding.
   */
 object EventOps {
   import Relational.Q
@@ -504,6 +505,52 @@ object EventOps {
       |GROUP BY user_id HAVING SUM(dt) > 0""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q53: RUNNING DISTINCT COUNT — "how many distinct event types has this
+  // user produced so far" at every event. SQL window frames cannot say
+  // COUNT(DISTINCT x) OVER (...), and carrying a per-row set would be
+  // O(types) state per row; the scale shape is the FIRST-SEEN flag: a row
+  // is charged 1 iff it is its (user, type)'s first occurrence, and the
+  // running distinct count is a plain running SUM of that flag — window
+  // state is one counter. Both windows partition by user_id, so Catalyst
+  // plans ONE exchange (hash user_id) with two sorts over it: the
+  // first-seen pass orders by (type, time) — a row is first for its type
+  // iff the previous row in that order is a different type — and the
+  // running pass re-sorts by (time, id). Whole-second epochs + event_id
+  // tiebreak keep both engines' orderings identical.
+  // ---------------------------------------------------------------------
+  def q53RunningDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+    val wSeen = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_type"), col("sec"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("fs",
+        when(coalesce(lag(col("event_type"), 1).over(wSeen) =!= col("event_type"),
+          lit(true)), 1L).otherwise(0L))
+      .withColumn("distinct_types", sum(col("fs")).over(wRun))
+      .select(col("event_id"), col("user_id"), col("sec"), col("distinct_types"))
+  }
+
+  val q53Oracle: String =
+    """WITH e AS (
+      | SELECT event_id, user_id, event_type,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      | FROM events),
+      |f AS (
+      | SELECT event_id, user_id, sec,
+      |  CASE WHEN LAG(event_type, 1) OVER (PARTITION BY user_id
+      |    ORDER BY event_type, sec, event_id) IS DISTINCT FROM event_type
+      |   THEN 1 ELSE 0 END AS fs
+      | FROM e)
+      |SELECT event_id, user_id, sec,
+      | CAST(SUM(fs) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types
+      |FROM f""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q46: UNPIVOT — q33's inverse, and stated as the round-trip law:
   // unpivot(pivot(events)) == the long-form GROUP BY (minus the
   // zero-count cells pivot materializes). Spark lowers the stack() to a
@@ -527,6 +574,7 @@ object EventOps {
 
   val queries: Map[String, Q] = Map(
     "q46_unpivot" -> (q46Unpivot _),
+    "q53_running_distinct" -> (q53RunningDistinct _),
     "q20_tumbling_window" -> (q20TumblingWindow _),
     "q38_window_topk" -> (q38WindowTopk _),
     "q40_funnel" -> (q40Funnel _),
@@ -546,6 +594,7 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "q46_unpivot" -> q46Oracle,
+    "q53_running_distinct" -> q53Oracle,
     "q20_tumbling_window" -> q20Oracle,
     "q38_window_topk" -> q38Oracle,
     "q40_funnel" -> q40Oracle,

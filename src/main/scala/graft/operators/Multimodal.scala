@@ -465,12 +465,91 @@ object Multimodal {
   def mm05SceneCuts(s: SparkSession, dir: String): DataFrame =
     sceneCuts(mediaFromDocuments(s, dir)).toDF()
 
+  /** Deterministic speech-shaped fixture: frames of the [[syntheticSamples]]
+    * pseudo-noise separated by true silence (all-zero) frames, the run
+    * pattern keyed off id so segment structure varies per row. The
+    * all-noise [[syntheticSamples]] fixture has no inactive frames, so VAD
+    * over it would be vacuous; this generator is the audio lake with
+    * something to detect. */
+  private[operators] def syntheticSpeech(id: Long, n: Int): Array[Short] = {
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      // 2 voiced + 2 silent frames, phase-shifted by id
+      if (((i / 256) + id) % 4 < 2) {
+        val v = id * 6364136223846793005L + i * 1442695040888963407L
+        out(i) = (v >>> 33).toShort
+      }
+      i += 1
+    }
+    out
+  }
+
+  final case class VadSegment(media_id: Long, seg_idx: Int,
+      start_frame: Int, n_frames: Int, peak_energy: Long)
+
+  /** Energy-threshold voice-activity segmentation over REALLY-decoded PCM —
+    * the audio-curation primitive that bounds what a transcription /
+    * audio-LM pipeline pays for: only voiced spans go downstream, and
+    * hours of silence cost nothing but this scan. A frame is active iff
+    * Σs² ≥ rmsThreshold²·frameLen (integer-exact — the threshold compare
+    * needs no sqrt or division), and maximal runs of active frames become
+    * segments (the islands pattern, here in-row because frames of one
+    * recording are adjacent in its own byte payload — no window, no
+    * shuffle). peak_energy = max frame Σs² per segment, the signal an
+    * AGC/clipping audit reads. Same narrow typed-flatMap shape as
+    * [[sceneCuts]]: each task decodes only its own rows, only the compact
+    * segment table crosses the wire. */
+  def vadSegments(media: Dataset[MediaRow], frameLen: Int = 256,
+      rmsThreshold: Long = 4096): Dataset[VadSegment] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val lim = rmsThreshold * rmsThreshold * frameLen
+    media.filter((m: MediaRow) => m.kind == "audio").flatMap { m =>
+      val s = decodeAudio(m.bytes)
+      val n = s.length / frameLen
+      val segs = scala.collection.mutable.ArrayBuffer[VadSegment]()
+      var start = -1
+      var peak = 0L
+      for (f <- 0 until n) {
+        var sumSq = 0L
+        var i = f * frameLen
+        while (i < (f + 1) * frameLen) {
+          sumSq += s(i).toLong * s(i)
+          i += 1
+        }
+        if (sumSq >= lim) {
+          if (start < 0) { start = f; peak = sumSq }
+          else peak = math.max(peak, sumSq)
+        } else if (start >= 0) {
+          segs += VadSegment(m.media_id, segs.length, start, f - start, peak)
+          start = -1
+        }
+      }
+      if (start >= 0)
+        segs += VadSegment(m.media_id, segs.length, start, n - start, peak)
+      segs.toSeq
+    }
+  }
+
+  def mm06AudioVad(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.balanced(
+        Tables(s, dir, "documents").select(col("doc_id")))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, "audio", encodeWav(syntheticSpeech(id, 3072)), 0, 0, 1)
+      })
+    vadSegments(media).toDF()
+  }
+
   val queries: Map[String, Q] = Map(
     "mm01_media_features" -> (mm01Features _),
     "mm02_frame_sample" -> (mm02FrameSample _),
     "mm03_image_neardup" -> (mm03ImageNeardup _),
     "mm04_audio_frames" -> (mm04AudioFrames _),
-    "mm05_scene_cuts" -> (mm05SceneCuts _))
+    "mm05_scene_cuts" -> (mm05SceneCuts _),
+    "mm06_audio_vad" -> (mm06AudioVad _))
 
   val oracles: Map[String, String] = Map.empty
 }

@@ -679,6 +679,67 @@ object Relational {
       |WHERE prev_max IS NULL OR prev_max < n_tokens""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q54: MEDIAN + deterministic MODE per group, both served from ONE
+  // bounded value-histogram — the scale shape for order statistics over a
+  // low-cardinality measure (quantity ∈ [1,50]): the corpus shuffles once
+  // into (group, value) partial counts (map-side combine ⇒ O(groups·values)
+  // rows cross the wire, not O(corpus)), and every statistic derives from
+  // that tiny table — never a full-corpus sort or a percentile aggregate
+  // that buffers raw values per group. Median: cumulative counts locate
+  // the rows covering positions ⌈(n+1)/2⌉ and ⌊n/2⌋+1; their value
+  // midpoint is exactly quantile_cont(0.5) for integer values (sums ≤ 100
+  // are IEEE-exact, which is why the oracle can cross-check with DuckDB's
+  // NATIVE quantile_cont instead of mirroring the histogram). Mode: dd13's
+  // packed-BIGINT min — (10^9 - cnt)·1024 + value — picks the largest
+  // count with the smallest-value tiebreak in one codegen'd agg, no
+  // row_number window.
+  // ---------------------------------------------------------------------
+  def q54MedianMode(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+    val counts = li.groupBy(col("l_returnflag"), col("q"))
+      .agg(count(lit(1)).as("cnt"))
+    val modes = counts.groupBy(col("l_returnflag"))
+      .agg(min((lit(1000000000L) - col("cnt")) * 1024L + col("q")).as("p"))
+      .select(col("l_returnflag"), (col("p") % 1024L).as("mode_q"),
+        (lit(1000000000L) - expr("p div 1024")).as("mode_n"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("q"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("p1", expr("(n + 1) div 2"))
+      .withColumn("p2", expr("n div 2 + 1"))
+    val med = cum.groupBy(col("l_returnflag"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= col("p1") &&
+          col("cum") - col("cnt") < col("p1"), col("q"))).as("v1"),
+        min(when(col("cum") >= col("p2") &&
+          col("cum") - col("cnt") < col("p2"), col("q"))).as("v2"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("v1") + col("v2")).cast("double") / 2.0).as("median_q"))
+    med.join(modes, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n"), col("median_q"),
+        col("mode_q"), col("mode_n"))
+  }
+
+  val q54Oracle: String =
+    """WITH c AS (
+      | SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, COUNT(*) AS cnt
+      | FROM lineitem GROUP BY 1, 2),
+      |m AS (
+      | SELECT l_returnflag,
+      |  MIN((1000000000 - cnt) * 1024 + q) AS p,
+      |  CAST(SUM(cnt) AS BIGINT) AS n
+      | FROM c GROUP BY 1)
+      |SELECT m.l_returnflag, m.n,
+      | (SELECT quantile_cont(l_quantity, 0.5) FROM lineitem li
+      |  WHERE li.l_returnflag = m.l_returnflag) AS median_q,
+      | CAST(p % 1024 AS BIGINT) AS mode_q,
+      | CAST(1000000000 - p // 1024 AS BIGINT) AS mode_n
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q07: deepest matching ancestor (C5 — ordered scalar subquery picking the
   // max-step is_2nd ancestor, src/post/find_subdivision.sql:9-32 and note †
   // in SURVEY §2). "is_2nd" here = nation/region nodes; window + row_number
@@ -1171,6 +1232,7 @@ object Relational {
     "q48_lateral" -> (q48Lateral _),
     "q50_skyline" -> (q50Skyline _),
     "q51_merge_upsert" -> (q51MergeUpsert _),
+    "q54_median_mode" -> (q54MedianMode _),
     "q35_full_outer" -> (q35FullOuter _),
     "q31_salted_join" -> (q31SaltedJoin _),
     "q27_rollup" -> (q27Rollup _),
@@ -1207,6 +1269,7 @@ object Relational {
     "q48_lateral" -> q48Sql,
     "q50_skyline" -> q50Oracle,
     "q51_merge_upsert" -> q51Oracle,
+    "q54_median_mode" -> q54Oracle,
     "q31_salted_join" -> q31Oracle,
     "q27_rollup" -> q27Oracle,
     "q28_setops" -> q28Oracle,

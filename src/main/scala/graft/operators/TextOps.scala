@@ -823,8 +823,63 @@ object TextOps {
        |FROM c""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // tx20: n-gram NOVELTY attribution — per document, the share of its
+  // distinct trigram hashes that occur in NO earlier document (doc_id
+  // order): the template-saturation signal behind "stop crawling this
+  // source" decisions — boilerplate-heavy corpora converge to near-zero
+  // novelty while fresh content stays high. Complements dd10, which asks
+  // the symmetric "is this span ANYWHERE else" question; novelty ASSIGNS
+  // each shared gram to its earliest occurrence, so the scores sum to the
+  // corpus vocabulary and a source's novelty decay is monotone.
+  //
+  // Scale shape: dd10's canonical two-exchange plan — per-doc-distinct
+  // gram hashes dedup'd MAP-SIDE (array_distinct before explode, no
+  // dedup shuffle), one exchange to min(doc_id) per gram (map-side
+  // partials — first-occurrence is an associative min, never a window
+  // over the gram stream), one exchange to join ownership back, then a
+  // tiny per-doc count. The served ratio stays integer (per-mille div,
+  // the tx09 convention) so no float crosses the oracle hash.
+  // ---------------------------------------------------------------------
+  def tx20NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val toks = expr("filter(split(norm, ' '), x -> x != '')")
+    val g = graft.Tables.balanced(docs.select(col("doc_id"), norm.as("norm")))
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr("ngram_hashes(toks, 3)"))).as("gh"))
+    val owner = g.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+    g.join(owner, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_pm", expr("(n_novel * 1000) div n_grams"))
+  }
+
+  val tx20Oracle: String =
+    """WITH n AS (
+      | SELECT doc_id, list_filter(string_split(
+      |   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+      |   ' '), x -> x != '') AS toks
+      | FROM documents),
+      |g AS (
+      | SELECT DISTINCT doc_id,
+      |  ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 15))::BIGINT AS gh
+      | FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM n) u),
+      |o AS (SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY gh)
+      |SELECT g.doc_id, COUNT(*) AS n_grams,
+      | CAST(SUM(CASE WHEN o.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      | (CAST(SUM(CASE WHEN o.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+      |   // COUNT(*) AS novelty_pm
+      |FROM g JOIN o USING (gh)
+      |GROUP BY g.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q25_posexplode_filtered" -> (q25PosexplodeFiltered _),
+    "tx20_ngram_novelty" -> (tx20NgramNovelty _),
     "tx18_vocab_growth" -> (tx18VocabGrowth _),
     "tx19_collocations" -> (tx19Collocations _),
     "q26_quantity_parse" -> (q26QuantityParse _),
@@ -848,6 +903,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q25_posexplode_filtered" -> q25Oracle,
+    "tx20_ngram_novelty" -> tx20Oracle,
     "tx18_vocab_growth" -> tx18Oracle,
     "tx19_collocations" -> tx19Oracle,
     "q26_quantity_parse" -> q26Oracle,

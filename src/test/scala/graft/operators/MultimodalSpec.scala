@@ -266,4 +266,48 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("vadSegments: planted silence/burst pattern yields exact segments") {
+    import spark.implicits._
+    // 8 frames of 256 samples: silence, burst, burst, silence, silence,
+    // burst, silence, burst -> segments [1,2], [5,5], [7,7]
+    val active = Set(1, 2, 5, 7)
+    val samples = Array.tabulate(8 * 256) { i =>
+      if (active(i / 256)) 20000.toShort else 0.toShort
+    }
+    val row = Multimodal.MediaRow(7L, "audio",
+      Multimodal.encodeWav(samples), 0, 0, 1)
+    val segs = Multimodal.vadSegments(Seq(row).toDS()).collect()
+      .map(s => (s.seg_idx, s.start_frame, s.n_frames)).sorted.toSeq
+    assert(segs == Seq((0, 1, 2), (1, 5, 1), (2, 7, 1)), segs.toString)
+    // constant-amplitude burst: peak energy is exactly 256 * 20000^2
+    val peak = Multimodal.vadSegments(Seq(row).toDS()).collect().head.peak_energy
+    assert(peak == 256L * 20000L * 20000L)
+  }
+
+  test("vadSegments: all-silence audio yields no segments; all-voice yields one") {
+    import spark.implicits._
+    val silent = Multimodal.MediaRow(1L, "audio",
+      Multimodal.encodeWav(new Array[Short](1024)), 0, 0, 1)
+    val voiced = Multimodal.MediaRow(2L, "audio",
+      Multimodal.encodeWav(Array.fill[Short](1024)(15000)), 0, 0, 1)
+    val segs = Multimodal.vadSegments(Seq(silent, voiced).toDS()).collect()
+    assert(segs.forall(_.media_id == 2L))
+    assert(segs.map(s => (s.start_frame, s.n_frames)).toSeq == Seq((0, 4)))
+  }
+
+  test("mm06: every doc id yields voiced segments under the speech fixture") {
+    val out = Multimodal.mm06AudioVad(spark, dir).collect()
+    assert(out.nonEmpty)
+    val byId = out.groupBy(_.getLong(0))
+    // 12 frames in 2-voiced/2-silent phase: always >= 2 segments per id
+    assert(byId.values.forall(_.length >= 2), byId.view.mapValues(_.length).toMap.toString)
+    // segments never overlap and stay inside the 12-frame payload
+    for ((_, segs) <- byId) {
+      val sorted = segs.sortBy(_.getInt(2)).toSeq
+      assert(sorted.forall(r => r.getInt(3) >= 1 && r.getInt(2) + r.getInt(3) <= 12))
+      for (Seq(a, b) <- sorted.sliding(2) if sorted.length > 1)
+        assert(a.getInt(2) + a.getInt(3) < b.getInt(2), "segments must be separated")
+    }
+  }
 }
