@@ -35,7 +35,11 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args restrict the run to named queries (local experiments;
+    // the driver passes none and benches everything).
+    val picked = if (args.isEmpty) SparkEntry.queries
+                 else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
       // Sub-second queries are dominated by shared-host scheduling noise
       // (a 0.24 s join was captured at 1.69 s in one driver round), so
