@@ -719,6 +719,64 @@ object Curation {
        |FROM r WHERE rn <= $groupSampleK""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ds19: WATER-FILLING target-mixture resample — "make the corpus match
+  // THIS language distribution" (the Llama/Gopher data-mixture spec),
+  // answered exactly: the largest corpus reachable at the target shares
+  // by downsampling only is T = min_l floor(n_l·1000 / share_l), and each
+  // language keeps keep_l = floor(share_l·T / 1000) docs — the binding
+  // language keeps (almost) everything, every other language is cut to
+  // proportion. Differs from ds02 (which applies GIVEN per-language
+  // rates) by DERIVING the rates from the target; all arithmetic is
+  // integer floors so both engines agree bit-for-bit.
+  //
+  // Scale shape: the per-language histogram and the T/keep_l table are
+  // tiny aggregates (broadcast); member selection is ds07's
+  // content-stable rank — k smallest salted hashes per language — with
+  // the per-language k joined in. The one corpus-scale cost is the
+  // per-language rank window (one shuffle keyed by lang); its skew bound
+  // is the largest language, the same bound every per-stratum operator
+  // here carries.
+  // ---------------------------------------------------------------------
+  private val targetShares: Seq[(String, Int)] =
+    Seq("en" -> 400, "fr" -> 250, "de" -> 200, "es" -> 100, "zh" -> 50)
+
+  def ds19TargetMixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+    val tgt = targetShares.toDF("lang", "share_pm")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(tgt), Seq("lang"))
+    val tRow = counts.agg(min(expr("(n_docs * 1000) div share_pm")).as("t"))
+    val keeps = counts.crossJoin(broadcast(tRow))
+      .select(col("lang"), expr("(share_pm * t) div 1000").as("keep_n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    docs.join(broadcast(keeps), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("keep_n"),
+        md5(concat(lit("ds19:"), col("text"))).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("keep_n"))
+      .select(col("doc_id"), col("lang"), col("rn"), col("keep_n"))
+  }
+
+  val ds19Oracle: String = {
+    val values = targetShares.map { case (l, p) => s"('$l', $p)" }.mkString(", ")
+    s"""WITH tgt(lang, share_pm) AS (VALUES $values),
+       |c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+       |j AS (SELECT c.lang, n_docs, share_pm FROM c JOIN tgt USING (lang)),
+       |t AS (SELECT MIN((n_docs * 1000) // share_pm) AS t FROM j),
+       |k AS (SELECT lang, CAST((share_pm * t.t) // 1000 AS BIGINT) AS keep_n
+       |      FROM j, t),
+       |h AS (SELECT doc_id, lang, md5('ds19:' || text) AS h FROM documents),
+       |r AS (
+       | SELECT h.doc_id, h.lang, k.keep_n,
+       |  ROW_NUMBER() OVER (PARTITION BY h.lang ORDER BY h.h, h.doc_id) AS rn
+       | FROM h JOIN k USING (lang))
+       |SELECT doc_id, lang, CAST(rn AS INT) AS rn, keep_n
+       |FROM r WHERE rn <= keep_n""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // ds12: global fixed-k content-stable sample — ds07 without the strata:
   // "exactly 200 documents from the whole corpus, reproducibly". The k
   // smallest salted content hashes overall, so re-runs/re-shards/appends
@@ -1492,6 +1550,7 @@ object Curation {
     "ds10_temp_mixture" -> (ds10TempMixture _),
     "ds11_source_interleave" -> (ds11SourceInterleave _),
     "ds12_global_sample" -> (ds12GlobalSample _),
+    "ds19_target_mixture" -> (ds19TargetMixture _),
     "ds13_curriculum" -> (ds13Curriculum _),
     "ds14_version_diff" -> (ds14VersionDiff _),
     "ds15_scd2" -> (ds15Scd2 _),
@@ -1523,6 +1582,7 @@ object Curation {
     "ds10_temp_mixture" -> ds10Oracle,
     "ds11_source_interleave" -> ds11Oracle,
     "ds12_global_sample" -> ds12Oracle,
+    "ds19_target_mixture" -> ds19Oracle,
     "ds13_curriculum" -> ds13Oracle,
     "ds14_version_diff" -> ds14Oracle,
     "ds15_scd2" -> ds15Oracle,

@@ -502,6 +502,74 @@ object Dedup {
        |FROM cand c JOIN sets s1 ON c.doc1 = s1.doc_id JOIN sets s2 ON c.doc2 = s2.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // dd19: CONTENT-DEFINED CHUNKING dedup profile (Muthitacharoen et al.
+  // LBFS, SOSP'01 — the rolling-hash chunking behind storage dedup and
+  // rsync) — the fourth candidate-generation family: chunk boundaries are
+  // placed where the rolling trigram hash ≡ 0 (mod 16), so they stick to
+  // CONTENT, not positions. Against fixed n-grams (dd10) this is what
+  // survives edits: inserting one sentence shifts every downstream
+  // fixed-gram but moves only the ONE chunk containing the edit — shared
+  // chunk counts between page revisions stay high where gram overlap
+  // collapses. Per doc: how many of its chunks (expected ~16 tokens,
+  // variable length) also occur in ≥1 other document.
+  //
+  // Scale shape: chunking is entirely per-row (ngram_hashes + HOFs over
+  // the projected token array — no UDF, no shuffle), then dd10's
+  // two-exchange plan over md5 chunk ids: per-doc-distinct map-side,
+  // count per chunk, join ownership back, per-doc rollup. Only 32-char
+  // chunk ids cross the wire, never chunk text.
+  // ---------------------------------------------------------------------
+  private val cdcModulus = 16
+
+  def dd19CdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val base = docs
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+      .filter(size(col("toks")) > 0)
+    val withCuts = Tables.balanced(base)
+      .select(col("doc_id"), col("toks"),
+        expr(s"""filter(
+                   transform(ngram_hashes(toks, 3),
+                     (g, i) -> if(g % $cdcModulus = 0, i + 1, cast(null as int))),
+                   x -> x is not null)""").as("cuts"))
+    val chunks = withCuts.select(col("doc_id"),
+      explode(array_distinct(expr(
+        """zip_with(
+             concat(array(1), transform(cuts, c -> c + 1)),
+             concat(cuts, array(size(toks))),
+             (s, e) -> md5(concat_ws(' ', slice(toks, s, e - s + 1))))"""
+      ))).as("ch"))
+    val shared = chunks.groupBy(col("ch")).agg(count(lit(1)).as("nd"))
+    chunks.join(shared, Seq("ch"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
+  }
+
+  val dd19Oracle: String =
+    s"""WITH n AS (
+       | SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+       | FROM documents),
+       |c AS (
+       | SELECT doc_id, toks,
+       |  list_filter(range(1, greatest(len(toks) - 2, 0) + 1),
+       |    i -> ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 15))::BIGINT
+       |         % $cdcModulus = 0) AS cuts
+       | FROM n WHERE len(toks) > 0),
+       |ch AS (
+       | SELECT DISTINCT doc_id, md5(array_to_string(toks[s:e], ' ')) AS ch
+       | FROM (
+       |  SELECT doc_id, toks,
+       |   unnest(list_concat([1], list_transform(cuts, x -> x + 1))) AS s,
+       |   unnest(list_concat(cuts, [len(toks)])) AS e
+       |  FROM c) u),
+       |sh AS (SELECT ch, COUNT(*) AS nd FROM ch GROUP BY ch)
+       |SELECT ch.doc_id, COUNT(*) AS n_chunks,
+       | CAST(SUM(CASE WHEN sh.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks
+       |FROM ch JOIN sh USING (ch)
+       |GROUP BY ch.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // dd14: CONTAINMENT verification of the LSH candidates — the asymmetric
   // complement of dd05's Jaccard: C(A→B) = |A∩B| / |A| answers "is doc A
   // mostly inside doc B", which Jaccard misses whenever the sizes differ
@@ -1116,6 +1184,58 @@ object Dedup {
        |SELECT node, dist FROM d$bfsRounds""".stripMargin
 
   // ---------------------------------------------------------------------
+  // cc11: bounded HARMONIC centrality (Marchiori & Latora 2000; Boldi &
+  // Vigna's preferred centrality for web graphs because it handles
+  // disconnected reach gracefully) for a seed cohort: h(s) = Σ 1/d(s,v)
+  // over nodes within the round budget, larger = better-positioned. The
+  // per-SEED distances come from Relational.multiSourceDistances (cc09's
+  // min-over-seeds fusion cannot express a per-seed sum), so the state is
+  // O(|cohort| · reach) — which is why the cohort is one nation's
+  // suppliers, the bounded-audit shape ("rank OUR nodes by reach"), not
+  // an all-nodes centrality sweep. 1/d is served in exact integer space:
+  // 2520 = lcm(1..7) makes 2520 div d exact for every d ≤ 7 ≥ the round
+  // budget, so the score hashes bit-identically cross-engine.
+  // ---------------------------------------------------------------------
+  private val harmonicSeedNation = 7
+
+  def cc11Harmonic(s: SparkSession, dir: String): DataFrame = {
+    val e = interactionEdges(s, dir)
+    val cohort = Tables(s, dir, "supplier")
+      .filter(col("s_nationkey") === harmonicSeedNation)
+      .select((lit(10000000L) + col("s_suppkey")).as("seed"))
+    val seeds = e.select(col("src").as("seed")).distinct()
+      .join(cohort, Seq("seed"), "left_semi")
+    Relational.multiSourceDistances(e, seeds, bfsRounds)
+      .filter(col("dist") > 0)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("2520 div dist")).as("harmonic_x2520"))
+  }
+
+  private def msRoundSql(r: Int): String =
+    s"""d$r AS (
+       | SELECT seed, node, MIN(dist) AS dist FROM (
+       |  SELECT seed, node, dist FROM d${r - 1}
+       |  UNION ALL
+       |  SELECT d${r - 1}.seed, e.dst, d${r - 1}.dist + 1
+       |  FROM e JOIN d${r - 1} ON e.src = d${r - 1}.node) u
+       | GROUP BY seed, node)""".stripMargin
+
+  val cc11Oracle: String =
+    s"""WITH e0 AS (
+       | SELECT DISTINCT o.o_custkey AS src, 10000000 + l.l_suppkey AS dst
+       | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |d0 AS (
+       | SELECT DISTINCT src AS seed, src AS node, CAST(0 AS BIGINT) AS dist FROM e
+       | WHERE src IN (SELECT 10000000 + s_suppkey FROM supplier
+       |               WHERE s_nationkey = $harmonicSeedNation)),
+       |${(1 to bfsRounds).map(msRoundSql).mkString(",\n")}
+       |SELECT seed, COUNT(*) AS n_reached,
+       | CAST(SUM(2520 // dist) AS BIGINT) AS harmonic_x2520
+       |FROM d$bfsRounds WHERE dist > 0 GROUP BY seed""".stripMargin
+
+  // ---------------------------------------------------------------------
   // dd09: INCREMENTAL dedup — a new batch (doc_id % 10 >= 8 stands in for
   // today's crawl) checked against the existing corpus, never against
   // itself: exact content-hash membership plus a cross-side LSH band join
@@ -1297,6 +1417,8 @@ object Dedup {
     "cc08_kcore" -> (cc08KCore _),
     "cc09_bfs_hops" -> (cc09BfsHops _),
     "cc10_sssp" -> (cc10Sssp _),
+    "cc11_harmonic" -> (cc11Harmonic _),
+    "dd19_cdc_chunks" -> (dd19CdcChunks _),
     "tp01_corpus_curation" -> (tp01CorpusCuration _),
     "dd01_exact_dedup" -> (dd01ExactDedup _),
     "dd02_minhash_sig" -> (dd02MinhashSig _),
@@ -1325,6 +1447,8 @@ object Dedup {
     "cc08_kcore" -> cc08Oracle,
     "cc09_bfs_hops" -> cc09Oracle,
     "cc10_sssp" -> cc10Oracle,
+    "cc11_harmonic" -> cc11Oracle,
+    "dd19_cdc_chunks" -> dd19Oracle,
     "tp01_corpus_curation" -> tp01Oracle,
     "dd01_exact_dedup" -> dd01Oracle,
     "dd02_minhash_sig" -> dd02Oracle,

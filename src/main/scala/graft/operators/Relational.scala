@@ -405,6 +405,34 @@ object Relational {
     d
   }
 
+  /** PER-SEED bounded BFS — [[bfsDistances]] keyed by origin: the frontier
+    * carries (seed, node) pairs so every seed gets its OWN distance field
+    * instead of the min-over-seeds fusion. This is the core behind
+    * per-node centrality measures (harmonic/closeness need d(seed, ·),
+    * not d(seedset, ·)); state is O(|seeds| · reach), so callers bound
+    * the seed cohort — the round budget bounds reach exactly as in
+    * [[ssspDistances]], and the per-round shape is identical: the
+    * keyed frontier alone re-shuffles against the statically partitioned
+    * edges, keyed min, lineage cut. */
+  def multiSourceDistances(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    var d = seeds.select(col("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val prop = e.join(d, e("src") === d("node"))
+        .select(col("seed"), col("dst").as("node"),
+          (col("dist") + 1L).as("dist"))
+      d = d.unionAll(prop).groupBy(col("seed"), col("node"))
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    d
+  }
+
   /** BOUNDED k-core peel: `rounds` synchronous rounds of "drop every node
     * with degree < k (and its edges)" over undirected (a, b) edges — the
     * cohesion filter that separates structurally-dense subgraphs from

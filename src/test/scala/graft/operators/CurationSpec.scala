@@ -295,4 +295,31 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(col("shard8") < 0 || col("shard8") > 7 ||
       col("shard9") < 0 || col("shard9") > 8).count() === 0)
   }
+
+  test("ds19: water-filling keeps exactly floor(share·T/1000) per language") {
+    val dir = "/root/testdata/sf0.001"
+    val shares = Map("en" -> 400, "fr" -> 250, "de" -> 200, "es" -> 100, "zh" -> 50)
+    val counts = graft.Tables(spark, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent recomputation of the water-filling arithmetic
+    val t = shares.map { case (l, s) => counts(l) * 1000L / s }.min
+    val expect = shares.map { case (l, s) => l -> s * t / 1000L }
+    val kept = Curation.ds19TargetMixture(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("k"), max(col("keep_n")).as("kn"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((l, e) <- expect if e > 0) {
+      assert(kept(l)._1 == e, s"$l kept ${kept(l)._1}, expected $e")
+      assert(kept(l)._2 == e, s"$l keep_n ${kept(l)._2}, expected $e")
+    }
+    // the binding language is cut by less than one per-mille step
+    val bindLang = shares.minBy { case (l, s) => counts(l) * 1000L / s }._1
+    assert(counts(bindLang) - expect(bindLang) <= counts(bindLang) / 100 + 1,
+      s"binding language $bindLang over-cut: ${expect(bindLang)} of ${counts(bindLang)}")
+    // kept share matches the target within integer-floor error
+    val total = expect.values.sum
+    for ((l, e) <- expect if total > 0)
+      assert(math.abs(e * 1000 - shares(l).toLong * total) <= 2000,
+        s"$l share drifted: kept $e of $total vs target ${shares(l)} pm")
+  }
 }

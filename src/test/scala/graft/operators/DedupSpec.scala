@@ -151,4 +151,38 @@ class DedupSpec extends SparkSpec {
     assert(brute.subsetOf(found),
       s"prefix filter missed true pairs: ${brute -- found}")
   }
+
+  test("dd19: chunks survive a mid-document edit; exact copies share everything") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("dedup-cdc").toFile
+    try {
+      // 200 varied tokens; doc 2 inserts 5 tokens mid-way — content-defined
+      // boundaries re-synchronize after the edit, so chunks outside the
+      // edited region keep their hashes (the CDC property fixed n-grams
+      // lack: every downstream gram shifts).
+      val base = (0 until 200).map(i => s"w${(i * 7) % 97}n$i")
+      val edited = base.take(100) ++ Seq("X1", "X2", "X3", "X4", "X5") ++ base.drop(100)
+      Seq(
+        (1L, base.mkString(" ")),
+        (2L, edited.mkString(" ")),
+        (3L, (0 until 60).map(i => s"z${i}q${i % 13}").mkString(" ")), // unrelated
+        (4L, base.mkString(" "))                                      // exact copy of 1
+      ).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val out = Dedup.dd19CdcChunks(spark, tmp.getPath)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // exact copies: every chunk shared (docs 1 and 4 are identical)
+      assert(out(1L)._1 == out(1L)._2, out.toString)
+      assert(out(4L)._1 == out(4L)._2, out.toString)
+      // the edited revision still shares most chunks with the original —
+      // and has at least one unshared chunk (the edit itself)
+      assert(out(2L)._2 >= out(2L)._1 / 2,
+        s"edit destroyed chunk sharing: ${out(2L)}")
+      assert(out(2L)._2 < out(2L)._1, s"edit chunk leaked: ${out(2L)}")
+      // the unrelated doc shares nothing
+      assert(out(3L)._2 == 0L, out.toString)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+  }
 }

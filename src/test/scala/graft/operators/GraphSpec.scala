@@ -120,4 +120,27 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(20L -> 20L, 21L -> 20L, 22L -> 20L,
       30L -> 30L, 31L -> 30L), got.toString)
   }
+
+  test("multiSourceDistances: per-seed distances on a chain, budget-bounded") {
+    import spark.implicits._
+    // Chain 1-2-3-4 symmetrized, seeds {1, 4}, 2 rounds. Unlike
+    // bfsDistances (min over the seed SET), each seed keeps its own
+    // field: node 3 is at 2 from seed 1 and at 1 from seed 4.
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (e0 ++ e0.map(p => (p._2, p._1))).toDF("src", "dst")
+    val seeds = Seq(1L, 4L).toDF("seed")
+    val got = Relational.multiSourceDistances(edges, seeds, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (1L, 1L) -> 0L, (1L, 2L) -> 1L, (1L, 3L) -> 2L,
+      (4L, 4L) -> 0L, (4L, 3L) -> 1L, (4L, 2L) -> 2L), got.toString)
+    // the harmonic rollup over these distances is 2520-exact:
+    // h(1) = 2520/1 + 2520/2 = 3780 (nodes 2 and 3 within budget)
+    val h = Relational.multiSourceDistances(edges, seeds, 2)
+      .filter($"dist" > 0).groupBy($"seed")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.expr("2520 div dist")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == Map(1L -> 3780L, 4L -> 3780L), h.toString)
+  }
 }
