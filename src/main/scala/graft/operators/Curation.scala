@@ -516,6 +516,43 @@ object Curation {
        |FROM c""".stripMargin
 
   // ---------------------------------------------------------------------
+  // tp08: target mixture → packing — the other composition a training
+  // run actually ships: resample the corpus to the ds19 target language
+  // distribution, then assign every kept doc its PER-LANGUAGE token
+  // offset and sequence id (language-pure sequences, the multilingual
+  // packing recipe). Reuses ds19's water-filled membership as a semi-join
+  // and ds05's language-partitioned two-phase prefix sum; the checkpoint
+  // before the sum bounds the mixture chain to one evaluation (tp04's
+  // lesson).
+  // ---------------------------------------------------------------------
+  def tp08MixturePack(s: SparkSession, dir: String): DataFrame = {
+    val kept = ds19TargetMixture(s, dir).select(col("doc_id"))
+    val docs = Tables(s, dir, "documents").join(kept, Seq("doc_id"), "left_semi")
+    val toks = docs.select(col("doc_id"), col("lang"),
+      size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("n_tokens"))
+      .localCheckpoint()
+    withStartOffsets(toks, Seq("lang"))
+      .withColumn("seq_id", expr(s"start_off div $packBudget"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("start_off"), col("seq_id"))
+  }
+
+  lazy val tp08Oracle: String =
+    s"""WITH kept AS (SELECT doc_id FROM ($ds19Oracle) q),
+       |t AS (
+       | SELECT d.doc_id, d.lang,
+       |  CAST(len(list_filter(string_split(d.text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+       | FROM documents d JOIN kept USING (doc_id)),
+       |c AS (
+       | SELECT doc_id, lang, n_tokens,
+       |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+       | FROM t)
+       |SELECT doc_id, lang, n_tokens, start_off,
+       | CAST(start_off // $packBudget AS BIGINT) AS seq_id
+       |FROM c""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ds03: sequence packing — the GPT-style "concatenate the corpus in
   // doc_id order, cut every `budget` tokens" training-prep step. Each doc
   // gets its global token start offset, its training-sequence id, and a
@@ -1565,6 +1602,7 @@ object Curation {
     "tp02_full_curation" -> (tp02FullCuration _),
     "tp03_corpus_report" -> (tp03CorpusReport _),
     "tp04_pack_train" -> (tp04PackTrain _),
+    "tp08_mixture_pack" -> (tp08MixturePack _),
     "tp05_mixture_shards" -> (tp05MixtureShards _),
     "tp06_curriculum_shards" -> (tp06CurriculumShards _),
     "tp07_ingest_cycle" -> (tp07IngestCycle _))
@@ -1597,6 +1635,7 @@ object Curation {
     "tp02_full_curation" -> tp02Oracle,
     "tp03_corpus_report" -> tp03Oracle,
     "tp04_pack_train" -> tp04Oracle,
+    "tp08_mixture_pack" -> tp08Oracle,
     "tp05_mixture_shards" -> tp05Oracle,
     "tp06_curriculum_shards" -> tp06Oracle,
     "tp07_ingest_cycle" -> tp07Oracle)

@@ -217,6 +217,42 @@ object EventStream {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class RunningDistinct(event_id: Long, user_id: Long,
+      sec: Long, distinct_types: Long)
+
+  final case class SeenTypes(types: Set[String])
+
+  /** RUNNING DISTINCT COUNT — the streaming twin of EventOps.q53: every
+    * event is emitted with the number of distinct event types its user
+    * has produced so far. Batch needs two window passes; streaming keeps
+    * the seen-type SET as keyed state (bounded by event-type cardinality,
+    * not stream length) and each event's count is one set insert — the
+    * state-beats-window shape that makes this metric cheap live when the
+    * batch recompute is a full-corpus double window. In-batch rows are
+    * ordered by (whole-second event time, event_id) to match the batch
+    * twin's ordering; counts equal the batch recompute under in-order
+    * cross-batch delivery (a late event counts from its ARRIVAL state —
+    * Append mode emits each row once and never retro-corrects). */
+  def runningDistinct(events: Dataset[Event]): Dataset[RunningDistinct] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[SeenTypes]): Iterator[RunningDistinct] = {
+      var seen = state.getOption.map(_.types).getOrElse(Set.empty[String])
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id)).map { e =>
+        seen += e.event_type
+        RunningDistinct(e.event_id, userId, e.ts.getTime / 1000, seen.size.toLong)
+      }
+      state.update(SeenTypes(seen))
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   final case class WindowTopK(hour_epoch: Long, user_id: Long, n: Long, rnk: Int)
 
   final case class TopKState(counts: Map[Long, Long])

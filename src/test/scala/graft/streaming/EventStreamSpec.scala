@@ -272,6 +272,44 @@ trait StatefulStreamingScenarios { this: SparkSpec =>
   }
   }
 
+  test("running distinct count stays in lockstep with its batch twin (q53)") {
+    withProvider {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      // user 1 revisits old types (count must NOT grow) and adds a new
+      // one across the batch boundary; user 2 is single-type throughout.
+      val evs = Seq(
+        (10L, 0, 1L, "view"), (11L, 1, 1L, "click"), (12L, 2, 1L, "view"),
+        (20L, 0, 2L, "view"), (21L, 3, 2L, "view"))
+      val late = Seq(
+        (13L, 4, 1L, "purchase"), (14L, 5, 1L, "click"),
+        (22L, 6, 2L, "view"))
+      val tmp = java.nio.file.Files.createTempDirectory("q53-lockstep").toFile
+      try {
+        (evs ++ late).map { case (id, m, u, k) => (id, ts(m).getTime * 1000000L, u, k) }
+          .toDF("event_id", "ts", "user_id", "event_type")
+          .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+        val batch = graft.operators.EventOps.q53RunningDistinct(spark, tmp.getPath)
+          .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+        val input = MemoryStream[Event]
+        val q = EventStream.runningDistinct(input.toDS())
+          .writeStream.format("memory").queryName("q53_lockstep")
+          .outputMode(OutputMode.Append()).start()
+        try {
+          input.addData(evs.map { case (id, m, u, k) => Event(id, ts(m), u, k, 0.0) })
+          q.processAllAvailable()
+          input.addData(late.map { case (id, m, u, k) => Event(id, ts(m), u, k, 0.0) })
+          q.processAllAvailable()
+          val stream = spark.table("q53_lockstep")
+            .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+          assert(batch == Map(10L -> 1L, 11L -> 2L, 12L -> 2L, 13L -> 3L,
+            14L -> 3L, 20L -> 1L, 21L -> 1L, 22L -> 1L), batch.toString)
+          assert(stream == batch, s"batch=$batch stream=$stream")
+        } finally { q.stop(); spark.catalog.dropTempView("q53_lockstep") }
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+  }
+
   test("stream-stream interval join stays in lockstep with its batch twin (q37)") {
     withProvider {
       implicit val sqlCtx = spark.sqlContext
