@@ -416,6 +416,38 @@ object Curation {
        |FROM i GROUP BY doc_id, isl""".stripMargin
 
   // ---------------------------------------------------------------------
+  // dc04: CHUNK-granular decontamination — dc01 asks "does this training
+  // doc share any fixed 5-gram with the eval set"; dc04 asks it at
+  // content-defined-chunk granularity (dd19's CDC ids), which is the
+  // edit-robust form: an eval answer lightly paraphrased into training
+  // text shifts every fixed gram near the edits but keeps the untouched
+  // chunks intact, so chunk overlap survives where gram overlap decays.
+  // Same broadcast-screen scale shape as dc01: the eval slice's chunk
+  // ids are MBs against TBs, the corpus chunk stream is screened before
+  // any shuffle, and the per-doc rollup counts shared chunks.
+  // ---------------------------------------------------------------------
+  // The eval slice here is doc_id % 10 (not dc01's % 97): chunk overlap
+  // needs a ~16-token exact span in common, which the sparser slice never
+  // exhibits on this corpus — a permanently-empty check would be vacuous.
+  def dc04ChunkDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val chunks = Dedup.cdcChunks(Tables(s, dir, "documents"))
+    val eval = chunks.filter(col("doc_id") % 10 === 0)
+      .select(col("ch")).distinct()
+    chunks.filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(eval), Seq("ch"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_chunks"))
+  }
+
+  val dc04Oracle: String =
+    s"""WITH ${Dedup.cdcChunkCtesSql},
+       |ev AS (SELECT DISTINCT ch FROM chk WHERE doc_id % 10 = 0)
+       |SELECT chk.doc_id, COUNT(*) AS n_shared_chunks
+       |FROM chk JOIN ev USING (ch)
+       |WHERE chk.doc_id % 10 != 0
+       |GROUP BY chk.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // tp02: the complete training-data preparation pipeline, end to end in
   // one plan — quality gate → exact dedup → MinHash-LSH near-dup removal
   // (all via tp01) → benchmark-slice exclusion + 5-gram decontamination →
@@ -1597,6 +1629,7 @@ object Curation {
     "dc01_decontaminate" -> (dc01Decontaminate _),
     "dc02_contamination_report" -> (dc02ContaminationReport _),
     "dc03_span_decontaminate" -> (dc03SpanDecontaminate _),
+    "dc04_chunk_decontaminate" -> (dc04ChunkDecontaminate _),
     "dd10_repeated_spans" -> (dd10RepeatedSpans _),
     "dd13_paragraph_dedup" -> (dd13ParagraphDedup _),
     "tp02_full_curation" -> (tp02FullCuration _),
@@ -1630,6 +1663,7 @@ object Curation {
     "dc01_decontaminate" -> dc01Oracle,
     "dc02_contamination_report" -> dc02Oracle,
     "dc03_span_decontaminate" -> dc03Oracle,
+    "dc04_chunk_decontaminate" -> dc04Oracle,
     "dd10_repeated_spans" -> dd10Oracle,
     "dd13_paragraph_dedup" -> dd13Oracle,
     "tp02_full_curation" -> tp02Oracle,

@@ -521,24 +521,51 @@ object Dedup {
   // ---------------------------------------------------------------------
   private val cdcModulus = 16
 
-  def dd19CdcChunks(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
+  /** (doc_id, ch): per-doc-DISTINCT md5 ids of content-defined chunks —
+    * boundaries where the rolling trigram hash ≡ 0 (mod [[cdcModulus]]).
+    * Entirely per-row (HOFs over the projected token array); shared by
+    * dd19 and the chunk-granular decontamination (dc04). */
+  private[operators] def cdcChunks(docs: DataFrame): DataFrame = {
     val base = docs
       .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("toks"))
       .filter(size(col("toks")) > 0)
-    val withCuts = Tables.balanced(base)
+    Tables.balanced(base)
       .select(col("doc_id"), col("toks"),
         expr(s"""filter(
                    transform(ngram_hashes(toks, 3),
                      (g, i) -> if(g % $cdcModulus = 0, i + 1, cast(null as int))),
                    x -> x is not null)""").as("cuts"))
-    val chunks = withCuts.select(col("doc_id"),
-      explode(array_distinct(expr(
-        """zip_with(
-             concat(array(1), transform(cuts, c -> c + 1)),
-             concat(cuts, array(size(toks))),
-             (s, e) -> md5(concat_ws(' ', slice(toks, s, e - s + 1))))"""
-      ))).as("ch"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          """zip_with(
+               concat(array(1), transform(cuts, c -> c + 1)),
+               concat(cuts, array(size(toks))),
+               (s, e) -> md5(concat_ws(' ', slice(toks, s, e - s + 1))))"""
+        ))).as("ch"))
+  }
+
+  /** The dd19/dc04 chunk CTE prefix: `chk(doc_id, ch)` over `documents`,
+    * the DuckDB twin of [[cdcChunks]]. */
+  private[operators] val cdcChunkCtesSql: String =
+    s"""cdcn AS (
+       | SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+       | FROM documents),
+       |cdcc AS (
+       | SELECT doc_id, toks,
+       |  list_filter(range(1, greatest(len(toks) - 2, 0) + 1),
+       |    i -> ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 15))::BIGINT
+       |         % $cdcModulus = 0) AS cuts
+       | FROM cdcn WHERE len(toks) > 0),
+       |chk AS (
+       | SELECT DISTINCT doc_id, md5(array_to_string(toks[s:e], ' ')) AS ch
+       | FROM (
+       |  SELECT doc_id, toks,
+       |   unnest(list_concat([1], list_transform(cuts, x -> x + 1))) AS s,
+       |   unnest(list_concat(cuts, [len(toks)])) AS e
+       |  FROM cdcc) u)""".stripMargin
+
+  def dd19CdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val chunks = cdcChunks(Tables(s, dir, "documents"))
     val shared = chunks.groupBy(col("ch")).agg(count(lit(1)).as("nd"))
     chunks.join(shared, Seq("ch"))
       .groupBy(col("doc_id"))
@@ -547,27 +574,12 @@ object Dedup {
   }
 
   val dd19Oracle: String =
-    s"""WITH n AS (
-       | SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
-       | FROM documents),
-       |c AS (
-       | SELECT doc_id, toks,
-       |  list_filter(range(1, greatest(len(toks) - 2, 0) + 1),
-       |    i -> ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 15))::BIGINT
-       |         % $cdcModulus = 0) AS cuts
-       | FROM n WHERE len(toks) > 0),
-       |ch AS (
-       | SELECT DISTINCT doc_id, md5(array_to_string(toks[s:e], ' ')) AS ch
-       | FROM (
-       |  SELECT doc_id, toks,
-       |   unnest(list_concat([1], list_transform(cuts, x -> x + 1))) AS s,
-       |   unnest(list_concat(cuts, [len(toks)])) AS e
-       |  FROM c) u),
-       |sh AS (SELECT ch, COUNT(*) AS nd FROM ch GROUP BY ch)
-       |SELECT ch.doc_id, COUNT(*) AS n_chunks,
+    s"""WITH $cdcChunkCtesSql,
+       |sh AS (SELECT ch, COUNT(*) AS nd FROM chk GROUP BY ch)
+       |SELECT chk.doc_id, COUNT(*) AS n_chunks,
        | CAST(SUM(CASE WHEN sh.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks
-       |FROM ch JOIN sh USING (ch)
-       |GROUP BY ch.doc_id""".stripMargin
+       |FROM chk JOIN sh USING (ch)
+       |GROUP BY chk.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // dd14: CONTAINMENT verification of the LSH candidates — the asymmetric
@@ -1200,8 +1212,13 @@ object Dedup {
 
   def cc11Harmonic(s: SparkSession, dir: String): DataFrame = {
     val e = interactionEdges(s, dir)
+    // The cohort bound is the operator's cost knob: per-seed state/
+    // propagation scales linearly in |cohort|, so the audit samples a
+    // deterministic quarter of the nation's suppliers (key ≡ 0 mod 4) —
+    // the "rank OUR nodes" shape, not an all-nodes centrality sweep.
     val cohort = Tables(s, dir, "supplier")
-      .filter(col("s_nationkey") === harmonicSeedNation)
+      .filter(col("s_nationkey") === harmonicSeedNation &&
+        col("s_suppkey") % 2 === 0)
       .select((lit(10000000L) + col("s_suppkey")).as("seed"))
     val seeds = e.select(col("src").as("seed")).distinct()
       .join(cohort, Seq("seed"), "left_semi")
@@ -1229,7 +1246,8 @@ object Dedup {
        |d0 AS (
        | SELECT DISTINCT src AS seed, src AS node, CAST(0 AS BIGINT) AS dist FROM e
        | WHERE src IN (SELECT 10000000 + s_suppkey FROM supplier
-       |               WHERE s_nationkey = $harmonicSeedNation)),
+       |               WHERE s_nationkey = $harmonicSeedNation
+       |                 AND s_suppkey % 2 = 0)),
        |${(1 to bfsRounds).map(msRoundSql).mkString(",\n")}
        |SELECT seed, COUNT(*) AS n_reached,
        | CAST(SUM(2520 // dist) AS BIGINT) AS harmonic_x2520

@@ -418,19 +418,29 @@ object Relational {
       rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).persist()
-    var d = seeds.select(col("seed")).distinct()
+    var all = seeds.select(col("seed")).distinct()
       .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
-      val prop = e.join(d, e("src") === d("node"))
-        .select(col("seed"), col("dst").as("node"),
-          (col("dist") + 1L).as("dist"))
-      d = d.unionAll(prop).groupBy(col("seed"), col("node"))
-        .agg(min(col("dist")).as("dist"))
+    // Unit weights ⇒ first-touch IS the shortest distance, so only the
+    // FRONTIER (pairs first reached last round) propagates — re-relaxing
+    // settled pairs (the Bellman–Ford shape ssspDistances needs for
+    // general weights) would re-derive every settled distance per round,
+    // and on a dense graph the settled set dwarfs the frontier.
+    var frontier = all
+    for (r <- 1 to rounds) {
+      val prop = e.join(frontier, e("src") === frontier("node"))
+        .select(col("seed"), col("dst").as("node"))
+        .distinct()
+      val fresh = prop.join(all, Seq("seed", "node"), "left_anti")
+        .withColumn("dist", lit(r.toLong))
         .localCheckpoint()
+      // fresh is checkpointed, so the union's lineage stays flat — no
+      // need to re-materialize the growing `all` every round.
+      all = all.unionAll(fresh)
+      frontier = fresh
     }
     e.unpersist()
-    d
+    all
   }
 
   /** BOUNDED k-core peel: `rounds` synchronous rounds of "drop every node
@@ -1063,6 +1073,62 @@ object Relational {
       |SELECT c_custkey, 'rich_only' FROM (SELECT * FROM big EXCEPT SELECT * FROM building) t""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q55: MULTISET set operations — EXCEPT ALL / INTERSECT ALL, the
+  // bag-semantics complement of q28's DISTINCT set ops: multiplicities
+  // carry through (a part returned 5 times and accepted twice keeps 3
+  // r_surplus rows), which is what reconciliation/inventory-delta queries
+  // need and what EXCEPT/INTERSECT silently destroy. Spark plans both as
+  // count-annotated aggregates + generate — one shuffle per side, no
+  // join explosion on duplicate-heavy keys.
+  // ---------------------------------------------------------------------
+  def q55MultisetOps(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val r = li.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+    val a = li.filter(col("l_returnflag") === "A").select(col("l_partkey"))
+    r.exceptAll(a).withColumn("src", lit("r_surplus"))
+      .unionAll(r.intersectAll(a).withColumn("src", lit("common")))
+  }
+
+  val q55Oracle: String =
+    """SELECT l_partkey, 'r_surplus' AS src FROM (
+      | SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      | EXCEPT ALL
+      | SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A') t
+      |UNION ALL
+      |SELECT l_partkey, 'common' FROM (
+      | SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      | INTERSECT ALL
+      | SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A') t""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q56: bitwise / boolean aggregate verbs — BIT_AND/BIT_OR/BIT_XOR and
+  // BOOL_AND/BOOL_OR per group: flag-mask folding (which capability bits
+  // are common to / present in a group) and predicate rollups
+  // ("every line shipped multi-unit", "any line deeply discounted").
+  // All associative+commutative ⇒ map-side partials; integer/boolean
+  // results hash exactly.
+  // ---------------------------------------------------------------------
+  def q56BitBoolAggs(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("q"), col("l_discount"))
+    li.groupBy(col("l_returnflag"))
+      .agg(expr("bit_and(q)").as("q_and"),
+        expr("bit_or(q)").as("q_or"),
+        expr("bit_xor(q)").as("q_xor"),
+        expr("bool_and(q > 1)").as("all_multi"),
+        expr("bool_or(l_discount > 0.09)").as("any_big_disc"))
+  }
+
+  val q56Oracle: String =
+    """SELECT l_returnflag,
+      | CAST(BIT_AND(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_and,
+      | CAST(BIT_OR(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_or,
+      | CAST(BIT_XOR(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_xor,
+      | BOOL_AND(CAST(l_quantity AS BIGINT) > 1) AS all_multi,
+      | BOOL_OR(l_discount > 0.09) AS any_big_disc
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q29: sketch aggregates — HyperLogLog++ distinct counts and quantile
   // sketches, the constant-memory path for 100 TB cardinality/percentile
   // questions (rows-only driver check: approximations have no exact oracle).
@@ -1261,6 +1327,8 @@ object Relational {
     "q50_skyline" -> (q50Skyline _),
     "q51_merge_upsert" -> (q51MergeUpsert _),
     "q54_median_mode" -> (q54MedianMode _),
+    "q55_multiset_ops" -> (q55MultisetOps _),
+    "q56_bit_bool_aggs" -> (q56BitBoolAggs _),
     "q35_full_outer" -> (q35FullOuter _),
     "q31_salted_join" -> (q31SaltedJoin _),
     "q27_rollup" -> (q27Rollup _),
@@ -1298,6 +1366,8 @@ object Relational {
     "q50_skyline" -> q50Oracle,
     "q51_merge_upsert" -> q51Oracle,
     "q54_median_mode" -> q54Oracle,
+    "q55_multiset_ops" -> q55Oracle,
+    "q56_bit_bool_aggs" -> q56Oracle,
     "q31_salted_join" -> q31Oracle,
     "q27_rollup" -> q27Oracle,
     "q28_setops" -> q28Oracle,

@@ -551,6 +551,36 @@ object Similarity {
        |$annProbeTailSql""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ss24: IVF index HEALTH report — per-list occupancy of the learned
+  // quantizer's assignment (the observability half of index maintenance:
+  // a hot list means probes over-scan, empty lists mean wasted training
+  // capacity; ss13 watches drift over time, ss24 is the standing
+  // snapshot an operator alerts on). One full-corpus assignment (the
+  // same broadcast-cross + max_by argmax the index build runs — never a
+  // window) into a ≤k-row occupancy table; the per-mille share is an
+  // integer div so the report hashes exactly.
+  // ---------------------------------------------------------------------
+  def ss24IvfStats(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val occ = assignToCentroids(base, learnedCentroids(base, ivfRounds))
+      .groupBy(col("cent_id")).agg(count(lit(1)).as("n_vecs"))
+    val tot = occ.agg(sum(col("n_vecs")).as("total"))
+    occ.crossJoin(broadcast(tot))
+      .select(col("cent_id"), col("n_vecs"),
+        expr("(n_vecs * 1000) div total").as("occ_pm"))
+  }
+
+  lazy val ss24Oracle: String =
+    s"""WITH $qvecSql,
+       |${kmChainSql(ivfRounds)},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |$annProbePrefixSql,
+       |occ AS (SELECT cent_id, COUNT(*) AS n_vecs FROM assigned GROUP BY cent_id),
+       |t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total FROM occ)
+       |SELECT cent_id, n_vecs, (n_vecs * 1000) // t.total AS occ_pm
+       |FROM occ, t""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ss04: k-means (Lloyd's) to a fixed round count — kmRounds full
   // assign→update rounds from the deterministic seed, then a final
   // assignment under the learned centroids, reporting per-cluster size
@@ -1436,6 +1466,7 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "ss23_knn_classify" -> (ss23KnnClassify _),
+    "ss24_ivf_stats" -> (ss24IvfStats _),
     "ss21_ivf_sq" -> (ss21IvfSq _),
     "ss22_ivf_sq_recall" -> (ss22IvfSqRecall _),
     "ss16_sq_encode" -> (ss16SqEncode _),
@@ -1463,6 +1494,7 @@ object Similarity {
     "ss21_ivf_sq" -> ss21Oracle,
     "ss22_ivf_sq_recall" -> ss22Oracle,
     "ss23_knn_classify" -> ss23Oracle,
+    "ss24_ivf_stats" -> ss24Oracle,
     "ss16_sq_encode" -> ss16Oracle,
     "ss17_sq_topk" -> ss17Oracle,
     "ss18_sq_recall" -> ss18Oracle,

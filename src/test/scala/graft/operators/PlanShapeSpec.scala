@@ -399,4 +399,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("q53: both running-distinct windows share ONE user_id exchange") {
+    val plan = EventOps.q53RunningDistinct(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected one hash exchange, plan:\n${plan.take(3000)}")
+    assert("Window".r.findAllIn(plan).size >= 2, plan.take(3000))
+  }
+
+  test("q54: median/mode never plan a sort-based percentile over the corpus") {
+    val plan = Relational.q54MedianMode(spark, dir)
+      .queryExecution.executedPlan.toString
+    // everything order-sensitive happens on the ≤|groups·values| histogram
+    assert(!plan.contains("percentile"), plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
+
+  test("dc04: chunk decontamination screens via broadcast, corpus unshuffled pre-join") {
+    val plan = Curation.dc04ChunkDecontaminate(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }
