@@ -1229,6 +1229,44 @@ object Dedup {
         sum(expr("2520 div dist")).as("harmonic_x2520"))
   }
 
+  // ---------------------------------------------------------------------
+  // cc12: DEGREE-DISTRIBUTION report — the graph-health snapshot every
+  // other graph operator's cost model reads: per order-of-magnitude
+  // degree bucket (decimal digit count — an integer-exact "log" both
+  // engines compute identically on strings, immune to libm log2 ulps),
+  // how many nodes, their min/max degree, and their share per-mille.
+  // Hub detection (the 4+-digit buckets) is what decides salting for the
+  // wedge joins (cc07) and frontier bounds (cc09/cc11). Two tiny keyed
+  // aggregates after the one degree shuffle.
+  // ---------------------------------------------------------------------
+  def cc12DegreeDist(s: SparkSession, dir: String): DataFrame = {
+    val deg = interactionEdges(s, dir)
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val buckets = deg.groupBy(length(col("deg").cast("string")).as("digits"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+    val tot = buckets.agg(sum(col("n_nodes")).as("total"))
+    buckets.crossJoin(broadcast(tot))
+      .select(col("digits"), col("n_nodes"), col("min_deg"), col("max_deg"),
+        expr("(n_nodes * 1000) div total").as("share_pm"))
+  }
+
+  val cc12Oracle: String =
+    """WITH e0 AS (
+      | SELECT DISTINCT o.o_custkey AS src, 10000000 + l.l_suppkey AS dst
+      | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      |b AS (
+      | SELECT CAST(length(CAST(deg AS VARCHAR)) AS INT) AS digits,
+      |  COUNT(*) AS n_nodes,
+      |  CAST(MIN(deg) AS BIGINT) AS min_deg, CAST(MAX(deg) AS BIGINT) AS max_deg
+      | FROM deg GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS total FROM b)
+      |SELECT digits, n_nodes, min_deg, max_deg,
+      | (n_nodes * 1000) // t.total AS share_pm
+      |FROM b, t""".stripMargin
+
   private def msRoundSql(r: Int): String =
     s"""d$r AS (
        | SELECT seed, node, MIN(dist) AS dist FROM (
@@ -1436,6 +1474,7 @@ object Dedup {
     "cc09_bfs_hops" -> (cc09BfsHops _),
     "cc10_sssp" -> (cc10Sssp _),
     "cc11_harmonic" -> (cc11Harmonic _),
+    "cc12_degree_dist" -> (cc12DegreeDist _),
     "dd19_cdc_chunks" -> (dd19CdcChunks _),
     "tp01_corpus_curation" -> (tp01CorpusCuration _),
     "dd01_exact_dedup" -> (dd01ExactDedup _),
@@ -1466,6 +1505,7 @@ object Dedup {
     "cc09_bfs_hops" -> cc09Oracle,
     "cc10_sssp" -> cc10Oracle,
     "cc11_harmonic" -> cc11Oracle,
+    "cc12_degree_dist" -> cc12Oracle,
     "dd19_cdc_chunks" -> dd19Oracle,
     "tp01_corpus_curation" -> tp01Oracle,
     "dd01_exact_dedup" -> dd01Oracle,

@@ -551,6 +551,50 @@ object EventOps {
       |FROM f""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q57: WINDOWED p95 from a bounded value histogram — the per-hour tail
+  // metric (p95 latency/spend) computed the way a metrics pipeline must
+  // at scale: quantize to cents, aggregate (hour, cent) partial counts
+  // map-side, and read the discrete inverted CDF off the tiny histogram —
+  // never a per-window sort of raw events or a percentile aggregate
+  // buffering values. p95 = smallest value whose cumulative count reaches
+  // ⌈0.95·n⌉ (exact integer ceiling; no interpolation, so the answer is a
+  // real observed value and both engines agree bit-for-bit). q54's
+  // histogram trick over an event-time dimension.
+  // ---------------------------------------------------------------------
+  def q57WindowedP95(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        expr("cast(floor(value * 100) as bigint)").as("v100"))
+    val hist = ev.groupBy(col("hour_epoch"), col("v100"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("hour_epoch")).orderBy(col("v100"))
+    val wAll = Window.partitionBy(col("hour_epoch"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("target", expr("(n * 95 + 99) div 100"))
+      .filter(col("cum") >= col("target") &&
+        col("cum") - col("cnt") < col("target"))
+      .select(col("hour_epoch"), col("n"), col("v100").as("p95_v100"))
+  }
+
+  val q57Oracle: String =
+    """WITH e AS (
+      | SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+      |  CAST(floor(value * 100) AS BIGINT) AS v100
+      | FROM events),
+      |h AS (SELECT hour_epoch, v100, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+      |c AS (
+      | SELECT hour_epoch, v100, cnt,
+      |  SUM(cnt) OVER (PARTITION BY hour_epoch ORDER BY v100
+      |    ROWS UNBOUNDED PRECEDING) AS cum,
+      |  SUM(cnt) OVER (PARTITION BY hour_epoch) AS n
+      | FROM h)
+      |SELECT hour_epoch, CAST(n AS BIGINT) AS n, v100 AS p95_v100
+      |FROM c
+      |WHERE cum >= (n * 95 + 99) // 100 AND cum - cnt < (n * 95 + 99) // 100""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q46: UNPIVOT — q33's inverse, and stated as the round-trip law:
   // unpivot(pivot(events)) == the long-form GROUP BY (minus the
   // zero-count cells pivot materializes). Spark lowers the stack() to a
@@ -575,6 +619,7 @@ object EventOps {
   val queries: Map[String, Q] = Map(
     "q46_unpivot" -> (q46Unpivot _),
     "q53_running_distinct" -> (q53RunningDistinct _),
+    "q57_windowed_p95" -> (q57WindowedP95 _),
     "q20_tumbling_window" -> (q20TumblingWindow _),
     "q38_window_topk" -> (q38WindowTopk _),
     "q40_funnel" -> (q40Funnel _),
@@ -595,6 +640,7 @@ object EventOps {
   val oracles: Map[String, String] = Map(
     "q46_unpivot" -> q46Oracle,
     "q53_running_distinct" -> q53Oracle,
+    "q57_windowed_p95" -> q57Oracle,
     "q20_tumbling_window" -> q20Oracle,
     "q38_window_topk" -> q38Oracle,
     "q40_funnel" -> q40Oracle,

@@ -543,7 +543,49 @@ object Multimodal {
     vadSegments(media).toDF()
   }
 
+  final case class CorruptionAudit(kind: String, n_total: Long,
+      n_ok: Long, n_corrupt: Long)
+
+  /** Decode-health audit over a (possibly dirty) media lake: attempt the
+    * REAL decode for every payload and report per kind how many parse.
+    * A binary lake at 100 TB always contains truncated uploads, foreign
+    * formats and bit-rotted blobs; the curation contract is that they are
+    * COUNTED, never job-killing (each decode failure is caught per-row —
+    * the task, stage and job never see it). Same narrow flatMap-free
+    * mapPartitions + keyed rollup shape as the other codec ops. */
+  def corruptionAudit(media: Dataset[MediaRow]): Dataset[CorruptionAudit] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { m =>
+      val ok = scala.util.Try {
+        m.kind match {
+          case "image" => decodeImage(m.bytes).nonEmpty
+          case "audio" => decodeAudio(m.bytes).nonEmpty
+          case _ => decodeVideo(m.bytes)._3.nonEmpty
+        }
+      }.getOrElse(false)
+      (m.kind, if (ok) 1L else 0L)
+    }.groupByKey(_._1)
+      .mapGroups { (kind, rows) =>
+        var total = 0L; var good = 0L
+        rows.foreach { r => total += 1; good += r._2 }
+        CorruptionAudit(kind, total, good, total - good)
+      }
+  }
+
+  /** mm07: the audit over a deterministically-dirtied lake — payloads of
+    * media_id ≡ 0 (mod 13) are truncated to 7 bytes, which defeats all
+    * three container formats; the job completes and reports the damage. */
+  def mm07CorruptionAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dirty = mediaFromDocuments(s, dir).map { m =>
+      if (m.media_id % 13 == 0) m.copy(bytes = m.bytes.take(7)) else m
+    }
+    corruptionAudit(dirty).toDF()
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm07_corruption_audit" -> (mm07CorruptionAudit _),
     "mm01_media_features" -> (mm01Features _),
     "mm02_frame_sample" -> (mm02FrameSample _),
     "mm03_image_neardup" -> (mm03ImageNeardup _),

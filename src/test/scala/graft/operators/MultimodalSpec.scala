@@ -296,6 +296,38 @@ class MultimodalSpec extends SparkSpec {
     assert(segs.map(s => (s.start_frame, s.n_frames)).toSeq == Seq((0, 4)))
   }
 
+  test("corruptionAudit: planted bad payloads are counted, never job-killing") {
+    import spark.implicits._
+    val good = Seq(
+      Multimodal.MediaRow(1L, "image",
+        Multimodal.encodePng(Multimodal.syntheticImage(1L, 8, 8)), 8, 8, 3),
+      Multimodal.MediaRow(2L, "audio",
+        Multimodal.encodeWav(Multimodal.syntheticSamples(2L, 512)), 0, 0, 1),
+      Multimodal.MediaRow(3L, "video",
+        Multimodal.encodeRawVideo(4, 4, Multimodal.syntheticFrames(3L, 4, 4, 2)), 4, 4, 1))
+    val bad = Seq(
+      Multimodal.MediaRow(4L, "image", Array[Byte](1, 2, 3), 0, 0, 3),
+      Multimodal.MediaRow(5L, "video", good(2).bytes.dropRight(3), 4, 4, 1))
+    val audit = Multimodal.corruptionAudit((good ++ bad).toDS())
+      .collect().map(a => a.kind -> (a.n_total, a.n_ok, a.n_corrupt)).toMap
+    assert(audit == Map(
+      "image" -> ((2L, 1L, 1L)),
+      "audio" -> ((1L, 1L, 0L)),
+      "video" -> ((2L, 1L, 1L))), audit.toString)
+  }
+
+  test("mm07: truncated payloads are exactly the id % 13 == 0 rows") {
+    val media = Multimodal.mediaFromDocuments(spark, dir).collect()
+    val expected = media.groupBy(_.kind).map { case (k, rows) =>
+      k -> rows.count(_.media_id % 13 == 0).toLong }
+    val audit = Multimodal.mm07CorruptionAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    for ((k, nBad) <- expected) {
+      assert(audit(k)._2 == nBad, s"$k: ${audit(k)} expected $nBad corrupt")
+      assert(audit(k)._1 == media.count(_.kind == k).toLong)
+    }
+  }
+
   test("mm06: every doc id yields voiced segments under the speech fixture") {
     val out = Multimodal.mm06AudioVad(spark, dir).collect()
     assert(out.nonEmpty)
