@@ -241,13 +241,53 @@ object MatView {
       |FROM g JOIN t USING (h)
       |GROUP BY g.lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mv04: incrementally-maintained TOP-K (the live leaderboard): per-user
+  // monoid partials (count + DECIMAL sum) are the state — O(|users|), the
+  // rank itself is NEVER stored, because top-k is not a monoid (an
+  // increment can promote a user from outside any stored top-k'). Serving
+  // ranks the merged state with orderBy+limit — Spark plans
+  // TakeOrderedAndProject over the state table (per-partition heads, heap
+  // merge), so the serve costs O(|users|), not a corpus scan, and the
+  // merge ≡ full-recompute equality is the oracle's hash check.
+  // ---------------------------------------------------------------------
+  private[operators] def userPartials(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("sum_val"))
+
+  def mv04TopkRollforward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val stateDir = statePathFor(dir) + "_topk"
+    userPartials(ev.filter(col("event_id") % 10 =!= 3))
+      .write.mode("overwrite").parquet(stateDir)
+    val merged = s.read.parquet(stateDir)
+      .unionByName(userPartials(ev.filter(col("event_id") % 10 === 3)))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sum_val")).cast(DecimalType(18, 2)).as("sum_val"))
+    merged.orderBy(col("n_events").desc, col("user_id").asc).limit(10)
+      .select(col("user_id"), col("n_events"),
+        col("sum_val").cast("double").as("sum_val"))
+  }
+
+  val mv04Oracle: String =
+    """SELECT user_id, n_events, CAST(sum_val AS DOUBLE) AS sum_val FROM (
+      | SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_val
+      | FROM events GROUP BY user_id) t
+      |ORDER BY n_events DESC, user_id ASC LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "mv01_agg_rollforward" -> (mv01AggRollforward _),
     "mv02_event_rollforward" -> (mv02EventRollforward _),
-    "mv03_dedup_report_rollforward" -> (mv03DedupReportRollforward _))
+    "mv03_dedup_report_rollforward" -> (mv03DedupReportRollforward _),
+    "mv04_topk_rollforward" -> (mv04TopkRollforward _))
 
   val oracles: Map[String, String] = Map(
     "mv01_agg_rollforward" -> mv01Oracle,
     "mv02_event_rollforward" -> mv02Oracle,
-    "mv03_dedup_report_rollforward" -> mv03Oracle)
+    "mv03_dedup_report_rollforward" -> mv03Oracle,
+    "mv04_topk_rollforward" -> mv04Oracle)
 }

@@ -551,6 +551,110 @@ object Similarity {
        |$annProbeTailSql""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ss25: the RECALL-vs-NPROBE curve — the tuning deliverable behind
+  // every IVF deployment ("how many lists must we probe for the recall
+  // target"): recall@10 against the ss01 brute-force truth at nprobe ∈
+  // {1, 2, 4}. The sweep costs ONE corpus assignment and ONE candidate
+  // scoring pass, not one per setting: candidates carry the BEST probe
+  // rank that reaches them (pr = min crn), so "probed with nprobe = p"
+  // is the filter pr ≤ p over the already-scored table — the per-setting
+  // work collapses to a rank filter + window over the (tiny) candidate
+  // set. nprobe = 2 must reproduce ss03/ss06 exactly (internal
+  // consistency: same assignment, same tiebreaks).
+  // ---------------------------------------------------------------------
+  private val npCurve = Seq(1, 2, 4)
+
+  def ss25RecallCurve(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val cents = learnedCentroids(base, ivfRounds)
+      .select(col("cent_id"), col("cv").as("v2"), col("cnrm").as("n2"))
+      .localCheckpoint()
+    def centScored(src: DataFrame, idCol: String): DataFrame =
+      src.select(col("vec_id").as(idCol), col("v").as("v1"), col("nrm").as("n1"))
+        .join(broadcast(cents), lit(true))
+        .withColumn("ccos",
+          expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+    val npMax = npCurve.max
+    val assigned = centScored(base, "a_id")
+      .groupBy(col("a_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("ccos"), (-col("cent_id")).as("neg"))).as("cent_id"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val probes = centScored(base.filter(col("vec_id") % 100 === 0), "q_id")
+      .withColumn("crn", row_number().over(wProbe)).filter(col("crn") <= npMax)
+      .select(col("q_id"), col("cent_id"), col("crn"))
+    val cand = probes.join(assigned, Seq("cent_id"))
+      .filter(col("q_id") =!= col("a_id"))
+      .groupBy(col("q_id"), col("a_id")).agg(min(col("crn")).as("pr"))
+    val qs = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
+    val scored = cand
+      .join(base.select(col("vec_id").as("a_id"), col("v").as("v2"),
+        col("nrm").as("n2")), Seq("a_id"))
+      .join(broadcast(qs), Seq("q_id"))
+      .withColumn("cos",
+        expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+      .select(col("q_id"), col("a_id").as("c_id"), col("pr"), col("cos"))
+      .localCheckpoint()
+    val exact = ss01BruteTopk(s, dir).select(col("q_id"), col("c_id"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    npCurve.map { np =>
+      val approx = scored.filter(col("pr") <= np)
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("q_id", "c_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(lit(np).as("nprobe"), col("n_exact"), col("n_hit"),
+          expr("(n_hit * 100) div n_exact").as("recall_pct"))
+    }.reduce(_ unionAll _)
+  }
+
+  lazy val ss25Oracle: String = {
+    val perNp = npCurve.map { np =>
+      s"""SELECT $np AS nprobe, COUNT(*) AS n_exact,
+         | CAST(SUM(CASE WHEN tk.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         | (CAST(SUM(CASE WHEN tk.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
+         |   // COUNT(*) AS recall_pct
+         |FROM ex25 LEFT JOIN (
+         | SELECT q_id, c_id FROM (
+         |  SELECT q_id, c_id,
+         |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk
+         |  FROM sc25 WHERE pr <= $np) t WHERE rnk <= $K) tk
+         |USING (q_id, c_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $qvecSql,
+       |${kmChainSql(ivfRounds)},
+       |cents25 AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |cs25 AS (
+       | SELECT qn.vec_id, cents25.cent_id,
+       |  CAST(list_sum(list_transform(range(1, len(qn.v) + 1), i -> qn.v[i] * cents25.cv[i])) AS BIGINT)
+       |    / sqrt(CAST(qn.nrm AS DOUBLE) * CAST(cents25.cn AS DOUBLE)) AS ccos
+       | FROM qn CROSS JOIN cents25),
+       |rk25 AS (
+       | SELECT vec_id, cent_id,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS crn
+       | FROM cs25),
+       |as25 AS (SELECT vec_id AS a_id, cent_id FROM rk25 WHERE crn = 1),
+       |pb25 AS (SELECT vec_id AS q_id, cent_id, crn FROM rk25
+       |         WHERE crn <= ${npCurve.max} AND vec_id % 100 = 0),
+       |cd25 AS (
+       | SELECT p.q_id, a.a_id AS c_id, MIN(p.crn) AS pr
+       | FROM pb25 p JOIN as25 a ON p.cent_id = a.cent_id AND p.q_id != a.a_id
+       | GROUP BY 1, 2),
+       |sc25 AS (
+       | SELECT cd25.q_id, cd25.c_id, cd25.pr,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT)
+       |    / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos
+       | FROM cd25 JOIN qn a ON cd25.q_id = a.vec_id JOIN qn b ON cd25.c_id = b.vec_id),
+       |ex25 AS (SELECT q_id, c_id FROM ($ss01Oracle) x)
+       |$perNp""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // ss24: IVF index HEALTH report — per-list occupancy of the learned
   // quantizer's assignment (the observability half of index maintenance:
   // a hot list means probes over-scan, empty lists mean wasted training
@@ -1467,6 +1571,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "ss23_knn_classify" -> (ss23KnnClassify _),
     "ss24_ivf_stats" -> (ss24IvfStats _),
+    "ss25_recall_curve" -> (ss25RecallCurve _),
     "ss21_ivf_sq" -> (ss21IvfSq _),
     "ss22_ivf_sq_recall" -> (ss22IvfSqRecall _),
     "ss16_sq_encode" -> (ss16SqEncode _),
@@ -1495,6 +1600,7 @@ object Similarity {
     "ss22_ivf_sq_recall" -> ss22Oracle,
     "ss23_knn_classify" -> ss23Oracle,
     "ss24_ivf_stats" -> ss24Oracle,
+    "ss25_recall_curve" -> ss25Oracle,
     "ss16_sq_encode" -> ss16Oracle,
     "ss17_sq_topk" -> ss17Oracle,
     "ss18_sq_recall" -> ss18Oracle,
