@@ -1267,6 +1267,77 @@ object Dedup {
       | (n_nodes * 1000) // t.total AS share_pm
       |FROM b, t""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // cc13: LINK PREDICTION by bounded common neighbors — "customers also
+  // bought" / people-you-may-know over the cc07 co-purchase graph: the
+  // top-N non-adjacent part pairs ranked by shared neighbors, with the
+  // common count and a per-mille Jaccard lower bound. Exact
+  // common-neighbor counting is Σ deg² wedge work — the one graph
+  // primitive with no subquadratic exact form at a hub — so this runs the
+  // production shape: each wedge CENTER contributes at most its lpCap
+  // smallest-id neighbors (deterministic fan-out cap, the standard
+  // trick in large-scale PYMK systems), bounding wedge work at
+  // |V|·C(lpCap,2) while true degrees still feed the Jaccard denominator
+  // (so the score is a certified lower bound). The cap is a rank-limit
+  // window (WindowGroupLimit: map tasks keep ≤lpCap rows per node before
+  // the exchange, ds07's shape); the final top-N is TakeOrderedAndProject,
+  // never a global sort. All-integer, so the oracle (same cap, naive
+  // wedge SQL) hash-matches exactly.
+  // ---------------------------------------------------------------------
+  private val lpCap = 32
+  private val lpTopN = 50
+
+  def cc13LinkPredict(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val e0 = l.as("x").join(l.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    val adj = e0.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(e0.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val wCap = Window.partitionBy(col("node")).orderBy(col("nbr"))
+    val capped = adj.withColumn("rn", row_number().over(wCap))
+      .filter(col("rn") <= lpCap).select(col("node"), col("nbr"))
+    val wedges = capped.as("p").join(capped.as("q"),
+        col("p.node") === col("q.node") && col("p.nbr") < col("q.nbr"))
+      .select(col("p.nbr").as("u"), col("q.nbr").as("v"))
+    val common = wedges.groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
+    val nonEdge = common.join(e0,
+      common("u") === e0("a") && common("v") === e0("b"), "left_anti")
+    nonEdge
+      .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .withColumn("jacc_pm", expr("(common * 1000) div (deg_u + deg_v - common)"))
+      .orderBy(col("common").desc, col("u").asc, col("v").asc)
+      .limit(lpTopN)
+      .select(col("u"), col("v"), col("common"), col("deg_u"), col("deg_v"),
+        col("jacc_pm"))
+  }
+
+  val cc13Oracle: String =
+    s"""WITH e AS (
+       | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       | FROM lineitem x JOIN lineitem y
+       |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       |adj AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT node, COUNT(*) AS deg FROM adj GROUP BY node),
+       |capped AS (
+       | SELECT node, nbr FROM (
+       |  SELECT node, nbr, ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) AS rn
+       |  FROM adj) t WHERE rn <= $lpCap),
+       |w AS (
+       | SELECT p.nbr AS u, q.nbr AS v FROM capped p JOIN capped q
+       |  ON p.node = q.node AND p.nbr < q.nbr),
+       |c AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common FROM w GROUP BY u, v),
+       |ne AS (SELECT c.* FROM c WHERE NOT EXISTS (
+       | SELECT 1 FROM e WHERE e.a = c.u AND e.b = c.v))
+       |SELECT u, v, common, du.deg AS deg_u, dv.deg AS deg_v,
+       | (common * 1000) // (du.deg + dv.deg - common) AS jacc_pm
+       |FROM ne JOIN deg du ON ne.u = du.node JOIN deg dv ON ne.v = dv.node
+       |ORDER BY common DESC, u, v LIMIT $lpTopN""".stripMargin
+
   private def msRoundSql(r: Int): String =
     s"""d$r AS (
        | SELECT seed, node, MIN(dist) AS dist FROM (
@@ -1475,6 +1546,7 @@ object Dedup {
     "cc10_sssp" -> (cc10Sssp _),
     "cc11_harmonic" -> (cc11Harmonic _),
     "cc12_degree_dist" -> (cc12DegreeDist _),
+    "cc13_link_predict" -> (cc13LinkPredict _),
     "dd19_cdc_chunks" -> (dd19CdcChunks _),
     "tp01_corpus_curation" -> (tp01CorpusCuration _),
     "dd01_exact_dedup" -> (dd01ExactDedup _),
@@ -1506,6 +1578,7 @@ object Dedup {
     "cc10_sssp" -> cc10Oracle,
     "cc11_harmonic" -> cc11Oracle,
     "cc12_degree_dist" -> cc12Oracle,
+    "cc13_link_predict" -> cc13Oracle,
     "dd19_cdc_chunks" -> dd19Oracle,
     "tp01_corpus_curation" -> tp01Oracle,
     "dd01_exact_dedup" -> dd01Oracle,

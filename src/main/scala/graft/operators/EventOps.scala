@@ -595,6 +595,88 @@ object EventOps {
       |WHERE cum >= (n * 95 + 99) // 100 AND cum - cnt < (n * 95 + 99) // 100""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q58: NEAREST-event join — q32's bidirectional completion: for each
+  // click, the view by the same user closest in time in EITHER direction
+  // (ties prefer the earlier/at-or-before view). This is the sensor-fusion
+  // / log-correlation join ("match each error to the nearest heartbeat"),
+  // which engines with only backward ASOF can't express in one pass. Same
+  // Spark-first shape as q32 — NO join: union both sides tagged, ONE
+  // shuffle on user_id, one sort, then two frames over the same sorted
+  // run (last-non-null carrying the previous view forward, first-non-null
+  // carrying the next view backward; Catalyst reuses the sort, the second
+  // Window adds no exchange). Cost stays O(n log n) per user where a
+  // range join would explode to clicks×views before the argmin. Views
+  // pre-deduped to one per (user, second) — max view_id — as in q32.
+  // All-BIGINT epochs, so the argmin and its signed delta hash-match.
+  // ---------------------------------------------------------------------
+  def q58NearestEvent(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val vrecT = "struct<ve:bigint,view_id:bigint>"
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), unix_timestamp(col("ts")).as("es"))
+      .agg(max(col("event_id")).as("view_id"))
+      .select(col("user_id"), col("es"), lit(0).as("tag"),
+        struct(col("es").as("ve"), col("view_id")).as("vrec"),
+        lit(null).cast("long").as("click_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"), lit(1).as("tag"),
+        lit(null).cast(vrecT).as("vrec"), col("event_id").as("click_id"))
+    // Same-second views sort BEFORE the click (tag 0 < 1), so they land in
+    // the backward frame with dt = 0 and can never also win forward.
+    val ord = Seq(col("es"), col("tag"), col("click_id"))
+    val wBack = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    views.unionByName(clicks)
+      .withColumn("back", last(col("vrec"), ignoreNulls = true).over(wBack))
+      .withColumn("fwd", first(col("vrec"), ignoreNulls = true).over(wFwd))
+      .filter(col("tag") === 1)
+      // nearest: backward wins ties (and always when forward is absent)
+      .withColumn("pick", when(col("back").isNull, col("fwd"))
+        .when(col("fwd").isNull, col("back"))
+        .when(col("es") - col("back.ve") <= col("fwd.ve") - col("es"),
+          col("back"))
+        .otherwise(col("fwd")))
+      .select(col("click_id"), col("user_id"), col("es").as("click_epoch"),
+        col("pick.view_id").as("view_id"), col("pick.ve").as("view_epoch"),
+        (col("pick.ve") - col("es")).as("dt_s"))
+  }
+
+  val q58Oracle: String =
+    """WITH v AS (
+      | SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+      |  MAX(event_id) AS view_id
+      | FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      |c AS (
+      | SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id AS click_id
+      | FROM events WHERE event_type = 'click'),
+      |u AS (
+      | SELECT user_id, es, 0 AS tag, es AS ve, view_id, NULL AS click_id FROM v
+      | UNION ALL
+      | SELECT user_id, es, 1 AS tag, NULL, NULL, click_id FROM c),
+      |m AS (
+      | SELECT user_id, es, tag, click_id,
+      |  LAST_VALUE(ve IGNORE NULLS) OVER w1 AS bve,
+      |  LAST_VALUE(view_id IGNORE NULLS) OVER w1 AS bid,
+      |  FIRST_VALUE(ve IGNORE NULLS) OVER w2 AS fve,
+      |  FIRST_VALUE(view_id IGNORE NULLS) OVER w2 AS fid
+      | FROM u
+      | WINDOW
+      |  w1 AS (PARTITION BY user_id ORDER BY es, tag, click_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  w2 AS (PARTITION BY user_id ORDER BY es, tag, click_id
+      |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT click_id, user_id, es AS click_epoch,
+      | CASE WHEN bve IS NULL THEN fid WHEN fve IS NULL THEN bid
+      |  WHEN es - bve <= fve - es THEN bid ELSE fid END AS view_id,
+      | CASE WHEN bve IS NULL THEN fve WHEN fve IS NULL THEN bve
+      |  WHEN es - bve <= fve - es THEN bve ELSE fve END AS view_epoch,
+      | CASE WHEN bve IS NULL THEN fve WHEN fve IS NULL THEN bve
+      |  WHEN es - bve <= fve - es THEN bve ELSE fve END - es AS dt_s
+      |FROM m WHERE tag = 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q46: UNPIVOT — q33's inverse, and stated as the round-trip law:
   // unpivot(pivot(events)) == the long-form GROUP BY (minus the
   // zero-count cells pivot materializes). Spark lowers the stack() to a
@@ -620,6 +702,7 @@ object EventOps {
     "q46_unpivot" -> (q46Unpivot _),
     "q53_running_distinct" -> (q53RunningDistinct _),
     "q57_windowed_p95" -> (q57WindowedP95 _),
+    "q58_nearest_event" -> (q58NearestEvent _),
     "q20_tumbling_window" -> (q20TumblingWindow _),
     "q38_window_topk" -> (q38WindowTopk _),
     "q40_funnel" -> (q40Funnel _),
@@ -641,6 +724,7 @@ object EventOps {
     "q46_unpivot" -> q46Oracle,
     "q53_running_distinct" -> q53Oracle,
     "q57_windowed_p95" -> q57Oracle,
+    "q58_nearest_event" -> q58Oracle,
     "q20_tumbling_window" -> q20Oracle,
     "q38_window_topk" -> q38Oracle,
     "q40_funnel" -> q40Oracle,

@@ -877,7 +877,56 @@ object TextOps {
       |FROM g JOIN o USING (gh)
       |GROUP BY g.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // tx21: RULE-BASED quality filter — the decision layer on top of tx02's
+  // raw signals: Gopher/FineWeb-style threshold rules, each contributing a
+  // named failure, the keep bit = "no rule fired", and the fired rules
+  // emitted as an auditable reason string (what a curation pipeline logs
+  // so every dropped document is explainable). All comparisons are
+  // integer cross-multiplications (mean word length ∈ [4.0, 5.0] becomes
+  // 10·chars ≷ 40/50·words), so the verdict is exact in both engines —
+  // no float ratio anywhere. Per-row, shuffle-free, codegen'd: the 100 TB
+  // cost is one scan. Thresholds are tuned to the synthetic corpus so
+  // every rule actually fires somewhere (a filter that never fires tests
+  // nothing). Rule order in the reason string is fixed.
+  // ---------------------------------------------------------------------
+  def tx21RuleFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val sig = docs.select(col("doc_id"),
+      expr("cast(size(filter(split(text, ' '), x -> x != '')) as bigint)").as("n_words"),
+      expr("cast(length(replace(text, ' ', '')) as bigint)").as("n_wchars"),
+      expr("cast(size(filter(split(text, ' '), x -> x IN ('the','a','of','and','la','le','der'))) as bigint)").as("n_stop"),
+      expr("cast(size(array_distinct(filter(split(text, ' '), x -> x != ''))) as bigint)").as("n_distinct"))
+    sig.withColumn("failed_rules", concat_ws(",",
+        when(col("n_words") < 20, "too_short"),
+        when(col("n_wchars") * 10 < col("n_words") * 40 ||
+          col("n_wchars") * 10 > col("n_words") * 50, "word_len"),
+        when(col("n_stop") < 2, "low_stopword"),
+        when(col("n_distinct") * 5 < col("n_words") * 2, "repetitive")))
+      .select(col("doc_id"), col("n_words"),
+        (col("failed_rules") === "").as("keep"), col("failed_rules"))
+  }
+
+  val tx21Oracle: String =
+    """WITH sig AS (
+      | SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_words,
+      |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_wchars,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','la','le','der'))) AS BIGINT) AS n_stop,
+      |  CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS n_distinct
+      | FROM documents),
+      |r AS (
+      | SELECT doc_id, n_words, concat_ws(',',
+      |   CASE WHEN n_words < 20 THEN 'too_short' END,
+      |   CASE WHEN n_wchars * 10 < n_words * 40
+      |     OR n_wchars * 10 > n_words * 50 THEN 'word_len' END,
+      |   CASE WHEN n_stop < 2 THEN 'low_stopword' END,
+      |   CASE WHEN n_distinct * 5 < n_words * 2 THEN 'repetitive' END) AS failed_rules
+      | FROM sig)
+      |SELECT doc_id, n_words, failed_rules = '' AS keep, failed_rules FROM r""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tx21_rule_filter" -> (tx21RuleFilter _),
     "q25_posexplode_filtered" -> (q25PosexplodeFiltered _),
     "tx20_ngram_novelty" -> (tx20NgramNovelty _),
     "tx18_vocab_growth" -> (tx18VocabGrowth _),
@@ -902,6 +951,7 @@ object TextOps {
     "tx17_langid_confusion" -> (tx17LangidConfusion _))
 
   val oracles: Map[String, String] = Map(
+    "tx21_rule_filter" -> tx21Oracle,
     "q25_posexplode_filtered" -> q25Oracle,
     "tx20_ngram_novelty" -> tx20Oracle,
     "tx18_vocab_growth" -> tx18Oracle,
