@@ -582,6 +582,153 @@ object Dedup {
        |GROUP BY chk.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // dd20: SEMANTIC dedup (SemDeDup, Abbas et al. 2023) — the third dedup
+  // tier beside exact (dd01) and lexical-fuzzy (dd03/dd05): embeddings
+  // are k-means-clustered (Similarity's Lloyd machinery, 2 rounds from
+  // the deterministic seed), then cosine near-dup pairs are searched
+  // ONLY within clusters, and every vector with a smaller-id similar
+  // neighbor in its cluster is dropped (dd01's first-wins greedy). The
+  // cluster fence is the entire scale story: all-pairs cosine is
+  // corpus² (dd06's fenced baseline), but pairwise work confined to
+  // clusters is Σ(n/k)² — at 100 TB you grow k with the corpus so
+  // cluster sizes stay bounded (~thousands) and the quadratic term is a
+  // constant per cluster; cross-cluster duplicates are the accepted
+  // recall loss, the exact analog of ss03's nprobe tradeoff (and
+  // auditable the same way ss06 audits IVF recall). Same integer
+  // vector math as dd06 (cos ≥ 0.4 ⇔ dot > 0 ∧ 25·dot² ≥ 4·n1·n2), so
+  // the oracle — the identical Lloyd chain + within-cluster pair scan
+  // in SQL — hash-matches exactly.
+  // ---------------------------------------------------------------------
+  private val sdRounds = 2
+
+  /** Cluster `base` (qvec-shaped: vec_id, v, nrm) with `sdRounds` Lloyd
+    * rounds and return (assigned, drops): the per-vector cluster ids and
+    * the DISTINCT vec_ids that have a smaller-id cosine-0.4 neighbor in
+    * their own cluster. Shared by dd20 and the tp09 funnel's third tier. */
+  private def semClusterDrops(base: DataFrame): (DataFrame, DataFrame) = {
+    val cents = Similarity.learnedCentroids(base, sdRounds)
+    val assigned = Similarity.kmAssign(base, cents)
+      .select(col("vec_id"), col("cluster")).localCheckpoint()
+    val withV = assigned.join(base, Seq("vec_id"))
+    val a = withV.select(col("cluster"), col("vec_id").as("v1c"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = withV.select(col("cluster"), col("vec_id").as("v2c"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    // The pair join shuffles on cluster id only — never a cross join; the
+    // v1c < v2c predicate halves each cluster's quadrant.
+    val pairs = a.join(b, Seq("cluster")).filter(col("v1c") < col("v2c"))
+      .withColumn("dot", expr("dot_l(v1, v2)"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 25 >= col("n1") * col("n2") * 4)
+    (assigned, pairs.select(col("v2c").as("vec_id")).distinct())
+  }
+
+  /** Oracle-side mirror of [[semClusterDrops]]'s pair scan: reads the
+    * assignment CTE `a$r` and the (possibly filtered) `qn`, defines
+    * `cand` and `drops`. */
+  private def semDropsSql(r: Int): String =
+    s"""semcand AS (
+       | SELECT x.vec_id AS v1c, y.vec_id AS v2c,
+       |  CAST(list_sum(list_transform(range(1, len(q1.v) + 1), i -> q1.v[i] * q2.v[i])) AS BIGINT) AS dot,
+       |  q1.nrm AS n1, q2.nrm AS n2
+       | FROM a$r x JOIN a$r y
+       |  ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       | JOIN qn q1 ON q1.vec_id = x.vec_id
+       | JOIN qn q2 ON q2.vec_id = y.vec_id),
+       |semdrops AS (
+       | SELECT DISTINCT v2c AS vec_id FROM semcand
+       | WHERE dot > 0 AND dot * dot * 25 >= n1 * n2 * 4)""".stripMargin
+
+  def dd20Semdedup(s: SparkSession, dir: String): DataFrame = {
+    val base = Similarity.qvec(s, dir).localCheckpoint()
+    val (assigned, drops) = semClusterDrops(base)
+    assigned.join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dropped").isNull.as("keep"))
+  }
+
+  val dd20Oracle: String = {
+    val r = sdRounds + 1
+    s"""WITH ${Similarity.qvecSql},
+       |${Similarity.kmChainSql(sdRounds)},
+       |${Similarity.kmAssignSql(r, s"c$sdRounds")},
+       |${semDropsSql(r)}
+       |SELECT a.vec_id, a.cluster, a.vec_id NOT IN (SELECT vec_id FROM semdrops) AS keep
+       |FROM a$r a""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // tp09: the TIERED dedup funnel — the three tiers run in the order a
+  // production corpus pipeline runs them, each consuming the previous
+  // tier's survivors, with the per-stage attrition emitted as the audit
+  // table every curation run reports: exact (hash groupBy — removes
+  // byte-identical copies AND guards the later tiers' quadratic terms),
+  // then lexical (MinHash-LSH candidates + exact-Jaccard verify,
+  // remove-larger), then semantic (dd20's cluster-fenced cosine scan over
+  // the survivors' embeddings, linked by the testdata's vec_id == doc_id
+  // convention). Counts are four 1-row aggregates cross-joined and
+  // stack()ed — the corpus is never collected, and each tier keeps its
+  // standalone plan shape (the funnel adds two semi-joins, no new
+  // shuffles). All-integer output.
+  // ---------------------------------------------------------------------
+  def tp09DedupFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val surv1 = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val sdocs = docs.join(surv1, Seq("doc_id"), "left_semi")
+      .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val removed2 = jaccardVerified(sdocs)
+      .filter(col("is_dup")).select(col("doc2").as("doc_id")).distinct()
+    val surv2 = sdocs.select(col("doc_id"))
+      .join(removed2, Seq("doc_id"), "left_anti").localCheckpoint()
+    val base = Similarity.qvec(s, dir)
+      .join(surv2.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      .localCheckpoint()
+    val (_, drops3) = semClusterDrops(base)
+    val surv3 = base.select(col("vec_id"))
+      .join(drops3, Seq("vec_id"), "left_anti")
+    val c0 = docs.agg(count(lit(1)).as("n0"))
+    val c1 = sdocs.agg(count(lit(1)).as("n1"))
+    val c2 = surv2.agg(count(lit(1)).as("n2"))
+    val c3 = surv3.agg(count(lit(1)).as("n3"))
+    c0.crossJoin(c1).crossJoin(c2).crossJoin(c3)
+      .select(expr(
+        """stack(3,
+          | 1, 'exact', n0, n1,
+          | 2, 'lexical', n1, n2,
+          | 3, 'semantic', n2, n3) AS (stage_ord, stage, n_in, n_out)""".stripMargin))
+      .select(col("stage_ord"), col("stage"), col("n_in"),
+        (col("n_in") - col("n_out")).as("n_removed"), col("n_out"))
+  }
+
+  val tp09Oracle: String = {
+    val r = sdRounds + 1
+    s"""WITH surv1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |sdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN surv1 ON d.doc_id = surv1.doc_id),
+       |${verifyCtesFrom("sdocs")},
+       |verified AS ($verifySelect),
+       |removed AS (SELECT DISTINCT doc2 FROM verified WHERE is_dup),
+       |surv2 AS (SELECT doc_id FROM sdocs WHERE doc_id NOT IN (SELECT doc2 FROM removed)),
+       |q AS (
+       | SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+       | FROM embeddings WHERE vec_id IN (SELECT doc_id FROM surv2)),
+       |qn AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nrm FROM q),
+       |${Similarity.kmChainSql(sdRounds)},
+       |${Similarity.kmAssignSql(r, s"c$sdRounds")},
+       |${semDropsSql(r)},
+       |surv3 AS (SELECT vec_id FROM qn WHERE vec_id NOT IN (SELECT vec_id FROM semdrops)),
+       |n0 AS (SELECT COUNT(*) AS n0 FROM documents),
+       |n1 AS (SELECT COUNT(*) AS n1 FROM sdocs),
+       |n2 AS (SELECT COUNT(*) AS n2 FROM surv2),
+       |n3 AS (SELECT COUNT(*) AS n3 FROM surv3)
+       |SELECT 1 AS stage_ord, 'exact' AS stage, n0 AS n_in, n0 - n1 AS n_removed, n1 AS n_out FROM n0, n1
+       |UNION ALL
+       |SELECT 2, 'lexical', n1, n1 - n2, n2 FROM n1, n2
+       |UNION ALL
+       |SELECT 3, 'semantic', n2, n2 - n3, n3 FROM n2, n3""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // dd14: CONTAINMENT verification of the LSH candidates — the asymmetric
   // complement of dd05's Jaccard: C(A→B) = |A∩B| / |A| answers "is doc A
   // mostly inside doc B", which Jaccard misses whenever the sizes differ
@@ -1548,6 +1695,8 @@ object Dedup {
     "cc12_degree_dist" -> (cc12DegreeDist _),
     "cc13_link_predict" -> (cc13LinkPredict _),
     "dd19_cdc_chunks" -> (dd19CdcChunks _),
+    "dd20_semdedup" -> (dd20Semdedup _),
+    "tp09_dedup_funnel" -> (tp09DedupFunnel _),
     "tp01_corpus_curation" -> (tp01CorpusCuration _),
     "dd01_exact_dedup" -> (dd01ExactDedup _),
     "dd02_minhash_sig" -> (dd02MinhashSig _),
@@ -1580,6 +1729,8 @@ object Dedup {
     "cc12_degree_dist" -> cc12Oracle,
     "cc13_link_predict" -> cc13Oracle,
     "dd19_cdc_chunks" -> dd19Oracle,
+    "dd20_semdedup" -> dd20Oracle,
+    "tp09_dedup_funnel" -> tp09Oracle,
     "tp01_corpus_curation" -> tp01Oracle,
     "dd01_exact_dedup" -> dd01Oracle,
     "dd02_minhash_sig" -> dd02Oracle,

@@ -36,7 +36,7 @@ object Similarity {
     Dedup.quantized(Tables(s, dir, "embeddings"))
       .select(col("vec_id"), col("v"), col("nrm"))
 
-  private val qvecSql: String =
+  private[operators] val qvecSql: String =
     """q AS (
       | SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS v
       | FROM embeddings),
@@ -173,7 +173,7 @@ object Similarity {
   // stay stable across rounds; a cluster that empties simply drops out of
   // the update (both engines agree).
   // ---------------------------------------------------------------------
-  private def kmAssign(pts: DataFrame, cents: DataFrame): DataFrame =
+  private[operators] def kmAssign(pts: DataFrame, cents: DataFrame): DataFrame =
     pts.join(broadcast(cents), lit(true))
       .withColumn("d2",
         col("nrm") + col("cnrm") - expr("2 * dot_l(v, cv)"))
@@ -219,7 +219,7 @@ object Similarity {
 
   /** Oracle-side mirror of one Lloyd round r (reads c{r-1}, defines c{r});
     * the same CTE text chains to any fixed round count. */
-  private def kmAssignSql(r: Int, prev: String): String =
+  private[operators] def kmAssignSql(r: Int, prev: String): String =
     s"""s$r AS (
        | SELECT qn.vec_id, $prev.cent_id,
        |  qn.nrm + $prev.cnrm - 2 * CAST(list_sum(list_transform(range(1, len(qn.v) + 1), i -> qn.v[i] * $prev.cv[i])) AS BIGINT) AS d2
@@ -245,7 +245,7 @@ object Similarity {
   private val kmSeedSql: String =
     "c0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM qn WHERE vec_id % 250 = 0)"
 
-  private def kmChainSql(rounds: Int): String =
+  private[operators] def kmChainSql(rounds: Int): String =
     s"""$kmSeedSql,
        |${(1 to rounds).map(kmRoundSql).mkString(",\n")}""".stripMargin
 
