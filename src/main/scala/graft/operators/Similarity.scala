@@ -263,8 +263,12 @@ object Similarity {
   private val nprobe = 2
   private val ivfRounds = 2
 
-  def ss03AnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val base = qvec(s, dir).localCheckpoint()
+  /** The shared IVF probe: learned centroids, corpus assignment (argmax),
+    * nprobe nearest lists per query, and the exact integer dot for every
+    * (query, candidate) pair drawn from the probed lists. ss03 ranks these
+    * to a top-k; ss26 filters them by a radius — the two serving modes of
+    * the same index. */
+  private def ivfScoredPairs(s: SparkSession, base: DataFrame): DataFrame = {
     val cents = learnedCentroids(base, ivfRounds)
       .select(col("cent_id"), col("cv").as("v2"), col("cnrm").as("n2"))
     def centScored(src: DataFrame, idCol: String): DataFrame =
@@ -290,12 +294,17 @@ object Similarity {
       .select(col("q_id"), col("cent_id"))
     val qs = base.select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
     val cs = base.select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"))
-    val scored = probes.join(assigned, Seq("cent_id"))
+    probes.join(assigned, Seq("cent_id"))
       .filter(col("q_id") =!= col("a_id"))
       .select(col("q_id"), col("a_id").as("c_id")).distinct()
       .join(broadcast(qs), Seq("q_id"))
       .join(cs, Seq("c_id"))
       .withColumn("dot", expr(dotExpr))
+  }
+
+  def ss03AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val scored = ivfScoredPairs(s, base)
       .withColumn("cos",
         col("dot") / sqrt(col("n1").cast("double") * col("n2").cast("double")))
     val w = Window.partitionBy(col("q_id"))
@@ -303,6 +312,40 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
       .select(col("q_id"), col("c_id"), col("rnk"), col("cos"))
   }
+
+  // ---------------------------------------------------------------------
+  // ss26: RANGE (radius) search — the second serving mode of the ss03
+  // index: "everything within cosine 0.3 of each query", the mode behind
+  // near-duplicate sweeps and dense-retrieval thresholding where k is
+  // unknown a priori. Identical probe plan to ss03 (same learned
+  // centroids, same nprobe lists); only the tail differs — an INTEGER
+  // radius test (cos ≥ 0.3 ⇔ dot > 0 ∧ 100·dot² ≥ 9·n1·n2) replaces the
+  // per-query rank window, so the radius mode is strictly cheaper than
+  // top-k (no sort at all after the list join) and exactly
+  // oracle-checkable. Like every probed mode, recall < 1 by construction
+  // vs a brute radius scan — the ss06 audit pattern applies unchanged.
+  // ---------------------------------------------------------------------
+  def ss26RangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    ivfScoredPairs(s, base)
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 100 >= col("n1") * col("n2") * 9)
+      .select(col("q_id"), col("c_id"), col("dot"), col("n1"), col("n2"))
+  }
+
+  lazy val ss26Oracle: String =
+    s"""WITH $qvecSql,
+       |${kmChainSql(ivfRounds)},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |$annProbePrefixSql,
+       |rng AS (
+       | SELECT pairs.q_id, pairs.c_id,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+       |  a.nrm AS n1, b.nrm AS n2
+       | FROM pairs JOIN qn a ON pairs.q_id = a.vec_id
+       |  JOIN qn b ON pairs.c_id = b.vec_id)
+       |SELECT q_id, c_id, dot, n1, n2 FROM rng
+       |WHERE dot > 0 AND dot * dot * 100 >= n1 * n2 * 9""".stripMargin
 
   // ---------------------------------------------------------------------
   // ss19: FILTERED ANN — label-constrained vector search ("same-class
@@ -1572,6 +1615,7 @@ object Similarity {
     "ss23_knn_classify" -> (ss23KnnClassify _),
     "ss24_ivf_stats" -> (ss24IvfStats _),
     "ss25_recall_curve" -> (ss25RecallCurve _),
+    "ss26_range_search" -> (ss26RangeSearch _),
     "ss21_ivf_sq" -> (ss21IvfSq _),
     "ss22_ivf_sq_recall" -> (ss22IvfSqRecall _),
     "ss16_sq_encode" -> (ss16SqEncode _),
@@ -1601,6 +1645,7 @@ object Similarity {
     "ss23_knn_classify" -> ss23Oracle,
     "ss24_ivf_stats" -> ss24Oracle,
     "ss25_recall_curve" -> ss25Oracle,
+    "ss26_range_search" -> ss26Oracle,
     "ss16_sq_encode" -> ss16Oracle,
     "ss17_sq_topk" -> ss17Oracle,
     "ss18_sq_recall" -> ss18Oracle,

@@ -217,6 +217,79 @@ object EventStream {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class NearestAttached(click_id: Long, user_id: Long,
+      click_ts: Timestamp, view_id: Option[Long], view_ts: Option[Timestamp])
+
+  final case class NearestState(views: List[(Long, Long)],
+      clicks: List[(Long, Long)])
+
+  /** Streaming NEAREST-event join — the bounded-horizon streaming form of
+    * EventOps.q58: each click attaches to the same user's closest view in
+    * EITHER direction within ±horizon (backward wins ties, max id within a
+    * timestamp — q58's tiebreak). The forward direction is what asofAttach
+    * cannot do: a click's answer may lie in its future, so a click is held
+    * in keyed state until the event-time watermark passes click_ts +
+    * horizon — only then is "no closer future view will ever arrive"
+    * certain — and emitted exactly once from the timeout path. State per
+    * user is the clicks and views inside a sliding 2·horizon band (views
+    * older than watermark − horizon can serve no pending or future click
+    * and are pruned on every firing), so state is bounded by rate×horizon,
+    * never stream length. The unbounded-horizon exact form is the batch
+    * twin; this is the online approximation a serving pipeline runs. */
+  def nearestAttach(events: Dataset[Event], horizonSeconds: Long = 3600,
+      watermark: String = "30 minutes"): Dataset[NearestAttached] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hMs = horizonSeconds * 1000L
+
+    def resolve(userId: Long, st: NearestState,
+        wm: Long): (List[NearestAttached], NearestState) = {
+      val (due, pend) = st.clicks.partition { case (cts, _) => cts + hMs <= wm }
+      val out = due.sortBy(identity).map { case (cts, cid) =>
+        val best = st.views
+          .filter { case (vts, _) => math.abs(vts - cts) <= hMs }
+          .sortBy { case (vts, vid) =>
+            (math.abs(vts - cts), if (vts <= cts) 0L else 1L, -vid) }
+          .headOption
+        NearestAttached(cid, userId, new Timestamp(cts),
+          best.map(_._2), best.map(b => new Timestamp(b._1)))
+      }
+      val keep = st.views.filter { case (vts, _) => vts + hMs >= wm }
+      (out, NearestState(keep, pend))
+    }
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[NearestState]): Iterator[NearestAttached] = {
+      val wm = state.getCurrentWatermarkMs()
+      val st0 = state.getOption.getOrElse(NearestState(Nil, Nil))
+      val st1 =
+        if (state.hasTimedOut) st0
+        else {
+          val rs = rows.toSeq
+          NearestState(
+            st0.views ++ rs.filter(_.event_type == "view")
+              .map(e => (e.ts.getTime, e.event_id)),
+            st0.clicks ++ rs.filter(_.event_type == "click")
+              .map(e => (e.ts.getTime, e.event_id)))
+        }
+      val (out, st2) = resolve(userId, st1, wm)
+      if (st2.views.isEmpty && st2.clicks.isEmpty) state.remove()
+      else {
+        state.update(st2)
+        val deadline =
+          if (st2.clicks.nonEmpty) st2.clicks.map(_._1 + hMs).min
+          else st2.views.map(_._1 + hMs).min // pure-view prune point
+        state.setTimeoutTimestamp(math.max(deadline, wm + 1))
+      }
+      out.iterator
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   final case class RunningDistinct(event_id: Long, user_id: Long,
       sec: Long, distinct_types: Long)
 

@@ -88,6 +88,40 @@ trait StatefulStreamingScenarios { this: SparkSpec =>
     }
   }
 
+  test("nearest-event attach waits out the horizon, then picks either direction (backward ties)") {
+    withProvider {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val input = MemoryStream[Event]
+      val q = EventStream.nearestAttach(input.toDS(),
+          horizonSeconds = 120, watermark = "0 seconds")
+        .writeStream.format("memory").queryName("nearest")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(
+          // u1: views 60 s either side of the click — backward tie → id 1
+          Event(1, ts(1), 1, "view", 0), Event(2, ts(2), 1, "click", 0),
+          Event(3, ts(3), 1, "view", 0),
+          // u2: only a FUTURE view inside the horizon → forward pick (id 5),
+          // the case asofAttach structurally cannot produce
+          Event(4, ts(10), 2, "click", 0), Event(5, ts(11), 2, "view", 0),
+          // u3: nearest view is 5 min away — outside the 2 min horizon
+          Event(6, ts(20), 3, "click", 0), Event(7, ts(25), 3, "view", 0))
+        q.processAllAvailable()
+        // (the no-data micro-batch after the watermark jump to ts(25) may
+        // already fire every deadline; the sentinels below make it certain)
+        input.addData(Event(98, ts(300), 9, "view", 0))
+        q.processAllAvailable()
+        input.addData(Event(99, ts(400), 9, "view", 0))
+        q.processAllAvailable()
+        val got = spark.table("nearest").as[EventStream.NearestAttached]
+          .collect().map(r => r.click_id -> r.view_id).toMap
+        assert(got == Map(2L -> Some(1L), 4L -> Some(5L), 6L -> None),
+          got.toString)
+      } finally { q.stop(); spark.catalog.dropTempView("nearest") }
+    }
+  }
+
   test("sessionization closes a session when the gap is exceeded") {
     withProvider {
       implicit val sqlCtx = spark.sqlContext
