@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -279,13 +280,74 @@ object MatView {
       | FROM events GROUP BY user_id) t
       |ORDER BY n_events DESC, user_id ASC LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mv05: incremental HISTOGRAM maintenance — the mergeable-quantile view:
+  // the state is a per-(event_type, cent) count histogram (counts are a
+  // monoid, so the q57 percentile trick becomes INCREMENTAL: merge the
+  // day's histogram partials, never rescan the corpus), and serving walks
+  // the tiny merged histogram's inverted CDF for exact p50/p95 — a
+  // mergeable quantile sketch with zero error. This is the standing
+  // "latency dashboard" view: at 100 TB the state is O(|types| ×
+  // |distinct cents|) regardless of event count, the roll-forward touches
+  // state + increment only, and the serve walk never exceeds dictionary
+  // size. Oracle = one-pass recompute over all events: hash-equality is
+  // the merge-correctness proof, exactly mv01's law applied to
+  // percentiles (the aggregate everyone assumes CAN'T be maintained
+  // incrementally — it can, when kept as a histogram).
+  // ---------------------------------------------------------------------
+  private[operators] def histPartials(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"),
+        expr("cast(floor(value * 100) as bigint)").as("v100"))
+      .agg(count(lit(1)).as("cnt"))
+
+  def mv05HistRollforward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val stateDir = statePathFor(dir) + "_hist"
+    histPartials(ev.filter(col("event_id") % 10 =!= 3))
+      .write.mode("overwrite").parquet(stateDir)
+    val merged = s.read.parquet(stateDir)
+      .unionByName(histPartials(ev.filter(col("event_id") % 10 === 3)))
+      .groupBy(col("event_type"), col("v100"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("v100"))
+    val wAll = Window.partitionBy(col("event_type"))
+    merged
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") * 2 >= col("n"), col("v100"))).as("p50_v100"),
+        min(when(col("cum") >= expr("(n * 95 + 99) div 100"), col("v100")))
+          .as("p95_v100"),
+        max(col("v100")).as("max_v100"))
+  }
+
+  val mv05Oracle: String =
+    """WITH h AS (
+      | SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v100,
+      |  COUNT(*) AS cnt
+      | FROM events GROUP BY 1, 2),
+      |c AS (
+      | SELECT event_type, v100, cnt,
+      |  SUM(cnt) OVER (PARTITION BY event_type ORDER BY v100
+      |    ROWS UNBOUNDED PRECEDING) AS cum,
+      |  SUM(cnt) OVER (PARTITION BY event_type) AS n
+      | FROM h)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+      | MIN(CASE WHEN cum * 2 >= n THEN v100 END) AS p50_v100,
+      | MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN v100 END) AS p95_v100,
+      | MAX(v100) AS max_v100
+      |FROM c GROUP BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mv05_hist_rollforward" -> (mv05HistRollforward _),
     "mv01_agg_rollforward" -> (mv01AggRollforward _),
     "mv02_event_rollforward" -> (mv02EventRollforward _),
     "mv03_dedup_report_rollforward" -> (mv03DedupReportRollforward _),
     "mv04_topk_rollforward" -> (mv04TopkRollforward _))
 
   val oracles: Map[String, String] = Map(
+    "mv05_hist_rollforward" -> mv05Oracle,
     "mv01_agg_rollforward" -> mv01Oracle,
     "mv02_event_rollforward" -> mv02Oracle,
     "mv03_dedup_report_rollforward" -> mv03Oracle,

@@ -56,6 +56,26 @@ class MatViewSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("histogram roll-forward: merged quantile state equals full recompute for any split") {
+    val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+    val dir = Files.createTempDirectory("mv-hist").toFile
+    try {
+      // a deliberately different split from mv05's (% 3 vs % 10) — the
+      // monoid law must hold for ANY partition of the stream
+      val base = ev.filter(col("event_id") % 3 =!= 0)
+      val inc = ev.filter(col("event_id") % 3 === 0)
+      MatView.histPartials(base).write.parquet(s"${dir.getPath}/state")
+      val merged = spark.read.parquet(s"${dir.getPath}/state")
+        .unionByName(MatView.histPartials(inc))
+        .groupBy(col("event_type"), col("v100"))
+        .agg(org.apache.spark.sql.functions.sum(col("cnt")).as("cnt"))
+      val full = MatView.histPartials(ev)
+      val c1 = merged.orderBy("event_type", "v100").collect().map(_.toString).toSeq
+      val c2 = full.orderBy("event_type", "v100").collect().map(_.toString).toSeq
+      assert(c1 === c2)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("mv02 state partition-prunes by day and merge equals full recompute") {
     val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events")
     val day = expr("unix_timestamp(ts) div 86400")
