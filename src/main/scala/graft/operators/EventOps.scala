@@ -677,6 +677,44 @@ object EventOps {
       |FROM m WHERE tag = 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q59: GAPS-AND-ISLANDS — maximal runs of consecutive active DAYS per
+  // user (login streaks / SLA uptime / coverage-gap detection), the
+  // canonical warehouse pattern that needs no join at all: collapse to
+  // distinct (user, day), then day − row_number is CONSTANT exactly
+  // within a consecutive run (the islands trick), so a plain groupBy on
+  // that derived key yields each streak's bounds and length. Differs
+  // from q22's sessionize (arbitrary time gaps over raw seconds): this
+  // is calendar-granular and the corpus collapses to ≤ users×days rows
+  // before any window. Two keyed exchanges (the (user, day) distinct,
+  // then the per-user sort) — the second input is already dictionary-
+  // sized. All-integer, hash-exact.
+  // ---------------------------------------------------------------------
+  def q59DayStreaks(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "events")
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    d.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+        count(lit(1)).as("len_days"))
+      .select(col("user_id"), col("start_day"), col("end_day"), col("len_days"))
+  }
+
+  val q59Oracle: String =
+    """WITH d AS (
+      | SELECT DISTINCT user_id,
+      |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      | FROM events),
+      |r AS (
+      | SELECT user_id, day,
+      |  day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      | FROM d)
+      |SELECT user_id, MIN(day) AS start_day, MAX(day) AS end_day,
+      | CAST(COUNT(*) AS BIGINT) AS len_days
+      |FROM r GROUP BY user_id, grp""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q46: UNPIVOT — q33's inverse, and stated as the round-trip law:
   // unpivot(pivot(events)) == the long-form GROUP BY (minus the
   // zero-count cells pivot materializes). Spark lowers the stack() to a
@@ -703,6 +741,7 @@ object EventOps {
     "q53_running_distinct" -> (q53RunningDistinct _),
     "q57_windowed_p95" -> (q57WindowedP95 _),
     "q58_nearest_event" -> (q58NearestEvent _),
+    "q59_day_streaks" -> (q59DayStreaks _),
     "q20_tumbling_window" -> (q20TumblingWindow _),
     "q38_window_topk" -> (q38WindowTopk _),
     "q40_funnel" -> (q40Funnel _),
@@ -725,6 +764,7 @@ object EventOps {
     "q53_running_distinct" -> q53Oracle,
     "q57_windowed_p95" -> q57Oracle,
     "q58_nearest_event" -> q58Oracle,
+    "q59_day_streaks" -> q59Oracle,
     "q20_tumbling_window" -> q20Oracle,
     "q38_window_topk" -> q38Oracle,
     "q40_funnel" -> q40Oracle,
