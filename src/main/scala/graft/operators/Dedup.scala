@@ -1436,17 +1436,23 @@ object Dedup {
 
   def cc13LinkPredict(s: SparkSession, dir: String): DataFrame = {
     val l = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    // e0 (an expensive self-join + distinct) feeds THREE consumers — the
+    // degree count, the capped adjacency, and the final anti-join. Pinned
+    // once so the reuse is structural, not left to AQE exchange-reuse
+    // (measured neutral at sf0.1 — the wedge aggregation dominates — but
+    // at cluster scale a replanned stage would re-run the join).
     val e0 = l.as("x").join(l.as("y"),
         col("x.l_orderkey") === col("y.l_orderkey") &&
           col("x.l_partkey") < col("y.l_partkey"))
       .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-      .distinct()
+      .distinct().localCheckpoint()
     val adj = e0.select(col("a").as("node"), col("b").as("nbr"))
       .unionAll(e0.select(col("b").as("node"), col("a").as("nbr")))
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val wCap = Window.partitionBy(col("node")).orderBy(col("nbr"))
     val capped = adj.withColumn("rn", row_number().over(wCap))
       .filter(col("rn") <= lpCap).select(col("node"), col("nbr"))
+      .localCheckpoint()
     val wedges = capped.as("p").join(capped.as("q"),
         col("p.node") === col("q.node") && col("p.nbr") < col("q.nbr"))
       .select(col("p.nbr").as("u"), col("q.nbr").as("v"))
