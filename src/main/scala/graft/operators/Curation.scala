@@ -1606,7 +1606,48 @@ object Curation {
        |LEFT JOIN ct USING (doc_id)
        |GROUP BY d.lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dc05: SPLIT-LEAKAGE audit — the eval bug decontamination can't see:
+  // dc01–dc04 screen the corpus against an EXTERNAL eval set, but a
+  // near-duplicate pair straddling the train/test boundary of the
+  // corpus's OWN split (ds01) leaks test answers into training just the
+  // same. This composes the two fences: dd05's verified near-dup pairs
+  // (LSH candidates + exact Jaccard, is_dup only) annotated with each
+  // side's ds01 split and a `straddles` flag — the audit table a
+  // pipeline reviews before trusting held-out numbers (9 of 25 verified
+  // dup pairs straddle at sf0.01 — content-hash splits do NOT co-locate
+  // near-duplicates, which is exactly why this audit exists). Cost: the
+  // dd05 pipeline plus two hash joins of the tiny pair list against the
+  // split projection — the corpus pays nothing new.
+  // ---------------------------------------------------------------------
+  def dc05SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val splits = ds01HashSplit(s, dir).select(col("doc_id"), col("split"))
+    Dedup.dd05JaccardVerify(s, dir).filter(col("is_dup"))
+      .select(col("doc1"), col("doc2"), col("n_inter"), col("n_union"))
+      .join(splits.select(col("doc_id").as("doc1"), col("split").as("split1")),
+        Seq("doc1"))
+      .join(splits.select(col("doc_id").as("doc2"), col("split").as("split2")),
+        Seq("doc2"))
+      .select(col("doc1"), col("doc2"), col("split1"), col("split2"),
+        col("n_inter"), col("n_union"),
+        (col("split1") =!= col("split2")).as("straddles"))
+  }
+
+  val dc05Oracle: String =
+    s"""WITH v AS (SELECT * FROM (${Dedup.oracles("dd05_jaccard_verify")}) x WHERE is_dup),
+       |sp AS (SELECT doc_id,
+       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation'
+       |       ELSE 'test' END AS split
+       | FROM (SELECT doc_id,
+       |   ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b
+       |  FROM documents) t)
+       |SELECT v.doc1, v.doc2, s1.split AS split1, s2.split AS split2,
+       | v.n_inter, v.n_union, s1.split != s2.split AS straddles
+       |FROM v JOIN sp s1 ON v.doc1 = s1.doc_id
+       | JOIN sp s2 ON v.doc2 = s2.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dc05_split_leakage" -> (dc05SplitLeakage _),
     "ds01_hash_split" -> (ds01HashSplit _),
     "ds02_stratified_sample" -> (ds02StratifiedSample _),
     "ds03_sequence_pack" -> (ds03SequencePack _),
@@ -1641,6 +1682,7 @@ object Curation {
     "tp07_ingest_cycle" -> (tp07IngestCycle _))
 
   val oracles: Map[String, String] = Map(
+    "dc05_split_leakage" -> dc05Oracle,
     "ds01_hash_split" -> ds01Oracle,
     "ds02_stratified_sample" -> ds02Oracle,
     "ds03_sequence_pack" -> ds03Oracle,

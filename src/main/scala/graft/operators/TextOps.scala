@@ -925,7 +925,47 @@ object TextOps {
       | FROM sig)
       |SELECT doc_id, n_words, failed_rules = '' AS keep, failed_rules FROM r""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // tx22: per-SOURCE rule drift — tx21 rolled up by crawl source: keep
+  // rate (per-mille) and per-rule firing counts for every source, the
+  // "which feed went bad" dashboard a curation pipeline watches
+  // release-over-release (a source whose keep rate drops or whose
+  // repetitive-rule count spikes gets quarantined before it poisons the
+  // mix). One hash join of tx21's per-doc verdicts back to the source
+  // column, one |sources|-group rollup — all integers. Rule attribution
+  // parses the reason string tx21 logs (names are prefix-free, so
+  // substring containment is exact).
+  // ---------------------------------------------------------------------
+  def tx22RuleDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    def fired(rule: String) =
+      sum(when(col("failed_rules").contains(rule), 1L).otherwise(0L))
+    tx21RuleFilter(s, dir)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        fired("too_short").as("n_too_short"),
+        fired("word_len").as("n_word_len"),
+        fired("low_stopword").as("n_low_stopword"),
+        fired("repetitive").as("n_repetitive"))
+      .withColumn("keep_pm", expr("(n_keep * 1000) div n_docs"))
+  }
+
+  val tx22Oracle: String =
+    s"""WITH r AS (SELECT * FROM ($tx21Oracle) x),
+       |j AS (SELECT r.*, d.source FROM r JOIN documents d USING (doc_id))
+       |SELECT source, COUNT(*) AS n_docs,
+       | CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       | CAST(SUM(CASE WHEN contains(failed_rules, 'too_short') THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+       | CAST(SUM(CASE WHEN contains(failed_rules, 'word_len') THEN 1 ELSE 0 END) AS BIGINT) AS n_word_len,
+       | CAST(SUM(CASE WHEN contains(failed_rules, 'low_stopword') THEN 1 ELSE 0 END) AS BIGINT) AS n_low_stopword,
+       | CAST(SUM(CASE WHEN contains(failed_rules, 'repetitive') THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+       | (CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) * 1000) // COUNT(*) AS keep_pm
+       |FROM j GROUP BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tx22_rule_drift" -> (tx22RuleDrift _),
     "tx21_rule_filter" -> (tx21RuleFilter _),
     "q25_posexplode_filtered" -> (q25PosexplodeFiltered _),
     "tx20_ngram_novelty" -> (tx20NgramNovelty _),
@@ -951,6 +991,7 @@ object TextOps {
     "tx17_langid_confusion" -> (tx17LangidConfusion _))
 
   val oracles: Map[String, String] = Map(
+    "tx22_rule_drift" -> tx22Oracle,
     "tx21_rule_filter" -> tx21Oracle,
     "q25_posexplode_filtered" -> q25Oracle,
     "tx20_ngram_novelty" -> tx20Oracle,
