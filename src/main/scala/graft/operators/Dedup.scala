@@ -729,6 +729,58 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // dd21: CROSS-SIGNAL verification — every LSH candidate pair scored by
+  // BOTH the lexical signal (exact Jaccard, dd05's 0.7 gate) and the
+  // semantic signal (embedding cosine at 0.2 — calibrated like tx21's
+  // thresholds: the synthetic embeddings are independent of the text, so
+  // dd06's 0.4 gate would never fire here and the column would test
+  // nothing; vec_id == doc_id links the modalities): `both` is the
+  // high-precision dedup mode
+  // (delete only when text AND meaning agree — the conservative setting
+  // for irreplaceable corpora), and the single-signal disagreement rows
+  // are the human-review queue (lexical-only ≈ boilerplate/template,
+  // semantic-only ≈ paraphrase). Cost: dd05's candidates-only shape plus
+  // one hash join per pair end against the quantized vectors — the
+  // embedding corpus is never pairwise-scanned, only the candidate list
+  // is. All-integer thresholds, hash-exact.
+  // ---------------------------------------------------------------------
+  def dd21CrossSignalVerify(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Similarity.qvec(s, dir)
+    jaccardVerified(Tables(s, dir, "documents"))
+      .join(vecs.select(col("vec_id").as("doc1"), col("v").as("ev1"),
+        col("nrm").as("en1")), Seq("doc1"))
+      .join(vecs.select(col("vec_id").as("doc2"), col("v").as("ev2"),
+        col("nrm").as("en2")), Seq("doc2"))
+      .withColumn("edot", expr("dot_l(ev1, ev2)"))
+      .select(col("doc1"), col("doc2"), col("n_inter"), col("n_union"),
+        col("edot"),
+        col("is_dup").as("lex_dup"),
+        (col("edot") > 0 &&
+          col("edot") * col("edot") * 25 >= col("en1") * col("en2"))
+          .as("sem_dup"))
+      .withColumn("both_dup", col("lex_dup") && col("sem_dup"))
+  }
+
+  lazy val dd21Oracle: String =
+    s"""WITH ${verifyCtesFrom("documents")},
+       |verified AS ($verifySelect),
+       |q AS (
+       | SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+       | FROM embeddings),
+       |qn AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nrm FROM q),
+       |e AS (
+       | SELECT ver.doc1, ver.doc2, ver.n_inter, ver.n_union, ver.is_dup,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS edot,
+       |  a.nrm AS en1, b.nrm AS en2
+       | FROM verified ver JOIN qn a ON ver.doc1 = a.vec_id
+       |  JOIN qn b ON ver.doc2 = b.vec_id)
+       |SELECT doc1, doc2, n_inter, n_union, edot,
+       | is_dup AS lex_dup,
+       | (edot > 0 AND edot * edot * 25 >= en1 * en2) AS sem_dup,
+       | (is_dup AND edot > 0 AND edot * edot * 25 >= en1 * en2) AS both_dup
+       |FROM e""".stripMargin
+
+  // ---------------------------------------------------------------------
   // dd14: CONTAINMENT verification of the LSH candidates — the asymmetric
   // complement of dd05's Jaccard: C(A→B) = |A∩B| / |A| answers "is doc A
   // mostly inside doc B", which Jaccard misses whenever the sizes differ
@@ -1702,6 +1754,7 @@ object Dedup {
     "cc13_link_predict" -> (cc13LinkPredict _),
     "dd19_cdc_chunks" -> (dd19CdcChunks _),
     "dd20_semdedup" -> (dd20Semdedup _),
+    "dd21_cross_signal" -> (dd21CrossSignalVerify _),
     "tp09_dedup_funnel" -> (tp09DedupFunnel _),
     "tp01_corpus_curation" -> (tp01CorpusCuration _),
     "dd01_exact_dedup" -> (dd01ExactDedup _),
@@ -1736,6 +1789,7 @@ object Dedup {
     "cc13_link_predict" -> cc13Oracle,
     "dd19_cdc_chunks" -> dd19Oracle,
     "dd20_semdedup" -> dd20Oracle,
+    "dd21_cross_signal" -> dd21Oracle,
     "tp09_dedup_funnel" -> tp09Oracle,
     "tp01_corpus_curation" -> tp01Oracle,
     "dd01_exact_dedup" -> dd01Oracle,

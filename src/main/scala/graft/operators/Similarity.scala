@@ -333,6 +333,65 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("dot"), col("n1"), col("n2"))
   }
 
+  // ---------------------------------------------------------------------
+  // ss27: range-search RECALL audit — ss06's honesty metric applied to
+  // the radius mode: the brute-force radius scan (queries × corpus, the
+  // exact answer set) intersected with ss26's probed answer, reported as
+  // per-mille recall plus both cardinalities. The probed set is a subset
+  // of the brute set by construction (same integer threshold, candidates
+  // only restricted), so the audit measures exactly what the nprobe
+  // fence discards — the offline number that justifies (or indicts) the
+  // nprobe choice before anyone serves it.
+  // ---------------------------------------------------------------------
+  def ss27RangeRecall(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    def inRadius(df: DataFrame): DataFrame =
+      df.filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 100 >= col("n1") * col("n2") * 9)
+        .select(col("q_id"), col("c_id"))
+    val qs = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
+    val brute = inRadius(base
+      .select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"))
+      .join(broadcast(qs), col("q_id") =!= col("c_id"))
+      .withColumn("dot", expr(dotExpr)))
+      .localCheckpoint()
+    val probed = inRadius(ivfScoredPairs(s, base))
+    val hit = brute.join(probed, Seq("q_id", "c_id"), "left_semi")
+    brute.agg(count(lit(1)).as("n_brute"))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_brute"), col("n_hit"),
+        expr("(n_hit * 1000) div n_brute").as("recall_pm"))
+  }
+
+  lazy val ss27Oracle: String =
+    s"""WITH $qvecSql,
+       |${kmChainSql(ivfRounds)},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |$annProbePrefixSql,
+       |pd AS (
+       | SELECT pairs.q_id, pairs.c_id,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+       |  a.nrm AS n1, b.nrm AS n2
+       | FROM pairs JOIN qn a ON pairs.q_id = a.vec_id
+       |  JOIN qn b ON pairs.c_id = b.vec_id),
+       |probed AS (SELECT q_id, c_id FROM pd
+       | WHERE dot > 0 AND dot * dot * 100 >= n1 * n2 * 9),
+       |bd AS (
+       | SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+       |  a.nrm AS n1, b.nrm AS n2
+       | FROM qn a JOIN qn b ON a.vec_id % 100 = 0 AND a.vec_id != b.vec_id),
+       |brute AS (SELECT q_id, c_id FROM bd
+       | WHERE dot > 0 AND dot * dot * 100 >= n1 * n2 * 9),
+       |hit AS (SELECT brute.q_id, brute.c_id FROM brute
+       | WHERE EXISTS (SELECT 1 FROM probed p
+       |  WHERE p.q_id = brute.q_id AND p.c_id = brute.c_id)),
+       |nb AS (SELECT COUNT(*) AS n_brute FROM brute),
+       |nh AS (SELECT COUNT(*) AS n_hit FROM hit)
+       |SELECT n_brute, n_hit, (n_hit * 1000) // n_brute AS recall_pm
+       |FROM nb, nh""".stripMargin
+
   lazy val ss26Oracle: String =
     s"""WITH $qvecSql,
        |${kmChainSql(ivfRounds)},
@@ -1616,6 +1675,7 @@ object Similarity {
     "ss24_ivf_stats" -> (ss24IvfStats _),
     "ss25_recall_curve" -> (ss25RecallCurve _),
     "ss26_range_search" -> (ss26RangeSearch _),
+    "ss27_range_recall" -> (ss27RangeRecall _),
     "ss21_ivf_sq" -> (ss21IvfSq _),
     "ss22_ivf_sq_recall" -> (ss22IvfSqRecall _),
     "ss16_sq_encode" -> (ss16SqEncode _),
@@ -1646,6 +1706,7 @@ object Similarity {
     "ss24_ivf_stats" -> ss24Oracle,
     "ss25_recall_curve" -> ss25Oracle,
     "ss26_range_search" -> ss26Oracle,
+    "ss27_range_recall" -> ss27Oracle,
     "ss16_sq_encode" -> ss16Oracle,
     "ss17_sq_topk" -> ss17Oracle,
     "ss18_sq_recall" -> ss18Oracle,

@@ -44,6 +44,17 @@ class StintThirteenSpec extends SparkSpec {
     assert(checked > 100, s"only $checked clicks — fixture too small to trust")
   }
 
+  test("q58: both directional frames share one Window operator and one sort") {
+    val plan = EventOps.q58NearestEvent(spark, dir)
+      .queryExecution.executedPlan.toString
+    def n(tok: String) = plan.sliding(tok.length).count(_ == tok)
+    // bidirectionality must be free: backward + forward carries fuse into
+    // ONE Window over ONE sort — a second sort or window here means the
+    // frames stopped sharing their ordering
+    assert(n("Window [") == 1, plan.take(1500))
+    assert(n("Sort [") == 1, plan.take(1500))
+  }
+
   test("cc13: matches a Scala reimplementation of the capped wedge count") {
     val rows = Dedup.cc13LinkPredict(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
