@@ -267,13 +267,73 @@ object Geo {
        |SELECT pt_id, site_id, CAST(rn AS INT) AS rnk, CAST(d2 AS BIGINT) AS d2
        |FROM d WHERE rn <= $knnK""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // geo05: SPATIAL near-duplicate dedup — the geographic form of the
+  // dedup family (reference domain: duplicate city/station records at
+  // nearly the same coordinates, the classic geo-db cleaning pass;
+  // reference `src/setup.sql:40-49`'s lat/lon indexes serve exactly such
+  // proximity probes one row at a time). Distributed shape: "within ε"
+  // becomes the 3×3 cell equi-join at cell size g = ε (a pair within ε
+  // MUST meet in the lower site's neighborhood probe, and meets exactly
+  // once — the site side sits in its unique cell), then first-wins: a
+  // site is dropped when a smaller-id site lies within ε. Never a cross
+  // product; wedge work is density-bounded per cell, and hot cells are
+  // AQE/salting territory like every grid level here. All-integer
+  // squared distances, hash-exact; the oracle is the naive all-pairs SQL
+  // (orientation-invariant, so both must agree).
+  // ---------------------------------------------------------------------
+  private val dupEps = 32L
+
+  def geo05SpatialDedup(s: SparkSession, dir: String): DataFrame = {
+    val st = sites(s, dir)
+    val a = st.select(col("site_id").as("a_id"),
+        col("sx").as("px"), col("sy").as("py"))
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("cellx", expr(s"px div $dupEps") + col("dx"))
+      .withColumn("celly", expr(s"py div $dupEps") + col("dy"))
+      .drop("dx", "dy")
+    val b = st.select(col("site_id").as("b_id"), col("sx"), col("sy"))
+      .withColumn("cellx", expr(s"sx div $dupEps"))
+      .withColumn("celly", expr(s"sy div $dupEps"))
+    val close = a.join(b, Seq("cellx", "celly"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("d2",
+        (col("px") - col("sx")) * (col("px") - col("sx")) +
+          (col("py") - col("sy")) * (col("py") - col("sy")))
+      .filter(col("d2") <= dupEps * dupEps)
+    val hit = close.groupBy(col("b_id").as("site_id"))
+      .agg(count(lit(1)).as("n_close_smaller"))
+    st.select(col("site_id"))
+      .join(hit, Seq("site_id"), "left")
+      .select(col("site_id"),
+        coalesce(col("n_close_smaller"), lit(0L)).as("n_close_smaller"),
+        col("n_close_smaller").isNull.as("keep"))
+  }
+
+  val geo05Oracle: String =
+    s"""WITH st AS (
+       | SELECT s_suppkey AS site_id, (s_suppkey*53)%$D AS sx, (s_suppkey*71)%$D AS sy
+       | FROM supplier),
+       |p AS (
+       | SELECT a.site_id AS a_id, b.site_id AS b_id
+       | FROM st a JOIN st b ON a.site_id < b.site_id
+       |  AND (a.sx-b.sx)*(a.sx-b.sx)+(a.sy-b.sy)*(a.sy-b.sy) <= ${dupEps * dupEps}),
+       |g AS (SELECT b_id AS site_id, CAST(COUNT(*) AS BIGINT) AS n_close_smaller
+       | FROM p GROUP BY 1)
+       |SELECT st.site_id, COALESCE(g.n_close_smaller, 0) AS n_close_smaller,
+       | g.site_id IS NULL AS keep
+       |FROM st LEFT JOIN g USING (site_id)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "geo05_spatial_dedup" -> (geo05SpatialDedup _),
     "geo01_grid_knn" -> (geo01GridKnn _),
     "geo02_radius_join" -> (geo02RadiusJoin _),
     "geo03_country_knn" -> (geo03CountryKnn _),
     "geo04_topk_knn" -> (geo04TopkKnn _))
 
   val oracles: Map[String, String] = Map(
+    "geo05_spatial_dedup" -> geo05Oracle,
     "geo01_grid_knn" -> geo01Oracle,
     "geo02_radius_join" -> geo02Oracle,
     "geo03_country_knn" -> geo03Oracle,

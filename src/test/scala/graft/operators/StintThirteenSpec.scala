@@ -121,6 +121,27 @@ class StintThirteenSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan.take(1500))
   }
 
+  test("geo05: cell-join dedup equals the brute all-pairs law; no cross product") {
+    // sf0.01: 100 sites — the smaller fixture has no two sites within ε
+    val gdir = "/root/testdata/sf0.01"
+    val out = Geo.geo05SpatialDedup(spark, gdir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val sites = graft.Tables(spark, gdir, "supplier")
+      .selectExpr("s_suppkey").collect().map(_.getLong(0))
+      .map(k => (k, (k * 53) % 1024, (k * 71) % 1024))
+    for ((id, n, keep) <- out) {
+      val (_, x, y) = sites.find(_._1 == id).get
+      val smaller = sites.count { case (o, ox, oy) =>
+        o < id && (ox - x) * (ox - x) + (oy - y) * (oy - y) <= 32 * 32 }
+      assert(n == smaller && keep == (smaller == 0), s"site $id: $n vs $smaller")
+    }
+    assert(out.exists(!_._3), "fixture must contain at least one spatial dup")
+    val plan = Geo.geo05SpatialDedup(spark, gdir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
   test("tp09: stages chain, and the first two tiers agree with dd07") {
     val rows = Dedup.tp09DedupFunnel(spark, dir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
