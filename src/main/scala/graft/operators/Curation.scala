@@ -1646,8 +1646,74 @@ object Curation {
        |FROM v JOIN sp s1 ON v.doc1 = s1.doc_id
        | JOIN sp s2 ON v.doc2 = s2.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ds20: k-CENTER CORESET selection — greedy farthest-point traversal
+  // over the embedding space (Gonzalez 1985; the diversity-sampling
+  // member of the data-selection family: ds13 orders by difficulty, ds17
+  // samples by priority, ds19 matches a mixture — this picks the
+  // MAXIMALLY SPREAD exemplar set, the D4/coreset-pruning shape). Each
+  // round broadcasts the chosen centers, computes every point's distance
+  // to its nearest center map-side (exact integer d²), and takes the
+  // argmax as the next center — a TakeOrdered(1), never a sort. The
+  // greedy loop is inherently sequential, so rounds are driver-iterated
+  // with a FIXED k (kmeans/ss04's convention — keeps the oracle a finite
+  // CTE chain); each round costs one broadcast scan, total k scans of
+  // the corpus. Output: every point's nearest chosen center and the
+  // distance — the coverage map whose max is the classic 2-approximation
+  // certificate. Ties argmax by min vec_id; all-integer, hash-exact.
+  // ---------------------------------------------------------------------
+  private val kcRounds = 4
+
+  def ds20KcenterCoreset(s: SparkSession, dir: String): DataFrame = {
+    val base = Similarity.qvec(s, dir).localCheckpoint()
+    def asCenter(df: DataFrame): DataFrame =
+      df.select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    var centers = asCenter(base.filter(col("vec_id") === 0)).localCheckpoint()
+    for (_ <- 2 to kcRounds) {
+      val dmin = base.join(broadcast(centers), lit(true))
+        .withColumn("d2", col("nrm") + col("cn") - expr("2 * dot_l(v, cv)"))
+        .groupBy(col("vec_id")).agg(min(col("d2")).as("dmin"))
+      val next = asCenter(dmin.join(base, Seq("vec_id"))
+        .orderBy(col("dmin").desc, col("vec_id").asc).limit(1))
+      centers = centers.unionByName(next).localCheckpoint()
+    }
+    base.join(broadcast(centers), lit(true))
+      .withColumn("d2", col("nrm") + col("cn") - expr("2 * dot_l(v, cv)"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("c_id"), col("d2")),
+        struct(col("d2"), col("c_id"))).as("m"))
+      .select(col("vec_id"), col("m.c_id").as("center_id"),
+        col("m.d2").as("d2"))
+  }
+
+  private def kcRoundSql(r: Int): String =
+    s"""d$r AS (
+       | SELECT qn.vec_id,
+       |  MIN(qn.nrm + c.cn - 2 * CAST(list_sum(list_transform(range(1, len(qn.v) + 1), i -> qn.v[i] * c.cv[i])) AS BIGINT)) AS dmin
+       | FROM qn CROSS JOIN c${r - 1} c GROUP BY qn.vec_id),
+       |n$r AS (
+       | SELECT qn.vec_id AS c_id, qn.v AS cv, qn.nrm AS cn
+       | FROM d$r JOIN qn USING (vec_id)
+       | ORDER BY d$r.dmin DESC, vec_id ASC LIMIT 1),
+       |c$r AS (SELECT * FROM c${r - 1} UNION ALL SELECT * FROM n$r)""".stripMargin
+
+  lazy val ds20Oracle: String =
+    s"""WITH ${Similarity.qvecSql},
+       |c1 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM qn WHERE vec_id = 0),
+       |${(2 to kcRounds).map(kcRoundSql).mkString(",\n")},
+       |scored AS (
+       | SELECT qn.vec_id, c.c_id,
+       |  qn.nrm + c.cn - 2 * CAST(list_sum(list_transform(range(1, len(qn.v) + 1), i -> qn.v[i] * c.cv[i])) AS BIGINT) AS d2
+       | FROM qn CROSS JOIN c$kcRounds c)
+       |SELECT vec_id, c_id AS center_id, d2 FROM (
+       | SELECT vec_id, c_id, d2,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn
+       | FROM scored) t WHERE rn = 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dc05_split_leakage" -> (dc05SplitLeakage _),
+    "ds20_kcenter_coreset" -> (ds20KcenterCoreset _),
     "ds01_hash_split" -> (ds01HashSplit _),
     "ds02_stratified_sample" -> (ds02StratifiedSample _),
     "ds03_sequence_pack" -> (ds03SequencePack _),
@@ -1683,6 +1749,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "dc05_split_leakage" -> dc05Oracle,
+    "ds20_kcenter_coreset" -> ds20Oracle,
     "ds01_hash_split" -> ds01Oracle,
     "ds02_stratified_sample" -> ds02Oracle,
     "ds03_sequence_pack" -> ds03Oracle,
