@@ -1711,9 +1711,55 @@ object Curation {
        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn
        | FROM scored) t WHERE rn = 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q60: TEMPORAL-VALIDITY lookup over the ds15 SCD2 dimension — the
+  // time-travel join every warehouse runs ("the customer's balance AS OF
+  // this order's version"): each fact row carries an as-of version and
+  // must match the dim interval containing it (valid_from ≤ v < valid_to,
+  // open current interval). Spark-first shape: because validity here is a
+  // SMALL DISCRETE domain (snapshot versions), the interval side is
+  // EXPLODED to one row per covered version and the lookup becomes a
+  // plain hash equi-join on (key, version) — the interval→equi
+  // enumeration trick, which beats a range join whenever the domain is
+  // enumerable (for continuous time the q37 interval-join machinery is
+  // the fallback). LEFT join keeps facts whose key had no valid version
+  // (late inserts / deletes) with a NULL balance — exactly the rows an
+  // audit wants to see. Version arithmetic is pure integers; balances
+  // are the same parquet doubles plus exact IEEE adds on both engines.
+  // ---------------------------------------------------------------------
+  private val scd2LastVer = 3
+
+  def q60TemporalLookup(s: SparkSession, dir: String): DataFrame = {
+    val dimx = ds15Scd2(s, dir)
+      .withColumn("ver", explode(sequence(col("valid_from"),
+        coalesce(col("valid_to") - 1, lit(scd2LastVer)))))
+      .select(col("c_custkey"), col("ver"), col("acctbal"))
+    val facts = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_orderkey") % 3 + 1).cast("int").as("ver"))
+    facts.join(dimx, facts("o_custkey") === dimx("c_custkey") &&
+        facts("ver") === dimx("ver"), "left")
+      .select(col("o_orderkey"), col("o_custkey"), facts("ver"),
+        col("acctbal").as("asof_acctbal"))
+  }
+
+  lazy val q60Oracle: String =
+    s"""WITH dim AS (SELECT * FROM ($ds15Oracle) d),
+       |dimx AS (
+       | SELECT c_custkey, CAST(unnest(range(valid_from,
+       |   COALESCE(valid_to, ${scd2LastVer + 1}))) AS INT) AS ver, acctbal
+       | FROM dim),
+       |facts AS (
+       | SELECT o_orderkey, o_custkey, CAST(o_orderkey % 3 + 1 AS INT) AS ver
+       | FROM orders)
+       |SELECT f.o_orderkey, f.o_custkey, f.ver, dimx.acctbal AS asof_acctbal
+       |FROM facts f LEFT JOIN dimx
+       | ON f.o_custkey = dimx.c_custkey AND f.ver = dimx.ver""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dc05_split_leakage" -> (dc05SplitLeakage _),
     "ds20_kcenter_coreset" -> (ds20KcenterCoreset _),
+    "q60_temporal_lookup" -> (q60TemporalLookup _),
     "ds01_hash_split" -> (ds01HashSplit _),
     "ds02_stratified_sample" -> (ds02StratifiedSample _),
     "ds03_sequence_pack" -> (ds03SequencePack _),
@@ -1750,6 +1796,7 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "dc05_split_leakage" -> dc05Oracle,
     "ds20_kcenter_coreset" -> ds20Oracle,
+    "q60_temporal_lookup" -> q60Oracle,
     "ds01_hash_split" -> ds01Oracle,
     "ds02_stratified_sample" -> ds02Oracle,
     "ds03_sequence_pack" -> ds03Oracle,
