@@ -300,6 +300,34 @@ object MatView {
         expr("cast(floor(value * 100) as bigint)").as("v100"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** One micro-batch merge into the type-partitioned histogram state —
+    * mv05's streaming front door ([[graft.streaming.EventStream
+    * .histogramStream]]), mergeEventBatch's shape on the quantile view:
+    * the batch's histogram partials merge into ONLY the event_type
+    * partitions the batch touches (pruned state read + dynamic partition
+    * overwrite); count monoids make any batch interleaving equal the
+    * batch recompute. Per-batch I/O is O(touched types × distinct
+    * cents) — dictionary-sized, never the stream. */
+  def mergeHistBatch(batch: DataFrame, stateDir: String): Unit = {
+    val s = batch.sparkSession
+    val incr = histPartials(batch).localCheckpoint()
+    val types = incr.select(col("event_type")).distinct()
+      .collect().map(_.getString(0))
+    if (types.nonEmpty) {
+      val existing =
+        if (new java.io.File(stateDir).exists())
+          s.read.parquet(stateDir)
+            .filter(col("event_type").isin(types.toSeq: _*))
+        else incr.limit(0)
+      existing.unionByName(incr)
+        .groupBy(col("event_type"), col("v100"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type").parquet(stateDir)
+    }
+  }
+
   def mv05HistRollforward(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir, "events")
     val stateDir = statePathFor(dir) + "_hist"

@@ -217,6 +217,20 @@ object EventStream {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Live histogram maintenance — the streaming front door of the mv05
+    * mergeable-quantile view: each micro-batch merges its (event_type,
+    * cent) count partials into only the type partitions it touches
+    * ([[graft.operators.MatView.mergeHistBatch]]); the dashboard serves
+    * exact p50/p95 off the tiny state at any moment. Count monoids make
+    * the state independent of batch interleaving — asserted against the
+    * batch recompute in MatViewSpec's streaming case. */
+  def histogramStream(events: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.MatView.mergeHistBatch(batch, stateDir)
+      }.start()
+
   final case class NearestAttached(click_id: Long, user_id: Long,
       click_ts: Timestamp, view_id: Option[Long], view_ts: Option[Timestamp])
 

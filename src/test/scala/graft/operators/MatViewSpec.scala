@@ -126,4 +126,34 @@ class MatViewSpec extends SparkSpec {
       assert(canonEv(state) === canonEv(full))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
+
+  test("streaming histogram: interleaved micro-batches converge to the batch recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    import graft.streaming.EventStream.Event
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ev(id: Long, typ: String, v: Double) =
+      Event(id, new java.sql.Timestamp((1700000000L + id) * 1000L), id % 3, typ, v)
+    // same (type, cent) cell hit across batches — the merge path that matters
+    val b1 = Seq(ev(1, "view", 1.25), ev(2, "click", 2.50), ev(3, "view", 1.25))
+    val b2 = Seq(ev(4, "view", 1.25), ev(5, "view", 7.75), ev(6, "purchase", 9.99))
+    val dir = Files.createTempDirectory("mv-hist-stream").toFile
+    try {
+      val input = MemoryStream[Event]
+      val q = EventStream.histogramStream(input.toDF(), s"${dir.getPath}/state")
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      q.stop()
+      val state = spark.read.parquet(s"${dir.getPath}/state")
+      val full = MatView.histPartials((b1 ++ b2).toDF())
+      val canonH = (df: org.apache.spark.sql.DataFrame) =>
+        df.select("event_type", "v100", "cnt")
+          .orderBy("event_type", "v100").collect().map(_.toString).toSeq
+      assert(canonH(state) === canonH(full))
+      // the (view, 125) cell must have merged across batches: 3 hits
+      assert(state.filter(col("event_type") === "view" && col("v100") === 125)
+        .head.getAs[Long]("cnt") === 3L)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
 }
