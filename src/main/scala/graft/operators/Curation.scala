@@ -1756,9 +1756,52 @@ object Curation {
        |FROM facts f LEFT JOIN dimx
        | ON f.o_custkey = dimx.c_custkey AND f.ver = dimx.ver""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ds21: REPRODUCIBILITY manifest — the release fingerprint a dataset
+  // ships with: per split, the document count, total chars/tokens, and
+  // an ORDER-INDEPENDENT content digest (bit_xor of a 60-bit md5 prefix
+  // per document — xor is the commutative monoid that makes the digest
+  // identical under any partitioning, shard order, or engine, where a
+  // concatenated hash would depend on row order). Two runs produced the
+  // same split iff the manifest rows match — the cheap equality check
+  // that replaces diffing terabytes (ds14 says WHAT changed; this says
+  // WHETHER, in O(|splits|) space). One scan, one |splits|-row rollup.
+  // ---------------------------------------------------------------------
+  def ds21SplitManifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    docs.select(
+        splitOf(hashBucket(col("text"), 100)).as("split"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h"),
+        col("n_chars"),
+        size(expr("filter(split(text, ' '), x -> x != '')")).cast("long")
+          .as("n_toks"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(h)").as("content_digest"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_toks")).as("total_tokens"))
+  }
+
+  val ds21Oracle: String =
+    """SELECT split, COUNT(*) AS n_docs,
+      | bit_xor(h) AS content_digest,
+      | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      | CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+      |FROM (
+      | SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation'
+      |   ELSE 'test' END AS split,
+      |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS h,
+      |  n_chars,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_toks
+      | FROM (SELECT doc_id, text, n_chars,
+      |   ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b
+      |  FROM documents) t) u
+      |GROUP BY split""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dc05_split_leakage" -> (dc05SplitLeakage _),
     "ds20_kcenter_coreset" -> (ds20KcenterCoreset _),
+    "ds21_split_manifest" -> (ds21SplitManifest _),
     "q60_temporal_lookup" -> (q60TemporalLookup _),
     "ds01_hash_split" -> (ds01HashSplit _),
     "ds02_stratified_sample" -> (ds02StratifiedSample _),
@@ -1797,6 +1840,7 @@ object Curation {
     "dc05_split_leakage" -> dc05Oracle,
     "ds20_kcenter_coreset" -> ds20Oracle,
     "q60_temporal_lookup" -> q60Oracle,
+    "ds21_split_manifest" -> ds21Oracle,
     "ds01_hash_split" -> ds01Oracle,
     "ds02_stratified_sample" -> ds02Oracle,
     "ds03_sequence_pack" -> ds03Oracle,

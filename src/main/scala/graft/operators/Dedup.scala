@@ -1543,6 +1543,47 @@ object Dedup {
        |FROM ne JOIN deg du ON ne.u = du.node JOIN deg dv ON ne.v = dv.node
        |ORDER BY common DESC, u, v LIMIT $lpTopN""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // cc14: LOCAL CLUSTERING COEFFICIENT — cc07's triangle counts
+  // normalized per node: n_tri / C(deg, 2) in per-mille, the standard
+  // community-vs-bridge metric (a spam hub touches many nodes that don't
+  // know each other → coefficient ≈ 0; an organic community member's
+  // neighbors interlink → high). Composes the two already-scale-correct
+  // pieces — degree-ordered triangle enumeration + one degree count —
+  // with a left join so triangle-free nodes report 0 rather than vanish;
+  // nodes with deg < 2 have no defined coefficient and are excluded
+  // (both engines agree). All-integer; 2000·n_tri div (deg·(deg−1)).
+  // ---------------------------------------------------------------------
+  def cc14ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val e0 = l.as("x").join(l.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct().localCheckpoint()
+    val deg = e0.select(col("a").as("node")).unionAll(e0.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val tri = Relational.triangleCounts(e0)
+    deg.filter(col("deg") >= 2)
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        expr("(coalesce(n_tri, 0) * 2000) div (deg * (deg - 1))").as("coeff_pm"))
+  }
+
+  val cc14Oracle: String =
+    s"""WITH tri AS (SELECT node, n_tri FROM ($cc07Oracle) t),
+       |e AS (
+       | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       | FROM lineitem x JOIN lineitem y
+       |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       | SELECT a AS node FROM e UNION ALL SELECT b FROM e) u GROUP BY node)
+       |SELECT deg.node, deg.deg, COALESCE(tri.n_tri, 0) AS n_tri,
+       | (COALESCE(tri.n_tri, 0) * 2000) // (deg.deg * (deg.deg - 1)) AS coeff_pm
+       |FROM deg LEFT JOIN tri USING (node)
+       |WHERE deg.deg >= 2""".stripMargin
+
   private def msRoundSql(r: Int): String =
     s"""d$r AS (
        | SELECT seed, node, MIN(dist) AS dist FROM (
@@ -1752,6 +1793,7 @@ object Dedup {
     "cc11_harmonic" -> (cc11Harmonic _),
     "cc12_degree_dist" -> (cc12DegreeDist _),
     "cc13_link_predict" -> (cc13LinkPredict _),
+    "cc14_clustering_coeff" -> (cc14ClusteringCoeff _),
     "dd19_cdc_chunks" -> (dd19CdcChunks _),
     "dd20_semdedup" -> (dd20Semdedup _),
     "dd21_cross_signal" -> (dd21CrossSignalVerify _),
@@ -1787,6 +1829,7 @@ object Dedup {
     "cc11_harmonic" -> cc11Oracle,
     "cc12_degree_dist" -> cc12Oracle,
     "cc13_link_predict" -> cc13Oracle,
+    "cc14_clustering_coeff" -> cc14Oracle,
     "dd19_cdc_chunks" -> dd19Oracle,
     "dd20_semdedup" -> dd20Oracle,
     "dd21_cross_signal" -> dd21Oracle,
