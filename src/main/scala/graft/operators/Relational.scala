@@ -1316,7 +1316,35 @@ object Relational {
 
   val q43Oracle: String = q43Sql
 
+  // ---------------------------------------------------------------------
+  // q61: RELATIONAL DIVISION ("for all") — customers active in EVERY
+  // order-year in the data, the universal-quantifier query relational
+  // algebra can't write with joins alone. The scalable form is
+  // division-by-count: collapse to distinct (customer, year) — one
+  // hash-shuffle aggregate — then a per-customer count compared against
+  // the (broadcast, 1-row) universe size; the naive form (anti-join
+  // against customer × years missing combos) materializes a cross
+  // product the counting form never builds. All-integer, hash-exact.
+  // ---------------------------------------------------------------------
+  def q61RelationalDivision(s: SparkSession, dir: String): DataFrame = {
+    val oy = Tables(s, dir, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr")).distinct()
+    val ny = oy.select(col("yr")).distinct().agg(count(lit(1)).as("n_years"))
+    oy.groupBy(col("o_custkey")).agg(count(lit(1)).as("n_cust_years"))
+      .crossJoin(broadcast(ny))
+      .filter(col("n_cust_years") === col("n_years"))
+      .select(col("o_custkey"), col("n_cust_years"))
+  }
+
+  val q61Oracle: String =
+    """WITH oy AS (SELECT DISTINCT o_custkey, year(o_orderdate) AS yr FROM orders),
+      |ny AS (SELECT COUNT(DISTINCT yr) AS n_years FROM oy)
+      |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_cust_years
+      |FROM oy, ny GROUP BY o_custkey, ny.n_years
+      |HAVING COUNT(*) = ny.n_years""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q61_relational_division" -> (q61RelationalDivision _),
     "q36_cube" -> (q36Cube _),
     "q39_grouping_sets" -> (q39GroupingSets _),
     "q42_ntile" -> (q42Ntile _),
@@ -1355,6 +1383,7 @@ object Relational {
     "q19_fk_repoint" -> (q19FkRepoint _))
 
   val oracles: Map[String, String] = Map(
+    "q61_relational_division" -> q61Oracle,
     "q35_full_outer" -> q35Oracle,
     "q36_cube" -> q36Oracle,
     "q39_grouping_sets" -> q39Oracle,

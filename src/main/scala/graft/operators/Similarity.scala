@@ -268,7 +268,9 @@ object Similarity {
     * (query, candidate) pair drawn from the probed lists. ss03 ranks these
     * to a top-k; ss26 filters them by a radius — the two serving modes of
     * the same index. */
-  private def ivfScoredPairs(s: SparkSession, base: DataFrame): DataFrame = {
+  private def ivfScoredPairs(s: SparkSession, base: DataFrame,
+      queryPred: org.apache.spark.sql.Column = col("vec_id") % 100 === 0,
+      broadcastQueries: Boolean = true): DataFrame = {
     val cents = learnedCentroids(base, ivfRounds)
       .select(col("cent_id"), col("cv").as("v2"), col("cnrm").as("n2"))
     def centScored(src: DataFrame, idCol: String): DataFrame =
@@ -289,15 +291,19 @@ object Similarity {
     // the corpus) — a window over that small set is fine.
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("ccos").desc, col("cent_id").asc)
-    val probes = centScored(base.filter(col("vec_id") % 100 === 0), "q_id")
+    val probes = centScored(base.filter(queryPred), "q_id")
       .withColumn("crn", row_number().over(wProbe)).filter(col("crn") <= nprobe)
       .select(col("q_id"), col("cent_id"))
-    val qs = base.select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
+    val qs = base.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
     val cs = base.select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"))
     probes.join(assigned, Seq("cent_id"))
       .filter(col("q_id") =!= col("a_id"))
       .select(col("q_id"), col("a_id").as("c_id")).distinct()
-      .join(broadcast(qs), Seq("q_id"))
+      // the subset-query modes broadcast the (1%) query side; the
+      // all-points mode (ss28) must NOT — both ends are corpus-sized,
+      // so both attach by plain hash join
+      .join(if (broadcastQueries) broadcast(qs) else qs, Seq("q_id"))
       .join(cs, Seq("c_id"))
       .withColumn("dot", expr(dotExpr))
   }
@@ -332,6 +338,62 @@ object Similarity {
         col("dot") * col("dot") * 100 >= col("n1") * col("n2") * 9)
       .select(col("q_id"), col("c_id"), col("dot"), col("n1"), col("n2"))
   }
+
+  // ---------------------------------------------------------------------
+  // ss28: kNN-GRAPH construction — every point's k nearest neighbors via
+  // the IVF probe with ALL points as queries, plus the mutual-kNN flag:
+  // the building block under embedding-cluster discovery, graph-based
+  // label propagation over vector space, and SemDeDup-style pipelines
+  // that need a similarity graph rather than per-query answers. Two
+  // things change vs ss03's serving mode, both scale-critical: the query
+  // side is corpus-sized so it attaches by PLAIN hash join (no broadcast
+  // — flagged through ivfScoredPairs), and the per-point top-k is the
+  // rank-limit window (WindowGroupLimit: map tasks keep ≤k rows per
+  // point before the exchange). Mutual edges are found by one self-join
+  // of the tiny edge list on the reversed key. Probe footprint is
+  // corpus × nprobe lists — the honest cost of kNN-graph construction,
+  // fenced from corpus² exactly like ss03.
+  // ---------------------------------------------------------------------
+  private val graphK = 3
+
+  def ss28KnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val scored = ivfScoredPairs(s, base, lit(true), broadcastQueries = false)
+      .withColumn("cos",
+        col("dot") / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    val edges = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= graphK)
+      .select(col("q_id").as("src"), col("c_id").as("dst"),
+        col("rnk"), col("cos"))
+      .localCheckpoint()
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+    edges.join(rev.withColumn("m", lit(true)), Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), col("rnk"), col("cos"),
+        coalesce(col("m"), lit(false)).as("mutual"))
+  }
+
+  lazy val ss28Oracle: String =
+    s"""WITH $qvecSql,
+       |${kmChainSql(ivfRounds)},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |${annProbePrefixSqlFor("TRUE")},
+       |scored AS (
+       | SELECT pairs.q_id, pairs.c_id,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT)
+       |    / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos
+       | FROM pairs JOIN qn a ON pairs.q_id = a.vec_id
+       |  JOIN qn b ON pairs.c_id = b.vec_id),
+       |edges AS (
+       | SELECT q_id AS src, c_id AS dst, rnk, cos FROM (
+       |  SELECT q_id, c_id, cos,
+       |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk
+       |  FROM scored) t WHERE rnk <= $graphK)
+       |SELECT e.src, e.dst, CAST(e.rnk AS INT) AS rnk, e.cos,
+       | EXISTS (SELECT 1 FROM edges r
+       |         WHERE r.src = e.dst AND r.dst = e.src) AS mutual
+       |FROM edges e""".stripMargin
 
   // ---------------------------------------------------------------------
   // ss27: range-search RECALL audit — ss06's honesty metric applied to
@@ -607,7 +669,7 @@ object Similarity {
   /** Coarse-quantizer CTEs shared by the exact-rerank tail (ss03/ss07) and
     * the IVF-PQ tail (ss11): score vs `cents`, assign (crn=1), probe
     * (crn<=nprobe over queries), candidate pairs. */
-  private val annProbePrefixSql: String =
+  private def annProbePrefixSqlFor(queryPred: String): String =
     s"""cscored AS (
        | SELECT qn.vec_id, cents.cent_id,
        |  CAST(list_sum(list_transform(range(1, len(qn.v) + 1), i -> qn.v[i] * cents.cv[i])) AS BIGINT)
@@ -618,10 +680,13 @@ object Similarity {
        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS crn
        | FROM cscored),
        |assigned AS (SELECT vec_id AS a_id, cent_id FROM ranked WHERE crn = 1),
-       |probes AS (SELECT vec_id AS q_id, cent_id FROM ranked WHERE crn <= $nprobe AND vec_id % 100 = 0),
+       |probes AS (SELECT vec_id AS q_id, cent_id FROM ranked WHERE crn <= $nprobe AND ($queryPred)),
        |pairs AS (
        | SELECT DISTINCT p.q_id, a.a_id AS c_id
        | FROM probes p JOIN assigned a ON p.cent_id = a.cent_id AND p.q_id != a.a_id)""".stripMargin
+
+  private val annProbePrefixSql: String =
+    annProbePrefixSqlFor("vec_id % 100 = 0")
 
   private val annProbeTailSql: String =
     s"""$annProbePrefixSql,
@@ -1676,6 +1741,7 @@ object Similarity {
     "ss25_recall_curve" -> (ss25RecallCurve _),
     "ss26_range_search" -> (ss26RangeSearch _),
     "ss27_range_recall" -> (ss27RangeRecall _),
+    "ss28_knn_graph" -> (ss28KnnGraph _),
     "ss21_ivf_sq" -> (ss21IvfSq _),
     "ss22_ivf_sq_recall" -> (ss22IvfSqRecall _),
     "ss16_sq_encode" -> (ss16SqEncode _),
@@ -1707,6 +1773,7 @@ object Similarity {
     "ss25_recall_curve" -> ss25Oracle,
     "ss26_range_search" -> ss26Oracle,
     "ss27_range_recall" -> ss27Oracle,
+    "ss28_knn_graph" -> ss28Oracle,
     "ss16_sq_encode" -> ss16Oracle,
     "ss17_sq_topk" -> ss17Oracle,
     "ss18_sq_recall" -> ss18Oracle,
