@@ -396,6 +396,42 @@ object Similarity {
        |FROM edges e""".stripMargin
 
   // ---------------------------------------------------------------------
+  // cc15: EMBEDDING-SPACE CLUSTERS — connected components over ss28's
+  // MUTUAL kNN graph: the unsupervised cluster discovery that k-means
+  // (ss04) can't do, because it needs no k and follows the data's actual
+  // connectivity (two dense regions joined by one stray point stay
+  // separate under the mutuality filter — one-directional edges are
+  // exactly the hub/outlier links that cause cluster bleed, which is why
+  // mutual-kNN is the standard graph for this). Composes two
+  // scale-correct pieces: the IVF-probed graph build and the converged
+  // min-label components (cc01's machinery); singleton points (no mutual
+  // neighbor) keep their own id as cluster — the corpus never vanishes
+  // from the report. Oracle = the same graph chain + recursive closure.
+  // ---------------------------------------------------------------------
+  def cc15EmbeddingClusters(s: SparkSession, dir: String): DataFrame = {
+    val mutual = ss28KnnGraph(s, dir).filter(col("mutual"))
+      .select(col("src").as("a"), col("dst").as("b")).localCheckpoint()
+    val comp = Relational.connectedComponents(mutual)
+      .select(col("node").as("vec_id"), col("component"))
+    Tables(s, dir, "embeddings").select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster"))
+  }
+
+  lazy val cc15Oracle: String =
+    s"""WITH RECURSIVE s28 AS (SELECT * FROM ($ss28Oracle) t),
+       |e AS (SELECT src AS a, dst AS b FROM s28 WHERE mutual),
+       |nodes AS (SELECT DISTINCT a AS node FROM e),
+       |reach(a, b) AS (
+       | SELECT node, node FROM nodes
+       | UNION
+       | SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       |comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a)
+       |SELECT emb.vec_id, COALESCE(comp.component, emb.vec_id) AS cluster
+       |FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.node""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ss27: range-search RECALL audit — ss06's honesty metric applied to
   // the radius mode: the brute-force radius scan (queries × corpus, the
   // exact answer set) intersected with ss26's probed answer, reported as
@@ -1742,6 +1778,7 @@ object Similarity {
     "ss26_range_search" -> (ss26RangeSearch _),
     "ss27_range_recall" -> (ss27RangeRecall _),
     "ss28_knn_graph" -> (ss28KnnGraph _),
+    "cc15_embedding_clusters" -> (cc15EmbeddingClusters _),
     "ss21_ivf_sq" -> (ss21IvfSq _),
     "ss22_ivf_sq_recall" -> (ss22IvfSqRecall _),
     "ss16_sq_encode" -> (ss16SqEncode _),
@@ -1774,6 +1811,7 @@ object Similarity {
     "ss26_range_search" -> ss26Oracle,
     "ss27_range_recall" -> ss27Oracle,
     "ss28_knn_graph" -> ss28Oracle,
+    "cc15_embedding_clusters" -> cc15Oracle,
     "ss16_sq_encode" -> ss16Oracle,
     "ss17_sq_topk" -> ss17Oracle,
     "ss18_sq_recall" -> ss18Oracle,
