@@ -781,6 +781,81 @@ object Dedup {
        |FROM e""".stripMargin
 
   // ---------------------------------------------------------------------
+  // dd23: INCREMENTAL semantic dedup — dd09's daily-ingest shape applied
+  // to the semantic tier, completing the incremental story across all
+  // three tiers (exact: dd11 store; lexical: dd09/dd12; semantic: this):
+  // today's vectors (vec_id % 10 >= 8) are assigned against the
+  // STANDING corpus's centroids — no retraining, the ss05/ss07
+  // roll-forward invariant — and pair-scanned CROSS-SIDE ONLY (new ×
+  // base within the shared cluster; never base×base, which the nightly
+  // dd20 already settled, nor new×new, which next nightly will). Each
+  // new vector reports its same-cluster base duplicates (count + the
+  // smallest matching base id, the canonical it would collapse into).
+  // Cosine gate 0.4 — dd20's tier threshold, so nightly and incremental
+  // agree on what "semantic duplicate" means. At 100 TB: centroids and base
+  // assignments are the persisted index, the increment pays one
+  // broadcast assign + one cluster-keyed join against inverted lists.
+  // ---------------------------------------------------------------------
+  def dd23IncrementalSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val all = Similarity.qvec(s, dir)
+    val qbase = all.filter(col("vec_id") % 10 < 8).localCheckpoint()
+    val qnew = all.filter(col("vec_id") % 10 >= 8).localCheckpoint()
+    val cents = Similarity.learnedCentroids(qbase, sdRounds)
+    val abase = Similarity.kmAssign(qbase, cents)
+      .select(col("vec_id"), col("cluster"))
+    val anew = Similarity.kmAssign(qnew, cents)
+      .select(col("vec_id"), col("cluster")).localCheckpoint()
+    val nside = anew.join(qnew, Seq("vec_id"))
+      .select(col("cluster"), col("vec_id").as("nv"),
+        col("v").as("v1"), col("nrm").as("n1"))
+    val bside = abase.join(qbase, Seq("vec_id"))
+      .select(col("cluster"), col("vec_id").as("bv"),
+        col("v").as("v2"), col("nrm").as("n2"))
+    val hits = nside.join(bside, Seq("cluster"))
+      .withColumn("dot", expr("dot_l(v1, v2)"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 25 >= col("n1") * col("n2") * 4)
+      .groupBy(col("nv"))
+      .agg(count(lit(1)).as("n_sem_dups"), min(col("bv")).as("dup_of"))
+    anew.join(hits, anew("vec_id") === hits("nv"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("n_sem_dups"), lit(0L)).as("n_sem_dups"), col("dup_of"))
+  }
+
+  lazy val dd23Oracle: String = {
+    val r = sdRounds + 1
+    s"""WITH qall AS (
+       | SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+       | FROM embeddings),
+       |qnall AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nrm FROM qall),
+       |qn AS (SELECT * FROM qnall WHERE vec_id % 10 < 8),
+       |qnew AS (SELECT * FROM qnall WHERE vec_id % 10 >= 8),
+       |${Similarity.kmChainSql(sdRounds)},
+       |${Similarity.kmAssignSql(r, s"c$sdRounds")},
+       |sn AS (
+       | SELECT qnew.vec_id, c.cent_id,
+       |  qnew.nrm + c.cnrm - 2 * CAST(list_sum(list_transform(range(1, len(qnew.v) + 1), i -> qnew.v[i] * c.cv[i])) AS BIGINT) AS d2
+       | FROM qnew CROSS JOIN c$sdRounds c),
+       |rn AS (SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+       |  PARTITION BY vec_id ORDER BY d2, cent_id) AS rnk FROM sn),
+       |an AS (SELECT vec_id, cent_id AS cluster FROM rn WHERE rnk = 1),
+       |cand AS (
+       | SELECT n.vec_id AS nv, b.vec_id AS bv,
+       |  CAST(list_sum(list_transform(range(1, len(q1.v) + 1), i -> q1.v[i] * q2.v[i])) AS BIGINT) AS dot,
+       |  q1.nrm AS n1, q2.nrm AS n2
+       | FROM an n JOIN a$r b ON n.cluster = b.cluster
+       | JOIN qnew q1 ON q1.vec_id = n.vec_id
+       | JOIN qn q2 ON q2.vec_id = b.vec_id),
+       |hits AS (
+       | SELECT nv, CAST(COUNT(*) AS BIGINT) AS n_sem_dups, MIN(bv) AS dup_of
+       | FROM cand WHERE dot > 0 AND dot * dot * 25 >= n1 * n2 * 4
+       | GROUP BY nv)
+       |SELECT an.vec_id, an.cluster,
+       | COALESCE(hits.n_sem_dups, 0) AS n_sem_dups, hits.dup_of
+       |FROM an LEFT JOIN hits ON an.vec_id = hits.nv""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // dd14: CONTAINMENT verification of the LSH candidates — the asymmetric
   // complement of dd05's Jaccard: C(A→B) = |A∩B| / |A| answers "is doc A
   // mostly inside doc B", which Jaccard misses whenever the sizes differ
@@ -1797,6 +1872,7 @@ object Dedup {
     "dd19_cdc_chunks" -> (dd19CdcChunks _),
     "dd20_semdedup" -> (dd20Semdedup _),
     "dd21_cross_signal" -> (dd21CrossSignalVerify _),
+    "dd23_incremental_semdedup" -> (dd23IncrementalSemdedup _),
     "tp09_dedup_funnel" -> (tp09DedupFunnel _),
     "tp01_corpus_curation" -> (tp01CorpusCuration _),
     "dd01_exact_dedup" -> (dd01ExactDedup _),
@@ -1833,6 +1909,7 @@ object Dedup {
     "dd19_cdc_chunks" -> dd19Oracle,
     "dd20_semdedup" -> dd20Oracle,
     "dd21_cross_signal" -> dd21Oracle,
+    "dd23_incremental_semdedup" -> dd23Oracle,
     "tp09_dedup_funnel" -> tp09Oracle,
     "tp01_corpus_curation" -> tp01Oracle,
     "dd01_exact_dedup" -> dd01Oracle,
