@@ -1273,6 +1273,77 @@ object Dedup {
        |SELECT a AS doc_id, COUNT(*) AS deg FROM e$kcoreRounds GROUP BY a""".stripMargin
 
   // ---------------------------------------------------------------------
+  // cc16: MODULARITY of the cc06 partition — the quality score for a
+  // community assignment (Newman's Q): a clustering is only as good as
+  // its modularity, and a production pipeline that ships cc06's labels
+  // needs this audit next to them exactly like ss06 audits ss03's
+  // recall. Per community c over the dup graph with m undirected edges:
+  // Q_c = L_c/m − (D_c/2m)² where L_c = intra-community edges and D_c =
+  // the community's degree sum; Q = Σ_c Q_c. Emitted EXACTLY as the
+  // integer fraction q_num = 4·m·L_c − D_c², q_den = 4·m² — no division
+  // anywhere (q_num may be negative, and Spark `div` vs DuckDB `//`
+  // disagree on negatives), so the result is hash-exact and Σ q_num /
+  // q_den reconstructs Q losslessly.
+  //
+  // Scale shape: labels attach to the edge list by two hash equi-joins
+  // on node id (the edge list's natural key), degrees and per-community
+  // rollups are map-side-combined aggregates of dictionary size
+  // (|communities| ≪ corpus), m rides a broadcast 1-row cross join.
+  // ---------------------------------------------------------------------
+  def cc16Modularity(s: SparkSession, dir: String): DataFrame = {
+    val dup = jaccardVerified(Tables(s, dir, "documents"))
+      .filter(col("is_dup"))
+      .select(col("doc1").as("a"), col("doc2").as("b"))
+      .localCheckpoint()
+    val labels = Relational.labelPropagation(dup, lpRounds)
+    val deg = dup.select(col("a").as("node"))
+      .unionAll(dup.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val byLabel = labels.join(deg, Seq("node"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_tot"))
+    val intra = dup
+      .join(labels.select(col("node").as("a"), col("label").as("la")), Seq("a"))
+      .join(labels.select(col("node").as("b"), col("label").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("l_intra"))
+    val m = dup.agg(count(lit(1)).as("m"))
+    byLabel.join(intra, Seq("label"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("l_intra"), lit(0L)).as("l_intra"), col("d_tot"),
+        (lit(4L) * col("m") * coalesce(col("l_intra"), lit(0L)) -
+          col("d_tot") * col("d_tot")).as("q_num"),
+        (lit(4L) * col("m") * col("m")).as("q_den"))
+  }
+
+  val cc16Oracle: String =
+    s"""WITH ${verifyCtesFrom("documents")},
+       |verified AS ($verifySelect),
+       |dup AS (SELECT doc1, doc2 FROM verified WHERE is_dup),
+       |e AS (SELECT doc1 AS a, doc2 AS b FROM dup
+       |      UNION SELECT doc2, doc1 FROM dup),
+       |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM e),
+       |${(1 to lpRounds).map(lpRoundSql).mkString(",\n")},
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM dup),
+       |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |  SELECT doc1 AS node FROM dup UNION ALL SELECT doc2 FROM dup) d
+       | GROUP BY node),
+       |byl AS (
+       | SELECT lab AS label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(SUM(deg) AS BIGINT) AS d_tot
+       | FROM l$lpRounds l JOIN deg USING (node) GROUP BY 1),
+       |li AS (
+       | SELECT la.lab AS label, CAST(COUNT(*) AS BIGINT) AS l_intra
+       | FROM dup JOIN l$lpRounds la ON dup.doc1 = la.node
+       |  JOIN l$lpRounds lb ON dup.doc2 = lb.node
+       | WHERE la.lab = lb.lab GROUP BY 1)
+       |SELECT byl.label, n_nodes, COALESCE(l_intra, 0) AS l_intra, d_tot,
+       | 4 * m * COALESCE(l_intra, 0) - d_tot * d_tot AS q_num,
+       | 4 * m * m AS q_den
+       |FROM byl LEFT JOIN li USING (label) CROSS JOIN m""".stripMargin
+
+  // ---------------------------------------------------------------------
   // cc05: fixed-iteration PageRank over the customer↔supplier interaction
   // graph (who bought from whom, orders⋈lineitem, supplier ids offset by
   // 10^7 into a shared id space; edges symmetrized so the bipartite graph
@@ -1869,6 +1940,7 @@ object Dedup {
     "cc12_degree_dist" -> (cc12DegreeDist _),
     "cc13_link_predict" -> (cc13LinkPredict _),
     "cc14_clustering_coeff" -> (cc14ClusteringCoeff _),
+    "cc16_modularity" -> (cc16Modularity _),
     "dd19_cdc_chunks" -> (dd19CdcChunks _),
     "dd20_semdedup" -> (dd20Semdedup _),
     "dd21_cross_signal" -> (dd21CrossSignalVerify _),
@@ -1906,6 +1978,7 @@ object Dedup {
     "cc12_degree_dist" -> cc12Oracle,
     "cc13_link_predict" -> cc13Oracle,
     "cc14_clustering_coeff" -> cc14Oracle,
+    "cc16_modularity" -> cc16Oracle,
     "dd19_cdc_chunks" -> dd19Oracle,
     "dd20_semdedup" -> dd20Oracle,
     "dd21_cross_signal" -> dd21Oracle,

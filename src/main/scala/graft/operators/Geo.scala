@@ -325,7 +325,70 @@ object Geo {
        | g.site_id IS NULL AS keep
        |FROM st LEFT JOIN g USING (site_id)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // geo06: POINT-IN-POLYGON containment — the region-membership primitive
+  // of a geo engine ("which administrative area is this point in"; the
+  // reference resolves cities→countries relationally via P17 claims, but
+  // a geo db answering it from geometry runs exactly this test). Even-odd
+  // ray casting with EXACT integer arithmetic: for each polygon edge the
+  // upward-ray crossing test reduces to a sign check of the 2×2 cross
+  // product t = (px−x1)(y2−y1) − (x2−x1)(py−y1) — no division, so Spark
+  // and DuckDB agree bit-for-bit, including on concave polygons (poly 2
+  // has a notch) and the half-open vertex rule ((y1>py) != (y2>py))
+  // that counts a vertex-touching ray exactly once.
+  //
+  // Scale shape: polygons are a SMALL dictionary (boundaries of regions,
+  // not data), so each polygon's full crossing count is UNROLLED into
+  // one codegen'd integer projection over the points scan — per-poly
+  // edge terms are compile-time literals, zero joins, ZERO shuffles,
+  // |polys| parallel corpus scans (or one scan when the engine fuses the
+  // union). The naive alternative — a points × edges join with a
+  // (pt, poly) regroup — shuffles |edges|× the corpus for no reason.
+  // ---------------------------------------------------------------------
+  private[operators] val polygons: Seq[(Int, Seq[(Long, Long)])] = Seq(
+    1 -> Seq((100L, 100L), (900L, 200L), (400L, 800L)),
+    // concave pentagon: notch cut into the top edge
+    2 -> Seq((200L, 600L), (800L, 600L), (800L, 1000L), (500L, 750L),
+      (200L, 1000L)),
+    3 -> Seq((0L, 0L), (300L, 0L), (300L, 300L), (0L, 300L)))
+
+  /** SQL for the even-odd crossing count of (px, py) against one polygon
+    * — a sum of per-edge CASE terms over literal vertices, valid in both
+    * Spark SQL and DuckDB. */
+  private def nCrossSqlFor(verts: Seq[(Long, Long)]): String =
+    verts.indices.map { i =>
+      val (x1, y1) = verts(i)
+      val (x2, y2) = verts((i + 1) % verts.size)
+      s"""(CASE WHEN (($y1 > py) != ($y2 > py)) AND
+         | (CASE WHEN $y2 > $y1
+         |   THEN (px - $x1) * ($y2 - $y1) - ($x2 - $x1) * (py - $y1) < 0
+         |   ELSE (px - $x1) * ($y2 - $y1) - ($x2 - $x1) * (py - $y1) > 0 END)
+         | THEN 1 ELSE 0 END)""".stripMargin.replace("\n", " ")
+    }.mkString(" + ")
+
+  def geo06PointInPolygon(s: SparkSession, dir: String): DataFrame = {
+    val pts = points(s, dir).drop("nat")
+    polygons.map { case (pid, verts) =>
+      pts.select(col("pt_id"), lit(pid).as("poly_id"),
+          expr(s"cast(${nCrossSqlFor(verts)} as int)").as("n_cross"))
+        .filter(col("n_cross") % 2 === 1)
+    }.reduce(_ unionAll _)
+  }
+
+  val geo06Oracle: String = {
+    val arms = polygons.map { case (pid, verts) =>
+      val e = nCrossSqlFor(verts)
+      s"""SELECT pt_id, $pid AS poly_id, CAST($e AS INT) AS n_cross
+         |FROM p WHERE (($e) % 2) = 1""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH p AS (
+       | SELECT c_custkey AS pt_id, (c_custkey*37)%$D AS px, (c_custkey*91)%$D AS py
+       | FROM customer)
+       |$arms""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "geo06_point_in_polygon" -> (geo06PointInPolygon _),
     "geo05_spatial_dedup" -> (geo05SpatialDedup _),
     "geo01_grid_knn" -> (geo01GridKnn _),
     "geo02_radius_join" -> (geo02RadiusJoin _),
@@ -333,6 +396,7 @@ object Geo {
     "geo04_topk_knn" -> (geo04TopkKnn _))
 
   val oracles: Map[String, String] = Map(
+    "geo06_point_in_polygon" -> geo06Oracle,
     "geo05_spatial_dedup" -> geo05Oracle,
     "geo01_grid_knn" -> geo01Oracle,
     "geo02_radius_join" -> geo02Oracle,

@@ -367,7 +367,102 @@ object MatView {
       | MAX(v100) AS max_v100
       |FROM c GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mv06: SCD2 DIMENSION roll-forward — incremental maintenance of the
+  // ds15 slowly-changing-dimension table. The nightly reality of a
+  // warehouse dimension: snapshots v1..v3 were merged once (ds15's
+  // islands pass) and persisted; when snapshot v4 lands, the open
+  // intervals are reconciled against it with ONE full-outer join —
+  // unchanged rows stay open, changed/deleted rows close at v4,
+  // changed/new/re-inserted keys open a fresh [4, ∞) interval — and the
+  // closed history passes through untouched. The state read + one
+  // snapshot is O(|dimension| + |snapshot|); the full rebuild the oracle
+  // runs is O(Σ snapshots) and re-windows ALL of history — the gap that
+  // grows with every snapshot. Hash-equality against the 4-snapshot
+  // islands recompute is the maintenance-correctness proof (mv01's law
+  // on interval state). Exact-IEEE balance math from the same parquet on
+  // both sides, ds15's convention.
+  // ---------------------------------------------------------------------
+  private val scd2NewVer = 4
+
+  /** Reconcile the persisted SCD2 state (built through ver `newVer-1`)
+    * with snapshot `snap(key, bal)` of version `newVer`. Touches state +
+    * snapshot only. */
+  def rollForwardScd2(s: SparkSession, stateDir: String,
+      snap: DataFrame, newVer: Int): DataFrame = {
+    val st = s.read.parquet(stateDir)
+    val closed = st.filter(col("valid_to").isNotNull)
+    val cur = st.filter(col("valid_to").isNull)
+      .select(col("c_custkey"), col("acctbal"), col("valid_from"))
+    val j = cur.join(snap.select(col("c_custkey"), col("bal")),
+      Seq("c_custkey"), "full_outer")
+    val unchanged = j
+      .filter(col("acctbal").isNotNull && col("bal").isNotNull &&
+        col("acctbal") === col("bal"))
+      .select(col("c_custkey"), col("acctbal"), col("valid_from"),
+        lit(null).cast("int").as("valid_to"))
+    val closedNow = j
+      .filter(col("acctbal").isNotNull &&
+        (col("bal").isNull || col("acctbal") =!= col("bal")))
+      .select(col("c_custkey"), col("acctbal"), col("valid_from"),
+        lit(newVer).cast("int").as("valid_to"))
+    val opened = j
+      .filter(col("bal").isNotNull &&
+        (col("acctbal").isNull || col("acctbal") =!= col("bal")))
+      .select(col("c_custkey"), col("bal").as("acctbal"),
+        lit(newVer).cast("int").as("valid_from"),
+        lit(null).cast("int").as("valid_to"))
+    closed.unionByName(unchanged).unionByName(closedNow).unionByName(opened)
+  }
+
+  def mv06Scd2Rollforward(s: SparkSession, dir: String): DataFrame = {
+    val stateDir = statePathFor(dir) + "_scd2"
+    Curation.ds15Scd2(s, dir).write.mode("overwrite").parquet(stateDir)
+    val cust = Tables(s, dir, "customer")
+    val b2 = when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+      .otherwise(col("c_acctbal"))
+    val b3 = when(col("c_custkey") % 3 === 0, b2 + 50.0).otherwise(b2)
+    val snap4 = cust.filter(col("c_custkey") % 13 =!= 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 2 === 0, b3 + 25.0).otherwise(b3).as("bal"))
+    rollForwardScd2(s, stateDir, snap4, scd2NewVer)
+  }
+
+  val mv06Oracle: String =
+    """WITH vb AS (
+      | SELECT c_custkey, c_acctbal AS b1,
+      |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS b2
+      | FROM customer),
+      |vb3 AS (
+      | SELECT c_custkey, b1, b2,
+      |  CASE WHEN c_custkey % 3 = 0 THEN b2 + 50.0 ELSE b2 END AS b3
+      | FROM vb),
+      |snaps AS (
+      | SELECT c_custkey, b1 AS bal, 1 AS ver FROM vb3 WHERE c_custkey % 5 != 0
+      | UNION ALL
+      | SELECT c_custkey, b2, 2 FROM vb3
+      | UNION ALL
+      | SELECT c_custkey, b3, 3 FROM vb3 WHERE c_custkey % 11 != 0
+      | UNION ALL
+      | SELECT c_custkey,
+      |  CASE WHEN c_custkey % 2 = 0 THEN b3 + 25.0 ELSE b3 END, 4
+      | FROM vb3 WHERE c_custkey % 13 != 0),
+      |brks AS (
+      | SELECT c_custkey, bal, ver,
+      |  CASE WHEN LAG(ver) OVER w IS NULL OR LAG(ver) OVER w != ver - 1
+      |        OR LAG(bal) OVER w != bal THEN 1 ELSE 0 END AS brk
+      | FROM snaps WINDOW w AS (PARTITION BY c_custkey ORDER BY ver)),
+      |segs AS (
+      | SELECT c_custkey, bal, ver,
+      |  SUM(brk) OVER (PARTITION BY c_custkey ORDER BY ver) AS seg
+      | FROM brks)
+      |SELECT c_custkey, MIN(bal) AS acctbal,
+      | CAST(MIN(ver) AS INT) AS valid_from,
+      | CAST(CASE WHEN MAX(ver) = 4 THEN NULL ELSE MAX(ver) + 1 END AS INT) AS valid_to
+      |FROM segs GROUP BY c_custkey, seg""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mv06_scd2_rollforward" -> (mv06Scd2Rollforward _),
     "mv05_hist_rollforward" -> (mv05HistRollforward _),
     "mv01_agg_rollforward" -> (mv01AggRollforward _),
     "mv02_event_rollforward" -> (mv02EventRollforward _),
@@ -375,6 +470,7 @@ object MatView {
     "mv04_topk_rollforward" -> (mv04TopkRollforward _))
 
   val oracles: Map[String, String] = Map(
+    "mv06_scd2_rollforward" -> mv06Oracle,
     "mv05_hist_rollforward" -> mv05Oracle,
     "mv01_agg_rollforward" -> mv01Oracle,
     "mv02_event_rollforward" -> mv02Oracle,

@@ -964,7 +964,147 @@ object TextOps {
        | (CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) * 1000) // COUNT(*) AS keep_pm
        |FROM j GROUP BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // tx23: BM25 retrieval — the lexical search mode over the corpus (eval-
+  // set mining, "find the docs about X" curation probes, and the sparse
+  // half of hybrid retrieval next to the ss ANN tier). Okapi BM25 with
+  // k1 = 1.2, b = 0.75, idf = ln((N+1)/(df+1)) (tx15's positive-idf
+  // convention), top-10 docs per query.
+  //
+  // Scale shape: the corpus contributes exactly the postings build — the
+  // one (doc, term) shuffle tf/df/dl all derive from with map-side
+  // partials (tx15's plan). The QUERY side is a handful of literal terms
+  // broadcast against the postings, so scoring touches only matching
+  // postings, never the corpus; N/Σdl ride a broadcast 1-row cross join
+  // and the per-query top-k is a WindowGroupLimit rank-limit.
+  //
+  // Determinism: each per-(query,doc,term) BM25 contribution is ONE
+  // double expression written identically in both engines, rounded to
+  // integer ten-thousandths BEFORE summing — so the per-doc score is an
+  // order-independent BIGINT sum and the ranking carries no float
+  // ambiguity (the same trick that makes tx16's percentiles exact;
+  // per-term rounding noise is ≤1 ulp of libm ln, same exposure tx15
+  // accepted).
+  // ---------------------------------------------------------------------
+  private val bm25K = 10
+  private[operators] val bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("hash", "join"),
+    2 -> Seq("window", "batch"),
+    3 -> Seq("vector", "scan", "slow"),
+    4 -> Seq("spark", "stream"))
+
+  def tx23Bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val qterms = broadcast(
+      bm25Queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+        .toDF("qid", "tok"))
+    val tf = docs.select(col("doc_id"),
+        explode(expr("filter(split(lower(text), ' '), x -> x != '')")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dls = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = dls.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val contrib =
+      log((col("n_docs").cast("double") + lit(1.0)) /
+          (col("df").cast("double") + lit(1.0))) *
+        (col("tf").cast("double") * lit(2.2) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl").cast("double") *
+              col("n_docs").cast("double") / col("sum_dl").cast("double"))))
+    val scored = tf.join(qterms, Seq("tok"))
+      .join(df, Seq("tok"))
+      .join(dls, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("c_x10k", round(contrib * lit(10000), 0).cast("long"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("c_x10k")).as("score_x10k"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_x10k").desc, col("doc_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= bm25K)
+      .select(col("qid"), col("doc_id"), col("rnk"), col("n_terms_hit"),
+        col("score_x10k"))
+  }
+
+  val tx23Oracle: String = {
+    val qvals = bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    s"""WITH qt(qid, tok) AS (VALUES $qvals),
+       |toks AS (
+       | SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS tok
+       | FROM documents),
+       |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+       |dls AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls),
+       |hits AS (
+       | SELECT qt.qid, tf.doc_id,
+       |  CAST(round(
+       |   ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) *
+       |    (CAST(tf AS DOUBLE) * 2.2 /
+       |     (CAST(tf AS DOUBLE) + 1.2 *
+       |      (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))))
+       |   * 10000) AS BIGINT) AS c_x10k
+       | FROM tf JOIN qt USING (tok) JOIN df USING (tok)
+       |  JOIN dls USING (doc_id) CROSS JOIN st),
+       |sc AS (
+       | SELECT qid, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+       |  CAST(SUM(c_x10k) AS BIGINT) AS score_x10k
+       | FROM hits GROUP BY 1, 2)
+       |SELECT qid, doc_id, rnk, n_terms_hit, score_x10k FROM (
+       | SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |   ORDER BY score_x10k DESC, doc_id ASC) AS INT) AS rnk
+       | FROM sc) t WHERE rnk <= $bm25K""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // tx24: tokenizer FERTILITY report — tokens-per-word and chars-per-
+  // token by language, the standard tokenizer-efficiency eval (a
+  // tokenizer that fragments one language into 2× the tokens of another
+  // doubles that language's effective sequence cost; fertility is the
+  // number tokenizer papers report per language). Uses tx11's BPE-ish
+  // pretokenizer as the token stream and whitespace words as the
+  // denominator. One corpus scan, one |langs|-row hash aggregate with
+  // map-side partials; all-integer per-mille ratios (non-negative, so
+  // Spark div and DuckDB // agree) — hash-exact.
+  // ---------------------------------------------------------------------
+  def tx24Fertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    docs.select(col("lang"),
+        size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("n_ws"),
+        size(expr(
+          "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("n_bpe"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("sum_ws_tokens"),
+        sum(col("n_bpe")).as("sum_bpe_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(col("lang"), col("n_docs"), col("sum_ws_tokens"),
+        col("sum_bpe_tokens"), col("sum_chars"),
+        expr("(sum_bpe_tokens * 1000) div sum_ws_tokens").as("fertility_pm"),
+        expr("(sum_chars * 1000) div sum_bpe_tokens").as("chars_per_tok_pm"))
+  }
+
+  val tx24Oracle: String =
+    """WITH t AS (
+      | SELECT lang,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_ws,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
+      |  n_chars
+      | FROM documents)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      | CAST(SUM(n_ws) AS BIGINT) AS sum_ws_tokens,
+      | CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe_tokens,
+      | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      | (CAST(SUM(n_bpe) AS BIGINT) * 1000) // CAST(SUM(n_ws) AS BIGINT) AS fertility_pm,
+      | (CAST(SUM(n_chars) AS BIGINT) * 1000) // CAST(SUM(n_bpe) AS BIGINT) AS chars_per_tok_pm
+      |FROM t GROUP BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tx23_bm25" -> (tx23Bm25 _),
+    "tx24_fertility" -> (tx24Fertility _),
     "tx22_rule_drift" -> (tx22RuleDrift _),
     "tx21_rule_filter" -> (tx21RuleFilter _),
     "q25_posexplode_filtered" -> (q25PosexplodeFiltered _),
@@ -991,6 +1131,8 @@ object TextOps {
     "tx17_langid_confusion" -> (tx17LangidConfusion _))
 
   val oracles: Map[String, String] = Map(
+    "tx23_bm25" -> tx23Oracle,
+    "tx24_fertility" -> tx24Oracle,
     "tx22_rule_drift" -> tx22Oracle,
     "tx21_rule_filter" -> tx21Oracle,
     "q25_posexplode_filtered" -> q25Oracle,
