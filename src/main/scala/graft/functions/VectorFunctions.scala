@@ -149,7 +149,7 @@ object LshBucketImpl {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Int]]]()
 
-  private def planes(numPlanes: Int, dims: Int): Array[Array[Int]] =
+  private[functions] def planes(numPlanes: Int, dims: Int): Array[Array[Int]] =
     cache.computeIfAbsent((numPlanes, dims), { key: (Int, Int) =>
       val md = java.security.MessageDigest.getInstance("MD5")
       Array.tabulate(key._1) { p =>
@@ -200,6 +200,54 @@ case class LshBucket(child: Expression, numPlanes: Int)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.functions.LshBucketImpl.compute($c, $numPlanes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Runtime helper for [[RpProject]]: the FULL Rademacher projection against
+  * [[LshBucketImpl]]'s cached ±1 plane matrix — where lsh_bucket keeps only
+  * the SIGN of each plane's dot product (1 bit), rp_project keeps the whole
+  * integer sum (the Johnson–Lindenstrauss projected coordinate). */
+object RpProjectImpl {
+  def compute(v: ArrayData, numPlanes: Int): ArrayData = {
+    val n = v.numElements()
+    val w = LshBucketImpl.planes(numPlanes, n)
+    val out = new Array[Any](numPlanes)
+    var p = 0
+    while (p < numPlanes) {
+      val wp = w(p)
+      var s = 0L
+      var d = 0
+      while (d < n) { s += v.getLong(d) * wp(d); d += 1 }
+      out(p) = s
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `rp_project(v, numPlanes)` → the dense random projection of a quantized
+  * vector: out[p] = Σ_d v[d]·w(p,d) over the same md5-parity ±1 planes as
+  * [[LshBucket]]. Codegen'd primitive loop; exact BIGINT output, so both
+  * engines agree bit-for-bit. */
+case class RpProject(child: Expression, numPlanes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rp_project expects array<bigint>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rp_project"
+
+  override def nullSafeEval(input: Any): Any =
+    RpProjectImpl.compute(input.asInstanceOf[ArrayData], numPlanes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.RpProjectImpl.compute($c, $numPlanes)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -356,6 +404,8 @@ object VectorFunctions {
       MinHashSigs(args(0), args(1).eval().asInstanceOf[Int]))
     add("lsh_bucket")(args =>
       LshBucket(args(0), args(1).eval().asInstanceOf[Int]))
+    add("rp_project")(args =>
+      RpProject(args(0), args(1).eval().asInstanceOf[Int]))
     add("intersect_size")(args => IntersectSize(args(0), args(1)))
     add("ngram_hashes")(args =>
       NGramHashes(args(0), args(1).eval().asInstanceOf[Int]))

