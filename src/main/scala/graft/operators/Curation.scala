@@ -170,6 +170,88 @@ object Curation {
        |GROUP BY g.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // dd22: MAXIMAL shared-span EXTRACTION — dd10's other half. dd10 counts
+  // how much of a doc is duplicated somewhere; dd22 says WHERE: for each
+  // doc pair, the maximal runs of consecutive shared 8-token grams, i.e.
+  // the actual copied passages (the span-level output of Lee et al.
+  // 2022's ExactSubstr dedup, re-expressed for a shuffle engine: a
+  // distributed suffix array is the wrong tool when consecutive-gram
+  // coalescing gets the same maximal spans from equi-joins + one
+  // window). A run of k consecutive positions with the same alignment
+  // offset is one shared substring of k+7 tokens; emitting (start_a,
+  // start_b, n_toks) is what a surgical span-removal pass consumes.
+  //
+  // Scale shape: positional grams are map-side; only grams shared by
+  // 2..16 docs build pairs (the SAME bounded-fan-out defense as cc13's
+  // capped wedges — a boilerplate gram in 10⁴ docs would otherwise
+  // square; those grams are para-dedup territory (dd13), not pair
+  // evidence), so pair volume is Σ min(nd,16)² per gram. The
+  // island window runs per (pair, offset) — alignment groups are span-
+  // sized, never corpus-sized.
+  // ---------------------------------------------------------------------
+  private val spanGramDocCap = 16
+
+  def dd22SharedSpans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val toks = expr("filter(split(norm, ' '), x -> x != '')")
+    val pg = docs.select(col("doc_id"), norm.as("norm"))
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        posexplode(expr("ngram_hashes(toks, 8)")).as(Seq("pos0", "gh")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("gh"))
+      .localCheckpoint()
+    val keep = pg.select(col("doc_id"), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= spanGramDocCap)
+      .select(col("gh"))
+    val hits = pg.join(keep, Seq("gh"))
+    val pairs = hits.select(col("gh"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(hits.select(col("gh"), col("doc_id").as("doc_b"), col("pos").as("pb")),
+        Seq("gh"))
+      .filter(col("doc_a") < col("doc_b"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("pa") - col("pb"))
+      .orderBy(col("pa"))
+    pairs
+      .withColumn("seg", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("pa") - col("pb"), col("seg"))
+      .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
+        (count(lit(1)) + 7).as("n_toks"))
+      .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
+        col("n_toks"))
+  }
+
+  val dd22Oracle: String =
+    s"""WITH nrm AS (
+       | SELECT doc_id, list_filter(string_split(
+       |   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+       |   ' '), x -> x != '') AS toks
+       | FROM documents),
+       |pg AS (
+       | SELECT doc_id, unnest(range(1, len(toks) - 6)) AS pos,
+       |  unnest(list_transform(range(1, len(toks) - 6),
+       |   i -> ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT)) AS gh
+       | FROM nrm),
+       |keep AS (
+       | SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM pg) d
+       | GROUP BY gh HAVING COUNT(*) BETWEEN 2 AND $spanGramDocCap),
+       |pr AS (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+       | FROM pg a JOIN keep USING (gh) JOIN pg b USING (gh)
+       | WHERE a.doc_id < b.doc_id),
+       |seg AS (
+       | SELECT doc_a, doc_b, pa, pb,
+       |  pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+       |    ORDER BY pa) AS seg
+       | FROM pr)
+       |SELECT doc_a, doc_b,
+       | CAST(MIN(pa) AS BIGINT) AS a_start, CAST(MIN(pb) AS BIGINT) AS b_start,
+       | CAST(COUNT(*) + 7 AS BIGINT) AS n_toks
+       |FROM seg GROUP BY doc_a, doc_b, pa - pb, seg""".stripMargin
+
+  // ---------------------------------------------------------------------
   // dd13: corpus-wide paragraph dedup (RefinedWeb/Falcon-style) — exact
   // dedup at SUB-document granularity: chop each doc into fixed 20-token
   // chunks (the paragraph stand-in for this corpus, which has no line
@@ -1828,6 +1910,7 @@ object Curation {
     "dc04_chunk_decontaminate" -> (dc04ChunkDecontaminate _),
     "dd10_repeated_spans" -> (dd10RepeatedSpans _),
     "dd13_paragraph_dedup" -> (dd13ParagraphDedup _),
+    "dd22_shared_spans" -> (dd22SharedSpans _),
     "tp02_full_curation" -> (tp02FullCuration _),
     "tp03_corpus_report" -> (tp03CorpusReport _),
     "tp04_pack_train" -> (tp04PackTrain _),
@@ -1866,6 +1949,7 @@ object Curation {
     "dc04_chunk_decontaminate" -> dc04Oracle,
     "dd10_repeated_spans" -> dd10Oracle,
     "dd13_paragraph_dedup" -> dd13Oracle,
+    "dd22_shared_spans" -> dd22Oracle,
     "tp02_full_curation" -> tp02Oracle,
     "tp03_corpus_report" -> tp03Oracle,
     "tp04_pack_train" -> tp04Oracle,

@@ -181,6 +181,55 @@ class StintFifteenSpec extends SparkSpec {
     }
   }
 
+  test("dd22: spans match a brute Scala extraction and are maximal") {
+    val got = Curation.dd22SharedSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+
+    val docs = graft.Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map { r =>
+        val toksArr = r.getString(1).toLowerCase
+          .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+          .split(' ').filter(_.nonEmpty)
+        (r.getLong(0), toksArr.sliding(8).map(_.mkString(" ")).toArray)
+      }
+    // gram -> list of (doc, 1-based pos); keep grams in 2..16 docs
+    val postings = docs.flatMap { case (id, grams) =>
+      grams.zipWithIndex.map { case (g, i) => (g, id, i + 1L) } }
+      .groupBy(_._1)
+      .filter { case (_, hits) =>
+        val nd = hits.map(_._2).distinct.size; nd >= 2 && nd <= 16 }
+    val pairHits = postings.values.flatMap { hits0 =>
+      val hits = hits0.toList
+      for (a <- hits; b <- hits if a._2 < b._2)
+        yield ((a._2, b._2, a._3 - b._3), a._3)
+    }.toSeq.groupBy(_._1)
+    val expect = pairHits.flatMap { case ((da, db, diff), g) =>
+      val ps = g.map(_._2).distinct.sorted
+      // islands over consecutive positions
+      val runs = ps.foldLeft(List.empty[List[Long]]) {
+        case ((h @ (hd :: _)) :: t, p) if p == hd + 1 => (p :: h) :: t
+        case (acc, p) => List(p) :: acc
+      }
+      runs.map { run =>
+        val start = run.min
+        (da, db, start, start - diff, run.size + 7L)
+      }
+    }.toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+    // maximality: no two spans of the same pair+alignment are adjacent
+    got.groupBy(s => (s._1, s._2, s._3 - s._4)).values.foreach { spans =>
+      val sorted = spans.toSeq.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Seq(x, y) =>
+          assert(y._3 > x._3 + (x._5 - 7), s"mergeable spans: $x $y")
+        case _ =>
+      }
+    }
+  }
+
   test("mv06: roll-forward equals a full 4-snapshot islands rebuild") {
     val got = MatView.mv06Scd2Rollforward(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2),
