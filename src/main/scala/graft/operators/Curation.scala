@@ -1880,7 +1880,46 @@ object Curation {
       |  FROM documents) t) u
       |GROUP BY split""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // tp10: RELEASE manifest capstone — the last artifact a curation
+  // pipeline ships: tp02's fully-curated corpus (quality gate → dedup →
+  // near-dup removal → decontamination → split → train mixture) rolled
+  // up into the per-split release fingerprint (doc counts, token/char
+  // totals, and ds21's order-independent bit_xor content digest). Two
+  // releases are byte-equivalent iff their manifest rows match — the
+  // O(|splits|) equality check that replaces diffing shipped shards, now
+  // over the CURATED corpus rather than ds21's raw one. Composition adds
+  // one hash semi-join (curated ids back to text) and a |splits|-row
+  // rollup on top of tp02's plan; every stage keeps its standalone
+  // shape.
+  // ---------------------------------------------------------------------
+  def tp10ReleaseManifest(s: SparkSession, dir: String): DataFrame = {
+    val curated = tp02FullCuration(s, dir).select(col("doc_id"), col("split"))
+    Tables(s, dir, "documents")
+      .join(curated, Seq("doc_id"))
+      .select(col("split"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h"),
+        col("n_chars"),
+        size(expr("filter(split(text, ' '), x -> x != '')")).cast("long")
+          .as("n_toks"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(h)").as("content_digest"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_toks")).as("total_tokens"))
+  }
+
+  val tp10Oracle: String =
+    s"""WITH cur AS (SELECT doc_id, split FROM ($tp02Oracle) c)
+       |SELECT split, COUNT(*) AS n_docs,
+       | bit_xor(('0x' || substr(md5(d.text), 1, 15))::BIGINT) AS content_digest,
+       | CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+       | CAST(SUM(len(list_filter(string_split(d.text, ' '), x -> x != ''))) AS BIGINT) AS total_tokens
+       |FROM documents d JOIN cur USING (doc_id)
+       |GROUP BY split""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tp10_release_manifest" -> (tp10ReleaseManifest _),
     "dc05_split_leakage" -> (dc05SplitLeakage _),
     "ds20_kcenter_coreset" -> (ds20KcenterCoreset _),
     "ds21_split_manifest" -> (ds21SplitManifest _),
@@ -1920,6 +1959,7 @@ object Curation {
     "tp07_ingest_cycle" -> (tp07IngestCycle _))
 
   val oracles: Map[String, String] = Map(
+    "tp10_release_manifest" -> tp10Oracle,
     "dc05_split_leakage" -> dc05Oracle,
     "ds20_kcenter_coreset" -> ds20Oracle,
     "q60_temporal_lookup" -> q60Oracle,

@@ -68,10 +68,17 @@ object TextOps {
     "en" -> " the ", "de" -> " der ", "es" -> " la ",
     "fr" -> " le ", "zh" -> " shi ")
 
-  def tx01LangId(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
+  def tx01LangId(s: SparkSession, dir: String): DataFrame =
+    langScored(Tables(s, dir, "documents"))
+
+  /** tx01's marker scoring over any (doc_id, text) frame — stateless, so
+    * it is streaming-safe like [[ruleFiltered]]. `carry` columns pass
+    * through untouched. */
+  private[graft] def langScored(docs: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     val padded = concat(lit(" "), col("text"), lit(" "))
-    val scored = langMarkers.foldLeft(docs.select(col("doc_id"), padded.as("p"))) {
+    val scored = langMarkers.foldLeft(
+      docs.select((col("doc_id") +: carry.map(col)) :+ padded.as("p"): _*)) {
       case (df, (lang, marker)) =>
         df.withColumn(s"score_$lang",
           ((length(col("p")) - length(regexp_replace(col("p"), marker, ""))) / marker.length)
@@ -80,9 +87,9 @@ object TextOps {
     val candidates = array(langMarkers.map { case (lang, _) =>
       struct(col(s"score_$lang").as("score"), lit(lang).as("lang"))
     }: _*)
-    scored.select(col("doc_id"),
+    scored.select((col("doc_id") +: carry.map(col)) ++ Seq(
       array_max(candidates).getField("lang").as("guessed_lang"),
-      array_max(candidates).getField("score").as("best_score"))
+      array_max(candidates).getField("score").as("best_score")): _*)
   }
 
   val tx01Oracle: String = {
@@ -890,21 +897,29 @@ object TextOps {
   // every rule actually fires somewhere (a filter that never fires tests
   // nothing). Rule order in the reason string is fixed.
   // ---------------------------------------------------------------------
-  def tx21RuleFilter(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
-    val sig = docs.select(col("doc_id"),
+  def tx21RuleFilter(s: SparkSession, dir: String): DataFrame =
+    ruleFiltered(Tables(s, dir, "documents"))
+
+  /** tx21's rule evaluation over any (doc_id, text) frame — a stateless
+    * projection, so it runs unchanged over a STREAMING frame
+    * ([[graft.streaming.EventStream.ingestGateStream]]). `carry` columns
+    * pass through untouched (the streaming gate threads guessed_lang
+    * through without a stateful self-join). */
+  private[graft] def ruleFiltered(docs: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
+    val sig = docs.select((col("doc_id") +: carry.map(col)) ++ Seq(
       expr("cast(size(filter(split(text, ' '), x -> x != '')) as bigint)").as("n_words"),
       expr("cast(length(replace(text, ' ', '')) as bigint)").as("n_wchars"),
       expr("cast(size(filter(split(text, ' '), x -> x IN ('the','a','of','and','la','le','der'))) as bigint)").as("n_stop"),
-      expr("cast(size(array_distinct(filter(split(text, ' '), x -> x != ''))) as bigint)").as("n_distinct"))
+      expr("cast(size(array_distinct(filter(split(text, ' '), x -> x != ''))) as bigint)").as("n_distinct")): _*)
     sig.withColumn("failed_rules", concat_ws(",",
         when(col("n_words") < 20, "too_short"),
         when(col("n_wchars") * 10 < col("n_words") * 40 ||
           col("n_wchars") * 10 > col("n_words") * 50, "word_len"),
         when(col("n_stop") < 2, "low_stopword"),
         when(col("n_distinct") * 5 < col("n_words") * 2, "repetitive")))
-      .select(col("doc_id"), col("n_words"),
-        (col("failed_rules") === "").as("keep"), col("failed_rules"))
+      .select((col("doc_id") +: carry.map(col)) ++ Seq(col("n_words"),
+        (col("failed_rules") === "").as("keep"), col("failed_rules")): _*)
   }
 
   val tx21Oracle: String =

@@ -146,6 +146,25 @@ object EventStream {
       }.start()
   }
 
+  /** Streaming INGEST GATE — the per-document admission decision (tx21's
+    * named quality rules + tx01's language guess) evaluated on documents
+    * as they arrive. Both are STATELESS projections (integer
+    * cross-multiplied ratio rules, marker counting), so the gate is a
+    * pure `select` over the stream: no watermark, no state store, no
+    * foreachBatch — a streaming micro-batch and the batch query run the
+    * byte-identical plan, which is what makes the lockstep law testable
+    * (EventStreamSpec). This is the front half of the crawl-ingest
+    * story; admitted docs flow on to [[incrementalDedupStreamFromStore]]
+    * for the stateful dedup half. */
+  def ingestGateStream(docs: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    // langScored carries text through so the rule pass chains as a second
+    // projection on the SAME stream — no stateful self-join
+    TextOps.ruleFiltered(
+      TextOps.langScored(docs, carry = Seq("text")).drop("best_score"),
+      carry = Seq("guessed_lang"))
+  }
+
   /** Streaming maintenance of the mv02 day-partitioned event rollup —
     * the live twin of the nightly [[graft.operators.MatView
     * .rollForwardEvents]]: every micro-batch merges its (day,

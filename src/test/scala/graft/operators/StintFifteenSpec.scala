@@ -230,6 +230,36 @@ class StintFifteenSpec extends SparkSpec {
     }
   }
 
+  test("ingest gate stream: micro-batched output equals the batch gate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = graft.Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).take(40)
+    def shape(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3), r.getString(4))).toSet
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.ingestGateStream(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gate15")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(20).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(20).toSeq: _*)
+      q.processAllAvailable()
+      val got = shape(spark.table("gate15").collect())
+      val batch = shape(graft.streaming.EventStream.ingestGateStream(
+        docs.toSeq.toDF("doc_id", "text")).collect())
+      assert(got == batch)
+      // the gate actually decides something on this corpus
+      assert(got.exists(_._4) && got.exists(!_._4))
+      assert(got.map(_._2).size >= 1)
+    } finally q.stop()
+  }
+
   test("mv06: roll-forward equals a full 4-snapshot islands rebuild") {
     val got = MatView.mv06Scd2Rollforward(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2),
