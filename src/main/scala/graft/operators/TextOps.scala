@@ -1014,9 +1014,13 @@ object TextOps {
     val qterms = broadcast(
       bm25Queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
         .toDF("qid", "tok"))
+    // tf feeds THREE derivations (doc lengths, document frequencies, and
+    // the postings probe) — localCheckpoint cuts the DAG so the corpus is
+    // tokenized and (doc, term)-shuffled exactly once, not three times
     val tf = docs.select(col("doc_id"),
         explode(expr("filter(split(lower(text), ' '), x -> x != '')")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dls = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val stats = dls.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
