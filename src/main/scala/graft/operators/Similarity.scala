@@ -1886,7 +1886,98 @@ object Similarity {
        |   // COUNT(*) AS recall_pct
        |FROM ex LEFT JOIN ap USING (q_id, c_id)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ss32/ss33: IVF + RANDOM-PROJECTION serving — the last cell of the
+  // tier matrix (IVF+exact ss03, IVF+PQ ss11, IVF+SQ8 ss21, IVF+RP
+  // here): the learned-centroid probe bounds WHICH candidates are
+  // scored, the JL projection bounds WHAT each candidate stores (32
+  // BIGINT coordinates, half the exact vector, no codebook/stats to
+  // train beside the planes). The serving shape where the inverted
+  // lists hold projections only and the raw corpus is never read at
+  // query time; rerank is the exact-integer projected dot, ranked by
+  // projected cosine. ss33 is the honesty metric against the ss01
+  // exact top-k (ss06/ss12/ss18/ss22's form) — it prices the COMBINED
+  // loss of the nprobe fence and the projection.
+  // ---------------------------------------------------------------------
+  def ss32IvfRp(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val cents = learnedCentroids(base, ivfRounds)
+      .select(col("cent_id"), col("cv").as("v2"), col("cnrm").as("n2"))
+    def centScored(src: DataFrame, idCol: String): DataFrame =
+      src.select(col("vec_id").as(idCol), col("v").as("v1"), col("nrm").as("n1"))
+        .join(broadcast(cents), lit(true))
+        .withColumn("ccos",
+          expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+    val assigned = centScored(base, "a_id")
+      .groupBy(col("a_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("ccos"), (-col("cent_id")).as("neg"))).as("cent_id"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val probes = centScored(base.filter(col("vec_id") % 100 === 0), "q_id")
+      .withColumn("crn", row_number().over(wProbe)).filter(col("crn") <= nprobe)
+      .select(col("q_id"), col("cent_id"))
+    val pairs = probes.join(assigned, Seq("cent_id"))
+      .filter(col("q_id") =!= col("a_id"))
+      .select(col("q_id"), col("a_id").as("c_id")).distinct()
+    val enc = rpEncoded(base)
+    val qenc = enc.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("rp").as("r1"), col("pn").as("pn1"))
+    val scored = pairs
+      .join(broadcast(qenc), Seq("q_id"))
+      .join(enc.select(col("vec_id").as("c_id"), col("rp").as("r2"),
+        col("pn").as("pn2")), Seq("c_id"))
+      .withColumn("pdot", expr("dot_l(r1, r2)"))
+      .withColumn("pcos",
+        col("pdot") / sqrt(col("pn1").cast("double") * col("pn2").cast("double")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("pcos").desc, col("c_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+      .select(col("q_id"), col("c_id"), col("rnk"), col("pdot"), col("pcos"))
+  }
+
+  val ss32Oracle: String =
+    s"""WITH $qvecSql,
+       |${kmChainSql(ivfRounds)},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |$annProbePrefixSql,
+       |$rpSql,
+       |qe AS (SELECT vec_id AS q_id, rp AS r1, pn AS pn1 FROM en WHERE vec_id % 100 = 0),
+       |sc AS (
+       | SELECT p.q_id, p.c_id,
+       |  CAST(list_sum(list_transform(range(1, $rpPlanes + 1),
+       |    i -> q.r1[i] * e.rp[i])) AS BIGINT) AS pdot,
+       |  q.pn1, e.pn AS pn2
+       | FROM pairs p JOIN qe q ON p.q_id = q.q_id JOIN en e ON p.c_id = e.vec_id)
+       |SELECT q_id, c_id, rnk, pdot, pcos FROM (
+       | SELECT q_id, c_id, pdot,
+       |  pdot / sqrt(CAST(pn1 AS DOUBLE) * CAST(pn2 AS DOUBLE)) AS pcos,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY pdot / sqrt(CAST(pn1 AS DOUBLE) * CAST(pn2 AS DOUBLE)) DESC, c_id ASC) AS rnk
+       | FROM sc) t WHERE rnk <= $K""".stripMargin
+
+  def ss33IvfRpRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = ss01BruteTopk(s, dir).select(col("q_id"), col("c_id"))
+    val approx = ss32IvfRp(s, dir)
+      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "c_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_pct", expr("(n_hit * 100) div n_exact"))
+  }
+
+  val ss33Oracle: String =
+    s"""WITH ex AS (SELECT q_id, c_id FROM ($ss01Oracle) a),
+       |ap AS (SELECT q_id, c_id FROM ($ss32Oracle) b)
+       |SELECT COUNT(*) AS n_exact,
+       | CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       | (CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
+       |   // COUNT(*) AS recall_pct
+       |FROM ex LEFT JOIN ap USING (q_id, c_id)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ss32_ivf_rp" -> (ss32IvfRp _),
+    "ss33_ivf_rp_recall" -> (ss33IvfRpRecall _),
     "ss29_rp_encode" -> (ss29RpEncode _),
     "ss30_rp_topk" -> (ss30RpTopk _),
     "ss31_rp_recall" -> (ss31RpRecall _),
@@ -1921,6 +2012,8 @@ object Similarity {
     "ss15_rerank_recall" -> (ss15RerankRecall _))
 
   val oracles: Map[String, String] = Map(
+    "ss32_ivf_rp" -> ss32Oracle,
+    "ss33_ivf_rp_recall" -> ss33Oracle,
     "ss29_rp_encode" -> ss29Oracle,
     "ss30_rp_topk" -> ss30Oracle,
     "ss31_rp_recall" -> ss31Oracle,

@@ -230,6 +230,31 @@ class StintFifteenSpec extends SparkSpec {
     }
   }
 
+  test("ss32: scores are the ss29 projections' exact dots; ranks well-formed") {
+    val enc = Similarity.ss29RpEncode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val pn = enc.view.mapValues(rp => rp.map(x => x * x).sum).toMap
+    val rows = Similarity.ss32IvfRp(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, c, _, pdot, pcos) =>
+      val want = enc(q).indices.map(i => enc(q)(i) * enc(c)(i)).sum
+      assert(pdot == want, s"($q,$c)")
+      assert(pcos == pdot / math.sqrt(pn(q).toDouble * pn(c).toDouble))
+    }
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to g.size))
+      sorted.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(y._5 < x._5 || (y._5 == x._5 && y._2 > x._2),
+            s"rank order broken at q=${x._1}")
+        case _ =>
+      }
+    }
+  }
+
   test("ingest gate stream: micro-batched output equals the batch gate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
