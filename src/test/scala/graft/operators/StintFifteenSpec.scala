@@ -255,6 +255,19 @@ class StintFifteenSpec extends SparkSpec {
     }
   }
 
+  test("dd22/ss32: pair builds never cartesian; dd22 has no nested-loop at all") {
+    val dd22Plan = Curation.dd22SharedSpans(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!dd22Plan.contains("BroadcastNestedLoopJoin"), dd22Plan.take(1200))
+    assert(!dd22Plan.contains("CartesianProduct"), dd22Plan.take(1200))
+    // ss32's only nested-loop is the DELIBERATE broadcast-cross against the
+    // k-row centroid set (ss03's assignment pattern); a non-broadcast
+    // cartesian anywhere would be corpus x corpus and must never appear
+    val ss32Plan = Similarity.ss32IvfRp(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!ss32Plan.contains("CartesianProduct"), ss32Plan.take(1200))
+  }
+
   test("ingest gate stream: micro-batched output equals the batch gate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
