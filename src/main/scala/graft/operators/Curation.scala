@@ -252,6 +252,130 @@ object Curation {
        |FROM seg GROUP BY doc_a, doc_b, pa - pb, seg""".stripMargin
 
   // ---------------------------------------------------------------------
+  // dd24: span EXCISION — ExactSubstr's removal step (Lee et al. 2022
+  // cut the duplicated substring out of the text, not the document out
+  // of the corpus; dd22 finds the spans, dd24 performs the surgery).
+  // Policy: each shared passage survives in the LOWEST doc id that has
+  // it — every dd22 pair is doc_a < doc_b, so the b-side intervals
+  // [b_start, b_start + n_toks) are the removals; doc_a's copy stands.
+  // Overlapping removals (one passage shared with many docs, offset
+  // variants) are merged per doc by the standard islands window over
+  // interval starts BEFORE touching any text, so the per-doc interval
+  // list the excision consumes is minimal and disjoint.
+  //
+  // Scale shape: spans are pair-bounded by dd22's gram cap, the interval
+  // merge windows over per-doc span counts (never corpus-wide), and the
+  // excision itself is ONE codegen'd higher-order filter per doc — the
+  // merged intervals ride along as a tiny array column (hash equi-join on
+  // doc_id), so no token-level explode and no position range-join ever
+  // materializes corpus × spans. Output: per affected-or-clean doc, the
+  // token accounting and a fingerprint of the surviving token stream
+  // (the cross-engine witness that BOTH sides cut exactly the same
+  // tokens).
+  // ---------------------------------------------------------------------
+  def dd24SpanExcision(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = dd22SharedSpans(s, dir)
+    val iv = spans.select(col("doc_b").as("doc_id"), col("b_start").as("s0"),
+      (col("b_start") + col("n_toks") - 1).as("e0"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s0"), col("e0"))
+    val maxPrev = max(col("e0"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = iv
+      .withColumn("fresh",
+        (col("s0") > coalesce(maxPrev, lit(Long.MinValue))).cast("long"))
+      .withColumn("island",
+        sum(col("fresh")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s0")).as("s"), max(col("e0")).as("e"))
+    val ivs = merged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
+    val docs = Tables(s, dir, "documents")
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    docs.select(col("doc_id"), norm.as("norm"))
+      .select(col("doc_id"),
+        expr("filter(split(norm, ' '), x -> x != '')").as("toks"))
+      .join(ivs, Seq("doc_id"), "left")
+      .withColumn("ivs", coalesce(col("ivs"),
+        expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)")))
+      // sequence(1, n) is DESCENDING for n = 0 (dd13's trap) — guard empties.
+      .withColumn("kept", expr(
+        """CASE WHEN size(toks) > 0 THEN transform(
+          |  filter(sequence(1, size(toks)),
+          |    p -> NOT exists(ivs, v -> p >= v.s AND p <= v.e)),
+          |  p -> element_at(toks, p))
+          |ELSE CAST(array() AS array<string>) END""".stripMargin))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        size(col("kept")).cast("long").as("n_kept"),
+        expr("CAST(conv(substring(md5(concat_ws(' ', kept)), 1, 15), 16, 10) AS BIGINT)")
+          .as("clean_fp"))
+  }
+
+  val dd24Oracle: String =
+    s"""WITH nrm AS (
+       | SELECT doc_id, list_filter(string_split(
+       |   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+       |   ' '), x -> x != '') AS toks
+       | FROM documents),
+       |pg AS (
+       | SELECT doc_id, unnest(range(1, len(toks) - 6)) AS pos,
+       |  unnest(list_transform(range(1, len(toks) - 6),
+       |   i -> ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT)) AS gh
+       | FROM nrm),
+       |keep AS (
+       | SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM pg) d
+       | GROUP BY gh HAVING COUNT(*) BETWEEN 2 AND $spanGramDocCap),
+       |pr AS (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+       | FROM pg a JOIN keep USING (gh) JOIN pg b USING (gh)
+       | WHERE a.doc_id < b.doc_id),
+       |seg AS (
+       | SELECT doc_a, doc_b, pa, pb,
+       |  pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+       |    ORDER BY pa) AS seg
+       | FROM pr),
+       |sp AS (
+       | SELECT doc_b AS doc_id, MIN(pb) AS s0, MIN(pb) + COUNT(*) + 6 AS e0
+       | FROM seg GROUP BY doc_a, doc_b, pa - pb, seg),
+       |isl AS (
+       | SELECT doc_id, s0, e0,
+       |  SUM(CASE WHEN mp IS NULL OR s0 > mp THEN 1 ELSE 0 END)
+       |   OVER (PARTITION BY doc_id ORDER BY s0, e0
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       | FROM (
+       |  SELECT doc_id, s0, e0,
+       |   MAX(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp
+       |  FROM sp) t),
+       |mg AS (
+       | SELECT doc_id, island, MIN(s0) AS s, MAX(e0) AS e
+       | FROM isl GROUP BY doc_id, island),
+       |ivs AS (
+       | SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |  list_sort(list(struct_pack(s := s, e := e))) AS ivs
+       | FROM mg GROUP BY doc_id),
+       |cut AS (
+       | SELECT nrm.doc_id, toks,
+       |  COALESCE(n_spans, 0) AS n_spans,
+       |  list_transform(
+       |   list_filter(range(1, len(toks) + 1),
+       |    p -> ivs.ivs IS NULL OR
+       |         len(list_filter(ivs.ivs, v -> p >= v.s AND p <= v.e)) = 0),
+       |   p -> toks[p]) AS kept
+       | FROM nrm LEFT JOIN ivs USING (doc_id))
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks, n_spans,
+       | CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+       | CAST(len(kept) AS BIGINT) AS n_kept,
+       | -- array_to_string([]) is NULL in DuckDB (Spark's concat_ws gives '')
+       | ('0x' || substr(md5(COALESCE(array_to_string(kept, ' '), '')), 1, 15))::BIGINT AS clean_fp
+       |FROM cut""".stripMargin
+
+  // ---------------------------------------------------------------------
   // dd13: corpus-wide paragraph dedup (RefinedWeb/Falcon-style) — exact
   // dedup at SUB-document granularity: chop each doc into fixed 20-token
   // chunks (the paragraph stand-in for this corpus, which has no line
@@ -1950,6 +2074,7 @@ object Curation {
     "dd10_repeated_spans" -> (dd10RepeatedSpans _),
     "dd13_paragraph_dedup" -> (dd13ParagraphDedup _),
     "dd22_shared_spans" -> (dd22SharedSpans _),
+    "dd24_span_excision" -> (dd24SpanExcision _),
     "tp02_full_curation" -> (tp02FullCuration _),
     "tp03_corpus_report" -> (tp03CorpusReport _),
     "tp04_pack_train" -> (tp04PackTrain _),
@@ -1990,6 +2115,7 @@ object Curation {
     "dd10_repeated_spans" -> dd10Oracle,
     "dd13_paragraph_dedup" -> dd13Oracle,
     "dd22_shared_spans" -> dd22Oracle,
+    "dd24_span_excision" -> dd24Oracle,
     "tp02_full_curation" -> tp02Oracle,
     "tp03_corpus_report" -> tp03Oracle,
     "tp04_pack_train" -> tp04Oracle,

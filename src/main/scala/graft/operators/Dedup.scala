@@ -1344,6 +1344,66 @@ object Dedup {
        |FROM byl LEFT JOIN li USING (label) CROSS JOIN m""".stripMargin
 
   // ---------------------------------------------------------------------
+  // cc17: STRONGLY connected components of the event-TRANSITION graph —
+  // the directed-graph decomposition every other cc operator ignores
+  // (cc01/cc02 symmetrize; cc05 symmetrizes to avoid dangling mass). The
+  // graph: nodes are the `props.k` values, with a directed edge k1 → k2
+  // wherever some user produced k1 immediately before k2 (ordered by ts,
+  // event_id) at least `sccMinCount` times — the navigation graph of a
+  // clickstream, where an SCC is a "loop" users circulate in (the
+  // bow-tie-core question of Broder et al. 2000) and the condensation
+  // orders funnels. Spark side: Relational.stronglyConnectedComponents
+  // (coloring + backward certify + peel — equi-joins and keyed
+  // aggregates only). The oracle can afford what the engine must not:
+  // a recursive-CTE transitive closure + mutual-reachability min, which
+  // is exact on the |k|-sized node set and independent of the Spark
+  // algorithm — hash-equality proves the dataflow SCC against the
+  // definition itself.
+  // ---------------------------------------------------------------------
+  private val sccMinCount = 4
+
+  private[operators] def transitionEdges(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir, "events").select(col("user_id"), col("ts"),
+      col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("k2", lead(col("k"), 1).over(w))
+      .where(col("k2").isNotNull && col("k") =!= col("k2"))
+      .groupBy(col("k").as("src"), col("k2").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= sccMinCount)
+      .select(col("src"), col("dst"))
+  }
+
+  def cc17Scc(s: SparkSession, dir: String): DataFrame =
+    Relational.stronglyConnectedComponents(transitionEdges(s, dir))
+
+  val cc17Oracle: String =
+    s"""WITH RECURSIVE ev AS (
+       | SELECT user_id, ts, event_id,
+       |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       | FROM events),
+       |seq AS (
+       | SELECT k, LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k2
+       | FROM ev),
+       |e AS (
+       | SELECT k AS src, k2 AS dst FROM seq
+       | WHERE k2 IS NOT NULL AND k != k2
+       | GROUP BY 1, 2 HAVING COUNT(*) >= $sccMinCount),
+       |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |reach(src, dst) AS (
+       | SELECT src, dst FROM e
+       | UNION
+       | SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+       |mutual AS (
+       | SELECT a.src AS u, a.dst AS v
+       | FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src)
+       |SELECT n.node,
+       | CAST(LEAST(n.node, COALESCE(MIN(m.v), n.node)) AS BIGINT) AS scc_id
+       |FROM n LEFT JOIN mutual m ON m.u = n.node
+       |GROUP BY n.node""".stripMargin
+
+  // ---------------------------------------------------------------------
   // cc05: fixed-iteration PageRank over the customer↔supplier interaction
   // graph (who bought from whom, orders⋈lineitem, supplier ids offset by
   // 10^7 into a shared id space; edges symmetrized so the bipartite graph
@@ -1941,6 +2001,7 @@ object Dedup {
     "cc13_link_predict" -> (cc13LinkPredict _),
     "cc14_clustering_coeff" -> (cc14ClusteringCoeff _),
     "cc16_modularity" -> (cc16Modularity _),
+    "cc17_scc" -> (cc17Scc _),
     "dd19_cdc_chunks" -> (dd19CdcChunks _),
     "dd20_semdedup" -> (dd20Semdedup _),
     "dd21_cross_signal" -> (dd21CrossSignalVerify _),
@@ -1979,6 +2040,7 @@ object Dedup {
     "cc13_link_predict" -> cc13Oracle,
     "cc14_clustering_coeff" -> cc14Oracle,
     "cc16_modularity" -> cc16Oracle,
+    "cc17_scc" -> cc17Oracle,
     "dd19_cdc_chunks" -> dd19Oracle,
     "dd20_semdedup" -> dd20Oracle,
     "dd21_cross_signal" -> dd21Oracle,

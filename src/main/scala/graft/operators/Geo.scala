@@ -387,7 +387,70 @@ object Geo {
        |$arms""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // geo07: GRID-DENSITY clustering — the cell-based DBSCAN reduction
+  // (bin points to cells, call a cell dense when it holds ≥ minPts
+  // points, cluster = connected component of 8-adjacent dense cells;
+  // the grid variant of Ester et al. 1996 that CLIQUE/STING made
+  // standard for distributed engines, because it turns an ε-neighborhood
+  // range-search problem into ONE map-side histogram + a components run
+  // over a dictionary-sized cell graph). The spatial analog of the
+  // embedding-space cluster discovery cc15 does with mutual-kNN.
+  //
+  // Scale shape: the corpus contributes exactly one map-side-combined
+  // (cellx, celly) count — points are never joined or shuffled pairwise.
+  // Everything after operates on DENSE CELLS (≤ domain/g² rows — a
+  // dictionary, not data): adjacency is an 8-neighbor-offset equi-join
+  // (the geo01 trick — never an inequality join), and the component pass
+  // is Relational.connectedComponents on that tiny graph. The oracle
+  // re-derives the same clusters by recursive-CTE closure — exact and
+  // algorithm-independent at |dense cells| scale.
+  // ---------------------------------------------------------------------
+  private val densG = 32L
+  private val densMinPts = 3L
+
+  def geo07DensityClusters(s: SparkSession, dir: String): DataFrame = {
+    val cells = points(s, dir)
+      .groupBy(expr(s"px div $densG").as("cx"), expr(s"py div $densG").as("cy"))
+      .agg(count(lit(1)).as("n_points"))
+      .filter(col("n_points") >= densMinPts)
+      .withColumn("id", col("cx") * D + col("cy"))
+      .localCheckpoint()
+    val nbr = cells.select(col("id"), col("cx"), col("cy"))
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .filter(col("dx") =!= 0L || col("dy") =!= 0L)
+      .select(col("id").as("a"),
+        ((col("cx") + col("dx")) * D + col("cy") + col("dy")).as("b"))
+    val edges = nbr.join(cells.select(col("id").as("b")), Seq("b"))
+      .select(col("a"), col("b"))
+    val comp = Relational.connectedComponents(edges)
+    cells.join(comp, cells("id") === comp("node"), "left")
+      .select(col("cx"), col("cy"), col("n_points"),
+        coalesce(col("component"), col("id")).as("cluster_id"))
+  }
+
+  val geo07Oracle: String =
+    s"""WITH RECURSIVE p AS (
+       | SELECT (c_custkey*37)%$D AS px, (c_custkey*91)%$D AS py FROM customer),
+       |cells AS (
+       | SELECT px//$densG AS cx, py//$densG AS cy,
+       |  CAST(COUNT(*) AS BIGINT) AS n_points,
+       |  (px//$densG)*$D + (py//$densG) AS id
+       | FROM p GROUP BY 1, 2 HAVING COUNT(*) >= $densMinPts),
+       |adj AS (
+       | SELECT a.id AS src, b.id AS dst FROM cells a JOIN cells b
+       | ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 AND a.id != b.id),
+       |reach(src, dst) AS (
+       | SELECT id, id FROM cells
+       | UNION
+       | SELECT r.src, a.dst FROM reach r JOIN adj a ON r.dst = a.src)
+       |SELECT c.cx, c.cy, c.n_points, CAST(MIN(r.dst) AS BIGINT) AS cluster_id
+       |FROM cells c JOIN reach r ON r.src = c.id
+       |GROUP BY c.cx, c.cy, c.n_points""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "geo07_density_clusters" -> (geo07DensityClusters _),
     "geo06_point_in_polygon" -> (geo06PointInPolygon _),
     "geo05_spatial_dedup" -> (geo05SpatialDedup _),
     "geo01_grid_knn" -> (geo01GridKnn _),
@@ -396,6 +459,7 @@ object Geo {
     "geo04_topk_knn" -> (geo04TopkKnn _))
 
   val oracles: Map[String, String] = Map(
+    "geo07_density_clusters" -> geo07Oracle,
     "geo06_point_in_polygon" -> geo06Oracle,
     "geo05_spatial_dedup" -> geo05Oracle,
     "geo01_grid_knn" -> geo01Oracle,

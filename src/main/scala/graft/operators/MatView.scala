@@ -461,7 +461,51 @@ object MatView {
       | CAST(CASE WHEN MAX(ver) = 4 THEN NULL ELSE MAX(ver) + 1 END AS INT) AS valid_to
       |FROM segs GROUP BY c_custkey, seg""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mv07: incremental maintenance of a JOIN view — the delta-join algebra
+  // (Blakeley et al. 1986; the workhorse of every streaming/IVM engine)
+  // beside the aggregate views above: for V = O ⋈ C and disjoint deltas
+  // (O' = O ∪ ΔO, C' = C ∪ ΔC),
+  //   V' = V  ∪  ΔO ⋈ C'  ∪  O ⋈ ΔC
+  // — three DISJOINT terms (each joined pair is covered by exactly one:
+  // (O,C) by the state, (ΔO, anything) by term 2, (O, ΔC) by term 3), so
+  // plain unions, no dedup. The maintained view never re-runs the big
+  // O ⋈ C join; the deltas join against the OTHER side's relations —
+  // the standard IVM cost of |ΔO ⋈ C| + |O ⋈ ΔC|, which at 100 TB is a
+  // broadcast of ΔC against bucketed-by-custkey orders (and the dim side
+  // C' is broadcast-small by nature), versus a full fact×dim re-join.
+  // Hash-equality against the oracle's one-shot O' ⋈ C' recompute IS the
+  // delta-algebra correctness proof, mv01's law extended from monoid
+  // aggregates to joins.
+  // ---------------------------------------------------------------------
+  def mv07JoinRollforward(s: SparkSession, dir: String): DataFrame = {
+    val stateDir = statePathFor(dir) + "_jv"
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val cust = Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val oBase = orders.filter(col("o_orderkey") % 7 =!= 0)
+    val oDelta = orders.filter(col("o_orderkey") % 7 === 0)
+    val cBase = cust.filter(col("c_custkey") % 11 =!= 0)
+    val cDelta = cust.filter(col("c_custkey") % 11 === 0)
+    def view(o: DataFrame, c: DataFrame): DataFrame =
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_nationkey"),
+          col("o_totalprice"))
+    // nightly build: materialize the standing view
+    view(oBase, cBase).write.mode("overwrite").parquet(stateDir)
+    // roll-forward: state ∪ ΔO⋈C' ∪ O⋈ΔC — never re-joins O⋈C
+    s.read.parquet(stateDir)
+      .unionByName(view(oDelta, cust))
+      .unionByName(view(oBase, cDelta))
+  }
+
+  val mv07Oracle: String =
+    """SELECT o_orderkey, o_custkey, c_nationkey, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mv07_join_rollforward" -> (mv07JoinRollforward _),
     "mv06_scd2_rollforward" -> (mv06Scd2Rollforward _),
     "mv05_hist_rollforward" -> (mv05HistRollforward _),
     "mv01_agg_rollforward" -> (mv01AggRollforward _),
@@ -470,6 +514,7 @@ object MatView {
     "mv04_topk_rollforward" -> (mv04TopkRollforward _))
 
   val oracles: Map[String, String] = Map(
+    "mv07_join_rollforward" -> mv07Oracle,
     "mv06_scd2_rollforward" -> mv06Oracle,
     "mv05_hist_rollforward" -> mv05Oracle,
     "mv01_agg_rollforward" -> mv01Oracle,

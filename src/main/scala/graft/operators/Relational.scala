@@ -290,6 +290,98 @@ object Relational {
         coalesce(col("e.b"), col("n.a")).as("component"))
   }
 
+  /** STRONGLY connected components over a DIRECTED edge list `(src, dst)`
+    * — the cycle-structure decomposition [[connectedComponents]] cannot
+    * see (a→b alone does not place a and b together; a→b plus b⇝a does).
+    * Coloring + backward-certify + peel (the FW-BW/coloring family:
+    * Orzan 2004; Slota et al. 2014), re-expressed as three dataflow
+    * loops:
+    *
+    *  1. COLOR: propagate the minimum id FORWARD to fixpoint, so
+    *     color(v) = min(ancestors(v) ∪ v). Within any SCC every member
+    *     shares one color: for root r (color(r) = r) and member v,
+    *     every ancestor of v is also an ancestor of r (w ⇝ v ⇝ r), so a
+    *     smaller ancestor at v would contradict r's rootness.
+    *  2. CERTIFY: from each root, walk edges BACKWARD restricted to the
+    *     root's own color class. A node u so reached has u ⇝ r, and
+    *     color(u) = r already gives r ⇝ u — so the certified set IS
+    *     SCC(r), exactly (the same mutual-reachability argument as
+    *     FW∩BW pivoting, with the color class standing in for FW).
+    *  3. PEEL the certified SCCs (≥ 1 root per color class in use, so
+    *     every round removes at least each class's root SCC) and repeat
+    *     on the remainder.
+    *
+    * Scale shape: every step is an equi-join + keyed aggregate over the
+    * (shrinking) edge list — no transitive-closure materialization, no
+    * per-node adjacency state. Round counts: the color loop runs
+    * O(remaining diameter) min-propagation rounds (decimal-sum
+    * convergence, the [[connectedComponents]] idiom), the certify loop
+    * O(SCC diameter), and the outer peel runs once per layer of the
+    * condensation DAG reachable from minimal ids — the graphs this
+    * engine meets (transition graphs, dup graphs) have one dominant SCC
+    * plus shallow fringe, peeling in a handful of rounds. Nodes are the
+    * edge endpoints (callers attach isolated nodes as their own SCCs if
+    * they need them). Returns (node, scc_id = min member id). */
+  def stronglyConnectedComponents(edges: DataFrame): DataFrame = {
+    def decSum(df: DataFrame, c: String): java.math.BigDecimal =
+      df.agg(coalesce(sum(col(c).cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
+    var rem = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var nodes = rem.select(col("src").as("node"))
+      .unionAll(rem.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var out: Option[DataFrame] = None
+    while (!nodes.isEmpty) {
+      // 1. forward min coloring to fixpoint
+      var colors = nodes.withColumn("color", col("node")).localCheckpoint()
+      var prev = decSum(colors, "color")
+      var stable = false
+      while (!stable) {
+        val prop = rem.join(colors, rem("src") === colors("node"))
+          .select(col("dst").as("node"), col("color"))
+        val merged = colors.unionAll(prop)
+          .groupBy(col("node")).agg(min(col("color")).as("color"))
+          .localCheckpoint()
+        val s = decSum(merged, "color")
+        stable = s.compareTo(prev) == 0
+        prev = s
+        colors = merged
+      }
+      // 2. same-color edges once per peel round; backward reach from roots
+      val ce = rem
+        .join(colors.select(col("node").as("src"), col("color").as("cs")), Seq("src"))
+        .join(colors.select(col("node").as("dst"), col("color").as("cd")), Seq("dst"))
+        .where(col("cs") === col("cd"))
+        .select(col("src"), col("dst"), col("cs").as("color"))
+        .localCheckpoint()
+      var member = colors.where(col("color") === col("node"))
+        .select(col("node"), col("color")).localCheckpoint()
+      var mCount = member.count()
+      var done = false
+      while (!done) {
+        val prop = ce.join(member,
+            ce("dst") === member("node") && ce("color") === member("color"))
+          .select(ce("src").as("node"), ce("color").as("color"))
+        val grown = member.unionAll(prop).distinct().localCheckpoint()
+        val c = grown.count()
+        done = c == mCount
+        mCount = c
+        member = grown
+      }
+      val scc = member.select(col("node"), col("color").as("scc_id"))
+      out = Some(out.map(_.unionAll(scc)).getOrElse(scc))
+      // 3. peel certified nodes and their edges
+      nodes = nodes.join(member.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint()
+      rem = rem
+        .join(member.select(col("node").as("src")), Seq("src"), "left_anti")
+        .join(member.select(col("node").as("dst")), Seq("dst"), "left_anti")
+        .localCheckpoint()
+    }
+    out.getOrElse(
+      edges.select(col("src").as("node"), col("dst").as("scc_id")).limit(0))
+  }
+
   /** Fixed-iteration PageRank over a directed edge list `(src, dst)` with
     * NO dangling nodes (callers symmetrize or otherwise guarantee every
     * node has out-edges — a dangling node would silently leak rank mass).

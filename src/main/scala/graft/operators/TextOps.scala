@@ -1008,7 +1008,10 @@ object TextOps {
     3 -> Seq("vector", "scan", "slow"),
     4 -> Seq("spark", "stream"))
 
-  def tx23Bm25(s: SparkSession, dir: String): DataFrame = {
+  /** BM25-ranked (qid, doc_id, rnk, n_terms_hit, score_x10k) for the
+    * literal query set, unfiltered — tx23 serves the top-k directly,
+    * tx25 fuses the ranks with the dense tier. */
+  private[operators] def bm25Ranked(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
     val qterms = broadcast(
@@ -1040,15 +1043,20 @@ object TextOps {
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("c_x10k")).as("score_x10k"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score_x10k").desc, col("doc_id").asc)
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= bm25K)
-      .select(col("qid"), col("doc_id"), col("rnk"), col("n_terms_hit"),
-        col("score_x10k"))
+    scored.withColumn("rnk", row_number().over(w))
   }
 
-  val tx23Oracle: String = {
+  def tx23Bm25(s: SparkSession, dir: String): DataFrame =
+    bm25Ranked(s, dir).filter(col("rnk") <= bm25K)
+      .select(col("qid"), col("doc_id"), col("rnk"), col("n_terms_hit"),
+        col("score_x10k"))
+
+  /** The shared oracle CTE chain ending in `ranked` — tx23's and tx25's
+    * lexical side are the SAME SQL text, so they cannot drift. */
+  private val bm25RankedSql: String = {
     val qvals = bm25Queries
       .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
-    s"""WITH qt(qid, tok) AS (VALUES $qvals),
+    s"""qt(qid, tok) AS (VALUES $qvals),
        |toks AS (
        | SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS tok
        | FROM documents),
@@ -1069,12 +1077,18 @@ object TextOps {
        |sc AS (
        | SELECT qid, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
        |  CAST(SUM(c_x10k) AS BIGINT) AS score_x10k
-       | FROM hits GROUP BY 1, 2)
-       |SELECT qid, doc_id, rnk, n_terms_hit, score_x10k FROM (
-       | SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       | FROM hits GROUP BY 1, 2),
+       |ranked AS (
+       | SELECT qid, doc_id, n_terms_hit, score_x10k,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid
        |   ORDER BY score_x10k DESC, doc_id ASC) AS INT) AS rnk
-       | FROM sc) t WHERE rnk <= $bm25K""".stripMargin
+       | FROM sc)""".stripMargin
   }
+
+  val tx23Oracle: String =
+    s"""WITH $bm25RankedSql
+       |SELECT qid, doc_id, rnk, n_terms_hit, score_x10k
+       |FROM ranked WHERE rnk <= $bm25K""".stripMargin
 
   // ---------------------------------------------------------------------
   // tx24: tokenizer FERTILITY report — tokens-per-word and chars-per-
@@ -1121,8 +1135,84 @@ object TextOps {
       | (CAST(SUM(n_chars) AS BIGINT) * 1000) // CAST(SUM(n_bpe) AS BIGINT) AS chars_per_tok_pm
       |FROM t GROUP BY lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // tx25: HYBRID retrieval — reciprocal-rank fusion (Cormack et al.,
+  // SIGIR'09: RRF(d) = Σ_sides 1/(60 + rank_side(d))) of the two search
+  // modes this engine already serves: tx23's BM25 lexical ranks and a
+  // dense inner-product rank over the embedding tier (each lexical query
+  // qid probes with vector 100·qid — the eval convention that pairs the
+  // literal terms with an embedding-space probe). RRF is THE standard
+  // fusion because it needs no score calibration — only ranks — which
+  // also makes it hash-exact here: each side's contribution is the
+  // integer 1000000 div (60 + rank) over the side's top-10, summed, so
+  // no float ever enters the fused ordering (dense ranks come from the
+  // exact integer dot product — MIPS ranking — not the float cosine).
+  //
+  // Scale shape: the lexical side is tx23's postings plan unchanged; the
+  // dense side is a 4-probe broadcast against the corpus (the exact
+  // baseline — a production stack swaps in the ss05/ss32 index probes,
+  // same (qid, doc_id, rank) contract); fusion itself touches only
+  // 2 × top-10 rows per query — a full-outer join on (qid, doc_id) of
+  // two k-row lists, then a k-row window.
+  // ---------------------------------------------------------------------
+  def tx25HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val lex = bm25Ranked(s, dir).filter(col("rnk") <= bm25K)
+      .select(col("qid"), col("doc_id"), col("rnk").as("lex_rnk"))
+    val base = Similarity.qvec(s, dir)
+    val qs = base
+      .filter(col("vec_id") % 100 === 0 && col("vec_id").between(100, 400))
+      .select(expr("CAST(vec_id div 100 AS INT)").as("qid"),
+        col("vec_id").as("qvid"), col("v").as("v1"))
+    val cand = base.select(col("vec_id").as("doc_id"), col("v").as("v2"))
+    val wd = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("doc_id").asc)
+    val dense = cand.join(broadcast(qs), col("doc_id") =!= col("qvid"))
+      .withColumn("dot", expr("dot_l(v1, v2)"))
+      .withColumn("dense_rnk", row_number().over(wd))
+      .filter(col("dense_rnk") <= bm25K)
+      .select(col("qid"), col("doc_id"), col("dense_rnk"))
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_x1m").desc, col("doc_id").asc)
+    lex.join(dense, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_x1m",
+        coalesce(expr("CAST(1000000 div (60 + lex_rnk) AS BIGINT)"), lit(0L)) +
+          coalesce(expr("CAST(1000000 div (60 + dense_rnk) AS BIGINT)"), lit(0L)))
+      .withColumn("rnk", row_number().over(wf))
+      .filter(col("rnk") <= bm25K)
+      .select(col("qid"), col("doc_id"), col("lex_rnk"), col("dense_rnk"),
+        col("rrf_x1m"), col("rnk"))
+  }
+
+  val tx25Oracle: String =
+    s"""WITH $bm25RankedSql,
+       |${Similarity.qvecSql},
+       |lex AS (SELECT qid, doc_id, rnk AS lex_rnk FROM ranked WHERE rnk <= $bm25K),
+       |dq AS (
+       | SELECT CAST(vec_id // 100 AS INT) AS qid, vec_id AS qvid, v
+       | FROM qn WHERE vec_id % 100 = 0 AND vec_id BETWEEN 100 AND 400),
+       |dsc AS (
+       | SELECT dq.qid, c.vec_id AS doc_id,
+       |  CAST(list_sum(list_transform(range(1, len(dq.v) + 1), i -> dq.v[i] * c.v[i])) AS BIGINT) AS dot
+       | FROM dq JOIN qn c ON c.vec_id != dq.qvid),
+       |den AS (
+       | SELECT qid, doc_id, dense_rnk FROM (
+       |  SELECT qid, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY dot DESC, doc_id ASC) AS INT) AS dense_rnk
+       |  FROM dsc) t WHERE dense_rnk <= $bm25K),
+       |fus AS (
+       | SELECT COALESCE(l.qid, d.qid) AS qid,
+       |  COALESCE(l.doc_id, d.doc_id) AS doc_id, l.lex_rnk, d.dense_rnk,
+       |  COALESCE(CAST(1000000 // (60 + l.lex_rnk) AS BIGINT), 0) +
+       |  COALESCE(CAST(1000000 // (60 + d.dense_rnk) AS BIGINT), 0) AS rrf_x1m
+       | FROM lex l FULL JOIN den d ON l.qid = d.qid AND l.doc_id = d.doc_id)
+       |SELECT qid, doc_id, lex_rnk, dense_rnk, rrf_x1m, rnk FROM (
+       | SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |   ORDER BY rrf_x1m DESC, doc_id ASC) AS INT) AS rnk
+       | FROM fus) t WHERE rnk <= $bm25K""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tx23_bm25" -> (tx23Bm25 _),
+    "tx25_hybrid_rrf" -> (tx25HybridRrf _),
     "tx24_fertility" -> (tx24Fertility _),
     "tx22_rule_drift" -> (tx22RuleDrift _),
     "tx21_rule_filter" -> (tx21RuleFilter _),
@@ -1151,6 +1241,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "tx23_bm25" -> tx23Oracle,
+    "tx25_hybrid_rrf" -> tx25Oracle,
     "tx24_fertility" -> tx24Oracle,
     "tx22_rule_drift" -> tx22Oracle,
     "tx21_rule_filter" -> tx21Oracle,

@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Sixteenth-stint operators, each verified by independent in-test
+  * recomputation (never by re-running the operator's own plan):
+  *  - Relational.stronglyConnectedComponents vs Tarjan on hand-built
+  *    graphs AND on the real cc17 transition graph
+  *  - dd24 span excision vs a brute Scala interval-cut
+  *  - mv07 join roll-forward vs the direct join, plus the delta-algebra
+  *    disjointness law
+  *  - tx25 RRF fusion vs a Scala fusion of a brute dense rank and the
+  *    lexical list
+  *  - geo07 density clusters vs union-find over brute-counted cells
+  */
+class StintSixteenSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+  val dir01 = "/root/testdata/sf0.01"
+
+  // -- Tarjan's SCC (iterative), the classic single-node reference ------
+  private def tarjan(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val g = edges.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
+      .withDefaultValue(Seq.empty)
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val idx = collection.mutable.Map[Long, Int]()
+    val low = collection.mutable.Map[Long, Int]()
+    val onStk = collection.mutable.Set[Long]()
+    val stk = collection.mutable.ArrayBuffer[Long]()
+    var counter = 0
+    val sccOf = collection.mutable.Map[Long, Long]()
+    for (root <- nodes if !idx.contains(root)) {
+      val call = collection.mutable.ArrayBuffer[(Long, Int)]((root, 0))
+      while (call.nonEmpty) {
+        val (v, pi) = call.last
+        if (pi == 0) {
+          idx(v) = counter; low(v) = counter; counter += 1
+          stk += v; onStk += v
+        }
+        var descended = false
+        var i = pi
+        val succ = g(v)
+        while (i < succ.length && !descended) {
+          val w = succ(i)
+          if (!idx.contains(w)) {
+            call(call.length - 1) = (v, i + 1)
+            call += ((w, 0))
+            descended = true
+          } else {
+            if (onStk(w)) low(v) = math.min(low(v), idx(w))
+            i += 1
+          }
+        }
+        if (!descended) {
+          if (low(v) == idx(v)) {
+            val comp = collection.mutable.ArrayBuffer[Long]()
+            var w = -1L
+            while (w != v) {
+              w = stk.remove(stk.length - 1); onStk -= w; comp += w
+            }
+            val id = comp.min
+            comp.foreach(sccOf(_) = id)
+          }
+          call.remove(call.length - 1)
+          if (call.nonEmpty) {
+            val p = call.last._1
+            low(p) = math.min(low(p), low(v))
+          }
+        }
+      }
+    }
+    sccOf.toMap
+  }
+
+  private def sccResult(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val df = edges.toDF("src", "dst")
+    Relational.stronglyConnectedComponents(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+  }
+
+  test("scc: hand-built graphs — cycles, chains of SCCs, self-structure") {
+    // two 3-cycles bridged one-way + a tail: SCCs {1,2,3}, {4,5,6}, {7}
+    val g1 = Seq[(Long, Long)](
+      (1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4), (6, 7))
+    assert(sccResult(g1) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L))
+    assert(sccResult(g1) == tarjan(g1))
+    // pure DAG: all singletons
+    val g2 = Seq[(Long, Long)]((10, 11), (11, 12), (10, 12))
+    assert(sccResult(g2) == Map(10L -> 10L, 11L -> 11L, 12L -> 12L))
+    // cycle reached only VIA a smaller id (root of color class not in the
+    // cycle): peel must take a second round
+    val g3 = Seq[(Long, Long)]((1, 5), (5, 6), (6, 5))
+    assert(sccResult(g3) == Map(1L -> 1L, 5L -> 5L, 6L -> 5L))
+    assert(sccResult(g3) == tarjan(g3))
+  }
+
+  test("cc17: matches Tarjan on the real transition graph") {
+    val edges = Dedup.transitionEdges(spark, dir01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(edges.nonEmpty)
+    val got = Dedup.cc17Scc(spark, dir01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == tarjan(edges))
+    // the clickstream core: one dominant loop plus fringe singletons
+    val sizes = got.groupBy(_._2).map(_._2.size)
+    assert(sizes.max > 1 && sizes.count(_ == 1) > 0)
+  }
+
+  private def normToks(text: String): Seq[String] =
+    text.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ")
+      .trim.split(' ').filter(_.nonEmpty).toSeq
+
+  test("dd24: matches a brute Scala excision of the dd22 spans") {
+    val spans = Curation.dd22SharedSpans(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4))) // (doc_b, b_start, n)
+    val docs = graft.Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), normToks(r.getString(1)))).toMap
+    val cut = spans.groupBy(_._1).map { case (d, ss) =>
+      val remove = ss.flatMap { case (_, s, n) => s until (s + n) }.toSet
+      (d, remove)
+    }.withDefaultValue(Set.empty[Long])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fp(toks: Seq[String]): Long =
+      java.lang.Long.parseLong(
+        md.digest(toks.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16)
+    val expect = docs.map { case (d, toks) =>
+      val kept = toks.zipWithIndex.collect {
+        case (t, i) if !cut(d)((i + 1).toLong) => t
+      }
+      (d, (toks.size.toLong, (toks.size - kept.size).toLong,
+        kept.size.toLong, fp(kept)))
+    }
+    val got = Curation.dd24SpanExcision(spark, dir).collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expect)
+    // the operator must actually cut something at this SF
+    assert(got.values.exists(_._2 > 0))
+  }
+
+  test("mv07: delta-join roll-forward equals the direct join; terms disjoint") {
+    import org.apache.spark.sql.functions._
+    val got = MatView.mv07JoinRollforward(spark, dir)
+    val orders = graft.Tables(spark, dir, "orders")
+    val cust = graft.Tables(spark, dir, "customer")
+    val full = orders.join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_nationkey"),
+        col("o_totalprice"))
+    // set equality AND multiset equality (no row double-covered by terms)
+    assert(got.count() == full.count())
+    assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty)
+  }
+
+  test("tx25: fused ranking equals Scala RRF of the two sides") {
+    import spark.implicits._
+    val lex = TextOps.tx23Bm25(spark, dir01).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getInt(2))).toMap
+    // brute dense rank: quantized dot against probe vectors 100·qid
+    val vecs = graft.Tables(spark, dir01, "embeddings")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor((x * 1000.0f).toDouble).toLong)))
+      .toMap
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val dense = (1 to 4).flatMap { qid =>
+      val q = vecs(qid * 100L)
+      vecs.toSeq.filter(_._1 != qid * 100L)
+        .map { case (id, v) => (id, dot(q, v)) }
+        .sortBy { case (id, d) => (-d, id) }.take(10).zipWithIndex
+        .map { case ((id, _), i) => ((qid, id), i + 1) }
+    }.toMap
+    val expect = (1 to 4).flatMap { qid =>
+      val cands = (lex.keySet ++ dense.keySet).filter(_._1 == qid)
+      cands.toSeq.map { k =>
+        val s = lex.get(k).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+          dense.get(k).map(r => 1000000L / (60 + r)).getOrElse(0L)
+        (k, s)
+      }.sortBy { case ((_, id), s) => (-s, id) }.take(10).zipWithIndex
+        .map { case (((q, id), s), i) =>
+          ((q, id), (lex.get((q, id)), dense.get((q, id)), s, i + 1)) }
+    }.toMap
+    val got = TextOps.tx25HybridRrf(spark, dir01).collect()
+      .map { r =>
+        ((r.getInt(0), r.getLong(1)),
+          (if (r.isNullAt(2)) None else Some(r.getInt(2)),
+            if (r.isNullAt(3)) None else Some(r.getInt(3)),
+            r.getLong(4), r.getInt(5)))
+      }.toMap
+    assert(got == expect)
+    // fusion genuinely mixes: some fused top-10 rows are dense-only
+    assert(got.values.exists(v => v._1.isEmpty && v._2.isDefined))
+  }
+
+  test("geo07: clusters match union-find over brute-counted dense cells") {
+    val pts = graft.Tables(spark, dir01, "customer")
+      .selectExpr("c_custkey").collect().map(_.getLong(0))
+      .map(k => ((k * 37) % 1024, (k * 91) % 1024))
+    val cells = pts.groupBy { case (x, y) => (x / 32, y / 32) }
+      .map { case (c, g) => (c, g.size.toLong) }.filter(_._2 >= 3)
+    val ids = cells.keys.map { case (cx, cy) => ((cx, cy), cx * 1024 + cy) }.toMap
+    val parent = collection.mutable.Map[Long, Long](ids.values.map(i => (i, i)).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (((cx, cy), a) <- ids; dx <- -1L to 1L; dy <- -1L to 1L
+         if (dx, dy) != ((0L, 0L));
+         b <- ids.get((cx + dx, cy + dy))) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = cells.map { case (c, n) =>
+      (c, (n, find(ids(c)))) }
+    val got = Geo.geo07DensityClusters(spark, dir01).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expect)
+    // non-trivial structure: several clusters, at least one multi-cell
+    val cs = got.values.groupBy(_._2).map(_._2.size)
+    assert(cs.max > 1 && cs.size > 1)
+  }
+}
