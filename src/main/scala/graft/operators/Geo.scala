@@ -424,7 +424,11 @@ object Geo {
         ((col("cx") + col("dx")) * D + col("cy") + col("dy")).as("b"))
     val edges = nbr.join(cells.select(col("id").as("b")), Seq("b"))
       .select(col("a"), col("b"))
-    val comp = Relational.connectedComponents(edges)
+    // pointer-jumping CC, not plain min-label-prop: a dense region's cell
+    // graph is a GRID, whose diameter grows with its width — at sf0.1 one
+    // cluster spans the domain and one-hop propagation needs O(width)
+    // rounds; the jump variant converges in O(log width).
+    val comp = Relational.connectedComponentsJump(edges)
     cells.join(comp, cells("id") === comp("node"), "left")
       .select(col("cx"), col("cy"), col("n_points"),
         coalesce(col("component"), col("id")).as("cluster_id"))

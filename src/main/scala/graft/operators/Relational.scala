@@ -290,6 +290,52 @@ object Relational {
         coalesce(col("e.b"), col("n.a")).as("component"))
   }
 
+  /** [[connectedComponents]] with POINTER JUMPING: each round takes the
+    * neighbor min (one hop, as above) and then replaces every label by
+    * its label's label — label chains halve per round, so convergence is
+    * O(log diameter) rounds instead of O(diameter), at the cost of one
+    * extra self-join of the (small) label table per round. The label
+    * table only ever decreases, so the same decimal-sum convergence
+    * check applies. Use for graphs whose components are WIDE (grids,
+    * chains — e.g. geo07's dense-cell graph, where a cluster's diameter
+    * grows with its spatial extent); for shallow dup-cluster graphs the
+    * plain propagation's cheaper rounds win, and for edge-heavy web
+    * graphs [[connectedComponentsStar]] rewires the edge list itself. */
+  def connectedComponentsJump(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
+      val nbrMin = sym.join(labels, sym("b") === labels("node"))
+        .groupBy(sym("a").as("n2")).agg(min(col("label")).as("nl"))
+      val stepped = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // pointer jump: label ← label(label). Every label IS a node of the
+      // table, so the lookup join is total; left + coalesce keeps the row
+      // through any planner quirk.
+      val jumped = stepped.as("x")
+        .join(stepped.select(col("node").as("ln"), col("label").as("ll")).as("y"),
+          col("x.label") === col("y.ln"), "left")
+        .select(col("x.node").as("node"),
+          least(col("x.label"), coalesce(col("ll"), col("x.label"))).as("label"))
+        .localCheckpoint()
+      val s = labelSum(jumped)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = jumped
+    }
+    sym.unpersist()
+    labels.select(col("node"), col("label").as("component"))
+  }
+
   /** STRONGLY connected components over a DIRECTED edge list `(src, dst)`
     * — the cycle-structure decomposition [[connectedComponents]] cannot
     * see (a→b alone does not place a and b together; a→b plus b⇝a does).

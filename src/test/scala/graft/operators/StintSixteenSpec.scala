@@ -96,6 +96,17 @@ class StintSixteenSpec extends SparkSpec {
     assert(sccResult(g3) == tarjan(g3))
   }
 
+  test("ccJump: pointer-jumping CC handles a diameter-63 chain and forests") {
+    import spark.implicits._
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val forest = chain ++ Seq((100L, 101L), (101L, 102L), (200L, 201L))
+    val got = Relational.connectedComponentsJump(forest.toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expect = (0L to 63L).map((_, 0L)) ++
+      Seq(100L -> 100L, 101L -> 100L, 102L -> 100L, 200L -> 200L, 201L -> 200L)
+    assert(got == expect.toMap)
+  }
+
   test("cc17: matches Tarjan on the real transition graph") {
     val edges = Dedup.transitionEdges(spark, dir01).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
