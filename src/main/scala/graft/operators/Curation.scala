@@ -1853,6 +1853,61 @@ object Curation {
        | JOIN sp s2 ON v.doc2 = s2.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // dc06: SEMANTIC decontamination — the embedding-space member of the
+  // family: dc01–dc04 catch verbatim/n-gram leakage, dc05 catches split
+  // straddle, but a PARAPHRASED eval item shares no 5-gram with its
+  // training twin; the modern screen (GPT-3 appendix C → Llama-era
+  // "fuzzy dedup against benchmarks") is cosine similarity between
+  // train and eval EMBEDDINGS. Threshold = the SAME cos ≥ 0.4 fence the
+  // dd06 near-dup tier uses, in the same exact integer form (dot > 0 ∧
+  // 25·dot² ≥ 4·n_t·n_e — no float in the decision), so "contaminated"
+  // here means exactly "near-duplicate of an eval item".
+  //
+  // Scale shape: eval sets are SMALL by nature (benchmarks, not
+  // corpora) — the eval side broadcasts whole, every (train, eval) dot
+  // is evaluated map-side in ONE corpus scan (zero shuffles before the
+  // per-vec rollup, which is a map-side-combined aggregate). Ranking by
+  // raw integer dot (MIPS) keeps the best-hit pick hash-exact; ties
+  // break to the lowest eval id.
+  // ---------------------------------------------------------------------
+  def dc06SemanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val q = Dedup.quantized(Tables(s, dir, "embeddings"))
+    val ev = q.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("eval_id"), col("v").as("v2"), col("nrm").as("ne"))
+    val tr = q.filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id"), col("v").as("v1"), col("nrm").as("nt"))
+    tr.join(broadcast(ev), lit(true))
+      .withColumn("dot", expr("dot_l(v1, v2)"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 25 >= col("nt") * col("ne") * 4)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(struct(col("dot"), (-col("eval_id")).as("nege"))).as("b"))
+      .select(col("vec_id"), col("n_eval_hits"),
+        (-col("b.nege")).as("best_eval_id"), col("b.dot").as("best_dot"))
+  }
+
+  val dc06Oracle: String =
+    s"""WITH ${Similarity.qvecSql},
+       |ev AS (SELECT vec_id AS eval_id, v, nrm AS ne FROM qn WHERE vec_id % 50 = 0),
+       |tr AS (SELECT vec_id, v, nrm AS nt FROM qn WHERE vec_id % 50 != 0),
+       |hits AS (
+       | SELECT tr.vec_id, ev.eval_id,
+       |  CAST(list_sum(list_transform(range(1, len(tr.v) + 1), i -> tr.v[i] * ev.v[i])) AS BIGINT) AS dot,
+       |  tr.nt, ev.ne
+       | FROM tr CROSS JOIN ev),
+       |flagged AS (
+       | SELECT vec_id, eval_id, dot FROM hits
+       | WHERE dot > 0 AND 25 * dot * dot >= 4 * nt * ne),
+       |ranked AS (
+       | SELECT vec_id, eval_id, dot,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, eval_id ASC) AS rn,
+       |  CAST(COUNT(*) OVER (PARTITION BY vec_id) AS BIGINT) AS nh
+       | FROM flagged)
+       |SELECT vec_id, nh AS n_eval_hits, eval_id AS best_eval_id, dot AS best_dot
+       |FROM ranked WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ds20: k-CENTER CORESET selection — greedy farthest-point traversal
   // over the embedding space (Gonzalez 1985; the diversity-sampling
   // member of the data-selection family: ds13 orders by difficulty, ds17
@@ -2045,6 +2100,7 @@ object Curation {
   val queries: Map[String, Q] = Map(
     "tp10_release_manifest" -> (tp10ReleaseManifest _),
     "dc05_split_leakage" -> (dc05SplitLeakage _),
+    "dc06_semantic_decontaminate" -> (dc06SemanticDecontaminate _),
     "ds20_kcenter_coreset" -> (ds20KcenterCoreset _),
     "ds21_split_manifest" -> (ds21SplitManifest _),
     "q60_temporal_lookup" -> (q60TemporalLookup _),
@@ -2086,6 +2142,7 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "tp10_release_manifest" -> tp10Oracle,
     "dc05_split_leakage" -> dc05Oracle,
+    "dc06_semantic_decontaminate" -> dc06Oracle,
     "ds20_kcenter_coreset" -> ds20Oracle,
     "q60_temporal_lookup" -> q60Oracle,
     "ds21_split_manifest" -> ds21Oracle,

@@ -1378,8 +1378,11 @@ object Dedup {
   def cc17Scc(s: SparkSession, dir: String): DataFrame =
     Relational.stronglyConnectedComponents(transitionEdges(s, dir))
 
-  val cc17Oracle: String =
-    s"""WITH RECURSIVE ev AS (
+  /** Shared oracle CTE chain ending in `scc(node, scc_id)` — cc17 serves
+    * it directly, cc18 builds the condensation on top; one SQL text, no
+    * drift. */
+  private val sccCtes: String =
+    s"""ev AS (
        | SELECT user_id, ts, event_id,
        |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
        | FROM events),
@@ -1397,11 +1400,82 @@ object Dedup {
        | SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
        |mutual AS (
        | SELECT a.src AS u, a.dst AS v
-       | FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src)
-       |SELECT n.node,
-       | CAST(LEAST(n.node, COALESCE(MIN(m.v), n.node)) AS BIGINT) AS scc_id
-       |FROM n LEFT JOIN mutual m ON m.u = n.node
-       |GROUP BY n.node""".stripMargin
+       | FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src),
+       |scc AS MATERIALIZED (
+       | SELECT n.node,
+       |  CAST(LEAST(n.node, COALESCE(MIN(m.v), n.node)) AS BIGINT) AS scc_id
+       | FROM n LEFT JOIN mutual m ON m.u = n.node
+       | GROUP BY n.node)""".stripMargin
+
+  val cc17Oracle: String =
+    s"""WITH RECURSIVE $sccCtes
+       |SELECT node, scc_id FROM scc""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // cc18: CONDENSATION layers — the second half of the directed-graph
+  // story: contract each cc17 SCC to one node (the condensation, a DAG
+  // by construction) and assign every SCC its LONGEST-PATH depth from
+  // the sources — the topological "funnel stage" ordering (which loops
+  // feed which; Broder et al.'s IN → CORE → OUT decomposition made
+  // quantitative). Layer is computed by `condRounds` synchronous
+  // relaxations of layer(v) = max(layer(v), max_{u→v} layer(u) + 1) —
+  // exact for condensations of depth ≤ condRounds, the same fixed-budget
+  // contract as cc09/cc10, and the oracle is the identical recurrence
+  // unrolled in SQL over ITS OWN closure-derived SCCs, so the equality
+  // check covers both the contraction and the layering.
+  //
+  // Scale shape: the condensation has ≤ |SCCs| nodes and collapses the
+  // edge list by two hash joins + distinct; each relaxation round is one
+  // equi-join + keyed max on that contracted (dictionary-sized) DAG.
+  // ---------------------------------------------------------------------
+  private val condRounds = 12
+
+  def cc18Condensation(s: SparkSession, dir: String): DataFrame = {
+    val e = transitionEdges(s, dir).localCheckpoint()
+    val scc = Relational.stronglyConnectedComponents(e).localCheckpoint()
+    val cond = e
+      .join(scc.select(col("node").as("src"), col("scc_id").as("a")), Seq("src"))
+      .join(scc.select(col("node").as("dst"), col("scc_id").as("b")), Seq("dst"))
+      .where(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct().localCheckpoint()
+    var layers = scc.select(col("scc_id").as("node")).distinct()
+      .withColumn("layer", lit(0L)).localCheckpoint()
+    for (_ <- 1 to condRounds) {
+      val prop = cond.join(layers, cond("a") === layers("node"))
+        .groupBy(col("b").as("n2")).agg(max(col("layer") + 1).as("nl"))
+      layers = layers.join(prop, layers("node") === col("n2"), "left")
+        .select(col("node"),
+          greatest(col("layer"), coalesce(col("nl"), col("layer"))).as("layer"))
+        .localCheckpoint()
+    }
+    val sizes = scc.groupBy(col("scc_id")).agg(count(lit(1)).as("n_nodes"))
+    layers.join(sizes, layers("node") === sizes("scc_id"))
+      .select(col("scc_id"), col("n_nodes"), col("layer"))
+  }
+
+  // MATERIALIZED: each round references the previous twice; DuckDB
+  // inlines plain CTEs, which would expand the chain 2^condRounds-fold.
+  private def condRoundSql(r: Int): String =
+    s"""l$r AS MATERIALIZED (
+       | SELECT l.node,
+       |  GREATEST(l.layer, COALESCE(MAX(p.layer + 1), l.layer)) AS layer
+       | FROM l${r - 1} l
+       |  LEFT JOIN cond c ON c.b = l.node
+       |  LEFT JOIN l${r - 1} p ON p.node = c.a
+       | GROUP BY l.node, l.layer)""".stripMargin
+
+  val cc18Oracle: String =
+    s"""WITH RECURSIVE $sccCtes,
+       |cond AS MATERIALIZED (
+       | SELECT DISTINCT sa.scc_id AS a, sb.scc_id AS b
+       | FROM e JOIN scc sa ON e.src = sa.node JOIN scc sb ON e.dst = sb.node
+       | WHERE sa.scc_id != sb.scc_id),
+       |l0 AS (SELECT DISTINCT scc_id AS node, CAST(0 AS BIGINT) AS layer FROM scc),
+       |${(1 to condRounds).map(condRoundSql).mkString(",\n")},
+       |sizes AS (
+       | SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM scc GROUP BY 1)
+       |SELECT s.scc_id, s.n_nodes, CAST(l.layer AS BIGINT) AS layer
+       |FROM sizes s JOIN l$condRounds l ON l.node = s.scc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // cc05: fixed-iteration PageRank over the customer↔supplier interaction
@@ -2002,6 +2076,7 @@ object Dedup {
     "cc14_clustering_coeff" -> (cc14ClusteringCoeff _),
     "cc16_modularity" -> (cc16Modularity _),
     "cc17_scc" -> (cc17Scc _),
+    "cc18_condensation" -> (cc18Condensation _),
     "dd19_cdc_chunks" -> (dd19CdcChunks _),
     "dd20_semdedup" -> (dd20Semdedup _),
     "dd21_cross_signal" -> (dd21CrossSignalVerify _),
@@ -2041,6 +2116,7 @@ object Dedup {
     "cc14_clustering_coeff" -> cc14Oracle,
     "cc16_modularity" -> cc16Oracle,
     "cc17_scc" -> cc17Oracle,
+    "cc18_condensation" -> cc18Oracle,
     "dd19_cdc_chunks" -> dd19Oracle,
     "dd20_semdedup" -> dd20Oracle,
     "dd21_cross_signal" -> dd21Oracle,

@@ -736,7 +736,46 @@ object EventOps {
       |FROM events WHERE event_type IN ('view', 'click', 'purchase')
       |GROUP BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q62: SEQUENTIAL PATH MINING — the top event-type TRIGRAMS over each
+  // user's time-ordered stream (the "common navigation paths" query
+  // product analytics runs constantly; the n-gram view of the q40 funnel:
+  // q40 counts ONE prescribed path, q62 discovers which paths dominate).
+  // One window shuffle keyed by user (two LEADs ride the same sort), a
+  // map-side-combined count over the ≤ |types|³ path dictionary, and a
+  // top-20 over that dictionary — a TakeOrdered, never a global sort of
+  // data. Ordering (ts, event_id) is the engine's standard deterministic
+  // event order; ties in count break lexicographically.
+  // ---------------------------------------------------------------------
+  def q62EventPaths(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counted = ev
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .where(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("cnt"))
+    val wr = Window.orderBy(col("cnt").desc, col("t1"), col("t2"), col("t3"))
+    counted.withColumn("rnk", row_number().over(wr)).filter(col("rnk") <= 20)
+  }
+
+  val q62Oracle: String =
+    """WITH seq AS (
+      | SELECT event_type AS t1,
+      |  LEAD(event_type, 1) OVER w AS t2, LEAD(event_type, 2) OVER w AS t3
+      | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |c AS (
+      | SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS cnt FROM seq
+      | WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1, 2, 3)
+      |SELECT t1, t2, t3, cnt, rnk FROM (
+      | SELECT *, CAST(ROW_NUMBER() OVER (
+      |   ORDER BY cnt DESC, t1, t2, t3) AS INT) AS rnk FROM c) t
+      |WHERE rnk <= 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q62_event_paths" -> (q62EventPaths _),
     "q46_unpivot" -> (q46Unpivot _),
     "q53_running_distinct" -> (q53RunningDistinct _),
     "q57_windowed_p95" -> (q57WindowedP95 _),
@@ -760,6 +799,7 @@ object EventOps {
     "q34_range_frame" -> (q34RangeFrame _))
 
   val oracles: Map[String, String] = Map(
+    "q62_event_paths" -> q62Oracle,
     "q46_unpivot" -> q46Oracle,
     "q53_running_distinct" -> q53Oracle,
     "q57_windowed_p95" -> q57Oracle,

@@ -504,7 +504,48 @@ object MatView {
     """SELECT o_orderkey, o_custkey, c_nationkey, o_totalprice
       |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mv08: incremental EXACT DISTINCT-COUNT view — per-language vocabulary
+  // size kept current across corpus batches. COUNT(DISTINCT) is the one
+  // headline aggregate that is NOT a monoid on its own outputs (mv01's
+  // partials can't merge it), so the maintainable state is the DISTINCT
+  // KEY SET itself: state = distinct (lang, tok) pairs; roll-forward =
+  // distinct(state ∪ distinct(increment)) — set union IS the monoid, and
+  // serving counts the state per group. The O(vocab) state is the honest
+  // price of exactness (the sketch alternative is q29's HLL — mergeable,
+  // approximate; this view is its exact sibling), and vocabularies grow
+  // sublinearly in corpus size (Heaps' law), so the state stays a small
+  // fraction of the data it summarizes. At scale the state table is
+  // partitioned by lang and the merge is one hash-distinct over
+  // state + increment — never a corpus rescan. Oracle = one-pass
+  // COUNT(DISTINCT) over the whole corpus: hash-equality is mv01's law
+  // for the set-union monoid.
+  // ---------------------------------------------------------------------
+  def mv08DistinctRollforward(s: SparkSession, dir: String): DataFrame = {
+    val stateDir = statePathFor(dir) + "_dv"
+    val docs = Tables(s, dir, "documents")
+    def pairs(d: DataFrame): DataFrame =
+      d.select(col("lang"),
+          explode(expr("filter(split(text, ' '), x -> x != '')")).as("tok"))
+        .distinct()
+    pairs(docs.filter(col("doc_id") % 10 =!= 3))
+      .write.mode("overwrite").parquet(stateDir)
+    s.read.parquet(stateDir)
+      .unionByName(pairs(docs.filter(col("doc_id") % 10 === 3)))
+      .distinct()
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_distinct_tokens"))
+  }
+
+  val mv08Oracle: String =
+    """WITH toks AS (
+      | SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+      | FROM documents)
+      |SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+      |FROM toks GROUP BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mv08_distinct_rollforward" -> (mv08DistinctRollforward _),
     "mv07_join_rollforward" -> (mv07JoinRollforward _),
     "mv06_scd2_rollforward" -> (mv06Scd2Rollforward _),
     "mv05_hist_rollforward" -> (mv05HistRollforward _),
@@ -514,6 +555,7 @@ object MatView {
     "mv04_topk_rollforward" -> (mv04TopkRollforward _))
 
   val oracles: Map[String, String] = Map(
+    "mv08_distinct_rollforward" -> mv08Oracle,
     "mv07_join_rollforward" -> mv07Oracle,
     "mv06_scd2_rollforward" -> mv06Oracle,
     "mv05_hist_rollforward" -> mv05Oracle,

@@ -119,6 +119,87 @@ class StintSixteenSpec extends SparkSpec {
     assert(sizes.max > 1 && sizes.count(_ == 1) > 0)
   }
 
+  test("cc18: condensation layers match Scala longest-path over Tarjan SCCs") {
+    val edges = Dedup.transitionEdges(spark, dir01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val sccOf = tarjan(edges)
+    val cond = edges.map { case (s, d) => (sccOf(s), sccOf(d)) }
+      .filter { case (a, b) => a != b }.distinct
+    val preds = cond.groupBy(_._2).map { case (k, v) => (k, v.map(_._1)) }
+    val memo = collection.mutable.Map[Long, Long]()
+    def layer(v: Long): Long = memo.getOrElseUpdate(v,
+      preds.get(v).map(_.map(layer).max + 1).getOrElse(0L))
+    val sizes = sccOf.groupBy(_._2).map { case (k, v) => (k, v.size.toLong) }
+    val expect = sizes.map { case (id, n) => (id, (n, layer(id))) }
+    val got = Dedup.cc18Condensation(spark, dir01).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+    // a DAG with real depth, not a single layer
+    assert(got.values.map(_._2).max >= 2)
+  }
+
+  test("dc06: matches a brute Scala eval-vs-train cosine screen") {
+    val vecs = graft.Tables(spark, dir01, "embeddings")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor((x * 1000.0f).toDouble).toLong)))
+    val nrm = vecs.map { case (id, v) => (id, v.map(x => x * x).sum) }.toMap
+    val ev = vecs.filter(_._1 % 50 == 0)
+    val tr = vecs.filter(_._1 % 50 != 0)
+    val expect = tr.flatMap { case (tid, tv) =>
+      val hits = ev.flatMap { case (eid, evv) =>
+        val dot = tv.zip(evv).map { case (a, b) => a * b }.sum
+        if (dot > 0 && 25 * dot * dot >= 4 * nrm(tid) * nrm(eid))
+          Some((eid, dot)) else None
+      }
+      if (hits.isEmpty) None
+      else {
+        val best = hits.minBy { case (eid, dot) => (-dot, eid) }
+        Some((tid, (hits.size.toLong, best._1, best._2)))
+      }
+    }.toMap
+    val got = Curation.dc06SemanticDecontaminate(spark, dir01).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("q62: trigram paths match a Scala recount of per-user sequences") {
+    val ev = graft.Tables(spark, dir01, "events")
+      .selectExpr("user_id", "ts", "event_id", "event_type").collect()
+      .map { r =>
+        val t = r.getTimestamp(1)
+        // full sub-second precision: (epoch seconds, nanos) sorts like ts
+        (r.getLong(0), (t.getTime / 1000, t.getNanos), r.getLong(2),
+          r.getString(3))
+      }
+    val tri = ev.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val seq = g.sortBy(e => (e._2, e._3)).map(_._4)
+      seq.sliding(3).filter(_.size == 3).map(w => (w(0), w(1), w(2)))
+    }
+    val counts = tri.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val expect = counts.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(20).zipWithIndex
+      .map { case ((k, n), i) => (k, (n, i + 1)) }.toMap
+    val got = EventOps.q62EventPaths(spark, dir01).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getInt(4)))).toMap
+    assert(got == expect)
+  }
+
+  test("mv08: distinct-set union state equals one-pass COUNT DISTINCT") {
+    val docs = graft.Tables(spark, dir, "documents")
+      .selectExpr("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = docs.groupBy(_._1).map { case (lang, g) =>
+      (lang, g.flatMap(_._2.split(' ').filter(_.nonEmpty)).toSet.size.toLong)
+    }
+    val got = MatView.mv08DistinctRollforward(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == expect)
+  }
+
   private def normToks(text: String): Seq[String] =
     text.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ")
       .trim.split(' ').filter(_.nonEmpty).toSeq
