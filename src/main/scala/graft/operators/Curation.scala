@@ -1908,6 +1908,47 @@ object Curation {
        |FROM ranked WHERE rn = 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ds22: SPLIT REPAIR — the actionable remedy for what dc05 audits: a
+  // near-duplicate pair straddling the train/eval boundary makes the
+  // eval copy worthless (its answer is in training), so the standard fix
+  // is to QUARANTINE leaked eval docs INTO train (dropping them from
+  // eval keeps eval clean; keeping them in train costs nothing — the
+  // content is already there via the twin). Rule: any doc appearing in a
+  // straddling verified-dup pair whose split is not 'train' moves to
+  // 'train'; everything else keeps its ds01 assignment. Output is the
+  // full repaired assignment plus the `moved` flag — re-running dc05
+  // against new_split finds zero straddles with a train side by
+  // construction (the spec's law).
+  //
+  // Scale shape: dc05's pair list is tiny (verified dups only); the
+  // repair is one distinct over its two id columns and one hash
+  // left-join against the split projection — the corpus pays one scan.
+  // ---------------------------------------------------------------------
+  def ds22SplitRepair(s: SparkSession, dir: String): DataFrame = {
+    val splits = ds01HashSplit(s, dir).select(col("doc_id"), col("split"))
+    val str = dc05SplitLeakage(s, dir).filter(col("straddles"))
+    val leaked = str.select(col("doc1").as("doc_id"))
+      .unionAll(str.select(col("doc2").as("doc_id"))).distinct()
+      .withColumn("leaked", lit(true))
+    splits.join(leaked, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        when(coalesce(col("leaked"), lit(false)) && col("split") =!= "train",
+          lit("train")).otherwise(col("split")).as("new_split"),
+        (coalesce(col("leaked"), lit(false)) && col("split") =!= "train")
+          .as("moved"))
+  }
+
+  val ds22Oracle: String =
+    s"""WITH d AS (SELECT * FROM ($dc05Oracle) x WHERE straddles),
+       |lk AS (SELECT doc1 AS doc_id FROM d UNION SELECT doc2 FROM d),
+       |sp AS (SELECT doc_id, split FROM ($ds01Oracle) t)
+       |SELECT sp.doc_id, sp.split,
+       | CASE WHEN lk.doc_id IS NOT NULL AND sp.split != 'train'
+       |      THEN 'train' ELSE sp.split END AS new_split,
+       | (lk.doc_id IS NOT NULL AND sp.split != 'train') AS moved
+       |FROM sp LEFT JOIN lk ON sp.doc_id = lk.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ds20: k-CENTER CORESET selection — greedy farthest-point traversal
   // over the embedding space (Gonzalez 1985; the diversity-sampling
   // member of the data-selection family: ds13 orders by difficulty, ds17
@@ -2101,6 +2142,7 @@ object Curation {
     "tp10_release_manifest" -> (tp10ReleaseManifest _),
     "dc05_split_leakage" -> (dc05SplitLeakage _),
     "dc06_semantic_decontaminate" -> (dc06SemanticDecontaminate _),
+    "ds22_split_repair" -> (ds22SplitRepair _),
     "ds20_kcenter_coreset" -> (ds20KcenterCoreset _),
     "ds21_split_manifest" -> (ds21SplitManifest _),
     "q60_temporal_lookup" -> (q60TemporalLookup _),
@@ -2143,6 +2185,7 @@ object Curation {
     "tp10_release_manifest" -> tp10Oracle,
     "dc05_split_leakage" -> dc05Oracle,
     "dc06_semantic_decontaminate" -> dc06Oracle,
+    "ds22_split_repair" -> ds22Oracle,
     "ds20_kcenter_coreset" -> ds20Oracle,
     "q60_temporal_lookup" -> q60Oracle,
     "ds21_split_manifest" -> ds21Oracle,

@@ -340,6 +340,35 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // ss34: TOMBSTONED serving — the DELETE half of index maintenance
+  // (ss05 builds, ss07 rolls appends forward; GDPR erasure and corpus
+  // retractions need the third verb). The index is NOT rebuilt and the
+  // inverted lists still contain the deleted vectors — deletions are a
+  // tombstone SET screened out at probe time (every production ANN
+  // store: Faiss IDSelector, Lucene live-docs, Milvus delta deletes),
+  // here one hash ANTI-join of the probed candidate pairs against the
+  // tombstone list — candidates-only cost, corpus-free. Deleted vectors
+  // also stop being queryable (the query predicate excludes them).
+  // Ranks re-close over the survivors, so the result is exactly "the
+  // standing index, minus the dead" — which is what the oracle computes
+  // independently.
+  // ---------------------------------------------------------------------
+  def ss34AnnTombstoned(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val tombs = base.filter(col("vec_id") % 9 === 0)
+      .select(col("vec_id").as("c_id"))
+    val scored = ivfScoredPairs(s, base,
+        col("vec_id") % 100 === 0 && col("vec_id") % 9 =!= 0)
+      .join(tombs, Seq("c_id"), "left_anti")
+      .withColumn("cos",
+        col("dot") / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+      .select(col("q_id"), col("c_id"), col("rnk"), col("cos"))
+  }
+
+  // ---------------------------------------------------------------------
   // ss28: kNN-GRAPH construction — every point's k nearest neighbors via
   // the IVF probe with ALL points as queries, plus the mutual-kNN flag:
   // the building block under embedding-cluster discovery, graph-based
@@ -752,6 +781,25 @@ object Similarity {
        |${kmChainSql(ivfRounds)},
        |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
        |$annProbeTailSql""".stripMargin
+
+  /** ss34: the ss03 index (same centroid chain over the FULL corpus — the
+    * standing, un-rebuilt lists), with dead vectors screened from both
+    * the query set and the probed candidates. */
+  val ss34Oracle: String =
+    s"""WITH $qvecSql,
+       |${kmChainSql(ivfRounds)},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |${annProbePrefixSqlFor("vec_id % 100 = 0 AND vec_id % 9 != 0")},
+       |live AS (SELECT q_id, c_id FROM pairs WHERE c_id % 9 != 0),
+       |scored AS (
+       | SELECT live.q_id, live.c_id,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT)
+       |    / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos
+       | FROM live JOIN qn a ON live.q_id = a.vec_id JOIN qn b ON live.c_id = b.vec_id)
+       |SELECT q_id, c_id, rnk, cos FROM (
+       | SELECT q_id, c_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk
+       | FROM scored) t WHERE rnk <= $K""".stripMargin
 
   // ---------------------------------------------------------------------
   // ss25: the RECALL-vs-NPROBE curve — the tuning deliverable behind
@@ -2009,9 +2057,11 @@ object Similarity {
     "ss12_pq_recall" -> (ss12PqRecall _),
     "ss13_quantizer_drift" -> (ss13QuantizerDrift _),
     "ss14_ivf_pq_rerank" -> (ss14IvfPqRerank _),
-    "ss15_rerank_recall" -> (ss15RerankRecall _))
+    "ss15_rerank_recall" -> (ss15RerankRecall _),
+    "ss34_ann_tombstoned" -> (ss34AnnTombstoned _))
 
   val oracles: Map[String, String] = Map(
+    "ss34_ann_tombstoned" -> ss34Oracle,
     "ss32_ivf_rp" -> ss32Oracle,
     "ss33_ivf_rp_recall" -> ss33Oracle,
     "ss29_rp_encode" -> ss29Oracle,

@@ -359,6 +359,45 @@ object EventStream {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class PathTrigram(user_id: Long, t1: String, t2: String, t3: String)
+
+  final case class PathState(prev1: String, prev2: String)
+
+  /** Streaming SEQUENTIAL PATH MINING — the live twin of EventOps.q62:
+    * each user's completed event-type trigram is emitted the moment its
+    * third event arrives. Batch needs two LEADs over a corpus-wide
+    * window; streaming keeps only the user's LAST TWO types as keyed
+    * state (O(1) per user, independent of stream length) and every
+    * event closes at most one trigram — so the downstream count/top-k is
+    * an aggregate over emitted trigrams, never a re-sort of history.
+    * In-batch rows order by (whole-second event time, event_id), the
+    * [[runningDistinct]] convention; under in-order delivery the emitted
+    * multiset equals the batch twin's pre-top-k trigram stream. */
+  def pathMine(events: Dataset[Event]): Dataset[PathTrigram] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[PathState]): Iterator[PathTrigram] = {
+      var p1 = state.getOption.map(_.prev1).orNull
+      var p2 = state.getOption.map(_.prev2).orNull
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id))
+        .flatMap { e =>
+          val r = if (p1 != null && p2 != null)
+            Some(PathTrigram(userId, p1, p2, e.event_type)) else None
+          p1 = p2
+          p2 = e.event_type
+          r
+        }
+      state.update(PathState(p1, p2))
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   final case class WindowTopK(hour_epoch: Long, user_id: Long, n: Long, rnk: Int)
 
   final case class TopKState(counts: Map[Long, Long])

@@ -288,6 +288,47 @@ class StintSixteenSpec extends SparkSpec {
     assert(got.values.exists(v => v._1.isEmpty && v._2.isDefined))
   }
 
+  test("ss34: tombstoned serving — no dead ids, ss03's alive order preserved") {
+    val got = Similarity.ss34AnnTombstoned(spark, dir01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (q, c, _) => q % 9 != 0 && c % 9 != 0 })
+    assert(got.map(_._1).toSet == Set(100L, 200L, 300L, 400L))
+    // shared tiebreaks ⇒ ss03's surviving candidates keep their relative
+    // order in the tombstoned ranking (promotions only append/interleave
+    // below equal-cos ties, which both sides break identically)
+    val base = Similarity.ss03AnnIvf(spark, dir01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    for (q <- Seq(100L, 200L, 300L, 400L)) {
+      val alive = base.filter(x => x._1 == q && x._2 % 9 != 0)
+        .sortBy(_._3).map(_._2)
+      val ranked = got.filter(_._1 == q).sortBy(_._3).map(_._2)
+      // `alive` must be a subsequence of `ranked`
+      val it = ranked.iterator
+      assert(alive.forall(c => it.contains(c)),
+        s"q=$q alive=${alive.toSeq} ranked=${ranked.toSeq}")
+    }
+  }
+
+  test("ds22: repair sends every straddling dup pair entirely to train") {
+    val repair = Curation.ds22SplitRepair(spark, dir01).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2), r.getBoolean(3))))
+      .toMap
+    val straddling = Curation.dc05SplitLeakage(spark, dir01)
+      .filter(org.apache.spark.sql.functions.col("straddles")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(straddling.nonEmpty)
+    for ((d1, d2) <- straddling) {
+      assert(repair(d1)._2 == "train" && repair(d2)._2 == "train")
+    }
+    // moved ⟺ (in a straddling pair ∧ not already train); nothing else moves
+    val members = straddling.flatMap(p => Seq(p._1, p._2)).toSet
+    for ((d, (old, nw, moved)) <- repair) {
+      assert(moved == (members(d) && old != "train"))
+      if (!moved) assert(nw == old)
+    }
+  }
+
   test("geo07: clusters match union-find over brute-counted dense cells") {
     val pts = graft.Tables(spark, dir01, "customer")
       .selectExpr("c_custkey").collect().map(_.getLong(0))

@@ -344,6 +344,49 @@ trait StatefulStreamingScenarios { this: SparkSpec =>
     }
   }
 
+  test("streaming path miner stays in lockstep with its batch twin (q62)") {
+    withProvider {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      // user 1's third trigram completes only after the batch boundary —
+      // the last-two-types state must carry; user 2 is a repeating loop.
+      val evs = Seq(
+        (10L, 0, 1L, "view"), (11L, 1, 1L, "click"), (12L, 2, 1L, "view"),
+        (20L, 0, 2L, "view"), (21L, 1, 2L, "view"), (22L, 2, 2L, "view"))
+      val late = Seq(
+        (13L, 3, 1L, "purchase"), (14L, 4, 1L, "click"),
+        (23L, 3, 2L, "view"))
+      val tmp = java.nio.file.Files.createTempDirectory("q62-lockstep").toFile
+      try {
+        (evs ++ late).map { case (id, m, u, k) => (id, ts(m).getTime * 1000000L, u, k) }
+          .toDF("event_id", "ts", "user_id", "event_type")
+          .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+        val batch = graft.operators.EventOps.q62EventPaths(spark, tmp.getPath)
+          .collect()
+          .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+            r.getLong(3))).toMap
+        val input = MemoryStream[Event]
+        val q = EventStream.pathMine(input.toDS())
+          .writeStream.format("memory").queryName("q62_lockstep")
+          .outputMode(OutputMode.Append()).start()
+        try {
+          input.addData(evs.map { case (id, m, u, k) => Event(id, ts(m), u, k, 0.0) })
+          q.processAllAvailable()
+          input.addData(late.map { case (id, m, u, k) => Event(id, ts(m), u, k, 0.0) })
+          q.processAllAvailable()
+          val stream = spark.table("q62_lockstep").collect()
+            .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+            .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+          assert(batch == Map(
+            ("view", "click", "view") -> 1L, ("click", "view", "purchase") -> 1L,
+            ("view", "purchase", "click") -> 1L, ("view", "view", "view") -> 2L),
+            batch.toString)
+          assert(stream == batch, s"batch=$batch stream=$stream")
+        } finally { q.stop(); spark.catalog.dropTempView("q62_lockstep") }
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+  }
+
   test("stream-stream interval join stays in lockstep with its batch twin (q37)") {
     withProvider {
       implicit val sqlCtx = spark.sqlContext
