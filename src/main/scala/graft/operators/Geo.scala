@@ -453,7 +453,65 @@ object Geo {
        |FROM cells c JOIN reach r ON r.src = c.id
        |GROUP BY c.cx, c.cy, c.n_points""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // geo08: 3×3 STENCIL smoothing over the cell histogram — raster
+  // convolution as dataflow (the kernel pass behind heat maps, kernel
+  // density estimates, and terrain/served-area smoothing). Distributed
+  // form: each non-empty cell SCATTERS its count to its ≤9 in-domain
+  // neighbor positions (explode of a literal offset array — map-side),
+  // one keyed sum GATHERS per position, and the result joins back to the
+  // non-empty cells. Cost: the corpus pays one map-side histogram; the
+  // stencil itself runs on dictionary-sized cells × 9 — never on points.
+  // Empty neighbors contribute 0 by absence; the in-domain neighbor
+  // count (4/6/9 at corners/edges/interior) is emitted so a reader can
+  // form the mean — as an exact integer pair, not a rounded float.
+  // ---------------------------------------------------------------------
+  def geo08StencilSmooth(s: SparkSession, dir: String): DataFrame = {
+    val side = D / densG // 32 cells per axis
+    val cells = points(s, dir)
+      .groupBy(expr(s"px div $densG").as("cx"), expr(s"py div $densG").as("cy"))
+      .agg(count(lit(1)).as("n_points"))
+      .localCheckpoint()
+    val contrib = cells
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select((col("cx") + col("dx")).as("tx"), (col("cy") + col("dy")).as("ty"),
+        col("n_points").as("n"))
+      .where(col("tx") >= 0 && col("tx") < side &&
+        col("ty") >= 0 && col("ty") < side)
+      .groupBy(col("tx"), col("ty")).agg(sum(col("n")).as("nbr_sum"))
+    val edge = side - 1
+    cells.join(contrib,
+        cells("cx") === contrib("tx") && cells("cy") === contrib("ty"))
+      .select(col("cx"), col("cy"), col("n_points"), col("nbr_sum"),
+        (when(col("cx") === 0 || col("cx") === edge, 2L).otherwise(3L) *
+          when(col("cy") === 0 || col("cy") === edge, 2L).otherwise(3L))
+          .as("nbr_cells"))
+  }
+
+  val geo08Oracle: String = {
+    val side = D / densG
+    val edge = side - 1
+    s"""WITH p AS (
+       | SELECT (c_custkey*37)%$D AS px, (c_custkey*91)%$D AS py FROM customer),
+       |cells AS (
+       | SELECT px//$densG AS cx, py//$densG AS cy,
+       |  CAST(COUNT(*) AS BIGINT) AS n_points
+       | FROM p GROUP BY 1, 2),
+       |contrib AS (
+       | SELECT cx + dx.d AS tx, cy + dy.d AS ty, n_points AS n
+       | FROM cells, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
+       | WHERE cx + dx.d BETWEEN 0 AND $edge AND cy + dy.d BETWEEN 0 AND $edge),
+       |sm AS (SELECT tx, ty, CAST(SUM(n) AS BIGINT) AS nbr_sum
+       | FROM contrib GROUP BY 1, 2)
+       |SELECT c.cx, c.cy, c.n_points, sm.nbr_sum,
+       | CAST((CASE WHEN c.cx IN (0, $edge) THEN 2 ELSE 3 END) *
+       |      (CASE WHEN c.cy IN (0, $edge) THEN 2 ELSE 3 END) AS BIGINT) AS nbr_cells
+       |FROM cells c JOIN sm ON sm.tx = c.cx AND sm.ty = c.cy""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "geo08_stencil_smooth" -> (geo08StencilSmooth _),
     "geo07_density_clusters" -> (geo07DensityClusters _),
     "geo06_point_in_polygon" -> (geo06PointInPolygon _),
     "geo05_spatial_dedup" -> (geo05SpatialDedup _),
@@ -463,6 +521,7 @@ object Geo {
     "geo04_topk_knn" -> (geo04TopkKnn _))
 
   val oracles: Map[String, String] = Map(
+    "geo08_stencil_smooth" -> geo08Oracle,
     "geo07_density_clusters" -> geo07Oracle,
     "geo06_point_in_polygon" -> geo06Oracle,
     "geo05_spatial_dedup" -> geo05Oracle,

