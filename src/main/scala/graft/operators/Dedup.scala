@@ -1478,6 +1478,50 @@ object Dedup {
        |FROM sizes s JOIN l$condRounds l ON l.node = s.scc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // cc19: BIPARTITE PROJECTION — collapse the customer↔supplier purchase
+  // graph onto one side: suppliers weighted by shared customers (the
+  // co-engagement projection behind "users who bought from A also buy
+  // from B" recommendation graphs and co-citation networks). The wedge
+  // join at each customer squares that customer's supplier degree, so a
+  // hub customer (one account touching 10^4 suppliers) would emit 10^8
+  // pairs — the SAME quadratic hazard cc13's link prediction fences
+  // with a degree cap, and the same answer applies: customers with more
+  // than `bipCap` suppliers carry no pair evidence (a hub's
+  // co-engagement signal is noise anyway — the classic tf-idf-style
+  // down-weighting taken to its cap limit). Pair volume is then
+  // Σ min(deg, cap)² — linear-ish in edges. Edges with ≥ 2 shared
+  // customers survive (a single co-purchase is not a relationship).
+  // ---------------------------------------------------------------------
+  private val bipCap = 16
+
+  def cc19BipartiteProjection(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct().localCheckpoint()
+    val keep = cs.groupBy(col("cust")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= bipCap).select(col("cust"))
+    val k = cs.join(keep, Seq("cust"))
+    k.select(col("cust"), col("supp").as("s1"))
+      .join(k.select(col("cust"), col("supp").as("s2")), Seq("cust"))
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+  }
+
+  val cc19Oracle: String =
+    s"""WITH cs AS (
+       | SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+       | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |keep AS (
+       | SELECT cust FROM cs GROUP BY cust HAVING COUNT(*) <= $bipCap),
+       |k AS (SELECT cs.cust, cs.supp FROM cs JOIN keep USING (cust))
+       |SELECT a.supp AS s1, b.supp AS s2, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM k a JOIN k b ON a.cust = b.cust AND a.supp < b.supp
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // cc05: fixed-iteration PageRank over the customer↔supplier interaction
   // graph (who bought from whom, orders⋈lineitem, supplier ids offset by
   // 10^7 into a shared id space; edges symmetrized so the bipartite graph
@@ -2077,6 +2121,7 @@ object Dedup {
     "cc16_modularity" -> (cc16Modularity _),
     "cc17_scc" -> (cc17Scc _),
     "cc18_condensation" -> (cc18Condensation _),
+    "cc19_bipartite_projection" -> (cc19BipartiteProjection _),
     "dd19_cdc_chunks" -> (dd19CdcChunks _),
     "dd20_semdedup" -> (dd20Semdedup _),
     "dd21_cross_signal" -> (dd21CrossSignalVerify _),
@@ -2117,6 +2162,7 @@ object Dedup {
     "cc16_modularity" -> cc16Oracle,
     "cc17_scc" -> cc17Oracle,
     "cc18_condensation" -> cc18Oracle,
+    "cc19_bipartite_projection" -> cc19Oracle,
     "dd19_cdc_chunks" -> dd19Oracle,
     "dd20_semdedup" -> dd20Oracle,
     "dd21_cross_signal" -> dd21Oracle,

@@ -1183,6 +1183,73 @@ object TextOps {
         col("rrf_x1m"), col("rnk"))
   }
 
+  // ---------------------------------------------------------------------
+  // tx26: ZIPF rank-frequency FIT — the corpus-statistics sanity report
+  // (natural text follows freq ∝ rank^(-s) with s ≈ 1; synthetic spam,
+  // template boilerplate, and broken extractions bend the log-log line,
+  // so the fitted slope is a cheap corpus-health indicator next to
+  // tx02's per-doc quality). Least-squares over (ln rank, ln freq) of
+  // the top `zipfTop` terms. Determinism: each term's ln-products are
+  // rounded to integer ten-thousandths BEFORE the sums (tx23's trick —
+  // float addition order never matters), and the slope ships as the
+  // EXACT integer fraction (num, den), cc16's convention, because the
+  // numerator is negative and Spark `div` vs DuckDB `//` disagree on
+  // negatives. slope = num/den; den > 0 always (Cauchy–Schwarz).
+  //
+  // Scale shape: one corpus tokenize + count (map-side partials), a
+  // top-1000 TakeOrdered over the vocabulary, and a 1000-row window +
+  // single-row aggregate — corpus pays one pass.
+  // ---------------------------------------------------------------------
+  private val zipfTop = 1000
+
+  def tx26ZipfFit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val freq = docs
+      .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(zipfTop)
+    val w = Window.orderBy(col("n").desc, col("token").asc)
+    freq.withColumn("rnk", row_number().over(w))
+      .select(
+        expr("CAST(round(ln(rnk) * 10000) AS BIGINT)").as("xi"),
+        expr("CAST(round(ln(n) * 10000) AS BIGINT)").as("yi"),
+        expr("CAST(round(ln(rnk) * ln(n) * 10000) AS BIGINT)").as("xyi"),
+        expr("CAST(round(ln(rnk) * ln(rnk) * 10000) AS BIGINT)").as("xxi"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("xi")).as("s_x"),
+        sum(col("yi")).as("s_y"), sum(col("xyi")).as("s_xy"),
+        sum(col("xxi")).as("s_xx"))
+      .select(col("n_terms"), col("s_x"), col("s_y"), col("s_xy"), col("s_xx"),
+        (col("n_terms") * col("s_xy") * 10000L - col("s_x") * col("s_y"))
+          .as("slope_num"),
+        (col("n_terms") * col("s_xx") * 10000L - col("s_x") * col("s_x"))
+          .as("slope_den"))
+  }
+
+  val tx26Oracle: String =
+    s"""WITH freq AS (
+       | SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+       |  SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+       |  FROM documents) t
+       | GROUP BY token ORDER BY n DESC, token ASC LIMIT $zipfTop),
+       |ranked AS (
+       | SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rnk
+       | FROM freq),
+       |terms AS (
+       | SELECT CAST(round(ln(rnk) * 10000) AS BIGINT) AS xi,
+       |  CAST(round(ln(n) * 10000) AS BIGINT) AS yi,
+       |  CAST(round(ln(rnk) * ln(n) * 10000) AS BIGINT) AS xyi,
+       |  CAST(round(ln(rnk) * ln(rnk) * 10000) AS BIGINT) AS xxi
+       | FROM ranked),
+       |sums AS (
+       | SELECT CAST(COUNT(*) AS BIGINT) AS n_terms, CAST(SUM(xi) AS BIGINT) AS s_x,
+       |  CAST(SUM(yi) AS BIGINT) AS s_y, CAST(SUM(xyi) AS BIGINT) AS s_xy,
+       |  CAST(SUM(xxi) AS BIGINT) AS s_xx
+       | FROM terms)
+       |SELECT n_terms, s_x, s_y, s_xy, s_xx,
+       | n_terms * s_xy * 10000 - s_x * s_y AS slope_num,
+       | n_terms * s_xx * 10000 - s_x * s_x AS slope_den
+       |FROM sums""".stripMargin
+
   val tx25Oracle: String =
     s"""WITH $bm25RankedSql,
        |${Similarity.qvecSql},
@@ -1213,6 +1280,7 @@ object TextOps {
   val queries: Map[String, Q] = Map(
     "tx23_bm25" -> (tx23Bm25 _),
     "tx25_hybrid_rrf" -> (tx25HybridRrf _),
+    "tx26_zipf_fit" -> (tx26ZipfFit _),
     "tx24_fertility" -> (tx24Fertility _),
     "tx22_rule_drift" -> (tx22RuleDrift _),
     "tx21_rule_filter" -> (tx21RuleFilter _),
@@ -1242,6 +1310,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "tx23_bm25" -> tx23Oracle,
     "tx25_hybrid_rrf" -> tx25Oracle,
+    "tx26_zipf_fit" -> tx26Oracle,
     "tx24_fertility" -> tx24Oracle,
     "tx22_rule_drift" -> tx22Oracle,
     "tx21_rule_filter" -> tx21Oracle,

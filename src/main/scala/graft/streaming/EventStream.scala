@@ -359,6 +359,22 @@ object EventStream {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class CdcChange(lang: String, w: Long, n_chars: Long)
+
+  /** Streaming Z-SET aggregation — mv09's live form: a CDC change stream
+    * (w = +1 insert, −1 retraction) folded into per-group view rows
+    * `(lang, n_docs = Σw, sum_chars = Σw·n_chars)`. Because weighted
+    * sums form a GROUP (not just a monoid), retractions are just more
+    * rows — Spark's built-in streaming aggregation maintains the view
+    * with no custom state, and the result after any prefix of changes
+    * equals the batch recompute over the net-surviving rows (the DBSP
+    * invariant, asserted in the spec). Complete/Update output both
+    * serve; net-zero groups are filtered at read like mv09. */
+  def cdcAggregateStream(changes: DataFrame): DataFrame =
+    changes.groupBy(col("lang"))
+      .agg(sum(col("w")).as("n_docs"),
+        sum(col("w") * col("n_chars")).as("sum_chars"))
+
   final case class PathTrigram(user_id: Long, t1: String, t2: String, t3: String)
 
   final case class PathState(prev1: String, prev2: String)

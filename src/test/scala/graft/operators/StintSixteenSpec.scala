@@ -372,6 +372,47 @@ class StintSixteenSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("cc19: projection matches a brute Scala shared-customer count") {
+    import org.apache.spark.sql.functions.col
+    val cs = graft.Tables(spark, dir, "orders")
+      .join(graft.Tables(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .selectExpr("o_custkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byCust = cs.groupBy(_._1).map { case (c, g) => (c, g.map(_._2).toSeq) }
+      .filter(_._2.size <= 16)
+    val expect = byCust.values.toSeq.flatMap { supps =>
+      for (a <- supps; b <- supps if a < b) yield (a, b)
+    }.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+      .filter(_._2 >= 2)
+    val got = Dedup.cc19BipartiteProjection(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("tx26: zipf sums match a Scala recompute; slope is negative") {
+    val toks = graft.Tables(spark, dir, "documents")
+      .selectExpr("text").collect()
+      .flatMap(_.getString(0).split(' ').filter(_.nonEmpty))
+    val top = toks.groupBy(identity).map { case (t, g) => (t, g.size.toLong) }
+      .toSeq.sortBy { case (t, n) => (-n, t) }.take(1000)
+    val terms = top.zipWithIndex.map { case ((_, n), i) =>
+      val x = math.log(i + 1.0); val y = math.log(n.toDouble)
+      (math.round(x * 10000), math.round(y * 10000),
+        math.round(x * y * 10000), math.round(x * x * 10000))
+    }
+    val (sx, sy, sxy, sxx) = (terms.map(_._1).sum, terms.map(_._2).sum,
+      terms.map(_._3).sum, terms.map(_._4).sum)
+    val nT = terms.size.toLong
+    val r = TextOps.tx26ZipfFit(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((nT, sx, sy, sxy, sxx)))
+    assert(r.getLong(5) == nT * sxy * 10000 - sx * sy)
+    assert(r.getLong(6) == nT * sxx * 10000 - sx * sx)
+    assert(r.getLong(5) < 0 && r.getLong(6) > 0) // frequency falls with rank
+  }
+
   test("plan shapes: new operators keep their scale-critical plans") {
     import org.apache.spark.sql.functions.col
     // dd24: no nested-loop/cartesian anywhere in the excision pipeline

@@ -387,6 +387,33 @@ trait StatefulStreamingScenarios { this: SparkSpec =>
     }
   }
 
+  test("CDC z-set aggregation retracts deletes, matching the surviving-rows recompute") {
+    withProvider {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      import EventStream.CdcChange
+      val input = MemoryStream[CdcChange]
+      val q = EventStream.cdcAggregateStream(input.toDF())
+        .writeStream.format("memory").queryName("cdc_zset")
+        .outputMode(OutputMode.Complete()).start()
+      try {
+        // batch 1: inserts only
+        input.addData(CdcChange("en", 1, 100), CdcChange("en", 1, 50),
+          CdcChange("de", 1, 30), CdcChange("fr", 1, 70))
+        q.processAllAvailable()
+        // batch 2: retract one en doc and ALL of fr; insert another de
+        input.addData(CdcChange("en", -1, 50), CdcChange("fr", -1, 70),
+          CdcChange("de", 1, 40))
+        q.processAllAvailable()
+        val got = spark.table("cdc_zset")
+          .filter($"n_docs" > 0).collect()
+          .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+        // survivors: en {100}, de {30, 40}; fr fully retracted
+        assert(got == Map("en" -> (1L, 100L), "de" -> (2L, 70L)), got.toString)
+      } finally { q.stop(); spark.catalog.dropTempView("cdc_zset") }
+    }
+  }
+
   test("stream-stream interval join stays in lockstep with its batch twin (q37)") {
     withProvider {
       implicit val sqlCtx = spark.sqlContext
