@@ -584,7 +584,67 @@ object Multimodal {
     corruptionAudit(dirty).toDF()
   }
 
+  final case class VideoFrameHash(media_id: Long, frame_idx: Int, fhash: Long)
+
+  /** 60-bit content hash of one decoded grayscale frame (md5 of the
+    * pixel plane, house truncation). EXACT frame identity, not a
+    * perceptual hash: identical pixels collide however they were
+    * containered, any pixel change separates. (A block-mean aHash —
+    * mm03's image key — is the wrong key at frame granularity here:
+    * brightness-shift invariance folds this corpus's phase-shifted
+    * gradient frames into one bucket, flagging distinct videos as
+    * dups; frame-level dedup wants identity, the perceptual layer
+    * belongs to the per-image tier.) */
+  private[operators] def frameContentHash(plane: Array[Byte]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    java.lang.Long.parseLong(
+      md.digest(plane).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  /** (media_id, frame_idx, fhash) for every frame of every video — the
+    * same narrow codec flatMap shape as [[sampleFrames]]. */
+  def videoFrameHashes(media: Dataset[MediaRow]): Dataset[VideoFrameHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter((m: MediaRow) => m.kind == "video").flatMap { m =>
+      val (w, h, frames) = decodeVideo(m.bytes)
+      frames.zipWithIndex.map { case (f, i) =>
+        VideoFrameHash(m.media_id, i, frameContentHash(f))
+      }
+    }
+  }
+
+  /** mm08: VIDEO dedup — mm03's loop closed for the third modality, at
+    * dd19's granularity: REAL GRVF decode → per-frame 60-bit content
+    * hash → an ORDER-SENSITIVE video signature (md5 over the frame-hash
+    * sequence; a copy collides whatever container carried it, a
+    * reordered or edited cut does not) → dd01-style exact dedup on the
+    * signature (one hash shuffle, map-side partials). The frame-hash
+    * table is also the substrate for shared-footage pair search (a
+    * dd22-style positional join), left to the caller. Rows-only for the
+    * driver like all codec ops; StintSixteenSpec plants a duplicate and
+    * a one-frame edit and checks the flags. */
+  def mm08VideoNeardup(s: SparkSession, dir: String): DataFrame =
+    videoSignatureDedup(videoFrameHashes(mediaFromDocuments(s, dir)).toDF())
+
+  private[operators] def videoSignatureDedup(fh: DataFrame): DataFrame = {
+    val hashed = fh.localCheckpoint()
+    val sig = hashed.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        expr(
+          """CAST(conv(substring(md5(concat_ws(':',
+            |  transform(sort_array(collect_list(struct(frame_idx, fhash))),
+            |            p -> CAST(p.fhash AS STRING)))), 1, 15), 16, 10) AS BIGINT)"""
+            .stripMargin).as("sig"))
+    val groups = sig.groupBy(col("sig"))
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_videos"))
+    sig.join(groups, Seq("sig"))
+      .select(col("media_id"), col("n_frames"), col("sig"), col("keep_id"),
+        col("n_videos"), (col("media_id") =!= col("keep_id")).as("is_dup"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm08_video_neardup" -> (mm08VideoNeardup _),
     "mm07_corruption_audit" -> (mm07CorruptionAudit _),
     "mm01_media_features" -> (mm01Features _),
     "mm02_frame_sample" -> (mm02FrameSample _),

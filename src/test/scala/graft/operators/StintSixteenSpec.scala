@@ -413,6 +413,32 @@ class StintSixteenSpec extends SparkSpec {
     assert(r.getLong(5) < 0 && r.getLong(6) > 0) // frequency falls with rank
   }
 
+  test("mm08: planted duplicate video collides; a one-frame edit does not") {
+    import spark.implicits._
+    import Multimodal.{MediaRow, encodeRawVideo, syntheticFrames}
+    val (w, h) = (20, 16)
+    val frames = syntheticFrames(7L, w, h, 6)
+    val edited = frames.map(_.clone)
+    edited(3)(5) = (edited(3)(5) + 120).toByte // flip one pixel hard
+    val media = Seq(
+      MediaRow(1L, "video", encodeRawVideo(w, h, frames), w, h, 3),
+      MediaRow(2L, "video", encodeRawVideo(w, h, frames), w, h, 3), // dup of 1
+      MediaRow(3L, "video", encodeRawVideo(w, h, edited), w, h, 3), // near-miss
+      MediaRow(4L, "video",
+        encodeRawVideo(w, h, syntheticFrames(9L, w, h, 6)), w, h, 3))
+      .toDS()
+    val got = Multimodal.videoSignatureDedup(
+        Multimodal.videoFrameHashes(media).toDF()).collect()
+      .map(r => (r.getLong(0), (r.getLong(3), r.getBoolean(5)))).toMap
+    assert(got(1L) == ((1L, false)) && got(2L) == ((1L, true)))
+    assert(!got(3L)._2 && !got(4L)._2)
+    // the edit flipped at least one frame hash, else the spec is vacuous
+    val fh = Multimodal.videoFrameHashes(media).collect()
+      .groupBy(_.media_id).map { case (k, v) =>
+        (k, v.sortBy(_.frame_idx).map(_.fhash).toSeq) }
+    assert(fh(1L) != fh(3L) && fh(1L) == fh(2L))
+  }
+
   test("plan shapes: new operators keep their scale-critical plans") {
     import org.apache.spark.sql.functions.col
     // dd24: no nested-loop/cartesian anywhere in the excision pipeline
