@@ -916,6 +916,83 @@ object Relational {
       |FROM m""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q63: ROBUST outlier report — median + MAD (median absolute
+  // deviation) per group and the count beyond the 3·MAD fence, the
+  // outlier detector that survives the outliers it hunts (mean/stddev
+  // z-scores are dragged by the very tail they're fencing; Hampel's
+  // identifier is the standard robust form). Same scale shape as q54:
+  // the corpus crosses the wire ONCE as (group, value) partial counts;
+  // the median, the distance histogram, the MAD and the fence count all
+  // derive from that O(groups·values) table — three tiny-histogram
+  // passes, never a corpus sort. Exactness: medians ride in HALF-units
+  // (m2 = v1+v2) and MAD in QUARTER-units (u1+u2 of half-unit
+  // distances), so every comparison — including the 3·MAD fence
+  // 2·d2 > 3·(u1+u2) — is integer; the served median/MAD doubles are
+  // dyadic rationals, bit-equal to DuckDB's native quantile_cont.
+  // ---------------------------------------------------------------------
+  def q63RobustOutliers(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+    val counts = li.groupBy(col("l_returnflag"), col("q"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the median pass, the distance histogram, and the fence count
+    def histMedian2(h: DataFrame, valCol: String): DataFrame = {
+      // (group, 2·median) from a (group, value, cnt) histogram — q54's
+      // cumulative positions p1/p2, summed instead of averaged.
+      val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col(valCol))
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      h.withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .withColumn("p1", expr("(n + 1) div 2"))
+        .withColumn("p2", expr("n div 2 + 1"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n"),
+          (min(when(col("cum") >= col("p1") &&
+            col("cum") - col("cnt") < col("p1"), col(valCol))) +
+            min(when(col("cum") >= col("p2") &&
+              col("cum") - col("cnt") < col("p2"), col(valCol)))).as("m2"))
+    }
+    val med = histMedian2(counts, "q")
+    val dist = counts.join(med, Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        abs(lit(2L) * col("q") - col("m2")).as("d2"), col("cnt"))
+      .groupBy(col("l_returnflag"), col("d2"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint() // feeds the MAD pass and the fence count
+    val mad = histMedian2(dist, "d2")
+      .select(col("l_returnflag"), col("m2").as("mad4"))
+    val fence = dist.join(mad, Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(lit(2L) * col("d2") > lit(3L) * col("mad4"), col("cnt"))
+        .otherwise(lit(0L))).as("n_outliers"))
+    med.join(mad, Seq("l_returnflag")).join(fence, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n"),
+        (col("m2").cast("double") / 2.0).as("median_q"),
+        (col("mad4").cast("double") / 4.0).as("mad_q"),
+        col("n_outliers"))
+  }
+
+  val q63Oracle: String =
+    """WITH li AS (
+      | SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+      |med AS (
+      | SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  quantile_cont(q, 0.5) AS median_q
+      | FROM li GROUP BY 1),
+      |d AS (
+      | SELECT li.l_returnflag, abs(q - median_q) AS dv
+      | FROM li JOIN med USING (l_returnflag)),
+      |mad AS (
+      | SELECT l_returnflag, quantile_cont(dv, 0.5) AS mad_q
+      | FROM d GROUP BY 1),
+      |fence AS (
+      | SELECT d.l_returnflag,
+      |  CAST(SUM(CASE WHEN dv > 3 * mad_q THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      | FROM d JOIN mad USING (l_returnflag) GROUP BY 1)
+      |SELECT l_returnflag, n, median_q, mad_q, n_outliers
+      |FROM med JOIN mad USING (l_returnflag) JOIN fence USING (l_returnflag)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q07: deepest matching ancestor (C5 — ordered scalar subquery picking the
   // max-step is_2nd ancestor, src/post/find_subdivision.sql:9-32 and note †
   // in SURVEY §2). "is_2nd" here = nation/region nodes; window + row_number
@@ -1493,6 +1570,7 @@ object Relational {
     "q50_skyline" -> (q50Skyline _),
     "q51_merge_upsert" -> (q51MergeUpsert _),
     "q54_median_mode" -> (q54MedianMode _),
+    "q63_robust_outliers" -> (q63RobustOutliers _),
     "q55_multiset_ops" -> (q55MultisetOps _),
     "q56_bit_bool_aggs" -> (q56BitBoolAggs _),
     "q35_full_outer" -> (q35FullOuter _),
@@ -1533,6 +1611,7 @@ object Relational {
     "q50_skyline" -> q50Oracle,
     "q51_merge_upsert" -> q51Oracle,
     "q54_median_mode" -> q54Oracle,
+    "q63_robust_outliers" -> q63Oracle,
     "q55_multiset_ops" -> q55Oracle,
     "q56_bit_bool_aggs" -> q56Oracle,
     "q31_salted_join" -> q31Oracle,

@@ -413,6 +413,28 @@ class StintSixteenSpec extends SparkSpec {
     assert(r.getLong(5) < 0 && r.getLong(6) > 0) // frequency falls with rank
   }
 
+  test("q63: median/MAD/fence match a Scala order-statistics recompute") {
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val qs = graft.Tables(spark, dir, "lineitem")
+      .selectExpr("l_returnflag", "CAST(l_quantity AS BIGINT)").collect()
+      .map(r => (r.getString(0), r.getLong(1).toDouble))
+    val expect = qs.groupBy(_._1).map { case (f, g) =>
+      val vs = g.map(_._2).toSeq
+      val med = medianOf(vs)
+      val dvs = vs.map(v => math.abs(v - med))
+      val mad = medianOf(dvs)
+      (f, (vs.size.toLong, med, mad, dvs.count(_ > 3 * mad).toLong))
+    }
+    val got = Relational.q63RobustOutliers(spark, dir).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got == expect)
+  }
+
   test("mm08: planted duplicate video collides; a one-frame edit does not") {
     import spark.implicits._
     import Multimodal.{MediaRow, encodeRawVideo, syntheticFrames}
