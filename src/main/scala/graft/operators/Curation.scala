@@ -2138,7 +2138,66 @@ object Curation {
        |FROM documents d JOIN cur USING (doc_id)
        |GROUP BY split""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ds23: LENGTH-BUCKETED batching report — the padding-waste ledger of a
+  // training data loader. Fixed-shape training kernels pad every sequence
+  // in a batch to a common length; bucketing documents by
+  // next-power-of-two token length (the standard dataloader trick,
+  // e.g. fairseq's --required-batch-size-multiple world) bounds padding
+  // waste at <50% per bucket instead of the unbounded waste of mixing a
+  // 10-token doc into a 4096-token batch. The report: per bucket, docs,
+  // real tokens, padded tokens (bucket width × docs), batches at batch
+  // size 8, and the waste fraction.
+  //
+  // Exactness: the bucket is computed with INTEGER bit arithmetic —
+  // 1 << length(bin(n-1)) — never floor(log2(x)) floats (log2 is exact
+  // on powers of two in IEEE, but trusting two engines' libm to agree on
+  // the rest is exactly the kind of cross-engine coin flip this repo
+  // avoids); `bin` exists verbatim in Spark and DuckDB. The only double
+  // is the final waste ratio, computed as the same single division on
+  // both sides.
+  //
+  // Scale shape: pure per-row arithmetic (no join against a powers
+  // table) into a map-side-combined groupBy on ~17 bucket keys — one
+  // O(|buckets|) partial-aggregate shuffle, nothing corpus-sized moves.
+  // ---------------------------------------------------------------------
+  def ds23LengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    docs.select(
+        size(expr("filter(split(text, ' '), x -> x != '')")).cast("long")
+          .as("n"))
+      .withColumn("bucket",
+        when(col("n") <= 1, lit(1L))
+          .otherwise(expr("shiftleft(cast(1 as bigint), length(bin(n - 1)))")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
+      .withColumn("padded_tokens", col("bucket") * col("n_docs"))
+      .withColumn("n_batches", expr("(n_docs + 7) div 8"))
+      .withColumn("waste_pct",
+        (col("padded_tokens") - col("sum_tokens")).cast("double") /
+          col("padded_tokens"))
+  }
+
+  val ds23Oracle: String =
+    """WITH t AS (
+      | SELECT CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n
+      | FROM documents),
+      |b AS (
+      | SELECT CASE WHEN n <= 1 THEN 1
+      |   ELSE CAST(1 AS BIGINT) << length(bin(n - 1)) END AS bucket, n
+      | FROM t),
+      |g AS (
+      | SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n) AS BIGINT) AS sum_tokens
+      | FROM b GROUP BY bucket)
+      |SELECT bucket, n_docs, sum_tokens,
+      | bucket * n_docs AS padded_tokens,
+      | (n_docs + 7) // 8 AS n_batches,
+      | CAST(bucket * n_docs - sum_tokens AS DOUBLE) / (bucket * n_docs) AS waste_pct
+      |FROM g""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ds23_length_buckets" -> (ds23LengthBuckets _),
     "tp10_release_manifest" -> (tp10ReleaseManifest _),
     "dc05_split_leakage" -> (dc05SplitLeakage _),
     "dc06_semantic_decontaminate" -> (dc06SemanticDecontaminate _),
@@ -2182,6 +2241,7 @@ object Curation {
     "tp07_ingest_cycle" -> (tp07IngestCycle _))
 
   val oracles: Map[String, String] = Map(
+    "ds23_length_buckets" -> ds23Oracle,
     "tp10_release_manifest" -> tp10Oracle,
     "dc05_split_leakage" -> dc05Oracle,
     "dc06_semantic_decontaminate" -> dc06Oracle,

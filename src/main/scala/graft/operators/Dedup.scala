@@ -2101,7 +2101,58 @@ object Dedup {
        |   OR doc_id IN (SELECT doc_id FROM near)""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // cc20: K-TRUSS core of the co-purchase graph — cc07 counts triangles,
+  // cc08 keeps degree-dense NODES (k-core); the truss keeps
+  // triangle-dense EDGES: survive iff ≥ k-2 co-purchase triangles of the
+  // surviving subgraph corroborate the pair. Peeling cascades to a
+  // fixpoint (Relational.trussEdges), collapsing 115k raw co-purchase
+  // edges to the ~5k genuinely clustered ones at sf0.01 — the
+  // "recommendation backbone" extraction.
+  //
+  // Oracle: the DEFINITION unrolled — 10 rounds of naive a<b triangle
+  // enumeration + support filter, CTEs MATERIALIZED (each round is
+  // referenced four times; DuckDB would inline plain CTEs exponentially,
+  // cc18's gotcha). The sf0.01 peel reaches fixpoint in 8 rounds, so
+  // rounds 9–10 are idempotent no-ops and both sides serve the same
+  // fixpoint; the engine side is budget-free (fails loudly at 40).
+  // ---------------------------------------------------------------------
+  def cc20Ktruss(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val e0 = l.as("x").join(l.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    Relational.trussEdges(e0, k = 10)
+  }
+
+  val cc20Oracle: String = {
+    val rounds = 10
+    val steps = (0 until rounds).map { i =>
+      s"""t${i + 1} AS MATERIALIZED (
+         | SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         | FROM e$i e1 JOIN e$i e2 ON e1.b = e2.a
+         |  JOIN e$i e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |e${i + 1} AS MATERIALIZED (
+         | SELECT e.a, e.b FROM e$i e JOIN (
+         |  SELECT a, b, COUNT(*) AS c FROM (
+         |   SELECT x AS a, y AS b FROM t${i + 1}
+         |   UNION ALL SELECT x, z FROM t${i + 1}
+         |   UNION ALL SELECT y, z FROM t${i + 1}) u
+         |  GROUP BY a, b) s USING (a, b)
+         | WHERE s.c >= 8)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       | FROM lineitem x JOIN lineitem y
+       |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       |$steps
+       |SELECT a, b FROM e$rounds""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "cc20_ktruss" -> (cc20Ktruss _),
     "dd09_incremental" -> (dd09IncrementalDedup _),
     "dd12_bloom_incremental" -> (dd12BloomIncremental _),
     "cc01_dup_components" -> (cc01DupComponents _),
@@ -2143,6 +2194,7 @@ object Dedup {
     "dd08_emb_neardup_lsh" -> (dd08EmbNeardupLsh _))
 
   val oracles: Map[String, String] = Map(
+    "cc20_ktruss" -> cc20Oracle,
     "dd09_incremental" -> dd09Oracle,
     "dd12_bloom_incremental" -> dd09Oracle,
     "cc01_dup_components" -> cc01Oracle,

@@ -774,7 +774,110 @@ object EventOps {
       |   ORDER BY cnt DESC, t1, t2, t3) AS INT) AS rnk FROM c) t
       |WHERE rnk <= 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q64: LINEAR-INTERPOLATION resampling to a regular grid — the missing
+  // sibling of q49's LOCF: where LOCF serves "the last known value", a
+  // time-series store (InfluxDB's `INTERPOLATE`, Pandas' `resample().
+  // interpolate()`, kdb's `aj` + lerp) serves each user's signal at
+  // regular hourly ticks, linearly blended between the surrounding
+  // events. Grid points outside a user's observed span are not
+  // extrapolated — the grid runs from the first whole hour at-or-after
+  // the user's first event to the last whole hour at-or-before their
+  // last.
+  //
+  // Scale shape: the textbook formulation is a range join (grid point g
+  // BETWEEN prev event AND next event) — quadratic blowup risk and no
+  // hash path. This plan instead UNIONS grid rows into the event stream
+  // and runs ONE user-partitioned sort: the surrounding events arrive as
+  // two IGNORE-NULLS window passes (LOCF forward for (t1,v1), first-
+  // following for (t2,v2)) over the same exchange — q53's
+  // one-shuffle-two-sorts shape. Sort-order contract: at equal second an
+  // EVENT sorts before a GRID row (tag 0 < 1), so a tick that lands
+  // exactly on an event serves that event's value via the t1 = g guard,
+  // and the following-frame never sees same-second events.
+  //
+  // Exactness: the lerp v1 + (v2-v1)·(g-t1)/(t2-t1) is served as the
+  // integer pair num = v1·(t2-g) + v2·(g-t1), den = t2-t1 (v in q52's
+  // milli-units), and ONE final double division both engines compute
+  // identically. den > 0 always: t1 < g implies an event strictly after
+  // g exists (g ≤ the user's max event second).
+  // ---------------------------------------------------------------------
+  def q64InterpResample(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("e"),
+        expr("cast(floor(value * 1000) as bigint)").as("v1000"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(expr("((min(e) + 3599) div 3600) * 3600").as("gs"),
+        expr("(max(e) div 3600) * 3600").as("ge"))
+      // sequence(gs, ge) counts DOWN when gs > ge (all events inside one
+      // hour, no tick in span) — dd13's trap; empty-grid users drop here.
+      .filter(col("gs") <= col("ge"))
+      .select(col("user_id"), explode(expr("sequence(gs, ge, 3600)")).as("e"),
+        lit(1).as("tag"), lit(null).cast("long").as("event_id"),
+        lit(null).cast("long").as("v1000"))
+    val all = ev.withColumn("tag", lit(0))
+      .unionByName(grid.select("user_id", "event_id", "e", "v1000", "tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("e"), col("tag"), col("event_id"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val isEv = col("tag") === 0
+    all
+      .withColumn("t1", last(when(isEv, col("e")), ignoreNulls = true).over(wPrev))
+      .withColumn("v1", last(when(isEv, col("v1000")), ignoreNulls = true).over(wPrev))
+      .withColumn("t2", first(when(isEv, col("e")), ignoreNulls = true).over(wNext))
+      .withColumn("v2", first(when(isEv, col("v1000")), ignoreNulls = true).over(wNext))
+      .filter(col("tag") === 1)
+      .select(col("user_id"), col("e").as("g"),
+        when(col("t1") === col("e"), col("v1"))
+          .otherwise(col("v1") * (col("t2") - col("e")) +
+            col("v2") * (col("e") - col("t1"))).as("num"),
+        when(col("t1") === col("e"), lit(1L))
+          .otherwise(col("t2") - col("t1")).as("den"))
+      .withColumn("v_interp",
+        col("num").cast("double") / (col("den") * 1000L))
+  }
+
+  val q64Oracle: String =
+    """WITH e AS (
+      | SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+      |  CAST(floor(value * 1000) AS BIGINT) AS v1000
+      | FROM events),
+      |b AS (
+      | SELECT user_id, ((MIN(e) + 3599) // 3600) * 3600 AS gs,
+      |  (MAX(e) // 3600) * 3600 AS ge
+      | FROM e GROUP BY 1),
+      |g AS (
+      | SELECT user_id, unnest(generate_series(gs, ge, 3600)) AS e
+      | FROM b WHERE gs <= ge),
+      |u AS (
+      | SELECT user_id, event_id, e, v1000, 0 AS tag FROM e
+      | UNION ALL
+      | SELECT user_id, NULL, e, NULL, 1 FROM g),
+      |wnd AS (
+      | SELECT user_id, e, tag,
+      |  LAST_VALUE(CASE WHEN tag = 0 THEN e END IGNORE NULLS) OVER wp AS t1,
+      |  LAST_VALUE(CASE WHEN tag = 0 THEN v1000 END IGNORE NULLS) OVER wp AS v1,
+      |  FIRST_VALUE(CASE WHEN tag = 0 THEN e END IGNORE NULLS) OVER wn AS t2,
+      |  FIRST_VALUE(CASE WHEN tag = 0 THEN v1000 END IGNORE NULLS) OVER wn AS v2
+      | FROM u
+      | WINDOW wp AS (PARTITION BY user_id ORDER BY e, tag, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  wn AS (PARTITION BY user_id ORDER BY e, tag, event_id
+      |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      |r AS (
+      | SELECT user_id, e AS g,
+      |  CASE WHEN t1 = e THEN v1
+      |   ELSE v1 * (t2 - e) + v2 * (e - t1) END AS num,
+      |  CASE WHEN t1 = e THEN CAST(1 AS BIGINT) ELSE t2 - t1 END AS den
+      | FROM wnd WHERE tag = 1)
+      |SELECT user_id, g, num, den,
+      | CAST(num AS DOUBLE) / (den * 1000) AS v_interp
+      |FROM r""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q64_interp_resample" -> (q64InterpResample _),
     "q62_event_paths" -> (q62EventPaths _),
     "q46_unpivot" -> (q46Unpivot _),
     "q53_running_distinct" -> (q53RunningDistinct _),
@@ -799,6 +902,7 @@ object EventOps {
     "q34_range_frame" -> (q34RangeFrame _))
 
   val oracles: Map[String, String] = Map(
+    "q64_interp_resample" -> q64Oracle,
     "q62_event_paths" -> q62Oracle,
     "q46_unpivot" -> q46Oracle,
     "q53_running_distinct" -> q53Oracle,
