@@ -2151,7 +2151,79 @@ object Dedup {
        |SELECT a, b FROM e$rounds""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // dd25: SPARSE COSINE similarity join over shingle COUNT vectors — the
+  // all-pairs similarity search of Bayardo et al. (WWW'07) re-expressed
+  // as posting-list dataflow. dd18's Jaccard treats a document as a
+  // shingle SET; repetition-heavy near-dups (boilerplate, template spam)
+  // are better separated by the multiset cosine, which weights each
+  // shingle by how often it repeats. Blocking = "share at least one
+  // DISCRIMINATIVE shingle" (document frequency 2..20): df=1 shingles
+  // pair nothing, df>20 shingles are corpus boilerplate whose candidate
+  // fan-out grows O(df²) while their evidence value vanishes — the
+  // inverted-index pruning every sparse-similarity engine applies.
+  // Verification is the EXACT full-vector dot via a candidate-restricted
+  // posting join, so the is_sim verdict is exact for every candidate.
+  //
+  // Exactness: cos ≥ 0.6 is tested as 25·dot² ≥ 9·‖a‖²·‖b‖² — all
+  // BIGINT, no sqrt, no floats anywhere.
+  //
+  // Scale shape: the corpus is shingle-counted ONCE (localCheckpoint)
+  // and re-read by four consumers; candidates come from the rare-posting
+  // self-join (fan-out bounded by df ≤ 20 → ≤190 pairs per shingle);
+  // dots touch only candidate pairs' postings, never the O(n²) cross
+  // join.
+  // ---------------------------------------------------------------------
+  def dd25CosinePairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val sc0 = shingled(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .filter(col("s").isNotNull)
+      .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("ct"))
+      .localCheckpoint() // feeds df, norms, candidates, and the dot join
+    val dfreq = sc0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val n2 = sc0.groupBy(col("doc_id")).agg(sum(col("ct") * col("ct")).as("n2"))
+    val rare = sc0.join(dfreq.filter(col("df").between(2, 20)).select("s"), Seq("s"))
+      .select(col("doc_id"), col("s"))
+    val cand = rare.as("a").join(rare.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+    val dot = cand
+      .join(sc0.select(col("doc_id").as("doc1"), col("s"), col("ct").as("ct1")), Seq("doc1"))
+      .join(sc0.select(col("doc_id").as("doc2"), col("s"), col("ct").as("ct2")), Seq("doc2", "s"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(sum(col("ct1") * col("ct2")).as("dot"))
+    dot
+      .join(n2.select(col("doc_id").as("doc1"), col("n2").as("n2a")), Seq("doc1"))
+      .join(n2.select(col("doc_id").as("doc2"), col("n2").as("n2b")), Seq("doc2"))
+      .select(col("doc1"), col("doc2"), col("dot"), col("n2a"), col("n2b"),
+        (lit(25L) * col("dot") * col("dot") >=
+          lit(9L) * col("n2a") * col("n2b")).as("is_sim"))
+  }
+
+  val dd25Oracle: String =
+    s"""WITH tks AS ($tkSql),
+       |sh AS (
+       | SELECT doc_id, unnest(list_filter($shinglesSql, x -> x IS NOT NULL)) AS s
+       | FROM tks),
+       |sc AS (SELECT doc_id, s, CAST(COUNT(*) AS BIGINT) AS ct FROM sh GROUP BY 1, 2),
+       |dfreq AS (SELECT s FROM sc GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 20),
+       |n2 AS (SELECT doc_id, CAST(SUM(ct * ct) AS BIGINT) AS n2 FROM sc GROUP BY 1),
+       |rare AS (SELECT sc.doc_id, sc.s FROM sc JOIN dfreq USING (s)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+       |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |dot AS (SELECT c.doc1, c.doc2, CAST(SUM(t1.ct * t2.ct) AS BIGINT) AS dot
+       |  FROM cand c JOIN sc t1 ON t1.doc_id = c.doc1
+       |   JOIN sc t2 ON t2.doc_id = c.doc2 AND t2.s = t1.s
+       |  GROUP BY 1, 2)
+       |SELECT d.doc1, d.doc2, d.dot, na.n2 AS n2a, nb.n2 AS n2b,
+       | (25 * d.dot * d.dot >= 9 * na.n2 * nb.n2) AS is_sim
+       |FROM dot d JOIN n2 na ON na.doc_id = d.doc1
+       | JOIN n2 nb ON nb.doc_id = d.doc2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dd25_cosine_pairs" -> (dd25CosinePairs _),
     "cc20_ktruss" -> (cc20Ktruss _),
     "dd09_incremental" -> (dd09IncrementalDedup _),
     "dd12_bloom_incremental" -> (dd12BloomIncremental _),
@@ -2194,6 +2266,7 @@ object Dedup {
     "dd08_emb_neardup_lsh" -> (dd08EmbNeardupLsh _))
 
   val oracles: Map[String, String] = Map(
+    "dd25_cosine_pairs" -> dd25Oracle,
     "cc20_ktruss" -> cc20Oracle,
     "dd09_incremental" -> dd09Oracle,
     "dd12_bloom_incremental" -> dd09Oracle,

@@ -596,7 +596,114 @@ object MatView {
       | CAST(SUM(n_toks) AS BIGINT) AS sum_tokens
       |FROM t GROUP BY lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mv10: MIN/MAX roll-forward UNDER DELETIONS — the aggregate mv09's
+  // Z-sets cannot retract: count/sum invert (subtract the delta), but
+  // when the minimum itself is deleted the new minimum is NOT derivable
+  // from (old min, delta) — the classic non-invertible-aggregate problem
+  // of incremental view maintenance. The standard engine answer (Flink's
+  // retractable min/max state, DBToaster's re-evaluation terms) is a
+  // BOUNDED SYNOPSIS: keep the k most extreme distinct values per group
+  // with exact multiplicities. Deletions inside the synopsis fence
+  // decrement; the served extreme is the best surviving synopsis entry;
+  // only when a group's synopsis is fully exhausted (k successive
+  // extremes all deleted — rare by construction) does the maintainer pay
+  // a TARGETED per-group rescan of the current multiset, never a full
+  // recompute.
+  //
+  // Correctness invariant (MatViewSpec): every value ≤ the min-fence
+  // (resp. ≥ the max-fence) that currently exists is in the synopsis
+  // with its exact count — base stored them, in-fence deltas merged — so
+  // a surviving synopsis entry IS the group extreme, and an empty
+  // synopsis certifies "all current values lie beyond the fence", making
+  // the rescan decision sound rather than heuristic.
+  //
+  // Scale shape: state is O(|groups|·k); the delta pass is map-side
+  // combined; the rescan path is a left-semi join that touches only
+  // exhausted groups (zero of them on this data — the spec forces one).
+  // ---------------------------------------------------------------------
+  private[operators] val mmK = 3
+
+  /** Write the bounded min/max synopsis + group totals for `base`
+    * (schema: lang, v) under `path`. */
+  private[operators] def minMaxState(base: DataFrame, path: String): Unit = {
+    val vc = base.groupBy(col("lang"), col("v")).agg(count(lit(1)).as("cnt"))
+    val wAsc = Window.partitionBy(col("lang")).orderBy(col("v").asc)
+    val wDesc = Window.partitionBy(col("lang")).orderBy(col("v").desc)
+    vc.withColumn("rk", row_number().over(wAsc)).filter(col("rk") <= mmK)
+      .select(col("lang"), col("v"), col("cnt"), lit("min").as("side"))
+      .unionByName(
+        vc.withColumn("rk", row_number().over(wDesc)).filter(col("rk") <= mmK)
+          .select(col("lang"), col("v"), col("cnt"), lit("max").as("side")))
+      .write.mode("overwrite").parquet(path + "/cand")
+    base.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .write.mode("overwrite").parquet(path + "/n")
+  }
+
+  /** Merge a signed delta (lang, v, w with w=±1 per row occurrence) into
+    * the synopsis at `path` and serve (lang, n_docs, min_v, max_v).
+    * `cur` (lang, v) is the CURRENT full multiset, consulted ONLY for
+    * groups whose synopsis is exhausted. */
+  private[operators] def minMaxRollForward(
+      s: SparkSession, path: String, delta0: DataFrame, cur: DataFrame): DataFrame = {
+    val st = s.read.parquet(path + "/cand")
+    val n0 = s.read.parquet(path + "/n")
+    val delta = delta0.groupBy(col("lang"), col("v")).agg(sum(col("w")).as("w"))
+      .localCheckpoint() // read once per side
+    val nTot = n0
+      .unionByName(delta.groupBy(col("lang")).agg(sum(col("w")).as("n_docs")))
+      .groupBy(col("lang")).agg(sum(col("n_docs")).as("n_docs"))
+      .filter(col("n_docs") > 0)
+      .localCheckpoint() // read by both sides' hole probes + final join
+    def serve(side: String): DataFrame = {
+      val isMin = side == "min"
+      val cand0 = st.filter(col("side") === side).select(col("lang"), col("v"), col("cnt"))
+      val fence = cand0.groupBy(col("lang"))
+        .agg((if (isMin) max(col("v")) else min(col("v"))).as("fence"))
+      // groups new in the delta have no fence — everything is in-fence
+      val inFence =
+        if (isMin) col("v") <= coalesce(col("fence"), lit(Long.MaxValue))
+        else col("v") >= coalesce(col("fence"), lit(Long.MinValue))
+      val merged = cand0
+        .unionByName(delta.join(fence, Seq("lang"), "left").filter(inFence)
+          .select(col("lang"), col("v"), col("w").as("cnt")))
+        .groupBy(col("lang"), col("v")).agg(sum(col("cnt")).as("cnt"))
+        .filter(col("cnt") > 0)
+      val served = merged.groupBy(col("lang"))
+        .agg((if (isMin) min(col("v")) else max(col("v"))).as(s"${side}_v"))
+      // alive groups with an exhausted synopsis → targeted rescan
+      val holes = nTot.select("lang")
+        .join(served.select("lang"), Seq("lang"), "left_anti")
+      served.unionByName(
+        cur.join(holes, Seq("lang"), "left_semi")
+          .groupBy(col("lang"))
+          .agg((if (isMin) min(col("v")) else max(col("v"))).as(s"${side}_v")))
+    }
+    nTot.join(serve("min"), Seq("lang")).join(serve("max"), Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("min_v"), col("max_v"))
+  }
+
+  def mv10MinmaxRollforward(s: SparkSession, dir: String): DataFrame = {
+    val path = statePathFor(dir) + "_mm"
+    val docs = Tables(s, dir, "documents")
+    def kv(d: DataFrame) = d.select(col("lang"), col("n_chars").as("v"))
+    minMaxState(kv(docs.filter(col("doc_id") % 10 =!= 3)), path)
+    val delta = kv(docs.filter(col("doc_id") % 10 === 3)).withColumn("w", lit(1L))
+      .unionByName(
+        kv(docs.filter(col("doc_id") % 10 === 7)).withColumn("w", lit(-1L)))
+    minMaxRollForward(s, path, delta, kv(docs.filter(col("doc_id") % 10 =!= 7)))
+      .select(col("lang"), col("n_docs"),
+        col("min_v").as("min_chars"), col("max_v").as("max_chars"))
+  }
+
+  val mv10Oracle: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      | CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      | CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      |FROM documents WHERE doc_id % 10 != 7 GROUP BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mv10_minmax_rollforward" -> (mv10MinmaxRollforward _),
     "mv09_zset_rollforward" -> (mv09ZsetRollforward _),
     "mv08_distinct_rollforward" -> (mv08DistinctRollforward _),
     "mv07_join_rollforward" -> (mv07JoinRollforward _),
@@ -608,6 +715,7 @@ object MatView {
     "mv04_topk_rollforward" -> (mv04TopkRollforward _))
 
   val oracles: Map[String, String] = Map(
+    "mv10_minmax_rollforward" -> mv10Oracle,
     "mv09_zset_rollforward" -> mv09Oracle,
     "mv08_distinct_rollforward" -> mv08Oracle,
     "mv07_join_rollforward" -> mv07Oracle,

@@ -1277,7 +1277,53 @@ object TextOps {
        |   ORDER BY rrf_x1m DESC, doc_id ASC) AS INT) AS rnk
        | FROM fus) t WHERE rnk <= $bm25K""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // tx27: EDIT-DISTANCE-1 string join via DELETION NEIGHBORHOODS (FastSS,
+  // Bocek et al. 2007; the symmetric-delete scheme behind SymSpell) —
+  // the entity-resolution primitive that finds "Customer#000000410" vs
+  // "Customer#000000416"-style single-keystroke variants WITHOUT the
+  // O(|V|²) brute-force Levenshtein matrix a naive dataflow would build.
+  // Each distinct name generates |w|+1 keys (itself + every one-char
+  // deletion); two names are within edit distance 1 iff they share a
+  // key — complete by case analysis (insert/delete: the shorter IS one
+  // of the longer's deletions; substitute: both delete the substituted
+  // position) — so the hash join on keys is a LOSSLESS candidate
+  // generator and the exact levenshtein() probe only confirms or drops
+  // (shared-key pairs can still be distance 2: e.g. a transposition).
+  //
+  // Scale shape: the key index is O(Σ|w|) rows; candidates are bounded
+  // by per-key bucket collisions, never |V|²; levenshtein runs once per
+  // candidate. Both engines implement the same classic DP levenshtein,
+  // and the verdict (≤ 1) is integer.
+  // ---------------------------------------------------------------------
+  def tx27Edit1Pairs(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables(s, dir, "customer").select(col("c_name").as("w")).distinct()
+    val vr = v.select(col("w"), explode(expr(
+      """array_distinct(concat(array(w),
+        |  transform(sequence(1, length(w)),
+        |    i -> concat(substring(w, 1, i - 1), substring(w, i + 1)))))""".stripMargin))
+      .as("vr"))
+    vr.as("a").join(vr.as("b"),
+        col("a.vr") === col("b.vr") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("w1"), col("b.w").as("w2"))
+      .distinct()
+      .filter(levenshtein(col("w1"), col("w2")) <= 1)
+  }
+
+  val tx27Oracle: String =
+    """WITH v AS (SELECT DISTINCT c_name AS w FROM customer),
+      |var AS (
+      | SELECT w, unnest(list_distinct(list_append(
+      |   list_transform(generate_series(1, length(w)),
+      |     i -> substr(w, 1, i - 1) || substr(w, i + 1)), w))) AS vr
+      | FROM v),
+      |cand AS (
+      | SELECT DISTINCT a.w AS w1, b.w AS w2
+      | FROM var a JOIN var b ON a.vr = b.vr AND a.w < b.w)
+      |SELECT w1, w2 FROM cand WHERE levenshtein(w1, w2) <= 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tx27_edit1_pairs" -> (tx27Edit1Pairs _),
     "tx23_bm25" -> (tx23Bm25 _),
     "tx25_hybrid_rrf" -> (tx25HybridRrf _),
     "tx26_zipf_fit" -> (tx26ZipfFit _),
@@ -1308,6 +1354,7 @@ object TextOps {
     "tx17_langid_confusion" -> (tx17LangidConfusion _))
 
   val oracles: Map[String, String] = Map(
+    "tx27_edit1_pairs" -> tx27Oracle,
     "tx23_bm25" -> tx23Oracle,
     "tx25_hybrid_rrf" -> tx25Oracle,
     "tx26_zipf_fit" -> tx26Oracle,

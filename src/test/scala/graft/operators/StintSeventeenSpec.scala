@@ -1,0 +1,199 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Seventeenth-stint operators, each verified by independent in-test
+  * recomputation (never by re-running the operator's own plan):
+  *  - Relational.trussEdges vs a brute Scala peel on hand graphs (incl.
+  *    a cascade) and on the real co-purchase graph at sf0.001
+  *  - q64 interpolation vs a brute per-user Scala lerp
+  *  - ds23 bucket law (every doc's bucket is the tightest power of two)
+  *  - dd25 cosine verdicts vs brute full-vector dots in Scala
+  *  - tx27 deletion-neighborhood completeness vs brute-force Levenshtein
+  *  - mv10 bounded-synopsis min/max with a FORCED rescan hole
+  */
+class StintSeventeenSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  // -- brute k-truss peel on an in-memory edge list ---------------------
+  private def brutePeel(edges: Set[(Long, Long)], k: Int): Set[(Long, Long)] = {
+    var e = edges
+    var changed = true
+    while (changed) {
+      val adj = e.flatMap(p => Seq(p, (p._2, p._1)))
+        .groupBy(_._1).map { case (n, s) => (n, s.map(_._2)) }
+      val sup = e.map { case (a, b) =>
+        ((a, b), (adj.getOrElse(a, Set.empty).toSet &
+          adj.getOrElse(b, Set.empty).toSet).size)
+      }.toMap
+      val e2 = e.filter(p => sup(p) >= k - 2)
+      changed = e2 != e
+      e = e2
+    }
+    e
+  }
+
+  private def trussOf(edges: Seq[(Long, Long)], k: Int): Set[(Long, Long)] = {
+    import spark.implicits._
+    Relational.trussEdges(edges.toDF("a", "b"), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("trussEdges matches a brute peel on hand graphs, incl. a cascade") {
+    // two 4-cliques sharing an edge + a pendant triangle off node 3:
+    // k=4 keeps both cliques, peels the triangle.
+    val c1 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val c2 = Seq((3L, 5L), (4L, 5L), (3L, 6L), (4L, 6L), (5L, 6L)) // 3-4-5-6 clique (3,4 shared)
+    val tri = Seq((3L, 7L), (7L, 8L), (3L, 8L))
+    val g = c1 ++ c2 ++ tri
+    assert(trussOf(g, 4) === brutePeel(g.toSet, 4))
+    assert(trussOf(g, 4) === (c1 ++ c2).toSet)
+    // cascade: a strip of triangles sharing edges — 1-2-3, 2-3-4, 3-4-5, …
+    // every interior edge has support 2 until the END triangle dies, then
+    // the peel propagates down the strip round by round; k=4 empties it.
+    val strip = (1L to 8L).flatMap(i => Seq((i, i + 1), (i, i + 2))).filter(_._2 <= 9L)
+    assert(trussOf(strip, 4) === brutePeel(strip.toSet, 4))
+    assert(trussOf(strip, 4) === Set.empty)
+    // and k=3 (support ≥ 1) keeps the whole strip
+    assert(trussOf(strip, 3) === brutePeel(strip.toSet, 3))
+  }
+
+  test("cc20 equals the brute peel on the real co-purchase graph") {
+    val l = graft.Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val e0 = l.as("x").join(l.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.cc20Ktruss(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brutePeel(e0, 10))
+  }
+
+  test("q64 lerp matches a brute per-user interpolation") {
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("e"),
+        expr("cast(floor(value * 1000) as bigint)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    val want = byUser.flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2)) // (e, event_id)
+      val es = sorted.map(_._3)
+      val gs = (es.min + 3599) / 3600 * 3600
+      val ge = es.max / 3600 * 3600
+      (gs to ge by 3600).map { g =>
+        val prev = sorted.filter(_._3 <= g).last // max (e, event_id) ≤ g
+        val (num, den) =
+          if (prev._3 == g) (prev._4, 1L)
+          else {
+            val next = sorted.find(_._3 > g).get // min (e, event_id) > g
+            (prev._4 * (next._3 - g) + next._4 * (g - prev._3), next._3 - prev._3)
+          }
+        ((u, g), (num, den))
+      }
+    }
+    val got = EventOps.q64InterpResample(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got === want)
+  }
+
+  test("ds23 bucket is the tightest power of two for every doc") {
+    val docs = graft.Tables(spark, dir, "documents")
+    val perDoc = docs.select(
+        size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("n"))
+      .collect().map(_.getLong(0))
+    def pow2(n: Long): Long = { var b = 1L; while (b < n) b *= 2; math.max(b, 1L) }
+    val wantBuckets = perDoc.groupBy(pow2)
+      .map { case (b, ns) => (b, (ns.length.toLong, ns.sum)) }
+    val got = Curation.ds23LengthBuckets(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got === wantBuckets)
+    // padded ≥ real tokens, waste < 50% per bucket (power-of-two promise)
+    Curation.ds23LengthBuckets(spark, dir).collect().foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2))
+      assert(r.getDouble(5) < 0.5 || r.getLong(0) == 1L)
+    }
+  }
+
+  test("dd25 verdicts equal brute full-vector cosine on candidate pairs") {
+    val rows = Dedup.dd25CosinePairs(spark, dir).collect()
+    // independent shingle-count vectors straight from the text
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    def vec(id: Long): Map[String, Long] = {
+      val tk = docs(id).split(" ", -1)
+      (0 until math.max(tk.length - 2, 0))
+        .map(i => s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}")
+        .groupBy(identity).map { case (s, o) => (s, o.length.toLong) }
+    }
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d1, d2) = (r.getLong(0), r.getLong(1))
+      val (v1, v2) = (vec(d1), vec(d2))
+      val dot = v1.keysIterator.map(k => v1(k) * v2.getOrElse(k, 0L)).sum
+      val (n2a, n2b) = (v1.values.map(x => x * x).sum, v2.values.map(x => x * x).sum)
+      assert(r.getLong(2) === dot, s"dot for ($d1,$d2)")
+      assert(r.getLong(3) === n2a && r.getLong(4) === n2b)
+      assert(r.getBoolean(5) === (25 * dot * dot >= 9 * n2a * n2b))
+    }
+  }
+
+  test("tx27 finds EXACTLY the brute-force edit-distance-1 pairs") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocab = graft.Tables(spark, dir, "customer")
+      .select(col("c_name")).distinct().collect().map(_.getString(0))
+    val want = (for {
+      i <- vocab.indices; j <- vocab.indices
+      if vocab(i) < vocab(j) && lev(vocab(i), vocab(j)) <= 1
+    } yield (vocab(i), vocab(j))).toSet
+    val got = TextOps.tx27Edit1Pairs(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("mv10 synopsis serves through deletions and rescans a forced hole") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("mv10-spec").toFile
+    try {
+      // lang zz: the THREE smallest values (1,2,3) all get deleted →
+      // synopsis (k=3) exhausts → targeted rescan must find min=100.
+      // lang aa: one in-fence delete + one insert → pure synopsis path.
+      val base = Seq(
+        ("zz", 1L), ("zz", 2L), ("zz", 3L), ("zz", 100L), ("zz", 200L),
+        ("aa", 10L), ("aa", 20L), ("aa", 30L), ("aa", 40L)).toDF("lang", "v")
+      MatView.minMaxState(base, path.getPath)
+      val delta = Seq(
+        ("zz", 1L, -1L), ("zz", 2L, -1L), ("zz", 3L, -1L),
+        ("aa", 10L, -1L), ("aa", 5L, 1L)).toDF("lang", "v", "w")
+      val cur = Seq( // base minus deletes plus inserts
+        ("zz", 100L), ("zz", 200L),
+        ("aa", 5L), ("aa", 20L), ("aa", 30L), ("aa", 40L)).toDF("lang", "v")
+      val got = MatView.minMaxRollForward(spark, path.getPath, delta, cur)
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got === Map("zz" -> ((2L, 100L, 200L)), "aa" -> ((4L, 5L, 40L))))
+      // and the driver query equals a direct recompute on real data
+      val served = MatView.mv10MinmaxRollforward(spark, dir)
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val want = graft.Tables(spark, dir, "documents")
+        .filter(col("doc_id") % 10 =!= 7)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"),
+          min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(served === want)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(path)
+  }
+}
