@@ -876,7 +876,74 @@ object EventOps {
       | CAST(num AS DOUBLE) / (den * 1000) AS v_interp
       |FROM r""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q65: ROLLING REGRESSION SLOPE — per user, the least-squares slope of
+  // value-vs-time over the trailing 5 events: the trend detector behind
+  // "is this metric drifting up" alerting (Prometheus' deriv(), kdb's
+  // mavg-style rolling stats). SQL has REGR_SLOPE but no windowed form
+  // in either engine's common subset, so it is assembled from the four
+  // windowed power sums n, Σx, Σy, Σxy, Σx² over ONE (user)-partitioned
+  // frame — same single exchange as any trailing-window aggregate,
+  // O(1) state per row at any scale.
+  //
+  // Exactness: x is seconds RELATIVE TO THE CORPUS MIN epoch — raw
+  // epochs would overflow BIGINT in Σx² (1.7e9² · 5 > 2⁶³); relative
+  // seconds keep every product sum exact. slope = (nΣxy − ΣxΣy) /
+  // (nΣx² − (Σx)²) served as the integer num/den pair plus ONE double
+  // division; den = 0 (fewer than 2 distinct ticks in the frame) serves
+  // NULL.
+  // ---------------------------------------------------------------------
+  def q65RollingSlope(s: SparkSession, dir: String): DataFrame = {
+    val ev0 = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("e"),
+        expr("cast(floor(value * 1000) as bigint)").as("y"))
+    val minE = ev0.agg(min(col("e")).as("e0"))
+    val ev = ev0.crossJoin(broadcast(minE))
+      .withColumn("x", col("e") - col("e0"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("e"), col("event_id")).rowsBetween(-4, Window.currentRow)
+    ev.withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .select(col("user_id"), col("event_id"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .withColumn("slope_milli_per_s",
+        when(col("den") === 0, lit(null).cast("double"))
+          .otherwise(col("num").cast("double") / col("den")))
+  }
+
+  val q65Oracle: String =
+    """WITH e0 AS (
+      | SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+      |  CAST(floor(value * 1000) AS BIGINT) AS y
+      | FROM events),
+      |e AS (
+      | SELECT user_id, event_id, e, y,
+      |  e - (SELECT MIN(e) FROM e0) AS x
+      | FROM e0),
+      |p AS (
+      | SELECT user_id, event_id,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS n,
+      |  CAST(SUM(x) OVER w AS BIGINT) AS sx,
+      |  CAST(SUM(y) OVER w AS BIGINT) AS sy,
+      |  CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+      |  CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+      | FROM e
+      | WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id
+      |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_id,
+      | n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+      | CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      |  ELSE CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)
+      | END AS slope_milli_per_s
+      |FROM p""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q65_rolling_slope" -> (q65RollingSlope _),
     "q64_interp_resample" -> (q64InterpResample _),
     "q62_event_paths" -> (q62EventPaths _),
     "q46_unpivot" -> (q46Unpivot _),
@@ -902,6 +969,7 @@ object EventOps {
     "q34_range_frame" -> (q34RangeFrame _))
 
   val oracles: Map[String, String] = Map(
+    "q65_rolling_slope" -> q65Oracle,
     "q64_interp_resample" -> q64Oracle,
     "q62_event_paths" -> q62Oracle,
     "q46_unpivot" -> q46Oracle,

@@ -1619,7 +1619,55 @@ object Relational {
       |FROM oy, ny GROUP BY o_custkey, ny.n_years
       |HAVING COUNT(*) = ny.n_years""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q66: EQUI-DEPTH histogram boundaries — the quartile fences (b25, b50,
+  // b75) every cost-based optimizer and data-profiling report keeps per
+  // column. Same one-histogram-pass scale shape as q54/q63: the corpus
+  // crosses the wire once as (group, value) partial counts; boundaries
+  // come from the cumulative-crossing idiom on the tiny histogram. The
+  // quantile rule is pinned to INTEGER arithmetic on both sides — b_p =
+  // MIN v with cum ≥ ⌈p·n⌉, targets (n+3) div 4, (n+1) div 2,
+  // (3n+3) div 4 — rather than trusting two engines' quantile_disc
+  // interpolation conventions to coincide.
+  // ---------------------------------------------------------------------
+  def q66EquidepthHist(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+    val counts = li.groupBy(col("l_returnflag"), col("q"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("q"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    def crossing(t: Column): Column =
+      min(when(col("cum") >= t && col("cum") - col("cnt") < t, col("q")))
+    counts
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("t25", expr("(n + 3) div 4"))
+      .withColumn("t50", expr("(n + 1) div 2"))
+      .withColumn("t75", expr("(3 * n + 3) div 4"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("n")).as("n"), crossing(col("t25")).as("b25"),
+        crossing(col("t50")).as("b50"), crossing(col("t75")).as("b75"))
+  }
+
+  val q66Oracle: String =
+    """WITH c AS (
+      | SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt
+      | FROM lineitem GROUP BY 1, 2),
+      |w AS (
+      | SELECT l_returnflag, q, cnt,
+      |  SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY q) AS cum,
+      |  SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+      | FROM c)
+      |SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+      | MIN(CASE WHEN cum >= (n + 3) // 4 AND cum - cnt < (n + 3) // 4 THEN q END) AS b25,
+      | MIN(CASE WHEN cum >= (n + 1) // 2 AND cum - cnt < (n + 1) // 2 THEN q END) AS b50,
+      | MIN(CASE WHEN cum >= (3 * n + 3) // 4 AND cum - cnt < (3 * n + 3) // 4 THEN q END) AS b75
+      |FROM w GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q66_equidepth_hist" -> (q66EquidepthHist _),
     "q61_relational_division" -> (q61RelationalDivision _),
     "q36_cube" -> (q36Cube _),
     "q39_grouping_sets" -> (q39GroupingSets _),
@@ -1660,6 +1708,7 @@ object Relational {
     "q19_fk_repoint" -> (q19FkRepoint _))
 
   val oracles: Map[String, String] = Map(
+    "q66_equidepth_hist" -> q66Oracle,
     "q61_relational_division" -> q61Oracle,
     "q35_full_outer" -> q35Oracle,
     "q36_cube" -> q36Oracle,

@@ -414,6 +414,63 @@ object EventStream {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class InterpTick(user_id: Long, g: Long, num: Long, den: Long)
+
+  final case class InterpState(t1: Long, v1: Long)
+
+  /** Streaming LINEAR-INTERPOLATION resampling — the live twin of
+    * EventOps.q64: each hourly tick between two consecutive events is
+    * emitted the moment the LATER event arrives, lerped between the pair
+    * (num/den in q64's integer milli-unit encoding). State per user is
+    * one (last second, last value) record — O(1), stream-length
+    * independent; each event emits exactly the ticks its arrival closes.
+    *
+    * Emission contract is UPSERT on (user_id, g), not exactly-once: a
+    * tick landing exactly on an event second serves that event's value,
+    * and batch ties break to the LAST same-second event — so when a
+    * same-second event follows, the already-emitted boundary tick is
+    * re-emitted with the corrected value, and downstream keeps the last
+    * write per key (the CDC shape cdcAggregateStream consumes). Under
+    * in-order delivery the last emission per (user, g) equals the batch
+    * twin's row exactly — EventStreamSpec pins that law. */
+  def interpResample(events: Dataset[Event]): Dataset[InterpTick] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[InterpState]): Iterator[InterpTick] = {
+      var st = state.getOption.orNull
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id))
+        .flatMap { e =>
+          val t2 = e.ts.getTime / 1000
+          val v2 = math.floor(e.value * 1000).toLong
+          val ticks: Seq[InterpTick] =
+            if (st == null || t2 == st.t1) {
+              // first event of the user, or a same-second replacement:
+              // only an hour-aligned boundary tick can exist here
+              if (t2 % 3600 == 0) Seq(InterpTick(userId, t2, v2, 1L))
+              else Seq.empty
+            } else {
+              val (t1, v1) = (st.t1, st.v1)
+              val g0 = (t1 / 3600 + 1) * 3600 // first tick strictly after t1
+              (g0 to t2 by 3600).map { g =>
+                if (g == t2) InterpTick(userId, g, v2, 1L)
+                else InterpTick(userId, g,
+                  v1 * (t2 - g) + v2 * (g - t1), t2 - t1)
+              }
+            }
+          st = InterpState(t2, v2)
+          ticks
+        }
+      state.update(st)
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   final case class WindowTopK(hour_epoch: Long, user_id: Long, n: Long, rnk: Int)
 
   final case class TopKState(counts: Map[Long, Long])

@@ -165,6 +165,47 @@ class StintSeventeenSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q65 trailing-5 slope matches a brute per-user least squares") {
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("e"),
+        expr("cast(floor(value * 1000) as bigint)").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val e0 = ev.map(_._3).min
+    val want = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      sorted.indices.map { i =>
+        val win = sorted.slice(math.max(i - 4, 0), i + 1)
+          .map(r => (r._3 - e0, r._4))
+        val n = win.length.toLong
+        val (sx, sy) = (win.map(_._1).sum, win.map(_._2).sum)
+        val sxy = win.map(p => p._1 * p._2).sum
+        val sxx = win.map(p => p._1 * p._1).sum
+        ((u, sorted(i)._2), (n * sxy - sx * sy, n * sxx - sx * sx))
+      }
+    }
+    val got = EventOps.q65RollingSlope(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got === want)
+  }
+
+  test("q66 boundaries are the ceil-rule quartiles of the sorted values") {
+    val vals = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (f, v) => (f, v.map(_._2).sorted) }
+    def boundary(sorted: Seq[Long], t: Long): Long = sorted((t - 1).toInt)
+    val want = vals.map { case (f, sorted) =>
+      val n = sorted.length.toLong
+      (f, (n, boundary(sorted, (n + 3) / 4), boundary(sorted, (n + 1) / 2),
+        boundary(sorted, (3 * n + 3) / 4)))
+    }
+    val got = Relational.q66EquidepthHist(spark, dir)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === want)
+  }
+
   test("mv10 synopsis serves through deletions and rescans a forced hole") {
     import spark.implicits._
     val path = Files.createTempDirectory("mv10-spec").toFile

@@ -505,6 +505,60 @@ trait StatefulStreamingScenarios { this: SparkSpec =>
     }
   }
 
+  test("streaming lerp resampler stays in lockstep with its batch twin (q64)") {
+    withProvider {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      // (event_id, minute, user, value); round boundaries exercise state
+      // carry and the same-second boundary-tick CORRECTION (upsert law)
+      val rounds: Seq[Seq[(Long, Int, Long, Double)]] = Seq(
+        Seq((1L, 0, 1L, 1.0), (10L, 30, 2L, 4.0)),
+        // u1 #2 repeats second 10:00:00 with a new value — the emitted
+        // boundary tick must be corrected; u2 closes its 11:00 tick
+        Seq((2L, 0, 1L, 2.5), (11L, 75, 2L, 8.0)),
+        Seq((3L, 90, 1L, 5.0), (4L, 120, 1L, 3.0)),
+        // 12:30 closes NO tick (next boundary 13:00 not reached);
+        // 13:01 then lerps the 13:00 tick across the 12:30 event
+        Seq((5L, 150, 1L, 7.0), (6L, 181, 1L, 1.0)))
+      val tmp = java.nio.file.Files.createTempDirectory("q64-lockstep").toFile
+      try {
+        rounds.flatten
+          .map { case (id, m, u, v) => (id, ts(m).getTime * 1000000L, u, "view", v) }
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+          .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+        val batch = graft.operators.EventOps.q64InterpResample(spark, tmp.getPath)
+          .collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+        val input = MemoryStream[Event]
+        val q = EventStream.interpResample(input.toDS())
+          .writeStream.format("memory").queryName("q64_lockstep")
+          .outputMode(OutputMode.Append()).start()
+        try {
+          // replay round by round, folding upserts: per micro-batch each
+          // (user, g) is emitted at most once, so last-batch-wins per key
+          var last = Map.empty[(Long, Long), (Long, Long)]
+          var seen = 0
+          rounds.foreach { r =>
+            input.addData(r.map { case (id, m, u, v) => Event(id, ts(m), u, "view", v) })
+            q.processAllAvailable()
+            val all = spark.table("q64_lockstep").collect()
+              .map(x => ((x.getLong(0), x.getLong(1)), (x.getLong(2), x.getLong(3))))
+            last = last ++ all.drop(seen).toMap
+            seen = all.length
+          }
+          assert(last == batch, s"batch=$batch stream=$last")
+          // hand-derived: the corrected 10:00 boundary tick serves the
+          // LAST same-second value (2500 milli-units), and the 13:00 tick
+          // lerps 12:30(7000) → 13:01(1000) over the 1860 s span
+          val h10 = ts(0).getTime / 1000
+          assert(batch((1L, h10)) == ((2500L, 1L)), batch.toString)
+          assert(batch((1L, h10 + 3 * 3600)) ==
+            ((7000L * 60 + 1000L * 1800, 1860L)), batch.toString)
+        } finally { q.stop(); spark.catalog.dropTempView("q64_lockstep") }
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+  }
+
 }
 
 /** Drives the streaming operators through a MemoryStream source and memory
