@@ -2196,7 +2196,84 @@ object Curation {
       | CAST(bucket * n_docs - sum_tokens AS DOUBLE) / (bucket * n_docs) AS waste_pct
       |FROM g""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ds24: ZONE-MAP manifest over sort-clustered shards — the data-
+  // skipping machinery of Delta/Iceberg/ORC (min/max statistics per
+  // file) as an operator: cluster the corpus by (lang, n_chars), cut it
+  // into 8 equal shards, and publish each shard's column min/max fences
+  // plus a worked pruning verdict (can a reader skip the shard for
+  // lang='de' AND n_chars IN [100, 300]?). Clustering is what makes the
+  // fences tight — the same rows hashed randomly would give every shard
+  // the full value range and prune nothing (ds06's Z-order point, in
+  // 1D).
+  //
+  // Scale shape: the global (lang, n_chars, doc_id) rank is NOT a
+  // corpus-wide ROW_NUMBER (one task sorting everything) — it is the
+  // ds13 histogram form: a dictionary-sized (lang, n_chars) count
+  // histogram, a prefix window over THAT, and a within-bucket
+  // row_number whose widest sort is one value-bucket. The equal-split
+  // shard-of-position arithmetic (NTILE's big-shards-first rule, spelled
+  // out) and the fence aggregation are identical integer expressions on
+  // both engines.
+  // ---------------------------------------------------------------------
+  private val zoneShards = 8
+
+  def ds24ZoneMaps(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val pre = docs.groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("c"))
+      .withColumn("pre", coalesce(sum(col("c")).over(
+        Window.orderBy(col("lang"), col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("n_chars"), col("pre"))
+    val wIn = Window.partitionBy(col("lang"), col("n_chars")).orderBy(col("doc_id"))
+    val nDf = docs.agg(count(lit(1)).as("n"))
+    docs.join(broadcast(pre), Seq("lang", "n_chars"))
+      .withColumn("pos", col("pre") + row_number().over(wIn))
+      .crossJoin(broadcast(nDf))
+      .withColumn("shard", expr(
+        s"""case when pos <= (n % $zoneShards) * (n div $zoneShards + 1)
+           | then (pos - 1) div (n div $zoneShards + 1) + 1
+           | else n % $zoneShards +
+           |  (pos - (n % $zoneShards) * (n div $zoneShards + 1) - 1)
+           |   div (n div $zoneShards) + 1 end""".stripMargin))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("lang")).as("min_lang"), max(col("lang")).as("max_lang"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .withColumn("skip_de_mid",
+        col("max_lang") < "de" || col("min_lang") > "de" ||
+          col("max_chars") < 100 || col("min_chars") > 300)
+  }
+
+  val ds24Oracle: String =
+    s"""WITH r AS (
+       | SELECT doc_id, lang, n_chars,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY lang, n_chars, doc_id) AS BIGINT) AS pos,
+       |  CAST(COUNT(*) OVER () AS BIGINT) AS n
+       | FROM documents),
+       |sh AS (
+       | SELECT doc_id, lang, n_chars,
+       |  CASE WHEN pos <= (n % $zoneShards) * (n // $zoneShards + 1)
+       |   THEN (pos - 1) // (n // $zoneShards + 1) + 1
+       |   ELSE n % $zoneShards +
+       |    (pos - (n % $zoneShards) * (n // $zoneShards + 1) - 1)
+       |     // (n // $zoneShards) + 1 END AS shard
+       | FROM r)
+       |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       | MIN(lang) AS min_lang, MAX(lang) AS max_lang,
+       | CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       | CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       | CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       | CAST(MAX(doc_id) AS BIGINT) AS max_id,
+       | (MAX(lang) < 'de' OR MIN(lang) > 'de'
+       |  OR MAX(n_chars) < 100 OR MIN(n_chars) > 300) AS skip_de_mid
+       |FROM sh GROUP BY shard""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ds24_zone_maps" -> (ds24ZoneMaps _),
     "ds23_length_buckets" -> (ds23LengthBuckets _),
     "tp10_release_manifest" -> (tp10ReleaseManifest _),
     "dc05_split_leakage" -> (dc05SplitLeakage _),
@@ -2241,6 +2318,7 @@ object Curation {
     "tp07_ingest_cycle" -> (tp07IngestCycle _))
 
   val oracles: Map[String, String] = Map(
+    "ds24_zone_maps" -> ds24Oracle,
     "ds23_length_buckets" -> ds23Oracle,
     "tp10_release_manifest" -> tp10Oracle,
     "dc05_split_leakage" -> dc05Oracle,

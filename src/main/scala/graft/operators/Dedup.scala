@@ -2222,7 +2222,47 @@ object Dedup {
        |FROM dot d JOIN n2 na ON na.doc_id = d.doc1
        | JOIN n2 nb ON nb.doc_id = d.doc2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // cc21: PERSONALIZED PageRank from the three lowest-keyed customers of
+  // the customer–supplier interaction graph — "who matters to THESE
+  // nodes", the related-entity recommender cc05's global rank cannot
+  // answer (a globally central hub scores high for everyone; PPR scores
+  // it by proximity to the seeds). Same integer recurrence as cc05,
+  // sparse rank table (only the reached ball carries rows — here the
+  // bipartite graph's ball closes quickly, but on a web graph this is
+  // the difference between a local job and a full-corpus one).
+  // Oracle: the recurrence unrolled, restart union per round.
+  // ---------------------------------------------------------------------
+  def cc21Ppr(s: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables(s, dir, "orders")
+      .select(col("o_custkey").as("node")).distinct()
+      .orderBy(col("node")).limit(3)
+    Relational.personalizedPageRank(interactionEdges(s, dir), seeds, prIters)
+  }
+
+  private def pprRoundSql(r: Int): String =
+    s"""r$r AS (
+       | SELECT node, CAST(SUM(pr) AS BIGINT) AS pr FROM (
+       |  SELECT node, CAST(150000000 AS BIGINT) AS pr FROM seeds
+       |  UNION ALL
+       |  SELECT ed.dst, (85 * SUM(r${r - 1}.pr // ed.outdeg)) // 100
+       |  FROM ed JOIN r${r - 1} ON ed.src = r${r - 1}.node GROUP BY ed.dst) u
+       | GROUP BY node)""".stripMargin
+
+  val cc21Oracle: String =
+    s"""WITH e0 AS (
+       | SELECT DISTINCT o.o_custkey AS src, 10000000 + l.l_suppkey AS dst
+       | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+       |seeds AS (SELECT DISTINCT o_custkey AS node FROM orders ORDER BY node LIMIT 3),
+       |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM seeds),
+       |${(1 to prIters).map(pprRoundSql).mkString(",\n")}
+       |SELECT node, pr FROM r$prIters""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "cc21_ppr" -> (cc21Ppr _),
     "dd25_cosine_pairs" -> (dd25CosinePairs _),
     "cc20_ktruss" -> (cc20Ktruss _),
     "dd09_incremental" -> (dd09IncrementalDedup _),
@@ -2266,6 +2306,7 @@ object Dedup {
     "dd08_emb_neardup_lsh" -> (dd08EmbNeardupLsh _))
 
   val oracles: Map[String, String] = Map(
+    "cc21_ppr" -> cc21Oracle,
     "dd25_cosine_pairs" -> dd25Oracle,
     "cc20_ktruss" -> cc20Oracle,
     "dd09_incremental" -> dd09Oracle,

@@ -942,7 +942,53 @@ object EventOps {
       | END AS slope_milli_per_s
       |FROM p""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q67: MAXIMUM DRAWDOWN — per user, the deepest drop from a running
+  // peak of the value signal, and where it happened: the risk metric
+  // every financial time-series stack keeps (peak-to-trough), and for an
+  // ops metric the "worst regression from best-so-far" detector. Two
+  // windows over ONE user-partitioned exchange: the running peak
+  // (cumulative max), then a row_number pick of the deepest drawdown
+  // with the deterministic (dd DESC, e ASC, event_id ASC) tiebreak —
+  // first-occurrence wins, q07's convention. All integer milli-units.
+  // ---------------------------------------------------------------------
+  def q67Drawdown(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("e"),
+        expr("cast(floor(value * 1000) as bigint)").as("v"))
+    val wCum = Window.partitionBy(col("user_id"))
+      .orderBy(col("e"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = ev.withColumn("peak", max(col("v")).over(wCum))
+      .withColumn("dd", col("peak") - col("v"))
+    val wPick = Window.partitionBy(col("user_id"))
+      .orderBy(col("dd").desc, col("e").asc, col("event_id").asc)
+    dd.withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+      .select(col("user_id"), col("dd").as("max_drawdown"),
+        col("event_id").as("at_event_id"), col("peak").as("peak_v"))
+  }
+
+  val q67Oracle: String =
+    """WITH e AS (
+      | SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+      |  CAST(floor(value * 1000) AS BIGINT) AS v
+      | FROM events),
+      |d AS (
+      | SELECT user_id, event_id, e, v,
+      |  MAX(v) OVER (PARTITION BY user_id ORDER BY e, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS peak
+      | FROM e)
+      |SELECT user_id, peak - v AS max_drawdown, event_id AS at_event_id,
+      | peak AS peak_v
+      |FROM (
+      | SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |   ORDER BY peak - v DESC, e ASC, event_id ASC) AS rn
+      | FROM d) t
+      |WHERE rn = 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q67_drawdown" -> (q67Drawdown _),
     "q65_rolling_slope" -> (q65RollingSlope _),
     "q64_interp_resample" -> (q64InterpResample _),
     "q62_event_paths" -> (q62EventPaths _),
@@ -969,6 +1015,7 @@ object EventOps {
     "q34_range_frame" -> (q34RangeFrame _))
 
   val oracles: Map[String, String] = Map(
+    "q67_drawdown" -> q67Oracle,
     "q65_rolling_slope" -> q65Oracle,
     "q64_interp_resample" -> q64Oracle,
     "q62_event_paths" -> q62Oracle,

@@ -475,6 +475,44 @@ object Relational {
     ranks
   }
 
+  /** PERSONALIZED PageRank (random walk with restart) — [[pageRank]]'s
+    * restart mass redirected to a SEED set instead of spread uniformly:
+    * the "importance relative to these nodes" primitive behind
+    * related-item recommendation and local graph clustering (Andersen,
+    * Chung & Lang, FOCS'06). Identical integer scheme to pageRank
+    * (damping 85/100, truncating div, non-negative BIGINT throughout)
+    * with two changes: ranks START at the seeds only, and each round
+    * re-injects 15%·SCALE at the seeds via an explicit union-aggregate
+    * (a seed with no ranked in-neighbor must still hold its restart
+    * mass — folding the base into the contribution GROUP BY would drop
+    * it). The rank table is SPARSE: only nodes the walk has reached
+    * carry rows, so iteration cost is O(ball around seeds), not O(N) —
+    * the property that makes PPR usable on web-scale graphs where a
+    * global pageRank pass is a full-corpus job. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      scale: Long = 1000000000L): DataFrame = {
+    val base = scale * 15L / 100L
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ed = edges.join(deg, Seq("src"))
+      .repartition(col("src")).persist()
+    val restart = seeds.select(col("node")).withColumn("pr", lit(base))
+      .localCheckpoint()
+    var ranks = seeds.select(col("node")).withColumn("pr", lit(scale))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      ranks = restart
+        .unionByName(ed.join(ranks, ed("src") === ranks("node"))
+          .select(col("dst"), expr("pr div outdeg").as("c"))
+          .groupBy(col("dst"))
+          .agg(expr("(85 * sum(c)) div 100").as("pr"))
+          .select(col("dst").as("node"), col("pr")))
+        .groupBy(col("node")).agg(sum(col("pr")).as("pr"))
+        .localCheckpoint() // eager: materialized before ed goes away
+    }
+    ed.unpersist()
+    ranks
+  }
+
   /** BOUNDED min-label propagation — the label-propagation community pass
     * as its own operator: `rounds` synchronous rounds of
     *   l'(v) = min(l(v), min_{u~v} l(u)),   l₀(v) = v

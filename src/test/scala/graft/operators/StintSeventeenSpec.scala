@@ -206,6 +206,95 @@ class StintSeventeenSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("cc21 PPR equals the brute integer recurrence and stays seed-local") {
+    // brute: same recurrence over an in-memory adjacency, sparse maps
+    val o = graft.Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val l = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = l.groupBy(_._1)
+    val e0 = o.flatMap { case (c, ok) =>
+      byOrder.getOrElse(ok, Array.empty[(Long, Long)])
+        .map(x => (c, 10000000L + x._2))
+    }.distinct
+    val edges = (e0 ++ e0.map(p => (p._2, p._1))).distinct
+    val adj = edges.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
+    val seeds = o.map(_._1).distinct.sorted.take(3)
+    var pr: Map[Long, Long] = seeds.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to 3) {
+      val contrib = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      pr.foreach { case (u, p) =>
+        val out = adj(u); out.foreach(v => contrib(v) += p / out.length)
+      }
+      val damped = contrib.map { case (v, c) => (v, 85L * c / 100L) }
+      pr = (seeds.map(_ -> 150000000L) ++ damped.toSeq)
+        .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }
+    }
+    val got = Dedup.cc21Ppr(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === pr)
+    // locality: after ONE iteration the support is the seeds' 1-ball, a
+    // strict subset of the node set (3 rounds close this small graph)
+    import spark.implicits._
+    val oneHop = Relational.personalizedPageRank(
+      edges.toSeq.toDF("src", "dst"), seeds.toSeq.toDF("node"), iters = 1)
+    assert(oneHop.count() < adj.size)
+  }
+
+  test("ds24 shards are contiguous equal splits of the sort order with tight fences") {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(r => (r._2, r._3, r._1))
+    val n = docs.length
+    val (q, r0) = (n / 8, n % 8)
+    val brute = docs.zipWithIndex.map { case (d, i) =>
+      val pos = i + 1
+      val shard = if (pos <= r0 * (q + 1)) (pos - 1) / (q + 1) + 1
+        else r0 + (pos - r0 * (q + 1) - 1) / q + 1
+      (shard.toLong, d)
+    }.groupBy(_._1)
+    val want = brute.map { case (sh, rows) =>
+      val ds = rows.map(_._2)
+      (sh, (ds.length.toLong, ds.map(_._2).min, ds.map(_._2).max,
+        ds.map(_._3).min, ds.map(_._3).max))
+    }
+    val got = Curation.ds24ZoneMaps(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got === want)
+    // equal split: sizes differ by at most one
+    val sizes = got.values.map(_._1)
+    assert(sizes.max - sizes.min <= 1)
+    // lang fences never move backward across shards (the 1st sort key is
+    // genuinely zoned; chars ranges may overlap where a lang boundary
+    // crosses a shard — equality to the brute grouping above already
+    // proves position-contiguity)
+    (1L until 8L).foreach { i =>
+      assert(got(i)._3 <= got(i + 1)._2, s"shards $i,${i + 1}")
+    }
+  }
+
+  test("q67 drawdown equals the brute running-peak scan") {
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("e"),
+        expr("cast(floor(value * 1000) as bigint)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).map { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      var peak = Long.MinValue
+      val scanned = sorted.map { r => peak = math.max(peak, r._4); (r, peak) }
+      val best = scanned.maxBy { case (r, p) => (p - r._4, -r._3, -r._2) }
+      (u, (best._2 - best._1._4, best._1._2, best._2))
+    }
+    val got = EventOps.q67Drawdown(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === want)
+  }
+
   test("mv10 synopsis serves through deletions and rescans a forced hole") {
     import spark.implicits._
     val path = Files.createTempDirectory("mv10-spec").toFile
