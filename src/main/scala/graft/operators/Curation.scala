@@ -2272,7 +2272,63 @@ object Curation {
        |  OR MAX(n_chars) < 100 OR MIN(n_chars) > 300) AS skip_de_mid
        |FROM sh GROUP BY shard""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q69: CHI-SQUARE drift matrix — the lang × source independence test a
+  // corpus monitor runs to catch composition drift ("did source X start
+  // skewing German?"): per contingency cell, observed count O vs the
+  // independence expectation R·C/N, with the cell's chi-square
+  // contribution (O−E)²/E. ZERO cells are included (an expected-but-
+  // absent combination is drift evidence too) — the cell frame is the
+  // dictionary-sized lang × source cross join, left-joined with
+  // observations.
+  //
+  // Exactness: the contribution is served as the scaled integer
+  // 1000·(O·N−R·C)² div (R·C·N) — algebraically 1000·N·(O−E)²/E — so no
+  // engine floats anywhere; a |O·N−R·C| ≥ 3·10⁹ corpus (overflowing the
+  // ×1000 scale at ~2⁶³) fails loudly rather than wrapping.
+  //
+  // Scale shape: three map-side-combined count passes + dictionary-sized
+  // broadcast joins; nothing corpus-sized shuffles twice.
+  // ---------------------------------------------------------------------
+  def q69ChisqDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val o = docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val r = docs.groupBy(col("lang")).agg(count(lit(1)).as("r"))
+    val c = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val cells = r.crossJoin(broadcast(c)).crossJoin(broadcast(n))
+      .join(o, Seq("lang", "source"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("d", col("o") * col("n") - col("r") * col("c"))
+    val guard = cells.agg(max(abs(col("d"))).as("__maxd"))
+    cells.crossJoin(broadcast(guard))
+      .withColumn("contrib_x1k",
+        when(col("__maxd") < 3000000000L,
+          expr("(1000 * d * d) div (r * c * n)"))
+          .otherwise(raise_error(lit(
+            "q69: |O*N - R*C| >= 3e9 overflows the x1000 chi-square scale"))))
+      .select(col("lang"), col("source"), col("o"), col("r"), col("c"),
+        col("n"), col("d"), col("contrib_x1k"))
+  }
+
+  val q69Oracle: String =
+    """WITH o AS (
+      | SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      | FROM documents GROUP BY 1, 2),
+      |r AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS r FROM documents GROUP BY 1),
+      |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      |cells AS (
+      | SELECT r.lang, c.source, COALESCE(o.o, 0) AS o, r.r, c.c, n.n
+      | FROM r CROSS JOIN c CROSS JOIN n
+      |  LEFT JOIN o ON o.lang = r.lang AND o.source = c.source)
+      |SELECT lang, source, o, r, c, n,
+      | o * n - r * c AS d,
+      | (1000 * (o * n - r * c) * (o * n - r * c)) // (r * c * n) AS contrib_x1k
+      |FROM cells""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q69_chisq_drift" -> (q69ChisqDrift _),
     "ds24_zone_maps" -> (ds24ZoneMaps _),
     "ds23_length_buckets" -> (ds23LengthBuckets _),
     "tp10_release_manifest" -> (tp10ReleaseManifest _),
@@ -2318,6 +2374,7 @@ object Curation {
     "tp07_ingest_cycle" -> (tp07IngestCycle _))
 
   val oracles: Map[String, String] = Map(
+    "q69_chisq_drift" -> q69Oracle,
     "ds24_zone_maps" -> ds24Oracle,
     "ds23_length_buckets" -> ds23Oracle,
     "tp10_release_manifest" -> tp10Oracle,

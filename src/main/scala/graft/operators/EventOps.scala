@@ -987,7 +987,74 @@ object EventOps {
       | FROM d) t
       |WHERE rn = 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q68: MULTI-TOUCH linear attribution — q30 gives the purchase to the
+  // LAST touch; marketing analytics' linear model splits the purchase
+  // value EQUALLY across every view/click in the 30 min before it. Same
+  // hash-joinable interval-join shape as q30/q37 (equi on user, time
+  // range residual); the split is exact integer accounting: each touch
+  // gets v1000 div n milli-units and the earliest touch absorbs the
+  // v1000 % n remainder — credits SUM BACK to the purchase value
+  // exactly, the invariant a revenue ledger audits (and the spec pins).
+  // Earliest = a packed MIN over (epoch, touch_id) — q30's argmax idiom
+  // mirrored, same < 10^8 id guard, no window over the joined product.
+  // ---------------------------------------------------------------------
+  def q68Multitouch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("pe"),
+        expr("cast(floor(value * 1000) as bigint)").as("v1000"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        unix_timestamp(col("ts")).as("te"))
+    val pairs = purchases.join(touches, Seq("user_id"))
+      .filter(col("te") <= col("pe") && col("te") >= col("pe") - 1800)
+      .localCheckpoint() // aggregated per purchase, then credited per touch
+    val per = pairs.groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n"),
+        min(col("te") * 100000000L + col("touch_id")).as("first_packed"),
+        max(col("touch_id")).as("__max_tid"),
+        min(col("v1000")).as("__min_v"))
+      // negative values would split div/% truncation between engines
+      // (Spark truncates toward zero, DuckDB floors) — fail loudly
+      .withColumn("first_packed",
+        when(col("__max_tid") < 100000000L && col("__min_v") >= 0L,
+          col("first_packed"))
+          .otherwise(raise_error(lit(
+            "q68: touch_id >= 1e8 or negative value breaks the integer credit split"))))
+      .select(col("purchase_id"), col("n"), col("first_packed"))
+    pairs.join(per, Seq("purchase_id"))
+      .select(col("purchase_id"), col("touch_id"), col("user_id"),
+        (expr("v1000 div n") +
+          when(col("te") * 100000000L + col("touch_id") === col("first_packed"),
+            expr("v1000 % n")).otherwise(lit(0L))).as("credit_milli"))
+  }
+
+  val q68Oracle: String =
+    """WITH p AS (
+      | SELECT event_id AS purchase_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS pe,
+      |  CAST(floor(value * 1000) AS BIGINT) AS v1000
+      | FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      | SELECT user_id, event_id AS touch_id, CAST(floor(epoch(ts)) AS BIGINT) AS te
+      | FROM events WHERE event_type IN ('view', 'click')),
+      |pairs AS (
+      | SELECT p.purchase_id, t.touch_id, p.user_id, p.v1000, t.te
+      | FROM p JOIN t ON p.user_id = t.user_id
+      |  AND t.te <= p.pe AND t.te >= p.pe - 1800),
+      |per AS (
+      | SELECT purchase_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(te * 100000000 + touch_id) AS first_packed
+      | FROM pairs GROUP BY 1)
+      |SELECT pa.purchase_id, pa.touch_id, pa.user_id,
+      | pa.v1000 // per.n +
+      |  CASE WHEN pa.te * 100000000 + pa.touch_id = per.first_packed
+      |   THEN pa.v1000 % per.n ELSE 0 END AS credit_milli
+      |FROM pairs pa JOIN per USING (purchase_id)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q68_multitouch" -> (q68Multitouch _),
     "q67_drawdown" -> (q67Drawdown _),
     "q65_rolling_slope" -> (q65RollingSlope _),
     "q64_interp_resample" -> (q64InterpResample _),
@@ -1015,6 +1082,7 @@ object EventOps {
     "q34_range_frame" -> (q34RangeFrame _))
 
   val oracles: Map[String, String] = Map(
+    "q68_multitouch" -> q68Oracle,
     "q67_drawdown" -> q67Oracle,
     "q65_rolling_slope" -> q65Oracle,
     "q64_interp_resample" -> q64Oracle,

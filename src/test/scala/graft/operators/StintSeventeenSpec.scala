@@ -295,6 +295,53 @@ class StintSeventeenSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q68 credits are conserved per purchase and match the brute split") {
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("e"),
+        col("event_type"), expr("cast(floor(value * 1000) as bigint)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    val touches = ev.filter(r => r._4 == "view" || r._4 == "click")
+    val want = ev.filter(_._4 == "purchase").flatMap { p =>
+      val ts = touches.filter(t => t._2 == p._2 && t._3 <= p._3 && t._3 >= p._3 - 1800)
+      if (ts.isEmpty) Seq.empty[((Long, Long), Long)]
+      else {
+        val n = ts.length
+        val first = ts.minBy(t => (t._3, t._1))
+        ts.toSeq.map(t => ((p._1, t._1),
+          p._5 / n + (if (t == first) p._5 % n else 0L)))
+      }
+    }.toMap
+    val got = EventOps.q68Multitouch(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    assert(got === want)
+    // conservation: per-purchase credits sum exactly to the value
+    val byP = got.toSeq.groupBy(_._1._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+    val vals = ev.filter(_._4 == "purchase").map(p => (p._1, p._5)).toMap
+    byP.foreach { case (p, s) => assert(s === vals(p), s"purchase $p") }
+    assert(byP.nonEmpty)
+  }
+
+  test("q69 cells equal the brute chi-square table, zero cells included") {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("lang"), col("source")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = docs.length.toLong
+    val rM = docs.groupBy(_._1).map { case (k, v) => (k, v.length.toLong) }
+    val cM = docs.groupBy(_._2).map { case (k, v) => (k, v.length.toLong) }
+    val oM = docs.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val want = (for { l <- rM.keys; s <- cM.keys } yield {
+      val o = oM.getOrElse((l, s), 0L)
+      val d = o * n - rM(l) * cM(s)
+      ((l, s), (o, d, 1000L * d * d / (rM(l) * cM(s) * n)))
+    }).toMap
+    val got = Curation.q69ChisqDrift(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(6), r.getLong(7)))).toMap
+    assert(got === want)
+    // the frame is the full cross product — zero cells present iff any
+    assert(got.size === rM.size * cM.size)
+  }
+
   test("mv10 synopsis serves through deletions and rescans a forced hole") {
     import spark.implicits._
     val path = Files.createTempDirectory("mv10-spec").toFile
