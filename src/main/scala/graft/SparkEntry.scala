@@ -32,5 +32,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
       Dedup.oracles ++ DedupStore.oracles ++ Similarity.oracles ++
-      Curation.oracles ++ Geo.oracles ++ MatView.oracles
+      Multimodal.oracles ++ Curation.oracles ++ Geo.oracles ++ MatView.oracles
 }

@@ -643,7 +643,70 @@ object Multimodal {
         col("n_videos"), (col("media_id") =!= col("keep_id")).as("is_dup"))
   }
 
+  // ---------------------------------------------------------------------
+  // mm09: TRANSCRIPT-TO-AUDIO forced alignment, uniform-rate baseline —
+  // the subtitle-timing heuristic (each token occupies audio frames in
+  // proportion to its character share) that a speech-data pipeline runs
+  // before any learned aligner exists: token i of a doc covers frames
+  // [cb·F div T, ce·F div T) where cb/ce are the cumulative characters
+  // before/through the token, T the doc's total token characters, F the
+  // clip's frame count. Spans tile [0, F) exactly — no frame unassigned,
+  // none doubly owned (integer division is monotone in ce).
+  //
+  // F comes from the REAL WAV decode (AudioSystem → PCM sample count
+  // div 256), while the DuckDB oracle derives it from the fixture
+  // arithmetic (2048 + id % 1024 samples) — making this the first
+  // mm-query whose oracle hash CROSS-CHECKS the binary decode path: a
+  // corrupted container or a lossy decode shifts F and the gate goes
+  // red. Alignment itself is the usual one-exchange token window + a
+  // doc-keyed join against the frame-count table.
+  // ---------------------------------------------------------------------
+  def mm09TranscriptAlign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val frames = mediaFromDocuments(s, dir)
+      .filter((m: MediaRow) => m.kind == "audio")
+      .map(m => (m.media_id, (decodeAudio(m.bytes).length / 256).toLong))
+      .toDF("doc_id", "n_frames")
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(expr("filter(split(text, ' '), x -> x != '')")).as(Seq("idx", "token")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("doc_id"))
+    toks
+      .withColumn("ce", sum(length(col("token")).cast("long")).over(w))
+      .withColumn("total", sum(length(col("token")).cast("long")).over(wAll))
+      .filter(col("total") > 0)
+      .join(frames, Seq("doc_id"))
+      .select(col("doc_id"), col("idx"), col("token"),
+        expr("((ce - length(token)) * n_frames) div total").as("start_frame"),
+        expr("(ce * n_frames) div total").as("end_frame"))
+  }
+
+  val mm09Oracle: String =
+    """WITH au AS (
+      | SELECT doc_id, CAST((2048 + doc_id % 1024) // 256 AS BIGINT) AS n_frames
+      | FROM documents WHERE ((doc_id % 3) + 3) % 3 = 1),
+      |tk AS (
+      | SELECT doc_id, CAST(generate_subscripts(l, 1) - 1 AS INTEGER) AS idx,
+      |  unnest(l) AS token
+      | FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS l
+      |  FROM documents) f),
+      |cw AS (
+      | SELECT doc_id, idx, token,
+      |  CAST(SUM(length(token)) OVER (PARTITION BY doc_id ORDER BY idx) AS BIGINT) AS ce,
+      |  CAST(SUM(length(token)) OVER (PARTITION BY doc_id) AS BIGINT) AS total,
+      |  CAST(length(token) AS BIGINT) AS ln
+      | FROM tk)
+      |SELECT c.doc_id, c.idx, c.token,
+      | ((c.ce - c.ln) * a.n_frames) // c.total AS start_frame,
+      | (c.ce * a.n_frames) // c.total AS end_frame
+      |FROM cw c JOIN au a USING (doc_id)
+      |WHERE c.total > 0""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mm09_transcript_align" -> (mm09TranscriptAlign _),
     "mm08_video_neardup" -> (mm08VideoNeardup _),
     "mm07_corruption_audit" -> (mm07CorruptionAudit _),
     "mm01_media_features" -> (mm01Features _),
@@ -653,5 +716,6 @@ object Multimodal {
     "mm05_scene_cuts" -> (mm05SceneCuts _),
     "mm06_audio_vad" -> (mm06AudioVad _))
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "mm09_transcript_align" -> mm09Oracle)
 }

@@ -342,6 +342,25 @@ class StintSeventeenSpec extends SparkSpec {
     assert(got.size === rM.size * cM.size)
   }
 
+  test("mm09 spans tile [0, n_frames) exactly, F from the real WAV decode") {
+    val rows = Multimodal.mm09TranscriptAlign(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (id, ts) =>
+      val sorted = ts.sortBy(_._2)
+      // starts at 0, ends at the clip's frame count from the WAV fixture
+      assert(sorted.head._3 === 0L, s"doc $id")
+      assert(sorted.last._4 === (2048 + id % 1024) / 256, s"doc $id")
+      // consecutive spans touch: end_i == start_{i+1} (no gap, no overlap)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 === b._3, s"doc $id idx ${a._2}")
+        case _ =>
+      }
+    }
+    // only audio-kind docs are aligned
+    assert(rows.map(_._1).distinct.forall(id => ((id % 3) + 3) % 3 == 1))
+  }
+
   test("mv10 synopsis serves through deletions and rescans a forced hole") {
     import spark.implicits._
     val path = Files.createTempDirectory("mv10-spec").toFile
