@@ -1053,7 +1053,88 @@ object EventOps {
       |   THEN pa.v1000 % per.n ELSE 0 END AS credit_milli
       |FROM pairs pa JOIN per USING (purchase_id)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q70: AUDIENCE OVERLAP via bitmap words — |users(A) ∩ users(B)| for
+  // every pair of event types, the segment-intersection query a bitmap
+  // index (roaring / Druid / ClickHouse groupBitmapAnd) answers without
+  // materializing user lists. Users pack into 64-bit words (word =
+  // user_id div 64, bit = user_id % 64, bit_or-aggregated per type);
+  // the intersection is an equi-join on word index + POPCOUNT(a & b) —
+  // per type-pair the data moved is |users|/64 words, not |users| rows,
+  // and the bitwise kernel is codegen'd integer ops. The distinct-user
+  // dedup rides the bit_or for free (set semantics of OR). Oracle:
+  // plain COUNT DISTINCT over the self-joined user sets — bitmap and
+  // set algebra must agree exactly.
+  // ---------------------------------------------------------------------
+  def q70AudienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_type"), col("user_id"))
+    val words = ev
+      .select(col("event_type"), expr("user_id div 64").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(user_id % 64 as int))").as("bit"))
+      .groupBy(col("event_type"), col("w"))
+      .agg(expr("bit_or(bit)").as("bits"))
+    words.as("a").join(words.as("b"),
+        col("a.w") === col("b.w") && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(sum(expr("bit_count(a.bits & b.bits)").cast("long")).as("n_common"))
+      // shared words with disjoint bits net to zero — the oracle's
+      // user-level join never emits such pairs, so neither do we
+      .filter(col("n_common") > 0)
+  }
+
+  val q70Oracle: String =
+    """WITH u AS (SELECT DISTINCT event_type, user_id FROM events)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      | CAST(COUNT(*) AS BIGINT) AS n_common
+      |FROM u a JOIN u b
+      | ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q71: SEASONAL PROFILE + RESIDUAL — the hour-of-day baseline (each
+  // user's expected value at hour h = mean of their history at h) and
+  // every event's deviation from it: the decomposition step behind
+  // "unusual for 3am, normal for noon" anomaly detection (STL's seasonal
+  // term, integer form). Mean stays a (sum, cnt) pair — never a float —
+  // and the residual is served as the exact cross-multiplied numerator
+  // v·cnt − sum over denominator cnt, plus ONE final double division.
+  // Plan: one map-side-combined (user, hour) aggregate, broadcast back
+  // over the stream — two passes, one corpus shuffle.
+  // ---------------------------------------------------------------------
+  def q71SeasonalResidual(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("(unix_timestamp(ts) % 86400) div 3600").as("hod"),
+        expr("cast(floor(value * 1000) as bigint)").as("v"))
+    val prof = ev.groupBy(col("user_id"), col("hod"))
+      .agg(sum(col("v")).as("sum_v"), count(lit(1)).as("cnt"))
+    ev.join(prof, Seq("user_id", "hod"))
+      .select(col("event_id"), col("user_id"), col("hod"), col("v"),
+        col("sum_v"), col("cnt"),
+        (col("v") * col("cnt") - col("sum_v")).as("resid_num"))
+      .withColumn("resid_milli",
+        col("resid_num").cast("double") / col("cnt"))
+  }
+
+  val q71Oracle: String =
+    """WITH e AS (
+      | SELECT event_id, user_id,
+      |  (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS hod,
+      |  CAST(floor(value * 1000) AS BIGINT) AS v
+      | FROM events),
+      |p AS (
+      | SELECT user_id, hod, CAST(SUM(v) AS BIGINT) AS sum_v,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt
+      | FROM e GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, e.hod, e.v, p.sum_v, p.cnt,
+      | e.v * p.cnt - p.sum_v AS resid_num,
+      | CAST(e.v * p.cnt - p.sum_v AS DOUBLE) / p.cnt AS resid_milli
+      |FROM e JOIN p USING (user_id, hod)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q70_audience_overlap" -> (q70AudienceOverlap _),
+    "q71_seasonal_residual" -> (q71SeasonalResidual _),
     "q68_multitouch" -> (q68Multitouch _),
     "q67_drawdown" -> (q67Drawdown _),
     "q65_rolling_slope" -> (q65RollingSlope _),
@@ -1082,6 +1163,8 @@ object EventOps {
     "q34_range_frame" -> (q34RangeFrame _))
 
   val oracles: Map[String, String] = Map(
+    "q70_audience_overlap" -> q70Oracle,
+    "q71_seasonal_residual" -> q71Oracle,
     "q68_multitouch" -> q68Oracle,
     "q67_drawdown" -> q67Oracle,
     "q65_rolling_slope" -> q65Oracle,

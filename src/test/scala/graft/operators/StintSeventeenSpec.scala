@@ -361,6 +361,38 @@ class StintSeventeenSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.forall(id => ((id % 3) + 3) % 3 == 1))
   }
 
+  test("q70 bitmap intersection equals brute user-set intersection") {
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val sets = ev.groupBy(_._1).map { case (t, v) => (t, v.map(_._2).toSet) }
+    val types = sets.keys.toSeq.sorted
+    val want = (for {
+      i <- types.indices; j <- types.indices
+      if types(i) < types(j)
+      n = (sets(types(i)) & sets(types(j))).size.toLong
+      if n > 0
+    } yield ((types(i), types(j)), n)).toMap
+    val got = EventOps.q70AudienceOverlap(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("q71 residuals sum to zero within every (user, hour) group") {
+    val rows = EventOps.q71SeasonalResidual(spark, dir)
+      .collect().map(r => ((r.getLong(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      // Σ resid_num = Σ (v·cnt − sum) = cnt·sum − |g|·sum = 0 when |g| = cnt
+      assert(g.map(_._2._4).sum === 0L, s"group $k")
+      assert(g.length.toLong === g.head._2._3, s"group $k count")
+      // and each residual is exactly v·cnt − sum
+      g.foreach { case (_, (v, sv, c, rn)) => assert(rn === v * c - sv) }
+    }
+  }
+
   test("mv10 synopsis serves through deletions and rescans a forced hole") {
     import spark.implicits._
     val path = Files.createTempDirectory("mv10-spec").toFile
