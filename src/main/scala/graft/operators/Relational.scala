@@ -669,23 +669,48 @@ object Relational {
     val minSup = k - 2
     var e = edges.select(col("a"), col("b")).localCheckpoint()
     var n = e.count()
-    var round = 0
-    while (round < maxRounds) {
-      val deg0 = e.select(col("a").as("n1")).unionAll(e.select(col("b").as("n1")))
-        .groupBy(col("n1")).agg(count(lit(1)).as("d"))
-      // same dimension-vs-data switch as triangleCounts
-      val deg = if (n < 5000000L) broadcast(deg0) else deg0
-      val or = e
-        .join(deg.select(col("n1").as("a"), col("d").as("da")), Seq("a"))
-        .join(deg.select(col("n1").as("b"), col("d").as("db")), Seq("b"))
-        .select(when(col("da") < col("db") ||
+    // Orientation is computed ONCE from the INITIAL degrees — any fixed
+    // total order keeps the one-apex-per-triangle property on every
+    // surviving subgraph (acyclicity is order-theoretic, not
+    // degree-dependent), so later rounds reuse it with a semi-join
+    // instead of re-aggregating degrees and re-joining them twice. The
+    // initial degrees are also the best fanout bound available: peeling
+    // only removes edges, so oriented out-degrees only shrink.
+    val deg0 = e.select(col("a").as("n1")).unionAll(e.select(col("b").as("n1")))
+      .groupBy(col("n1")).agg(count(lit(1)).as("d"))
+    // same dimension-vs-data switch as triangleCounts
+    val deg = if (n < 5000000L) broadcast(deg0) else deg0
+    val or0 = e
+      .join(deg.select(col("n1").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n1").as("b"), col("d").as("db")), Seq("b"))
+      .select(col("a"), col("b"),
+        when(col("da") < col("db") ||
             (col("da") === col("db") && col("a") < col("b")),
-            struct(col("a").as("u"), col("b").as("w")))
+          struct(col("a").as("u"), col("b").as("w")))
           .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("p"))
-        .select(col("p.u").as("u"), col("p.w").as("w"))
-      val wedges = or.as("x").join(or.as("y"),
+      .select(col("a"), col("b"), col("p.u").as("u"), col("p.w").as("w"))
+      // one hash layout on u, shared by BOTH sides of every round's
+      // wedge self-join (triangleCounts' zero-exchange trick)
+      .repartition(col("u")).persist()
+    or0.count()
+    var round = 0
+    var result: DataFrame = null
+    while (round < maxRounds && result == null) {
+      // round 1 peels the ORIGINAL edge set — or0 IS its orientation
+      val orE = if (round == 0) or0 else or0.join(e, Seq("a", "b"), "left_semi")
+      // a serialized bloom over the current edge set prunes the wedge
+      // stream before the closing-edge shuffle (triangleCounts' scheme);
+      // rebuilt per round while the graph is large, skipped once small
+      val wedges0 = orE.as("x").join(orE.as("y"),
           col("x.u") === col("y.u") && col("x.w") < col("y.w"))
         .select(col("x.u").as("u"), col("x.w").as("w1"), col("y.w").as("w2"))
+      val wedges = if (n > 500000L) {
+        val bloom = graft.functions.BloomMightContain.serialize(
+          e.select(xxhash64(col("a"), col("b")).as("h"))
+            .stat.bloomFilter("h", math.max(n, 1000L), 0.01))
+        wedges0.filter(call_function("bloom_might_contain",
+          xxhash64(col("w1"), col("w2")), lit(bloom)))
+      } else wedges0
       // closing edge is undirected; e stores it as (min, max) = (w1, w2)
       val tri = wedges.join(e.select(col("a").as("w1"), col("b").as("w2")),
         Seq("w1", "w2"), "left_semi")
@@ -699,12 +724,14 @@ object Relational {
         .localCheckpoint()
       val n2 = e2.count()
       round += 1
-      if (n2 == n) return e2
+      if (n2 == n) result = e2
       e = e2
       n = n2
     }
-    throw new IllegalStateException(
+    or0.unpersist()
+    if (result == null) throw new IllegalStateException(
       s"trussEdges(k=$k): no fixpoint within $maxRounds peel rounds")
+    result
   }
 
   /** Per-node triangle counts by DEGREE-ORDERED wedge enumeration (Cohen
