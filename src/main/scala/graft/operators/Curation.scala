@@ -2327,7 +2327,61 @@ object Curation {
       | (1000 * (o * n - r * c) * (o * n - r * c)) // (r * c * n) AS contrib_x1k
       |FROM cells""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ds25: K-ANONYMITY release gate with a GENERALIZATION LADDER
+  // (Sweeney 2002; the Mondrian/Datafly family's fixed ladder) — before
+  // a customer table ships in a data release, every row must hide in a
+  // crowd of ≥ k on its quasi-identifiers. Level 0 = (nation, segment);
+  // rows whose level-0 group is smaller than k=5 GENERALIZE to level 1
+  // (nation only — segment redacted); still under k → SUPPRESS. The
+  // level-1 crowd counts include the rows that stayed at level 0 (they
+  // reveal their nation too — standard full-domain counting, and the
+  // reason level 1 is counted over the WHOLE table, not the spill).
+  //
+  // Output is the per-row release decision (level 0/1/2, released
+  // flag) — the auditable artifact. Scale shape: two dictionary-sized
+  // count aggregates broadcast back over the row stream; no row-level
+  // shuffle beyond the first count's partials.
+  // ---------------------------------------------------------------------
+  private val kAnon = 5L
+
+  def ds25KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    val g0 = c.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n0"))
+    val g1 = c.groupBy(col("c_nationkey")).agg(count(lit(1)).as("n1"))
+    c.join(broadcast(g0), Seq("c_nationkey", "c_mktsegment"))
+      .join(broadcast(g1), Seq("c_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        col("n0"), col("n1"),
+        when(col("n0") >= kAnon, lit(0L))
+          .when(col("n1") >= kAnon, lit(1L))
+          .otherwise(lit(2L)).as("level"))
+      .withColumn("released", col("level") < 2)
+      .withColumn("mktsegment_out",
+        when(col("level") === 0, col("c_mktsegment")).otherwise(lit("*")))
+  }
+
+  val ds25Oracle: String =
+    s"""WITH g0 AS (
+       | SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n0
+       | FROM customer GROUP BY 1, 2),
+       |g1 AS (
+       | SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n1
+       | FROM customer GROUP BY 1)
+       |SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment, g0.n0, g1.n1,
+       | CASE WHEN g0.n0 >= $kAnon THEN 0
+       |      WHEN g1.n1 >= $kAnon THEN 1 ELSE 2 END AS level,
+       | (CASE WHEN g0.n0 >= $kAnon THEN 0
+       |       WHEN g1.n1 >= $kAnon THEN 1 ELSE 2 END) < 2 AS released,
+       | CASE WHEN g0.n0 >= $kAnon THEN c.c_mktsegment ELSE '*' END AS mktsegment_out
+       |FROM customer c
+       | JOIN g0 ON g0.c_nationkey = c.c_nationkey AND g0.c_mktsegment = c.c_mktsegment
+       | JOIN g1 ON g1.c_nationkey = c.c_nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ds25_k_anonymity" -> (ds25KAnonymity _),
     "q69_chisq_drift" -> (q69ChisqDrift _),
     "ds24_zone_maps" -> (ds24ZoneMaps _),
     "ds23_length_buckets" -> (ds23LengthBuckets _),
@@ -2374,6 +2428,7 @@ object Curation {
     "tp07_ingest_cycle" -> (tp07IngestCycle _))
 
   val oracles: Map[String, String] = Map(
+    "ds25_k_anonymity" -> ds25Oracle,
     "q69_chisq_drift" -> q69Oracle,
     "ds24_zone_maps" -> ds24Oracle,
     "ds23_length_buckets" -> ds23Oracle,

@@ -1132,7 +1132,47 @@ object EventOps {
       | CAST(e.v * p.cnt - p.sum_v AS DOUBLE) / p.cnt AS resid_milli
       |FROM e JOIN p USING (user_id, hod)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q72: PERIOD-OVER-PERIOD report — hourly totals with previous-period
+  // delta and percent change, the hour-over-hour movement table every
+  // BI dashboard leads with. The corpus crosses the wire once into the
+  // map-side-combined hourly rollup; the LAG runs over the RESULT —
+  // |hours| rows, dictionary-sized — so the unpartitioned window is a
+  // driver-scale formality, not a corpus sort (same argument as ds13's
+  // histogram window). Change% is one double division over integer
+  // milli-sums; a missing or zero previous hour serves NULL.
+  // ---------------------------------------------------------------------
+  def q72PeriodOverPeriod(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(s, dir, "events")
+      .groupBy(expr("(unix_timestamp(ts) div 3600) * 3600").as("hour_epoch"))
+      .agg(sum(expr("cast(floor(value * 1000) as bigint)")).as("rev_milli"))
+    val w = Window.orderBy(col("hour_epoch"))
+    hourly
+      .withColumn("prev_milli", lag(col("rev_milli"), 1).over(w))
+      .withColumn("delta_milli", col("rev_milli") - col("prev_milli"))
+      .withColumn("pct_change",
+        when(col("prev_milli").isNull || col("prev_milli") === 0,
+          lit(null).cast("double"))
+          .otherwise(col("delta_milli").cast("double") / col("prev_milli")))
+  }
+
+  val q72Oracle: String =
+    """WITH h AS (
+      | SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_epoch,
+      |  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS rev_milli
+      | FROM events GROUP BY 1),
+      |l AS (
+      | SELECT hour_epoch, rev_milli,
+      |  LAG(rev_milli) OVER (ORDER BY hour_epoch) AS prev_milli
+      | FROM h)
+      |SELECT hour_epoch, rev_milli, prev_milli,
+      | rev_milli - prev_milli AS delta_milli,
+      | CASE WHEN prev_milli IS NULL OR prev_milli = 0 THEN NULL
+      |  ELSE CAST(rev_milli - prev_milli AS DOUBLE) / prev_milli END AS pct_change
+      |FROM l""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q72_period_over_period" -> (q72PeriodOverPeriod _),
     "q70_audience_overlap" -> (q70AudienceOverlap _),
     "q71_seasonal_residual" -> (q71SeasonalResidual _),
     "q68_multitouch" -> (q68Multitouch _),
@@ -1163,6 +1203,7 @@ object EventOps {
     "q34_range_frame" -> (q34RangeFrame _))
 
   val oracles: Map[String, String] = Map(
+    "q72_period_over_period" -> q72Oracle,
     "q70_audience_overlap" -> q70Oracle,
     "q71_seasonal_residual" -> q71Oracle,
     "q68_multitouch" -> q68Oracle,

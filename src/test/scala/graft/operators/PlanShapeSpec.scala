@@ -423,4 +423,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("dd25: sparse cosine join is NLJ/cartesian-free (posting-list dataflow)") {
+    val plan = Dedup.dd25CosinePairs(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("tx27: deletion-neighborhood join is NLJ/cartesian-free (never the |V|^2 matrix)") {
+    val plan = TextOps.tx27Edit1Pairs(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q70: bitmap overlap joins words hash-wise, no single-partition exchange") {
+    val plan = EventOps.q70AudienceOverlap(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(3000))
+    // the per-type bitmap tables join on word index — corpus rows never
+    // funnel through a SinglePartition window/sort
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
+  }
 }

@@ -393,6 +393,44 @@ class StintSeventeenSpec extends SparkSpec {
     }
   }
 
+  test("ds25 releases only rows whose crowd reaches k at the served level") {
+    val rows = Curation.ds25KAnonymity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6), r.getString(7)))
+    assert(rows.nonEmpty)
+    val k = 5L
+    rows.foreach { case (id, _, seg, n0, n1, level, released, out) =>
+      level match {
+        case 0L => assert(n0 >= k && released && out == seg, s"row $id")
+        case 1L => assert(n0 < k && n1 >= k && released && out == "*", s"row $id")
+        case 2L => assert(n0 < k && n1 < k && !released && out == "*", s"row $id")
+      }
+    }
+    // crowd sizes are honest: recount level-0 groups independently
+    val recount = rows.groupBy(r => (r._2, r._3)).map { case (g, v) => (g, v.length.toLong) }
+    rows.foreach { r => assert(r._4 === recount((r._2, r._3)), s"n0 of ${r._1}") }
+  }
+
+  test("q72 deltas equal the brute hourly series") {
+    val ev = graft.Tables(spark, dir, "events")
+      .select(unix_timestamp(col("ts")).as("e"),
+        expr("cast(floor(value * 1000) as bigint)").as("v"))
+      .collect().map(r => (r.getLong(0) / 3600 * 3600, r.getLong(1)))
+    val hourly = ev.groupBy(_._1).map { case (h, v) => (h, v.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val want = hourly.zipWithIndex.map { case ((h, cur), i) =>
+      val prev = if (i == 0) None else Some(hourly(i - 1)._2)
+      (h, (cur, prev, prev.map(cur - _)))
+    }.toMap
+    val got = EventOps.q72PeriodOverPeriod(spark, dir)
+      .collect().map { r =>
+        (r.getLong(0), (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      }.toMap
+    assert(got === want)
+  }
+
   test("mv10 synopsis serves through deletions and rescans a forced hole") {
     import spark.implicits._
     val path = Files.createTempDirectory("mv10-spec").toFile
