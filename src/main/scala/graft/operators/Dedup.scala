@@ -2261,7 +2261,76 @@ object Dedup {
        |${(1 to prIters).map(pprRoundSql).mkString(",\n")}
        |SELECT node, pr FROM r$prIters""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dd26: WINNOWING fingerprints (Schleimer, Wilkerson & Aiken,
+  // SIGMOD'03 — the MOSS algorithm): slide a window of 4 consecutive
+  // shingle hashes and keep each window's MINIMUM as a fingerprint.
+  // The guarantee minhash can't give: any shared run of ≥ w+2 tokens
+  // between two documents shares at least one WINNOWED fingerprint —
+  // position-robust local evidence, where dd02's global minhash only
+  // sees whole-document similarity and dd10's span grams keep every
+  // gram. Selection is ~1/w of grams, value-identical in any engine:
+  // fingerprints are the DISTINCT window-min VALUES, so the rightmost-
+  // vs-leftmost tie convention never matters.
+  //
+  // Pairing: fingerprint postings self-join with dd25's df ∈ [2, 20]
+  // discrimination band (ubiquitous boilerplate fingerprints prune
+  // out, as MOSS drops over-shared ones), pairs needing ≥ 2 shared
+  // fingerprints. Hash = the repo's md5-prefix integer, identical SQL
+  // on both engines.
+  // ---------------------------------------------------------------------
+  def dd26Winnowing(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+    val grams = shingled(docs)
+      .select(col("doc_id"), posexplode(col("shingles")).as(Seq("idx", "sh")))
+      .filter(col("sh").isNotNull)
+      .withColumn("h", conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+      .rowsBetween(-3, Window.currentRow)
+    val fps = grams
+      .withColumn("fp", min(col("h")).over(w))
+      .filter(col("idx") >= 3)
+      .select(col("doc_id"), col("fp")).distinct()
+      .localCheckpoint() // feeds the df filter and both join sides
+    val banded = fps.join(
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 20)).select("fp"), Seq("fp"))
+    banded.as("a").join(banded.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+  }
+
+  val dd26Oracle: String =
+    s"""WITH tks AS ($tkSql),
+       |sh AS (
+       | SELECT doc_id, CAST(generate_subscripts(l, 1) - 1 AS INTEGER) AS idx,
+       |  unnest(l) AS sh
+       | FROM (SELECT doc_id, $shinglesSql AS l FROM tks) f),
+       |g AS (
+       | SELECT doc_id, idx,
+       |  ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+       | FROM sh WHERE sh IS NOT NULL),
+       |wm AS (
+       | SELECT doc_id, idx,
+       |  MIN(h) OVER (PARTITION BY doc_id ORDER BY idx
+       |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+       | FROM g),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE idx >= 3),
+       |banded AS (
+       | SELECT f.doc_id, f.fp FROM fps f JOIN (
+       |  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 20) d
+       |  USING (fp))
+       |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       | CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM banded a JOIN banded b
+       | ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dd26_winnowing" -> (dd26Winnowing _),
     "cc21_ppr" -> (cc21Ppr _),
     "dd25_cosine_pairs" -> (dd25CosinePairs _),
     "cc20_ktruss" -> (cc20Ktruss _),
@@ -2306,6 +2375,7 @@ object Dedup {
     "dd08_emb_neardup_lsh" -> (dd08EmbNeardupLsh _))
 
   val oracles: Map[String, String] = Map(
+    "dd26_winnowing" -> dd26Oracle,
     "cc21_ppr" -> cc21Oracle,
     "dd25_cosine_pairs" -> dd25Oracle,
     "cc20_ktruss" -> cc20Oracle,

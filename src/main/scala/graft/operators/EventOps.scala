@@ -1171,7 +1171,65 @@ object EventOps {
       |  ELSE CAST(rev_milli - prev_milli AS DOUBLE) / prev_milli END AS pct_change
       |FROM l""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q73: INTERVAL MERGE / covered-time — each event opens a 300 s
+  // activity interval [e, e+300); overlapping intervals coalesce, and
+  // the report is each user's merged spans and total covered seconds
+  // (the "screen-on time" metric; q59's gaps-and-islands generalized
+  // from calendar days to arbitrary overlapping spans). One
+  // user-partitioned sort: a new span opens where the start exceeds the
+  // running max of prior ends (strictly — touching intervals merge);
+  // the span id is the running sum of those flags; spans then aggregate
+  // min(start)/max(end). All integer seconds.
+  // ---------------------------------------------------------------------
+  def q73IntervalMerge(s: SparkSession, dir: String): DataFrame = {
+    val span = 300L
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("st"))
+      .withColumn("en", col("st") + span)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("st"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, -1)
+    val spans = ev
+      .withColumn("max_en", max(col("en")).over(wRun))
+      .withColumn("new_span",
+        when(col("max_en").isNull || col("st") > col("max_en"), 1L).otherwise(0L))
+      .withColumn("span_id",
+        sum(col("new_span")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("span_id"))
+      .agg(min(col("st")).as("span_start"), max(col("en")).as("span_end"))
+    spans.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start")).as("covered_s"))
+  }
+
+  val q73Oracle: String =
+    """WITH e AS (
+      | SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS st,
+      |  CAST(floor(epoch(ts)) AS BIGINT) + 300 AS en
+      | FROM events),
+      |m AS (
+      | SELECT user_id, st, en,
+      |  MAX(en) OVER (PARTITION BY user_id ORDER BY st
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_en
+      | FROM e),
+      |f AS (
+      | SELECT user_id, st, en,
+      |  CASE WHEN max_en IS NULL OR st > max_en THEN 1 ELSE 0 END AS new_span
+      | FROM m),
+      |sp AS (
+      | SELECT user_id, st, en,
+      |  SUM(new_span) OVER (PARTITION BY user_id ORDER BY st
+      |    ROWS UNBOUNDED PRECEDING) AS span_id
+      | FROM f),
+      |agg AS (
+      | SELECT user_id, span_id, MIN(st) AS s0, MAX(en) AS e0
+      | FROM sp GROUP BY 1, 2)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      | CAST(SUM(e0 - s0) AS BIGINT) AS covered_s
+      |FROM agg GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q73_interval_merge" -> (q73IntervalMerge _),
     "q72_period_over_period" -> (q72PeriodOverPeriod _),
     "q70_audience_overlap" -> (q70AudienceOverlap _),
     "q71_seasonal_residual" -> (q71SeasonalResidual _),
@@ -1203,6 +1261,7 @@ object EventOps {
     "q34_range_frame" -> (q34RangeFrame _))
 
   val oracles: Map[String, String] = Map(
+    "q73_interval_merge" -> q73Oracle,
     "q72_period_over_period" -> q72Oracle,
     "q70_audience_overlap" -> q70Oracle,
     "q71_seasonal_residual" -> q71Oracle,

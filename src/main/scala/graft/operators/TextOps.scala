@@ -1322,7 +1322,55 @@ object TextOps {
       | FROM var a JOIN var b ON a.vr = b.vr AND a.w < b.w)
       |SELECT w1, w2 FROM cand WHERE levenshtein(w1, w2) <= 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // tx28: BOILERPLATE-PREFIX detection per source — "does every page
+  // from this crawl start with the same header?", the template-
+  // stripping prerequisite of web curation. The trick that makes it one
+  // aggregate instead of a per-source all-pairs fold: the longest
+  // common prefix of a SET of strings equals lcp(min, max) under
+  // binary (code-point) ordering — the lexicographic extremes bracket
+  // every other member, so any divergence between ANY pair shows up in
+  // the extremes first. Two map-side MIN/MAX aggregates over the
+  // corpus; the per-row lcp scan then runs on |sources| rows only.
+  // Both engines compare strings bytewise here (ASCII corpus;
+  // DuckDB default collation and Spark UTF8String order agree).
+  // ---------------------------------------------------------------------
+  def tx28BoilerplatePrefix(s: SparkSession, dir: String): DataFrame = {
+    val ext = Tables(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("text")).as("lo"), max(col("text")).as("hi"))
+    // first mismatch position over the dictionary-sized extremes table
+    ext.withColumn("lim", least(length(col("lo")), length(col("hi"))).cast("long"))
+      .withColumn("lcp_len", coalesce(
+        expr("""filter(sequence(1L, lim),
+               |  i -> substring(lo, cast(i as int), 1) != substring(hi, cast(i as int), 1))[0]""".stripMargin) - 1L,
+        col("lim")))
+      .select(col("source"), col("n_docs"), col("lcp_len"),
+        expr("substring(lo, 1, cast(least(lcp_len, 64L) as int))").as("prefix64"))
+  }
+
+  val tx28Oracle: String =
+    """WITH ext AS (
+      | SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  MIN(text) AS lo, MAX(text) AS hi
+      | FROM documents GROUP BY 1),
+      |l AS (
+      | SELECT source, n_docs, lo, hi,
+      |  CAST(LEAST(length(lo), length(hi)) AS BIGINT) AS lim
+      | FROM ext),
+      |p AS (
+      | SELECT source, n_docs, lo, lim,
+      |  COALESCE(list_filter(generate_series(1, lim),
+      |    i -> substr(lo, CAST(i AS INT), 1) != substr(hi, CAST(i AS INT), 1))[1] - 1,
+      |   lim) AS lcp_len
+      | FROM l)
+      |SELECT source, n_docs, CAST(lcp_len AS BIGINT) AS lcp_len,
+      | substr(lo, 1, CAST(LEAST(lcp_len, 64) AS INT)) AS prefix64
+      |FROM p""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tx28_boilerplate_prefix" -> (tx28BoilerplatePrefix _),
     "tx27_edit1_pairs" -> (tx27Edit1Pairs _),
     "tx23_bm25" -> (tx23Bm25 _),
     "tx25_hybrid_rrf" -> (tx25HybridRrf _),
@@ -1354,6 +1402,7 @@ object TextOps {
     "tx17_langid_confusion" -> (tx17LangidConfusion _))
 
   val oracles: Map[String, String] = Map(
+    "tx28_boilerplate_prefix" -> tx28Oracle,
     "tx27_edit1_pairs" -> tx27Oracle,
     "tx23_bm25" -> tx23Oracle,
     "tx25_hybrid_rrf" -> tx25Oracle,

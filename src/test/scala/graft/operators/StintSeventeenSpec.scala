@@ -431,6 +431,75 @@ class StintSeventeenSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("tx28 lcp(min,max) equals the brute all-docs common prefix") {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def lcp2(a: String, b: String): Int = {
+      var i = 0
+      while (i < math.min(a.length, b.length) && a(i) == b(i)) i += 1
+      i
+    }
+    val want = docs.groupBy(_._1).map { case (src, rows) =>
+      val texts = rows.map(_._2)
+      (src, (texts.length.toLong,
+        texts.reduce((a, b) => a.take(lcp2(a, b))).length.toLong))
+    }
+    val got = TextOps.tx28BoilerplatePrefix(spark, dir)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want)
+  }
+
+  test("dd26 winnowing fingerprints and pairs match a brute recompute") {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5Long(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    val fps = docs.map { case (id, text) =>
+      val tk = text.split(" ", -1)
+      val hs = (0 until math.max(tk.length - 2, 0))
+        .map(i => md5Long(s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}"))
+      val mins = (3 until hs.length).map(i => hs.slice(i - 3, i + 1).min)
+      (id, mins.toSet)
+    }.toMap
+    val dfAll = fps.values.flatten.groupBy(identity).map { case (f, o) => (f, o.size) }
+    val keep = dfAll.filter { case (_, c) => c >= 2 && c <= 20 }.keySet
+    val ids = fps.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      shared = (fps(ids(i)) & fps(ids(j))).count(keep)
+      if shared >= 2
+    } yield ((ids(i), ids(j)), shared.toLong)).toMap
+    val got = Dedup.dd26Winnowing(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("q73 merged spans equal a brute sweep") {
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("e")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = ev.groupBy(_._1).map { case (u, rows) =>
+      val iv = rows.map(r => (r._2, r._2 + 300L)).sortBy(_._1)
+      var spans = List.empty[(Long, Long)]
+      iv.foreach { case (s0, e0) =>
+        spans match {
+          case (a, b) :: rest if s0 <= b => spans = (a, math.max(b, e0)) :: rest
+          case _ => spans = (s0, e0) :: spans
+        }
+      }
+      (u, (spans.length.toLong, spans.map(p => p._2 - p._1).sum))
+    }
+    val got = EventOps.q73IntervalMerge(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want)
+  }
+
   test("mv10 synopsis serves through deletions and rescans a forced hole") {
     import spark.implicits._
     val path = Files.createTempDirectory("mv10-spec").toFile
