@@ -2380,7 +2380,54 @@ object Curation {
        | JOIN g0 ON g0.c_nationkey = c.c_nationkey AND g0.c_mktsegment = c.c_mktsegment
        | JOIN g1 ON g1.c_nationkey = c.c_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // tp11: PER-DOCUMENT PROVENANCE CARD — the row-level audit trail a
+  // release ships beside tp10's corpus-level manifest: for EVERY raw
+  // document, whether it survived exact dedup (dd01's first-writer
+  // rule), whether it made the fully-curated corpus (tp02's quality →
+  // dedup → decontamination → mixture funnel) and under which split,
+  // and its ds01 hash-split — the "why is / isn't my page in the
+  // training set" lookup that data-governance requests (GDPR access,
+  // takedown audits) are answered from. All three signals reuse the
+  // standing operators' own plans (and the oracle reuses their SQL
+  // verbatim), so the card can never drift from the pipeline it
+  // documents. Left joins keep every raw doc; scale shape adds two
+  // hash joins and one broadcast over the tp02 plan.
+  // ---------------------------------------------------------------------
+  def tp11DocProvenance(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val survivor = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .select(col("keep_id").as("doc_id"), lit(true).as("is_exact_survivor"))
+    val curated = tp02FullCuration(s, dir)
+      .select(col("doc_id"), col("split").as("curated_split"))
+    val hashSplit = ds01HashSplit(s, dir).select(col("doc_id"), col("split").as("hash_split"))
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(survivor, Seq("doc_id"), "left")
+      .join(curated, Seq("doc_id"), "left")
+      .join(hashSplit, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("is_exact_survivor"), lit(false)).as("is_exact_survivor"),
+        col("curated_split").isNotNull.as("in_curated"),
+        col("curated_split"), col("hash_split"))
+  }
+
+  val tp11Oracle: String =
+    s"""WITH surv AS (
+       | SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |cur AS (SELECT doc_id, split AS curated_split FROM ($tp02Oracle) c),
+       |hs AS (SELECT doc_id, split AS hash_split FROM ($ds01Oracle) h)
+       |SELECT d.doc_id, d.lang, d.source,
+       | (surv.doc_id IS NOT NULL) AS is_exact_survivor,
+       | (cur.doc_id IS NOT NULL) AS in_curated,
+       | cur.curated_split, hs.hash_split
+       |FROM documents d
+       | LEFT JOIN surv ON surv.doc_id = d.doc_id
+       | LEFT JOIN cur ON cur.doc_id = d.doc_id
+       | JOIN hs ON hs.doc_id = d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tp11_doc_provenance" -> (tp11DocProvenance _),
     "ds25_k_anonymity" -> (ds25KAnonymity _),
     "q69_chisq_drift" -> (q69ChisqDrift _),
     "ds24_zone_maps" -> (ds24ZoneMaps _),
@@ -2428,6 +2475,7 @@ object Curation {
     "tp07_ingest_cycle" -> (tp07IngestCycle _))
 
   val oracles: Map[String, String] = Map(
+    "tp11_doc_provenance" -> tp11Oracle,
     "ds25_k_anonymity" -> ds25Oracle,
     "q69_chisq_drift" -> q69Oracle,
     "ds24_zone_maps" -> ds24Oracle,

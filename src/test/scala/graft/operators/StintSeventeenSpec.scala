@@ -500,6 +500,30 @@ class StintSeventeenSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("tp11 provenance card never contradicts its constituent operators") {
+    val card = Curation.tp11DocProvenance(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getBoolean(3), r.getBoolean(4),
+        Option(r.getString(5)), r.getString(6)))).toMap
+    // covers every raw doc exactly once
+    val all = graft.Tables(spark, dir, "documents").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(card.keySet === all)
+    // exact-survivor flags equal dd01's keep set
+    val keep = Dedup.dd01ExactDedup(spark, dir).select("keep_id")
+      .collect().map(_.getLong(0)).toSet
+    card.foreach { case (id, (surv, _, _, _)) => assert(surv === keep(id), s"doc $id") }
+    // curated membership + split equal tp02's output
+    val cur = Curation.tp02FullCuration(spark, dir)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    card.foreach { case (id, (_, inCur, spl, _)) =>
+      assert(inCur === cur.contains(id), s"doc $id")
+      assert(spl === cur.get(id), s"doc $id")
+    }
+    // a doc outside the curated corpus can still carry its hash split
+    assert(card.exists { case (_, (_, inCur, _, hs)) => !inCur && hs.nonEmpty })
+  }
+
   test("mv10 synopsis serves through deletions and rescans a forced hole") {
     import spark.implicits._
     val path = Files.createTempDirectory("mv10-spec").toFile
