@@ -2329,7 +2329,63 @@ object Dedup {
        | ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // cc22: HITS hubs & authorities (Kleinberg, JACM'99) on the DIRECTED
+  // customer→supplier purchase graph — the dual-eigenvector centrality
+  // cc05/cc21's single random-walk score can't express: a good HUB
+  // (customer) buys from good authorities, a good AUTHORITY (supplier)
+  // is bought by good hubs — the two scores reinforce mutually.
+  // Three synchronous rounds of the power iteration with a fixed
+  // ÷64 downscale per half-step standing in for the L2 normalization
+  // (integer, engine-agnostic; HITS ranking only needs the relative
+  // magnitudes, and the raw sums would grow geometrically by the
+  // principal eigenvalue per round). All non-negative BIGINT — same
+  // exactness contract as pageRank. One keyed sum per half-step; the
+  // edge table is hash-partitioned once per direction.
+  // ---------------------------------------------------------------------
+  def cc22Hits(s: SparkSession, dir: String): DataFrame = {
+    val scale = 1000000L
+    val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct().localCheckpoint()
+    var hubs = e.select(col("src")).distinct().withColumn("h", lit(scale))
+      .localCheckpoint()
+    var auths: DataFrame = null
+    for (_ <- 1 to 3) {
+      auths = e.join(hubs, Seq("src"))
+        .groupBy(col("dst")).agg(expr("sum(h) div 64").as("a"))
+        .localCheckpoint()
+      hubs = e.join(auths, Seq("dst"))
+        .groupBy(col("src")).agg(expr("sum(a) div 64").as("h"))
+        .localCheckpoint()
+    }
+    hubs.select(col("src").as("node"), lit("hub").as("role"), col("h").as("score"))
+      .unionByName(auths.select(col("dst").as("node"), lit("authority").as("role"),
+        col("a").as("score")))
+  }
+
+  private def hitsRoundSql(r: Int): String =
+    s"""a$r AS (
+       | SELECT e.dst, CAST(SUM(h${r - 1}.h) // 64 AS BIGINT) AS a
+       | FROM e JOIN h${r - 1} ON e.src = h${r - 1}.src GROUP BY e.dst),
+       |h$r AS (
+       | SELECT e.src, CAST(SUM(a$r.a) // 64 AS BIGINT) AS h
+       | FROM e JOIN a$r ON e.dst = a$r.dst GROUP BY e.src)""".stripMargin
+
+  val cc22Oracle: String =
+    s"""WITH e AS (
+       | SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+       | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |h0 AS (SELECT DISTINCT src, CAST(1000000 AS BIGINT) AS h FROM e),
+       |${(1 to 3).map(hitsRoundSql).mkString(",\n")}
+       |SELECT src AS node, 'hub' AS role, h AS score FROM h3
+       |UNION ALL
+       |SELECT dst, 'authority', a FROM a3""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "cc22_hits" -> (cc22Hits _),
     "dd26_winnowing" -> (dd26Winnowing _),
     "cc21_ppr" -> (cc21Ppr _),
     "dd25_cosine_pairs" -> (dd25CosinePairs _),
@@ -2375,6 +2431,7 @@ object Dedup {
     "dd08_emb_neardup_lsh" -> (dd08EmbNeardupLsh _))
 
   val oracles: Map[String, String] = Map(
+    "cc22_hits" -> cc22Oracle,
     "dd26_winnowing" -> dd26Oracle,
     "cc21_ppr" -> cc21Oracle,
     "dd25_cosine_pairs" -> dd25Oracle,

@@ -702,7 +702,77 @@ object MatView {
       | CAST(MAX(n_chars) AS BIGINT) AS max_chars
       |FROM documents WHERE doc_id % 10 != 7 GROUP BY lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mv11: TOP-K roll-forward UNDER DELETIONS — mv04 maintains a top-k
+  // leaderboard insert-only; deleting a leader needs mv10's bounded-
+  // synopsis discipline, but over RANKED ROWS rather than extreme
+  // values: state = each group's top-(k+buffer) rows (k=3, buffer 3).
+  // Deletions anti-join the synopsis; the serve is correct as long as
+  // ≥ k base-side synopsis rows survive (every excluded base row ranks
+  // below every synopsis row, so it can never enter the top-k while k
+  // synopsis rows stand); the sound rescan trigger is therefore
+  // survivors < min(k, base rows remaining) — tracked with one
+  // per-group delete count, no base rescan to decide. Contract: deletes
+  // reference BASE rows (as any CDC delete does); inserts are new keys.
+  // ---------------------------------------------------------------------
+  private val tkK = 3
+  private val tkBuf = 6
+
+  private[operators] def topKState(base: DataFrame, path: String): Unit = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("v").desc, col("doc_id").asc)
+    base.withColumn("rk", row_number().over(w)).filter(col("rk") <= tkBuf)
+      .select(col("lang"), col("doc_id"), col("v"))
+      .write.mode("overwrite").parquet(path + "/cand")
+    base.groupBy(col("lang")).agg(count(lit(1)).as("n_base"))
+      .write.mode("overwrite").parquet(path + "/n")
+  }
+
+  private[operators] def topKRollForward(s: SparkSession, path: String,
+      ins: DataFrame, del: DataFrame, cur: DataFrame): DataFrame = {
+    val st = s.read.parquet(path + "/cand")
+    val n0 = s.read.parquet(path + "/n")
+    val surv = st.join(del, Seq("lang", "doc_id"), "left_anti").localCheckpoint()
+    val baseRem = n0
+      .join(del.groupBy(col("lang")).agg(count(lit(1)).as("n_del")), Seq("lang"), "left")
+      .select(col("lang"), (col("n_base") - coalesce(col("n_del"), lit(0L))).as("base_rem"))
+    val holes = baseRem
+      .join(surv.groupBy(col("lang")).agg(count(lit(1)).as("n_surv")), Seq("lang"), "left")
+      .filter(coalesce(col("n_surv"), lit(0L)) < least(lit(tkK.toLong), col("base_rem")))
+      .select(col("lang")).localCheckpoint()
+    def top3(d: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("v").desc, col("doc_id").asc)
+      d.withColumn("rk", row_number().over(w)).filter(col("rk") <= tkK)
+        .select(col("lang"), col("rk"), col("doc_id"), col("v"))
+    }
+    top3(surv.unionByName(ins)).join(holes, Seq("lang"), "left_anti")
+      .unionByName(top3(cur.join(holes, Seq("lang"), "left_semi")))
+  }
+
+  def mv11TopkRollforward(s: SparkSession, dir: String): DataFrame = {
+    val path = statePathFor(dir) + "_tk"
+    val docs = Tables(s, dir, "documents")
+    def kv(d: DataFrame) = d.select(col("lang"), col("doc_id"), col("n_chars").as("v"))
+    topKState(kv(docs.filter(col("doc_id") % 10 =!= 3)), path)
+    topKRollForward(s, path,
+      ins = kv(docs.filter(col("doc_id") % 10 === 3)),
+      del = docs.filter(col("doc_id") % 10 === 7).select(col("lang"), col("doc_id")),
+      cur = kv(docs.filter(col("doc_id") % 10 =!= 7)))
+      .select(col("lang"), col("rk"), col("doc_id"), col("v").as("n_chars"))
+  }
+
+  val mv11Oracle: String =
+    """SELECT lang, CAST(rk AS INT) AS rk, doc_id,
+      | CAST(n_chars AS BIGINT) AS n_chars FROM (
+      | SELECT lang, doc_id, n_chars,
+      |  ROW_NUMBER() OVER (PARTITION BY lang
+      |    ORDER BY n_chars DESC, doc_id ASC) AS rk
+      | FROM documents WHERE doc_id % 10 != 7) t
+      |WHERE rk <= 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mv11_topk_rollforward" -> (mv11TopkRollforward _),
     "mv10_minmax_rollforward" -> (mv10MinmaxRollforward _),
     "mv09_zset_rollforward" -> (mv09ZsetRollforward _),
     "mv08_distinct_rollforward" -> (mv08DistinctRollforward _),
@@ -715,6 +785,7 @@ object MatView {
     "mv04_topk_rollforward" -> (mv04TopkRollforward _))
 
   val oracles: Map[String, String] = Map(
+    "mv11_topk_rollforward" -> mv11Oracle,
     "mv10_minmax_rollforward" -> mv10Oracle,
     "mv09_zset_rollforward" -> mv09Oracle,
     "mv08_distinct_rollforward" -> mv08Oracle,

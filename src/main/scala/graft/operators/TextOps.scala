@@ -1307,7 +1307,9 @@ object TextOps {
         col("a.vr") === col("b.vr") && col("a.w") < col("b.w"))
       .select(col("a.w").as("w1"), col("b.w").as("w2"))
       .distinct()
-      .filter(levenshtein(col("w1"), col("w2")) <= 1)
+      // threshold form: the DP abandons a row once every cell exceeds 1,
+      // so verification is O(|w|) per pair instead of O(|w|²); -1 = over
+      .filter(expr("levenshtein(w1, w2, 1)") >= 0)
   }
 
   val tx27Oracle: String =

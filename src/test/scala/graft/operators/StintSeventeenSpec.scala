@@ -524,6 +524,64 @@ class StintSeventeenSpec extends SparkSpec {
     assert(card.exists { case (_, (_, inCur, _, hs)) => !inCur && hs.nonEmpty })
   }
 
+  test("cc22 HITS equals the brute integer power iteration") {
+    val o = graft.Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val l = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val e = l.flatMap { case (ok, sk) => o.get(ok).map(ck => (ck, sk)) }.distinct
+    var h: Map[Long, Long] = e.map(_._1).distinct.map(_ -> 1000000L).toMap
+    var a: Map[Long, Long] = Map.empty
+    for (_ <- 1 to 3) {
+      a = e.groupBy(_._2).map { case (d, es) =>
+        (d, es.map(x => h(x._1)).sum / 64) }
+      h = e.groupBy(_._1).map { case (s0, es) =>
+        (s0, es.map(x => a(x._2)).sum / 64) }
+    }
+    val got = Dedup.cc22Hits(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    val want = h.map { case (k, v) => ((k, "hub"), v) } ++
+      a.map { case (k, v) => ((k, "authority"), v) }
+    assert(got === want)
+  }
+
+  test("mv11 top-k synopsis survives deletions and rescans on underflow") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("mv11-spec").toFile
+    try {
+      // zz: delete 5 of the 6 synopsis rows → survivors(1) < min(3,
+      // base_rem(4)) → rescan must surface the EXCLUDED base rows 40/30
+      // (ranked 7th/8th in base, outside the stored synopsis).
+      val zz = (1 to 10).map(i => ("zz", i.toLong, (i * 10).toLong)) // v: 10..100
+      val aa = Seq(("aa", 21L, 500L), ("aa", 22L, 400L), ("aa", 23L, 300L), ("aa", 24L, 200L))
+      MatView.topKState((zz ++ aa).toDF("lang", "doc_id", "v"), path.getPath)
+      val del = Seq(("zz", 10L), ("zz", 9L), ("zz", 8L), ("zz", 7L), ("zz", 6L),
+        ("aa", 21L)).toDF("lang", "doc_id")
+      val ins = Seq(("aa", 30L, 450L)).toDF("lang", "doc_id", "v")
+      val cur = ((zz.take(5) :+ (("aa", 30L, 450L))) ++ aa.drop(1))
+        .toDF("lang", "doc_id", "v")
+      val got = MatView.topKRollForward(spark, path.getPath, ins, del, cur)
+        .collect().map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getLong(3)))).toMap
+      assert(got === Map(
+        ("zz", 1) -> ((5L, 50L)), ("zz", 2) -> ((4L, 40L)), ("zz", 3) -> ((3L, 30L)),
+        ("aa", 1) -> ((30L, 450L)), ("aa", 2) -> ((22L, 400L)), ("aa", 3) -> ((23L, 300L))))
+      // and the driver query equals the direct recompute on real data
+      val served = MatView.mv11TopkRollforward(spark, dir).collect()
+        .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+      val want = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("n_chars").desc, col("doc_id").asc)
+        graft.Tables(spark, dir, "documents").filter(col("doc_id") % 10 =!= 7)
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+          .collect().map(r => ((r.getString(r.fieldIndex("lang")),
+            r.getInt(r.fieldIndex("rk"))), r.getLong(r.fieldIndex("doc_id")))).toMap
+      }
+      assert(served === want)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(path)
+  }
+
   test("mv10 synopsis serves through deletions and rescans a forced hole") {
     import spark.implicits._
     val path = Files.createTempDirectory("mv10-spec").toFile
