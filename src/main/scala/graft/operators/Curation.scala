@@ -2426,7 +2426,68 @@ object Curation {
        | LEFT JOIN cur ON cur.doc_id = d.doc_id
        | JOIN hs ON hs.doc_id = d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ds26: QUOTA SAMPLE by LARGEST-REMAINDER apportionment (Hare quota —
+  // the election-seat algorithm applied to sampling budgets): given a
+  // FIXED budget of exactly B=100 documents, each language gets
+  // floor(n_l·B/N) seats and the leftover seats go to the largest
+  // remainders (ties to the lexicographically first lang). Unlike
+  // ds19's ratio-fit mixture (which scales shares and lets the total
+  // float), the quotas here sum to B EXACTLY — the property an
+  // eval-set budget or labeling contract needs. Selection within a
+  // language is the ds19 hash-order top-quota (deterministic,
+  // append-stable). Dictionary-sized allocation arithmetic; one
+  // corpus pass for the counts, one partitioned window for the pick.
+  // ---------------------------------------------------------------------
+  private val quotaBudget = 100L
+
+  def ds26QuotaSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val nRow = counts.agg(sum(col("n_docs")).as("n"))
+    val alloc = counts.crossJoin(broadcast(nRow))
+      .withColumn("base", expr(s"(n_docs * $quotaBudget) div n"))
+      .withColumn("rem", expr(s"(n_docs * $quotaBudget) % n"))
+    val leftover = alloc.agg((lit(quotaBudget) - sum(col("base"))).as("lo"))
+    val wRem = Window.orderBy(col("rem").desc, col("lang").asc)
+    val quotas = alloc.crossJoin(broadcast(leftover))
+      .withColumn("rrk", row_number().over(wRem).cast("long"))
+      .withColumn("quota",
+        col("base") + when(col("rrk") <= col("lo"), 1L).otherwise(0L))
+      .select(col("lang"), col("quota"))
+    val wPick = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    docs.join(broadcast(quotas), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("quota"),
+        md5(concat(lit("ds26:"), col("text"))).as("h"))
+      .withColumn("rn", row_number().over(wPick).cast("long"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("rn"), col("quota"))
+  }
+
+  val ds26Oracle: String =
+    s"""WITH c AS (
+       | SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+       |n AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM c),
+       |a AS (
+       | SELECT lang, (n_docs * $quotaBudget) // n.n AS base,
+       |  (n_docs * $quotaBudget) % n.n AS rem
+       | FROM c CROSS JOIN n),
+       |lo AS (SELECT $quotaBudget - CAST(SUM(base) AS BIGINT) AS lo FROM a),
+       |q AS (
+       | SELECT lang, base + CASE WHEN
+       |   CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) AS BIGINT)
+       |    <= lo.lo THEN 1 ELSE 0 END AS quota
+       | FROM a CROSS JOIN lo),
+       |p AS (
+       | SELECT d.doc_id, d.lang, q.quota,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY d.lang
+       |    ORDER BY md5('ds26:' || d.text), d.doc_id) AS BIGINT) AS rn
+       | FROM documents d JOIN q ON q.lang = d.lang)
+       |SELECT doc_id, lang, rn, quota FROM p WHERE rn <= quota""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ds26_quota_sample" -> (ds26QuotaSample _),
     "tp11_doc_provenance" -> (tp11DocProvenance _),
     "ds25_k_anonymity" -> (ds25KAnonymity _),
     "q69_chisq_drift" -> (q69ChisqDrift _),
@@ -2475,6 +2536,7 @@ object Curation {
     "tp07_ingest_cycle" -> (tp07IngestCycle _))
 
   val oracles: Map[String, String] = Map(
+    "ds26_quota_sample" -> ds26Oracle,
     "tp11_doc_provenance" -> tp11Oracle,
     "ds25_k_anonymity" -> ds25Oracle,
     "q69_chisq_drift" -> q69Oracle,

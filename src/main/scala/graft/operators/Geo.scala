@@ -510,7 +510,69 @@ object Geo {
        |FROM cells c JOIN sm ON sm.tx = c.cx AND sm.ty = c.cy""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // geo09: RECTANGLE-OVERLAP join (AABB × AABB) — the R-tree spatial
+  // join re-expressed as a partitioned grid join (PBSM, Patel & DeWitt
+  // SIGMOD'96): each box registers in every 64-cell it touches (extents
+  // < 64, so ≤ 2×2 cells per box — bounded replication), candidates
+  // meet in shared cells, the exact per-axis |Δc| ≤ ra+rb test verifies,
+  // and DUPLICATE ELIMINATION is the REFERENCE-POINT rule: a pair is
+  // reported only from the top-left cell of the two cover-ranges'
+  // intersection — each intersecting pair owns exactly one such cell,
+  // so no distinct pass over the join output is needed (the trick that
+  // keeps grid spatial joins shuffle-minimal at scale).
+  //
+  // Coordinates are pre-shifted +64 before celling: box minima can go
+  // negative at the domain edge, and Spark's div truncates toward zero
+  // where DuckDB's // floors — on negatives they'd disagree by one cell.
+  // ---------------------------------------------------------------------
+  def geo09RectJoin(s: SparkSession, dir: String): DataFrame = {
+    val a0 = Tables(s, dir, "supplier").select(
+      col("s_suppkey").as("a_id"),
+      ((col("s_suppkey") * 73) % D).as("ax"),
+      ((col("s_suppkey") * 137) % D).as("ay"),
+      (col("s_suppkey") % 16 + 4).as("ar"))
+    val b0 = Tables(s, dir, "part").select(
+      col("p_partkey").as("b_id"),
+      ((col("p_partkey") * 91) % D).as("bx"),
+      ((col("p_partkey") * 53) % D).as("by"),
+      (col("p_partkey") % 24 + 4).as("br"))
+    def cells(d: DataFrame, x: String, y: String, r: String): DataFrame =
+      d.withColumn("cx",
+          explode(expr(s"sequence(($x + 64 - $r) div 64, ($x + 64 + $r) div 64)")))
+        .withColumn("cy",
+          explode(expr(s"sequence(($y + 64 - $r) div 64, ($y + 64 + $r) div 64)")))
+    cells(a0, "ax", "ay", "ar").join(cells(b0, "bx", "by", "br"), Seq("cx", "cy"))
+      .filter(abs(col("ax") - col("bx")) <= col("ar") + col("br") &&
+        abs(col("ay") - col("by")) <= col("ar") + col("br"))
+      .filter(col("cx") === greatest(expr("(ax + 64 - ar) div 64"), expr("(bx + 64 - br) div 64")) &&
+        col("cy") === greatest(expr("(ay + 64 - ar) div 64"), expr("(by + 64 - br) div 64")))
+      .select(col("a_id"), col("b_id"),
+        (least(col("ax") + col("ar"), col("bx") + col("br")) -
+          greatest(col("ax") - col("ar"), col("bx") - col("br"))).as("ox"),
+        (least(col("ay") + col("ar"), col("by") + col("br")) -
+          greatest(col("ay") - col("ar"), col("by") - col("br"))).as("oy"))
+      .withColumn("area", col("ox") * col("oy"))
+  }
+
+  val geo09Oracle: String =
+    s"""WITH a AS (
+       | SELECT s_suppkey AS a_id, (s_suppkey * 73) % $D AS ax,
+       |  (s_suppkey * 137) % $D AS ay, s_suppkey % 16 + 4 AS ar
+       | FROM supplier),
+       |b AS (
+       | SELECT p_partkey AS b_id, (p_partkey * 91) % $D AS bx,
+       |  (p_partkey * 53) % $D AS by, p_partkey % 24 + 4 AS br
+       | FROM part)
+       |SELECT a_id, b_id,
+       | CAST(LEAST(ax + ar, bx + br) - GREATEST(ax - ar, bx - br) AS BIGINT) AS ox,
+       | CAST(LEAST(ay + ar, by + br) - GREATEST(ay - ar, by - br) AS BIGINT) AS oy,
+       | CAST((LEAST(ax + ar, bx + br) - GREATEST(ax - ar, bx - br)) *
+       |      (LEAST(ay + ar, by + br) - GREATEST(ay - ar, by - br)) AS BIGINT) AS area
+       |FROM a JOIN b ON abs(ax - bx) <= ar + br AND abs(ay - by) <= ar + br""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "geo09_rect_join" -> (geo09RectJoin _),
     "geo08_stencil_smooth" -> (geo08StencilSmooth _),
     "geo07_density_clusters" -> (geo07DensityClusters _),
     "geo06_point_in_polygon" -> (geo06PointInPolygon _),
@@ -521,6 +583,7 @@ object Geo {
     "geo04_topk_knn" -> (geo04TopkKnn _))
 
   val oracles: Map[String, String] = Map(
+    "geo09_rect_join" -> geo09Oracle,
     "geo08_stencil_smooth" -> geo08Oracle,
     "geo07_density_clusters" -> geo07Oracle,
     "geo06_point_in_polygon" -> geo06Oracle,

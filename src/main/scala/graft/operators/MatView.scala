@@ -771,7 +771,53 @@ object MatView {
       | FROM documents WHERE doc_id % 10 != 7) t
       |WHERE rk <= 3""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mv12: SLIDING-WINDOW view — "last 3 days by event type", kept
+  // current as days arrive. The third retraction discipline in the
+  // family: mv09 retracts row-by-row (Z-sets), mv10/mv11 retract
+  // against a bounded synopsis, and a TIME window needs neither —
+  // state is per-(day, type) monoid partials, the new day MERGES in
+  // (one map-side-combined pass over the delta), and expiry is a
+  // PARTITION FILTER on the day column at serve time: dropping a whole
+  // day never does subtraction, so the non-invertibility that forced
+  // mv10's synopsis never arises. This is exactly how a streaming
+  // warehouse (Druid segments, ClickHouse TTL parts) ages data out.
+  // State stays O(window × |types|) if old partials are physically
+  // dropped — the serve filter IS the eviction criterion.
+  // ---------------------------------------------------------------------
+  def mv12SlidingRollforward(s: SparkSession, dir: String): DataFrame = {
+    val path = statePathFor(dir) + "_sw"
+    val ev = Tables(s, dir, "events").select(
+      expr("unix_timestamp(ts) div 86400").as("day"), col("event_type"),
+      expr("cast(floor(value * 1000) as bigint)").as("v"))
+    val maxDay = ev.agg(max(col("day")).as("md"))
+    ev.crossJoin(broadcast(maxDay)).filter(col("day") < col("md"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_milli"))
+      .write.mode("overwrite").parquet(path)
+    val delta = ev.crossJoin(broadcast(maxDay)).filter(col("day") === col("md"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_milli"))
+    s.read.parquet(path).unionByName(delta)
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") > col("md") - 3)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_milli")).as("sum_milli"))
+  }
+
+  val mv12Oracle: String =
+    """WITH e AS (
+      | SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, event_type,
+      |  CAST(floor(value * 1000) AS BIGINT) AS v
+      | FROM events),
+      |md AS (SELECT MAX(day) AS md FROM e)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(v) AS BIGINT) AS sum_milli
+      |FROM e CROSS JOIN md WHERE day > md - 3
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mv12_sliding_rollforward" -> (mv12SlidingRollforward _),
     "mv11_topk_rollforward" -> (mv11TopkRollforward _),
     "mv10_minmax_rollforward" -> (mv10MinmaxRollforward _),
     "mv09_zset_rollforward" -> (mv09ZsetRollforward _),
@@ -785,6 +831,7 @@ object MatView {
     "mv04_topk_rollforward" -> (mv04TopkRollforward _))
 
   val oracles: Map[String, String] = Map(
+    "mv12_sliding_rollforward" -> mv12Oracle,
     "mv11_topk_rollforward" -> mv11Oracle,
     "mv10_minmax_rollforward" -> mv10Oracle,
     "mv09_zset_rollforward" -> mv09Oracle,

@@ -582,6 +582,63 @@ class StintSeventeenSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(path)
   }
 
+  test("ds26 quotas sum to the budget exactly, largest remainders first") {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("lang")).collect().map(_.getString(0))
+    val n = docs.length.toLong
+    val counts = docs.groupBy(identity).map { case (l, v) => (l, v.length.toLong) }
+    val base = counts.map { case (l, c) => (l, c * 100 / n) }
+    val rem = counts.map { case (l, c) => (l, c * 100 % n) }
+    val lo = 100 - base.values.sum
+    val winners = rem.toSeq.sortBy { case (l, r) => (-r, l) }.take(lo.toInt).map(_._1).toSet
+    val wantQuota = base.map { case (l, b) => (l, b + (if (winners(l)) 1L else 0L)) }
+    val got = Curation.ds26QuotaSample(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(3)))
+    val gotQuota = got.groupBy(_._1).map { case (l, v) => (l, v.head._2) }
+    assert(gotQuota === wantQuota)
+    // the budget is met EXACTLY: one selected row per quota seat
+    assert(got.length === 100)
+    gotQuota.foreach { case (l, q) =>
+      assert(got.count(_._1 == l).toLong === q, s"lang $l") }
+  }
+
+  test("geo09 reports each intersecting rectangle pair exactly once") {
+    val sup = graft.Tables(spark, dir, "supplier").select(col("s_suppkey"))
+      .collect().map(_.getLong(0))
+    val part = graft.Tables(spark, dir, "part").select(col("p_partkey"))
+      .collect().map(_.getLong(0))
+    val want = (for {
+      s0 <- sup; p0 <- part
+      (ax, ay, ar) = ((s0 * 73) % 1024, (s0 * 137) % 1024, s0 % 16 + 4)
+      (bx, by, br) = ((p0 * 91) % 1024, (p0 * 53) % 1024, p0 % 24 + 4)
+      if math.abs(ax - bx) <= ar + br && math.abs(ay - by) <= ar + br
+    } yield ((s0, p0),
+      (math.min(ax + ar, bx + br) - math.max(ax - ar, bx - br)) *
+        (math.min(ay + ar, by + br) - math.max(ay - ar, by - br)))).toMap
+    val rows = Geo.geo09RectJoin(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4)))
+    // exactly once: no reference-point duplicates survive
+    assert(rows.length === rows.map(_._1).distinct.length)
+    assert(rows.toMap === want)
+    assert(rows.nonEmpty)
+  }
+
+  test("mv12 merged window equals recompute and never includes expired days") {
+    val served = MatView.mv12SlidingRollforward(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val ev = graft.Tables(spark, dir, "events")
+      .select(expr("unix_timestamp(ts) div 86400").as("day"), col("event_type"),
+        expr("cast(floor(value * 1000) as bigint)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val md = ev.map(_._1).max
+    val inWin = ev.filter(_._1 > md - 3)
+    val want = inWin.groupBy(_._2).map { case (t, rows) =>
+      (t, (rows.length.toLong, rows.map(_._3).sum)) }
+    assert(served === want)
+    // the fixture really spans more days than the window (eviction is real)
+    assert(ev.map(_._1).distinct.length > 3)
+  }
+
   test("mv10 synopsis serves through deletions and rescans a forced hole") {
     import spark.implicits._
     val path = Files.createTempDirectory("mv10-spec").toFile
