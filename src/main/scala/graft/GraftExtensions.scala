@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import graft.functions.{BloomMightContain, DotProductLong, IntersectSize, LshBucket, MinHashSigs, NGramHashes, ZOrder2}
-import graft.plans.RewriteIntersectSize
+import graft.plans.{RewriteBoundedLevenshtein, RewriteIntersectSize}
 
 /** Spark extension entry point: registers the engine's native Catalyst
   * expressions so ANY session — including spark-sql / thrift users — can call
@@ -59,5 +59,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         BloomMightContain(args(0), args(1))))
     ext.injectOptimizerRule(_ => RewriteIntersectSize)
+    ext.injectOptimizerRule(_ => RewriteBoundedLevenshtein)
   }
 }

@@ -1307,9 +1307,10 @@ object TextOps {
         col("a.vr") === col("b.vr") && col("a.w") < col("b.w"))
       .select(col("a.w").as("w1"), col("b.w").as("w2"))
       .distinct()
-      // threshold form: the DP abandons a row once every cell exceeds 1,
-      // so verification is O(|w|) per pair instead of O(|w|²); -1 = over
-      .filter(expr("levenshtein(w1, w2, 1)") >= 0)
+      // the natural predicate; RewriteBoundedLevenshtein turns it into
+      // the early-exit threshold form levenshtein(w1, w2, 1) >= 0 —
+      // O(|w|) per pair instead of O(|w|²) (PlanShapeSpec pins this)
+      .filter(levenshtein(col("w1"), col("w2")) <= 1)
   }
 
   val tx27Oracle: String =

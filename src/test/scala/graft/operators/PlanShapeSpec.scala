@@ -438,6 +438,27 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("tx27: levenshtein <= k is rewritten to the bounded threshold form") {
+    val plan = TextOps.tx27Edit1Pairs(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Some(1)) >= 0"), plan.take(3000))
+    // and the rewrite preserves values on every comparison shape
+    import spark.implicits._
+    val df = Seq(("abc", "abd"), ("abc", "xyz"), ("abc", "abc"), ("abc", "abcd"))
+      .toDF("a", "b")
+    val got = df.selectExpr(
+      "levenshtein(a, b) <= 1", "levenshtein(a, b) < 2",
+      "levenshtein(a, b) > 1", "levenshtein(a, b) >= 2",
+      "1 >= levenshtein(a, b)").collect()
+      .map(r => (0 until 5).map(r.getBoolean).toSeq)
+    val want = Seq(
+      Seq(true, true, false, false, true),    // ed 1
+      Seq(false, false, true, true, false),   // ed 3
+      Seq(true, true, false, false, true),    // ed 0
+      Seq(true, true, false, false, true))    // ed 1
+    assert(got.toSeq === want)
+  }
+
   test("q70: bitmap overlap joins words hash-wise, no single-partition exchange") {
     val plan = EventOps.q70AudienceOverlap(spark, dir)
       .queryExecution.executedPlan.toString
