@@ -1731,7 +1731,58 @@ object Relational {
       | MIN(CASE WHEN cum >= (3 * n + 3) // 4 AND cum - cnt < (3 * n + 3) // 4 THEN q END) AS b75
       |FROM w GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q74: ASSOCIATION RULES, 2-itemset stage (Agrawal & Srikant's Apriori,
+  // VLDB'94) — market-basket mining over orders-as-baskets: for every
+  // part pair co-purchased in ≥ 3 orders, support, both directional
+  // confidences, and lift. The support threshold IS Apriori's pruning:
+  // applied on the pair-count aggregate before any metric math, it
+  // bounds the rule table by the data's co-occurrence structure rather
+  // than |parts|². Confidence/lift are served from integer counts with
+  // one double division each (lift = s_ab·N / (s_a·s_b), > 1 ⟺
+  // positively associated). Plan: one distinct-(order, part) pass feeds
+  // the item counts AND the self-join pair counts; item counts join
+  // back broadcast.
+  // ---------------------------------------------------------------------
+  def q74AssocRules(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct().localCheckpoint()
+    val nRow = items.select(col("ok")).distinct().agg(count(lit(1)).as("n"))
+    val ic = items.groupBy(col("item")).agg(count(lit(1)).as("s"))
+    val pairs = items.as("x").join(items.as("y"),
+        col("x.ok") === col("y.ok") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+      .agg(count(lit(1)).as("s_ab"))
+      .filter(col("s_ab") >= 3)
+    pairs
+      .join(broadcast(ic.select(col("item").as("item_a"), col("s").as("s_a"))), Seq("item_a"))
+      .join(broadcast(ic.select(col("item").as("item_b"), col("s").as("s_b"))), Seq("item_b"))
+      .crossJoin(broadcast(nRow))
+      .select(col("item_a"), col("item_b"), col("s_ab"), col("s_a"), col("s_b"), col("n"),
+        (col("s_ab").cast("double") / col("s_a")).as("conf_ab"),
+        (col("s_ab").cast("double") / col("s_b")).as("conf_ba"),
+        ((col("s_ab") * col("n")).cast("double") / (col("s_a") * col("s_b"))).as("lift"))
+  }
+
+  val q74Oracle: String =
+    """WITH items AS (
+      | SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+      |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM items),
+      |ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS s FROM items GROUP BY 1),
+      |p AS (
+      | SELECT x.item AS item_a, y.item AS item_b, CAST(COUNT(*) AS BIGINT) AS s_ab
+      | FROM items x JOIN items y ON x.ok = y.ok AND x.item < y.item
+      | GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |SELECT p.item_a, p.item_b, p.s_ab, a.s AS s_a, b.s AS s_b, n.n,
+      | CAST(p.s_ab AS DOUBLE) / a.s AS conf_ab,
+      | CAST(p.s_ab AS DOUBLE) / b.s AS conf_ba,
+      | CAST(p.s_ab * n.n AS DOUBLE) / (a.s * b.s) AS lift
+      |FROM p JOIN ic a ON a.item = p.item_a
+      | JOIN ic b ON b.item = p.item_b CROSS JOIN n""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q74_assoc_rules" -> (q74AssocRules _),
     "q66_equidepth_hist" -> (q66EquidepthHist _),
     "q61_relational_division" -> (q61RelationalDivision _),
     "q36_cube" -> (q36Cube _),
@@ -1773,6 +1824,7 @@ object Relational {
     "q19_fk_repoint" -> (q19FkRepoint _))
 
   val oracles: Map[String, String] = Map(
+    "q74_assoc_rules" -> q74Oracle,
     "q66_equidepth_hist" -> q66Oracle,
     "q61_relational_division" -> q61Oracle,
     "q35_full_outer" -> q35Oracle,

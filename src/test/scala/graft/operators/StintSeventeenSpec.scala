@@ -639,6 +639,25 @@ class StintSeventeenSpec extends SparkSpec {
     assert(ev.map(_._1).distinct.length > 3)
   }
 
+  test("q74 rules equal the brute basket mining, metrics from exact counts") {
+    val items = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = items.map(_._1).distinct.length.toLong
+    val ic = items.groupBy(_._2).map { case (i, v) => (i, v.length.toLong) }
+    val pairCounts = items.groupBy(_._1).values.flatMap { basket =>
+      val is = basket.map(_._2).sorted
+      for (i <- is.indices; j <- (i + 1) until is.length) yield (is(i), is(j))
+    }.groupBy(identity).map { case (p, o) => (p, o.size.toLong) }
+      .filter(_._2 >= 3)
+    val got = Relational.q74AssocRules(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val want = pairCounts.map { case ((a, b), sab) => ((a, b), (sab, ic(a), ic(b), n)) }
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("mv10 synopsis serves through deletions and rescans a forced hole") {
     import spark.implicits._
     val path = Files.createTempDirectory("mv10-spec").toFile
