@@ -2384,7 +2384,74 @@ object Dedup {
        |UNION ALL
        |SELECT dst, 'authority', a FROM a3""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // cc23: K-SOURCE STRESS CENTRALITY on the interaction graph — "which
+  // suppliers sit on the most shortest paths between these customers and
+  // the rest of the market": the brokerage/bottleneck metric cc05's
+  // random-walk rank and cc11's harmonic distance both miss (a node can
+  // be CLOSE to everything yet lie on no one's path). Brandes' two-phase
+  // sweep from the 4 lowest-keyed customers, horizon 6 (the sf graph
+  // exhausts at distance 4); see Relational.stressCentrality for the
+  // integer-exactness argument (path COUNTS, not betweenness ratios).
+  // Oracle: both sweeps unrolled — forward σ-BFS rounds, the DAG, then
+  // suffix-count rounds top-down — CTEs MATERIALIZED, every SUM cast
+  // back to BIGINT (DuckDB HUGEINT otherwise).
+  // ---------------------------------------------------------------------
+  private val stressHorizon = 6
+
+  def cc23StressCentrality(s: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables(s, dir, "orders")
+      .select(col("o_custkey").as("node")).distinct()
+      .orderBy(col("node")).limit(4)
+    Relational.stressCentrality(interactionEdges(s, dir), seeds, stressHorizon)
+  }
+
+  val cc23Oracle: String = {
+    val fwd = (0 until stressHorizon).map { d =>
+      s"""s${d + 1} AS MATERIALIZED (
+         | SELECT * FROM s$d
+         | UNION ALL
+         | SELECT f.seed, e.dst AS node, ${d + 1} AS dist,
+         |  CAST(SUM(f.sigma) AS BIGINT) AS sigma
+         | FROM s$d f JOIN e ON e.src = f.node
+         | WHERE f.dist = $d AND NOT EXISTS (
+         |   SELECT 1 FROM s$d v WHERE v.seed = f.seed AND v.node = e.dst)
+         | GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val back = (0 until stressHorizon).map { k =>
+      val d = stressHorizon - 1 - k
+      s"""c${k + 1} AS MATERIALIZED (
+         | SELECT c.seed, c.node, c.dist,
+         |  CASE WHEN c.dist = $d THEN COALESCE(s.x, 0) ELSE c.c END AS c
+         | FROM c$k c LEFT JOIN (
+         |  SELECT dag.seed, dag.u AS node, CAST(SUM(cv.c + 1) AS BIGINT) AS x
+         |  FROM dag JOIN c$k cv ON cv.seed = dag.seed AND cv.node = dag.v
+         |  WHERE dag.du = $d GROUP BY 1, 2) s
+         | ON s.seed = c.seed AND s.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       | SELECT DISTINCT o.o_custkey AS src, 10000000 + l.l_suppkey AS dst
+       | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |seeds AS (SELECT DISTINCT o_custkey AS node FROM orders ORDER BY node LIMIT 4),
+       |s0 AS (SELECT node AS seed, node, 0 AS dist, CAST(1 AS BIGINT) AS sigma FROM seeds),
+       |$fwd,
+       |dag AS MATERIALIZED (
+       | SELECT u.seed, u.node AS u, v.node AS v, u.dist AS du
+       | FROM s$stressHorizon u JOIN e ON e.src = u.node
+       |  JOIN s$stressHorizon v ON v.seed = u.seed AND v.node = e.dst
+       |   AND v.dist = u.dist + 1),
+       |c0 AS (SELECT seed, node, dist, CAST(0 AS BIGINT) AS c FROM s$stressHorizon),
+       |$back
+       |SELECT st.node, CAST(SUM(st.sigma * c.c) AS BIGINT) AS stress
+       |FROM s$stressHorizon st JOIN c$stressHorizon c
+       | ON c.seed = st.seed AND c.node = st.node AND c.dist = st.dist
+       |WHERE st.node != st.seed
+       |GROUP BY 1 HAVING SUM(st.sigma * c.c) > 0""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "cc23_stress_centrality" -> (cc23StressCentrality _),
     "cc22_hits" -> (cc22Hits _),
     "dd26_winnowing" -> (dd26Winnowing _),
     "cc21_ppr" -> (cc21Ppr _),
@@ -2431,6 +2498,7 @@ object Dedup {
     "dd08_emb_neardup_lsh" -> (dd08EmbNeardupLsh _))
 
   val oracles: Map[String, String] = Map(
+    "cc23_stress_centrality" -> cc23Oracle,
     "cc22_hits" -> cc22Oracle,
     "dd26_winnowing" -> dd26Oracle,
     "cc21_ppr" -> cc21Oracle,

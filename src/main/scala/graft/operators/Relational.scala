@@ -513,6 +513,86 @@ object Relational {
     ranks
   }
 
+  /** K-SOURCE STRESS CENTRALITY (Shimbel 1953) within a bounded horizon —
+    * the INTEGER-EXACT member of the betweenness family: stress(v) counts
+    * the shortest s→t paths passing THROUGH v (betweenness sums the
+    * fractional σ_st(v)/σ_st, whose ratios no cross-engine hash check can
+    * carry exactly; the path COUNT needs only BIGINTs). Runs Brandes'
+    * (2001) two-phase structure from each seed:
+    *   1. forward level-synchronous BFS accumulating σ_s(v) = number of
+    *      shortest s→v paths (σ of a frontier node = Σ σ of its
+    *      predecessors — one keyed sum per level);
+    *   2. backward sweep over the shortest-path DAG computing the SUFFIX
+    *      COUNT C_s(v) = Σ_{w ∈ succ(v)} (C_s(w) + 1) — the number of
+    *      (path, endpoint) continuations below v;
+    * then stress_S(v) = Σ_s σ_s(v)·C_s(v) over v ≠ s: every s→t shortest
+    * path through v decomposes uniquely into one of σ prefixes × one of C
+    * suffixes. The `horizon` bounds both sweeps (cc09's fixed-budget
+    * contract — paths longer than the horizon don't count, identically on
+    * both engines); levels past exhaustion are no-ops. σ and C stay exact
+    * path counts, which can explode on dense graphs — a loud overflow
+    * fence fails the job before a silent wrap mis-ranks. */
+  def stressCentrality(edges: DataFrame, seeds: DataFrame, horizon: Int): DataFrame = {
+    val e = edges.localCheckpoint()
+    var st = seeds.select(col("node").as("seed"), col("node"),
+      lit(0).as("dist"), lit(1L).as("sigma")).localCheckpoint()
+    var n = st.count()
+    var d = 0
+    var exhausted = false
+    // rounds past exhaustion are no-ops (the oracle still unrolls them —
+    // an empty frontier stays empty), so stop paying for them here
+    while (d < horizon && !exhausted) {
+      val next = st.filter(col("dist") === d).as("f")
+        .join(e, col("f.node") === col("src"))
+        .select(col("f.seed").as("seed"), col("dst").as("node"), col("f.sigma").as("sigma"))
+        .join(st.select(col("seed").as("s2"), col("node").as("n2")),
+          col("seed") === col("s2") && col("node") === col("n2"), "left_anti")
+        .groupBy(col("seed"), col("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("seed"), col("node"), lit(d + 1).as("dist"), col("sigma"))
+      st = st.unionByName(next).localCheckpoint()
+      val n2 = st.count()
+      exhausted = n2 == n
+      n = n2
+      d += 1
+    }
+    val dag = st.as("u").join(e, col("u.node") === col("src"))
+      .join(st.as("v"),
+        col("v.seed") === col("u.seed") && col("v.node") === col("dst") &&
+          col("v.dist") === col("u.dist") + 1)
+      .select(col("u.seed").as("seed"), col("u.node").as("u"),
+        col("v.node").as("v"), col("u.dist").as("du"))
+      .localCheckpoint()
+    var c = st.select(col("seed"), col("node"), col("dist"), lit(0L).as("c"))
+      .localCheckpoint()
+    // deepest populated level: backward rounds above it would be no-ops
+    val maxDist = st.agg(max(col("dist"))).head().getInt(0)
+    for (d <- math.min(horizon - 1, maxDist - 1) to 0 by -1) {
+      val upd = dag.filter(col("du") === d)
+        .join(c.select(col("seed").as("s2"), col("node").as("n2"), col("c").as("cv")),
+          col("seed") === col("s2") && col("v") === col("n2"))
+        .groupBy(col("seed"), col("u"))
+        .agg(sum(col("cv") + 1L).as("x"))
+        .select(col("seed").as("s3"), col("u").as("n3"), col("x"))
+      c = c.join(upd,
+          col("seed") === col("s3") && col("node") === col("n3"), "left")
+        .select(col("seed"), col("node"), col("dist"),
+          when(col("dist") === d, coalesce(col("x"), lit(0L)))
+            .otherwise(col("c")).as("c"))
+        .localCheckpoint()
+    }
+    val joined = st.join(c, Seq("seed", "node", "dist"))
+      .filter(col("node") =!= col("seed"))
+    val guard = joined.agg(greatest(max(col("sigma")), max(col("c"))).as("__mx"))
+    joined.crossJoin(broadcast(guard))
+      .select(col("node"),
+        when(col("__mx") < 3000000000L, col("sigma") * col("c"))
+          .otherwise(raise_error(lit(
+            "stressCentrality: path counts >= 3e9 would overflow the product"))).as("p"))
+      .groupBy(col("node")).agg(sum(col("p")).as("stress"))
+      .filter(col("stress") > 0)
+  }
+
   /** BOUNDED min-label propagation — the label-propagation community pass
     * as its own operator: `rounds` synchronous rounds of
     *   l'(v) = min(l(v), min_{u~v} l(u)),   l₀(v) = v

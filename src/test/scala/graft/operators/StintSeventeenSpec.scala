@@ -658,6 +658,70 @@ class StintSeventeenSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("cc23 stress equals brute path counting on hand graphs and real data") {
+    import spark.implicits._
+    def bruteStress(edges: Seq[(Long, Long)], seeds: Seq[Long], h: Int): Map[Long, Long] = {
+      val adj = (edges ++ edges.map(p => (p._2, p._1))).distinct
+        .groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }.withDefaultValue(Seq.empty)
+      val acc = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for (s0 <- seeds) {
+        // BFS with sigma
+        val dist = collection.mutable.Map(s0 -> 0)
+        val sigma = collection.mutable.Map(s0 -> 1L)
+        var frontier = Seq(s0)
+        var d = 0
+        while (frontier.nonEmpty && d < h) {
+          val next = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+          frontier.foreach(u => adj(u).foreach { v =>
+            if (!dist.contains(v)) next(v) += sigma(u)
+          })
+          next.foreach { case (v, sg) => dist(v) = d + 1; sigma(v) = sg }
+          frontier = next.keys.toSeq
+          d += 1
+        }
+        // backward suffix counts
+        val c = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        dist.toSeq.sortBy(-_._2).foreach { case (u, du) =>
+          c(u) = adj(u).filter(w => dist.get(w).contains(du + 1))
+            .map(w => c(w) + 1).sum
+        }
+        dist.keys.filter(_ != s0).foreach(v => acc(v) += sigma(v) * c(v))
+      }
+      acc.filter(_._2 > 0).toMap
+    }
+    // path graph 1-2-3-4-5, seed 1: node 2 lies on paths to 3,4,5 …
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val gotPath = Relational.stressCentrality(
+      (path ++ path.map(p => (p._2, p._1))).toDF("src", "dst"),
+      Seq(1L).toDF("node"), horizon = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotPath === Map(2L -> 3L, 3L -> 2L, 4L -> 1L))
+    assert(gotPath === bruteStress(path, Seq(1L), 6))
+    // diamond 1-2-4, 1-3-4, 4-5: two shortest 1→4 paths, both через 2|3
+    val dia = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val gotDia = Relational.stressCentrality(
+      (dia ++ dia.map(p => (p._2, p._1))).toDF("src", "dst"),
+      Seq(1L).toDF("node"), horizon = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotDia === bruteStress(dia, Seq(1L), 6))
+    assert(gotDia(4L) === 2L) // σ(4)=2 prefixes × the single suffix to 5
+    // real data, all four seeds
+    val o = graft.Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val l = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val ie = o.flatMap { case (c, ok) =>
+      l.getOrElse(ok, Array.empty[(Long, Long)]).map(x => (c, 10000000L + x._2))
+    }.distinct.toSeq
+    val seeds = o.map(_._1).distinct.sorted.take(4)
+    val want = bruteStress(ie, seeds, 6)
+    val got = Dedup.cc23StressCentrality(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === want)
+  }
+
   test("mv10 synopsis serves through deletions and rescans a forced hole") {
     import spark.implicits._
     val path = Files.createTempDirectory("mv10-spec").toFile
