@@ -2486,7 +2486,48 @@ object Curation {
        | FROM documents d JOIN q ON q.lang = d.lang)
        |SELECT doc_id, lang, rn, quota FROM p WHERE rn <= quota""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ds27: CLUSTER-AWARE split — the PRINCIPLED fix to near-duplicate
+  // leakage that ds22 only repairs after the fact: assign every verified
+  // near-dup CLUSTER (cc01's transitive components) to one split by
+  // hashing the cluster's canonical id, so no A≈B≈C chain can ever
+  // straddle train/test; singleton docs keep ds01's per-content split.
+  // Same group-key-hash principle as ds04 (source-wise splitting), one
+  // level up the equivalence hierarchy: exact content → source →
+  // similarity cluster. Law (spec + construction): a component's docs
+  // always share a split.
+  // ---------------------------------------------------------------------
+  def ds27ClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val comp = Dedup.cc01DupComponents(s, dir)
+    docs.select(col("doc_id"), col("text"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("clustered", col("component").isNotNull)
+      .withColumn("bucket", hashBucket(
+        when(col("clustered"),
+          concat(lit("ds27:"), col("component").cast("string")))
+          .otherwise(col("text")), 100))
+      .select(col("doc_id"), col("clustered"), col("component"),
+        col("bucket"), splitOf(col("bucket")).as("split"))
+  }
+
+  val ds27Oracle: String = {
+    val cc01 = Dedup.cc01Oracle
+    s"""WITH comp AS (SELECT doc_id, component FROM ($cc01) c)
+       |SELECT d.doc_id, (comp.doc_id IS NOT NULL) AS clustered, comp.component,
+       | b.bucket,
+       | CASE WHEN b.bucket < 80 THEN 'train'
+       |      WHEN b.bucket < 90 THEN 'validation' ELSE 'test' END AS split
+       |FROM documents d
+       | LEFT JOIN comp ON comp.doc_id = d.doc_id
+       | CROSS JOIN LATERAL (SELECT
+       |  ('0x' || substr(md5(CASE WHEN comp.doc_id IS NOT NULL
+       |    THEN 'ds27:' || CAST(comp.component AS VARCHAR) ELSE d.text END), 1, 8))::BIGINT
+       |   % 100 AS bucket) b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "ds27_cluster_split" -> (ds27ClusterSplit _),
     "ds26_quota_sample" -> (ds26QuotaSample _),
     "tp11_doc_provenance" -> (tp11DocProvenance _),
     "ds25_k_anonymity" -> (ds25KAnonymity _),
@@ -2536,6 +2577,7 @@ object Curation {
     "tp07_ingest_cycle" -> (tp07IngestCycle _))
 
   val oracles: Map[String, String] = Map(
+    "ds27_cluster_split" -> ds27Oracle,
     "ds26_quota_sample" -> ds26Oracle,
     "tp11_doc_provenance" -> tp11Oracle,
     "ds25_k_anonymity" -> ds25Oracle,

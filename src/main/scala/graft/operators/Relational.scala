@@ -1861,7 +1861,66 @@ object Relational {
       |FROM p JOIN ic a ON a.item = p.item_a
       | JOIN ic b ON b.item = p.item_b CROSS JOIN n""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q75: HIERARCHICAL SHARE-OF-PARENT — each nation's revenue share of
+  // its region and each region's share of the world: the ratio-to-
+  // report rollup every BI drill-down renders. Revenue is carried in
+  // integer CENTS (floor(price·100) — explicit floor because DuckDB's
+  // double→BIGINT cast rounds where Spark's truncates), so
+  // the three rollup levels stay bit-exact and only the two final
+  // share divisions are doubles. One fact-table pass; nation/region
+  // dims broadcast; the parent totals re-join broadcast (dictionary-
+  // sized) — the fact table crosses the wire once.
+  // ---------------------------------------------------------------------
+  def q75ShareOfParent(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_regionkey"),
+        expr("cast(floor(l_extendedprice * 100) as bigint)").as("cents"))
+    val byNation = rev.groupBy(col("n_name"), col("n_regionkey"))
+      .agg(sum(col("cents")).as("n_cents"))
+    val byRegion = byNation.groupBy(col("n_regionkey"))
+      .agg(sum(col("n_cents")).as("r_cents"))
+    val total = byRegion.agg(sum(col("r_cents")).as("t_cents"))
+    byNation
+      .join(broadcast(byRegion), Seq("n_regionkey"))
+      .crossJoin(broadcast(total))
+      .join(broadcast(Tables(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"), col("n_cents"), col("r_cents"),
+        col("t_cents"),
+        (col("n_cents").cast("double") / col("r_cents")).as("share_of_region"),
+        (col("r_cents").cast("double") / col("t_cents")).as("region_share_of_total"))
+  }
+
+  val q75Oracle: String =
+    """WITH rev AS (
+      | SELECT n.n_name, n.n_regionkey,
+      |  CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS cents
+      | FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      |bn AS (
+      | SELECT n_name, n_regionkey, CAST(SUM(cents) AS BIGINT) AS n_cents
+      | FROM rev GROUP BY 1, 2),
+      |br AS (
+      | SELECT n_regionkey, CAST(SUM(n_cents) AS BIGINT) AS r_cents
+      | FROM bn GROUP BY 1),
+      |t AS (SELECT CAST(SUM(r_cents) AS BIGINT) AS t_cents FROM br)
+      |SELECT r.r_name, bn.n_name, bn.n_cents, br.r_cents, t.t_cents,
+      | CAST(bn.n_cents AS DOUBLE) / br.r_cents AS share_of_region,
+      | CAST(br.r_cents AS DOUBLE) / t.t_cents AS region_share_of_total
+      |FROM bn JOIN br USING (n_regionkey)
+      | JOIN region r ON r.r_regionkey = bn.n_regionkey CROSS JOIN t""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q75_share_of_parent" -> (q75ShareOfParent _),
     "q74_assoc_rules" -> (q74AssocRules _),
     "q66_equidepth_hist" -> (q66EquidepthHist _),
     "q61_relational_division" -> (q61RelationalDivision _),
@@ -1904,6 +1963,7 @@ object Relational {
     "q19_fk_repoint" -> (q19FkRepoint _))
 
   val oracles: Map[String, String] = Map(
+    "q75_share_of_parent" -> q75Oracle,
     "q74_assoc_rules" -> q74Oracle,
     "q66_equidepth_hist" -> q66Oracle,
     "q61_relational_division" -> q61Oracle,

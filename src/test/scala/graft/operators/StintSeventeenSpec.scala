@@ -722,6 +722,39 @@ class StintSeventeenSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("ds27 never lets a near-dup component straddle splits") {
+    val rows = Curation.ds27ClusterSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(4)))
+    // every component maps to exactly one split
+    rows.filter(_._3.nonEmpty).groupBy(_._3.get).foreach { case (c, members) =>
+      assert(members.map(_._4).distinct.length === 1, s"component $c straddles")
+    }
+    // clustered flag is honest vs an independent component recompute
+    val comp = Dedup.cc01DupComponents(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.foreach { case (id, clustered, c, _) =>
+      assert(clustered === comp.contains(id), s"doc $id")
+      assert(c === comp.get(id), s"doc $id")
+    }
+    // singletons keep ds01's per-content split
+    val ds01 = Curation.ds01HashSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    rows.filter(!_._2).foreach { case (id, _, _, sp) =>
+      assert(sp === ds01(id), s"doc $id") }
+  }
+
+  test("q75 shares are consistent ratios of exact cent rollups") {
+    val rows = Relational.q75ShareOfParent(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // nations sum to their region; regions sum to the total
+    rows.groupBy(_._1).foreach { case (reg, ns) =>
+      assert(ns.map(_._3).sum === ns.head._4, s"region $reg")
+    }
+    assert(rows.groupBy(_._1).map(_._2.head._4).sum === rows.head._5)
+  }
+
   test("mv10 synopsis serves through deletions and rescans a forced hole") {
     import spark.implicits._
     val path = Files.createTempDirectory("mv10-spec").toFile
