@@ -705,7 +705,71 @@ object Multimodal {
       |FROM cw c JOIN au a USING (doc_id)
       |WHERE c.total > 0""".stripMargin
 
+  final case class ResizedImage(media_id: Long, w: Int, h: Int,
+      out_w: Int, out_h: Int, sum_luma_in: Long, sum_luma_out: Long,
+      out_hash: Long)
+
+  /** REAL 2× box-filter downsample of the decoded luma plane — the
+    * RESIZE verb of the multimodal pipeline (thumbnailing before feature
+    * extraction): each output pixel is the truncating mean of its 2×2
+    * source block (odd edges carry 1-wide/1-tall blocks, the standard
+    * box-filter edge rule). Integer arithmetic end to end, so the output
+    * plane is bit-deterministic and golden-hashable; the luma MASS is
+    * conserved up to per-block truncation (< 1 unit per output pixel —
+    * the spec pins both bounds). Narrow flatMap over decoded rows, the
+    * same shuffle-free shape as every decode stage here. */
+  def resizeImages(media: Dataset[MediaRow]): Dataset[ResizedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter((m: MediaRow) => m.kind == "image").map { m =>
+      val luma = decodeImage(m.bytes)
+      val (w, h) = (m.width, m.height)
+      val (ow, oh) = ((w + 1) / 2, (h + 1) / 2)
+      val out = new Array[Byte](ow * oh)
+      var sumIn = 0L
+      var i = 0
+      while (i < luma.length) { sumIn += luma(i) & 0xff; i += 1 }
+      var oy = 0
+      var sumOut = 0L
+      while (oy < oh) {
+        var ox = 0
+        while (ox < ow) {
+          var acc = 0L
+          var cnt = 0
+          var dy = 0
+          while (dy < 2 && oy * 2 + dy < h) {
+            var dx = 0
+            while (dx < 2 && ox * 2 + dx < w) {
+              acc += luma((oy * 2 + dy) * w + (ox * 2 + dx)) & 0xff
+              cnt += 1
+              dx += 1
+            }
+            dy += 1
+          }
+          val v = (acc / cnt).toInt
+          out(oy * ow + ox) = v.toByte
+          sumOut += v
+          ox += 1
+        }
+        oy += 1
+      }
+      // FNV-1a over the output plane: the golden fingerprint
+      var hash = 0xcbf29ce484222325L
+      var j = 0
+      while (j < out.length) {
+        hash ^= out(j) & 0xffL
+        hash *= 0x100000001b3L
+        j += 1
+      }
+      ResizedImage(m.media_id, w, h, ow, oh, sumIn, sumOut, hash)
+    }
+  }
+
+  def mm10ImageResize(s: SparkSession, dir: String): DataFrame =
+    resizeImages(mediaFromDocuments(s, dir)).toDF()
+
   val queries: Map[String, Q] = Map(
+    "mm10_image_resize" -> (mm10ImageResize _),
     "mm09_transcript_align" -> (mm09TranscriptAlign _),
     "mm08_video_neardup" -> (mm08VideoNeardup _),
     "mm07_corruption_audit" -> (mm07CorruptionAudit _),

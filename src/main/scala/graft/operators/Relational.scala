@@ -1919,7 +1919,61 @@ object Relational {
       |FROM bn JOIN br USING (n_regionkey)
       | JOIN region r ON r.r_regionkey = bn.n_regionkey CROSS JOIN t""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q76: GINI COEFFICIENT of customer spend — the inequality metric a
+  // marketplace health report leads with ("do 1% of buyers drive 99% of
+  // revenue?"). Exact rational form over integer cents:
+  //   G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx),  x sorted ascending, i = rank.
+  // Ties contribute identically under any tie order (equal x makes the
+  // rank-weighted block sum order-invariant), so the (cents, custkey)
+  // rank is deterministic AND tie-robust. Zero-spend customers are
+  // included via left join — dropping them understates inequality.
+  // The rank window runs over the per-customer AGGREGATE (one row per
+  // customer); at a scale where even that table can't single-sort, the
+  // rank becomes ds13's range-partition + partition-offset two-phase
+  // form — the formula is unchanged.
+  // ---------------------------------------------------------------------
+  def q76Gini(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables(s, dir, "customer").select(col("c_custkey"))
+      .join(
+        Tables(s, dir, "lineitem")
+          .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(expr("cast(floor(l_extendedprice * 100) as bigint)")).as("cents")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), coalesce(col("cents"), lit(0L)).as("cents"))
+    val w = Window.orderBy(col("cents"), col("c_custkey"))
+    spend.withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        sum(col("i") * col("cents")).as("sxi"))
+      .select(col("n"), col("s"),
+        (lit(2L) * col("sxi") - (col("n") + 1L) * col("s")).as("num"),
+        (col("n") * col("s")).as("den"))
+      .withColumn("gini", col("num").cast("double") / col("den"))
+  }
+
+  val q76Oracle: String =
+    """WITH spend AS (
+      | SELECT c.c_custkey, COALESCE(t.cents, 0) AS cents
+      | FROM customer c LEFT JOIN (
+      |  SELECT o.o_custkey,
+      |   CAST(SUM(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1) t ON t.o_custkey = c.c_custkey),
+      |r AS (
+      | SELECT cents,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY cents, c_custkey) AS BIGINT) AS i
+      | FROM spend),
+      |a AS (
+      | SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+      |  CAST(SUM(i * cents) AS BIGINT) AS sxi
+      | FROM r)
+      |SELECT n, s, 2 * sxi - (n + 1) * s AS num, n * s AS den,
+      | CAST(2 * sxi - (n + 1) * s AS DOUBLE) / (n * s) AS gini
+      |FROM a""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q76_gini" -> (q76Gini _),
     "q75_share_of_parent" -> (q75ShareOfParent _),
     "q74_assoc_rules" -> (q74AssocRules _),
     "q66_equidepth_hist" -> (q66EquidepthHist _),
@@ -1963,6 +2017,7 @@ object Relational {
     "q19_fk_repoint" -> (q19FkRepoint _))
 
   val oracles: Map[String, String] = Map(
+    "q76_gini" -> q76Oracle,
     "q75_share_of_parent" -> q75Oracle,
     "q74_assoc_rules" -> q74Oracle,
     "q66_equidepth_hist" -> q66Oracle,

@@ -755,6 +755,49 @@ class StintSeventeenSpec extends SparkSpec {
     assert(rows.groupBy(_._1).map(_._2.head._4).sum === rows.head._5)
   }
 
+  test("mm10 resize conserves luma mass within truncation and is golden-stable") {
+    val rows = Multimodal.mm10ImageResize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, w, h, ow, oh, sIn, sOut, _) =>
+      assert(ow === (w + 1) / 2 && oh === (h + 1) / 2, s"media $id dims")
+      // each output pixel truncates < 1 unit per SOURCE-pixel-share:
+      // mean·count ≤ block sum < mean·count + count; summing over blocks,
+      // 4·sumOut ≤ ~sumIn bound is loose at edges — use the per-pixel
+      // bound: sumOut ≤ sumIn and sumIn < 4·(sumOut + out_pixels)
+      assert(sOut * 1L <= sIn, s"media $id mass up")
+      assert(sIn < 4L * (sOut + ow.toLong * oh), s"media $id mass down")
+    }
+    // deterministic: a second run produces identical fingerprints
+    val again = Multimodal.mm10ImageResize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(7))).toMap
+    rows.foreach { case (id, _, _, _, _, _, _, hsh) => assert(again(id) === hsh) }
+  }
+
+  test("q76 gini equals the brute sorted formula and sits in [0, 1)") {
+    val spendMap = {
+      val o = graft.Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      graft.Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), expr("cast(floor(l_extendedprice * 100) as bigint)"))
+        .collect().map(r => (o(r.getLong(0)), r.getLong(1)))
+        .groupBy(_._1).map { case (c, v) => (c, v.map(_._2).sum) }
+    }
+    val all = graft.Tables(spark, dir, "customer").select(col("c_custkey"))
+      .collect().map(_.getLong(0))
+      .map(c => (c, spendMap.getOrElse(c, 0L)))
+    val sorted = all.sortBy(x => (x._2, x._1)).map(_._2)
+    val n = sorted.length.toLong
+    val s0 = sorted.sum
+    val sxi = sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val (num, den) = (2 * sxi - (n + 1) * s0, n * s0)
+    val r = Relational.q76Gini(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === ((n, s0, num, den)))
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0)
+  }
+
   test("mv10 synopsis serves through deletions and rescans a forced hole") {
     import spark.implicits._
     val path = Files.createTempDirectory("mv10-spec").toFile
