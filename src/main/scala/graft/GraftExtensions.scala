@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BloomMightContain, DotProductLong, IntersectSize, LshBucket, MinHashSigs, NGramHashes, ZOrder2}
+import graft.functions.{BitmapAgg, BitmapAndCardinality, BitmapCardinality, BloomMightContain, DotProductLong, IntersectSize, LshBucket, MinHashSigs, NGramHashes, ZOrder2}
 import graft.plans.{RewriteBoundedLevenshtein, RewriteIntersectSize}
 
 /** Spark extension entry point: registers the engine's native Catalyst
@@ -58,6 +58,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         BloomMightContain(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bitmap_agg"),
+      new ExpressionInfo(classOf[BitmapAgg].getName, "bitmap_agg"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BitmapAgg(args.head).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("bitmap_cardinality"),
+      new ExpressionInfo(classOf[BitmapCardinality].getName, "bitmap_cardinality"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BitmapCardinality(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bitmap_and_cardinality"),
+      new ExpressionInfo(classOf[BitmapAndCardinality].getName, "bitmap_and_cardinality"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BitmapAndCardinality(args(0), args(1))))
     ext.injectOptimizerRule(_ => RewriteIntersectSize)
     ext.injectOptimizerRule(_ => RewriteBoundedLevenshtein)
   }

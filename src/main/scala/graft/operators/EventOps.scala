@@ -1228,7 +1228,46 @@ object EventOps {
       | CAST(SUM(e0 - s0) AS BIGINT) AS covered_s
       |FROM agg GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q77: BITMAP AUDIENCE via the NATIVE bitmap_agg aggregate — q70's
+  // segment-overlap semantics served by one first-class
+  // TypedImperativeAggregate instead of hand-rolled 64-bit words: the
+  // fact table crosses the wire ONCE as partial bitmaps (map-side
+  // OR-merge, the groupBitmap shape), the per-type audience and every
+  // pairwise overlap then read the |types|-row bitmap table only —
+  // bytewise popcount, no re-scan, no per-pair shuffle. The tiny
+  // all-pairs join over |types| rows is deliberate (dimension-sized).
+  // Oracle: plain COUNT DISTINCT algebra — bitmap and set must agree.
+  // ---------------------------------------------------------------------
+  def q77BitmapAudience(s: SparkSession, dir: String): DataFrame = {
+    val bm = Tables(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(expr("bitmap_agg(user_id)").as("bm"))
+      .localCheckpoint() // |types| rows; feeds cards and both join sides
+    val cards = bm.select(col("event_type"),
+      expr("bitmap_cardinality(bm)").as("n_users"))
+    bm.as("a").join(bm.as("b"), col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        expr("bitmap_and_cardinality(a.bm, b.bm)").as("n_common"))
+      .filter(col("n_common") > 0)
+      .join(cards.select(col("event_type").as("type_a"), col("n_users").as("n_a")), Seq("type_a"))
+      .join(cards.select(col("event_type").as("type_b"), col("n_users").as("n_b")), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_common"), col("n_a"), col("n_b"))
+  }
+
+  val q77Oracle: String =
+    """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+      |c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users FROM u GROUP BY 1)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      | CAST(COUNT(*) AS BIGINT) AS n_common,
+      | MAX(ca.n_users) AS n_a, MAX(cb.n_users) AS n_b
+      |FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      | JOIN c ca ON ca.event_type = a.event_type
+      | JOIN c cb ON cb.event_type = b.event_type
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q77_bitmap_audience" -> (q77BitmapAudience _),
     "q73_interval_merge" -> (q73IntervalMerge _),
     "q72_period_over_period" -> (q72PeriodOverPeriod _),
     "q70_audience_overlap" -> (q70AudienceOverlap _),
@@ -1261,6 +1300,7 @@ object EventOps {
     "q34_range_frame" -> (q34RangeFrame _))
 
   val oracles: Map[String, String] = Map(
+    "q77_bitmap_audience" -> q77Oracle,
     "q73_interval_merge" -> q73Oracle,
     "q72_period_over_period" -> q72Oracle,
     "q70_audience_overlap" -> q70Oracle,
