@@ -2450,7 +2450,76 @@ object Dedup {
        |GROUP BY 1 HAVING SUM(st.sigma * c.c) > 0""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // cc24: DEGREE ASSORTATIVITY (Newman, PRL 2002) of the co-purchase
+  // graph — the Pearson correlation of endpoint degrees over edges:
+  // positive = hubs buy with hubs (social-network shape), negative =
+  // hubs pair with leaves (technological/star shape); the one-number
+  // summary of a graph's wiring style. All five power sums are exact
+  // BIGINTs over the symmetrized edge list; the final
+  // r = (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²)) is served as
+  // the integer numerator and radicand pair plus ONE double expression —
+  // IEEE sqrt is correctly rounded, so both engines produce the same
+  // bits. By x↔y symmetry of the symmetrized list the two radicands are
+  // equal; both are still served (the spec checks the symmetry).
+  // ---------------------------------------------------------------------
+  def cc24Assortativity(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val e0 = l.as("x").join(l.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    val e = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val deg = e.groupBy(col("a").as("n0")).agg(count(lit(1)).as("d"))
+    val xy = e
+      .join(broadcast(deg.select(col("n0").as("a"), col("d").as("dx"))), Seq("a"))
+      .join(broadcast(deg.select(col("n0").as("b"), col("d").as("dy"))), Seq("b"))
+    xy.agg(count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      // m·Σd² approaches 2^63 on hub-heavy graphs — fail loudly, don't wrap
+      .withColumn("__ok",
+        when(greatest(col("sxy"), col("sxx"), col("syy")) <
+          lit(Long.MaxValue) / col("m"), lit(true))
+          .otherwise(raise_error(lit(
+            "cc24: m * power sums would overflow BIGINT — rescale degrees"))))
+      .select(col("m"),
+        (col("m") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("m") * col("sxx") - col("sx") * col("sx")).as("rad_x"),
+        (col("m") * col("syy") - col("sy") * col("sy")).as("rad_y"))
+      .withColumn("r", col("num").cast("double") /
+        sqrt(col("rad_x").cast("double") * col("rad_y").cast("double")))
+  }
+
+  val cc24Oracle: String =
+    """WITH e0 AS (
+      | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      | FROM lineitem x JOIN lineitem y
+      |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+      |deg AS (SELECT a AS n0, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+      |xy AS (
+      | SELECT dx.d AS dx, dy.d AS dy
+      | FROM e JOIN deg dx ON dx.n0 = e.a JOIN deg dy ON dy.n0 = e.b),
+      |p AS (
+      | SELECT CAST(COUNT(*) AS BIGINT) AS m,
+      |  CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+      |  CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+      |  CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+      |  CAST(SUM(dy * dy) AS BIGINT) AS syy
+      | FROM xy)
+      |SELECT m, m * sxy - sx * sy AS num,
+      | m * sxx - sx * sx AS rad_x, m * syy - sy * sy AS rad_y,
+      | CAST(m * sxy - sx * sy AS DOUBLE) /
+      |  sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - sy * sy AS DOUBLE)) AS r
+      |FROM p""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "cc24_assortativity" -> (cc24Assortativity _),
     "cc23_stress_centrality" -> (cc23StressCentrality _),
     "cc22_hits" -> (cc22Hits _),
     "dd26_winnowing" -> (dd26Winnowing _),
@@ -2498,6 +2567,7 @@ object Dedup {
     "dd08_emb_neardup_lsh" -> (dd08EmbNeardupLsh _))
 
   val oracles: Map[String, String] = Map(
+    "cc24_assortativity" -> cc24Oracle,
     "cc23_stress_centrality" -> cc23Oracle,
     "cc22_hits" -> cc22Oracle,
     "dd26_winnowing" -> dd26Oracle,

@@ -1972,7 +1972,54 @@ object Relational {
       | CAST(2 * sxi - (n + 1) * s AS DOUBLE) / (n * s) AS gini
       |FROM a""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q78: BENFORD first-digit audit — the forensic-accounting screen
+  // (Nigrini's fraud test): natural multi-scale amounts follow
+  // P(d) = log10(1 + 1/d); fabricated ones usually don't. Expected
+  // frequencies enter as INTEGER PER-MILLE CONSTANTS (301, 176, …) —
+  // never runtime logarithms two libms might disagree on — and the
+  // deviation per digit is the exact integer 1000·observed − expected·n
+  // (positive = digit over-represented), with one double division for
+  // the readable share. One pass over order totals; leading digit via
+  // string head of the integer cents (cents ≥ 1 ⇒ no leading zero).
+  // ---------------------------------------------------------------------
+  private val benfordPerMille: Seq[(Int, Long)] =
+    Seq(1 -> 301L, 2 -> 176L, 3 -> 125L, 4 -> 97L, 5 -> 79L,
+      6 -> 67L, 7 -> 58L, 8 -> 51L, 9 -> 46L)
+
+  def q78Benford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exp = benfordPerMille.toDF("digit", "expected_pm")
+    val digits = Tables(s, dir, "orders")
+      .select(expr("cast(floor(o_totalprice * 100) as bigint)").as("cents"))
+      .filter(col("cents") >= 1)
+      .select(expr("cast(substring(cast(cents as string), 1, 1) as int)").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("obs"))
+    val n = digits.agg(sum(col("obs")).as("n"))
+    digits.join(broadcast(exp), Seq("digit"))
+      .crossJoin(broadcast(n))
+      .select(col("digit"), col("obs"), col("n"), col("expected_pm"),
+        (lit(1000L) * col("obs") - col("expected_pm") * col("n")).as("dev_x1k"))
+      .withColumn("obs_share", col("obs").cast("double") / col("n"))
+  }
+
+  val q78Oracle: String = {
+    val values = benfordPerMille.map { case (d, p) => s"($d, $p)" }.mkString(", ")
+    s"""WITH exp(digit, expected_pm) AS (VALUES $values),
+       |d AS (
+       | SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+       | FROM (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+       |   FROM orders) t WHERE cents >= 1),
+       |o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS obs FROM d GROUP BY 1),
+       |n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o)
+       |SELECT o.digit, o.obs, n.n, CAST(e.expected_pm AS BIGINT) AS expected_pm,
+       | 1000 * o.obs - e.expected_pm * n.n AS dev_x1k,
+       | CAST(o.obs AS DOUBLE) / n.n AS obs_share
+       |FROM o JOIN exp e ON e.digit = o.digit CROSS JOIN n""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q78_benford" -> (q78Benford _),
     "q76_gini" -> (q76Gini _),
     "q75_share_of_parent" -> (q75ShareOfParent _),
     "q74_assoc_rules" -> (q74AssocRules _),
@@ -2017,6 +2064,7 @@ object Relational {
     "q19_fk_repoint" -> (q19FkRepoint _))
 
   val oracles: Map[String, String] = Map(
+    "q78_benford" -> q78Oracle,
     "q76_gini" -> q76Oracle,
     "q75_share_of_parent" -> q75Oracle,
     "q74_assoc_rules" -> q74Oracle,

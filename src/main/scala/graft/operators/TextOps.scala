@@ -1372,7 +1372,48 @@ object TextOps {
       | substr(lo, 1, CAST(LEAST(lcp_len, 64) AS INT)) AS prefix64
       |FROM p""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // tx29: LANGUAGE DIVERSITY per source — the Gini-Simpson index
+  // 1 − Σ(n_l/n)², the EXACT-RATIONAL diversity metric (Shannon entropy
+  // needs logs two engines' libm won't reproduce bit-for-bit; Simpson's
+  // probability-of-different-languages form is pure integer algebra):
+  // served as num = n² − Σn_l², den = n², plus the inverse-Simpson
+  // "effective language count" n²/Σn_l² as a second rational — the
+  // ecology-standard pair a corpus-mixture monitor tracks per source.
+  // One dictionary-sized (source, lang) count pass.
+  // ---------------------------------------------------------------------
+  def tx29Diversity(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "documents")
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("nl"))
+    c.groupBy(col("source"))
+      .agg(sum(col("nl")).as("n"), sum(col("nl") * col("nl")).as("s2"),
+        count(lit(1)).as("n_langs"))
+      .select(col("source"), col("n"), col("n_langs"),
+        (col("n") * col("n") - col("s2")).as("gs_num"),
+        (col("n") * col("n")).as("gs_den"))
+      .withColumn("gini_simpson",
+        col("gs_num").cast("double") / col("gs_den"))
+      .withColumn("effective_langs",
+        col("gs_den").cast("double") / (col("gs_den") - col("gs_num")))
+  }
+
+  val tx29Oracle: String =
+    """WITH c AS (
+      | SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS nl
+      | FROM documents GROUP BY 1, 2),
+      |a AS (
+      | SELECT source, CAST(SUM(nl) AS BIGINT) AS n,
+      |  CAST(SUM(nl * nl) AS BIGINT) AS s2,
+      |  CAST(COUNT(*) AS BIGINT) AS n_langs
+      | FROM c GROUP BY 1)
+      |SELECT source, n, n_langs,
+      | n * n - s2 AS gs_num, n * n AS gs_den,
+      | CAST(n * n - s2 AS DOUBLE) / (n * n) AS gini_simpson,
+      | CAST(n * n AS DOUBLE) / (n * n - (n * n - s2)) AS effective_langs
+      |FROM a""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tx29_diversity" -> (tx29Diversity _),
     "tx28_boilerplate_prefix" -> (tx28BoilerplatePrefix _),
     "tx27_edit1_pairs" -> (tx27Edit1Pairs _),
     "tx23_bm25" -> (tx23Bm25 _),
@@ -1405,6 +1446,7 @@ object TextOps {
     "tx17_langid_confusion" -> (tx17LangidConfusion _))
 
   val oracles: Map[String, String] = Map(
+    "tx29_diversity" -> tx29Oracle,
     "tx28_boilerplate_prefix" -> tx28Oracle,
     "tx27_edit1_pairs" -> tx27Oracle,
     "tx23_bm25" -> tx23Oracle,

@@ -798,6 +798,53 @@ class StintSeventeenSpec extends SparkSpec {
     assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0)
   }
 
+  test("cc24 assortativity equals the brute Pearson over endpoint degrees") {
+    val l = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val e0 = l.groupBy(_._1).values.flatMap { o =>
+      val ps = o.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSeq.distinct
+    val e = e0 ++ e0.map(p => (p._2, p._1))
+    val deg = e.groupBy(_._1).map { case (k, v) => (k, v.size.toLong) }
+    val xs = e.map(p => (deg(p._1), deg(p._2)))
+    val m = xs.length.toLong
+    val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+    val sxy = xs.map(p => p._1 * p._2).sum
+    val sxx = xs.map(p => p._1 * p._1).sum
+    val row = Dedup.cc24Assortativity(spark, dir).collect().head
+    assert(row.getLong(0) === m)
+    assert(row.getLong(1) === m * sxy - sx * sy)
+    assert(row.getLong(2) === m * sxx - sx * sx)
+    assert(row.getLong(2) === row.getLong(3)) // x↔y symmetry of the symmetrized list
+    assert(math.abs(row.getDouble(4)) <= 1.0)
+  }
+
+  test("tx29 Simpson rationals equal the brute per-source shares") {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("source"), col("lang")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = docs.groupBy(_._1).map { case (src, rows) =>
+      val n = rows.length.toLong
+      val s2 = rows.groupBy(_._2).values.map(v => v.length.toLong * v.length).sum
+      (src, (n, n * n - s2, n * n))
+    }
+    val got = TextOps.tx29Diversity(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === want)
+  }
+
+  test("q78 digit counts cover all orders and deviations sum to ~zero") {
+    val rows = Relational.q78Benford(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val n = rows.head._3
+    assert(rows.map(_._2).sum === n) // every order has a leading digit 1-9
+    // Σ dev = 1000·n − n·Σexpected_pm = 0 exactly (the per-milles sum to 1000)
+    assert(rows.map(_._5).sum === 0L)
+    assert(rows.map(_._1).sorted.toSeq === (1 to 9))
+  }
+
   test("mv10 synopsis serves through deletions and rescans a forced hole") {
     import spark.implicits._
     val path = Files.createTempDirectory("mv10-spec").toFile
