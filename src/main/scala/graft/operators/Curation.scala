@@ -2526,7 +2526,103 @@ object Curation {
        |   % 100 AS bucket) b""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // tp12: ERASURE-IMPACT audit (right-to-be-forgotten sweep) — before a
+  // deletion batch executes, governance needs the blast radius across
+  // every derived artifact: how many docs erase outright; which exact-
+  // dup clusters lose their CANONICAL KEEPER (dd01's min-id winner) and
+  // re-elect a survivor vs dissolve entirely; what each train/val/test
+  // split loses (ds01); and how many packed training sequences (ds03)
+  // contain an erased doc and must re-pack. One (metric, n, detail)
+  // row per impact class — the report a GDPR processor attaches to the
+  // deletion ticket. Every signal reuses the standing operator's own
+  // definition (and its oracle SQL), so the audit can't drift from the
+  // artifacts it predicts.
+  // ---------------------------------------------------------------------
+  def tp12GdprErasure(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val del = docs.filter(col("doc_id") % 83 === 7)
+      .select(col("doc_id")).localCheckpoint()
+    val erased = docs.join(del, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("detail"))
+      .select(lit("docs_erased").as("metric"), col("n"), col("detail"))
+    val clusters = docs
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(del.withColumn("is_del", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keeper"),
+        min(when(col("is_del").isNull, col("doc_id"))).as("new_keeper"),
+        count(lit(1)).as("members"),
+        sum(coalesce(col("is_del"), lit(0L))).as("n_del"))
+    // keeper erased ⟺ the surviving minimum differs from the old keeper
+    val reassigned = clusters
+      .filter(col("n_del") > 0 &&
+        col("new_keeper").isNotNull && col("new_keeper") =!= col("keeper"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("members") - col("n_del")), lit(0L)).as("detail"))
+      .select(lit("keepers_reassigned").as("metric"), col("n"), col("detail"))
+    val dissolved = clusters.filter(col("n_del") === col("members"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("members")), lit(0L)).as("detail"))
+      .select(lit("clusters_dissolved").as("metric"), col("n"), col("detail"))
+    val splits = ds01HashSplit(s, dir)
+      .join(del.withColumn("is_del", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("split"))
+      .agg(sum(coalesce(col("is_del"), lit(0L))).as("n"),
+        sum(when(col("is_del").isNull, 1L).otherwise(0L)).as("detail"))
+      .select(concat(lit("split_"), col("split")).as("metric"), col("n"), col("detail"))
+    val packs = ds03SequencePack(s, dir)
+      .join(del.withColumn("is_del", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("seq_id"))
+      .agg(sum(coalesce(col("is_del"), lit(0L))).as("nd"), count(lit(1)).as("m"))
+      .filter(col("nd") > 0)
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("m")), lit(0L)).as("detail"))
+      .select(lit("pack_sequences_touched").as("metric"), col("n"), col("detail"))
+    erased.unionByName(reassigned).unionByName(dissolved)
+      .unionByName(splits).unionByName(packs)
+  }
+
+  val tp12Oracle: String =
+    s"""WITH del AS (SELECT doc_id FROM documents WHERE doc_id % 83 = 7),
+       |cl AS (
+       | SELECT md5(text) AS h, MIN(d.doc_id) AS keeper,
+       |  MIN(CASE WHEN del.doc_id IS NULL THEN d.doc_id END) AS new_keeper,
+       |  CAST(COUNT(*) AS BIGINT) AS members,
+       |  CAST(SUM(CASE WHEN del.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_del
+       | FROM documents d LEFT JOIN del ON del.doc_id = d.doc_id
+       | GROUP BY md5(text)),
+       |sp AS (SELECT doc_id, split FROM ($ds01Oracle) s),
+       |pk AS (SELECT doc_id, seq_id FROM ($ds03Oracle) p)
+       |SELECT 'docs_erased' AS metric, CAST(COUNT(*) AS BIGINT) AS n,
+       | CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS detail
+       |FROM documents JOIN del USING (doc_id)
+       |UNION ALL
+       |SELECT 'keepers_reassigned', CAST(COUNT(*) AS BIGINT),
+       | CAST(COALESCE(SUM(members - n_del), 0) AS BIGINT)
+       |FROM cl WHERE n_del > 0 AND new_keeper IS NOT NULL AND new_keeper != keeper
+       |UNION ALL
+       |SELECT 'clusters_dissolved', CAST(COUNT(*) AS BIGINT),
+       | CAST(COALESCE(SUM(members), 0) AS BIGINT)
+       |FROM cl WHERE n_del = members
+       |UNION ALL
+       |SELECT 'split_' || sp.split,
+       | CAST(SUM(CASE WHEN del.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT),
+       | CAST(SUM(CASE WHEN del.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |FROM sp LEFT JOIN del ON del.doc_id = sp.doc_id GROUP BY sp.split
+       |UNION ALL
+       |SELECT 'pack_sequences_touched', CAST(COUNT(*) AS BIGINT),
+       | CAST(COALESCE(SUM(m), 0) AS BIGINT)
+       |FROM (
+       | SELECT pk.seq_id,
+       |  SUM(CASE WHEN del.doc_id IS NULL THEN 0 ELSE 1 END) AS nd,
+       |  CAST(COUNT(*) AS BIGINT) AS m
+       | FROM pk LEFT JOIN del ON del.doc_id = pk.doc_id
+       | GROUP BY pk.seq_id) t
+       |WHERE nd > 0""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tp12_gdpr_erasure" -> (tp12GdprErasure _),
     "ds27_cluster_split" -> (ds27ClusterSplit _),
     "ds26_quota_sample" -> (ds26QuotaSample _),
     "tp11_doc_provenance" -> (tp11DocProvenance _),
@@ -2577,6 +2673,7 @@ object Curation {
     "tp07_ingest_cycle" -> (tp07IngestCycle _))
 
   val oracles: Map[String, String] = Map(
+    "tp12_gdpr_erasure" -> tp12Oracle,
     "ds27_cluster_split" -> ds27Oracle,
     "ds26_quota_sample" -> ds26Oracle,
     "tp11_doc_provenance" -> tp11Oracle,

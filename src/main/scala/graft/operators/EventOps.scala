@@ -1266,7 +1266,68 @@ object EventOps {
       | JOIN c cb ON cb.event_type = b.event_type
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q79: A/B-TEST two-proportion z-score — the experiment-readout
+  // primitive: users split by id parity (the deterministic assignment an
+  // experiment platform hashes), conversion = "heavy buyer" (purchases ≥ the corpus median), and the
+  // pooled z statistic. Integer core: per arm, users n and converters c
+  // (distinct-user flags, map-side combinable); the z numerator
+  // c1·n2 − c2·n1 and every pooled term stay BIGINT; z itself is ONE
+  // double expression — subtraction, multiplication, division and an
+  // IEEE sqrt, all correctly rounded, so both engines agree bitwise:
+  //   z = (c1·n2 − c2·n1) / sqrt( c·(n−c)·n1·n2 / n )   over n = n1+n2,
+  // algebraically (p1−p2)/√(p̂(1−p̂)(1/n1+1/n2)) with p̂ = c/n.
+  // ---------------------------------------------------------------------
+  def q79AbTest(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      // conversion = a heavy buyer (≥ 14 purchases — the corpus median
+      // splits ~46/54, so neither arm is degenerate)
+      .select(col("user_id"), when(col("np") >= 14, 1L).otherwise(0L).as("conv"))
+      .withColumn("arm", when(col("user_id") % 2 === 0, "A").otherwise("B"))
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n").as("n1"), col("c").as("c1"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n").as("n2"), col("c").as("c2"))
+    a.crossJoin(b)
+      .select(col("n1"), col("c1"), col("n2"), col("c2"),
+        (col("c1") * col("n2") - col("c2") * col("n1")).as("num"))
+      .withColumn("z",
+        when(col("c1") + col("c2") === 0 ||
+          col("c1") + col("c2") === col("n1") + col("n2"),
+          lit(null).cast("double"))
+          .otherwise(col("num").cast("double") /
+            sqrt((col("c1") + col("c2")).cast("double") *
+              (col("n1") + col("n2") - col("c1") - col("c2")).cast("double") *
+              col("n1").cast("double") * col("n2").cast("double") /
+              (col("n1") + col("n2")).cast("double"))))
+  }
+
+  val q79Oracle: String =
+    """WITH u AS (
+      | SELECT user_id,
+      |  CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+      |   THEN 1 ELSE 0 END AS conv,
+      |  CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      | FROM events GROUP BY user_id),
+      |arms AS (
+      | SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS c
+      | FROM u GROUP BY 1),
+      |a AS (SELECT n AS n1, c AS c1 FROM arms WHERE arm = 'A'),
+      |b AS (SELECT n AS n2, c AS c2 FROM arms WHERE arm = 'B')
+      |SELECT n1, c1, n2, c2, c1 * n2 - c2 * n1 AS num,
+      | CASE WHEN c1 + c2 = 0 OR c1 + c2 = n1 + n2 THEN NULL
+      |  ELSE CAST(c1 * n2 - c2 * n1 AS DOUBLE) /
+      |   sqrt(CAST(c1 + c2 AS DOUBLE) * CAST(n1 + n2 - c1 - c2 AS DOUBLE) *
+      |    CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+      | END AS z
+      |FROM a CROSS JOIN b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q79_ab_test" -> (q79AbTest _),
     "q77_bitmap_audience" -> (q77BitmapAudience _),
     "q73_interval_merge" -> (q73IntervalMerge _),
     "q72_period_over_period" -> (q72PeriodOverPeriod _),
@@ -1300,6 +1361,7 @@ object EventOps {
     "q34_range_frame" -> (q34RangeFrame _))
 
   val oracles: Map[String, String] = Map(
+    "q79_ab_test" -> q79Oracle,
     "q77_bitmap_audience" -> q77Oracle,
     "q73_interval_merge" -> q73Oracle,
     "q72_period_over_period" -> q72Oracle,

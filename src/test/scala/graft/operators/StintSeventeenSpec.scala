@@ -845,6 +845,54 @@ class StintSeventeenSpec extends SparkSpec {
     assert(rows.map(_._1).sorted.toSeq === (1 to 9))
   }
 
+  test("q79 z-score equals the brute two-proportion formula") {
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val conv = ev.groupBy(_._1).map { case (u, rows) =>
+      (u, if (rows.count(_._2 == "purchase") >= 14) 1L else 0L) }
+    val (aU, bU) = conv.partition(_._1 % 2 == 0)
+    val (n1, c1) = (aU.size.toLong, aU.values.sum)
+    val (n2, c2) = (bU.size.toLong, bU.values.sum)
+    val row = EventOps.q79AbTest(spark, dir).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ===
+      ((n1, c1, n2, c2)))
+    assert(row.getLong(4) === c1 * n2 - c2 * n1)
+    val z = (c1 * n2 - c2 * n1).toDouble /
+      math.sqrt((c1 + c2).toDouble * (n1 + n2 - c1 - c2).toDouble *
+        n1.toDouble * n2.toDouble / (n1 + n2).toDouble)
+    assert(row.getDouble(5) === z)
+  }
+
+  test("tp12 erasure impacts are honest against independent recomputes") {
+    val rows = Curation.tp12GdprErasure(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val del = docs.map(_._1).filter(_ % 83 == 7).toSet
+    assert(rows("docs_erased") ===
+      ((del.size.toLong, docs.filter(d => del(d._1)).map(_._3).sum)))
+    // keeper reassignment / dissolution from an independent md5 clustering
+    val byHash = docs.groupBy(d => java.security.MessageDigest.getInstance("MD5")
+      .digest(d._2.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    val reassigned = byHash.values.filter { m =>
+      val ids = m.map(_._1)
+      val surv = ids.filterNot(del)
+      surv.nonEmpty && del(ids.min) }
+    assert(rows("keepers_reassigned")._1 === reassigned.size.toLong)
+    val dissolved = byHash.values.filter(m => m.forall(d => del(d._1)))
+    assert(rows("clusters_dissolved")._1 === dissolved.size.toLong)
+    // split rows cover every split and lost+kept = split size
+    val split = Curation.ds01HashSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    split.groupBy(_._2).foreach { case (sp, members) =>
+      val (lost, kept) = rows(s"split_$sp")
+      assert(lost === members.count(m => del(m._1)).toLong, s"split $sp lost")
+      assert(lost + kept === members.length.toLong, s"split $sp total")
+    }
+  }
+
   test("mv10 synopsis serves through deletions and rescans a forced hole") {
     import spark.implicits._
     val path = Files.createTempDirectory("mv10-spec").toFile
