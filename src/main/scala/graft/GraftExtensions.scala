@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import graft.functions.{BitmapAgg, BitmapAndCardinality, BitmapCardinality, BloomMightContain, DotProductLong, IntersectSize, LshBucket, MinHashSigs, NGramHashes, ZOrder2}
-import graft.plans.{RewriteBoundedLevenshtein, RewriteIntersectSize}
+import graft.plans.{RewriteBoundedLevenshtein, RewriteIntersectSize, RewriteRangeJoin}
 
 /** Spark extension entry point: registers the engine's native Catalyst
   * expressions so ANY session — including spark-sql / thrift users — can call
@@ -75,5 +75,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BitmapAndCardinality(args(0), args(1))))
     ext.injectOptimizerRule(_ => RewriteIntersectSize)
     ext.injectOptimizerRule(_ => RewriteBoundedLevenshtein)
+    ext.injectOptimizerRule(_ => RewriteRangeJoin)
   }
 }
