@@ -2518,7 +2518,67 @@ object Dedup {
       |  sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - sy * sy AS DOUBLE)) AS r
       |FROM p""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // cc25: RICH-CLUB coefficient (Zhou & Mondragón 2004) — φ(k) =
+  // 2·E_k / (N_k·(N_k−1)): how densely the nodes of degree > k connect
+  // AMONG THEMSELVES, at the four thresholds a topology report plots.
+  // cc24's assortativity is the one-number trend; the rich-club curve
+  // localizes WHERE the hubs clique up. One degree aggregate, one
+  // broadcast membership screen per threshold over the same edge list,
+  // exact (2·E_k, N_k·(N_k−1)) rational + one double.
+  // ---------------------------------------------------------------------
+  def cc25RichClub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val e0 = l.as("x").join(l.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct().localCheckpoint()
+    val deg = e0.select(col("a").as("n0")).unionAll(e0.select(col("b").as("n0")))
+      .groupBy(col("n0")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    val ks = Seq(64L, 128L, 192L, 256L).toDF("k")
+    val nk = ks.crossJoin(deg).filter(col("d") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_k"))
+    val ek = ks.crossJoin(e0)
+      .join(deg.select(col("n0").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n0").as("b"), col("d").as("db")), Seq("b"))
+      .filter(col("da") > col("k") && col("db") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("e_k"))
+    nk.join(ek, Seq("k"), "left")
+      .select(col("k"), col("n_k"), coalesce(col("e_k"), lit(0L)).as("e_k"))
+      .withColumn("phi",
+        when(col("n_k") < 2, lit(null).cast("double"))
+          .otherwise((lit(2L) * col("e_k")).cast("double") /
+            (col("n_k") * (col("n_k") - 1L))))
+  }
+
+  val cc25Oracle: String =
+    """WITH e0 AS (
+      | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      | FROM lineitem x JOIN lineitem y
+      |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |deg AS (
+      | SELECT n0, CAST(COUNT(*) AS BIGINT) AS d FROM (
+      |  SELECT a AS n0 FROM e0 UNION ALL SELECT b FROM e0) u GROUP BY 1),
+      |ks(k) AS (VALUES (64), (128), (192), (256)),
+      |nk AS (
+      | SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_k
+      | FROM ks JOIN deg ON deg.d > ks.k GROUP BY 1),
+      |ek AS (
+      | SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS e_k
+      | FROM ks JOIN e0 ON true
+      |  JOIN deg da ON da.n0 = e0.a JOIN deg db ON db.n0 = e0.b
+      | WHERE da.d > ks.k AND db.d > ks.k GROUP BY 1)
+      |SELECT CAST(nk.k AS BIGINT) AS k, nk.n_k, COALESCE(ek.e_k, 0) AS e_k,
+      | CASE WHEN nk.n_k < 2 THEN NULL
+      |  ELSE CAST(2 * COALESCE(ek.e_k, 0) AS DOUBLE) / (nk.n_k * (nk.n_k - 1))
+      | END AS phi
+      |FROM nk LEFT JOIN ek ON ek.k = nk.k""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "cc25_rich_club" -> (cc25RichClub _),
     "cc24_assortativity" -> (cc24Assortativity _),
     "cc23_stress_centrality" -> (cc23StressCentrality _),
     "cc22_hits" -> (cc22Hits _),
@@ -2567,6 +2627,7 @@ object Dedup {
     "dd08_emb_neardup_lsh" -> (dd08EmbNeardupLsh _))
 
   val oracles: Map[String, String] = Map(
+    "cc25_rich_club" -> cc25Oracle,
     "cc24_assortativity" -> cc24Oracle,
     "cc23_stress_centrality" -> cc23Oracle,
     "cc22_hits" -> cc22Oracle,

@@ -768,7 +768,53 @@ object Multimodal {
   def mm10ImageResize(s: SparkSession, dir: String): DataFrame =
     resizeImages(mediaFromDocuments(s, dir)).toDF()
 
+  final case class ResampledAudio(media_id: Long, n_in: Int, n_out: Int,
+      rms_in: Long, rms_out: Long, out_hash: Long)
+
+  /** REAL 2× audio decimation — the sample-rate-conversion verb (8 kHz →
+    * 4 kHz before feature extraction): each output sample is the
+    * truncating mean of a consecutive input pair (the box anti-alias
+    * filter; an odd tail sample passes through). Integer end to end —
+    * bit-deterministic, golden-hashable; the decimated RMS tracks the
+    * input RMS (averaging only removes energy, never adds — the spec
+    * pins rms_out ≤ rms_in + 1 for these fixtures' near-white noise).
+    * Same narrow decode-map shape as every codec stage. */
+  def resampleAudio(media: Dataset[MediaRow]): Dataset[ResampledAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter((m: MediaRow) => m.kind == "audio").map { m =>
+      val s = decodeAudio(m.bytes)
+      val nOut = (s.length + 1) / 2
+      val out = new Array[Short](nOut)
+      var i = 0
+      while (i < nOut) {
+        val a = s(2 * i).toInt
+        val b = if (2 * i + 1 < s.length) s(2 * i + 1).toInt else a
+        out(i) = ((a + b) / 2).toShort
+        i += 1
+      }
+      def rms(x: Array[Short]): Long = {
+        var acc = 0L
+        var j = 0
+        while (j < x.length) { acc += x(j).toLong * x(j); j += 1 }
+        if (x.length == 0) 0L else math.sqrt(acc.toDouble / x.length).toLong
+      }
+      var hash = 0xcbf29ce484222325L
+      var j = 0
+      while (j < out.length) {
+        hash ^= out(j) & 0xffffL
+        hash *= 0x100000001b3L
+        j += 1
+      }
+      ResampledAudio(m.media_id, s.length, nOut, rms(s), rms(out), hash)
+    }
+  }
+
+  def mm11AudioDecimate(s: SparkSession, dir: String): DataFrame =
+    resampleAudio(mediaFromDocuments(s, dir)).toDF()
+
   val queries: Map[String, Q] = Map(
+    "mm11_audio_decimate" -> (mm11AudioDecimate _),
     "mm10_image_resize" -> (mm10ImageResize _),
     "mm09_transcript_align" -> (mm09TranscriptAlign _),
     "mm08_video_neardup" -> (mm08VideoNeardup _),

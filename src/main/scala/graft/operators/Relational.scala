@@ -2018,7 +2018,66 @@ object Relational {
        |FROM o JOIN exp e ON e.digit = o.digit CROSS JOIN n""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q80: PARETO / LORENZ points — "what share of revenue do the top 1%,
+  // 5%, 10%, 20% of customers carry": the concentration curve behind
+  // q76's single-number Gini, served at the four fixed percentiles a
+  // dashboard plots. Same ranked-spend scan as q76 (descending this
+  // time); the top-k cutoff is the integer ⌈p·n⌉ and each share is an
+  // exact (cents, total) pair + one double. Zero-spend customers count
+  // in n — excluding them would flatter the concentration.
+  // ---------------------------------------------------------------------
+  def q80Pareto(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spend = Tables(s, dir, "customer").select(col("c_custkey"))
+      .join(
+        Tables(s, dir, "lineitem")
+          .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(expr("cast(floor(l_extendedprice * 100) as bigint)")).as("cents")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), coalesce(col("cents"), lit(0L)).as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("c_custkey"))
+    val ranked = spend
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint() // four percentile probes + the totals read it
+    val tot = ranked.agg(max(col("i")).as("n"), sum(col("cents")).as("total"))
+    val pcts = Seq(10L, 50L, 100L, 200L).toDF("pct_x1k") // 1%, 5%, 10%, 20%
+    pcts.crossJoin(broadcast(tot))
+      .withColumn("k", expr("(n * pct_x1k + 999) div 1000"))
+      .join(ranked.select(col("i").as("k"), col("cum")), Seq("k"))
+      .select(col("pct_x1k"), col("k"), col("n"), col("cum").as("top_cents"),
+        col("total"))
+      .withColumn("share", col("top_cents").cast("double") / col("total"))
+  }
+
+  val q80Oracle: String =
+    """WITH spend AS (
+      | SELECT c.c_custkey, COALESCE(t.cents, 0) AS cents
+      | FROM customer c LEFT JOIN (
+      |  SELECT o.o_custkey,
+      |   CAST(SUM(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1) t ON t.o_custkey = c.c_custkey),
+      |r AS (
+      | SELECT cents,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, c_custkey) AS BIGINT) AS i,
+      |  CAST(SUM(cents) OVER (ORDER BY cents DESC, c_custkey
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      | FROM spend),
+      |tot AS (SELECT MAX(i) AS n, CAST(SUM(cents) AS BIGINT) AS total FROM r),
+      |p(pct_x1k) AS (VALUES (10), (50), (100), (200))
+      |SELECT CAST(p.pct_x1k AS BIGINT) AS pct_x1k,
+      | (tot.n * p.pct_x1k + 999) // 1000 AS k, tot.n, r.cum AS top_cents,
+      | tot.total,
+      | CAST(r.cum AS DOUBLE) / tot.total AS share
+      |FROM p CROSS JOIN tot
+      | JOIN r ON r.i = (tot.n * p.pct_x1k + 999) // 1000""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q80_pareto" -> (q80Pareto _),
     "q78_benford" -> (q78Benford _),
     "q76_gini" -> (q76Gini _),
     "q75_share_of_parent" -> (q75ShareOfParent _),
@@ -2064,6 +2123,7 @@ object Relational {
     "q19_fk_repoint" -> (q19FkRepoint _))
 
   val oracles: Map[String, String] = Map(
+    "q80_pareto" -> q80Oracle,
     "q78_benford" -> q78Oracle,
     "q76_gini" -> q76Oracle,
     "q75_share_of_parent" -> q75Oracle,

@@ -893,6 +893,70 @@ class StintSeventeenSpec extends SparkSpec {
     }
   }
 
+  test("q80 Lorenz points equal the brute descending cumulative shares") {
+    val spendMap = {
+      val o = graft.Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      graft.Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), expr("cast(floor(l_extendedprice * 100) as bigint)"))
+        .collect().map(r => (o(r.getLong(0)), r.getLong(1)))
+        .groupBy(_._1).map { case (c, v) => (c, v.map(_._2).sum) }
+    }
+    val all = graft.Tables(spark, dir, "customer").select(col("c_custkey"))
+      .collect().map(_.getLong(0)).map(c => (c, spendMap.getOrElse(c, 0L)))
+    val sorted = all.sortBy(x => (-x._2, x._1)).map(_._2)
+    val n = sorted.length.toLong
+    val total = sorted.sum
+    val want = Seq(10L, 50L, 100L, 200L).map { p =>
+      val k = (n * p + 999) / 1000
+      (p, (k, sorted.take(k.toInt).sum, total))
+    }.toMap
+    val got = Relational.q80Pareto(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === want)
+    // monotone: a bigger slice never carries less
+    val shares = Seq(10L, 50L, 100L, 200L).map(p => got(p)._2)
+    assert(shares === shares.sorted)
+  }
+
+  test("cc25 rich-club densities equal the brute club subgraphs") {
+    val l = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val e0 = l.groupBy(_._1).values.flatMap { o =>
+      val ps = o.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSeq.distinct
+    val deg = (e0.map(_._1) ++ e0.map(_._2))
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val want = Seq(64L, 128L, 192L, 256L).flatMap { k =>
+      val club = deg.filter(_._2 > k).keySet
+      if (club.isEmpty) None
+      else Some((k, (club.size.toLong,
+        e0.count(e => club(e._1) && club(e._2)).toLong)))
+    }.toMap
+    val got = Dedup.cc25RichClub(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("mm11 decimation halves the stream, keeps RMS, and is golden-stable") {
+    val rows = Multimodal.mm11AudioDecimate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nIn, nOut, rin, rout, _) =>
+      assert(nOut === (nIn + 1) / 2, s"media $id")
+      // pair-averaging cannot create energy; near-white fixtures keep most
+      assert(rout <= rin + 1, s"media $id rms")
+    }
+    val again = Multimodal.mm11AudioDecimate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(5))).toMap
+    rows.foreach { case (id, _, _, _, _, h) => assert(again(id) === h) }
+  }
+
   test("mv10 synopsis serves through deletions and rescans a forced hole") {
     import spark.implicits._
     val path = Files.createTempDirectory("mv10-spec").toFile
