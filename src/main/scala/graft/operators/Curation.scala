@@ -2284,8 +2284,9 @@ object Curation {
   //
   // Exactness: the contribution is served as the scaled integer
   // 1000·(O·N−R·C)² div (R·C·N) — algebraically 1000·N·(O−E)²/E — so no
-  // engine floats anywhere; a |O·N−R·C| ≥ 3·10⁹ corpus (overflowing the
-  // ×1000 scale at ~2⁶³) fails loudly rather than wrapping.
+  // engine floats anywhere; |O·N−R·C| ≥ 9.5·10⁷ would overflow 1000·d²
+  // past 2⁶³ (√(2⁶³/1000) ≈ 9.6·10⁷), so it fails loudly rather than
+  // wrapping.
   //
   // Scale shape: three map-side-combined count passes + dictionary-sized
   // broadcast joins; nothing corpus-sized shuffles twice.
@@ -2303,10 +2304,10 @@ object Curation {
     val guard = cells.agg(max(abs(col("d"))).as("__maxd"))
     cells.crossJoin(broadcast(guard))
       .withColumn("contrib_x1k",
-        when(col("__maxd") < 3000000000L,
+        when(col("__maxd") < 95000000L,
           expr("(1000 * d * d) div (r * c * n)"))
           .otherwise(raise_error(lit(
-            "q69: |O*N - R*C| >= 3e9 overflows the x1000 chi-square scale"))))
+            "q69: |O*N - R*C| >= 9.5e7 overflows the x1000 chi-square scale"))))
       .select(col("lang"), col("source"), col("o"), col("r"), col("c"),
         col("n"), col("d"), col("contrib_x1k"))
   }

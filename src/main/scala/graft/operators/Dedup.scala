@@ -2481,14 +2481,16 @@ object Dedup {
         sum(col("dx") * col("dy")).as("sxy"),
         sum(col("dx") * col("dx")).as("sxx"),
         sum(col("dy") * col("dy")).as("syy"))
-      // m·Σd² approaches 2^63 on hub-heavy graphs — fail loudly, don't wrap
-      .withColumn("__ok",
-        when(greatest(col("sxy"), col("sxx"), col("syy")) <
-          lit(Long.MaxValue) / col("m"), lit(true))
-          .otherwise(raise_error(lit(
-            "cc24: m * power sums would overflow BIGINT — rescale degrees"))))
+      // m·Σd² approaches 2^63 on hub-heavy graphs — fail loudly, don't
+      // wrap. The guard lives INSIDE the served num column: a standalone
+      // boolean column would be pruned away unevaluated by the optimizer.
       .select(col("m"),
-        (col("m") * col("sxy") - col("sx") * col("sy")).as("num"),
+        when(greatest(col("sxy"), col("sxx"), col("syy")) <
+            lit(Long.MaxValue) / col("m"),
+          col("m") * col("sxy") - col("sx") * col("sy"))
+          .otherwise(raise_error(lit(
+            "cc24: m * power sums would overflow BIGINT — rescale degrees")))
+          .as("num"),
         (col("m") * col("sxx") - col("sx") * col("sx")).as("rad_x"),
         (col("m") * col("syy") - col("sy") * col("sy")).as("rad_y"))
       .withColumn("r", col("num").cast("double") /

@@ -1933,8 +1933,12 @@ object Relational {
   // rank becomes ds13's range-partition + partition-offset two-phase
   // form — the formula is unchanged.
   // ---------------------------------------------------------------------
-  def q76Gini(s: SparkSession, dir: String): DataFrame = {
-    val spend = Tables(s, dir, "customer").select(col("c_custkey"))
+  /** Per-customer lifetime spend in integer CENTS, zero-spend customers
+    * included (floor(price·100) — explicit floor because DuckDB's
+    * double→BIGINT cast rounds where Spark's truncates). Shared by the
+    * q76 Gini and q80 Pareto concentration reports. */
+  private def customerSpendCents(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer").select(col("c_custkey"))
       .join(
         Tables(s, dir, "lineitem")
           .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
@@ -1942,6 +1946,18 @@ object Relational {
           .agg(sum(expr("cast(floor(l_extendedprice * 100) as bigint)")).as("cents")),
         col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_custkey"), coalesce(col("cents"), lit(0L)).as("cents"))
+
+  private val spendCentsSql: String =
+    """spend AS (
+      | SELECT c.c_custkey, COALESCE(t.cents, 0) AS cents
+      | FROM customer c LEFT JOIN (
+      |  SELECT o.o_custkey,
+      |   CAST(SUM(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1) t ON t.o_custkey = c.c_custkey)""".stripMargin
+
+  def q76Gini(s: SparkSession, dir: String): DataFrame = {
+    val spend = customerSpendCents(s, dir)
     val w = Window.orderBy(col("cents"), col("c_custkey"))
     spend.withColumn("i", row_number().over(w).cast("long"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
@@ -1953,13 +1969,7 @@ object Relational {
   }
 
   val q76Oracle: String =
-    """WITH spend AS (
-      | SELECT c.c_custkey, COALESCE(t.cents, 0) AS cents
-      | FROM customer c LEFT JOIN (
-      |  SELECT o.o_custkey,
-      |   CAST(SUM(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
-      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-      |  GROUP BY 1) t ON t.o_custkey = c.c_custkey),
+    s"""WITH $spendCentsSql,
       |r AS (
       | SELECT cents,
       |  CAST(ROW_NUMBER() OVER (ORDER BY cents, c_custkey) AS BIGINT) AS i
@@ -2029,14 +2039,7 @@ object Relational {
   // ---------------------------------------------------------------------
   def q80Pareto(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val spend = Tables(s, dir, "customer").select(col("c_custkey"))
-      .join(
-        Tables(s, dir, "lineitem")
-          .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("o_custkey"))
-          .agg(sum(expr("cast(floor(l_extendedprice * 100) as bigint)")).as("cents")),
-        col("c_custkey") === col("o_custkey"), "left")
-      .select(col("c_custkey"), coalesce(col("cents"), lit(0L)).as("cents"))
+    val spend = customerSpendCents(s, dir)
     val w = Window.orderBy(col("cents").desc, col("c_custkey"))
     val ranked = spend
       .withColumn("i", row_number().over(w).cast("long"))
@@ -2054,13 +2057,7 @@ object Relational {
   }
 
   val q80Oracle: String =
-    """WITH spend AS (
-      | SELECT c.c_custkey, COALESCE(t.cents, 0) AS cents
-      | FROM customer c LEFT JOIN (
-      |  SELECT o.o_custkey,
-      |   CAST(SUM(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
-      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-      |  GROUP BY 1) t ON t.o_custkey = c.c_custkey),
+    s"""WITH $spendCentsSql,
       |r AS (
       | SELECT cents,
       |  CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, c_custkey) AS BIGINT) AS i,

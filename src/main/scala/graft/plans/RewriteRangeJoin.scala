@@ -40,16 +40,6 @@ object RewriteRangeJoin extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  private def refsIn(e: Expression): AttributeSet0 =
-    AttributeSet0(e.references.toSeq)
-
-  // tiny wrapper to avoid importing catalyst's AttributeSet machinery
-  private case class AttributeSet0(attrs: Seq[Attribute]) {
-    def subsetOf(plan: LogicalPlan): Boolean =
-      attrs.forall(a => plan.outputSet.contains(a))
-    def nonEmpty: Boolean = attrs.nonEmpty
-  }
-
   /** (point, bound, pointOnLeftPlan) for x ≥ b / x > b shapes, where x
     * comes wholly from one join side and b wholly from the other. */
   private def lowerBound(e: Expression, l: LogicalPlan, r: LogicalPlan):
@@ -73,18 +63,20 @@ object RewriteRangeJoin extends Rule[LogicalPlan] {
   private def oriented(x: Expression, b: Expression, l: LogicalPlan,
       r: LogicalPlan): Option[(Expression, Expression, Boolean)] = {
     if (x.dataType != LongType || b.dataType != LongType) None
-    else if (refsIn(x).nonEmpty && refsIn(x).subsetOf(l) && refsIn(b).subsetOf(r))
-      Some((x, b, true))
-    else if (refsIn(x).nonEmpty && refsIn(x).subsetOf(r) && refsIn(b).subsetOf(l))
-      Some((x, b, false))
+    else if (x.references.nonEmpty && x.references.subsetOf(l.outputSet) &&
+      b.references.subsetOf(r.outputSet)) Some((x, b, true))
+    else if (x.references.nonEmpty && x.references.subsetOf(r.outputSet) &&
+      b.references.subsetOf(l.outputSet)) Some((x, b, false))
     else None
   }
 
   private def isCrossSideEquality(e: Expression, l: LogicalPlan,
       r: LogicalPlan): Boolean = e match {
     case EqualTo(a, b) =>
-      (refsIn(a).subsetOf(l) && refsIn(b).subsetOf(r) && refsIn(a).nonEmpty && refsIn(b).nonEmpty) ||
-        (refsIn(a).subsetOf(r) && refsIn(b).subsetOf(l) && refsIn(a).nonEmpty && refsIn(b).nonEmpty)
+      (a.references.nonEmpty && b.references.nonEmpty &&
+        a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet)) ||
+        (a.references.nonEmpty && b.references.nonEmpty &&
+          a.references.subsetOf(r.outputSet) && b.references.subsetOf(l.outputSet))
     case _ => false
   }
 
@@ -114,7 +106,7 @@ object RewriteRangeJoin extends Rule[LogicalPlan] {
             // toward zero while coverage needs floor — the margin keeps
             // the rewrite sound for negative domains (extra candidates
             // die in the residual predicate)
-            val seq = Sequence(
+            val seq0 = Sequence(
               org.apache.spark.sql.catalyst.expressions.Subtract(
                 IntegralDivide(lo, wLit), Literal(1L)),
               org.apache.spark.sql.catalyst.expressions.Add(
@@ -124,6 +116,28 @@ object RewriteRangeJoin extends Rule[LogicalPlan] {
               // must arrive with its zone already bound or the plan
               // re-enters the unresolved state
               Some(SQLConf.get.sessionLocalTimeZone))
+            // Two per-row safety guards the original plan didn't need:
+            // an INVERTED interval (hi < lo) would make Sequence count
+            // DOWN and crash where the join just matched nothing — the
+            // If(null) makes Explode drop the row; an interval spanning
+            // more than 1e5 bins would materialize a huge array (or hit
+            // Sequence's 2^31 cap) — that's a mis-set W, so it fails
+            // LOUDLY with the knob to turn instead of OOMing.
+            val span = IntegralDivide(
+              org.apache.spark.sql.catalyst.expressions.Subtract(hi, lo), wLit)
+            val seq = org.apache.spark.sql.catalyst.expressions.If(
+              LessThanOrEqual(lo, hi),
+              org.apache.spark.sql.catalyst.expressions.If(
+                LessThanOrEqual(span, Literal(100000L)),
+                seq0,
+                new org.apache.spark.sql.catalyst.expressions.RaiseError(
+                  Literal("USER_RAISED_EXCEPTION"),
+                  org.apache.spark.sql.catalyst.expressions.CreateMap(Seq(
+                    Literal("errorMessage"),
+                    Literal("rangeJoin: interval spans > 1e5 bins — raise " +
+                      "spark.graft.rangeJoin.binWidth"))),
+                  seq0.dataType)),
+              Literal(null, seq0.dataType))
             val binB = AttributeReference("__bin_b", LongType, nullable = false)()
             val boundGen = Generate(Explode(seq), Nil, outer = false,
               qualifier = None, generatorOutput = Seq(binB), child = boundPlan)

@@ -444,6 +444,12 @@ object EventStream {
         .flatMap { e =>
           val t2 = e.ts.getTime / 1000
           val v2 = math.floor(e.value * 1000).toLong
+          if (st != null && t2 < st.t1) {
+            // LATE row (cross-batch out-of-order): emitting from it would
+            // regress state and corrupt re-emitted ticks — drop it, the
+            // watermark discipline every sibling stateful op applies
+            Seq.empty[InterpTick]
+          } else {
           val ticks: Seq[InterpTick] =
             if (st == null || t2 == st.t1) {
               // first event of the user, or a same-second replacement:
@@ -461,6 +467,7 @@ object EventStream {
             }
           st = InterpState(t2, v2)
           ticks
+          }
         }
       state.update(st)
       out.iterator

@@ -554,6 +554,12 @@ trait StatefulStreamingScenarios { this: SparkSpec =>
           assert(batch((1L, h10)) == ((2500L, 1L)), batch.toString)
           assert(batch((1L, h10 + 3 * 3600)) ==
             ((7000L * 60 + 1000L * 1800, 1860L)), batch.toString)
+          // a LATE cross-batch event must be a NO-OP: state would regress
+          // and corrupt re-emitted ticks otherwise
+          val before = spark.table("q64_lockstep").count()
+          input.addData(Seq(Event(99L, ts(5), 1L, "view", 9.9)))
+          q.processAllAvailable()
+          assert(spark.table("q64_lockstep").count() === before)
         } finally { q.stop(); spark.catalog.dropTempView("q64_lockstep") }
       } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
     }
