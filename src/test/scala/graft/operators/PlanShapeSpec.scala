@@ -459,6 +459,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(got.toSeq === want)
   }
 
+  test("geo09: rectangle join meets in grid cells, never the cross product") {
+    val plan = Geo.geo09RectJoin(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("dd26: winnowing pair join is NLJ/cartesian-free") {
+    val plan = Dedup.dd26Winnowing(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q74: basket mining self-join stays hash-keyed on the order id") {
+    val plan = Relational.q74AssocRules(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the items self-join and both support joins must be hash joins; the
+    // one nested-loop node is the 1-row scalar N attach (cross with a
+    // single-row broadcast — the correct shape for a scalar)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(3000))
+  }
+
   test("q70: bitmap overlap joins words hash-wise, no single-partition exchange") {
     val plan = EventOps.q70AudienceOverlap(spark, dir)
       .queryExecution.executedPlan.toString
