@@ -813,7 +813,66 @@ object Multimodal {
   def mm11AudioDecimate(s: SparkSession, dir: String): DataFrame =
     resampleAudio(mediaFromDocuments(s, dir)).toDF()
 
+  final case class Thumbnail(media_id: Long, scene_idx: Int,
+      frame_idx: Int, sharpness: Long)
+
+  /** REPRESENTATIVE-FRAME selection — one thumbnail per mm05 scene, the
+    * frame a video-curation pipeline keeps for captioning/embedding:
+    * the SHARPEST frame of the scene (max Σ|horizontal gradient| over
+    * the decoded luma plane — blur flattens gradients; the classic
+    * cheap focus measure), ties to the earliest frame. Same cut
+    * detection as [[sceneCuts]] (shared decode, one pass), same narrow
+    * flatMap shape — the per-video argmax never leaves the task. */
+  def sceneThumbnails(media: Dataset[MediaRow], madThreshold: Int = 24): Dataset[Thumbnail] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter((m: MediaRow) => m.kind == "video").flatMap { m =>
+      val (w, h, frames) = decodeVideo(m.bytes)
+      val lim = madThreshold.toLong * w * h
+      val starts = scala.collection.mutable.ArrayBuffer(0)
+      for (t <- 1 until frames.length) {
+        var sad = 0L
+        val prev = frames(t - 1); val cur = frames(t)
+        var i = 0
+        while (i < cur.length) {
+          sad += math.abs((cur(i) & 0xff) - (prev(i) & 0xff))
+          i += 1
+        }
+        if (sad >= lim) starts += t
+      }
+      def sharpness(f: Array[Byte]): Long = {
+        var acc = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w - 1) {
+            acc += math.abs((f(y * w + x + 1) & 0xff) - (f(y * w + x) & 0xff))
+            x += 1
+          }
+          y += 1
+        }
+        acc
+      }
+      starts.toSeq.zipWithIndex.map { case (st, idx) =>
+        val end = if (idx + 1 < starts.length) starts(idx + 1) else frames.length
+        var best = st
+        var bestS = -1L
+        var t = st
+        while (t < end) {
+          val s0 = sharpness(frames(t))
+          if (s0 > bestS) { bestS = s0; best = t }
+          t += 1
+        }
+        Thumbnail(m.media_id, idx, best, bestS)
+      }
+    }
+  }
+
+  def mm12SceneThumbnails(s: SparkSession, dir: String): DataFrame =
+    sceneThumbnails(mediaFromDocuments(s, dir)).toDF()
+
   val queries: Map[String, Q] = Map(
+    "mm12_scene_thumbnails" -> (mm12SceneThumbnails _),
     "mm11_audio_decimate" -> (mm11AudioDecimate _),
     "mm10_image_resize" -> (mm10ImageResize _),
     "mm09_transcript_align" -> (mm09TranscriptAlign _),

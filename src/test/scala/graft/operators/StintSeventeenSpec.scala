@@ -957,6 +957,23 @@ class StintSeventeenSpec extends SparkSpec {
     rows.foreach { case (id, _, _, _, _, h) => assert(again(id) === h) }
   }
 
+  test("mm12 picks exactly one thumbnail per mm05 scene, inside its bounds") {
+    val scenes = Multimodal.mm05SceneCuts(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getInt(2), r.getInt(3))))
+      .toMap
+    val thumbs = Multimodal.mm12SceneThumbnails(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getInt(2), r.getLong(3))))
+    assert(thumbs.nonEmpty)
+    // one per scene, covering the same scene set
+    assert(thumbs.map(_._1).toSet === scenes.keySet)
+    assert(thumbs.length === thumbs.map(_._1).distinct.length)
+    thumbs.foreach { case (k @ (id, sc), (fi, sharp)) =>
+      val (st, n) = scenes(k)
+      assert(fi >= st && fi < st + n, s"media $id scene $sc")
+      assert(sharp >= 0L)
+    }
+  }
+
   test("mv10 synopsis serves through deletions and rescans a forced hole") {
     import spark.implicits._
     val path = Files.createTempDirectory("mv10-spec").toFile
