@@ -1326,7 +1326,108 @@ object EventOps {
       | END AS z
       |FROM a CROSS JOIN b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q81: COHORT LTV TRIANGLE — the growth-analytics staple q41's
+  // retention counts lead into: users cohorted by FIRST-ACTIVITY day,
+  // each cohort's revenue laid out by account AGE (days since joining),
+  // with the running cumulative — the "lifetime value by cohort" matrix
+  // whose diagonal is today. All integer milli-units; the cumulative
+  // runs over the dictionary-sized (cohort, age) matrix, not the event
+  // stream (two map-side-combined passes: first-day per user, then the
+  // cohort-age rollup).
+  // ---------------------------------------------------------------------
+  def q81CohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"),
+        expr("cast(floor(value * 1000) as bigint)").as("v"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val cells = ev.join(cohort, Seq("user_id"))
+      .withColumn("age", col("day") - col("cohort"))
+      .groupBy(col("cohort"), col("age"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        count(lit(1)).as("n_events"), sum(col("v")).as("rev_milli"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("cum_rev_milli", sum(col("rev_milli")).over(w))
+  }
+
+  val q81Oracle: String =
+    """WITH e AS (
+      | SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |  CAST(floor(value * 1000) AS BIGINT) AS v
+      | FROM events),
+      |c AS (SELECT user_id, MIN(day) AS cohort FROM e GROUP BY 1),
+      |cells AS (
+      | SELECT c.cohort, e.day - c.cohort AS age,
+      |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(e.v) AS BIGINT) AS rev_milli
+      | FROM e JOIN c USING (user_id) GROUP BY 1, 2)
+      |SELECT cohort, age, n_active, n_events, rev_milli,
+      | CAST(SUM(rev_milli) OVER (PARTITION BY cohort ORDER BY age
+      |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_milli
+      |FROM cells""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q82: MEDIAN TIME-TO-CONVERT — per user the gap between FIRST view
+  // and FIRST purchase, served as the exact corpus median (and the
+  // converting-user count): the funnel-latency number a product team
+  // tracks weekly. Median via q63's histogram-crossing rule in
+  // HALF-UNITS (m2 = the two middle gaps summed) — integer on both
+  // engines, one final /2.0. The user-level firsts are one map-side-
+  // combined pass; the crossing window runs over the gap HISTOGRAM
+  // (≤ |users| rows), never the event stream.
+  // ---------------------------------------------------------------------
+  def q82TimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("e"))
+    val gaps = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("e"))).as("fv"),
+        min(when(col("event_type") === "purchase", col("e"))).as("fp"))
+      .filter(col("fv").isNotNull && col("fp").isNotNull && col("fp") >= col("fv"))
+      .select((col("fp") - col("fv")).as("dt"))
+    val hist = gaps.groupBy(col("dt")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("dt"))
+    val wAll = Window.partitionBy()
+    hist
+      .withColumn("cum", sum(col("cnt")).over(
+        wCum.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("p1", expr("(n + 1) div 2"))
+      .withColumn("p2", expr("n div 2 + 1"))
+      .agg(max(col("n")).as("n_converters"),
+        (min(when(col("cum") >= col("p1") &&
+          col("cum") - col("cnt") < col("p1"), col("dt"))) +
+          min(when(col("cum") >= col("p2") &&
+            col("cum") - col("cnt") < col("p2"), col("dt")))).as("m2"))
+      .withColumn("median_s", col("m2").cast("double") / 2.0)
+  }
+
+  val q82Oracle: String =
+    """WITH f AS (
+      | SELECT user_id,
+      |  MIN(CASE WHEN event_type = 'view' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS fv,
+      |  MIN(CASE WHEN event_type = 'purchase' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS fp
+      | FROM events GROUP BY 1),
+      |g AS (
+      | SELECT fp - fv AS dt FROM f
+      | WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv),
+      |h AS (SELECT dt, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY 1),
+      |w AS (
+      | SELECT dt, cnt,
+      |  CAST(SUM(cnt) OVER (ORDER BY dt ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |  CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      | FROM h)
+      |SELECT CAST(MAX(n) AS BIGINT) AS n_converters,
+      | CAST(MIN(CASE WHEN cum >= (n + 1) // 2 AND cum - cnt < (n + 1) // 2 THEN dt END) +
+      |  MIN(CASE WHEN cum >= n // 2 + 1 AND cum - cnt < n // 2 + 1 THEN dt END) AS BIGINT) AS m2,
+      | CAST(MIN(CASE WHEN cum >= (n + 1) // 2 AND cum - cnt < (n + 1) // 2 THEN dt END) +
+      |  MIN(CASE WHEN cum >= n // 2 + 1 AND cum - cnt < n // 2 + 1 THEN dt END) AS DOUBLE) / 2.0 AS median_s
+      |FROM w""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q82_time_to_convert" -> (q82TimeToConvert _),
+    "q81_cohort_ltv" -> (q81CohortLtv _),
     "q79_ab_test" -> (q79AbTest _),
     "q77_bitmap_audience" -> (q77BitmapAudience _),
     "q73_interval_merge" -> (q73IntervalMerge _),
@@ -1361,6 +1462,8 @@ object EventOps {
     "q34_range_frame" -> (q34RangeFrame _))
 
   val oracles: Map[String, String] = Map(
+    "q82_time_to_convert" -> q82Oracle,
+    "q81_cohort_ltv" -> q81Oracle,
     "q79_ab_test" -> q79Oracle,
     "q77_bitmap_audience" -> q77Oracle,
     "q73_interval_merge" -> q73Oracle,

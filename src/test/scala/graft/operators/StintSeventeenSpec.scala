@@ -974,6 +974,47 @@ class StintSeventeenSpec extends SparkSpec {
     }
   }
 
+  test("q81 LTV triangle equals the brute cohort matrix") {
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"),
+        expr("cast(floor(value * 1000) as bigint)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cohort = ev.groupBy(_._1).map { case (u, rows) => (u, rows.map(_._2).min) }
+    val want = ev.groupBy(e => (cohort(e._1), e._2 - cohort(e._1)))
+      .map { case (k, rows) =>
+        (k, (rows.map(_._1).distinct.length.toLong, rows.length.toLong,
+          rows.map(_._3).sum)) }
+    val got = EventOps.q81CohortLtv(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    assert(got.map(x => (x._1, (x._2._1, x._2._2, x._2._3))).toMap === want)
+    // cumulative really accumulates per cohort in age order
+    got.groupBy(_._1._1).foreach { case (c, cells) =>
+      val sorted = cells.sortBy(_._1._2)
+      assert(sorted.map(_._2._3).scanLeft(0L)(_ + _).tail === sorted.map(_._2._4).toSeq,
+        s"cohort $c")
+    }
+  }
+
+  test("q82 median gap equals the brute sorted middle") {
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val gaps = ev.groupBy(_._1).flatMap { case (_, rows) =>
+      val fv = rows.filter(_._2 == "view").map(_._3).minOption
+      val fp = rows.filter(_._2 == "purchase").map(_._3).minOption
+      (fv, fp) match {
+        case (Some(v), Some(p)) if p >= v => Some(p - v)
+        case _ => None
+      }
+    }.toSeq.sorted
+    val n = gaps.length
+    val m2 = gaps((n - 1) / 2) + gaps(n / 2)
+    val row = EventOps.q82TimeToConvert(spark, dir).collect().head
+    assert((row.getLong(0), row.getLong(1)) === ((n.toLong, m2)))
+    assert(row.getDouble(2) === m2 / 2.0)
+  }
+
   test("mv10 synopsis serves through deletions and rescans a forced hole") {
     import spark.implicits._
     val path = Files.createTempDirectory("mv10-spec").toFile
