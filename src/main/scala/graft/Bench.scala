@@ -32,7 +32,11 @@ object Bench {
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // A crashing query must never masquerade as a fast one: a query that
+      // OOMs in 1 s would otherwise read as the fastest in the suite. The
+      // sentinel -1 propagates through the median and is reported in the
+      // canonical line's n_errors/errors keys below.
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
     // Optional args restrict the run to named queries (local experiments;
@@ -55,7 +59,11 @@ object Bench {
     def ms(v: Double): String = f"$v%.3f"
     val median = results.map { case (k, rs) => k -> rs.sorted.apply(rs.size / 2) }
     val qs = median.map { case (k, v) => "\"" + k + "\":" + ms(v) }
-    val total = median.map(_._2).sum
+    // Failed queries (sentinel -1 from timed) are excluded from total and
+    // surfaced loudly: n_errors in every JSON line, names in errsJson.
+    val errs = median.collect { case (k, v) if v < 0 => k }
+    val errsJson = errs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = median.collect { case (_, v) if v >= 0 => v }.sum
     // The canonical line's per-query map is capped to the SLOWEST 30
     // queries: the round-4 capture proved the driver's stdout tail window
     // is ~2 KB, and ~95 queries × ~27 B ≈ 2.6 KB got the line beheaded
@@ -65,9 +73,9 @@ object Bench {
     val qsTop = median.collect { case (k, v) if slow.contains(k) =>
       "\"" + k + "\":" + ms(v) }
     val json =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${median.size},"queries":${qsTop.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${median.size},"n_errors":${errs.size},"errors":$errsJson,"queries":${qsTop.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     val jsonFull =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qs.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_errors":${errs.size},"errors":$errsJson,"queries":${qs.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     // Truncation-proof record, full detail (every timed run) to a FILE.
     val runsJson = results.map { case (k, rs) =>
       "\"" + k + "\":[" + rs.map(ms).mkString(",") + "]" }.mkString("{", ",", "}")
@@ -77,7 +85,7 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (jsonFull + "\n" + s"""{"metric":"runs","queries":$runsJson,"sf":"$sfDir"}""" + "\n")
           .getBytes("UTF-8"))
-      println(f"[bench] wrote $outPath, total=$total%.2f s over ${results.size}%d queries")
+      println(f"[bench] wrote $outPath, total=$total%.2f s over ${results.size}%d queries, ${errs.size}%d FAILED")
     } catch { case e: java.io.IOException =>
       println(s"[bench] could not write $outPath: ${e.getMessage}")
     }

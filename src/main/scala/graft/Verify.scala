@@ -24,9 +24,22 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          val df = fn(spark, sfDir)
+          // Driver-hashable output contract (round-5 ss29 incident): the
+          // driver's pandas canonicalizer crashes on nested cells, so a
+          // nested top-level column must fail HERE, in the local gate.
+          val nested = df.schema.fields.filter(f => f.dataType match {
+            case _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType |
+                 _: org.apache.spark.sql.types.StructType => true
+            case _ => false
+          })
+          if (nested.nonEmpty) throw new IllegalStateException(
+            s"non-atomic output column(s) ${nested.map(_.name).mkString(",")} " +
+              "— the driver's pandas hasher cannot sort nested cells; emit long form")
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }

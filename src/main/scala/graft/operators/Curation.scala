@@ -2302,12 +2302,18 @@ object Curation {
       .withColumn("o", coalesce(col("o"), lit(0L)))
       .withColumn("d", col("o") * col("n") - col("r") * col("c"))
     val guard = cells.agg(max(abs(col("d"))).as("__maxd"))
+    // Two explicit fences, so the scale limits never rest on ANSI mode
+    // turning a wrap into an error: 1000·d² needs |d| < 9.6e7, and the
+    // divisor r·c·n ≤ n³ needs n < 2^21 ≈ 2.1M docs. Past ~2M documents
+    // this exact-integer formulation must move to a rescaled one — the
+    // fence makes that limit loud instead of latent.
     cells.crossJoin(broadcast(guard))
       .withColumn("contrib_x1k",
-        when(col("__maxd") < 95000000L,
+        when(col("__maxd") < 95000000L && col("n") < 2097152L,
           expr("(1000 * d * d) div (r * c * n)"))
           .otherwise(raise_error(lit(
-            "q69: |O*N - R*C| >= 9.5e7 overflows the x1000 chi-square scale"))))
+            "q69: |O*N - R*C| >= 9.5e7 or N >= 2^21 overflows the " +
+              "x1000 chi-square integer scale"))))
       .select(col("lang"), col("source"), col("o"), col("r"), col("c"),
         col("n"), col("d"), col("contrib_x1k"))
   }

@@ -766,7 +766,14 @@ object Multimodal {
   }
 
   def mm10ImageResize(s: SparkSession, dir: String): DataFrame =
+    // out_hash (the FNV golden fingerprint) stays in the Dataset for the
+    // spec's golden check but is projected OUT of the driver query: the
+    // oracle recomputes the integer mass sums from the fixture arithmetic
+    // (mm09's cross-check pattern), and an ordered polynomial hash is not
+    // cleanly SQL-expressible.
     resizeImages(mediaFromDocuments(s, dir)).toDF()
+      .select(col("media_id"), col("w"), col("h"), col("out_w"), col("out_h"),
+        col("sum_luma_in"), col("sum_luma_out"))
 
   final case class ResampledAudio(media_id: Long, n_in: Int, n_out: Int,
       rms_in: Long, rms_out: Long, out_hash: Long)
@@ -811,7 +818,11 @@ object Multimodal {
   }
 
   def mm11AudioDecimate(s: SparkSession, dir: String): DataFrame =
+    // same projection discipline as mm10: energies are oracle-checked
+    // from fixture arithmetic, the ordered FNV hash stays spec-only
     resampleAudio(mediaFromDocuments(s, dir)).toDF()
+      .select(col("media_id"), col("n_in"), col("n_out"),
+        col("rms_in"), col("rms_out"))
 
   final case class Thumbnail(media_id: Long, scene_idx: Int,
       frame_idx: Int, sharpness: Long)
@@ -871,6 +882,176 @@ object Multimodal {
   def mm12SceneThumbnails(s: SparkSession, dir: String): DataFrame =
     sceneThumbnails(mediaFromDocuments(s, dir)).toDF()
 
+  // ---------------------------------------------------------------------
+  // Fixture-arithmetic oracles (mm09's pattern, extended round 6): the
+  // engine computes from REALLY-DECODED bytes; the oracle recomputes the
+  // same integers relationally from the fixture GENERATION parameters.
+  // A corrupted container, a lossy decode, or a codec regression shifts
+  // the decoded plane and the hash gate goes red — the oracle is an
+  // independent recomputation that never touches the binary path.
+  //
+  // Exactness notes (why these hash-match bit-for-bit):
+  //  - image pixels: v = id·1315423911 + x·2654435761 + y·97531 never
+  //    exceeds 2^63 at any plausible doc_id, so plain BIGINT matches
+  //    Java's arithmetic; luma is pure integer math.
+  //  - audio samples / video planes: the fixture mixes via WRAPPING
+  //    64-bit multiplies, so the oracle computes them in HUGEINT and
+  //    reduces mod 2^64 — exact, no wrap ambiguity.
+  //  - mm03's aHash crosses float land, but stays exact: each block mean
+  //    is a float32 of ≤2^12 magnitude and ≥2^-36 granularity, so every
+  //    double partial sum of 16 of them needs ≤52 mantissa bits — the
+  //    sum is EXACT and therefore order-independent, and the f > avg
+  //    comparison is deterministic in both engines.
+  //  - truncating integer division: Java `/` truncates toward zero,
+  //    DuckDB `//` floors — they agree on the non-negative operands used
+  //    here; the one signed case (audio pair mean) uses trunc((a+b)/2.0).
+  // ---------------------------------------------------------------------
+
+  /** Image fixture re-derived relationally: doc → (w, h) → one row per
+    * pixel with its integer Rec.601 luma. MATERIALIZED: referenced twice
+    * downstream, and DuckDB inlines plain CTEs per reference. */
+  private val imgLumaSql: String =
+    """img AS (
+      | SELECT doc_id, CAST(doc_id % 64 + 16 AS BIGINT) AS w,
+      |        CAST(doc_id % 48 + 16 AS BIGINT) AS h
+      | FROM documents WHERE ((doc_id % 3) + 3) % 3 = 0),
+      |lum AS MATERIALIZED (
+      | SELECT doc_id, w, h, i, i % w AS x, i // w AS y,
+      |  (((p // 65536)) * 299 + ((p // 256) % 256) * 587 + (p % 256) * 114) // 1000 AS luma
+      | FROM (
+      |  SELECT doc_id, w, h, i,
+      |   ((doc_id * 1315423911 + (i % w) * 2654435761 + (i // w) * 97531)
+      |     // 65536) % 16777216 AS p
+      |  FROM (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM img) t0) t1)""".stripMargin
+
+  /** mm03 oracle: block-mean features → aHash → exact hash-group dedup,
+    * all recomputed from the pixel formula (block = (w·h)//16; pixels
+    * beyond 16 full blocks are excluded, matching extractFeatures). */
+  val mm03Oracle: String =
+    s"""WITH $imgLumaSql,
+       |blk AS (
+       | SELECT doc_id, i // ((w * h) // 16) AS b,
+       |  CAST(SUM(luma) AS BIGINT) AS ssum, COUNT(*) AS cnt
+       | FROM lum WHERE i < ((w * h) // 16) * 16
+       | GROUP BY doc_id, i // ((w * h) // 16)),
+       |bm AS (
+       | SELECT doc_id, b,
+       |  CAST(CAST(ssum AS REAL) / CAST(cnt AS REAL) AS DOUBLE) AS f
+       | FROM blk),
+       |av AS (SELECT doc_id, SUM(f) / 16 AS avg_f FROM bm GROUP BY doc_id),
+       |ph AS (
+       | SELECT b.doc_id AS media_id,
+       |  CAST(SUM(CASE WHEN b.f > a.avg_f
+       |    THEN (CAST(1 AS BIGINT) << CAST(b.b AS INTEGER))
+       |    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS phash
+       | FROM bm b JOIN av a USING (doc_id) GROUP BY b.doc_id),
+       |gr AS (
+       | SELECT phash, MIN(media_id) AS keep_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_images
+       | FROM ph GROUP BY phash)
+       |SELECT p.media_id, p.phash, g.keep_id, g.n_images,
+       | p.media_id != g.keep_id AS is_dup
+       |FROM ph p JOIN gr g USING (phash)""".stripMargin
+
+  /** mm05 oracle: per-frame SAD against frame t−1 from the GRVF fixture
+    * formula (HUGEINT mod-2^64 — the fixture multiply wraps), then the
+    * same cut-threshold scene assembly via a window. */
+  val mm05Oracle: String =
+    """WITH vid AS (
+      | SELECT doc_id, CAST(doc_id % 64 + 16 AS BIGINT) AS w,
+      |        CAST(doc_id % 48 + 16 AS BIGINT) AS h,
+      |        CAST(doc_id % 12 + 4 AS BIGINT) AS nf
+      | FROM documents WHERE ((doc_id % 3) + 3) % 3 = 2),
+      |sad AS MATERIALIZED (
+      | SELECT doc_id, f, CAST(SUM(ABS(b_cur - b_prev)) AS BIGINT) AS sad
+      | FROM (
+      |  SELECT doc_id, f, i,
+      |   CAST(((CAST(doc_id AS HUGEINT) * 1315423911
+      |      + CAST(f AS HUGEINT) * 2654435761
+      |      + CAST(i AS HUGEINT) * 1442695040888963407)
+      |      % 18446744073709551616) // 1099511627776 % 256 AS BIGINT) AS b_cur,
+      |   CAST(((CAST(doc_id AS HUGEINT) * 1315423911
+      |      + CAST(f - 1 AS HUGEINT) * 2654435761
+      |      + CAST(i AS HUGEINT) * 1442695040888963407)
+      |      % 18446744073709551616) // 1099511627776 % 256 AS BIGINT) AS b_prev
+      |  FROM (
+      |   SELECT doc_id, f, unnest(range(0, w * h)) AS i
+      |   FROM (SELECT doc_id, w, h, unnest(range(1, nf)) AS f FROM vid) a) b) c
+      | GROUP BY doc_id, f),
+      |cuts AS (
+      | SELECT s.doc_id, s.f AS start_frame, s.sad AS cut_mad
+      | FROM sad s JOIN vid v USING (doc_id) WHERE s.sad >= 24 * v.w * v.h),
+      |sc0 AS (
+      | SELECT doc_id, CAST(0 AS BIGINT) AS start_frame,
+      |  CAST(0 AS BIGINT) AS cut_mad FROM vid
+      | UNION ALL SELECT doc_id, start_frame, cut_mad FROM cuts),
+      |sc AS (
+      | SELECT doc_id, start_frame, cut_mad,
+      |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_frame) - 1 AS scene_idx,
+      |  LEAD(start_frame) OVER (PARTITION BY doc_id ORDER BY start_frame) AS nxt
+      | FROM sc0)
+      |SELECT s.doc_id AS media_id, CAST(s.scene_idx AS INTEGER) AS scene_idx,
+      | CAST(s.start_frame AS INTEGER) AS start_frame,
+      | CAST(COALESCE(s.nxt, v.nf) - s.start_frame AS INTEGER) AS n_frames,
+      | s.cut_mad
+      |FROM sc s JOIN vid v USING (doc_id)""".stripMargin
+
+  /** mm10 oracle: input luma mass + truncating 2×2 box-filter mass from
+    * the pixel formula (blocks keyed by (x//2, y//2) carry the odd-edge
+    * rule structurally). */
+  val mm10Oracle: String =
+    s"""WITH $imgLumaSql,
+       |blocks AS (
+       | SELECT doc_id, x // 2 AS bx, y // 2 AS by,
+       |  CAST(SUM(luma) AS BIGINT) AS acc, COUNT(*) AS cnt
+       | FROM lum GROUP BY doc_id, x // 2, y // 2)
+       |SELECT i.doc_id AS media_id, CAST(i.w AS INTEGER) AS w,
+       | CAST(i.h AS INTEGER) AS h,
+       | CAST((i.w + 1) // 2 AS INTEGER) AS out_w,
+       | CAST((i.h + 1) // 2 AS INTEGER) AS out_h,
+       | si.sum_luma_in, so.sum_luma_out
+       |FROM img i
+       |JOIN (SELECT doc_id, CAST(SUM(luma) AS BIGINT) AS sum_luma_in
+       |  FROM lum GROUP BY doc_id) si USING (doc_id)
+       |JOIN (SELECT doc_id, CAST(SUM(acc // cnt) AS BIGINT) AS sum_luma_out
+       |  FROM blocks GROUP BY doc_id) so USING (doc_id)""".stripMargin
+
+  /** mm11 oracle: PCM samples from the fixture recurrence (HUGEINT
+    * mod-2^64, sign-folded 16-bit), pair-mean decimation, floor-sqrt RMS
+    * — the double division and sqrt are the same IEEE ops both sides. */
+  val mm11Oracle: String =
+    """WITH au AS (
+      | SELECT doc_id, CAST(2048 + doc_id % 1024 AS BIGINT) AS n
+      | FROM documents WHERE ((doc_id % 3) + 3) % 3 = 1),
+      |sa AS MATERIALIZED (
+      | SELECT doc_id, n, i,
+      |  CAST(CASE WHEN lo >= 32768 THEN lo - 65536 ELSE lo END AS BIGINT) AS s
+      | FROM (
+      |  SELECT doc_id, n, i,
+      |   CAST(((CAST(doc_id AS HUGEINT) * 6364136223846793005
+      |      + CAST(i AS HUGEINT) * 1442695040888963407)
+      |      % 18446744073709551616) // 8589934592 % 65536 AS BIGINT) AS lo
+      |  FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM au) t0) t1),
+      |os AS (
+      | SELECT doc_id, i2,
+      |  CAST(trunc((a + COALESCE(b, a)) / 2.0) AS BIGINT) AS so
+      | FROM (
+      |  SELECT doc_id, i // 2 AS i2,
+      |   MAX(CASE WHEN i % 2 = 0 THEN s END) AS a,
+      |   MAX(CASE WHEN i % 2 = 1 THEN s END) AS b
+      |  FROM sa GROUP BY doc_id, i // 2) p),
+      |ri AS (
+      | SELECT doc_id,
+      |  CAST(floor(sqrt(CAST(CAST(SUM(s * s) AS BIGINT) AS DOUBLE) / n)) AS BIGINT) AS rms_in
+      | FROM sa GROUP BY doc_id, n),
+      |ro AS (
+      | SELECT doc_id,
+      |  CAST(floor(sqrt(CAST(CAST(SUM(so * so) AS BIGINT) AS DOUBLE) / COUNT(*))) AS BIGINT) AS rms_out
+      | FROM os GROUP BY doc_id)
+      |SELECT a.doc_id AS media_id, CAST(a.n AS INTEGER) AS n_in,
+      | CAST((a.n + 1) // 2 AS INTEGER) AS n_out, ri.rms_in, ro.rms_out
+      |FROM au a JOIN ri USING (doc_id) JOIN ro USING (doc_id)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "mm12_scene_thumbnails" -> (mm12SceneThumbnails _),
     "mm11_audio_decimate" -> (mm11AudioDecimate _),
@@ -886,5 +1067,9 @@ object Multimodal {
     "mm06_audio_vad" -> (mm06AudioVad _))
 
   val oracles: Map[String, String] = Map(
-    "mm09_transcript_align" -> mm09Oracle)
+    "mm03_image_neardup" -> mm03Oracle,
+    "mm05_scene_cuts" -> mm05Oracle,
+    "mm09_transcript_align" -> mm09Oracle,
+    "mm10_image_resize" -> mm10Oracle,
+    "mm11_audio_decimate" -> mm11Oracle)
 }

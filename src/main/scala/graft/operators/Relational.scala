@@ -290,17 +290,22 @@ object Relational {
         coalesce(col("e.b"), col("n.a")).as("component"))
   }
 
-  /** [[connectedComponents]] with POINTER JUMPING: each round takes the
-    * neighbor min (one hop, as above) and then replaces every label by
-    * its label's label — label chains halve per round, so convergence is
-    * O(log diameter) rounds instead of O(diameter), at the cost of one
-    * extra self-join of the (small) label table per round. The label
-    * table only ever decreases, so the same decimal-sum convergence
-    * check applies. Use for graphs whose components are WIDE (grids,
-    * chains — e.g. geo07's dense-cell graph, where a cluster's diameter
-    * grows with its spatial extent); for shallow dup-cluster graphs the
-    * plain propagation's cheaper rounds win, and for edge-heavy web
-    * graphs [[connectedComponentsStar]] rewires the edge list itself. */
+  /** [[connectedComponents]] with label-table SHORTCUTTING: each round
+    * takes the neighbor min (one hop, as above) and then replaces every
+    * label by its label's label, at the cost of one extra self-join of
+    * the label table per round.
+    *
+    * HONEST LIMIT (measured, round 6): the shortcut compounds only on
+    * id-monotone stretches. On a shuffled-id chain, label(label) hops
+    * across ID space — to whatever local minimum a region has settled on
+    * — not along the path, so the global min's wave still advances ~one
+    * hop per round and convergence is LINEAR in diameter, same as the
+    * plain variant (39 rounds on a 1000-node shuffled path, vs ~10 if
+    * doubling were real). It helps when ids correlate with locality
+    * (geo07's Z-ordered cell graph: grid cell ids are spatially monotone,
+    * where it measures fewer rounds than plain min-label). For a
+    * worst-case graph use [[connectedComponentsStar]] — star contraction
+    * restructures the edges themselves and is provably O(log n). */
   def connectedComponentsJump(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
@@ -321,13 +326,27 @@ object Relational {
       // pointer jump: label ← label(label). Every label IS a node of the
       // table, so the lookup join is total; left + coalesce keeps the row
       // through any planner quirk.
-      val jumped = stepped.as("x")
+      val ck = stepped.as("x")
         .join(stepped.select(col("node").as("ln"), col("label").as("ll")).as("y"),
           col("x.label") === col("y.ln"), "left")
         .select(col("x.node").as("node"),
           least(col("x.label"), coalesce(col("ll"), col("x.label"))).as("label"))
         .localCheckpoint()
+      // Break the STATS chain, not just the lineage: localCheckpoint's
+      // LogicalRDD inherits the replaced plan's sizeInBytes estimate, and
+      // this round's self-join SQUARES it — so the estimate grows doubly
+      // exponentially across rounds, and by round ~20 every checkpoint
+      // spends its wall-clock multiplying million-digit BigIntegers in
+      // SizeInBytesOnlyStatsPlanVisitor (driver pegged, executors idle;
+      // observed 0.5 s → 34 s per round at sf0.1). Rebuilding from the
+      // checkpointed RDD resets the leaf estimate to a constant. The
+      // single-join loops (min-label CC, PageRank, BFS) only MULTIPLY the
+      // estimate by a constant factor per round — linear digit growth —
+      // so they don't need this.
+      val jumped = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
       val s = labelSum(jumped)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[ccjump] round sum=$s at ${System.nanoTime() / 1000000}ms")
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = jumped
@@ -584,11 +603,20 @@ object Relational {
     val joined = st.join(c, Seq("seed", "node", "dist"))
       .filter(col("node") =!= col("seed"))
     val guard = joined.agg(greatest(max(col("sigma")), max(col("c"))).as("__mx"))
+    // Fence covers the per-node SUM across seeds, not just each product:
+    // stress(v) = Σ_seeds σ·c, so the wrap-free condition is
+    // mx·mx·numSeeds < 2^63 (each term ≤ mx², at most one term per seed).
+    // The threshold is derived from the actual seed count so the scale
+    // limit is explicit rather than resting on ANSI mode turning a wrap
+    // into an error.
+    val numSeeds = math.max(seeds.count(), 1L)
+    val fenceMax = math.sqrt(Long.MaxValue.toDouble / numSeeds).toLong - 1
     joined.crossJoin(broadcast(guard))
       .select(col("node"),
-        when(col("__mx") < 3000000000L, col("sigma") * col("c"))
+        when(col("__mx") < fenceMax, col("sigma") * col("c"))
           .otherwise(raise_error(lit(
-            "stressCentrality: path counts >= 3e9 would overflow the product"))).as("p"))
+            s"stressCentrality: path counts >= $fenceMax over $numSeeds seeds " +
+              "would overflow the per-node sum of products"))).as("p"))
       .groupBy(col("node")).agg(sum(col("p")).as("stress"))
       .filter(col("stress") > 0)
   }
@@ -775,21 +803,33 @@ object Relational {
     or0.count()
     var round = 0
     var result: DataFrame = null
+    // The bloom screen over the edge keys is built ONCE and reused across
+    // peel rounds: e only SHRINKS, so an older bloom stays a SUPERSET
+    // screen — correctness is unchanged (every wedge it passes is still
+    // confirmed by the real closing-edge semi-join below), it just grows
+    // gradually less selective. Rebuild only when the edge set collapses
+    // ≥4× below the build size: that caps the driver-side aggregate (a
+    // full pass over e, collected to the driver) and the per-round bloom
+    // literal in the task binary (~115 MB at 10^8 edges) at O(log n)
+    // builds instead of one per round — the round-5 scale hazard.
+    var bloomSer: Array[Byte] = null
+    var bloomBuiltAt = 0L
     while (round < maxRounds && result == null) {
       // round 1 peels the ORIGINAL edge set — or0 IS its orientation
       val orE = if (round == 0) or0 else or0.join(e, Seq("a", "b"), "left_semi")
-      // a serialized bloom over the current edge set prunes the wedge
-      // stream before the closing-edge shuffle (triangleCounts' scheme);
-      // rebuilt per round while the graph is large, skipped once small
       val wedges0 = orE.as("x").join(orE.as("y"),
           col("x.u") === col("y.u") && col("x.w") < col("y.w"))
         .select(col("x.u").as("u"), col("x.w").as("w1"), col("y.w").as("w2"))
       val wedges = if (n > 500000L) {
-        val bloom = graft.functions.BloomMightContain.serialize(
-          e.select(xxhash64(col("a"), col("b")).as("h"))
-            .stat.bloomFilter("h", math.max(n, 1000L), 0.01))
+        if (bloomSer == null || n * 4 <= bloomBuiltAt) {
+          bloomSer = graft.functions.BloomMightContain.serialize(
+            e.select(xxhash64(col("a"), col("b")).as("h"))
+              .stat.bloomFilter("h", math.max(n, 1000L), 0.01))
+          bloomBuiltAt = n
+          System.err.println(s"[truss] bloom build at n=$n (round ${round + 1})")
+        }
         wedges0.filter(call_function("bloom_might_contain",
-          xxhash64(col("w1"), col("w2")), lit(bloom)))
+          xxhash64(col("w1"), col("w2")), lit(bloomSer)))
       } else wedges0
       // closing edge is undirected; e stores it as (min, max) = (w1, w2)
       val tri = wedges.join(e.select(col("a").as("w1"), col("b").as("w2")),

@@ -494,7 +494,16 @@ object Similarity {
   def cc15EmbeddingClusters(s: SparkSession, dir: String): DataFrame = {
     val mutual = ss28KnnGraph(s, dir).filter(col("mutual"))
       .select(col("src").as("a"), col("dst").as("b")).localCheckpoint()
-    val comp = Relational.connectedComponents(mutual)
+    // Star-contraction CC (provably O(log n) rounds) rather than the
+    // O(d) min-label variant: identical components (both converge to the
+    // per-component min id — cc02 proves the equivalence against cc01's
+    // oracle), but mutual-kNN chains stretch diameter with corpus size.
+    // Measured at sf0.1 (round 6): min-label took 39 rounds on this
+    // graph; star converges in ~5. The pointer-jump variant was tried
+    // first and REJECTED: on shuffled-id chains its label(label) lookup
+    // hops across id space, not along the path, and degenerates to the
+    // same linear creep as min-label (see connectedComponentsJump's doc).
+    val comp = Relational.connectedComponentsStar(mutual)
       .select(col("node").as("vec_id"), col("component"))
     Tables(s, dir, "embeddings").select(col("vec_id"))
       .join(comp, Seq("vec_id"), "left")
@@ -1890,7 +1899,13 @@ object Similarity {
   // shuffle) and integer projected dot products; the projected cosine is
   // one exact-IEEE double division like ss01's, so everything
   // hash-matches the oracle's literal-matrix recompute.
-  //  - ss29: the projected table (vec_id, rp[16]) — the encode pass.
+  //  - ss29: the projected table in LONG FORM (vec_id, p, c) — the encode
+  //    pass. Long form (one row per plane coordinate) rather than
+  //    (vec_id, rp[32]) because the driver's pandas-based canonicalizer
+  //    cannot hash a nested list column (round-5 incident: the ONLY
+  //    driver-red row in an otherwise clean sweep was this query's
+  //    list<int64> output). All registered queries emit atomic columns
+  //    only — enforced by OutputShapeSpec.
   //  - ss30: brute top-k IN PROJECTED SPACE for the ss01 query set —
   //    ss01's plan shape (broadcast queries, map-side scoring, per-query
   //    rank-limit) over 4× smaller vectors.
@@ -1904,7 +1919,9 @@ object Similarity {
       .withColumn("pn", expr("dot_l(rp, rp)"))
 
   def ss29RpEncode(s: SparkSession, dir: String): DataFrame =
-    rpEncoded(qvec(s, dir)).select(col("vec_id"), col("rp"))
+    rpEncoded(qvec(s, dir))
+      .select(col("vec_id"), posexplode(col("rp")).as(Seq("p", "c")))
+      .select(col("vec_id"), col("p").cast("long").as("p"), col("c"))
 
   /** Oracle CTEs for the projected table — the same md5-parity plane
     * matrix [[RpProjectImpl]] caches, embedded as LONG-FORM (p, d, w)
@@ -1934,7 +1951,7 @@ object Similarity {
   val ss29Oracle: String =
     s"""WITH $qvecSql,
        |$rpSql
-       |SELECT vec_id, rp FROM en""".stripMargin
+       |SELECT vec_id, CAST(p AS BIGINT) AS p, c FROM rpl""".stripMargin
 
   def ss30RpTopk(s: SparkSession, dir: String): DataFrame = {
     val enc = rpEncoded(qvec(s, dir)).localCheckpoint()

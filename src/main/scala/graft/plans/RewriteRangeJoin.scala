@@ -89,12 +89,23 @@ object RewriteRangeJoin extends Rule[LogicalPlan] {
         val lows = conj.flatMap(c => lowerBound(c, left, right).map(c -> _))
         val highs = conj.flatMap(c => upperBound(c, left, right).map(c -> _))
         val hasEqui = conj.exists(c => isCrossSideEquality(c, left, right))
-        // one lower + one upper on the SAME point expression, no equi key
-        val pair = for {
-          (_, (x1, lo, s1)) <- lows.headOption
-          (_, (x2, hi, s2)) <- highs.find { case (_, (x2, _, s2)) =>
-            s2 == s1 && x2.semanticEquals(x1) }
-        } yield (x1, lo, hi, s1)
+        // One lower + one upper on the SAME point expression, no equi
+        // key. Try EVERY lower-bound conjunct, not just the first: with
+        // mirrored bounds (both sides bounded) the first lower-shaped
+        // conjunct can belong to the interval side's point expression,
+        // and pairing only it would silently miss the rewrite and leave
+        // the nested-loop join in place. Also require all three
+        // expressions deterministic — the generator duplicates lo/hi
+        // (and bins x) while the original predicate stays as residual,
+        // and a non-deterministic expression could evaluate differently
+        // in the two places, dropping or duplicating rows.
+        val pair = lows.view.flatMap { case (_, (x1, lo, s1)) =>
+          highs.collectFirst { case (_, (x2, hi, s2))
+              if s2 == s1 && x2.semanticEquals(x1) &&
+                x1.deterministic && lo.deterministic && hi.deterministic =>
+            (x1, lo, hi, s1)
+          }
+        }.headOption
         pair match {
           case Some((x, lo, hi, pointOnLeft)) if !hasEqui =>
             val wLit = Literal(w)

@@ -416,7 +416,11 @@ object EventStream {
 
   final case class InterpTick(user_id: Long, g: Long, num: Long, den: Long)
 
-  final case class InterpState(t1: Long, v1: Long)
+  // eid: the event_id that produced (t1, v1) — same-second ties must
+  // break by event_id ACROSS micro-batches too, not just within one
+  // (round-6 fix: arrival order previously decided cross-batch ties,
+  // diverging from the batch twin's deterministic last-by-event_id rule)
+  final case class InterpState(t1: Long, v1: Long, eid: Long)
 
   /** Streaming LINEAR-INTERPOLATION resampling — the live twin of
     * EventOps.q64: each hourly tick between two consecutive events is
@@ -427,12 +431,17 @@ object EventStream {
     *
     * Emission contract is UPSERT on (user_id, g), not exactly-once: a
     * tick landing exactly on an event second serves that event's value,
-    * and batch ties break to the LAST same-second event — so when a
-    * same-second event follows, the already-emitted boundary tick is
-    * re-emitted with the corrected value, and downstream keeps the last
-    * write per key (the CDC shape cdcAggregateStream consumes). Under
-    * in-order delivery the last emission per (user, g) equals the batch
-    * twin's row exactly — EventStreamSpec pins that law. */
+    * and same-second ties break to the HIGHEST event_id — enforced both
+    * within a batch (sort) and across batches (eid carried in state) —
+    * so when a higher-id same-second event follows, the already-emitted
+    * boundary tick is re-emitted with the corrected value, and
+    * downstream keeps the last write per key (the CDC shape
+    * cdcAggregateStream consumes). The last emission per (user, g) then
+    * equals the batch twin's row whenever no event arrives with a
+    * strictly earlier second than already-consumed state (the watermark
+    * discipline); such genuinely late rows are dropped here while the
+    * batch twin, which sees all data at once, includes them —
+    * EventStreamSpec pins the in-order lockstep law. */
   def interpResample(events: Dataset[Event]): Dataset[InterpTick] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -444,10 +453,14 @@ object EventStream {
         .flatMap { e =>
           val t2 = e.ts.getTime / 1000
           val v2 = math.floor(e.value * 1000).toLong
-          if (st != null && t2 < st.t1) {
+          if (st != null && (t2 < st.t1 ||
+              (t2 == st.t1 && e.event_id < st.eid))) {
             // LATE row (cross-batch out-of-order): emitting from it would
             // regress state and corrupt re-emitted ticks — drop it, the
-            // watermark discipline every sibling stateful op applies
+            // watermark discipline every sibling stateful op applies.
+            // The same-second case is the tie-break half of that rule: a
+            // same-second event arriving in a LATER batch with a smaller
+            // event_id must not displace the winner the batch twin keeps.
             Seq.empty[InterpTick]
           } else {
           val ticks: Seq[InterpTick] =
@@ -465,7 +478,7 @@ object EventStream {
                   v1 * (t2 - g) + v2 * (g - t1), t2 - t1)
               }
             }
-          st = InterpState(t2, v2)
+          st = InterpState(t2, v2, e.event_id)
           ticks
           }
         }
