@@ -349,9 +349,13 @@ object Multimodal {
   // Driver-checkable queries (no SQL oracle — binary/codec ops are not
   // SQL-expressible; the driver records a rows-only check).
   def mm01Features(s: SparkSession, dir: String): DataFrame =
+    // No round(): each block mean is a float32 whose double promotions
+    // sum EXACTLY (≤52 mantissa bits needed — see the oracle block
+    // below), so the raw double is bit-identical cross-engine, whereas
+    // round-half-up vs half-even semantics differ between engines.
     extractFeatures(mediaFromDocuments(s, dir))
       .toDF().select(col("media_id"), col("kind"), col("dim"),
-        round(expr("aggregate(features, CAST(0.0 AS DOUBLE), (a, x) -> a + x)"), 3)
+        expr("aggregate(features, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
           .as("feature_sum"))
 
   def mm02FrameSample(s: SparkSession, dir: String): DataFrame =
@@ -953,11 +957,12 @@ object Multimodal {
        | p.media_id != g.keep_id AS is_dup
        |FROM ph p JOIN gr g USING (phash)""".stripMargin
 
-  /** mm05 oracle: per-frame SAD against frame t−1 from the GRVF fixture
-    * formula (HUGEINT mod-2^64 — the fixture multiply wraps), then the
-    * same cut-threshold scene assembly via a window. */
-  val mm05Oracle: String =
-    """WITH vid AS (
+  /** Shared video fragment: per-frame SAD against frame t−1 from the
+    * GRVF fixture formula (HUGEINT mod-2^64 — the fixture multiply
+    * wraps), then the cut-threshold scene assembly via a window. Used by
+    * mm05 (scenes) and mm12 (per-scene sharpest frame). */
+  private val vidSceneSql: String =
+    """vid AS (
       | SELECT doc_id, CAST(doc_id % 64 + 16 AS BIGINT) AS w,
       |        CAST(doc_id % 48 + 16 AS BIGINT) AS h,
       |        CAST(doc_id % 12 + 4 AS BIGINT) AS nf
@@ -989,12 +994,50 @@ object Multimodal {
       | SELECT doc_id, start_frame, cut_mad,
       |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_frame) - 1 AS scene_idx,
       |  LEAD(start_frame) OVER (PARTITION BY doc_id ORDER BY start_frame) AS nxt
-      | FROM sc0)
-      |SELECT s.doc_id AS media_id, CAST(s.scene_idx AS INTEGER) AS scene_idx,
-      | CAST(s.start_frame AS INTEGER) AS start_frame,
-      | CAST(COALESCE(s.nxt, v.nf) - s.start_frame AS INTEGER) AS n_frames,
-      | s.cut_mad
-      |FROM sc s JOIN vid v USING (doc_id)""".stripMargin
+      | FROM sc0)""".stripMargin
+
+  val mm05Oracle: String =
+    s"""WITH $vidSceneSql
+       |SELECT s.doc_id AS media_id, CAST(s.scene_idx AS INTEGER) AS scene_idx,
+       | CAST(s.start_frame AS INTEGER) AS start_frame,
+       | CAST(COALESCE(s.nxt, v.nf) - s.start_frame AS INTEGER) AS n_frames,
+       | s.cut_mad
+       |FROM sc s JOIN vid v USING (doc_id)""".stripMargin
+
+  /** mm12 oracle: the vidSceneSql scenes plus a per-frame sharpness pass
+    * (Σ|horizontal gradient|, both pixel bytes recomputed from the
+    * fixture formula), then argmax per scene with ties to the earliest
+    * frame — exactly sceneThumbnails' selection rule. */
+  val mm12Oracle: String =
+    s"""WITH $vidSceneSql,
+       |sharp AS MATERIALIZED (
+       | SELECT doc_id, f, CAST(SUM(ABS(b2 - b1)) AS BIGINT) AS sharp
+       | FROM (
+       |  SELECT doc_id, f, i,
+       |   CAST(((CAST(doc_id AS HUGEINT) * 1315423911
+       |      + CAST(f AS HUGEINT) * 2654435761
+       |      + CAST(i AS HUGEINT) * 1442695040888963407)
+       |      % 18446744073709551616) // 1099511627776 % 256 AS BIGINT) AS b1,
+       |   CAST(((CAST(doc_id AS HUGEINT) * 1315423911
+       |      + CAST(f AS HUGEINT) * 2654435761
+       |      + CAST(i + 1 AS HUGEINT) * 1442695040888963407)
+       |      % 18446744073709551616) // 1099511627776 % 256 AS BIGINT) AS b2
+       |  FROM (
+       |   SELECT doc_id, w, f, unnest(range(0, w * h)) AS i
+       |   FROM (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM vid) a) b
+       |  WHERE i % w != w - 1) c
+       | GROUP BY doc_id, f),
+       |asg AS (
+       | SELECT sh.doc_id, s.scene_idx, sh.f, sh.sharp,
+       |  ROW_NUMBER() OVER (PARTITION BY sh.doc_id, s.scene_idx
+       |    ORDER BY sh.sharp DESC, sh.f ASC) AS rk
+       | FROM sharp sh
+       | JOIN vid v USING (doc_id)
+       | JOIN sc s ON s.doc_id = sh.doc_id
+       |  AND sh.f >= s.start_frame AND sh.f < COALESCE(s.nxt, v.nf))
+       |SELECT doc_id AS media_id, CAST(scene_idx AS INTEGER) AS scene_idx,
+       | CAST(f AS INTEGER) AS frame_idx, sharp AS sharpness
+       |FROM asg WHERE rk = 1""".stripMargin
 
   /** mm10 oracle: input luma mass + truncating 2×2 box-filter mass from
     * the pixel formula (blocks keyed by (x//2, y//2) carry the odd-edge
@@ -1052,6 +1095,156 @@ object Multimodal {
       | CAST((a.n + 1) // 2 AS INTEGER) AS n_out, ri.rms_in, ro.rms_out
       |FROM au a JOIN ri USING (doc_id) JOIN ro USING (doc_id)""".stripMargin
 
+  /** mm01 oracle: the 16 block-mean features recomputed from all THREE
+    * fixture formulas — image luma, audio high-byte fold, video frames
+    * concatenated in time order — then the exact double feature sum.
+    * This is the widest decode cross-check in the family: one hash
+    * covers PNG, WAV and GRVF decode simultaneously. */
+  val mm01Oracle: String =
+    """WITH docs3 AS (
+      | SELECT doc_id, ((doc_id % 3) + 3) % 3 AS k,
+      |  CAST(doc_id % 64 + 16 AS BIGINT) AS w,
+      |  CAST(doc_id % 48 + 16 AS BIGINT) AS h,
+      |  CAST(2048 + doc_id % 1024 AS BIGINT) AS n,
+      |  CAST(doc_id % 12 + 4 AS BIGINT) AS nf
+      | FROM documents),
+      |ib AS (
+      | SELECT doc_id, i AS j,
+      |  ((p // 65536) * 299 + ((p // 256) % 256) * 587 + (p % 256) * 114) // 1000 AS v,
+      |  w * h AS len
+      | FROM (
+      |  SELECT doc_id, w, h, i,
+      |   ((doc_id * 1315423911 + (i % w) * 2654435761 + (i // w) * 97531)
+      |     // 65536) % 16777216 AS p
+      |  FROM (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i
+      |        FROM docs3 WHERE k = 0) t0) t1),
+      |ab AS (
+      | -- byte = (s >> 8) + 128: the arithmetic shift FLOORS while
+      | -- DuckDB's // truncates toward zero, so shift the domain
+      | -- non-negative first — (s + 32768) // 256 is the same value
+      | SELECT doc_id, i AS j, (s + 32768) // 256 AS v, n AS len
+      | FROM (
+      |  SELECT doc_id, n, i,
+      |   CAST(CASE WHEN lo >= 32768 THEN lo - 65536 ELSE lo END AS BIGINT) AS s
+      |  FROM (
+      |   SELECT doc_id, n, i,
+      |    CAST(((CAST(doc_id AS HUGEINT) * 6364136223846793005
+      |       + CAST(i AS HUGEINT) * 1442695040888963407)
+      |       % 18446744073709551616) // 8589934592 % 65536 AS BIGINT) AS lo
+      |   FROM (SELECT doc_id, n, unnest(range(0, n)) AS i
+      |         FROM docs3 WHERE k = 1) a0) a1) a2),
+      |vv AS (
+      | SELECT doc_id, j,
+      |  CAST(((CAST(doc_id AS HUGEINT) * 1315423911
+      |     + CAST(j // (w * h) AS HUGEINT) * 2654435761
+      |     + CAST(j % (w * h) AS HUGEINT) * 1442695040888963407)
+      |     % 18446744073709551616) // 1099511627776 % 256 AS BIGINT) AS v,
+      |  nf * w * h AS len
+      | FROM (SELECT doc_id, w, h, nf, unnest(range(0, nf * w * h)) AS j
+      |       FROM docs3 WHERE k = 2) t),
+      |pl AS (
+      | SELECT doc_id, j, v, len FROM ib
+      | UNION ALL SELECT doc_id, j, v, len FROM ab
+      | UNION ALL SELECT doc_id, j, v, len FROM vv),
+      |bm AS (
+      | SELECT doc_id, j // (len // 16) AS b,
+      |  CAST(CAST(CAST(SUM(v) AS BIGINT) AS REAL) / CAST(COUNT(*) AS REAL) AS DOUBLE) AS f
+      | FROM pl WHERE j < (len // 16) * 16
+      | GROUP BY doc_id, j // (len // 16)),
+      |fs AS (SELECT doc_id, SUM(f) AS feature_sum FROM bm GROUP BY doc_id)
+      |SELECT d.doc_id AS media_id,
+      | CASE d.k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      | CAST(16 AS INTEGER) AS dim, fs.feature_sum
+      |FROM docs3 d JOIN fs USING (doc_id)""".stripMargin
+
+  /** mm02 oracle: every 4th container frame of each video — pure header
+    * arithmetic (nf = id%12+4 < 32 = maxFrames·stride, so the cap never
+    * binds on these fixtures). */
+  val mm02Oracle: String =
+    """SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx
+      |FROM (
+      | SELECT doc_id, unnest(range(0, doc_id % 12 + 4, 4)) AS f
+      | FROM documents WHERE ((doc_id % 3) + 3) % 3 = 2) t""".stripMargin
+
+  /** mm04 oracle: per-frame RMS (floor-sqrt of the exact integer ΣS²,
+    * same IEEE double division both sides) and zero crossings (previous
+    * sample recomputed from the formula instead of a LAG window — the
+    * frames are 256-aligned so i−1 never crosses a frame). n ≥ 2048 on
+    * every fixture, so maxFrames = 8 always binds at exactly 8 frames. */
+  val mm04Oracle: String =
+    """WITH af AS MATERIALIZED (
+      | SELECT doc_id, i,
+      |  CAST(CASE WHEN lo >= 32768 THEN lo - 65536 ELSE lo END AS BIGINT) AS s,
+      |  CASE WHEN i % 256 = 0 THEN NULL
+      |   ELSE CAST(CASE WHEN lp >= 32768 THEN lp - 65536 ELSE lp END AS BIGINT) END AS sp
+      | FROM (
+      |  SELECT doc_id, i,
+      |   CAST(((CAST(doc_id AS HUGEINT) * 6364136223846793005
+      |      + CAST(i AS HUGEINT) * 1442695040888963407)
+      |      % 18446744073709551616) // 8589934592 % 65536 AS BIGINT) AS lo,
+      |   CAST(((CAST(doc_id AS HUGEINT) * 6364136223846793005
+      |      + CAST(i - 1 AS HUGEINT) * 1442695040888963407)
+      |      % 18446744073709551616) // 8589934592 % 65536 AS BIGINT) AS lp
+      |  FROM (SELECT doc_id, unnest(range(0, 2048)) AS i
+      |        FROM documents WHERE ((doc_id % 3) + 3) % 3 = 1) t0) t1)
+      |SELECT doc_id AS media_id, CAST(i // 256 AS INTEGER) AS frame_idx,
+      | CAST(floor(sqrt(CAST(CAST(SUM(s * s) AS BIGINT) AS DOUBLE) / 256)) AS BIGINT) AS rms,
+      | CAST(SUM(CASE WHEN sp IS NOT NULL AND ((s >= 0) != (sp >= 0))
+      |   THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings
+      |FROM af GROUP BY doc_id, i // 256""".stripMargin
+
+  /** mm06 oracle: the speech fixture's voiced frames recomputed (silent
+    * frames contribute ΣS² = 0 structurally), the VAD threshold applied
+    * to the COMPUTED energy (not the fixture phase — the oracle must
+    * make the same decision the engine makes), then gaps-and-islands
+    * segment assembly. 3072 samples → 12 frames for every doc. */
+  val mm06Oracle: String =
+    """WITH sp AS MATERIALIZED (
+      | SELECT doc_id, i // 256 AS f, CAST(SUM(s * s) AS BIGINT) AS ssq
+      | FROM (
+      |  SELECT doc_id, i,
+      |   CAST(CASE WHEN lo >= 32768 THEN lo - 65536 ELSE lo END AS BIGINT) AS s
+      |  FROM (
+      |   SELECT doc_id, i,
+      |    CAST(((CAST(doc_id AS HUGEINT) * 6364136223846793005
+      |       + CAST(i AS HUGEINT) * 1442695040888963407)
+      |       % 18446744073709551616) // 8589934592 % 65536 AS BIGINT) AS lo
+      |   FROM (SELECT doc_id, unnest(range(0, 3072)) AS i FROM documents) t0
+      |   WHERE ((i // 256) + doc_id) % 4 < 2) t1) t2
+      | GROUP BY doc_id, i // 256),
+      |fr AS (
+      | SELECT d.doc_id, fx.f, COALESCE(sp.ssq, 0) AS ssq
+      | FROM documents d
+      | CROSS JOIN (SELECT unnest(range(0, 12)) AS f) fx
+      | LEFT JOIN sp ON sp.doc_id = d.doc_id AND sp.f = fx.f),
+      |act AS (
+      | SELECT doc_id, f, ssq,
+      |  f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+      | FROM fr WHERE ssq >= 4294967296),
+      |seg AS (
+      | SELECT doc_id, MIN(f) AS start_frame, COUNT(*) AS n_frames,
+      |  MAX(ssq) AS peak_energy
+      | FROM act GROUP BY doc_id, grp)
+      |SELECT doc_id AS media_id,
+      | CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_frame) - 1
+      |   AS INTEGER) AS seg_idx,
+      | CAST(start_frame AS INTEGER) AS start_frame,
+      | CAST(n_frames AS INTEGER) AS n_frames, peak_energy
+      |FROM seg""".stripMargin
+
+  /** mm07 oracle: the dirtying rule IS the oracle — payloads of
+    * media_id ≡ 0 (mod 13) are 7-byte-truncated and defeat all three
+    * containers; every untouched payload decodes (the fixtures are
+    * well-formed by construction). */
+  val mm07Oracle: String =
+    """SELECT
+      | CASE ((doc_id % 3) + 3) % 3
+      |  WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      | CAST(COUNT(*) AS BIGINT) AS n_total,
+      | CAST(SUM(CASE WHEN doc_id % 13 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+      | CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt
+      |FROM documents GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "mm12_scene_thumbnails" -> (mm12SceneThumbnails _),
     "mm11_audio_decimate" -> (mm11AudioDecimate _),
@@ -1066,10 +1259,19 @@ object Multimodal {
     "mm05_scene_cuts" -> (mm05SceneCuts _),
     "mm06_audio_vad" -> (mm06AudioVad _))
 
+  // Every member except mm08 is oracle-checked: mm08's frame key is a
+  // truncated MD5 over raw plane bytes — an ordered cryptographic hash
+  // with no relational recompute (the one honest rows-only codec left).
   val oracles: Map[String, String] = Map(
+    "mm01_media_features" -> mm01Oracle,
+    "mm02_frame_sample" -> mm02Oracle,
     "mm03_image_neardup" -> mm03Oracle,
+    "mm04_audio_frames" -> mm04Oracle,
     "mm05_scene_cuts" -> mm05Oracle,
+    "mm06_audio_vad" -> mm06Oracle,
+    "mm07_corruption_audit" -> mm07Oracle,
     "mm09_transcript_align" -> mm09Oracle,
     "mm10_image_resize" -> mm10Oracle,
-    "mm11_audio_decimate" -> mm11Oracle)
+    "mm11_audio_decimate" -> mm11Oracle,
+    "mm12_scene_thumbnails" -> mm12Oracle)
 }

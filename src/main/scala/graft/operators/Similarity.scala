@@ -524,6 +524,120 @@ object Similarity {
        |FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.node""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ss36/ss37: NAVIGABLE-GRAPH ANN — greedy BEAM search over ss28's kNN
+  // graph (the NSW family: Malkov et al. 2014's navigable small-world
+  // search, minus the hierarchical layers), completing the serving-tier
+  // matrix alongside IVF (ss03), PQ (ss09), SQ8 (ss16) and RP (ss29):
+  // where IVF prunes by partition, graph search prunes by NAVIGATION —
+  // hop from entry points toward the query, keeping the best `beamWidth`
+  // candidates seen, re-expanding the beam through the graph for a FIXED
+  // number of hops (cc09's bounded-budget contract: deterministic for
+  // any budget, so the oracle is the same recurrence unrolled — a
+  // visited-set/priority-queue formulation would be arrival-order
+  // dependent and unverifiable). Scale shape: per hop, the frontier is
+  // n_queries × beamWidth rows hash-joined against the corpus-sized edge
+  // list and the corpus vector table — cost independent of corpus size
+  // beyond those equi-joins; no window ever sees more than
+  // beamWidth × (graphK + 1) rows per query. The beam keeps the best
+  // candidates found so far (the union includes the current beam), so
+  // quality is monotone in hops; ss37 is the honesty metric.
+  // ---------------------------------------------------------------------
+  private val beamWidth = 16
+  private val beamHops = 5
+  private val nswEntryCount = 8
+
+  def ss36NswBeam(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val edges = ss28KnnGraph(s, dir)
+      .select(col("src"), col("dst")).localCheckpoint()
+    val qs = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
+    val cands = base
+      .select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    // score a (q_id, c_id) frontier exactly and keep the top-beamWidth
+    def beam(front: DataFrame): DataFrame = front
+      .join(cands, Seq("c_id"))
+      .join(broadcast(qs), Seq("q_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos",
+        expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= beamWidth)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rnk"))
+    // fixed entry points: the lowest corpus ids — deterministic, id-only
+    val entries = base.select(col("vec_id").as("c_id"))
+      .orderBy(col("c_id").asc).limit(nswEntryCount)
+    var b = beam(qs.select(col("q_id")).crossJoin(broadcast(entries)))
+      .localCheckpoint()
+    for (_ <- 1 to beamHops) {
+      val grown = b.select(col("q_id"), col("c_id"))
+        .unionAll(b.join(edges, b("c_id") === edges("src"))
+          .select(col("q_id"), col("dst").as("c_id")))
+        .distinct()
+      b = beam(grown).localCheckpoint()
+    }
+    b.filter(col("rnk") <= K)
+      .select(col("q_id"), col("c_id"), col("rnk"), col("cos"))
+  }
+
+  private def nswGrowSql(b: String, u: String): String =
+    s"""$u AS (
+       | SELECT q_id, c_id FROM $b
+       | UNION
+       | SELECT g.q_id, e.dst AS c_id FROM $b g JOIN ed e ON e.src = g.c_id)"""
+      .stripMargin
+
+  private def nswBeamSql(u: String, b: String): String =
+    s"""$b AS (
+       | SELECT * FROM (
+       |  SELECT q_id, c_id, cos,
+       |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk
+       |  FROM (
+       |   SELECT u.q_id, u.c_id,
+       |    CAST(list_sum(list_transform(range(1, len(aa.v) + 1),
+       |      i -> aa.v[i] * bb.v[i])) AS BIGINT)
+       |      / sqrt(CAST(aa.nrm AS DOUBLE) * CAST(bb.nrm AS DOUBLE)) AS cos
+       |   FROM $u u JOIN qn aa ON u.q_id = aa.vec_id
+       |    JOIN qn bb ON u.c_id = bb.vec_id
+       |   WHERE u.q_id != u.c_id) s0) s1
+       | WHERE rnk <= $beamWidth)""".stripMargin
+
+  lazy val ss36Oracle: String = {
+    val hops = (1 to beamHops).map(h =>
+      nswGrowSql(s"b${h - 1}", s"u$h") + ",\n" + nswBeamSql(s"u$h", s"b$h"))
+      .mkString(",\n")
+    s"""WITH $qvecSql,
+       |ed AS MATERIALIZED (SELECT src, dst FROM ($ss28Oracle) g),
+       |qs AS (SELECT vec_id AS q_id FROM qn WHERE vec_id % 100 = 0),
+       |en AS (SELECT vec_id AS c_id FROM qn ORDER BY vec_id ASC LIMIT $nswEntryCount),
+       |u0 AS (SELECT q_id, c_id FROM qs CROSS JOIN en),
+       |${nswBeamSql("u0", "b0")},
+       |$hops
+       |SELECT q_id, c_id, CAST(rnk AS INT) AS rnk, cos
+       |FROM b$beamHops WHERE rnk <= $K""".stripMargin
+  }
+
+  def ss37NswRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = ss01BruteTopk(s, dir).select(col("q_id"), col("c_id"))
+    val approx = ss36NswBeam(s, dir)
+      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "c_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_pct", expr("(n_hit * 100) div n_exact"))
+  }
+
+  lazy val ss37Oracle: String =
+    s"""WITH ex AS (SELECT q_id, c_id FROM ($ss01Oracle) a),
+       |ap AS (SELECT q_id, c_id FROM ($ss36Oracle) b)
+       |SELECT COUNT(*) AS n_exact,
+       | CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       | (CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
+       |   // COUNT(*) AS recall_pct
+       |FROM ex LEFT JOIN ap USING (q_id, c_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ss27: range-search RECALL audit — ss06's honesty metric applied to
   // the radius mode: the brute-force radius scan (queries × corpus, the
   // exact answer set) intersected with ss26's probed answer, reported as
@@ -2130,11 +2244,15 @@ object Similarity {
     "ss14_ivf_pq_rerank" -> (ss14IvfPqRerank _),
     "ss15_rerank_recall" -> (ss15RerankRecall _),
     "ss34_ann_tombstoned" -> (ss34AnnTombstoned _),
-    "ss35_tombstone_recall" -> (ss35TombstoneRecall _))
+    "ss35_tombstone_recall" -> (ss35TombstoneRecall _),
+    "ss36_nsw_beam" -> (ss36NswBeam _),
+    "ss37_nsw_recall" -> (ss37NswRecall _))
 
   val oracles: Map[String, String] = Map(
     "ss34_ann_tombstoned" -> ss34Oracle,
     "ss35_tombstone_recall" -> ss35Oracle,
+    "ss36_nsw_beam" -> ss36Oracle,
+    "ss37_nsw_recall" -> ss37Oracle,
     "ss32_ivf_rp" -> ss32Oracle,
     "ss33_ivf_rp_recall" -> ss33Oracle,
     "ss29_rp_encode" -> ss29Oracle,
