@@ -820,17 +820,26 @@ object Relational {
       val wedges0 = orE.as("x").join(orE.as("y"),
           col("x.u") === col("y.u") && col("x.w") < col("y.w"))
         .select(col("x.u").as("u"), col("x.w").as("w1"), col("y.w").as("w2"))
-      val wedges = if (n > 500000L) {
+      // The screen is ALWAYS on: even a stale bloom prunes the vast
+      // majority of wedges (most closing pairs are non-edges of even the
+      // ORIGINAL graph), and it's map-side — cheaper than shuffling the
+      // unscreened wedge stream into the closing semi-join at any n. The
+      // 4× rebuild schedule keeps builds at O(log n) total, each build
+      // geometrically cheaper than the last.
+      // (n == 0 skips the screen entirely: Spark's bloomFilter aggregate
+      // has no buffer for zero rows, and an empty graph is at fixpoint)
+      val wedges = if (n == 0) wedges0 else {
         if (bloomSer == null || n * 4 <= bloomBuiltAt) {
           bloomSer = graft.functions.BloomMightContain.serialize(
             e.select(xxhash64(col("a"), col("b")).as("h"))
               .stat.bloomFilter("h", math.max(n, 1000L), 0.01))
           bloomBuiltAt = n
-          System.err.println(s"[truss] bloom build at n=$n (round ${round + 1})")
+          if (sys.env.contains("GRAFT_CC_DEBUG"))
+            System.err.println(s"[truss] bloom build at n=$n (round ${round + 1})")
         }
         wedges0.filter(call_function("bloom_might_contain",
           xxhash64(col("w1"), col("w2")), lit(bloomSer)))
-      } else wedges0
+      }
       // closing edge is undirected; e stores it as (min, max) = (w1, w2)
       val tri = wedges.join(e.select(col("a").as("w1"), col("b").as("w2")),
         Seq("w1", "w2"), "left_semi")
@@ -843,6 +852,9 @@ object Relational {
       val e2 = e.join(sup.select("a", "b"), Seq("a", "b"), "left_semi")
         .localCheckpoint()
       val n2 = e2.count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(
+          s"[truss] round ${round + 1}: $n -> $n2 edges at ${System.nanoTime() / 1000000}ms")
       round += 1
       if (n2 == n) result = e2
       e = e2

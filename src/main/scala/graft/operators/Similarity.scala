@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -522,6 +522,130 @@ object Similarity {
        |comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a)
        |SELECT emb.vec_id, COALESCE(comp.component, emb.vec_id) AS cluster
        |FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.node""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ss38: kNN-GRAPH ROLL-FORWARD — ss07's index-maintenance story lifted
+  // to the GRAPH tier: when an increment of vectors arrives, the standing
+  // kNN graph (ss28's artifact) is grown without rebuilding it. The
+  // frozen standing-trained quantizer (ss07's split: increment residue
+  // vec_id % 10 == 3, so the % 250 == 0 seeds stay standing) gives three
+  // bounded pieces:
+  //   1. the increment's own out-edges — probe the appended index with
+  //      increment queries only, O(increment × lists);
+  //   2. the increment's effect on STANDING nodes — score standing
+  //      queries against increment-only list members (the candidate scan
+  //      touches O(increment) rows, not the corpus), union with the
+  //      standing graph's existing top-k, re-rank: top-k of
+  //      (top-k(old) ∪ new-candidates) equals top-k(old ∪ new) exactly;
+  //   3. the mutual flag — one self-join of the merged (tiny) edge list.
+  // The oracle is a ONE-SHOT build with the same frozen quantizer
+  // (centroid chain trained on qno, full-corpus assignment): the
+  // roll-forward must be indistinguishable from it, edge for edge —
+  // the same law ss07 pins for the flat index.
+  // ---------------------------------------------------------------------
+  /** Scored (q_id, c_id, cos) pairs from probing a PERSISTED index:
+    * nearest nprobe stored centroids per query, exact scoring against
+    * the stored list members passing `candFilter`. Query side is NOT
+    * broadcast (graph builds are corpus-sized); the rank limit is the
+    * caller's. */
+  private def probeScoredPairs(s: SparkSession, queries: DataFrame,
+      idxDir: String, candFilter: Column): DataFrame = {
+    val cents = s.read.parquet(s"$idxDir/centroids")
+      .select(col("cent_id"), col("cv").as("v2"), col("cnrm").as("n2"))
+    val lists = s.read.parquet(s"$idxDir/lists").filter(candFilter)
+    val qside = queries.select(col("vec_id").as("q_id"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val probes = qside
+      .join(broadcast(cents), lit(true))
+      .withColumn("ccos",
+        expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+      .withColumn("crn", row_number().over(wProbe)).filter(col("crn") <= nprobe)
+      .select(col("q_id"), col("cent_id"))
+    probes.join(lists, Seq("cent_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        col("v").as("v2"), col("nrm").as("n2"))
+      .join(qside, Seq("q_id"))
+      .withColumn("cos",
+        expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+      .select(col("q_id"), col("c_id"), col("cos"))
+  }
+
+  /** The ONE-SHOT graph over a persisted index — probe every vector,
+    * top-graphK, mutual flag. IvfIndexSpec checks ss38's incremental
+    * assembly against this directly (the oracle proves the same law
+    * relationally). */
+  private[operators] def oneShotGraph(s: SparkSession, base: DataFrame,
+      idxDir: String): DataFrame = {
+    val wk = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    val edges = probeScoredPairs(s, base, idxDir, lit(true))
+      .withColumn("rnk", row_number().over(wk)).filter(col("rnk") <= graphK)
+      .select(col("q_id").as("src"), col("c_id").as("dst"),
+        col("rnk"), col("cos"))
+      .localCheckpoint()
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+    edges.join(rev.withColumn("m", lit(true)), Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), col("rnk"), col("cos"),
+        coalesce(col("m"), lit(false)).as("mutual"))
+  }
+
+  def ss38KnnGraphRollforward(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val standing = base.filter(col("vec_id") % 10 =!= 3)
+    val inc = base.filter(col("vec_id") % 10 === 3)
+    val idxDir = indexPathFor(dir + "#graphroll")
+    buildIvfIndex(standing, idxDir)
+    val wk = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    def topk(df: DataFrame): DataFrame =
+      df.withColumn("rnk", row_number().over(wk)).filter(col("rnk") <= graphK)
+    // the standing graph — in production the artifact already on disk;
+    // materialized BEFORE the append mutates the on-disk lists
+    val oldEdges = topk(probeScoredPairs(s, standing, idxDir, lit(true)))
+      .select(col("q_id"), col("c_id"), col("cos")).localCheckpoint()
+    appendToIvfIndex(s, idxDir, inc)
+    // O(increment) pieces: the increment's out-edges over the full lists,
+    // and its candidacy against standing queries (increment members only)
+    val newOut = topk(probeScoredPairs(s, inc, idxDir, lit(true)))
+    val deltaIn = probeScoredPairs(s, standing, idxDir,
+      col("vec_id") % 10 === 3)
+    // old and delta candidate sets are disjoint (standing vs increment
+    // ids), so the union needs no dedup before the re-rank
+    val standingNew = topk(oldEdges.unionByName(deltaIn))
+    val edges = standingNew.select(col("q_id"), col("c_id"), col("rnk"), col("cos"))
+      .unionByName(newOut.select(col("q_id"), col("c_id"), col("rnk"), col("cos")))
+      .select(col("q_id").as("src"), col("c_id").as("dst"),
+        col("rnk"), col("cos"))
+      .localCheckpoint()
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+    edges.join(rev.withColumn("m", lit(true)), Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), col("rnk"), col("cos"),
+        coalesce(col("m"), lit(false)).as("mutual"))
+  }
+
+  lazy val ss38Oracle: String =
+    s"""WITH $qvecSql,
+       |qno AS (SELECT * FROM qn WHERE vec_id % 10 != 3),
+       |${kmChainSql(ivfRounds).replaceAll("\\bqn\\b", "qno")},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |${annProbePrefixSqlFor("TRUE")},
+       |scored AS (
+       | SELECT pairs.q_id, pairs.c_id,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT)
+       |    / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos
+       | FROM pairs JOIN qn a ON pairs.q_id = a.vec_id
+       |  JOIN qn b ON pairs.c_id = b.vec_id),
+       |edges AS (
+       | SELECT q_id AS src, c_id AS dst, rnk, cos FROM (
+       |  SELECT q_id, c_id, cos,
+       |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk
+       |  FROM scored) t WHERE rnk <= $graphK)
+       |SELECT e.src, e.dst, CAST(e.rnk AS INT) AS rnk, e.cos,
+       | EXISTS (SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src) AS mutual
+       |FROM edges e""".stripMargin
 
   // ---------------------------------------------------------------------
   // ss36/ss37: NAVIGABLE-GRAPH ANN — greedy BEAM search over ss28's kNN
@@ -2246,12 +2370,14 @@ object Similarity {
     "ss34_ann_tombstoned" -> (ss34AnnTombstoned _),
     "ss35_tombstone_recall" -> (ss35TombstoneRecall _),
     "ss36_nsw_beam" -> (ss36NswBeam _),
+    "ss38_knn_graph_rollforward" -> (ss38KnnGraphRollforward _),
     "ss37_nsw_recall" -> (ss37NswRecall _))
 
   val oracles: Map[String, String] = Map(
     "ss34_ann_tombstoned" -> ss34Oracle,
     "ss35_tombstone_recall" -> ss35Oracle,
     "ss36_nsw_beam" -> ss36Oracle,
+    "ss38_knn_graph_rollforward" -> ss38Oracle,
     "ss37_nsw_recall" -> ss37Oracle,
     "ss32_ivf_rp" -> ss32Oracle,
     "ss33_ivf_rp_recall" -> ss33Oracle,

@@ -115,4 +115,27 @@ class IvfIndexSpec extends SparkSpec {
     val recallPct = r.getLong(1) * 100 / r.getLong(0)
     assert(recallPct >= 30, s"recall $recallPct% — quantizer drift broke the index")
   }
+
+  test("ss38 graph roll-forward equals a one-shot graph over the grown index") {
+    // the incremental law: top-k(top-k(standing) ∪ increment-candidates)
+    // per standing node, plus the increment's own probes, must equal the
+    // graph a full probe of the APPENDED index produces — edge for edge
+    val rolled = Similarity.ss38KnnGraphRollforward(spark, dir)
+      .select("src", "dst", "rnk", "mutual").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+      .toSet
+    // one-shot: probe the already-appended index (ss38 left it on disk)
+    // with ALL vectors at the graph's k
+    val base = graft.operators.Dedup.quantized(
+        graft.Tables(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("v"), col("nrm")).localCheckpoint()
+    val idxDir = Similarity.indexPathFor(dir + "#graphroll")
+    val oneShot = Similarity.oneShotGraph(spark, base, idxDir)
+      .select("src", "dst", "rnk", "mutual")
+    val oneShotSet = oneShot.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+      .toSet
+    assert(rolled == oneShotSet,
+      s"missing=${(oneShotSet -- rolled).take(5)} extra=${(rolled -- oneShotSet).take(5)}")
+  }
 }

@@ -493,4 +493,16 @@ class PlanShapeSpec extends SparkSpec {
     // funnel through a SinglePartition window/sort
     assert(!plan.contains("SinglePartition"), plan.take(3000))
   }
+
+  test("ss36: NSW beam search is cartesian-free; frontier joins stay hashed") {
+    // the one deliberate product is queries × entry points — a broadcast
+    // of nswEntryCount ids, constant-size at any corpus scale. The hot
+    // joins (frontier→edges, frontier→vector table) must stay equi-hash.
+    val plan = Similarity.ss36NswBeam(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(nlj <= 1, s"expected at most the entry-point product, got $nlj\n" +
+      plan.take(3000))
+  }
 }

@@ -138,8 +138,12 @@ class StintFifteenSpec extends SparkSpec {
 
   test("ss29/ss30: projection matches a Scala JL recompute; encode has no shuffle") {
     val enc = Similarity.ss29RpEncode(spark, dir)
+    // ss29 emits LONG FORM (vec_id, p, c) since the driver-hashability
+    // re-shape (round 6) — reassemble the per-vector projection by p
     val got = enc.collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
 
     // independent recompute: the same md5-parity ±1 planes, from scratch
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -232,7 +236,9 @@ class StintFifteenSpec extends SparkSpec {
 
   test("ss32: scores are the ss29 projections' exact dots; ranks well-formed") {
     val enc = Similarity.ss29RpEncode(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
     val pn = enc.view.mapValues(rp => rp.map(x => x * x).sum).toMap
     val rows = Similarity.ss32IvfRp(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),

@@ -756,7 +756,10 @@ class StintSeventeenSpec extends SparkSpec {
   }
 
   test("mm10 resize conserves luma mass within truncation and is golden-stable") {
-    val rows = Multimodal.mm10ImageResize(spark, dir).collect()
+    // out_hash is spec-only since round 6 (the registered query projects
+    // it out for the fixture-arithmetic oracle) — read the full Dataset
+    val rows = Multimodal.resizeImages(
+        Multimodal.mediaFromDocuments(spark, dir)).toDF().collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
         r.getLong(5), r.getLong(6), r.getLong(7)))
     assert(rows.nonEmpty)
@@ -770,7 +773,8 @@ class StintSeventeenSpec extends SparkSpec {
       assert(sIn < 4L * (sOut + ow.toLong * oh), s"media $id mass down")
     }
     // deterministic: a second run produces identical fingerprints
-    val again = Multimodal.mm10ImageResize(spark, dir).collect()
+    val again = Multimodal.resizeImages(
+        Multimodal.mediaFromDocuments(spark, dir)).toDF().collect()
       .map(r => (r.getLong(0), r.getLong(7))).toMap
     rows.foreach { case (id, _, _, _, _, _, _, hsh) => assert(again(id) === hsh) }
   }
@@ -943,7 +947,10 @@ class StintSeventeenSpec extends SparkSpec {
   }
 
   test("mm11 decimation halves the stream, keeps RMS, and is golden-stable") {
-    val rows = Multimodal.mm11AudioDecimate(spark, dir).collect()
+    // out_hash is spec-only since round 6 (the registered query projects
+    // it out for the fixture-arithmetic oracle) — read the full Dataset
+    val rows = Multimodal.resampleAudio(
+        Multimodal.mediaFromDocuments(spark, dir)).toDF().collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))
     assert(rows.nonEmpty)
@@ -952,7 +959,8 @@ class StintSeventeenSpec extends SparkSpec {
       // pair-averaging cannot create energy; near-white fixtures keep most
       assert(rout <= rin + 1, s"media $id rms")
     }
-    val again = Multimodal.mm11AudioDecimate(spark, dir).collect()
+    val again = Multimodal.resampleAudio(
+        Multimodal.mediaFromDocuments(spark, dir)).toDF().collect()
       .map(r => (r.getLong(0), r.getLong(5))).toMap
     rows.foreach { case (id, _, _, _, _, h) => assert(again(id) === h) }
   }

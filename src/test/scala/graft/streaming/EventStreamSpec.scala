@@ -560,6 +560,27 @@ trait StatefulStreamingScenarios { this: SparkSpec =>
           input.addData(Seq(Event(99L, ts(5), 1L, "view", 9.9)))
           q.processAllAvailable()
           assert(spark.table("q64_lockstep").count() === before)
+          // SAME-SECOND cross-batch ties break by event_id (eid carried
+          // in state since round 6), matching the batch twin's
+          // highest-id-wins rule: a fresh user emits its boundary tick,
+          // a later batch's same-second LOWER id is a no-op, and a later
+          // batch's same-second HIGHER id re-emits the corrected tick.
+          input.addData(Seq(Event(50L, ts(60), 3L, "view", 1.0)))
+          q.processAllAvailable()
+          val h11 = ts(60).getTime / 1000
+          def lastTick(u: Long, g: Long): (Long, Long) =
+            spark.table("q64_lockstep").collect()
+              .filter(x => x.getLong(0) == u && x.getLong(1) == g)
+              .map(x => (x.getLong(2), x.getLong(3))).last
+          assert(lastTick(3L, h11) == ((1000L, 1L)))
+          val afterNew = spark.table("q64_lockstep").count()
+          input.addData(Seq(Event(49L, ts(60), 3L, "view", 9.0)))
+          q.processAllAvailable()
+          assert(spark.table("q64_lockstep").count() === afterNew)
+          assert(lastTick(3L, h11) == ((1000L, 1L)))
+          input.addData(Seq(Event(51L, ts(60), 3L, "view", 2.0)))
+          q.processAllAvailable()
+          assert(lastTick(3L, h11) == ((2000L, 1L)))
         } finally { q.stop(); spark.catalog.dropTempView("q64_lockstep") }
       } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
     }
