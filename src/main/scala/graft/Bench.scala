@@ -49,15 +49,21 @@ object Bench {
       // (a 0.24 s join was captured at 1.69 s in one driver round), so
       // they get a median-of-3; anything slower is measured once — its
       // signal already dwarfs the jitter and two extra runs cost minutes.
+      // (first >= 0: a crash sentinel must not masquerade as "sub-second"
+      // and trigger two more runs of a possibly-multi-minute OOM)
       val first = timed(fn)
-      val runs = if (first < 0.5) Seq(first, timed(fn), timed(fn)) else Seq(first)
+      val runs = if (first >= 0 && first < 0.5) Seq(first, timed(fn), timed(fn))
+                 else Seq(first)
       // Nudge the ContextCleaner: accumulated broadcast/checkpoint blocks
       // from one query otherwise bleed GC pressure into the next timing.
       System.gc()
       name -> runs
     }
     def ms(v: Double): String = f"$v%.3f"
-    val median = results.map { case (k, rs) => k -> rs.sorted.apply(rs.size / 2) }
+    // ANY crashed run marks the query failed — a median over [-1, t, t]
+    // would otherwise erase an intermittent crash from the canonical line
+    val median = results.map { case (k, rs) =>
+      k -> (if (rs.exists(_ < 0)) -1.0 else rs.sorted.apply(rs.size / 2)) }
     val qs = median.map { case (k, v) => "\"" + k + "\":" + ms(v) }
     // Failed queries (sentinel -1 from timed) are excluded from total and
     // surfaced loudly: n_errors in every JSON line, names in errsJson.

@@ -4,6 +4,19 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** The driver-hashable output contract, in ONE place (used by the
+    * Verify gate and OutputShapeSpec): top-level columns must be atomic
+    * — the driver's pandas `sort_values` hasher cannot order nested
+    * cells (round-5 ss29 incident). */
+  def nonAtomicFields(schema: org.apache.spark.sql.types.StructType)
+      : Seq[org.apache.spark.sql.types.StructField] =
+    schema.fields.toSeq.filter(f => f.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType |
+           _: org.apache.spark.sql.types.StructType => true
+      case _ => false
+    })
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
@@ -29,12 +42,7 @@ object Verify {
           // Driver-hashable output contract (round-5 ss29 incident): the
           // driver's pandas canonicalizer crashes on nested cells, so a
           // nested top-level column must fail HERE, in the local gate.
-          val nested = df.schema.fields.filter(f => f.dataType match {
-            case _: org.apache.spark.sql.types.ArrayType |
-                 _: org.apache.spark.sql.types.MapType |
-                 _: org.apache.spark.sql.types.StructType => true
-            case _ => false
-          })
+          val nested = Verify.nonAtomicFields(df.schema)
           if (nested.nonEmpty) throw new IllegalStateException(
             s"non-atomic output column(s) ${nested.map(_.name).mkString(",")} " +
               "— the driver's pandas hasher cannot sort nested cells; emit long form")

@@ -670,10 +670,21 @@ object Similarity {
   private val beamHops = 5
   private val nswEntryCount = 8
 
-  def ss36NswBeam(s: SparkSession, dir: String): DataFrame = {
+  def ss36NswBeam(s: SparkSession, dir: String): DataFrame =
+    nswBeamPipeline(s, dir, materialize = true)
+
+  /** materialize=false keeps the whole hop pipeline LAZY (no
+    * localCheckpoint), so PlanShapeSpec can inspect the actual beam-join
+    * dataflow — the production path's per-hop checkpoints otherwise
+    * collapse the executedPlan to a LogicalRDD scan and a plan assert
+    * against it would be vacuous (round-6 review finding). */
+  private[operators] def nswBeamPipeline(s: SparkSession, dir: String,
+      materialize: Boolean, hops: Int = beamHops): DataFrame = {
+    def ck(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint() else df
     val base = qvec(s, dir).localCheckpoint()
-    val edges = ss28KnnGraph(s, dir)
-      .select(col("src"), col("dst")).localCheckpoint()
+    val edges = ck(ss28KnnGraph(s, dir)
+      .select(col("src"), col("dst")))
     val qs = base.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
     val cands = base
@@ -692,14 +703,13 @@ object Similarity {
     // fixed entry points: the lowest corpus ids — deterministic, id-only
     val entries = base.select(col("vec_id").as("c_id"))
       .orderBy(col("c_id").asc).limit(nswEntryCount)
-    var b = beam(qs.select(col("q_id")).crossJoin(broadcast(entries)))
-      .localCheckpoint()
-    for (_ <- 1 to beamHops) {
+    var b = ck(beam(qs.select(col("q_id")).crossJoin(broadcast(entries))))
+    for (_ <- 1 to hops) {
       val grown = b.select(col("q_id"), col("c_id"))
         .unionAll(b.join(edges, b("c_id") === edges("src"))
           .select(col("q_id"), col("dst").as("c_id")))
         .distinct()
-      b = beam(grown).localCheckpoint()
+      b = ck(beam(grown))
     }
     b.filter(col("rnk") <= K)
       .select(col("q_id"), col("c_id"), col("rnk"), col("cos"))

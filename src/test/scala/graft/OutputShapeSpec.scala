@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
-
 /** The driver-hashable output contract, enforced locally: every registered
   * query must emit ATOMIC top-level columns only (no array/map/struct).
   *
@@ -19,19 +17,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 class OutputShapeSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
-  private def isAtomic(dt: DataType): Boolean = dt match {
-    case _: ArrayType | _: MapType | _: StructType => false
-    case _ => true
-  }
-
+  // NOTE on cost: lazily-planned queries resolve .schema without running;
+  // the handful of EAGER constructors (index builds, fixpoint loops)
+  // self-execute at sf0.001 — a deliberate price for enforcing the
+  // contract at test time, on top of the Verify-side gate (both sites
+  // share Verify.nonAtomicFields so the rule cannot drift).
   test("every registered query emits atomic-only top-level columns") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        fn(spark, sfDir).schema.fields.collect {
-          case f if !isAtomic(f.dataType) =>
-            s"$name.${f.name}: ${f.dataType.simpleString}"
-        }
+        Verify.nonAtomicFields(fn(spark, sfDir).schema)
+          .map(f => s"$name.${f.name}: ${f.dataType.simpleString}")
     }
     assert(offenders.isEmpty,
       s"nested top-level columns break the driver's pandas hasher " +
