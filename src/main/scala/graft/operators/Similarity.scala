@@ -524,6 +524,78 @@ object Similarity {
        |FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.node""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ss39: HARD-NEGATIVE MINING — the contrastive-training verb on top of
+  // the ANN machinery: for each query, the different-label candidates
+  // whose cosine EXCEEDS the query's weakest top-P same-label neighbor —
+  // i.e. negatives that outrank a true positive. This is the violation
+  // set a retriever/embedding trainer mines for in-batch negatives
+  // (Karpukhin et al. 2020's DPR recipe: hard negatives = top-ranked
+  // non-gold passages); random negatives are trivially separable and
+  // teach nothing, so the mining rule IS the semantics — not just
+  // "different-label top-k" (which would be ss19's complement) but
+  // "different-label AND above the positive margin". Candidates come
+  // from the same label-blind IVF probe as ss19, the threshold is the
+  // exact MIN cosine of the top-P positives, and both the threshold pass
+  // and the negative pass read one checkpointed scored-pair table.
+  // Queries with zero same-label candidates emit nothing (no anchor to
+  // contrast against).
+  // ---------------------------------------------------------------------
+  private val hardNegPos = 3
+
+  def ss39HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val labels = graft.Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val scored = ivfScoredPairs(s, base)
+      .withColumn("cos",
+        col("dot") / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+      .join(labels.withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("label", "l1"), Seq("q_id"))
+      .join(labels.withColumnRenamed("vec_id", "c_id")
+        .withColumnRenamed("label", "l2"), Seq("c_id"))
+      .localCheckpoint() // feeds the threshold pass AND the negative pass
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    val thr = scored.filter(col("l1") === col("l2"))
+      .withColumn("prnk", row_number().over(wq))
+      .filter(col("prnk") <= hardNegPos)
+      .groupBy(col("q_id")).agg(min(col("cos")).as("thr"))
+    scored.filter(col("l1") =!= col("l2"))
+      .join(thr, Seq("q_id"))
+      .filter(col("cos") > col("thr"))
+      .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= K)
+      .select(col("q_id"), col("c_id"), col("l2").as("neg_label"),
+        col("rnk"), col("cos"), col("thr"))
+  }
+
+  lazy val ss39Oracle: String =
+    s"""WITH $qvecSql,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |${kmChainSql(ivfRounds)},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |$annProbePrefixSql,
+       |sc39 AS (
+       | SELECT pairs.q_id, pairs.c_id, la.label AS l1, lb.label AS l2,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT)
+       |    / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos
+       | FROM pairs
+       | JOIN qn a ON pairs.q_id = a.vec_id
+       | JOIN qn b ON pairs.c_id = b.vec_id
+       | JOIN lab la ON la.vec_id = pairs.q_id
+       | JOIN lab lb ON lb.vec_id = pairs.c_id),
+       |thr AS (
+       | SELECT q_id, MIN(cos) AS thr FROM (
+       |  SELECT q_id, cos,
+       |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS prnk
+       |  FROM sc39 WHERE l1 = l2) p
+       | WHERE prnk <= $hardNegPos GROUP BY q_id)
+       |SELECT q_id, c_id, neg_label, rnk, cos, thr FROM (
+       | SELECT n.q_id, n.c_id, n.l2 AS neg_label, n.cos, t.thr,
+       |  ROW_NUMBER() OVER (PARTITION BY n.q_id ORDER BY n.cos DESC, n.c_id ASC) AS rnk
+       | FROM sc39 n JOIN thr t USING (q_id)
+       | WHERE n.l1 != n.l2 AND n.cos > t.thr) x WHERE rnk <= $K""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ss38: kNN-GRAPH ROLL-FORWARD — ss07's index-maintenance story lifted
   // to the GRAPH tier: when an increment of vectors arrives, the standing
   // kNN graph (ss28's artifact) is grown without rebuilding it. The
@@ -2381,6 +2453,7 @@ object Similarity {
     "ss35_tombstone_recall" -> (ss35TombstoneRecall _),
     "ss36_nsw_beam" -> (ss36NswBeam _),
     "ss38_knn_graph_rollforward" -> (ss38KnnGraphRollforward _),
+    "ss39_hard_negatives" -> (ss39HardNegatives _),
     "ss37_nsw_recall" -> (ss37NswRecall _))
 
   val oracles: Map[String, String] = Map(
@@ -2388,6 +2461,7 @@ object Similarity {
     "ss35_tombstone_recall" -> ss35Oracle,
     "ss36_nsw_beam" -> ss36Oracle,
     "ss38_knn_graph_rollforward" -> ss38Oracle,
+    "ss39_hard_negatives" -> ss39Oracle,
     "ss37_nsw_recall" -> ss37Oracle,
     "ss32_ivf_rp" -> ss32Oracle,
     "ss33_ivf_rp_recall" -> ss33Oracle,
