@@ -116,6 +116,35 @@ class IvfIndexSpec extends SparkSpec {
     assert(recallPct >= 30, s"recall $recallPct% — quantizer drift broke the index")
   }
 
+  test("ss39 hard negatives obey the margin law; thresholds match ss19's positives") {
+    val rows = Similarity.ss39HardNegatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val labels = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    // (a) every negative really is cross-label and above the margin
+    rows.foreach { case (q, c, nl, _, cos, thr) =>
+      assert(labels(c) == nl && labels(q) != nl, s"($q,$c)")
+      assert(cos > thr, s"($q,$c): $cos <= $thr")
+    }
+    // (b) ranks are dense from 1 per query
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.size).toSeq, s"q=$q")
+    }
+    // (c) independent path: the threshold equals the min cosine of the
+    // query's top-3 SAME-label candidates as ss19 (same probe machinery,
+    // different composition) reports them
+    val thrFromSs19 = Similarity.ss19FilteredTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getDouble(4)))
+      .filter(_._2 <= 3).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._3).min }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(math.abs(rs.head._6 - thrFromSs19(q)) == 0.0, s"q=$q threshold")
+    }
+  }
+
   test("ss38 graph roll-forward equals a one-shot graph over the grown index") {
     // the incremental law: top-k(top-k(standing) ∪ increment-candidates)
     // per standing node, plus the increment's own probes, must equal the
