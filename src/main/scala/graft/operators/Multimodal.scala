@@ -590,19 +590,52 @@ object Multimodal {
 
   final case class VideoFrameHash(media_id: Long, frame_idx: Int, fhash: Long)
 
-  /** 60-bit content hash of one decoded grayscale frame (md5 of the
-    * pixel plane, house truncation). EXACT frame identity, not a
-    * perceptual hash: identical pixels collide however they were
-    * containered, any pixel change separates. (A block-mean aHash —
+  // Odd 64-bit mixing constants (golden-gamma and a second well-known
+  // odd prime); odd ⇒ multiplication by them is a bijection mod 2^64,
+  // so distinct positions get distinct weights.
+  private val HashK1 = 0x9e3779b97f4a7c15L // unsigned 11400714819323198485
+  private val HashK2 = 0xc2b2ae3d27d4eb4fL // unsigned 14029467366897019727
+
+  /** 64-bit content hash of one decoded grayscale frame: the
+    * position-weighted wrapping sum Σᵢ (bᵢ+1)·((i+1)·K1) mod 2^64.
+    * EXACT frame identity, not a perceptual hash: identical pixels
+    * collide however they were containered, any single-pixel change
+    * separates (the weight is odd ⇒ nonzero). (A block-mean aHash —
     * mm03's image key — is the wrong key at frame granularity here:
     * brightness-shift invariance folds this corpus's phase-shifted
     * gradient frames into one bucket, flagging distinct videos as
     * dups; frame-level dedup wants identity, the perceptual layer
-    * belongs to the per-image tier.) */
+    * belongs to the per-image tier.) Unlike the earlier truncated-MD5
+    * key, every term is plain mod-2^64 arithmetic and the sum is
+    * COMMUTATIVE — so a DuckDB oracle recomputes it relationally from
+    * the GRVF fixture formula in HUGEINT (SUM over per-pixel terms,
+    * reduce % 2^64, sign-fold), closing mm08's verification gap. */
   private[operators] def frameContentHash(plane: Array[Byte]): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    java.lang.Long.parseLong(
-      md.digest(plane).map("%02x".format(_)).mkString.take(15), 16)
+    var h = 0L
+    var i = 0
+    while (i < plane.length) {
+      h += ((plane(i) & 0xff) + 1L) * ((i + 1L) * HashK1)
+      i += 1
+    }
+    h
+  }
+
+  /** Order-sensitive video signature over the per-frame hashes:
+    * Σ_f lo32(fhash_f)·((2f+1)·K2) + hi32(fhash_f)·((2f+2)·K2), all
+    * wrapping mod 2^64. Splitting each 64-bit frame hash into 32-bit
+    * halves keeps every product < 2^96, so the DuckDB oracle's HUGEINT
+    * (128-bit) SUM is exact before the final % 2^64. Position weights
+    * make the signature sequence-sensitive (a reordered cut separates);
+    * term-commutativity keeps it computable as an unordered SUM. */
+  private[operators] def videoSignature(hashes: Iterator[(Int, Long)]): Long = {
+    var s = 0L
+    while (hashes.hasNext) {
+      val (f, fh) = hashes.next()
+      val lo = fh & 0xffffffffL
+      val hi = fh >>> 32
+      s += lo * ((2L * f + 1L) * HashK2) + hi * ((2L * f + 2L) * HashK2)
+    }
+    s
   }
 
   /** (media_id, frame_idx, fhash) for every frame of every video — the
@@ -619,27 +652,38 @@ object Multimodal {
   }
 
   /** mm08: VIDEO dedup — mm03's loop closed for the third modality, at
-    * dd19's granularity: REAL GRVF decode → per-frame 60-bit content
-    * hash → an ORDER-SENSITIVE video signature (md5 over the frame-hash
-    * sequence; a copy collides whatever container carried it, a
-    * reordered or edited cut does not) → dd01-style exact dedup on the
-    * signature (one hash shuffle, map-side partials). The frame-hash
-    * table is also the substrate for shared-footage pair search (a
-    * dd22-style positional join), left to the caller. Rows-only for the
-    * driver like all codec ops; StintSixteenSpec plants a duplicate and
-    * a one-frame edit and checks the flags. */
+    * dd19's granularity: REAL GRVF decode → per-frame 64-bit content
+    * hash → an ORDER-SENSITIVE video signature (position-weighted
+    * wrapping sum over the frame-hash sequence; a copy collides
+    * whatever container carried it, a reordered or edited cut does
+    * not) → dd01-style exact dedup on the signature (one hash shuffle,
+    * map-side partials). The frame-hash table is also the substrate
+    * for shared-footage pair search (a dd22-style positional join),
+    * left to the caller. Oracle-checked since round 7: the DuckDB
+    * oracle recomputes both hash levels relationally from the GRVF
+    * fixture formula (HUGEINT mod-2^64) — a codec regression shifts a
+    * plane byte and the hash gate goes red. StintSixteenSpec plants a
+    * duplicate and a one-frame edit and checks the flags. */
   def mm08VideoNeardup(s: SparkSession, dir: String): DataFrame =
     videoSignatureDedup(videoFrameHashes(mediaFromDocuments(s, dir)).toDF())
 
   private[operators] def videoSignatureDedup(fh: DataFrame): DataFrame = {
-    val hashed = fh.localCheckpoint()
-    val sig = hashed.groupBy(col("media_id"))
-      .agg(count(lit(1)).as("n_frames"),
-        expr(
-          """CAST(conv(substring(md5(concat_ws(':',
-            |  transform(sort_array(collect_list(struct(frame_idx, fhash))),
-            |            p -> CAST(p.fhash AS STRING)))), 1, 15), 16, 10) AS BIGINT)"""
-            .stripMargin).as("sig"))
+    val spark = fh.sparkSession
+    import spark.implicits._
+    // The signature fold wraps mod 2^64 — JVM Long arithmetic, which
+    // ANSI-mode Spark SQL would reject as overflow; the terms commute,
+    // so group iteration order is irrelevant. One row per video out.
+    val sig = fh.select(col("media_id").cast("long"),
+        col("frame_idx").cast("int"), col("fhash").cast("long"))
+      .as[(Long, Int, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (id, rows) =>
+        var n = 0L
+        val sig = videoSignature(rows.map { r => n += 1; (r._2, r._3) })
+        (id, n, sig)
+      }
+      .toDF("media_id", "n_frames", "sig")
+      .localCheckpoint()
     val groups = sig.groupBy(col("sig"))
       .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_videos"))
     sig.join(groups, Seq("sig"))
@@ -1232,6 +1276,58 @@ object Multimodal {
       | CAST(n_frames AS INTEGER) AS n_frames, peak_energy
       |FROM seg""".stripMargin
 
+  /** mm08 oracle: both hash levels recomputed relationally from the
+    * GRVF fixture formula, never touching the binary path. Per-pixel
+    * byte b = ((id·1315423911 + f·2654435761 + i·1442695040888963407)
+    * mod 2^64) >>> 40 & 0xff (HUGEINT, reduce % 2^64); frame hash
+    * fhash = Σᵢ (b+1)·((i+1)·K1 mod 2^64) mod 2^64 (terms ≤ 2^72, sum
+    * ≤ 2^85 — exact in HUGEINT); signature over 32-bit halves with
+    * weights (2f+1)·K2 / (2f+2)·K2 (terms ≤ 2^97, ≤16 frames ⇒ sum ≤
+    * 2^101 — exact in HUGEINT). Mod is a ring homomorphism, so
+    * reducing only at the end equals Java's per-op wrapping. Final
+    * sign-fold to BIGINT matches the JVM's signed Long. */
+  val mm08Oracle: String =
+    """WITH vid AS (
+      | SELECT doc_id, CAST(doc_id % 64 + 16 AS BIGINT) AS w,
+      |        CAST(doc_id % 48 + 16 AS BIGINT) AS h,
+      |        CAST(doc_id % 12 + 4 AS BIGINT) AS nf
+      | FROM documents WHERE ((doc_id % 3) + 3) % 3 = 2),
+      |fh AS MATERIALIZED (
+      | SELECT doc_id, f,
+      |  CAST(SUM((b + 1) *
+      |     ((CAST(i + 1 AS HUGEINT) * 11400714819323198485) % 18446744073709551616))
+      |    % 18446744073709551616 AS HUGEINT) AS fhash_u
+      | FROM (
+      |  SELECT doc_id, f, i,
+      |   CAST(((CAST(doc_id AS HUGEINT) * 1315423911
+      |      + CAST(f AS HUGEINT) * 2654435761
+      |      + CAST(i AS HUGEINT) * 1442695040888963407)
+      |      % 18446744073709551616) // 1099511627776 % 256 AS HUGEINT) AS b
+      |  FROM (
+      |   SELECT doc_id, f, unnest(range(0, w * h)) AS i
+      |   FROM (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM vid) a) b0) c
+      | GROUP BY doc_id, f),
+      |sg AS (
+      | SELECT doc_id AS media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+      |  CAST(SUM(
+      |     (fhash_u % 4294967296) *
+      |       ((CAST(2 * f + 1 AS HUGEINT) * 14029467366897019727) % 18446744073709551616)
+      |   + (fhash_u // 4294967296) *
+      |       ((CAST(2 * f + 2 AS HUGEINT) * 14029467366897019727) % 18446744073709551616))
+      |    % 18446744073709551616 AS HUGEINT) AS sig_u
+      | FROM fh GROUP BY doc_id),
+      |sg2 AS (
+      | SELECT media_id, n_frames,
+      |  CAST(CASE WHEN sig_u >= 9223372036854775808
+      |    THEN sig_u - 18446744073709551616 ELSE sig_u END AS BIGINT) AS sig
+      | FROM sg),
+      |gr AS (
+      | SELECT sig, MIN(media_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_videos
+      | FROM sg2 GROUP BY sig)
+      |SELECT s.media_id, s.n_frames, s.sig, g.keep_id, g.n_videos,
+      | s.media_id != g.keep_id AS is_dup
+      |FROM sg2 s JOIN gr g USING (sig)""".stripMargin
+
   /** mm07 oracle: the dirtying rule IS the oracle — payloads of
     * media_id ≡ 0 (mod 13) are 7-byte-truncated and defeat all three
     * containers; every untouched payload decodes (the fixtures are
@@ -1259,10 +1355,12 @@ object Multimodal {
     "mm05_scene_cuts" -> (mm05SceneCuts _),
     "mm06_audio_vad" -> (mm06AudioVad _))
 
-  // Every member except mm08 is oracle-checked: mm08's frame key is a
-  // truncated MD5 over raw plane bytes — an ordered cryptographic hash
-  // with no relational recompute (the one honest rows-only codec left).
+  // Every member is oracle-checked (round 7 closed mm08 by moving its
+  // frame key from truncated raw-byte MD5 — not relationally
+  // recomputable, DuckDB md5() is VARCHAR-only — to the wrapping
+  // mod-2^64 mixer arithmetic the other eleven oracles already use).
   val oracles: Map[String, String] = Map(
+    "mm08_video_neardup" -> mm08Oracle,
     "mm01_media_features" -> mm01Oracle,
     "mm02_frame_sample" -> mm02Oracle,
     "mm03_image_neardup" -> mm03Oracle,
