@@ -510,9 +510,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
       plan.contains("BroadcastHashJoin"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
-    // one hop duplicates the initial frontier twice → ≤2 entry products
+    // one hop duplicates the initial frontier twice → ≤2 entry products;
+    // since round 7 the lazy path also INLINES the ranked-edge build
+    // (knnRankedEdges — it used to hide behind ss28KnnGraph's internal
+    // checkpoint), whose IVF probe contributes 2 more deliberate
+    // products: corpus × broadcast-centroids for assignment and for the
+    // query-probe ranking — both k ≪ corpus dictionary products, the
+    // standard IVF shape. Nothing else may produce an NLJ.
     val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
-    assert(nlj <= 2, s"expected only the entry-point products, got $nlj\n" +
+    assert(nlj <= 4, s"expected only the entry-point + centroid products, got $nlj\n" +
       plan.take(3000))
   }
 }
