@@ -69,7 +69,12 @@ object Bench {
     // surfaced loudly: n_errors in every JSON line, names in errsJson.
     val errs = median.collect { case (k, v) if v < 0 => k }
     val errsJson = errs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = median.collect { case (_, v) if v >= 0 => v }.sum
+    val timedVals = median.collect { case (_, v) if v >= 0 => v }
+    val total = timedVals.sum
+    // n_timed is the denominator that matches `value` (total excludes
+    // crashed queries); n_queries stays the registered count so a
+    // consumer never has to cross-read n_errors to average correctly.
+    val nTimed = timedVals.size
     // The canonical line's per-query map is capped to the SLOWEST 30
     // queries: the round-4 capture proved the driver's stdout tail window
     // is ~2 KB, and ~95 queries × ~27 B ≈ 2.6 KB got the line beheaded
@@ -79,9 +84,9 @@ object Bench {
     val qsTop = median.collect { case (k, v) if slow.contains(k) =>
       "\"" + k + "\":" + ms(v) }
     val json =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${median.size},"n_errors":${errs.size},"errors":$errsJson,"queries":${qsTop.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${median.size},"n_timed":$nTimed,"n_errors":${errs.size},"errors":$errsJson,"queries":${qsTop.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     val jsonFull =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_errors":${errs.size},"errors":$errsJson,"queries":${qs.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_timed":$nTimed,"n_errors":${errs.size},"errors":$errsJson,"queries":${qs.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     // Truncation-proof record, full detail (every timed run) to a FILE.
     val runsJson = results.map { case (k, rs) =>
       "\"" + k + "\":[" + rs.map(ms).mkString(",") + "]" }.mkString("{", ",", "}")

@@ -437,10 +437,16 @@ object EventStream {
     * boundary tick is re-emitted with the corrected value, and
     * downstream keeps the last write per key (the CDC shape
     * cdcAggregateStream consumes). The last emission per (user, g) then
-    * equals the batch twin's row whenever no event arrives with a
-    * strictly earlier second than already-consumed state (the watermark
-    * discipline); such genuinely late rows are dropped here while the
-    * batch twin, which sees all data at once, includes them —
+    * equals the batch twin's row whenever arrivals are in-order by
+    * (second, event_id) across batches (the watermark discipline).
+    * Out-of-order rows are dropped here while the batch twin, which
+    * sees all data at once, includes them; the tie-break half matters
+    * too — if the HIGHER-id same-second event arrives in an earlier
+    * batch, interior ticks between the previous event and that second
+    * were already emitted from the higher-id value and are NOT
+    * re-emitted when the lower-id sibling arrives (only the boundary
+    * tick re-emits), so interior ticks can diverge from the batch
+    * twin's lowest-id forward endpoint under that inversion —
     * EventStreamSpec pins the in-order lockstep law. */
   def interpResample(events: Dataset[Event]): Dataset[InterpTick] = {
     val spark = events.sparkSession
