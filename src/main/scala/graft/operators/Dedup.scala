@@ -1964,36 +1964,52 @@ object Dedup {
     * filtering (see RuntimeBloomFilterSpec) which builds on the shuffled
     * side instead of broadcasting.
     */
-  final case class BloomPrefilter(
-      hashes: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
-      bands: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]) {
-    /** Named so plan-shape specs can pin the pre-filter's presence. */
-    def hashFilter: Column = {
-      val b = hashes
-      udf((h: String) => b.value.mightContainString(h)).withName("bloom_hash").apply(col("h"))
-    }
-    def bandFilter: Column = {
-      val b = bands
-      udf((k: Long) => b.value.mightContainLong(k)).withName("bloom_band")
-        .apply(bandKey)
-    }
+  final case class BloomPrefilter(hashes: Array[Byte], bands: Array[Byte]) {
+    /** Both screens ride the native codegen'd `bloom_might_contain`
+      * (serialized filter as a plan literal, deserialized once per JVM —
+      * see [[graft.functions.BloomMightContain]]) instead of the boxed
+      * Scala UDFs they started as: the corpus screen path evaluates this
+      * per candidate row, where a UDF pays boxing and a codegen break per
+      * call. Both filters key on BIGINT — the hash side pre-hashes the
+      * md5 hex with xxhash64 (collisions only add bloom false positives,
+      * removed by the verifying join downstream). */
+    def hashFilter: Column = call_function("bloom_might_contain",
+      hashKey, lit(hashes))
+    def bandFilter: Column = call_function("bloom_might_contain",
+      bandKey, lit(bands))
   }
 
   /** One 64-bit key per (band, k1, k2) row — packing collisions only add
     * bloom false positives, which the verifying join removes. */
   private def bandKey: Column = xxhash64(col("band"), col("k1"), col("k2"))
 
+  /** 64-bit pre-hash of the md5 hex column `h` — the Long key domain the
+    * native bloom expression (and `stat.bloomFilter` on a BIGINT column)
+    * shares between build and probe. */
+  private def hashKey: Column = xxhash64(col("h"))
+
   object BloomPrefilter {
     // Merge-compat constants shared by every store build/roll-forward.
     val expectedItems = 4_000_000L
     val fpp = 0.03
 
-    def build(s: SparkSession, hashesOld: DataFrame, bandsOld: DataFrame): BloomPrefilter =
-      BloomPrefilter(
-        s.sparkContext.broadcast(
-          hashesOld.stat.bloomFilter("h", expectedItems, fpp)),
-        s.sparkContext.broadcast(
-          bandsOld.select(bandKey.as("bk")).stat.bloomFilter("bk", expectedItems, fpp)))
+    /** The raw filter pair — [[DedupStore]] merges these in place on
+      * roll-forward before serializing to the sidecar files. */
+    def buildFilters(s: SparkSession, hashesOld: DataFrame, bandsOld: DataFrame)
+        : (org.apache.spark.util.sketch.BloomFilter,
+           org.apache.spark.util.sketch.BloomFilter) =
+      (hashesOld.select(hashKey.as("hk")).stat.bloomFilter("hk", expectedItems, fpp),
+       bandsOld.select(bandKey.as("bk")).stat.bloomFilter("bk", expectedItems, fpp))
+
+    def apply(h: org.apache.spark.util.sketch.BloomFilter,
+        b: org.apache.spark.util.sketch.BloomFilter): BloomPrefilter =
+      BloomPrefilter(graft.functions.BloomMightContain.serialize(h),
+        graft.functions.BloomMightContain.serialize(b))
+
+    def build(s: SparkSession, hashesOld: DataFrame, bandsOld: DataFrame): BloomPrefilter = {
+      val (h, b) = buildFilters(s, hashesOld, bandsOld)
+      BloomPrefilter(h, b)
+    }
   }
 
   /** The dd09 core against a PRE-STAGED corpus side — `hashesOld` (h),

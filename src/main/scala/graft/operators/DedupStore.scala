@@ -67,13 +67,13 @@ object DedupStore {
     bands.write.mode(mode).partitionBy("band").parquet(s"$dir/bands")
     // Bloom sidecars: build-from-scratch on overwrite, merge-in-place on
     // roll-forward (same size constants everywhere → merge-compatible).
-    val fresh = Dedup.BloomPrefilter.build(s, hashes, bands)
+    val (fh, fb) = Dedup.BloomPrefilter.buildFilters(s, hashes, bands)
     val (bh, bb) =
-      if (overwrite) (fresh.hashes.value, fresh.bands.value)
+      if (overwrite) (fh, fb)
       else readBloomFiles(s, dir) match {
         case Some((oh, ob)) =>
-          oh.mergeInPlace(fresh.hashes.value); ob.mergeInPlace(fresh.bands.value); (oh, ob)
-        case None => (fresh.hashes.value, fresh.bands.value)
+          oh.mergeInPlace(fh); ob.mergeInPlace(fb); (oh, ob)
+        case None => (fh, fb)
       }
     writeBloomFiles(s, dir, bh, bb)
   }
@@ -119,7 +119,7 @@ object DedupStore {
     s.read.parquet(s"$dir/sets"),
     s.read.parquet(s"$dir/bands"),
     readBloomFiles(s, dir).map { case (h, b) =>
-      Dedup.BloomPrefilter(s.sparkContext.broadcast(h), s.sparkContext.broadcast(b))
+      Dedup.BloomPrefilter(h, b)
     })
 
   /** Periodic maintenance for an append-only store: collapse the duplicate
@@ -157,9 +157,9 @@ object DedupStore {
     // Rebuild the bloom sidecars from the compacted tables — same content
     // (blooms have no deletes to lose), but derived from one source of
     // truth instead of a merge chain.
-    val rebuilt = Dedup.BloomPrefilter.build(s,
+    val (rh, rb) = Dedup.BloomPrefilter.buildFilters(s,
       s.read.parquet(s"$dir/hashes"), s.read.parquet(s"$dir/bands"))
-    writeBloomFiles(s, dir, rebuilt.hashes.value, rebuilt.bands.value)
+    writeBloomFiles(s, dir, rh, rb)
   }
 
   /** dd09's check with the corpus side READ FROM THE STORE — the plan the

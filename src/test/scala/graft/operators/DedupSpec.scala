@@ -68,10 +68,14 @@ class DedupSpec extends SparkSpec {
       val out = Dedup.dd12BloomIncremental(spark, tmp.getPath)
       assert(out.orderBy("doc_id").collect().toSeq ==
         Seq(Row(8L, true, true), Row(9L, false, true)))
-      // The pre-filter is in the plan on both probes...
+      // The pre-filter is in the plan on both probes, as the NATIVE
+      // codegen'd expression (round 7: no boxed UDF on the screen path)
       val plan = out.queryExecution.executedPlan.toString
-      assert(plan.contains("bloom_hash"), plan.take(3000))
-      assert(plan.contains("bloom_band"), plan.take(3000))
+      val screens = "bloom_might_contain".r.findAllMatchIn(plan).size
+      assert(screens >= 2, s"expected both native bloom screens, got $screens\n" +
+        plan.take(3000))
+      assert(!plan.contains("bloom_hash") && !plan.contains("bloom_band"),
+        "boxed bloom UDFs must be gone from the screen path")
       // ...and it genuinely drops novel rows before the shuffles: of the 5
       // new docs only the exact copy (8) must pass the hash bloom; FPs are
       // possible in principle but the filter may never pass everything.

@@ -140,8 +140,9 @@ class DedupStoreSpec extends SparkSpec {
       assert(plan.contains("parquet"), "old side should scan the parquet store")
       assert(!plan.contains("BroadcastNestedLoopJoin") &&
         !plan.contains("CartesianProduct"), plan.take(3000))
-      // The persisted bloom sidecars screen the new side before each shuffle.
-      assert(plan.contains("bloom_hash") && plan.contains("bloom_band"),
+      // The persisted bloom sidecars screen the new side before each
+      // shuffle — via the native codegen'd expression, not a boxed UDF.
+      assert("bloom_might_contain".r.findAllMatchIn(plan).size >= 2,
         plan.take(3000))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
