@@ -128,10 +128,43 @@ object Relational {
   // (the reference loops per row, src/post/mod.rs:96-107 — see SURVEY C16).
   // ---------------------------------------------------------------------
 
+  /** Lineage truncation for LOOP-CARRIED tables in the iterative fixpoint
+    * operators (CC ×3, SCC, PageRank/PPR, BFS/SSSP/stress, k-core,
+    * k-truss, label propagation, transitive closure, k-means), applied as
+    * `.transform(loopCheckpoint)`:
+    *
+    *  - default: `localCheckpoint()` — fast, but pins blocks to
+    *    executors, so on a real cluster ONE executor loss kills the
+    *    lineage-free RDD and the whole job. Correct on local[*] and the
+    *    right default there.
+    *  - `spark.graft.reliableCheckpoint=true`: `checkpoint()` — the RDD
+    *    is written to the fault-tolerant checkpoint dir
+    *    (`spark.graft.checkpointDir`, or the SparkContext's if already
+    *    set), so a lost executor recomputes from storage instead of
+    *    failing the job. This is the production setting for long loops
+    *    on a 1000-executor cluster, at the price of a write+read per
+    *    round — set the dir to HDFS/S3, not local disk.
+    *
+    * Both variants are eager and semantically identical (one spec runs a
+    * loop under both and proves equal output — ReliableCheckpointSpec). */
+  private[operators] def loopCheckpoint(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    if (!s.conf.getOption("spark.graft.reliableCheckpoint").exists(_.toBoolean))
+      df.localCheckpoint()
+    else {
+      if (s.sparkContext.getCheckpointDir.isEmpty)
+        s.sparkContext.setCheckpointDir(
+          s.conf.getOption("spark.graft.checkpointDir").getOrElse(
+            sys.props("java.io.tmpdir") + "/graft-checkpoints"))
+      df.checkpoint()
+    }
+  }
+
   /** Iterative frontier expansion, the Spark shape of WITH RECURSIVE.
     * `edges` has columns (id, parent); `seeds` a single column `seed`.
     * Returns (seed, node, step) with step 0 = the seed itself.
-    * localCheckpoint() truncates lineage so 100 iterations stay plannable;
+    * localCheckpoint() truncates lineage so 100 iterations stay plannable
+    * (conf-switched to reliable checkpoints — see [[loopCheckpoint]]);
     * each iteration is one shuffle-join, all seeds advance together.
     */
   def transitiveClosure(edges: DataFrame, seeds: DataFrame, maxSteps: Int = 100,
@@ -150,7 +183,7 @@ object Relational {
         .select(frontier("seed"), e("parent").as("node"),
           (frontier("step") + 1).as("step"))
       if (dedupPerStep) next = next.dropDuplicates("seed", "node")
-      frontier = next.localCheckpoint()
+      frontier = next.transform(loopCheckpoint)
       if (frontier.isEmpty) done = true
       else { acc = acc.unionAll(frontier); step += 1 }
     }
@@ -187,7 +220,7 @@ object Relational {
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist()
     var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+      .withColumn("label", col("node")).transform(loopCheckpoint)
     // Labels only ever DECREASE under min-propagation, so the label sum
     // strictly decreases iff any label changed — one aggregate per round
     // replaces an old-vs-new join as the convergence check. Summed as
@@ -210,7 +243,7 @@ object Relational {
       val merged = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint()
+        .transform(loopCheckpoint)
       val s = labelSum(merged)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -269,13 +302,13 @@ object Relational {
         .distinct()
     }
     val nodes = edges.select(col("a")).unionAll(edges.select(col("b")))
-      .distinct().localCheckpoint()
+      .distinct().transform(loopCheckpoint)
     var e = edges.select(col("a"), col("b")).where(col("a") =!= col("b"))
-      .distinct().localCheckpoint()
+      .distinct().transform(loopCheckpoint)
     var round = 0
     var done = e.isEmpty
     while (!done) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).transform(loopCheckpoint)
       round += 1
       onRound(round)
       done = next.count() == e.count() && next.except(e).isEmpty
@@ -311,7 +344,7 @@ object Relational {
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist()
     var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+      .withColumn("label", col("node")).transform(loopCheckpoint)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
@@ -331,7 +364,7 @@ object Relational {
           col("x.label") === col("y.ln"), "left")
         .select(col("x.node").as("node"),
           least(col("x.label"), coalesce(col("ll"), col("x.label"))).as("label"))
-        .localCheckpoint()
+        .transform(loopCheckpoint)
       // Break the STATS chain, not just the lineage: localCheckpoint's
       // LogicalRDD inherits the replaced plan's sizeInBytes estimate, and
       // this round's self-join SQUARES it — so the estimate grows doubly
@@ -392,13 +425,13 @@ object Relational {
       df.agg(coalesce(sum(col(c).cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
     var rem = edges.select(col("src"), col("dst"))
-      .where(col("src") =!= col("dst")).distinct().localCheckpoint()
+      .where(col("src") =!= col("dst")).distinct().transform(loopCheckpoint)
     var nodes = rem.select(col("src").as("node"))
-      .unionAll(rem.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .unionAll(rem.select(col("dst").as("node"))).distinct().transform(loopCheckpoint)
     var out: Option[DataFrame] = None
     while (!nodes.isEmpty) {
       // 1. forward min coloring to fixpoint
-      var colors = nodes.withColumn("color", col("node")).localCheckpoint()
+      var colors = nodes.withColumn("color", col("node")).transform(loopCheckpoint)
       var prev = decSum(colors, "color")
       var stable = false
       while (!stable) {
@@ -406,7 +439,7 @@ object Relational {
           .select(col("dst").as("node"), col("color"))
         val merged = colors.unionAll(prop)
           .groupBy(col("node")).agg(min(col("color")).as("color"))
-          .localCheckpoint()
+          .transform(loopCheckpoint)
         val s = decSum(merged, "color")
         stable = s.compareTo(prev) == 0
         prev = s
@@ -418,16 +451,16 @@ object Relational {
         .join(colors.select(col("node").as("dst"), col("color").as("cd")), Seq("dst"))
         .where(col("cs") === col("cd"))
         .select(col("src"), col("dst"), col("cs").as("color"))
-        .localCheckpoint()
+        .transform(loopCheckpoint)
       var member = colors.where(col("color") === col("node"))
-        .select(col("node"), col("color")).localCheckpoint()
+        .select(col("node"), col("color")).transform(loopCheckpoint)
       var mCount = member.count()
       var done = false
       while (!done) {
         val prop = ce.join(member,
             ce("dst") === member("node") && ce("color") === member("color"))
           .select(ce("src").as("node"), ce("color").as("color"))
-        val grown = member.unionAll(prop).distinct().localCheckpoint()
+        val grown = member.unionAll(prop).distinct().transform(loopCheckpoint)
         val c = grown.count()
         done = c == mCount
         mCount = c
@@ -437,11 +470,11 @@ object Relational {
       out = Some(out.map(_.unionAll(scc)).getOrElse(scc))
       // 3. peel certified nodes and their edges
       nodes = nodes.join(member.select(col("node")), Seq("node"), "left_anti")
-        .localCheckpoint()
+        .transform(loopCheckpoint)
       rem = rem
         .join(member.select(col("node").as("src")), Seq("src"), "left_anti")
         .join(member.select(col("node").as("dst")), Seq("dst"), "left_anti")
-        .localCheckpoint()
+        .transform(loopCheckpoint)
     }
     out.getOrElse(
       edges.select(col("src").as("node"), col("dst").as("scc_id")).limit(0))
@@ -481,14 +514,14 @@ object Relational {
     val ed = edges.join(deg, Seq("src"))
       .repartition(col("src")).persist()
     var ranks = edges.select(col("src").as("node")).distinct()
-      .withColumn("pr", lit(scale)).localCheckpoint()
+      .withColumn("pr", lit(scale)).transform(loopCheckpoint)
     for (_ <- 1 to iters) {
       ranks = ed.join(ranks, ed("src") === ranks("node"))
         .select(col("dst"), expr("pr div outdeg").as("c"))
         .groupBy(col("dst"))
         .agg((lit(base) + expr("(85 * sum(c)) div 100")).as("pr"))
         .select(col("dst").as("node"), col("pr"))
-        .localCheckpoint() // eager: materialized before ed goes away
+        .transform(loopCheckpoint) // eager: materialized before ed goes away
     }
     ed.unpersist()
     ranks
@@ -515,9 +548,9 @@ object Relational {
     val ed = edges.join(deg, Seq("src"))
       .repartition(col("src")).persist()
     val restart = seeds.select(col("node")).withColumn("pr", lit(base))
-      .localCheckpoint()
+      .transform(loopCheckpoint)
     var ranks = seeds.select(col("node")).withColumn("pr", lit(scale))
-      .localCheckpoint()
+      .transform(loopCheckpoint)
     for (_ <- 1 to iters) {
       ranks = restart
         .unionByName(ed.join(ranks, ed("src") === ranks("node"))
@@ -526,7 +559,7 @@ object Relational {
           .agg(expr("(85 * sum(c)) div 100").as("pr"))
           .select(col("dst").as("node"), col("pr")))
         .groupBy(col("node")).agg(sum(col("pr")).as("pr"))
-        .localCheckpoint() // eager: materialized before ed goes away
+        .transform(loopCheckpoint) // eager: materialized before ed goes away
     }
     ed.unpersist()
     ranks
@@ -552,9 +585,9 @@ object Relational {
     * path counts, which can explode on dense graphs — a loud overflow
     * fence fails the job before a silent wrap mis-ranks. */
   def stressCentrality(edges: DataFrame, seeds: DataFrame, horizon: Int): DataFrame = {
-    val e = edges.localCheckpoint()
+    val e = edges.transform(loopCheckpoint)
     var st = seeds.select(col("node").as("seed"), col("node"),
-      lit(0).as("dist"), lit(1L).as("sigma")).localCheckpoint()
+      lit(0).as("dist"), lit(1L).as("sigma")).transform(loopCheckpoint)
     var n = st.count()
     var d = 0
     var exhausted = false
@@ -569,7 +602,7 @@ object Relational {
         .groupBy(col("seed"), col("node"))
         .agg(sum(col("sigma")).as("sigma"))
         .select(col("seed"), col("node"), lit(d + 1).as("dist"), col("sigma"))
-      st = st.unionByName(next).localCheckpoint()
+      st = st.unionByName(next).transform(loopCheckpoint)
       val n2 = st.count()
       exhausted = n2 == n
       n = n2
@@ -581,9 +614,9 @@ object Relational {
           col("v.dist") === col("u.dist") + 1)
       .select(col("u.seed").as("seed"), col("u.node").as("u"),
         col("v.node").as("v"), col("u.dist").as("du"))
-      .localCheckpoint()
+      .transform(loopCheckpoint)
     var c = st.select(col("seed"), col("node"), col("dist"), lit(0L).as("c"))
-      .localCheckpoint()
+      .transform(loopCheckpoint)
     // deepest populated level: backward rounds above it would be no-ops
     val maxDist = st.agg(max(col("dist"))).head().getInt(0)
     for (d <- math.min(horizon - 1, maxDist - 1) to 0 by -1) {
@@ -598,7 +631,7 @@ object Relational {
         .select(col("seed"), col("node"), col("dist"),
           when(col("dist") === d, coalesce(col("x"), lit(0L)))
             .otherwise(col("c")).as("c"))
-        .localCheckpoint()
+        .transform(loopCheckpoint)
     }
     val joined = st.join(c, Seq("seed", "node", "dist"))
       .filter(col("node") =!= col("seed"))
@@ -636,15 +669,15 @@ object Relational {
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct().repartition(col("a")).localCheckpoint()
+      .distinct().repartition(col("a")).transform(loopCheckpoint)
     var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+      .withColumn("label", col("node")).transform(loopCheckpoint)
     for (_ <- 1 to rounds) {
       val nbrMin = sym.join(labels, sym("a") === labels("node"))
         .groupBy(sym("b").as("n2")).agg(min(col("label")).as("nl"))
       labels = labels.join(nbrMin, labels("node") === nbrMin("n2"))
         .select(col("node"), least(col("label"), col("nl")).as("label"))
-        .localCheckpoint()
+        .transform(loopCheckpoint)
     }
     labels
   }
@@ -678,12 +711,12 @@ object Relational {
     val e = edges.select(col("src"), col("dst"), col("wt"))
       .repartition(col("src")).persist()
     var d = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+      .withColumn("dist", lit(0L)).transform(loopCheckpoint)
     for (_ <- 1 to rounds) {
       val prop = e.join(d, e("src") === d("node"))
         .select(col("dst").as("node"), (col("dist") + col("wt")).as("dist"))
       d = d.unionAll(prop).groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .transform(loopCheckpoint)
     }
     e.unpersist()
     d
@@ -704,7 +737,7 @@ object Relational {
       .repartition(col("src")).persist()
     var all = seeds.select(col("seed")).distinct()
       .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .transform(loopCheckpoint)
     // Unit weights ⇒ first-touch IS the shortest distance, so only the
     // FRONTIER (pairs first reached last round) propagates — re-relaxing
     // settled pairs (the Bellman–Ford shape ssspDistances needs for
@@ -717,7 +750,7 @@ object Relational {
         .distinct()
       val fresh = prop.join(all, Seq("seed", "node"), "left_anti")
         .withColumn("dist", lit(r.toLong))
-        .localCheckpoint()
+        .transform(loopCheckpoint)
       // fresh is checkpointed, so the union's lineage stays flat — no
       // need to re-materialize the growing `all` every round.
       all = all.unionAll(fresh)
@@ -742,13 +775,13 @@ object Relational {
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     var e = edges.select(col("a"), col("b"))
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
+      .distinct().transform(loopCheckpoint)
     for (_ <- 1 to rounds) {
       val keep = e.groupBy(col("a")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("a").as("n"))
       e = e.join(keep, e("a") === keep("n"), "left_semi")
         .join(keep, e("b") === keep("n"), "left_semi")
-        .localCheckpoint()
+        .transform(loopCheckpoint)
     }
     // e is symmetric, so per-node out-degree IS the degree
     e.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
@@ -775,7 +808,7 @@ object Relational {
   def trussEdges(edges: DataFrame, k: Int, maxRounds: Int = 40): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     val minSup = k - 2
-    var e = edges.select(col("a"), col("b")).localCheckpoint()
+    var e = edges.select(col("a"), col("b")).transform(loopCheckpoint)
     var n = e.count()
     // Orientation is computed ONCE from the INITIAL degrees — any fixed
     // total order keeps the one-apex-per-triangle property on every
@@ -850,7 +883,7 @@ object Relational {
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= minSup)
       val e2 = e.join(sup.select("a", "b"), Seq("a", "b"), "left_semi")
-        .localCheckpoint()
+        .transform(loopCheckpoint)
       val n2 = e2.count()
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(

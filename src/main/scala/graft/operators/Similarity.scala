@@ -213,7 +213,8 @@ object Similarity {
   def learnedCentroids(pts: DataFrame, rounds: Int): DataFrame = {
     var cents = seedCentroids(pts)
     for (_ <- 1 to rounds)
-      cents = kmUpdate(kmAssign(pts, cents), pts).localCheckpoint()
+      cents = kmUpdate(kmAssign(pts, cents), pts)
+        .transform(Relational.loopCheckpoint)
     cents
   }
 
