@@ -1637,7 +1637,11 @@ object Relational {
   // ---------------------------------------------------------------------
   // q29: sketch aggregates — HyperLogLog++ distinct counts and quantile
   // sketches, the constant-memory path for 100 TB cardinality/percentile
-  // questions (rows-only driver check: approximations have no exact oracle).
+  // questions (rows-only driver check: approximations have no exact
+  // oracle; SketchAccuracySpec bounds them against exact answers, and
+  // q29_sketch_exact below serves THE SAME STATISTICS exactly with a
+  // full oracle — so the approximate sketches are the only unverified
+  // surface left in the suite).
   // ---------------------------------------------------------------------
   def q29Sketches(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem")
@@ -1648,6 +1652,69 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
           .as("p99_price"))
   }
+
+  // ---------------------------------------------------------------------
+  // q29_sketch_exact: the EXACT twin of q29's statistics — true COUNT
+  // DISTINCT and true order-statistic p50/p99 (smallest value whose rank
+  // reaches ⌈p·n⌉ — the inverse-CDF / quantile_disc definition, pure
+  // integer rank arithmetic, no interpolation) served from q54's bounded
+  // value-histogram shape: the corpus shuffles once into (group, price)
+  // partial counts, cumulative sums locate the rank brackets, and no
+  // full-corpus sort or per-group value buffer exists anywhere. This is
+  // what a pipeline runs when the answer must be exact (release
+  // reporting); q29's sketches are the constant-memory path when it
+  // needn't be — and this query is the oracle-checked yardstick the
+  // sketch spec measures against.
+  // ---------------------------------------------------------------------
+  def q29SketchExact(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_partkey"),
+        dec(col("l_extendedprice")).as("price"))
+    val nd = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd_parts"))
+    val counts = li.groupBy(col("l_returnflag"), col("price"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("r50", expr("(n + 1) div 2"))          // = ceil(0.50·n)
+      .withColumn("r99", expr("(99 * n + 99) div 100"))  // = ceil(0.99·n)
+    val qs = cum.groupBy(col("l_returnflag"))
+      .agg(min(when(col("cum") >= col("r50") &&
+          col("cum") - col("cnt") < col("r50"), col("price"))).as("p50"),
+        min(when(col("cum") >= col("r99") &&
+          col("cum") - col("cnt") < col("r99"), col("price"))).as("p99"))
+    nd.join(qs, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("nd_parts"),
+        col("p50").cast("double").as("p50_price"),
+        col("p99").cast("double").as("p99_price"))
+  }
+
+  val q29ExactOracle: String =
+    """WITH c AS (
+      | SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt
+      | FROM lineitem GROUP BY 1, 2),
+      |w AS (
+      | SELECT l_returnflag, price, cnt,
+      |  SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY price) AS cum,
+      |  SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+      | FROM c),
+      |q AS (
+      | SELECT l_returnflag,
+      |  MIN(CASE WHEN cum >= (n + 1) // 2
+      |           AND cum - cnt < (n + 1) // 2 THEN price END) AS p50,
+      |  MIN(CASE WHEN cum >= (99 * n + 99) // 100
+      |           AND cum - cnt < (99 * n + 99) // 100 THEN price END) AS p99
+      | FROM w GROUP BY 1),
+      |nd AS (
+      | SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_parts
+      | FROM lineitem GROUP BY 1)
+      |SELECT nd.l_returnflag, nd.nd_parts,
+      | CAST(q.p50 AS DOUBLE) AS p50_price, CAST(q.p99 AS DOUBLE) AS p99_price
+      |FROM nd JOIN q USING (l_returnflag)""".stripMargin
 
   // ---------------------------------------------------------------------
   // q31: skew-salted join, driver-checked — revenue per market segment
@@ -2184,6 +2251,7 @@ object Relational {
     "q27_rollup" -> (q27Rollup _),
     "q28_setops" -> (q28SetOps _),
     "q29_sketches" -> (q29Sketches _),
+    "q29_sketch_exact" -> (q29SketchExact _),
     "q01_pricing_agg" -> (q01PricingAgg _),
     "q02_argmin_per_group" -> (q02ArgminPerGroup _),
     "q03_anti_join" -> (q03AntiJoin _),
@@ -2227,6 +2295,7 @@ object Relational {
     "q55_multiset_ops" -> q55Oracle,
     "q56_bit_bool_aggs" -> q56Oracle,
     "q31_salted_join" -> q31Oracle,
+    "q29_sketch_exact" -> q29ExactOracle,
     "q27_rollup" -> q27Oracle,
     "q28_setops" -> q28Oracle,
     "q01_pricing_agg" -> q01Oracle,
