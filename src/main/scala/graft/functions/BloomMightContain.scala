@@ -68,3 +68,46 @@ object BloomMightContain {
     bos.toByteArray
   }
 }
+
+/** [[BloomMightContain]] over a BROADCAST filter handle instead of a
+  * binary literal — for LONG-LIVED, megabyte-scale filters (the dedup
+  * store's 4M-item sidecars are ~3.5 MB each). A literal that size is
+  * hashed and compared by Catalyst during analysis/canonicalization on
+  * every plan that carries it — measured +2-3 s per store query at
+  * sf0.1 — while the broadcast form ships only the handle in the plan
+  * and the task binary, and executors fetch the bytes once through the
+  * broadcast machinery. Same generated code shape: one virtual call on
+  * a lazily-resolved per-JVM filter, inside whole-stage codegen. The
+  * literal form remains right for small per-job filters built inside
+  * loops (cc07/cc20's edge screens), where broadcast lifecycle
+  * management would outweigh the plan-hashing cost. */
+case class BloomMightContainBC(child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[BloomFilter])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain_bc expects a BIGINT key, got ${child.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain_bc"
+
+  @transient private lazy val filter: BloomFilter = bloom.value
+
+  /** Entry point for generated code. */
+  def test(key: Long): Boolean = filter.mightContainLong(key)
+
+  override def nullSafeEval(key: Any): Any =
+    test(key.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBcExpr", this,
+      classOf[BloomMightContainBC].getName)
+    nullSafeCodeGen(ctx, ev, key => s"${ev.value} = $ref.test($key);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1964,19 +1964,26 @@ object Dedup {
     * filtering (see RuntimeBloomFilterSpec) which builds on the shuffled
     * side instead of broadcasting.
     */
-  final case class BloomPrefilter(hashes: Array[Byte], bands: Array[Byte]) {
-    /** Both screens ride the native codegen'd `bloom_might_contain`
-      * (serialized filter as a plan literal, deserialized once per JVM —
-      * see [[graft.functions.BloomMightContain]]) instead of the boxed
+  final case class BloomPrefilter(
+      hashes: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+      bands: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]) {
+    /** Both screens ride the native codegen'd `bloom_might_contain_bc`
+      * (broadcast filter handle, deserialized once per JVM — see
+      * [[graft.functions.BloomMightContainBC]]) instead of the boxed
       * Scala UDFs they started as: the corpus screen path evaluates this
       * per candidate row, where a UDF pays boxing and a codegen break per
-      * call. Both filters key on BIGINT — the hash side pre-hashes the
-      * md5 hex with xxhash64 (collisions only add bloom false positives,
-      * removed by the verifying join downstream). */
-    def hashFilter: Column = call_function("bloom_might_contain",
-      hashKey, lit(hashes))
-    def bandFilter: Column = call_function("bloom_might_contain",
-      bandKey, lit(bands))
+      * call. The broadcast form (not a binary literal) matters at these
+      * sizes: a ~3.5 MB literal is hashed by Catalyst during every plan
+      * analysis pass — measured +2-3 s per store query at sf0.1. Both
+      * filters key on BIGINT — the hash side pre-hashes the md5 hex with
+      * xxhash64 (collisions only add bloom false positives, removed by
+      * the verifying join downstream). */
+    def hashFilter: Column = org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.BloomMightContainBC(
+        org.apache.spark.sql.graft.ColumnShim.expression(hashKey), hashes))
+    def bandFilter: Column = org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.BloomMightContainBC(
+        org.apache.spark.sql.graft.ColumnShim.expression(bandKey), bands))
   }
 
   /** One 64-bit key per (band, k1, k2) row — packing collisions only add
@@ -2001,14 +2008,13 @@ object Dedup {
       (hashesOld.select(hashKey.as("hk")).stat.bloomFilter("hk", expectedItems, fpp),
        bandsOld.select(bandKey.as("bk")).stat.bloomFilter("bk", expectedItems, fpp))
 
-    def apply(h: org.apache.spark.util.sketch.BloomFilter,
+    def apply(s: SparkSession, h: org.apache.spark.util.sketch.BloomFilter,
         b: org.apache.spark.util.sketch.BloomFilter): BloomPrefilter =
-      BloomPrefilter(graft.functions.BloomMightContain.serialize(h),
-        graft.functions.BloomMightContain.serialize(b))
+      BloomPrefilter(s.sparkContext.broadcast(h), s.sparkContext.broadcast(b))
 
     def build(s: SparkSession, hashesOld: DataFrame, bandsOld: DataFrame): BloomPrefilter = {
       val (h, b) = buildFilters(s, hashesOld, bandsOld)
-      BloomPrefilter(h, b)
+      BloomPrefilter(s, h, b)
     }
   }
 

@@ -119,7 +119,7 @@ object DedupStore {
     s.read.parquet(s"$dir/sets"),
     s.read.parquet(s"$dir/bands"),
     readBloomFiles(s, dir).map { case (h, b) =>
-      Dedup.BloomPrefilter(h, b)
+      Dedup.BloomPrefilter(s, h, b)
     })
 
   /** Periodic maintenance for an append-only store: collapse the duplicate
