@@ -36,4 +36,28 @@ class BloomMightContainSpec extends SparkSpec {
         call_function("bloom_might_contain", col("x"), col("x"))).collect()
     }
   }
+
+  test("broadcast-handle variant agrees with the literal form, codegen'd, null-safe") {
+    import spark.implicits._
+    val keys = (1L to 500L).map(_ * 13)
+    val bloom = keys.toDF("k").stat.bloomFilter("k", 500, 0.01)
+    val bytes = BloomMightContain.serialize(bloom)
+    val bc = spark.sparkContext.broadcast(bloom)
+    def bcCol(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graft.ColumnShim.column(
+        BloomMightContainBC(org.apache.spark.sql.graft.ColumnShim.expression(c), bc))
+    val df = spark.range(1, 4001).select(col("id").as("x"))
+      .withColumn("lit_hit", call_function("bloom_might_contain", col("x"), lit(bytes)))
+      .withColumn("bc_hit", bcCol(col("x")))
+    // same filter ⇒ bit-identical decisions, member or not
+    assert(df.filter(col("lit_hit") =!= col("bc_hit")).isEmpty,
+      "broadcast and literal forms disagree")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain_bc"), plan.take(1500))
+    // null key → null out (UnaryExpression null-safety), no NPE
+    val withNull = spark.range(1, 3).select(
+      when(col("id") === 1, col("id") * 13).as("x"))
+      .withColumn("hit", bcCol(col("x")))
+    assert(withNull.filter(col("x").isNull && col("hit").isNull).count() == 1)
+  }
 }
