@@ -796,7 +796,17 @@ object Similarity {
     * choice [[probeScoredPairs]] documents. Only the constant-size
     * entry-point set keeps a broadcast hint. */
   private def nswBeamOver(base: DataFrame, edges: DataFrame,
-      materialize: Boolean, hops: Int): DataFrame = {
+      materialize: Boolean, hops: Int): DataFrame =
+    nswBeamSearch(base, edges, materialize, hops)._1
+
+  /** The full search result: (top-K result, VISITED set). The visited
+    * set — every (q_id, c_id) pair the recurrence scored, u0 ∪ … ∪
+    * u_hops deduped — is the substrate for FILTERED serving (ss40):
+    * navigation stays label-blind, the filter applies to what was
+    * seen. Building the union costs nothing when the caller discards
+    * it (lazy plans over the per-hop checkpoints). */
+  private def nswBeamSearch(base: DataFrame, edges: DataFrame,
+      materialize: Boolean, hops: Int): (DataFrame, DataFrame) = {
     def ck(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint() else df
     val qs = base.filter(col("vec_id") % 100 === 0)
@@ -817,16 +827,20 @@ object Similarity {
     // fixed entry points: the lowest corpus ids — deterministic, id-only
     val entries = base.select(col("vec_id").as("c_id"))
       .orderBy(col("c_id").asc).limit(nswEntryCount)
-    var b = ck(beam(qs.select(col("q_id")).crossJoin(broadcast(entries))))
+    val u0 = qs.select(col("q_id")).crossJoin(broadcast(entries))
+    var b = ck(beam(u0))
+    var visited = u0
     for (_ <- 1 to hops) {
       val grown = b.select(col("q_id"), col("c_id"))
         .unionAll(b.join(edges, b("c_id") === edges("src"))
           .select(col("q_id"), col("dst").as("c_id")))
         .distinct()
+      visited = visited.unionByName(grown)
       b = ck(beam(grown))
     }
-    b.filter(col("rnk") <= K)
-      .select(col("q_id"), col("c_id"), col("rnk"), col("cos"))
+    (b.filter(col("rnk") <= K)
+       .select(col("q_id"), col("c_id"), col("rnk"), col("cos")),
+     visited.distinct())
   }
 
   private def nswGrowSql(b: String, u: String, ed: String = "ed"): String =
@@ -944,6 +958,120 @@ object Similarity {
        |${nswDegrees.map(chainFor).mkString(",\n")}
        |${nswDegrees.map(recallFor).mkString("\nUNION ALL\n")}""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // ss40/ss41: FILTERED graph-tier serving + its recall audit — ss19's
+  // label-constrained mode lifted to the NSW tier, completing the
+  // filtered column of the serving matrix (IVF ss19, graph ss40).
+  // Navigation stays LABEL-BLIND: pruning edges by the filter during
+  // navigation fragments the graph's connectivity (a filtered-out hub
+  // still routes the walk toward its filtered-in neighbors), which is
+  // why production filtered graph search explores unfiltered and
+  // collects filtered. The result is therefore the top-k of ALL VISITED
+  // candidates passing the filter — the beam recurrence's u0 ∪ … ∪ u5
+  // union, label-screened and exactly re-scored. Deterministic for the
+  // fixed hop budget, so the oracle is the same unrolled recurrence
+  // with the visited union filtered at the end; ss41 measures what the
+  // navigate-then-filter strategy costs vs the label-constrained brute
+  // truth (ss20's audit pattern) — the number that decides when a
+  // selective filter warrants per-label partitioned graphs instead.
+  // ---------------------------------------------------------------------
+  def ss40FilteredNswBeam(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val edges = knnRankedEdges(s, base).filter(col("rnk") <= nswServeDegree)
+      .select(col("src"), col("dst")).localCheckpoint()
+    val visited = nswBeamSearch(base, edges, materialize = true, beamHops)._2
+      .localCheckpoint()
+    val labels = graft.Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val qs = base.select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
+      .join(labels.withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("label", "l1"), Seq("q_id"))
+    val cs = base.select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"))
+      .join(labels.withColumnRenamed("vec_id", "c_id")
+        .withColumnRenamed("label", "l2"), Seq("c_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    visited.join(qs, Seq("q_id")).join(cs, Seq("c_id"))
+      .filter(col("q_id") =!= col("c_id") && col("l1") === col("l2"))
+      .withColumn("cos",
+        expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+      .select(col("q_id"), col("c_id"), col("l2").as("label"),
+        col("rnk"), col("cos"))
+  }
+
+  lazy val ss40Oracle: String = {
+    val hops = (1 to beamHops).map(h =>
+      nswGrowSql(s"b${h - 1}", s"u$h") + ",\n" + nswBeamSql(s"u$h", s"b$h"))
+      .mkString(",\n")
+    val visUnion = (0 to beamHops).map(h => s"SELECT q_id, c_id FROM u$h")
+      .mkString("\n UNION\n ")
+    s"""WITH $qvecSql,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |${kmChainSql(ivfRounds)},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |${annProbePrefixSqlFor("TRUE")},
+       |$nswRankedEdgeSql,
+       |ed AS (SELECT src, dst FROM edr WHERE rnk <= $nswServeDegree),
+       |qs AS (SELECT vec_id AS q_id FROM qn WHERE vec_id % 100 = 0),
+       |en AS (SELECT vec_id AS c_id FROM qn ORDER BY vec_id ASC LIMIT $nswEntryCount),
+       |u0 AS (SELECT q_id, c_id FROM qs CROSS JOIN en),
+       |${nswBeamSql("u0", "b0")},
+       |$hops,
+       |vis AS (
+       | $visUnion)
+       |SELECT q_id, c_id, label, rnk, cos FROM (
+       | SELECT v.q_id, v.c_id, lb.label,
+       |  CAST(list_sum(list_transform(range(1, len(aa.v) + 1),
+       |    i -> aa.v[i] * bb.v[i])) AS BIGINT)
+       |    / sqrt(CAST(aa.nrm AS DOUBLE) * CAST(bb.nrm AS DOUBLE)) AS cos,
+       |  ROW_NUMBER() OVER (PARTITION BY v.q_id ORDER BY
+       |   CAST(list_sum(list_transform(range(1, len(aa.v) + 1),
+       |     i -> aa.v[i] * bb.v[i])) AS BIGINT)
+       |     / sqrt(CAST(aa.nrm AS DOUBLE) * CAST(bb.nrm AS DOUBLE)) DESC,
+       |   v.c_id ASC) AS rnk
+       | FROM vis v
+       | JOIN qn aa ON v.q_id = aa.vec_id
+       | JOIN qn bb ON v.c_id = bb.vec_id
+       | JOIN lab la ON la.vec_id = v.q_id
+       | JOIN lab lb ON lb.vec_id = v.c_id
+       | WHERE v.q_id != v.c_id AND la.label = lb.label) t
+       |WHERE rnk <= $K""".stripMargin
+  }
+
+  def ss41FilteredNswRecall(s: SparkSession, dir: String): DataFrame = {
+    val approx = ss40FilteredNswBeam(s, dir)
+      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+    filteredBrute(s, dir).join(approx, Seq("q_id", "c_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_pct", expr("(n_hit * 100) div n_exact"))
+  }
+
+  lazy val ss41Oracle: String =
+    s"""WITH ex AS (
+       | SELECT q_id, c_id FROM (
+       |  SELECT a.q_id, a.c_id,
+       |   ROW_NUMBER() OVER (PARTITION BY a.q_id ORDER BY a.cos DESC, a.c_id ASC) AS rnk
+       |  FROM (
+       |   WITH $qvecSql,
+       |   lab AS (SELECT vec_id, label FROM embeddings)
+       |   SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    CAST(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) AS BIGINT)
+       |      / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)) AS cos
+       |   FROM qn q JOIN lab lq ON lq.vec_id = q.vec_id
+       |    CROSS JOIN qn c
+       |    JOIN lab lc ON lc.vec_id = c.vec_id
+       |   WHERE q.vec_id % 100 = 0 AND q.vec_id != c.vec_id
+       |     AND lq.label = lc.label) a) t
+       | WHERE rnk <= $K),
+       |ap AS (SELECT q_id, c_id FROM ($ss40Oracle) b)
+       |SELECT COUNT(*) AS n_exact,
+       | CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       | (CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
+       |   // COUNT(*) AS recall_pct
+       |FROM ex LEFT JOIN ap USING (q_id, c_id)""".stripMargin
 
   // ---------------------------------------------------------------------
   // ss27: range-search RECALL audit — ss06's honesty metric applied to
@@ -2556,7 +2684,9 @@ object Similarity {
     "ss36_nsw_beam" -> (ss36NswBeam _),
     "ss38_knn_graph_rollforward" -> (ss38KnnGraphRollforward _),
     "ss39_hard_negatives" -> (ss39HardNegatives _),
-    "ss37_nsw_recall" -> (ss37NswRecall _))
+    "ss37_nsw_recall" -> (ss37NswRecall _),
+    "ss40_filtered_nsw" -> (ss40FilteredNswBeam _),
+    "ss41_filtered_nsw_recall" -> (ss41FilteredNswRecall _))
 
   val oracles: Map[String, String] = Map(
     "ss34_ann_tombstoned" -> ss34Oracle,
@@ -2565,6 +2695,8 @@ object Similarity {
     "ss38_knn_graph_rollforward" -> ss38Oracle,
     "ss39_hard_negatives" -> ss39Oracle,
     "ss37_nsw_recall" -> ss37Oracle,
+    "ss40_filtered_nsw" -> ss40Oracle,
+    "ss41_filtered_nsw_recall" -> ss41Oracle,
     "ss32_ivf_rp" -> ss32Oracle,
     "ss33_ivf_rp_recall" -> ss33Oracle,
     "ss29_rp_encode" -> ss29Oracle,
