@@ -806,10 +806,11 @@ object Similarity {
     * seen. Building the union costs nothing when the caller discards
     * it (lazy plans over the per-hop checkpoints). */
   private def nswBeamSearch(base: DataFrame, edges: DataFrame,
-      materialize: Boolean, hops: Int): (DataFrame, DataFrame) = {
+      materialize: Boolean, hops: Int,
+      queryPred: Column = col("vec_id") % 100 === 0): (DataFrame, DataFrame) = {
     def ck(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint() else df
-    val qs = base.filter(col("vec_id") % 100 === 0)
+    val qs = base.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
     val cands = base
       .select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"))
@@ -1067,6 +1068,110 @@ object Similarity {
        |     AND lq.label = lc.label) a) t
        | WHERE rnk <= $K),
        |ap AS (SELECT q_id, c_id FROM ($ss40Oracle) b)
+       |SELECT COUNT(*) AS n_exact,
+       | CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       | (CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
+       |   // COUNT(*) AS recall_pct
+       |FROM ex LEFT JOIN ap USING (q_id, c_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ss42/ss43: TOMBSTONED graph-tier serving + its recall audit — ss34's
+  // delete verb lifted to the NSW tier, completing the maintenance
+  // matrix (the graph now has build ss28, roll-forward ss38, serve
+  // ss36, filtered ss40, tombstoned ss42). The standing graph is NOT
+  // rebuilt: tombstoned nodes (vec_id ≡ 0 mod 9) stay in the edge list
+  // and KEEP ROUTING — exactly how production graph stores handle
+  // deletes (HNSWlib's markDelete: deleted nodes remain traversable,
+  // else deletions sever the small-world shortcuts and recall collapses
+  // for everyone — the graph analog of ss34's "lists still contain the
+  // deleted, screen at probe time"). Deleted vectors stop being
+  // QUERYABLE (query predicate excludes them) and stop being RESULTS
+  // (one anti-screen over the visited set, candidates-only cost);
+  // ranks re-close over survivors. ss43 audits the un-rebuilt graph
+  // against the alive-corpus brute truth (ss35's pattern) — the number
+  // that schedules graph compaction as deletions accumulate.
+  // ---------------------------------------------------------------------
+  def ss42NswTombstoned(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val edges = knnRankedEdges(s, base).filter(col("rnk") <= nswServeDegree)
+      .select(col("src"), col("dst")).localCheckpoint()
+    val visited = nswBeamSearch(base, edges, materialize = true, beamHops,
+        col("vec_id") % 100 === 0 && col("vec_id") % 9 =!= 0)._2
+      .filter(col("c_id") % 9 =!= 0) // tombstone screen: results only
+      .localCheckpoint()
+    val qs = base.select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
+    val cs = base.select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    visited.join(qs, Seq("q_id")).join(cs, Seq("c_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos",
+        expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+      .select(col("q_id"), col("c_id"), col("rnk"), col("cos"))
+  }
+
+  lazy val ss42Oracle: String = {
+    val hops = (1 to beamHops).map(h =>
+      nswGrowSql(s"b${h - 1}", s"u$h") + ",\n" + nswBeamSql(s"u$h", s"b$h"))
+      .mkString(",\n")
+    val visUnion = (0 to beamHops).map(h => s"SELECT q_id, c_id FROM u$h")
+      .mkString("\n UNION\n ")
+    s"""WITH $qvecSql,
+       |${kmChainSql(ivfRounds)},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |${annProbePrefixSqlFor("TRUE")},
+       |$nswRankedEdgeSql,
+       |ed AS (SELECT src, dst FROM edr WHERE rnk <= $nswServeDegree),
+       |qs AS (SELECT vec_id AS q_id FROM qn
+       |       WHERE vec_id % 100 = 0 AND vec_id % 9 != 0),
+       |en AS (SELECT vec_id AS c_id FROM qn ORDER BY vec_id ASC LIMIT $nswEntryCount),
+       |u0 AS (SELECT q_id, c_id FROM qs CROSS JOIN en),
+       |${nswBeamSql("u0", "b0")},
+       |$hops,
+       |vis AS (
+       | $visUnion)
+       |SELECT q_id, c_id, rnk, cos FROM (
+       | SELECT v.q_id, v.c_id,
+       |  CAST(list_sum(list_transform(range(1, len(aa.v) + 1),
+       |    i -> aa.v[i] * bb.v[i])) AS BIGINT)
+       |    / sqrt(CAST(aa.nrm AS DOUBLE) * CAST(bb.nrm AS DOUBLE)) AS cos,
+       |  ROW_NUMBER() OVER (PARTITION BY v.q_id ORDER BY
+       |   CAST(list_sum(list_transform(range(1, len(aa.v) + 1),
+       |     i -> aa.v[i] * bb.v[i])) AS BIGINT)
+       |     / sqrt(CAST(aa.nrm AS DOUBLE) * CAST(bb.nrm AS DOUBLE)) DESC,
+       |   v.c_id ASC) AS rnk
+       | FROM vis v
+       | JOIN qn aa ON v.q_id = aa.vec_id
+       | JOIN qn bb ON v.c_id = bb.vec_id
+       | WHERE v.q_id != v.c_id AND v.c_id % 9 != 0) t
+       |WHERE rnk <= $K""".stripMargin
+  }
+
+  def ss43NswTombstoneRecall(s: SparkSession, dir: String): DataFrame = {
+    val alive = qvec(s, dir).filter(col("vec_id") % 9 =!= 0).localCheckpoint()
+    val qs = alive.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
+    val cand = alive
+      .select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    val exact = cand.join(broadcast(qs), col("q_id") =!= col("c_id"))
+      .withColumn("cos",
+        expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+      .select(col("q_id"), col("c_id"))
+    val approx = ss42NswTombstoned(s, dir)
+      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "c_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_pct", expr("(n_hit * 100) div n_exact"))
+  }
+
+  lazy val ss43Oracle: String =
+    s"""WITH ex AS (SELECT q_id, c_id FROM ($bruteAliveSql) a),
+       |ap AS (SELECT q_id, c_id FROM ($ss42Oracle) b)
        |SELECT COUNT(*) AS n_exact,
        | CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
        | (CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
@@ -2686,7 +2791,9 @@ object Similarity {
     "ss39_hard_negatives" -> (ss39HardNegatives _),
     "ss37_nsw_recall" -> (ss37NswRecall _),
     "ss40_filtered_nsw" -> (ss40FilteredNswBeam _),
-    "ss41_filtered_nsw_recall" -> (ss41FilteredNswRecall _))
+    "ss41_filtered_nsw_recall" -> (ss41FilteredNswRecall _),
+    "ss42_nsw_tombstoned" -> (ss42NswTombstoned _),
+    "ss43_nsw_tombstone_recall" -> (ss43NswTombstoneRecall _))
 
   val oracles: Map[String, String] = Map(
     "ss34_ann_tombstoned" -> ss34Oracle,
@@ -2697,6 +2804,8 @@ object Similarity {
     "ss37_nsw_recall" -> ss37Oracle,
     "ss40_filtered_nsw" -> ss40Oracle,
     "ss41_filtered_nsw_recall" -> ss41Oracle,
+    "ss42_nsw_tombstoned" -> ss42Oracle,
+    "ss43_nsw_tombstone_recall" -> ss43Oracle,
     "ss32_ivf_rp" -> ss32Oracle,
     "ss33_ivf_rp_recall" -> ss33Oracle,
     "ss29_rp_encode" -> ss29Oracle,
