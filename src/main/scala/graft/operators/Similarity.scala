@@ -807,7 +807,8 @@ object Similarity {
     * it (lazy plans over the per-hop checkpoints). */
   private def nswBeamSearch(base: DataFrame, edges: DataFrame,
       materialize: Boolean, hops: Int,
-      queryPred: Column = col("vec_id") % 100 === 0): (DataFrame, DataFrame) = {
+      queryPred: Column = col("vec_id") % 100 === 0,
+      initialFrontier: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     def ck(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint() else df
     val qs = base.filter(queryPred)
@@ -826,9 +827,12 @@ object Similarity {
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= beamWidth)
       .select(col("q_id"), col("c_id"), col("cos"), col("rnk"))
     // fixed entry points: the lowest corpus ids — deterministic, id-only
+    // (callers with a partitioned graph pass their own per-partition
+    // frontier instead — ss45's per-label entries)
     val entries = base.select(col("vec_id").as("c_id"))
       .orderBy(col("c_id").asc).limit(nswEntryCount)
-    val u0 = qs.select(col("q_id")).crossJoin(broadcast(entries))
+    val u0 = initialFrontier.getOrElse(
+      qs.select(col("q_id")).crossJoin(broadcast(entries)))
     var b = ck(beam(u0))
     var visited = u0
     for (_ <- 1 to hops) {
@@ -1243,6 +1247,117 @@ object Similarity {
        |$aliveChain,
        |ap AS (SELECT q_id, c_id FROM b$beamHops WHERE rnk <= $K),
        |ex AS (SELECT q_id, c_id FROM ($bruteAliveSql) a)
+       |SELECT COUNT(*) AS n_exact,
+       | CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       | (CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
+       |   // COUNT(*) AS recall_pct
+       |FROM ex LEFT JOIN ap USING (q_id, c_id)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // ss45: PER-LABEL PARTITIONED graphs — the PRE-FILTER alternative that
+  // ss41's number exists to arbitrate: instead of navigating one global
+  // graph and screening afterwards (ss40), build a separate navigation
+  // graph PER LABEL (edges rank within label, entry points are each
+  // label's lowest ids) and serve each query inside its own label's
+  // graph. This is the per-tenant / per-language partitioned-index
+  // strategy every filtered-ANN deployment weighs against
+  // post-filtering; the audit against the same label-constrained brute
+  // truth is fused in (one row out, one build paid). Measured at
+  // sf0.01: **100% pre-filter (this query) vs 86% post-filter
+  // (ss41)** — at this label granularity the partitioned graphs win
+  // decisively (every hop stays in-label, no beam slot is wasted on
+  // filtered-out candidates), which is exactly the regime where
+  // partitioning pays: few, fat labels. The per-label fan-out costs a
+  // graph per label — the operator picks per selectivity, with both
+  // numbers on the table.
+  // ---------------------------------------------------------------------
+  def ss45PerLabelNsw(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val labels = graft.Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    // per-label kNN edges: rank candidates within the query's label
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    val edges = ivfScoredPairs(s, base, lit(true), broadcastQueries = false)
+      .withColumn("cos",
+        col("dot") / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+      .join(labels.withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("label", "l1"), Seq("q_id"))
+      .join(labels.withColumnRenamed("vec_id", "c_id")
+        .withColumnRenamed("label", "l2"), Seq("c_id"))
+      .filter(col("l1") === col("l2"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= nswServeDegree)
+      .select(col("q_id").as("src"), col("c_id").as("dst"))
+      .localCheckpoint()
+    // per-label entry points: each label's lowest ids
+    val wEnt = Window.partitionBy(col("label")).orderBy(col("vec_id").asc)
+    val entries = labels.withColumn("rn", row_number().over(wEnt))
+      .filter(col("rn") <= nswEntryCount)
+      .select(col("label"), col("vec_id").as("c_id"))
+    val u0 = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"))
+      .join(labels.withColumnRenamed("vec_id", "q_id"), Seq("q_id"))
+      .join(entries, Seq("label"))
+      .select(col("q_id"), col("c_id"))
+    val approx = nswBeamSearch(base, edges, materialize = true, beamHops,
+        initialFrontier = Some(u0))._1
+      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+    filteredBrute(s, dir).join(approx, Seq("q_id", "c_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_pct", expr("(n_hit * 100) div n_exact"))
+  }
+
+  lazy val ss45Oracle: String = {
+    val hops = (1 to beamHops).map(h =>
+      nswGrowSql(s"b${h - 1}", s"u$h", "edl") + ",\n" + nswBeamSql(s"u$h", s"b$h"))
+      .mkString(",\n")
+    s"""WITH $qvecSql,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |${kmChainSql(ivfRounds)},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |${annProbePrefixSqlFor("TRUE")},
+       |sc28 AS (
+       | SELECT pairs.q_id, pairs.c_id,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT)
+       |    / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos
+       | FROM pairs JOIN qn a ON pairs.q_id = a.vec_id
+       |  JOIN qn b ON pairs.c_id = b.vec_id),
+       |edl AS MATERIALIZED (
+       | SELECT q_id AS src, c_id AS dst FROM (
+       |  SELECT s.q_id, s.c_id,
+       |   ROW_NUMBER() OVER (PARTITION BY s.q_id ORDER BY s.cos DESC, s.c_id ASC) AS rnk
+       |  FROM sc28 s
+       |  JOIN lab la ON la.vec_id = s.q_id
+       |  JOIN lab lb ON lb.vec_id = s.c_id
+       |  WHERE la.label = lb.label) t WHERE rnk <= $nswServeDegree),
+       |enl AS (
+       | SELECT label, vec_id AS c_id FROM (
+       |  SELECT l.vec_id, l.label,
+       |   ROW_NUMBER() OVER (PARTITION BY l.label ORDER BY l.vec_id ASC) AS rn
+       |  FROM lab l) t WHERE rn <= $nswEntryCount),
+       |qsl AS (
+       | SELECT q.vec_id AS q_id, l.label FROM qn q
+       | JOIN lab l ON l.vec_id = q.vec_id WHERE q.vec_id % 100 = 0),
+       |u0 AS (SELECT qsl.q_id, enl.c_id FROM qsl JOIN enl USING (label)),
+       |${nswBeamSql("u0", "b0")},
+       |$hops,
+       |ap AS (SELECT q_id, c_id FROM b$beamHops WHERE rnk <= $K),
+       |ex AS (
+       | SELECT q_id, c_id FROM (
+       |  SELECT a.q_id, a.c_id,
+       |   ROW_NUMBER() OVER (PARTITION BY a.q_id ORDER BY a.cos DESC, a.c_id ASC) AS rnk
+       |  FROM (
+       |   SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    CAST(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) AS BIGINT)
+       |      / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)) AS cos
+       |   FROM qn q JOIN lab lq ON lq.vec_id = q.vec_id
+       |    CROSS JOIN qn c
+       |    JOIN lab lc ON lc.vec_id = c.vec_id
+       |   WHERE q.vec_id % 100 = 0 AND q.vec_id != c.vec_id
+       |     AND lq.label = lc.label) a) t
+       | WHERE rnk <= $K)
        |SELECT COUNT(*) AS n_exact,
        | CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
        | (CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
@@ -2866,7 +2981,8 @@ object Similarity {
     "ss41_filtered_nsw_recall" -> (ss41FilteredNswRecall _),
     "ss42_nsw_tombstoned" -> (ss42NswTombstoned _),
     "ss43_nsw_tombstone_recall" -> (ss43NswTombstoneRecall _),
-    "ss44_nsw_compacted" -> (ss44NswCompacted _))
+    "ss44_nsw_compacted" -> (ss44NswCompacted _),
+    "ss45_per_label_nsw" -> (ss45PerLabelNsw _))
 
   val oracles: Map[String, String] = Map(
     "ss34_ann_tombstoned" -> ss34Oracle,
@@ -2880,6 +2996,7 @@ object Similarity {
     "ss42_nsw_tombstoned" -> ss42Oracle,
     "ss43_nsw_tombstone_recall" -> ss43Oracle,
     "ss44_nsw_compacted" -> ss44Oracle,
+    "ss45_per_label_nsw" -> ss45Oracle,
     "ss32_ivf_rp" -> ss32Oracle,
     "ss33_ivf_rp_recall" -> ss33Oracle,
     "ss29_rp_encode" -> ss29Oracle,
