@@ -146,6 +146,29 @@ object EventStream {
       }.start()
   }
 
+  /** Streaming INDEX MAINTENANCE — ss07's IVF roll-forward as a live
+    * front door: each micro-batch of arriving vectors (vec_id, label,
+    * embedding) is quantized, assigned against the STORED centroids and
+    * appended to the cent_id-partitioned inverted lists — the exact
+    * batch verbs ([[graft.operators.Dedup.quantized]] →
+    * [[graft.operators.Similarity.appendToIvfIndex]]), so the streaming
+    * and nightly paths cannot drift semantically. Work per batch is
+    * O(batch × k); the standing corpus is never read. Because the lists
+    * are SETS of assigned rows (probes aggregate over them, order-
+    * independent), any interleaving of micro-batches leaves the index
+    * byte-equivalent to one batch append of the union — the lockstep
+    * law IvfIndexSpec pins. Quantizer drift under streamed data stays
+    * the ss06/ss13 audits' business; compaction of the small appended
+    * files stays [[graft.operators.Similarity.compactIvfIndex]]'s. */
+  def vectorIngestStream(newVecs: DataFrame, idxDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newVecs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.appendToIvfIndex(batch.sparkSession, idxDir,
+          graft.operators.Dedup.quantized(batch)
+            .select(col("vec_id"), col("v"), col("nrm")))
+      }.start()
+
   /** Streaming INGEST GATE — the per-document admission decision (tx21's
     * named quality rules + tx01's language guess) evaluated on documents
     * as they arrive. Both are STATELESS projections (integer

@@ -36,6 +36,43 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingest lockstep: micro-batched appends equal one batch append") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val base = graft.operators.Similarity.qvec(spark, dir).localCheckpoint()
+    val old = base.filter(col("vec_id") % 10 =!= 3)
+    val incRaw = emb.filter(col("vec_id") % 10 === 3)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, String, Array[Float])].collect()
+    val dirA = java.nio.file.Files.createTempDirectory("ivf-stream").toString
+    val dirB = java.nio.file.Files.createTempDirectory("ivf-batch").toString
+    try {
+      Similarity.buildIvfIndex(old, dirA)
+      Similarity.buildIvfIndex(old, dirB)
+      // A: the streaming front door, increment split over 3 micro-batches
+      val input = MemoryStream[(Long, String, Array[Float])]
+      val q = graft.streaming.EventStream.vectorIngestStream(
+        input.toDF().toDF("vec_id", "label", "embedding"), dirA)
+      incRaw.grouped(math.max(1, incRaw.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      q.stop()
+      // B: one nightly batch append of the same increment
+      Similarity.appendToIvfIndex(spark, dirB,
+        base.filter(col("vec_id") % 10 === 3))
+      def lists(d: String) = spark.read.parquet(s"$d/lists")
+        .select(col("vec_id"), col("cent_id").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lists(dirA) == lists(dirB),
+        "streamed micro-batches drifted from the one-shot batch append")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirA))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirB))
+    }
+  }
+
   test("append assigns the increment only — no retraining, no corpus re-read") {
     val base = graft.operators.Similarity.qvec(spark, dir).localCheckpoint()
     val idxDir = java.nio.file.Files.createTempDirectory("ivf-rf2").toString
