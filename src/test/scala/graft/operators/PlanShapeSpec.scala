@@ -521,4 +521,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(nlj <= 4, s"expected only the entry-point + centroid products, got $nlj\n" +
       plan.take(3000))
   }
+
+  test("ss40/ss42/ss45: the round-7 serving family keeps scale-critical plans") {
+    // The per-hop pipelines are checkpointed in production, so inspect
+    // the EXECUTED plans of the materialized queries: the invariant that
+    // must hold at any corpus size is that the label joins, the visited
+    // re-score joins and the tombstone screens are all EQUI-joins or
+    // map-side filters — never a cartesian. (The beam interior is pinned
+    // by the ss36 lazy-path test above; these run the real thing.)
+    for ((name, df) <- Seq(
+        "ss40" -> Similarity.ss40FilteredNswBeam(spark, dir),
+        "ss42" -> Similarity.ss42NswTombstoned(spark, dir),
+        "ss45" -> Similarity.ss45PerLabelNsw(spark, dir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name:\n" + plan.take(3000))
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: the post-checkpoint tail must be pure equi-join/filter\n" +
+          plan.take(3000))
+    }
+  }
 }
