@@ -82,13 +82,24 @@ object DedupStore {
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), s.sparkContext.hadoopConfiguration)
 
+  // Sidecar FORMAT VERSION, part of the file name: v2 keys the hash
+  // filter on xxhash64(h) BIGINTs (the native-expression key domain)
+  // where v1 inserted raw md5-hex strings. A v1 sidecar probed with v2
+  // keys would PASS merges but MISS every pre-upgrade member — silent
+  // duplicate admission — so v2 readers must never open v1 files:
+  // versioned names make an old store read as "no sidecars" (screens
+  // skipped, the verifying joins still correct, just unscreened) until
+  // the next build/compact writes fresh v2 sidecars.
+  private val BloomVersion = "v2"
+
   /** Bloom sidecars live next to the tables; writes go through a temp
     * name + rename so a crash leaves the previous readable pair. */
   private def writeBloomFiles(s: SparkSession, dir: String,
       bh: org.apache.spark.util.sketch.BloomFilter,
       bb: org.apache.spark.util.sketch.BloomFilter): Unit = {
     val f = fs(s, dir)
-    for ((name, filter) <- Seq("bloom_hashes" -> bh, "bloom_bands" -> bb)) {
+    for ((name, filter) <- Seq(s"bloom_hashes_$BloomVersion" -> bh,
+        s"bloom_bands_$BloomVersion" -> bb)) {
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$name.tmp")
       val out = f.create(tmp, true)
       try filter.writeTo(out) finally out.close()
@@ -111,7 +122,8 @@ object DedupStore {
         finally in.close()
       }
     }
-    for (h <- one("bloom_hashes"); b <- one("bloom_bands")) yield (h, b)
+    for (h <- one(s"bloom_hashes_$BloomVersion");
+         b <- one(s"bloom_bands_$BloomVersion")) yield (h, b)
   }
 
   def read(s: SparkSession, dir: String): Store = Store(

@@ -600,7 +600,10 @@ object Multimodal {
     * position-weighted wrapping sum Σᵢ (bᵢ+1)·((i+1)·K1) mod 2^64.
     * EXACT frame identity, not a perceptual hash: identical pixels
     * collide however they were containered, any single-pixel change
-    * separates (the weight is odd ⇒ nonzero). (A block-mean aHash —
+    * separates — the hash delta is d·(i+1)·K1 mod 2^64 with
+    * 0 < |d·(i+1)| ≤ 255·(w·h) < 2^21 and K1 odd (invertible mod
+    * 2^64), so the delta can never be a multiple of 2^64; the same
+    * magnitude bound is what keeps the oracle's HUGEINT sums exact. (A block-mean aHash —
     * mm03's image key — is the wrong key at frame granularity here:
     * brightness-shift invariance folds this corpus's phase-shifted
     * gradient frames into one bucket, flagging distinct videos as

@@ -149,13 +149,30 @@ object Relational {
     * loop under both and proves equal output — ReliableCheckpointSpec). */
   private[operators] def loopCheckpoint(df: DataFrame): DataFrame = {
     val s = df.sparkSession
-    if (!s.conf.getOption("spark.graft.reliableCheckpoint").exists(_.toBoolean))
-      df.localCheckpoint()
+    val reliable = s.conf.getOption("spark.graft.reliableCheckpoint")
+      .exists(_.trim.equalsIgnoreCase("true"))
+    if (!reliable) df.localCheckpoint()
     else {
-      if (s.sparkContext.getCheckpointDir.isEmpty)
-        s.sparkContext.setCheckpointDir(
-          s.conf.getOption("spark.graft.checkpointDir").getOrElse(
-            sys.props("java.io.tmpdir") + "/graft-checkpoints"))
+      if (s.sparkContext.getCheckpointDir.isEmpty) {
+        val dir = s.conf.getOption("spark.graft.checkpointDir")
+        // A node-local tmpdir is only acceptable on a single-JVM master:
+        // on a real cluster each executor would write its partitions to
+        // its OWN /tmp and the next round's tasks on other nodes could
+        // not read them — fail fast with the fix instead of corrupting
+        // the loop at round 2.
+        if (dir.isEmpty && !s.sparkContext.isLocal)
+          throw new IllegalStateException(
+            "spark.graft.reliableCheckpoint=true on a cluster requires " +
+              "spark.graft.checkpointDir on a SHARED filesystem (HDFS/S3) " +
+              "or a pre-set SparkContext checkpoint dir")
+        s.sparkContext.setCheckpointDir(dir.getOrElse(
+          sys.props("java.io.tmpdir") + "/graft-checkpoints"))
+      }
+      // NOTE: reliable checkpoint files accumulate one materialization
+      // per round; Spark deletes them only under
+      // spark.cleaner.referenceTracking.cleanCheckpoints=true (a
+      // context-creation conf) — set it in production, see README's
+      // deployment notes.
       df.checkpoint()
     }
   }

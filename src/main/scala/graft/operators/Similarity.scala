@@ -363,26 +363,39 @@ object Similarity {
   // degraded the unrebuilt lists enough to warrant compaction — the
   // delete-side analog of ss13's quantizer-drift audit.
   // ---------------------------------------------------------------------
-  def ss35TombstoneRecall(s: SparkSession, dir: String): DataFrame = {
-    val alive = qvec(s, dir).filter(col("vec_id") % 9 =!= 0).localCheckpoint()
+  /** Brute-force exact top-K (q_id, c_id) over an ALIVE corpus slice —
+    * the ONE definition of the truth every tombstone-family audit
+    * measures against (ss35 flat-index, ss43 un-rebuilt graph, ss44
+    * compacted graph): sharing it makes NswServingSpec's identical-
+    * denominator law true by construction, not by keeping copies in
+    * sync by hand. */
+  private def bruteAliveTopk(alive: DataFrame): DataFrame = {
     val qs = alive.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
     val cand = alive
       .select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id").asc)
-    val exact = cand.join(broadcast(qs), col("q_id") =!= col("c_id"))
-      .withColumn("dot", expr(dotExpr))
+    cand.join(broadcast(qs), col("q_id") =!= col("c_id"))
       .withColumn("cos",
-        col("dot") / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+        expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
       .select(col("q_id"), col("c_id"))
-    val approx = ss34AnnTombstoned(s, dir)
-      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
-    exact.join(approx, Seq("q_id", "c_id"), "left")
+  }
+
+  /** Recall-audit tail shared by the approximate-vs-exact comparisons:
+    * LEFT-join the approximate (q, c) pairs onto the exact set and
+    * report (n_exact, n_hit, recall_pct). */
+  private def recallAgainst(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.join(approx.select(col("q_id"), col("c_id"), lit(1L).as("hit")),
+        Seq("q_id", "c_id"), "left")
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .withColumn("recall_pct", expr("(n_hit * 100) div n_exact"))
+
+  def ss35TombstoneRecall(s: SparkSession, dir: String): DataFrame = {
+    val alive = qvec(s, dir).filter(col("vec_id") % 9 =!= 0).localCheckpoint()
+    recallAgainst(bruteAliveTopk(alive), ss34AnnTombstoned(s, dir))
   }
 
   private val bruteAliveSql: String =
@@ -870,17 +883,22 @@ object Similarity {
        |   WHERE u.q_id != u.c_id) s0) s1
        | WHERE rnk <= $beamWidth)""".stripMargin
 
-  /** Shared oracle fragment: the full-corpus probe scored (sc28) and the
-    * ranked edge list to nswMaxDegree (edr) — the relational twin of
-    * [[knnRankedEdges]]. Callers filter `edr` by their degree. Assumes
-    * qn / cents / pairs CTEs are already in scope. */
+  /** Full-corpus probe pairs, exactly scored (sc28) — the one scoring
+    * CTE every graph-tier oracle builds on (ranked edges, per-label
+    * edges). Assumes qn / cents / pairs CTEs are already in scope. */
+  private val nswScoredSql: String =
+    """sc28 AS (
+      | SELECT pairs.q_id, pairs.c_id,
+      |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT)
+      |    / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos
+      | FROM pairs JOIN qn a ON pairs.q_id = a.vec_id
+      |  JOIN qn b ON pairs.c_id = b.vec_id)""".stripMargin
+
+  /** Shared oracle fragment: sc28 plus the ranked edge list to
+    * nswMaxDegree (edr) — the relational twin of [[knnRankedEdges]].
+    * Callers filter `edr` by their degree. */
   private val nswRankedEdgeSql: String =
-    s"""sc28 AS (
-       | SELECT pairs.q_id, pairs.c_id,
-       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT)
-       |    / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos
-       | FROM pairs JOIN qn a ON pairs.q_id = a.vec_id
-       |  JOIN qn b ON pairs.c_id = b.vec_id),
+    s"""$nswScoredSql,
        |edr AS MATERIALIZED (
        | SELECT q_id AS src, c_id AS dst, rnk FROM (
        |  SELECT q_id, c_id,
@@ -922,13 +940,9 @@ object Similarity {
     nswDegrees.map { m =>
       val edges = ranked.filter(col("rnk") <= m)
         .select(col("src"), col("dst"))
-      val approx = nswBeamOver(base, edges, materialize = true, beamHops)
-        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
-      exact.join(approx, Seq("q_id", "c_id"), "left")
-        .agg(count(lit(1)).as("n_exact"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      recallAgainst(exact, nswBeamOver(base, edges, materialize = true, beamHops))
         .select(lit(m).as("out_degree"), col("n_exact"), col("n_hit"),
-          expr("(n_hit * 100) div n_exact").as("recall_pct"))
+          col("recall_pct"))
     }.reduce(_ unionByName _)
   }
 
@@ -981,6 +995,25 @@ object Similarity {
   // truth (ss20's audit pattern) — the number that decides when a
   // selective filter warrants per-label partitioned graphs instead.
   // ---------------------------------------------------------------------
+  /** Exactly re-score a visited (q_id, c_id) set against the corpus
+    * vectors — shared by the filtered (ss40) and tombstoned (ss42)
+    * serving tails, which differ only in the screen they apply before
+    * the final rank. */
+  private def visitedScored(base: DataFrame, visited: DataFrame): DataFrame = {
+    val qs = base.select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
+    val cs = base.select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"))
+    visited.join(qs, Seq("q_id")).join(cs, Seq("c_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos",
+        expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+  }
+
+  private def topK(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+  }
+
   def ss40FilteredNswBeam(s: SparkSession, dir: String): DataFrame = {
     val base = qvec(s, dir).localCheckpoint()
     val edges = knnRankedEdges(s, base).filter(col("rnk") <= nswServeDegree)
@@ -989,19 +1022,12 @@ object Similarity {
       .localCheckpoint()
     val labels = graft.Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"))
-    val qs = base.select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
-      .join(labels.withColumnRenamed("vec_id", "q_id")
-        .withColumnRenamed("label", "l1"), Seq("q_id"))
-    val cs = base.select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"))
-      .join(labels.withColumnRenamed("vec_id", "c_id")
-        .withColumnRenamed("label", "l2"), Seq("c_id"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("c_id").asc)
-    visited.join(qs, Seq("q_id")).join(cs, Seq("c_id"))
-      .filter(col("q_id") =!= col("c_id") && col("l1") === col("l2"))
-      .withColumn("cos",
-        expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
-      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+    topK(visitedScored(base, visited)
+        .join(labels.withColumnRenamed("vec_id", "q_id")
+          .withColumnRenamed("label", "l1"), Seq("q_id"))
+        .join(labels.withColumnRenamed("vec_id", "c_id")
+          .withColumnRenamed("label", "l2"), Seq("c_id"))
+        .filter(col("l1") === col("l2")))
       .select(col("q_id"), col("c_id"), col("l2").as("label"),
         col("rnk"), col("cos"))
   }
@@ -1045,14 +1071,8 @@ object Similarity {
        |WHERE rnk <= $K""".stripMargin
   }
 
-  def ss41FilteredNswRecall(s: SparkSession, dir: String): DataFrame = {
-    val approx = ss40FilteredNswBeam(s, dir)
-      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
-    filteredBrute(s, dir).join(approx, Seq("q_id", "c_id"), "left")
-      .agg(count(lit(1)).as("n_exact"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-      .withColumn("recall_pct", expr("(n_hit * 100) div n_exact"))
-  }
+  def ss41FilteredNswRecall(s: SparkSession, dir: String): DataFrame =
+    recallAgainst(filteredBrute(s, dir), ss40FilteredNswBeam(s, dir))
 
   lazy val ss41Oracle: String =
     s"""WITH ex AS (
@@ -1103,15 +1123,7 @@ object Similarity {
         col("vec_id") % 100 === 0 && col("vec_id") % 9 =!= 0)._2
       .filter(col("c_id") % 9 =!= 0) // tombstone screen: results only
       .localCheckpoint()
-    val qs = base.select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
-    val cs = base.select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("c_id").asc)
-    visited.join(qs, Seq("q_id")).join(cs, Seq("c_id"))
-      .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos",
-        expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
-      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+    topK(visitedScored(base, visited))
       .select(col("q_id"), col("c_id"), col("rnk"), col("cos"))
   }
 
@@ -1154,23 +1166,7 @@ object Similarity {
 
   def ss43NswTombstoneRecall(s: SparkSession, dir: String): DataFrame = {
     val alive = qvec(s, dir).filter(col("vec_id") % 9 =!= 0).localCheckpoint()
-    val qs = alive.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
-    val cand = alive
-      .select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("c_id").asc)
-    val exact = cand.join(broadcast(qs), col("q_id") =!= col("c_id"))
-      .withColumn("cos",
-        expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
-      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
-      .select(col("q_id"), col("c_id"))
-    val approx = ss42NswTombstoned(s, dir)
-      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
-    exact.join(approx, Seq("q_id", "c_id"), "left")
-      .agg(count(lit(1)).as("n_exact"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-      .withColumn("recall_pct", expr("(n_hit * 100) div n_exact"))
+    recallAgainst(bruteAliveTopk(alive), ss42NswTombstoned(s, dir))
   }
 
   lazy val ss43Oracle: String =
@@ -1204,23 +1200,8 @@ object Similarity {
     val alive = qvec(s, dir).filter(col("vec_id") % 9 =!= 0).localCheckpoint()
     val edges = knnRankedEdges(s, alive).filter(col("rnk") <= nswServeDegree)
       .select(col("src"), col("dst")).localCheckpoint()
-    val approx = nswBeamOver(alive, edges, materialize = true, beamHops)
-      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
-    val qs = alive.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
-    val cand = alive
-      .select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("c_id").asc)
-    val exact = cand.join(broadcast(qs), col("q_id") =!= col("c_id"))
-      .withColumn("cos",
-        expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
-      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
-      .select(col("q_id"), col("c_id"))
-    exact.join(approx, Seq("q_id", "c_id"), "left")
-      .agg(count(lit(1)).as("n_exact"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-      .withColumn("recall_pct", expr("(n_hit * 100) div n_exact"))
+    recallAgainst(bruteAliveTopk(alive),
+      nswBeamOver(alive, edges, materialize = true, beamHops))
   }
 
   lazy val ss44Oracle: String = {
@@ -1300,13 +1281,9 @@ object Similarity {
       .join(labels.withColumnRenamed("vec_id", "q_id"), Seq("q_id"))
       .join(entries, Seq("label"))
       .select(col("q_id"), col("c_id"))
-    val approx = nswBeamSearch(base, edges, materialize = true, beamHops,
-        initialFrontier = Some(u0))._1
-      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
-    filteredBrute(s, dir).join(approx, Seq("q_id", "c_id"), "left")
-      .agg(count(lit(1)).as("n_exact"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-      .withColumn("recall_pct", expr("(n_hit * 100) div n_exact"))
+    recallAgainst(filteredBrute(s, dir),
+      nswBeamSearch(base, edges, materialize = true, beamHops,
+        initialFrontier = Some(u0))._1)
   }
 
   lazy val ss45Oracle: String = {
@@ -1318,12 +1295,7 @@ object Similarity {
        |${kmChainSql(ivfRounds)},
        |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
        |${annProbePrefixSqlFor("TRUE")},
-       |sc28 AS (
-       | SELECT pairs.q_id, pairs.c_id,
-       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT)
-       |    / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos
-       | FROM pairs JOIN qn a ON pairs.q_id = a.vec_id
-       |  JOIN qn b ON pairs.c_id = b.vec_id),
+       |$nswScoredSql,
        |edl AS MATERIALIZED (
        | SELECT q_id AS src, c_id AS dst FROM (
        |  SELECT s.q_id, s.c_id,

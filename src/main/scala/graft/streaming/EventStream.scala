@@ -160,14 +160,40 @@ object EventStream {
     * law IvfIndexSpec pins. Quantizer drift under streamed data stays
     * the ss06/ss13 audits' business; compaction of the small appended
     * files stays [[graft.operators.Similarity.compactIvfIndex]]'s. */
-  def vectorIngestStream(newVecs: DataFrame, idxDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    newVecs.writeStream.outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Similarity.appendToIvfIndex(batch.sparkSession, idxDir,
-          graft.operators.Dedup.quantized(batch)
-            .select(col("vec_id"), col("v"), col("nrm")))
-      }.start()
+  def vectorIngestStream(newVecs: DataFrame, idxDir: String,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = newVecs.writeStream.outputMode(OutputMode.Append())
+    checkpointLocation.foreach(w.option("checkpointLocation", _))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      ingestVectorBatch(batch, idxDir, batchId)
+    }.start()
+  }
+
+  /** The per-batch ingest body, IDEMPOTENT per batchId: a commit marker
+    * under `_ingest_commits/` makes a REPLAYED micro-batch (restart
+    * reprocessing) a no-op. The IVF lists are RANK-SENSITIVE — a
+    * duplicated row claims two top-K slots at probe time — so unlike
+    * the multiplicity-insensitive dedup sinks this sink cannot shrug
+    * off at-least-once delivery; marker-in-sink is the standard
+    * foreachBatch idempotence pattern. The residual window (crash
+    * after the append, before the marker) is the usual non-
+    * transactional-sink caveat — production puts the lists on a
+    * transactional table format to close it; the marker closes the
+    * common restart-replay case. IvfIndexSpec replays a batch and
+    * proves the lists unchanged. */
+  def ingestVectorBatch(batch: DataFrame, idxDir: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idxDir), s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$idxDir/_ingest_commits/$batchId")
+    if (!f.exists(marker)) {
+      graft.operators.Similarity.appendToIvfIndex(s, idxDir,
+        graft.operators.Dedup.quantized(batch)
+          .select(col("vec_id"), col("v"), col("nrm")))
+      f.create(marker, true).close()
+    }
+  }
 
   /** Streaming INGEST GATE — the per-document admission decision (tx21's
     * named quality rules + tx01's language guess) evaluated on documents

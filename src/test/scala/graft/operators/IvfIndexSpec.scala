@@ -64,9 +64,18 @@ class IvfIndexSpec extends SparkSpec {
         base.filter(col("vec_id") % 10 === 3))
       def lists(d: String) = spark.read.parquet(s"$d/lists")
         .select(col("vec_id"), col("cent_id").cast("long")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
       assert(lists(dirA) == lists(dirB),
         "streamed micro-batches drifted from the one-shot batch append")
+      // replay idempotence: re-delivering an already-committed batchId
+      // must be a no-op (the commit marker guards the rank-sensitive
+      // lists against restart reprocessing) — multiset equality, so a
+      // duplicated append cannot hide behind the set view
+      val before = lists(dirA)
+      graft.streaming.EventStream.ingestVectorBatch(
+        emb.filter(col("vec_id") % 10 === 3)
+          .select(col("vec_id"), col("label"), col("embedding")), dirA, 0L)
+      assert(lists(dirA) == before, "a replayed batch mutated the lists")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirA))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirB))
