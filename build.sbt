@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain` as JSON. Two
+// sbt behaviors have always broken that (BENCH_r01..r07 all read
+// "parsed": null): the forked child's stdout is re-logged with an
+// "[info] " prefix, and sbt appends its own "[success] Total time..."
+// trailer as the actual last line. StdoutOutput passes the child's
+// stdout through verbatim; showSuccess drops the trailer — so the
+// canonical bench JSON line is now the literal last line of stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

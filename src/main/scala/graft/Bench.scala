@@ -108,6 +108,17 @@ object Bench {
     qs.grouped(20).zipWithIndex.foreach { case (chunk, i) =>
       println(s"""{"metric":"part","idx":${i + 1},"queries":${chunk.mkString("{", ",", "}")}}""")
     }
+    // cc20's per-peel-round telemetry (its timed run is the last trussEdges
+    // call in this JVM): makes a slow capture self-explaining — identical
+    // rounds with uniformly inflated wall = host contention; extra rounds
+    // or one slow round = a real regression. See VERDICT r7 finding #1.
+    val truss = graft.operators.Relational.trussRoundLog.get()
+    if (truss.nonEmpty) {
+      val rj = truss.map { case (r, nb, na, sec) =>
+        s"""{"round":$r,"edges_in":$nb,"edges_out":$na,"sec":${ms(sec)}}""" }
+        .mkString("[", ",", "]")
+      println(s"""{"metric":"cc20_rounds","rounds":$rj}""")
+    }
     println(json)
     spark.stop()
   }

@@ -73,7 +73,24 @@ object DedupStore {
       else readBloomFiles(s, dir) match {
         case Some((oh, ob)) =>
           oh.mergeInPlace(fh); ob.mergeInPlace(fb); (oh, ob)
-        case None => (fh, fb)
+        case None =>
+          // No merge-compatible sidecars: a pre-version (v1) store, or a
+          // store whose sidecar files were lost. Writing filters built
+          // from the INCREMENT alone here would be the silent-dup trap:
+          // later reads would trust them, the bloom screen drops
+          // screened-out rows BEFORE the verifying joins, and every
+          // standing member would become a false negative. Rebuild from
+          // the FULL on-disk tables instead — the increment was already
+          // appended above, so these scans cover standing + new. One
+          // full pass, paid once per store upgrade/repair, never again.
+          // band is a partition column on disk — pin it back to the INT
+          // the in-memory probe side hashes (xxhash64 is type-sensitive,
+          // so a type-inference drift here would silently change the
+          // filter's key domain).
+          Dedup.BloomPrefilter.buildFilters(s,
+            s.read.parquet(s"$dir/hashes"),
+            s.read.parquet(s"$dir/bands")
+              .withColumn("band", col("band").cast("int")))
       }
     writeBloomFiles(s, dir, bh, bb)
   }
@@ -98,6 +115,11 @@ object DedupStore {
       bh: org.apache.spark.util.sketch.BloomFilter,
       bb: org.apache.spark.util.sketch.BloomFilter): Unit = {
     val f = fs(s, dir)
+    // Every v2 write retires the unversioned v1 names: v2 readers never
+    // open them, so after the first v2 write they are dead megabyte-scale
+    // files sitting next to the store forever. Idempotent, no-op once gone.
+    for (legacy <- Seq("bloom_hashes.bin", "bloom_bands.bin"))
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/$legacy"), false)
     for ((name, filter) <- Seq(s"bloom_hashes_$BloomVersion" -> bh,
         s"bloom_bands_$BloomVersion" -> bb)) {
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$name.tmp")

@@ -596,28 +596,35 @@ object Multimodal {
   private val HashK1 = 0x9e3779b97f4a7c15L // unsigned 11400714819323198485
   private val HashK2 = 0xc2b2ae3d27d4eb4fL // unsigned 14029467366897019727
 
-  /** 64-bit content hash of one decoded grayscale frame: the
-    * position-weighted wrapping sum Σᵢ (bᵢ+1)·((i+1)·K1) mod 2^64.
-    * EXACT frame identity, not a perceptual hash: identical pixels
-    * collide however they were containered, any single-pixel change
-    * separates — the hash delta is d·(i+1)·K1 mod 2^64 with
-    * 0 < |d·(i+1)| ≤ 255·(w·h) < 2^21 and K1 odd (invertible mod
-    * 2^64), so the delta can never be a multiple of 2^64; the same
-    * magnitude bound is what keeps the oracle's HUGEINT sums exact. (A block-mean aHash —
-    * mm03's image key — is the wrong key at frame granularity here:
-    * brightness-shift invariance folds this corpus's phase-shifted
-    * gradient frames into one bucket, flagging distinct videos as
-    * dups; frame-level dedup wants identity, the perceptual layer
-    * belongs to the per-image tier.) Unlike the earlier truncated-MD5
-    * key, every term is plain mod-2^64 arithmetic and the sum is
-    * COMMUTATIVE — so a DuckDB oracle recomputes it relationally from
-    * the GRVF fixture formula in HUGEINT (SUM over per-pixel terms,
-    * reduce % 2^64, sign-fold), closing mm08's verification gap. */
+  /** 64-bit content hash of one decoded grayscale frame: the wrapping
+    * sum of per-pixel SQUARED mixes, Σᵢ xᵢ² mod 2^64 where
+    * xᵢ = (bᵢ+1)·(i+1)·K1 mod 2^64. EXACT frame identity, not a
+    * perceptual hash: identical pixels collide however they were
+    * containered, any single-pixel change separates — the delta is
+    * x'²−x² = (x'−x)(x'+x) mod 2^64, and the 2-adic valuations bound
+    * v(x'−x) ≤ v(d)+v(i+1) ≤ 8+21 and v(x'+x) ≤ v(b+b'+2)+v(i+1)
+    * ≤ 9+21 (K1 odd contributes 0), so v(delta) ≤ 59 < 64 — the delta
+    * can never be a multiple of 2^64. The SQUARE is the round-8 advice
+    * fix: the previous purely linear form Σ(bᵢ+1)·(i+1)·K1 had a
+    * small-support collision class (any edit with Σdᵢ·(i+1)=0 over the
+    * integers, e.g. +2 at index 2 / −3 at index 1), and ANY linear
+    * combination of linear functionals keeps such an integer kernel;
+    * squaring makes each term nonlinear in bᵢ, so no structured
+    * cancellation family exists — only generic birthday collisions, as
+    * for any 64-bit key. (A block-mean aHash — mm03's image key — is
+    * the wrong key at frame granularity here: brightness-shift
+    * invariance folds this corpus's phase-shifted gradient frames into
+    * one bucket.) Terms stay COMMUTATIVE and mod-2^64, so the DuckDB
+    * oracle recomputes them relationally from the GRVF fixture formula
+    * in HUGEINT: x via the bounded product (≤ 2^93), x² mod 2^64 via
+    * the 32-bit split (xl² + 2^33·xh·xl, ≤ 2^97 — inside HUGEINT),
+    * SUM, reduce % 2^64, sign-fold. */
   private[operators] def frameContentHash(plane: Array[Byte]): Long = {
     var h = 0L
     var i = 0
     while (i < plane.length) {
-      h += ((plane(i) & 0xff) + 1L) * ((i + 1L) * HashK1)
+      val x = ((plane(i) & 0xff) + 1L) * ((i + 1L) * HashK1)
+      h += x * x // Long multiply IS mod-2^64, matching the oracle's split
       i += 1
     }
     h
@@ -629,7 +636,14 @@ object Multimodal {
     * halves keeps every product < 2^96, so the DuckDB oracle's HUGEINT
     * (128-bit) SUM is exact before the final % 2^64. Position weights
     * make the signature sequence-sensitive (a reordered cut separates);
-    * term-commutativity keeps it computable as an unordered SUM. */
+    * term-commutativity keeps it computable as an unordered SUM. This
+    * level IS linear — in the FRAME HASHES, not the pixels: a collision
+    * needs a frame-hash delta vector orthogonal to the position weights
+    * mod 2^64, and frame hashes are effectively uniform 64-bit outputs
+    * of the nonlinear [[frameContentHash]] (an adversary cannot steer
+    * them to structured deltas without already colliding that layer),
+    * so the linear-kernel construction that indicted the old frame
+    * hash does not lift to this one — documented, accepted. */
   private[operators] def videoSignature(hashes: Iterator[(Int, Long)]): Long = {
     var s = 0L
     while (hashes.hasNext) {
@@ -1282,9 +1296,11 @@ object Multimodal {
   /** mm08 oracle: both hash levels recomputed relationally from the
     * GRVF fixture formula, never touching the binary path. Per-pixel
     * byte b = ((id·1315423911 + f·2654435761 + i·1442695040888963407)
-    * mod 2^64) >>> 40 & 0xff (HUGEINT, reduce % 2^64); frame hash
-    * fhash = Σᵢ (b+1)·((i+1)·K1 mod 2^64) mod 2^64 (terms ≤ 2^72, sum
-    * ≤ 2^85 — exact in HUGEINT); signature over 32-bit halves with
+    * mod 2^64) >>> 40 & 0xff (HUGEINT, reduce % 2^64); per-pixel mix
+    * x = (b+1)·(i+1)·K1 mod 2^64 (product ≤ 2^93 — exact in HUGEINT),
+    * squared via the 32-bit split x² mod 2^64 = (xl² + 2^33·xh·xl)
+    * mod 2^64 (terms ≤ 2^97 — inside HUGEINT), frame hash = Σᵢ terms
+    * mod 2^64 (sum ≤ 2^85); signature over 32-bit halves with
     * weights (2f+1)·K2 / (2f+2)·K2 (terms ≤ 2^97, ≤16 frames ⇒ sum ≤
     * 2^101 — exact in HUGEINT). Mod is a ring homomorphism, so
     * reducing only at the end equals Java's per-op wrapping. Final
@@ -1297,18 +1313,23 @@ object Multimodal {
       | FROM documents WHERE ((doc_id % 3) + 3) % 3 = 2),
       |fh AS MATERIALIZED (
       | SELECT doc_id, f,
-      |  CAST(SUM((b + 1) *
-      |     ((CAST(i + 1 AS HUGEINT) * 11400714819323198485) % 18446744073709551616))
+      |  CAST(SUM(((x % 4294967296) * (x % 4294967296)
+      |       + (x // 4294967296) * (x % 4294967296) * 8589934592)
+      |      % 18446744073709551616)
       |    % 18446744073709551616 AS HUGEINT) AS fhash_u
       | FROM (
       |  SELECT doc_id, f, i,
-      |   CAST(((CAST(doc_id AS HUGEINT) * 1315423911
-      |      + CAST(f AS HUGEINT) * 2654435761
-      |      + CAST(i AS HUGEINT) * 1442695040888963407)
-      |      % 18446744073709551616) // 1099511627776 % 256 AS HUGEINT) AS b
+      |   ((b + 1) * ((CAST(i + 1 AS HUGEINT) * 11400714819323198485)
+      |      % 18446744073709551616)) % 18446744073709551616 AS x
       |  FROM (
-      |   SELECT doc_id, f, unnest(range(0, w * h)) AS i
-      |   FROM (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM vid) a) b0) c
+      |   SELECT doc_id, f, i,
+      |    CAST(((CAST(doc_id AS HUGEINT) * 1315423911
+      |       + CAST(f AS HUGEINT) * 2654435761
+      |       + CAST(i AS HUGEINT) * 1442695040888963407)
+      |       % 18446744073709551616) // 1099511627776 % 256 AS HUGEINT) AS b
+      |   FROM (
+      |    SELECT doc_id, f, unnest(range(0, w * h)) AS i
+      |    FROM (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM vid) a) b0) c0) c
       | GROUP BY doc_id, f),
       |sg AS (
       | SELECT doc_id AS media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,

@@ -147,12 +147,46 @@ object Relational {
     *
     * Both variants are eager and semantically identical (one spec runs a
     * loop under both and proves equal output — ReliableCheckpointSpec). */
+  /** Per-peel-round record of the LAST [[trussEdges]] run in this JVM:
+    * (round, edges-before, edges-after, wall seconds). Exists so the
+    * bench artifact is self-explaining: a slow cc20 capture can be read
+    * as "same rounds, wall inflated uniformly" (host contention) vs
+    * "extra rounds / one slow round" (a real regression) from the
+    * artifact alone — Bench prints it as its own part-line. */
+  val trussRoundLog = new java.util.concurrent.atomic.AtomicReference[
+    Seq[(Int, Long, Long, Double)]](Nil)
+
+  // once-per-JVM latch for loopCheckpoint's reliable-mode config warnings
+  private val reliableWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private[operators] def loopCheckpoint(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     val reliable = s.conf.getOption("spark.graft.reliableCheckpoint")
       .exists(_.trim.equalsIgnoreCase("true"))
     if (!reliable) df.localCheckpoint()
     else {
+      // One-time loud diagnostics for the two silent-config traps: (a) the
+      // SparkContext checkpoint dir is JVM-global — the first caller pins
+      // it, and a later session conf pointing elsewhere is IGNORED by
+      // Spark; (b) reliable checkpoint files accumulate one
+      // materialization per round unless the context was CREATED with
+      // spark.cleaner.referenceTracking.cleanCheckpoints=true.
+      if (reliableWarned.compareAndSet(false, true)) {
+        val set = s.sparkContext.getCheckpointDir
+        val want = s.conf.getOption("spark.graft.checkpointDir")
+        if (set.nonEmpty && want.nonEmpty && !set.contains(want.get))
+          System.err.println(
+            s"[graft] WARNING: spark.graft.checkpointDir=${want.get} is " +
+              s"IGNORED — the SparkContext checkpoint dir was already set " +
+              s"to ${set.get} (it is JVM-global; the first setter wins)")
+        if (!s.sparkContext.getConf.getBoolean(
+            "spark.cleaner.referenceTracking.cleanCheckpoints", false))
+          System.err.println(
+            "[graft] WARNING: reliableCheckpoint=true without " +
+              "spark.cleaner.referenceTracking.cleanCheckpoints=true (a " +
+              "context-creation conf): checkpoint files accumulate one " +
+              "materialization per loop round until the app exits")
+      }
       if (s.sparkContext.getCheckpointDir.isEmpty) {
         val dir = s.conf.getOption("spark.graft.checkpointDir")
         // A node-local tmpdir is only acceptable on a single-JVM master:
@@ -824,6 +858,7 @@ object Relational {
     * Returns the surviving undirected (a, b) edges, a < b. */
   def trussEdges(edges: DataFrame, k: Int, maxRounds: Int = 40): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
+    trussRoundLog.set(Nil)
     val minSup = k - 2
     var e = edges.select(col("a"), col("b")).transform(loopCheckpoint)
     var n = e.count()
@@ -865,6 +900,7 @@ object Relational {
     var bloomSer: Array[Byte] = null
     var bloomBuiltAt = 0L
     while (round < maxRounds && result == null) {
+      val roundT0 = System.nanoTime()
       // round 1 peels the ORIGINAL edge set — or0 IS its orientation
       val orE = if (round == 0) or0 else or0.join(e, Seq("a", "b"), "left_semi")
       val wedges0 = orE.as("x").join(orE.as("y"),
@@ -902,6 +938,8 @@ object Relational {
       val e2 = e.join(sup.select("a", "b"), Seq("a", "b"), "left_semi")
         .transform(loopCheckpoint)
       val n2 = e2.count()
+      trussRoundLog.set(trussRoundLog.get() :+
+        (round + 1, n, n2, (System.nanoTime() - roundT0) / 1e9))
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(
           s"[truss] round ${round + 1}: $n -> $n2 edges at ${System.nanoTime() / 1000000}ms")

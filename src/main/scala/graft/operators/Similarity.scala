@@ -473,8 +473,12 @@ object Similarity {
   }
 
   def ss28KnnGraph(s: SparkSession, dir: String): DataFrame = {
-    val base = qvec(s, dir).localCheckpoint()
-    val edges = knnRankedEdges(s, base).filter(col("rnk") <= graphK)
+    // the analysis graph reads the STORED artifact too (rnk ≤ graphK is a
+    // subset of the persisted ranked edges) — one build serves both the
+    // serving tier and the analytics consumers (cc15's clusters)
+    val idx = ensureNswIndex(s, dir)
+    val edges = s.read.parquet(s"$idx/edges").filter(col("rnk") <= graphK)
+      .select(col("src"), col("dst"), col("rnk"), col("cos"))
       .localCheckpoint()
     val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
     edges.join(rev.withColumn("m", lit(true)), Seq("src", "dst"), "left")
@@ -646,10 +650,24 @@ object Similarity {
     * broadcast (graph builds are corpus-sized); the rank limit is the
     * caller's. */
   private def probeScoredPairs(s: SparkSession, queries: DataFrame,
-      idxDir: String, candFilter: Column): DataFrame = {
+      idxDir: String, candFilter: Column): DataFrame =
+    probeScoredPairsRestricted(s, queries, idxDir, _.filter(candFilter))
+
+  /** [[probeScoredPairs]] with the stored lists restricted to a candidate
+    * ID SET (semi-join) instead of a predicate — the roll-forward's
+    * "standing queries vs increment-only candidates" piece, where the
+    * membership test is a table, not an expression. The semi-join keys the
+    * list scan down to O(candidates) rows before any scoring. */
+  private def probeScoredPairsAmong(s: SparkSession, queries: DataFrame,
+      idxDir: String, candIds: DataFrame): DataFrame =
+    probeScoredPairsRestricted(s, queries, idxDir,
+      _.join(candIds.select(col("vec_id")), Seq("vec_id"), "left_semi"))
+
+  private def probeScoredPairsRestricted(s: SparkSession, queries: DataFrame,
+      idxDir: String, restrict: DataFrame => DataFrame): DataFrame = {
     val cents = s.read.parquet(s"$idxDir/centroids")
       .select(col("cent_id"), col("cv").as("v2"), col("cnrm").as("n2"))
-    val lists = s.read.parquet(s"$idxDir/lists").filter(candFilter)
+    val lists = restrict(s.read.parquet(s"$idxDir/lists"))
     val qside = queries.select(col("vec_id").as("q_id"),
       col("v").as("v1"), col("nrm").as("n1"))
     val wProbe = Window.partitionBy(col("q_id"))
@@ -690,32 +708,20 @@ object Similarity {
   }
 
   def ss38KnnGraphRollforward(s: SparkSession, dir: String): DataFrame = {
+    // round 8: the whole roll-forward now goes THROUGH the artifact verbs —
+    // build the standing graph index, append the increment (the three
+    // O(increment)-probe pieces live in [[appendToNswIndex]]), then read
+    // the rolled-forward stored edges back and flag mutuals. The oracle
+    // (one-shot build under the frozen standing quantizer) is unchanged:
+    // rolled-forward stored edges must be indistinguishable from it.
     val base = qvec(s, dir).localCheckpoint()
     val standing = base.filter(col("vec_id") % 10 =!= 3)
     val inc = base.filter(col("vec_id") % 10 === 3)
     val idxDir = indexPathFor(dir + "#graphroll")
-    buildIvfIndex(standing, idxDir)
-    val wk = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("c_id").asc)
-    def topk(df: DataFrame): DataFrame =
-      df.withColumn("rnk", row_number().over(wk)).filter(col("rnk") <= graphK)
-    // the standing graph — in production the artifact already on disk;
-    // materialized BEFORE the append mutates the on-disk lists
-    val oldEdges = topk(probeScoredPairs(s, standing, idxDir, lit(true)))
-      .select(col("q_id"), col("c_id"), col("cos")).localCheckpoint()
-    appendToIvfIndex(s, idxDir, inc)
-    // O(increment) pieces: the increment's out-edges over the full lists,
-    // and its candidacy against standing queries (increment members only)
-    val newOut = topk(probeScoredPairs(s, inc, idxDir, lit(true)))
-    val deltaIn = probeScoredPairs(s, standing, idxDir,
-      col("vec_id") % 10 === 3)
-    // old and delta candidate sets are disjoint (standing vs increment
-    // ids), so the union needs no dedup before the re-rank
-    val standingNew = topk(oldEdges.unionByName(deltaIn))
-    val edges = standingNew.select(col("q_id"), col("c_id"), col("rnk"), col("cos"))
-      .unionByName(newOut.select(col("q_id"), col("c_id"), col("rnk"), col("cos")))
-      .select(col("q_id").as("src"), col("c_id").as("dst"),
-        col("rnk"), col("cos"))
+    buildNswIndex(s, standing, idxDir)
+    appendToNswIndex(s, idxDir, inc)
+    val edges = s.read.parquet(s"$idxDir/edges").filter(col("rnk") <= graphK)
+      .select(col("src"), col("dst"), col("rnk"), col("cos"))
       .localCheckpoint()
     val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
     edges.join(rev.withColumn("m", lit(true)), Seq("src", "dst"), "left")
@@ -743,6 +749,186 @@ object Similarity {
        |SELECT e.src, e.dst, CAST(e.rnk AS INT) AS rnk, e.cos,
        | EXISTS (SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src) AS mutual
        |FROM edges e""".stripMargin
+
+  // =====================================================================
+  // PERSISTED NSW GRAPH INDEX — the graph tier's on-disk artifact
+  // (round-8: the verb SEMANTICS landed in rounds 6–7, but every serving
+  // query rebuilt the kNN graph in-query; at 100 TB a per-query graph
+  // build is the definition of a scale-killer). Mirrors the IVF verbs
+  // (buildIvfIndex / append / compact) and the dedup store's layout
+  // discipline. Under <dir>:
+  //   ivf/centroids, ivf/lists — the frozen quantizer substrate AND the
+  //       corpus vectors (lists carry (vec_id, v, nrm)), so appends can
+  //       probe and re-rank WITHOUT retraining or re-reading the corpus
+  //   edges/     — (src, dst, rnk, cos) ranked kNN edges to nswMaxDegree,
+  //       range-laid-out + sorted by src (row-group min/max stats make
+  //       src-range probes skip files; serving filters rnk <= M, so ONE
+  //       artifact serves every out-degree in the measured ladder)
+  //   entries/   — the nswEntryCount lowest node ids (the fixed entry
+  //       points), maintained incrementally on append
+  //   tombstones/— the delete verb's id set (HNSWlib markDelete shape:
+  //       dead nodes stay in edges/ and keep ROUTING; queries/results are
+  //       screened against this table at serve time)
+  //   manifest.json — the serving dials recorded with the artifact
+  // =====================================================================
+  private val nswEdgeRangeParts = 16
+
+  private def hadoopFs(s: SparkSession, dir: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+
+  /** Staged overwrite of one index table: write to a dot-temp dir, then
+    * delete+rename. Crash-safe (a crash mid-write leaves the readable
+    * original) AND read-safe for the roll-forward, whose new edge list is
+    * derived lazily FROM the table being replaced — the temp write
+    * materializes it before the original is touched. */
+  private def stagedWrite(s: SparkSession, dest: String)(
+      write: String => Unit): Unit = {
+    val tmp = dest.replaceAll("/([^/]+)$", "/.stage_$1")
+    write(tmp)
+    val f = hadoopFs(s, dest)
+    val dst = new org.apache.hadoop.fs.Path(dest)
+    f.delete(dst, true)
+    f.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  private def writeNswEdges(s: SparkSession, dir: String, edges: DataFrame): Unit =
+    stagedWrite(s, s"$dir/edges") { tmp =>
+      edges.select(col("src"), col("dst"), col("rnk").cast("int").as("rnk"),
+          col("cos"))
+        .repartitionByRange(nswEdgeRangeParts, col("src"))
+        .sortWithinPartitions("src", "rnk")
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  private def writeNswEntries(s: SparkSession, dir: String, ids: DataFrame): Unit =
+    stagedWrite(s, s"$dir/entries") { tmp =>
+      ids.select(col("vec_id")).coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+
+  private[operators] def storedNswEdges(s: SparkSession, idxDir: String,
+      degree: Int): DataFrame =
+    s.read.parquet(s"$idxDir/edges").filter(col("rnk") <= degree)
+      .select(col("src"), col("dst"))
+
+  private[operators] def storedNswEntries(s: SparkSession, idxDir: String): DataFrame =
+    s.read.parquet(s"$idxDir/entries").select(col("vec_id").as("c_id"))
+
+  private[operators] def storedNswTombstones(s: SparkSession, idxDir: String): DataFrame = {
+    val p = s"$idxDir/tombstones"
+    if (hadoopFs(s, p).exists(new org.apache.hadoop.fs.Path(p)))
+      s.read.parquet(p).select(col("vec_id"))
+    else s.emptyDataFrame.select(lit(0L).as("vec_id")).limit(0)
+  }
+
+  /** Build (or rebuild) the graph index from a corpus: train+write the IVF
+    * substrate, derive the ranked kNN edge list to [[nswMaxDegree]] (the
+    * SAME [[knnRankedEdges]] computation the oracles pin, so a serve from
+    * the stored graph is hash-identical to the in-query build), record the
+    * entry points, clear tombstones. One corpus pass + one probe pass —
+    * the amortizable offline job; queries only read. */
+  def buildNswIndex(s: SparkSession, pts: DataFrame, dir: String): Unit = {
+    buildIvfIndex(pts, s"$dir/ivf")
+    writeNswEdges(s, dir, knnRankedEdges(s, pts))
+    writeNswEntries(s, dir,
+      pts.select(col("vec_id")).orderBy(col("vec_id").asc).limit(nswEntryCount))
+    hadoopFs(s, dir).delete(
+      new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
+    writeNswManifest(s, dir)
+  }
+
+  private def writeNswManifest(s: SparkSession, dir: String): Unit = {
+    val f = hadoopFs(s, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/manifest.json")
+    val out = f.create(p, true)
+    try out.write(
+      (s"""{"max_degree":$nswMaxDegree,"serve_degree":$nswServeDegree,""" +
+        s""""entry_count":$nswEntryCount,"beam_width":$beamWidth,""" +
+        s""""beam_hops":$beamHops}""").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Roll the graph index forward over an increment — ss38's three
+    * O(increment)-probe pieces, executed against the STORED artifact:
+    *  1. append the increment to the IVF substrate (frozen quantizer);
+    *  2. the increment's own out-edges — probe the grown lists with
+    *     increment queries only;
+    *  3. the increment's effect on STANDING nodes — standing queries
+    *     scored against increment-only candidates (a semi-join restricts
+    *     the list scan to O(increment) rows), unioned with the stored
+    *     edges and re-ranked: top-k(top-k(old) ∪ new) = top-k(old ∪ new).
+    * Standing query vectors come from the index's own lists — the
+    * original corpus table is never re-read. The edge rewrite is staged
+    * (temp + rename), so the lazy read of the old edges feeding the merge
+    * is materialized before the original is replaced. */
+  def appendToNswIndex(s: SparkSession, dir: String, newVecs: DataFrame): Unit = {
+    val inc = newVecs.select(col("vec_id"), col("v"), col("nrm")).localCheckpoint()
+    val incIds = inc.select(col("vec_id"))
+    appendToIvfIndex(s, s"$dir/ivf", inc)
+    val wk = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    def topk(df: DataFrame): DataFrame = df
+      .withColumn("rnk", row_number().over(wk)).filter(col("rnk") <= nswMaxDegree)
+    val standing = s.read.parquet(s"$dir/ivf/lists")
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .join(incIds, Seq("vec_id"), "left_anti")
+    val newOut = topk(probeScoredPairs(s, inc, s"$dir/ivf", lit(true)))
+    val deltaIn = probeScoredPairsAmong(s, standing, s"$dir/ivf", incIds)
+    val oldEdges = s.read.parquet(s"$dir/edges")
+      .select(col("src").as("q_id"), col("dst").as("c_id"), col("cos"))
+    // old and delta candidate sets are disjoint (standing vs increment
+    // ids), so the union needs no dedup before the re-rank
+    val merged = topk(oldEdges.unionByName(deltaIn))
+    writeNswEdges(s, dir,
+      merged.select(col("q_id").as("src"), col("c_id").as("dst"),
+          col("rnk"), col("cos"))
+        .unionByName(newOut.select(col("q_id").as("src"), col("c_id").as("dst"),
+          col("rnk"), col("cos"))))
+    // entry points: lowest of (stored ∪ increment) — O(increment), equal
+    // to recomputing the global minimum by transitivity of min
+    writeNswEntries(s, dir,
+      s.read.parquet(s"$dir/entries").select(col("vec_id"))
+        .unionByName(incIds).orderBy(col("vec_id").asc).limit(nswEntryCount))
+  }
+
+  /** The delete verb (HNSWlib markDelete shape): record ids in the
+    * artifact's tombstone set. Edges are NOT touched — dead nodes keep
+    * routing (severing them collapses the small-world shortcuts, ss43
+    * measured 95% tombstoned vs 92% rebuilt at 11% deletions); serving
+    * screens queries and results against this table. Idempotent. */
+  def tombstoneNswIndex(s: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val add = ids.select(col("vec_id"))
+    val merged = storedNswTombstones(s, dir).unionByName(add).distinct()
+      .localCheckpoint() // materialize BEFORE overwriting what it reads
+    stagedWrite(s, s"$dir/tombstones") { tmp =>
+      merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+  }
+
+  /** The compaction verb ss43's audit schedules: rebuild a graph index
+    * from the corpus minus the source index's tombstones — retrained
+    * quantizer, alive-only edges and entry points, empty tombstone set
+    * (exactly what ss44's oracle computes under its qn→qal rename).
+    * Writes to `dstDir` so the standing index serves until the switch. */
+  def compactNswIndex(s: SparkSession, pts: DataFrame, srcDir: String,
+      dstDir: String): Unit =
+    buildNswIndex(s,
+      pts.join(storedNswTombstones(s, srcDir), Seq("vec_id"), "left_anti"),
+      dstDir)
+
+  // One graph build per (artifact, JVM): the suite's serving queries all
+  // read the same immutable stored graph — the amortization that replaced
+  // ~50 s/round of per-query knnRankedEdges rebuilds (BENCH_r07's ss4x
+  // block). First touch in a JVM rebuilds from scratch (overwrite), so a
+  // stale artifact from an earlier process can never leak into answers.
+  private val nswBuiltOnce = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[operators] def ensureNswIndex(s: SparkSession, dir: String): String = {
+    val idx = indexPathFor(dir + "#nswidx")
+    if (nswBuiltOnce.add(idx))
+      buildNswIndex(s, qvec(s, dir).localCheckpoint(), idx)
+    idx
+  }
 
   // ---------------------------------------------------------------------
   // ss36/ss37: NAVIGABLE-GRAPH ANN — greedy BEAM search over ss28's kNN
@@ -782,20 +968,38 @@ object Similarity {
   def ss36NswBeam(s: SparkSession, dir: String): DataFrame =
     nswBeamPipeline(s, dir, materialize = true)
 
-  /** materialize=false keeps the whole hop pipeline LAZY (no
-    * localCheckpoint), so PlanShapeSpec can inspect the actual beam-join
-    * dataflow — the production path's per-hop checkpoints otherwise
-    * collapse the executedPlan to a LogicalRDD scan and a plan assert
-    * against it would be vacuous (round-6 review finding). */
+  /** ss46: the COLD index cycle — [[buildNswIndex]] from scratch into its
+    * own directory (never the memoized shared artifact), then serve from
+    * the just-written files. Its bench time IS the amortizable build cost
+    * the warm serving queries (ss36/ss37/ss40–ss45) no longer pay; its
+    * oracle is ss36's, shared — build→serve must be indistinguishable
+    * from the in-query graph the oracle derives. */
+  def ss46NswIndexBuild(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val idx = indexPathFor(dir + "#nswcold")
+    buildNswIndex(s, base, idx)
+    nswBeamOver(base, storedNswEdges(s, idx, nswServeDegree),
+      materialize = true, beamHops,
+      entriesOverride = Some(storedNswEntries(s, idx)))
+  }
+
+  /** The serving path: beam search over the STORED graph (round 8 — the
+    * per-query [[knnRankedEdges]] rebuild this replaced was the last
+    * 100-TB scale-killer; the graph build now happens once, in
+    * [[buildNswIndex]], and every serve is edge-table scans). The stored
+    * edges hash-match the in-query build by the NswIndexSpec law, so the
+    * oracle is unchanged. materialize=false keeps the hop pipeline LAZY
+    * (no localCheckpoint), so PlanShapeSpec can inspect the actual
+    * beam-join dataflow — the production path's per-hop checkpoints
+    * otherwise collapse the executedPlan to a LogicalRDD scan and a plan
+    * assert against it would be vacuous (round-6 review finding). */
   private[operators] def nswBeamPipeline(s: SparkSession, dir: String,
       materialize: Boolean, hops: Int = beamHops,
       degree: Int = nswServeDegree): DataFrame = {
-    def ck(df: DataFrame): DataFrame =
-      if (materialize) df.localCheckpoint() else df
     val base = qvec(s, dir).localCheckpoint()
-    val edges = ck(knnRankedEdges(s, base).filter(col("rnk") <= degree)
-      .select(col("src"), col("dst")))
-    nswBeamOver(base, edges, materialize, hops)
+    val idx = ensureNswIndex(s, dir)
+    nswBeamOver(base, storedNswEdges(s, idx, degree), materialize, hops,
+      entriesOverride = Some(storedNswEntries(s, idx)))
   }
 
   /** The beam search proper over a prepared navigation graph: hop from
@@ -809,8 +1013,10 @@ object Similarity {
     * choice [[probeScoredPairs]] documents. Only the constant-size
     * entry-point set keeps a broadcast hint. */
   private def nswBeamOver(base: DataFrame, edges: DataFrame,
-      materialize: Boolean, hops: Int): DataFrame =
-    nswBeamSearch(base, edges, materialize, hops)._1
+      materialize: Boolean, hops: Int,
+      entriesOverride: Option[DataFrame] = None): DataFrame =
+    nswBeamSearch(base, edges, materialize, hops,
+      entriesOverride = entriesOverride)._1
 
   /** The full search result: (top-K result, VISITED set). The visited
     * set — every (q_id, c_id) pair the recurrence scored, u0 ∪ … ∪
@@ -821,7 +1027,8 @@ object Similarity {
   private def nswBeamSearch(base: DataFrame, edges: DataFrame,
       materialize: Boolean, hops: Int,
       queryPred: Column = col("vec_id") % 100 === 0,
-      initialFrontier: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+      initialFrontier: Option[DataFrame] = None,
+      entriesOverride: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     def ck(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint() else df
     val qs = base.filter(queryPred)
@@ -839,11 +1046,13 @@ object Similarity {
         expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= beamWidth)
       .select(col("q_id"), col("c_id"), col("cos"), col("rnk"))
-    // fixed entry points: the lowest corpus ids — deterministic, id-only
-    // (callers with a partitioned graph pass their own per-partition
-    // frontier instead — ss45's per-label entries)
-    val entries = base.select(col("vec_id").as("c_id"))
-      .orderBy(col("c_id").asc).limit(nswEntryCount)
+    // fixed entry points: the lowest corpus ids — deterministic, id-only;
+    // index-backed callers pass the STORED entry table (same rule, read
+    // not recomputed), and callers with a partitioned graph pass their
+    // own per-partition frontier instead (ss45's per-label entries)
+    val entries = entriesOverride.getOrElse(
+      base.select(col("vec_id").as("c_id"))
+        .orderBy(col("c_id").asc).limit(nswEntryCount))
     val u0 = initialFrontier.getOrElse(
       qs.select(col("q_id")).crossJoin(broadcast(entries)))
     var b = ck(beam(u0))
@@ -934,13 +1143,17 @@ object Similarity {
     * would be tuned offline on a real corpus too. */
   def ss37NswRecall(s: SparkSession, dir: String): DataFrame = {
     val base = qvec(s, dir).localCheckpoint()
-    val ranked = knnRankedEdges(s, base).localCheckpoint()
+    // ONE stored artifact serves every out-degree in the ladder (edges
+    // carry rnk to nswMaxDegree; each M is a filter) — the offline dial
+    // sweep against the shared exact baseline, now index-scans only.
+    val idx = ensureNswIndex(s, dir)
     val exact = ss01BruteTopk(s, dir).select(col("q_id"), col("c_id"))
       .localCheckpoint()
+    val entries = Some(storedNswEntries(s, idx))
     nswDegrees.map { m =>
-      val edges = ranked.filter(col("rnk") <= m)
-        .select(col("src"), col("dst"))
-      recallAgainst(exact, nswBeamOver(base, edges, materialize = true, beamHops))
+      recallAgainst(exact,
+        nswBeamOver(base, storedNswEdges(s, idx, m), materialize = true,
+          beamHops, entriesOverride = entries))
         .select(lit(m).as("out_degree"), col("n_exact"), col("n_hit"),
           col("recall_pct"))
     }.reduce(_ unionByName _)
@@ -1016,9 +1229,10 @@ object Similarity {
 
   def ss40FilteredNswBeam(s: SparkSession, dir: String): DataFrame = {
     val base = qvec(s, dir).localCheckpoint()
-    val edges = knnRankedEdges(s, base).filter(col("rnk") <= nswServeDegree)
-      .select(col("src"), col("dst")).localCheckpoint()
-    val visited = nswBeamSearch(base, edges, materialize = true, beamHops)._2
+    val idx = ensureNswIndex(s, dir)
+    val visited = nswBeamSearch(base, storedNswEdges(s, idx, nswServeDegree),
+        materialize = true, beamHops,
+        entriesOverride = Some(storedNswEntries(s, idx)))._2
       .localCheckpoint()
     val labels = graft.Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"))
@@ -1117,11 +1331,22 @@ object Similarity {
   // ---------------------------------------------------------------------
   def ss42NswTombstoned(s: SparkSession, dir: String): DataFrame = {
     val base = qvec(s, dir).localCheckpoint()
-    val edges = knnRankedEdges(s, base).filter(col("rnk") <= nswServeDegree)
-      .select(col("src"), col("dst")).localCheckpoint()
-    val visited = nswBeamSearch(base, edges, materialize = true, beamHops,
-        col("vec_id") % 100 === 0 && col("vec_id") % 9 =!= 0)._2
-      .filter(col("c_id") % 9 =!= 0) // tombstone screen: results only
+    val idx = ensureNswIndex(s, dir)
+    // the delete VERB: record the suite's deletion set (vec_id ≡ 0 mod 9)
+    // in the artifact's tombstone table — idempotent, edges untouched
+    tombstoneNswIndex(s, idx,
+      base.filter(col("vec_id") % 9 === 0).select(col("vec_id")))
+    val tomb = storedNswTombstones(s, idx).localCheckpoint()
+    // queries screen against the STORED tombstones (frontier restriction —
+    // beam() inner-joins on the frontier's q_ids, so the %100 sample pred
+    // stays inside the search while the alive-ness comes from the table)
+    val qs = base.filter(col("vec_id") % 100 === 0)
+      .join(tomb, Seq("vec_id"), "left_anti").select(col("vec_id").as("q_id"))
+    val u0 = qs.crossJoin(broadcast(storedNswEntries(s, idx)))
+    val visited = nswBeamSearch(base, storedNswEdges(s, idx, nswServeDegree),
+        materialize = true, beamHops, initialFrontier = Some(u0))._2
+      // tombstone screen on RESULTS only — dead nodes routed the walk
+      .join(tomb.withColumnRenamed("vec_id", "c_id"), Seq("c_id"), "left_anti")
       .localCheckpoint()
     topK(visitedScored(base, visited))
       .select(col("q_id"), col("c_id"), col("rnk"), col("cos"))
@@ -1197,11 +1422,22 @@ object Similarity {
   // the same ladder the IVF tier has.
   // ---------------------------------------------------------------------
   def ss44NswCompacted(s: SparkSession, dir: String): DataFrame = {
-    val alive = qvec(s, dir).filter(col("vec_id") % 9 =!= 0).localCheckpoint()
-    val edges = knnRankedEdges(s, alive).filter(col("rnk") <= nswServeDegree)
-      .select(col("src"), col("dst")).localCheckpoint()
+    val base = qvec(s, dir).localCheckpoint()
+    val idx = ensureNswIndex(s, dir)
+    // compaction is driven by the SOURCE index's recorded tombstones (the
+    // verb ladder: ss42 tombstones, ss43 audits, this rebuilds) — ensure
+    // the suite's deletion set is recorded, then compact into a fresh
+    // artifact (retrained quantizer, alive-only edges/entries), once per
+    // JVM like every index build.
+    tombstoneNswIndex(s, idx,
+      base.filter(col("vec_id") % 9 === 0).select(col("vec_id")))
+    val idxC = indexPathFor(dir + "#nswcompact")
+    if (nswBuiltOnce.add(idxC)) compactNswIndex(s, base, idx, idxC)
+    val alive = base.filter(col("vec_id") % 9 =!= 0).localCheckpoint()
     recallAgainst(bruteAliveTopk(alive),
-      nswBeamOver(alive, edges, materialize = true, beamHops))
+      nswBeamOver(alive, storedNswEdges(s, idxC, nswServeDegree),
+        materialize = true, beamHops,
+        entriesOverride = Some(storedNswEntries(s, idxC))))
   }
 
   lazy val ss44Oracle: String = {
@@ -1253,11 +1489,17 @@ object Similarity {
   // graph per label — the operator picks per selectivity, with both
   // numbers on the table.
   // ---------------------------------------------------------------------
-  def ss45PerLabelNsw(s: SparkSession, dir: String): DataFrame = {
+  /** Build the PER-LABEL partitioned graph artifact: edges rank
+    * candidates within the src's label and are written PARTITIONED BY
+    * LABEL — at scale each label's graph is its own partition DIRECTORY,
+    * so a single-tenant/-language serve partition-prunes to 1/labels of
+    * the edge files (NswIndexSpec pins the PartitionFilters); entries are
+    * each label's lowest ids. This is the pre-filter alternative ss41's
+    * post-filter number arbitrates against (100% vs 86% at sf0.01). */
+  def buildPerLabelNswIndex(s: SparkSession, dir: String, idxDir: String): Unit = {
     val base = qvec(s, dir).localCheckpoint()
     val labels = graft.Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"))
-    // per-label kNN edges: rank candidates within the query's label
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id").asc)
     val edges = ivfScoredPairs(s, base, lit(true), broadcastQueries = false)
@@ -1268,19 +1510,43 @@ object Similarity {
       .join(labels.withColumnRenamed("vec_id", "c_id")
         .withColumnRenamed("label", "l2"), Seq("c_id"))
       .filter(col("l1") === col("l2"))
-      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= nswServeDegree)
-      .select(col("q_id").as("src"), col("c_id").as("dst"))
-      .localCheckpoint()
-    // per-label entry points: each label's lowest ids
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= nswMaxDegree)
+      .select(col("l1").as("label"), col("q_id").as("src"),
+        col("c_id").as("dst"), col("rnk").cast("int").as("rnk"))
+    stagedWrite(s, s"$idxDir/edges") { tmp =>
+      edges.repartition(col("label"))
+        .write.mode("overwrite").partitionBy("label").parquet(tmp)
+    }
     val wEnt = Window.partitionBy(col("label")).orderBy(col("vec_id").asc)
-    val entries = labels.withColumn("rn", row_number().over(wEnt))
-      .filter(col("rn") <= nswEntryCount)
-      .select(col("label"), col("vec_id").as("c_id"))
+    stagedWrite(s, s"$idxDir/entries") { tmp =>
+      labels.withColumn("rn", row_number().over(wEnt))
+        .filter(col("rn") <= nswEntryCount)
+        .select(col("label"), col("vec_id").as("c_id"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+  }
+
+  private[operators] def perLabelNswIndexFor(s: SparkSession, dir: String): String = {
+    val idxL = indexPathFor(dir + "#nswlabel")
+    if (nswBuiltOnce.add(idxL)) buildPerLabelNswIndex(s, dir, idxL)
+    idxL
+  }
+
+  def ss45PerLabelNsw(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val labels = graft.Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val idxL = perLabelNswIndexFor(s, dir)
+    // each query starts at its OWN label's stored entry points; the union
+    // of per-label graphs needs no serve-time label filter — edges only
+    // ever connect in-label, so the walk stays inside the query's graph
     val u0 = base.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"))
       .join(labels.withColumnRenamed("vec_id", "q_id"), Seq("q_id"))
-      .join(entries, Seq("label"))
+      .join(s.read.parquet(s"$idxL/entries"), Seq("label"))
       .select(col("q_id"), col("c_id"))
+    val edges = s.read.parquet(s"$idxL/edges")
+      .filter(col("rnk") <= nswServeDegree).select(col("src"), col("dst"))
     recallAgainst(filteredBrute(s, dir),
       nswBeamSearch(base, edges, materialize = true, beamHops,
         initialFrontier = Some(u0))._1)
@@ -1890,6 +2156,48 @@ object Similarity {
     val cents = s.read.parquet(s"$dir/centroids")
     assignToCentroids(newVecs, cents)
       .write.mode("append").partitionBy("cent_id").parquet(s"$dir/lists")
+  }
+
+  /** [[appendToIvfIndex]] with REPLAY-SAFE file placement for at-least-once
+    * callers (the streaming ingest sink): the increment's assigned rows are
+    * staged under `.staged_append/<tag>`, then moved into the inverted-list
+    * partitions under DETERMINISTIC tag-derived names (`ingest-<tag>-i`),
+    * with any same-tag leftovers from a previous partially-moved attempt
+    * deleted first. A replay of the same tag therefore converges to exactly
+    * one copy of the batch whether the prior attempt crashed before, during
+    * or after its move — closing the duplicate-rows window a plain
+    * mode("append") replay leaves in the rank-sensitive lists (each file
+    * rename is atomic; the delete-then-move pair is idempotent per tag).
+    * True multi-file atomicity still belongs to a transactional table
+    * format; this makes replays CONVERGENT, which is what the
+    * foreachBatch restart contract needs. */
+  def stagedAppendToIvfIndex(s: SparkSession, dir: String,
+      newVecs: DataFrame, tag: String): Unit = {
+    require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe staging tag: $tag")
+    val cents = s.read.parquet(s"$dir/centroids")
+    val staged = s"$dir/.staged_append/$tag"
+    assignToCentroids(newVecs, cents)
+      .write.mode("overwrite").partitionBy("cent_id").parquet(staged)
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+    val listsRoot = new org.apache.hadoop.fs.Path(s"$dir/lists")
+    for (part <- f.listStatus(new org.apache.hadoop.fs.Path(staged))
+        if part.isDirectory && part.getPath.getName.startsWith("cent_id=")) {
+      val dest = new org.apache.hadoop.fs.Path(listsRoot, part.getPath.getName)
+      f.mkdirs(dest)
+      // retire leftovers of a previous attempt at this tag, then move in
+      for (old <- f.listStatus(dest)
+          if old.getPath.getName.startsWith(s"ingest-$tag-"))
+        f.delete(old.getPath, false)
+      val files = f.listStatus(part.getPath)
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+          && !st.getPath.getName.startsWith("."))
+        .sortBy(_.getPath.getName)
+      for ((st, i) <- files.zipWithIndex)
+        f.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(dest, s"ingest-$tag-$i.parquet"))
+    }
+    f.delete(new org.apache.hadoop.fs.Path(staged), true)
   }
 
   /** Periodic maintenance mirroring [[graft.operators.DedupStore.compact]]:
@@ -2954,7 +3262,8 @@ object Similarity {
     "ss42_nsw_tombstoned" -> (ss42NswTombstoned _),
     "ss43_nsw_tombstone_recall" -> (ss43NswTombstoneRecall _),
     "ss44_nsw_compacted" -> (ss44NswCompacted _),
-    "ss45_per_label_nsw" -> (ss45PerLabelNsw _))
+    "ss45_per_label_nsw" -> (ss45PerLabelNsw _),
+    "ss46_nsw_index_build" -> (ss46NswIndexBuild _))
 
   val oracles: Map[String, String] = Map(
     "ss34_ann_tombstoned" -> ss34Oracle,
@@ -2969,6 +3278,9 @@ object Similarity {
     "ss43_nsw_tombstone_recall" -> ss43Oracle,
     "ss44_nsw_compacted" -> ss44Oracle,
     "ss45_per_label_nsw" -> ss45Oracle,
+    // the cold build+serve pays the WHOLE build in-query and must land on
+    // exactly the warm serving path's answer — ss36's oracle, shared
+    "ss46_nsw_index_build" -> ss36Oracle,
     "ss32_ivf_rp" -> ss32Oracle,
     "ss33_ivf_rp_recall" -> ss33Oracle,
     "ss29_rp_encode" -> ss29Oracle,

@@ -176,22 +176,30 @@ object EventStream {
     * duplicated row claims two top-K slots at probe time — so unlike
     * the multiplicity-insensitive dedup sinks this sink cannot shrug
     * off at-least-once delivery; marker-in-sink is the standard
-    * foreachBatch idempotence pattern. The residual window (crash
-    * after the append, before the marker) is the usual non-
-    * transactional-sink caveat — production puts the lists on a
-    * transactional table format to close it; the marker closes the
-    * common restart-replay case. IvfIndexSpec replays a batch and
-    * proves the lists unchanged. */
+    * foreachBatch idempotence pattern. Two hardenings (round-8 advice):
+    * the append goes through [[graft.operators.Similarity
+    * .stagedAppendToIvfIndex]] — staged write, then per-file moves under
+    * deterministic `ingest-<batchId>-i` names with same-tag leftovers
+    * deleted first — so a crash at ANY point replays to exactly one copy
+    * of the batch (the old mode("append") path duplicated rows when the
+    * crash landed between append and marker); and the marker is created
+    * with overwrite=false, so a RACING duplicate writer (two concurrent
+    * queries on one index dir) fails loudly instead of both committing.
+    * IvfIndexSpec replays a batch and proves the lists unchanged. */
   def ingestVectorBatch(batch: DataFrame, idxDir: String, batchId: Long): Unit = {
     val s = batch.sparkSession
     val f = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(idxDir), s.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$idxDir/_ingest_commits/$batchId")
     if (!f.exists(marker)) {
-      graft.operators.Similarity.appendToIvfIndex(s, idxDir,
+      graft.operators.Similarity.stagedAppendToIvfIndex(s, idxDir,
         graft.operators.Dedup.quantized(batch)
-          .select(col("vec_id"), col("v"), col("nrm")))
-      f.create(marker, true).close()
+          .select(col("vec_id"), col("v"), col("nrm")), s"b$batchId")
+      f.mkdirs(marker.getParent)
+      // overwrite=false: two writers racing on one batchId is a deployment
+      // bug (duplicate concurrent query against a shared index dir) — the
+      // loser must hear about it, not silently double-commit.
+      f.create(marker, false).close()
     }
   }
 

@@ -88,6 +88,43 @@ class DedupStoreSpec extends SparkSpec {
     }
   }
 
+  test("rollForward on a store with NO sidecars rebuilds them from the full tables") {
+    import spark.implicits._
+    val (old, _) = fixture
+    val batchB = Seq(
+      (48L, "rolled forward batch document with some novel words in it"))
+      .toDF("doc_id", "text")
+    // 58 duplicates a STANDING doc (old 1) — the exact row the round-8
+    // advice's trap silently admits: increment-only sidecars don't contain
+    // it, the bloom screen drops it before the verifying joins, and it
+    // reads as novel. 59 near-dups old 2; 68 is fresh.
+    val batchC = Seq(
+      (58L, "the quick brown fox jumps over the lazy dog today"),
+      (59L, "a b c a b c a b c"),
+      (68L, "completely unrelated closing document")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("dedup-store-nosidecar").toFile
+    try {
+      DedupStore.build(old, dir.getPath)
+      // Simulate a pre-version (v1) store / lost sidecars, plus orphaned
+      // legacy v1 files that the next write must retire.
+      for (f <- new java.io.File(dir.getPath).listFiles()
+          if f.getName.startsWith("bloom_")) f.delete()
+      for (legacy <- Seq("bloom_hashes.bin", "bloom_bands.bin"))
+        Files.write(new java.io.File(dir, legacy).toPath, Array[Byte](1, 2, 3))
+      DedupStore.rollForward(dir.getPath, batchB)
+      val store = DedupStore.read(spark, dir.getPath)
+      assert(store.blooms.isDefined, "roll-forward must write fresh v2 sidecars")
+      val flags = flagsSeq(DedupStore.incrementalAgainstStore(batchC, store))
+      // 58 MUST surface as an exact dup of the standing corpus — proving the
+      // rebuilt filters cover standing members, not just the increment.
+      assert(flags == Seq(Row(58L, true, true), Row(59L, false, true)),
+        flags.toString)
+      for (legacy <- Seq("bloom_hashes.bin", "bloom_bands.bin"))
+        assert(!new java.io.File(dir, legacy).exists(),
+          s"v2 write must retire the orphaned legacy sidecar $legacy")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("compact() preserves answers and collapses duplicate hashes") {
     import spark.implicits._
     val (old, neu) = fixture

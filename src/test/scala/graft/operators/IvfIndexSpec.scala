@@ -82,6 +82,37 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("crash replay converges: append-without-marker then redelivery leaves ONE copy") {
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val base = graft.operators.Similarity.qvec(spark, dir).localCheckpoint()
+    val old = base.filter(col("vec_id") % 10 =!= 3)
+    val inc = base.filter(col("vec_id") % 10 === 3)
+    val dirA = java.nio.file.Files.createTempDirectory("ivf-crash").toString
+    val dirB = java.nio.file.Files.createTempDirectory("ivf-clean").toString
+    try {
+      Similarity.buildIvfIndex(old, dirA)
+      Similarity.buildIvfIndex(old, dirB)
+      // Simulate the pre-round-8 loss window: the batch's files LANDED in
+      // the lists, but the crash hit before the commit marker was written.
+      // The streaming restart then redelivers the same batchId.
+      Similarity.stagedAppendToIvfIndex(spark, dirA, inc, "b7")
+      graft.streaming.EventStream.ingestVectorBatch(
+        emb.filter(col("vec_id") % 10 === 3)
+          .select(col("vec_id"), col("label"), col("embedding")), dirA, 7L)
+      Similarity.appendToIvfIndex(spark, dirB, inc)
+      def lists(d: String) = spark.read.parquet(s"$d/lists")
+        .select(col("vec_id"), col("cent_id").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+      // multiset equality: the old mode("append") replay left TWO copies of
+      // every increment row here — rank-poison at probe time
+      assert(lists(dirA) == lists(dirB),
+        "replay after a pre-marker crash must converge to exactly one copy")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirA))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirB))
+    }
+  }
+
   test("append assigns the increment only — no retraining, no corpus re-read") {
     val base = graft.operators.Similarity.qvec(spark, dir).localCheckpoint()
     val idxDir = java.nio.file.Files.createTempDirectory("ivf-rf2").toString

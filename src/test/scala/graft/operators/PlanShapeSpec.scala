@@ -510,15 +510,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
       plan.contains("BroadcastHashJoin"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
-    // one hop duplicates the initial frontier twice → ≤2 entry products;
-    // since round 7 the lazy path also INLINES the ranked-edge build
-    // (knnRankedEdges — it used to hide behind ss28KnnGraph's internal
-    // checkpoint), whose IVF probe contributes 2 more deliberate
-    // products: corpus × broadcast-centroids for assignment and for the
-    // query-probe ranking — both k ≪ corpus dictionary products, the
-    // standard IVF shape. Nothing else may produce an NLJ.
+    // round 8: serving reads the PERSISTED graph — the edge subtree must
+    // be a parquet index scan, and the ranked-edge build (knnRankedEdges
+    // + its IVF probe products, 2 NLJs in the round-7 in-query plan) must
+    // be GONE from the serving plan entirely. One hop duplicates the
+    // initial frontier twice → ≤2 copies of the one deliberate product
+    // left: queries × broadcast entry points (constant-size).
+    assert(plan.contains("graft_ivf_index"),
+      "serving must scan the stored index files\n" + plan.take(3000))
     val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
-    assert(nlj <= 4, s"expected only the entry-point + centroid products, got $nlj\n" +
+    assert(nlj <= 2, s"expected only the entry-point product, got $nlj\n" +
       plan.take(3000))
   }
 
