@@ -48,6 +48,10 @@ object DumpGen {
 
   private val isoA = "abcdefghijklmnopqrstuvwxyz"
 
+  private val langCodes = Vector("en", "de", "fr", "es", "pt", "ru", "zh",
+    "ja", "ar", "hi", "it", "nl", "pl", "sv", "tr", "ko", "vi", "id", "fa",
+    "uk")
+
   def entityJson(i: Long, n: Long): String = {
     val h = mix(i)
     val m = i % 1000
@@ -101,9 +105,11 @@ object DumpGen {
           .append(idSnak(langRef(3)))
         sb.setLength(sb.length - 1)
         sb.append(",\"qualifiers\":{").append(timeQual("P582", "+1990-01-01T00:00:00Z")).append("}}],")
-      case 1 => // language entity
+      case 1 => // language entity — REAL Wikimedia codes, so the post
+        // phase's prefix-language cascade (C7/C14) has matches to resolve
+        // against the cities' en/de/zh-hans/fr/es labels at scale
         claim("P31", idSnak("Q34770"))
-        claim("P424", strSnak("x" + (i % 89)))
+        claim("P424", strSnak(langCodes(((i / 1000) % langCodes.length).toInt)))
       case mm if mm >= 2 && mm <= 41 => // territorial entity
         val is2nd = mm % 2 == 0
         sb.append("\"P31\":[").append(idSnak("Q56061"))
