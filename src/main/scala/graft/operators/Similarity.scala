@@ -860,35 +860,56 @@ object Similarity {
     * Standing query vectors come from the index's own lists — the
     * original corpus table is never re-read. The edge rewrite is staged
     * (temp + rename), so the lazy read of the old edges feeding the merge
-    * is materialized before the original is replaced. */
-  def appendToNswIndex(s: SparkSession, dir: String, newVecs: DataFrame): Unit = {
+    * is materialized before the original is replaced.
+    *
+    * REPLAY-CONVERGENT per `tag` (the streaming front door's contract):
+    * the list append is [[stagedAppendToIvfIndex]] (a same-tag replay
+    * converges to one copy), and the edge merge is one global
+    * top-k over dropDuplicates(q_id, c_id) of (old ∪ deltaIn ∪ newOut) —
+    * a pure idempotent function of the converged lists: on a replay after
+    * a successful edge rewrite, the already-merged pairs re-enter the
+    * candidate pool as exact duplicates (same deterministic cos), the
+    * dedup collapses them, and the re-rank reproduces the same edges.
+    * Distinct logical batches MUST use distinct tags — same-tag leftover
+    * deletion is what makes replays of ONE batch safe. Residual window:
+    * a crash between stagedWrite's delete and rename leaves `edges/`
+    * missing and the replay fails LOUDLY on the read (recover by renaming
+    * the completed `.stage_edges`); true multi-file atomicity belongs to
+    * a transactional table format. */
+  def appendToNswIndex(s: SparkSession, dir: String, newVecs: DataFrame,
+      tag: String = "append"): Unit = {
     val inc = newVecs.select(col("vec_id"), col("v"), col("nrm")).localCheckpoint()
     val incIds = inc.select(col("vec_id"))
-    appendToIvfIndex(s, s"$dir/ivf", inc)
+    stagedAppendToIvfIndex(s, s"$dir/ivf", inc, tag)
     val wk = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id").asc)
-    def topk(df: DataFrame): DataFrame = df
-      .withColumn("rnk", row_number().over(wk)).filter(col("rnk") <= nswMaxDegree)
     val standing = s.read.parquet(s"$dir/ivf/lists")
       .select(col("vec_id"), col("v"), col("nrm"))
       .join(incIds, Seq("vec_id"), "left_anti")
-    val newOut = topk(probeScoredPairs(s, inc, s"$dir/ivf", lit(true)))
+    // increment out-edges (self-pairs filtered by the probe; other
+    // increment members are legitimate candidates via the grown lists)
+    val newOut = probeScoredPairs(s, inc, s"$dir/ivf", lit(true))
     val deltaIn = probeScoredPairsAmong(s, standing, s"$dir/ivf", incIds)
     val oldEdges = s.read.parquet(s"$dir/edges")
       .select(col("src").as("q_id"), col("dst").as("c_id"), col("cos"))
-    // old and delta candidate sets are disjoint (standing vs increment
-    // ids), so the union needs no dedup before the re-rank
-    val merged = topk(oldEdges.unionByName(deltaIn))
+    // one global re-rank: standing srcs see old ∪ delta (top-k(top-k(old)
+    // ∪ new) = top-k(old ∪ new)), increment srcs see newOut only — src
+    // sets are disjoint on a first run, and on a REPLAY the overlap is
+    // exact-duplicate rows the dedup removes
+    val merged = oldEdges.unionByName(deltaIn).unionByName(newOut)
+      .dropDuplicates("q_id", "c_id")
+      .withColumn("rnk", row_number().over(wk)).filter(col("rnk") <= nswMaxDegree)
     writeNswEdges(s, dir,
       merged.select(col("q_id").as("src"), col("c_id").as("dst"),
-          col("rnk"), col("cos"))
-        .unionByName(newOut.select(col("q_id").as("src"), col("c_id").as("dst"),
-          col("rnk"), col("cos"))))
+        col("rnk"), col("cos")))
     // entry points: lowest of (stored ∪ increment) — O(increment), equal
-    // to recomputing the global minimum by transitivity of min
+    // to recomputing the global minimum by transitivity of min; distinct
+    // makes it idempotent (a replayed increment id is already stored and
+    // would otherwise claim two of the fixed entry slots)
     writeNswEntries(s, dir,
       s.read.parquet(s"$dir/entries").select(col("vec_id"))
-        .unionByName(incIds).orderBy(col("vec_id").asc).limit(nswEntryCount))
+        .unionByName(incIds).distinct()
+        .orderBy(col("vec_id").asc).limit(nswEntryCount))
   }
 
   /** The delete verb (HNSWlib markDelete shape): record ids in the

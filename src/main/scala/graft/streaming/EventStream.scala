@@ -203,6 +203,45 @@ object EventStream {
     }
   }
 
+  /** Streaming GRAPH-INDEX MAINTENANCE — [[vectorIngestStream]]'s sibling
+    * for the persisted NSW graph artifact: each micro-batch rolls the
+    * stored graph forward through the batch verb
+    * ([[graft.operators.Similarity.appendToNswIndex]]), so streamed and
+    * nightly appends cannot drift semantically. Work per batch is
+    * O(batch) probes against the stored lists plus one edge-table
+    * rewrite; the corpus is never re-read. Idempotence is layered: the
+    * commit marker makes a replayed batchId a no-op, and beneath it the
+    * append itself is REPLAY-CONVERGENT per tag (staged list placement +
+    * dedup-then-re-rank edge merge), so even a crash BETWEEN the append
+    * and the marker replays to the same index state — the property the
+    * rank-sensitive edge table needs under at-least-once delivery.
+    * NswIndexSpec proves the convergence law directly. */
+  def graphIngestStream(newVecs: DataFrame, idxDir: String,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = newVecs.writeStream.outputMode(OutputMode.Append())
+    checkpointLocation.foreach(w.option("checkpointLocation", _))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      ingestGraphBatch(batch, idxDir, batchId)
+    }.start()
+  }
+
+  /** Per-batch body of [[graphIngestStream]] — marker-gated like
+    * [[ingestVectorBatch]], with the batchId as the append's replay tag. */
+  def ingestGraphBatch(batch: DataFrame, idxDir: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idxDir), s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$idxDir/_ingest_commits/$batchId")
+    if (!f.exists(marker)) {
+      graft.operators.Similarity.appendToNswIndex(s, idxDir,
+        graft.operators.Dedup.quantized(batch)
+          .select(col("vec_id"), col("v"), col("nrm")), s"b$batchId")
+      f.mkdirs(marker.getParent)
+      f.create(marker, false).close()
+    }
+  }
+
   /** Streaming INGEST GATE — the per-document admission decision (tx21's
     * named quality rules + tx01's language guess) evaluated on documents
     * as they arrive. Both are STATELESS projections (integer

@@ -109,6 +109,53 @@ class NswIndexSpec extends SparkSpec {
     }
   }
 
+  test("append is replay-convergent per tag (streaming at-least-once contract)") {
+    val base = Similarity.qvec(spark, dir).localCheckpoint()
+    val standing = base.filter(col("vec_id") % 10 =!= 3)
+    val inc = base.filter(col("vec_id") % 10 === 3)
+    val idxA = tmpIdx("nsw-replay")
+    val idxB = tmpIdx("nsw-once")
+    try {
+      Similarity.buildNswIndex(spark, standing, idxA)
+      Similarity.buildNswIndex(spark, standing, idxB)
+      // simulate at-least-once delivery: the SAME logical batch (same tag)
+      // lands twice on A — a crash after the full append but before the
+      // streaming sink's commit marker, then redelivery — and once on B
+      Similarity.appendToNswIndex(spark, idxA, inc, "b3")
+      Similarity.appendToNswIndex(spark, idxA, inc, "b3")
+      Similarity.appendToNswIndex(spark, idxB, inc, "b3")
+      def lists(i: String) = spark.read.parquet(s"$i/ivf/lists")
+        .select(col("vec_id")).collect().map(_.getLong(0)).toList.sorted
+      assert(lists(idxA) == lists(idxB),
+        "replayed list append must converge to one copy per row")
+      assert(edgeRows(idxA) == edgeRows(idxB),
+        "replayed edge merge must converge to the single-append graph")
+      val entA = spark.read.parquet(s"$idxA/entries")
+        .collect().map(_.getLong(0)).toList.sorted
+      val entB = spark.read.parquet(s"$idxB/entries")
+        .collect().map(_.getLong(0)).toList.sorted
+      assert(entA == entB)
+      // the marker-gated streaming body: a committed batchId is a no-op
+      // even with different data (the marker, not the content, gates)
+      graft.streaming.EventStream.ingestGraphBatch(
+        graft.Tables(spark, dir, "embeddings")
+          .filter(col("vec_id") % 10 === 3)
+          .select(col("vec_id"), col("label"), col("embedding")), idxA, 7L)
+      val before = edgeRows(idxA)
+      graft.streaming.EventStream.ingestGraphBatch(
+        graft.Tables(spark, dir, "embeddings")
+          .filter(col("vec_id") % 10 === 3)
+          .select(col("vec_id"), col("label"), col("embedding")), idxA, 7L)
+      assert(edgeRows(idxA) == before,
+        "a committed batchId must be a no-op on replay")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(idxA).getParentFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(idxB).getParentFile)
+    }
+  }
+
   test("per-label artifact partition-prunes a single-label probe") {
     val idxL = tmpIdx("nsw-label")
     try {
