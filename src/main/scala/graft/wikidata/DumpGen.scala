@@ -23,6 +23,10 @@ import org.apache.spark.sql.SparkSession
   *   - i%1000==44  P1366 WITH P518 qualifier — tombstone exemption, kept
   *   - i%1000==45  human settlement with NO P17 → missing_p17
   *   - i%1000==46  dissolved city (P576) — dropped
+  *   - i%1000 47–96 DUAL-TYPED city+TE (P31 carries both classes) with a
+  *                 P37 official language — the rows that survive to the
+  *                 final cities_languages table, and duplicate label
+  *                 emissions exercising the post cleanup's first-wins keys
   *   - else        plain city: P17 (one active + one P582-expired), P131,
   *                 dated+undated+P518-disqualified P1082 population, P625
   *                 coords (2/3 of cities), en/de/zh-hans labels, P1705
@@ -131,7 +135,17 @@ object DumpGen {
           s"""{"mainsnak":{"snaktype":"value","datavalue":{"value":{"time":"+2001-05-05T00:00:00Z","timezone":0}}}}""")
         claim("P17", idSnak(countryRef))
       case mm => // 44 (exempted tombstone), 45 (missing P17), 47+ plain city
-        claim("P31", idSnak("Q486972"))
+        // 47–96: DUAL-TYPED city+TE (a city that is also a municipality —
+        // the common real-world case): both branches fire, the entity gets
+        // a te row, P37-derived object_languages (the rows that survive to
+        // the final cities_languages table), and duplicate label emissions
+        // that the post cleanup's first-wins keying must collapse
+        val dual = mm >= 47 && mm <= 96
+        if (dual) {
+          sb.append("\"P31\":[").append(idSnak("Q486972")).append(",")
+            .append(idSnak("Q56061")).append("],")
+          claim("P37", idSnak(langRef(5)))
+        } else claim("P31", idSnak("Q486972"))
         if (mm == 44)
           claim("P1366", idSnak(qid((i + 1000) % n)),
             s""""P518":[{"snaktype":"value","datavalue":{"value":"Q0"}}]""")

@@ -27,14 +27,17 @@ class DumpGenSpec extends SparkSpec {
     val blocks = n / 1000
     assert(tables.countries.count() == blocks)
     assert(tables.languages.count() == blocks)
-    assert(tables.territorialEntities.count() == 40 * blocks)
+    // 40 plain TEs + 50 dual-typed city+TE entities per block
+    assert(tables.territorialEntities.count() == 90 * blocks)
     assert(tables.cities.count() == 954 * blocks)
     assert(tables.missingP17.count() == blocks)
     // each city has exactly one ACTIVE P17 claim (claim [0] is P582-expired)
     assert(tables.citiesCountries.count() == 954 * blocks)
     // countries carry 2 distinct active P37s (the third is P582-expired,
-    // blocks ≥ 2 makes la/lb distinct) + each TE one → 42 rows/block
-    assert(tables.objectLanguages.count() == 42 * blocks)
+    // blocks ≥ 2 makes la/lb distinct) + each TE (plain 40 + dual 50) one
+    // → 92 rows/block; the dual rows are the ones that survive to the
+    // final cities_languages table in post
+    assert(tables.objectLanguages.count() == 92 * blocks)
   }
 
   test("tombstoned/dissolved/excluded indices emit nothing; exemption is kept") {
