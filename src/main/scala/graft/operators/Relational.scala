@@ -174,7 +174,10 @@ object Relational {
       if (reliableWarned.compareAndSet(false, true)) {
         val set = s.sparkContext.getCheckpointDir
         val want = s.conf.getOption("spark.graft.checkpointDir")
-        if (set.nonEmpty && want.nonEmpty && !set.contains(want.get))
+        // setCheckpointDir stores <dir>/<UUID>, so compare by prefix —
+        // exact equality would false-positive on a dir pre-set to the
+        // SAME configured location (round-8 advice)
+        if (set.nonEmpty && want.nonEmpty && !set.exists(_.startsWith(want.get)))
           System.err.println(
             s"[graft] WARNING: spark.graft.checkpointDir=${want.get} is " +
               s"IGNORED — the SparkContext checkpoint dir was already set " +

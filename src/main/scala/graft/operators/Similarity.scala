@@ -477,7 +477,7 @@ object Similarity {
     // subset of the persisted ranked edges) — one build serves both the
     // serving tier and the analytics consumers (cc15's clusters)
     val idx = ensureNswIndex(s, dir)
-    val edges = s.read.parquet(s"$idx/edges").filter(col("rnk") <= graphK)
+    val edges = storedNswEdgesMerged(s, idx).filter(col("rnk") <= graphK)
       .select(col("src"), col("dst"), col("rnk"), col("cos"))
       .localCheckpoint()
     val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
@@ -719,8 +719,11 @@ object Similarity {
     val inc = base.filter(col("vec_id") % 10 === 3)
     val idxDir = indexPathFor(dir + "#graphroll")
     buildNswIndex(s, standing, idxDir)
-    appendToNswIndex(s, idxDir, inc)
-    val edges = s.read.parquet(s"$idxDir/edges").filter(col("rnk") <= graphK)
+    appendToNswIndex(s, idxDir, inc, "roll")
+    // the serve is the MERGE-ON-READ view: base edges untouched by the
+    // append (NswIndexSpec pins that at file level), ranks re-closed over
+    // base ∪ delta for the touched srcs only
+    val edges = storedNswEdgesMerged(s, idxDir).filter(col("rnk") <= graphK)
       .select(col("src"), col("dst"), col("rnk"), col("cos"))
       .localCheckpoint()
     val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
@@ -792,6 +795,64 @@ object Similarity {
     f.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
 
+  /** Crash recovery for [[stagedWrite]]'s residual window (round-8 advice:
+    * a death between its delete and rename leaves the destination missing
+    * with the COMPLETE staged copy behind): promote any `.stage_<name>`
+    * child of `parent` whose write finished (`_SUCCESS` present) and whose
+    * destination is missing. No-op when the destination exists — the stage
+    * dir is then a dead temp the next staged write overwrites. Readers
+    * call this, so a post-crash serve self-heals instead of failing on a
+    * missing table. */
+  private def promoteStages(s: SparkSession, parent: String): Unit = {
+    val f = hadoopFs(s, parent)
+    val p = new org.apache.hadoop.fs.Path(parent)
+    if (f.exists(p))
+      for (st <- f.listStatus(p)
+          if st.isDirectory && st.getPath.getName.startsWith(".stage_")) {
+        val dest = new org.apache.hadoop.fs.Path(p,
+          st.getPath.getName.stripPrefix(".stage_"))
+        if (!f.exists(dest) &&
+            f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+          f.rename(st.getPath, dest)
+      }
+  }
+
+  /** Create a copy-on-write OVERLAY over a built index: `overlayDir` holds
+    * only a `_base` pointer (and, once a caller tombstones it, its own
+    * `tombstones/`); reads of ivf/edges/entries resolve through the
+    * pointer. Serving queries that exercise the delete verb (ss42/ss43/
+    * ss44/ss48) overlay the shared memoized artifact instead of mutating
+    * it — shared-index readers stay order-independent by construction
+    * (round-8 advice: ss42/ss44 used to write tombstones/ into the index
+    * ss28/ss36/ss37/ss40 also serve from). */
+  private[operators] def overlayNswIndex(s: SparkSession, baseIdx: String,
+      overlayDir: String): Unit = {
+    val f = hadoopFs(s, overlayDir)
+    f.mkdirs(new org.apache.hadoop.fs.Path(overlayDir))
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$overlayDir/_base"), true)
+    try out.write(baseIdx.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Resolve the directory that holds table `name` for `idxDir`: the local
+    * copy if present, else through the `_base` overlay pointer. Promotes a
+    * crashed staged write first, so resolution never falls through to the
+    * base because the local copy is one rename short of existing. */
+  private def resolveNswTable(s: SparkSession, idxDir: String, name: String): String = {
+    promoteStages(s, idxDir)
+    val f = hadoopFs(s, idxDir)
+    if (f.exists(new org.apache.hadoop.fs.Path(s"$idxDir/$name"))) s"$idxDir/$name"
+    else {
+      val bp = new org.apache.hadoop.fs.Path(s"$idxDir/_base")
+      if (f.exists(bp)) {
+        val in = f.open(bp)
+        val base =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        resolveNswTable(s, base, name)
+      } else s"$idxDir/$name"
+    }
+  }
+
   private def writeNswEdges(s: SparkSession, dir: String, edges: DataFrame): Unit =
     stagedWrite(s, s"$dir/edges") { tmp =>
       edges.select(col("src"), col("dst"), col("rnk").cast("int").as("rnk"),
@@ -806,15 +867,66 @@ object Similarity {
       ids.select(col("vec_id")).coalesce(1).write.mode("overwrite").parquet(tmp)
     }
 
+  /** MERGE-ON-READ over the LSM-shaped edge artifact (round 9 — VERDICT r8
+    * #1): the full ranked edge view is base `edges/` for srcs no delta
+    * touches (stored ranks stream straight through, NO window) unioned
+    * with a re-closed top-[[nswMaxDegree]] for the srcs any
+    * `edges_delta/tag=⟨t⟩` partition contributes to. Exact by the top-k law
+    * NswIndexSpec pins — top-k(top-k(old) ∪ new) = top-k(old ∪ new) — and
+    * delta candidates are increment ids, disjoint from every stored pair
+    * (the post-fold replay corner is the one exception, closed by the
+    * dropDuplicates below). Cost shape at scale: deltas are
+    * O(appended × degree) and broadcast; the base is scanned twice
+    * (broadcast anti-join for untouched srcs, broadcast semi-join for
+    * touched) with NO shuffle of base rows — only the touched slice
+    * (|touched| × maxDegree + |delta|) enters the re-rank window. A window
+    * over base ∪ delta directly would shuffle the corpus-sized edge table
+    * on every serve — the same class of scale-killer the delta layout
+    * exists to remove from the append path. */
+  private[operators] def storedNswEdgesMerged(s: SparkSession, idxDir: String): DataFrame = {
+    val base = s.read.parquet(resolveNswTable(s, idxDir, "edges"))
+      .select(col("src"), col("dst"), col("rnk").cast("int").as("rnk"), col("cos"))
+    val deltaDir = resolveNswTable(s, idxDir, "edges_delta")
+    promoteStages(s, deltaDir)
+    val f = hadoopFs(s, deltaDir)
+    val dp = new org.apache.hadoop.fs.Path(deltaDir)
+    val hasDeltas = f.exists(dp) && f.listStatus(dp).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("tag="))
+    if (!hasDeltas) base
+    else {
+      val deltas = s.read.parquet(deltaDir)
+        .select(col("src"), col("dst"), col("cos"))
+      val touched = deltas.select(col("src")).distinct()
+      val untouched = base.join(broadcast(touched), Seq("src"), "left_anti")
+      val wk = Window.partitionBy(col("src"))
+        .orderBy(col("cos").desc, col("dst").asc)
+      val reranked = base.select(col("src"), col("dst"), col("cos"))
+        .join(broadcast(touched), Seq("src"), "left_semi")
+        .unionByName(deltas)
+        // base ∩ delta pairs only exist when a folded tag is replayed —
+        // identical rows (deterministic cos); collapse before re-ranking
+        .dropDuplicates("src", "dst")
+        .withColumn("rnk", row_number().over(wk))
+        .filter(col("rnk") <= nswMaxDegree)
+        .select(col("src"), col("dst"), col("rnk").cast("int").as("rnk"), col("cos"))
+      untouched.unionByName(reranked)
+    }
+  }
+
   private[operators] def storedNswEdges(s: SparkSession, idxDir: String,
       degree: Int): DataFrame =
-    s.read.parquet(s"$idxDir/edges").filter(col("rnk") <= degree)
+    storedNswEdgesMerged(s, idxDir).filter(col("rnk") <= degree)
       .select(col("src"), col("dst"))
 
   private[operators] def storedNswEntries(s: SparkSession, idxDir: String): DataFrame =
-    s.read.parquet(s"$idxDir/entries").select(col("vec_id").as("c_id"))
+    s.read.parquet(resolveNswTable(s, idxDir, "entries"))
+      .select(col("vec_id").as("c_id"))
 
+  /** The tombstone table is deliberately NOT overlay-resolved: an overlay
+    * starts with an EMPTY delete set (that is its copy-on-write point),
+    * and a missing table reads as empty. */
   private[operators] def storedNswTombstones(s: SparkSession, idxDir: String): DataFrame = {
+    promoteStages(s, idxDir)
     val p = s"$idxDir/tombstones"
     if (hadoopFs(s, p).exists(new org.apache.hadoop.fs.Path(p)))
       s.read.parquet(p).select(col("vec_id"))
@@ -832,8 +944,11 @@ object Similarity {
     writeNswEdges(s, dir, knnRankedEdges(s, pts))
     writeNswEntries(s, dir,
       pts.select(col("vec_id")).orderBy(col("vec_id").asc).limit(nswEntryCount))
-    hadoopFs(s, dir).delete(
-      new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
+    val f = hadoopFs(s, dir)
+    // a rebuild resets the whole verb ladder: no deletes, no deltas, and
+    // append tags start fresh against the new base
+    for (t <- Seq("tombstones", "edges_delta", "_append_tags"))
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/$t"), true)
     writeNswManifest(s, dir)
   }
 
@@ -848,41 +963,64 @@ object Similarity {
     finally out.close()
   }
 
-  /** Roll the graph index forward over an increment — ss38's three
-    * O(increment)-probe pieces, executed against the STORED artifact:
-    *  1. append the increment to the IVF substrate (frozen quantizer);
-    *  2. the increment's own out-edges — probe the grown lists with
+  /** Roll the graph index forward over an increment — O(increment),
+    * LSM-shaped (round 9; VERDICT r8 #1: the previous merge re-ranked and
+    * REWROTE the full edge artifact per append, so the streaming front
+    * door paid O(index) per micro-batch). The increment's whole effect is
+    * now ONE new `edges_delta/tag=<tag>/` partition holding:
+    *  1. the increment's own out-edges — probe the grown lists with
     *     increment queries only;
-    *  3. the increment's effect on STANDING nodes — standing queries
-    *     scored against increment-only candidates (a semi-join restricts
-    *     the list scan to O(increment) rows), unioned with the stored
-    *     edges and re-ranked: top-k(top-k(old) ∪ new) = top-k(old ∪ new).
+    *  2. the increment's in-edges to STANDING srcs — standing queries
+    *     scored against increment-only candidates (a semi-join keys the
+    *     list scan to O(increment) rows);
+    * pre-truncated to the top-[[nswMaxDegree]] per src, which is exact:
+    * only the top-maxDegree of NEW candidates can ever enter a merged
+    * top-maxDegree. Serving re-closes ranks over base ∪ deltas for the
+    * touched srcs only ([[storedNswEdgesMerged]]); [[foldNswDeltas]] /
+    * [[compactNswIndex]] fold deltas back into one base. Base edge files
+    * are NEVER touched — NswIndexSpec pins that at file level (the dedup
+    * store's roll-forward discipline, `DedupStore.scala:44-98` shape).
     * Standing query vectors come from the index's own lists — the
-    * original corpus table is never re-read. The edge rewrite is staged
-    * (temp + rename), so the lazy read of the old edges feeding the merge
-    * is materialized before the original is replaced.
+    * original corpus table is never re-read.
     *
     * REPLAY-CONVERGENT per `tag` (the streaming front door's contract):
     * the list append is [[stagedAppendToIvfIndex]] (a same-tag replay
-    * converges to one copy), and the edge merge is one global
-    * top-k over dropDuplicates(q_id, c_id) of (old ∪ deltaIn ∪ newOut) —
-    * a pure idempotent function of the converged lists: on a replay after
-    * a successful edge rewrite, the already-merged pairs re-enter the
-    * candidate pool as exact duplicates (same deterministic cos), the
-    * dedup collapses them, and the re-rank reproduces the same edges.
-    * Distinct logical batches MUST use distinct tags — same-tag leftover
-    * deletion is what makes replays of ONE batch safe. Residual window:
-    * a crash between stagedWrite's delete and rename leaves `edges/`
-    * missing and the replay fails LOUDLY on the read (recover by renaming
-    * the completed `.stage_edges`); true multi-file atomicity belongs to
-    * a transactional table format. */
+    * converges to one copy) and the delta is a deterministic function of
+    * the converged lists, staged-OVERWRITTEN at `tag=<tag>` — a replay
+    * rewrites identical content. The tag is the batch identity (streaming
+    * passes b<batchId>); REUSING a tag for a DIFFERENT increment would
+    * silently retire the first batch's list files as "leftovers", so it
+    * is detected via the id fingerprint recorded under `_append_tags/`
+    * and REFUSED before anything is written (round-8 advice — the
+    * fingerprints survive [[foldNswDeltas]] for the same reason). */
   def appendToNswIndex(s: SparkSession, dir: String, newVecs: DataFrame,
-      tag: String = "append"): Unit = {
+      tag: String): Unit = {
+    require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe staging tag: $tag")
     val inc = newVecs.select(col("vec_id"), col("v"), col("nrm")).localCheckpoint()
     val incIds = inc.select(col("vec_id"))
+    // batch-identity fingerprint: (count, order-independent id hash XOR —
+    // xor, not sum: wrapping sums throw under ANSI mode)
+    val fpRow = inc.agg(count(lit(1)),
+      coalesce(bit_xor(xxhash64(col("vec_id"))), lit(0L))).collect()(0)
+    val fp = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    val f = hadoopFs(s, dir)
+    val fpPath = new org.apache.hadoop.fs.Path(s"$dir/_append_tags/$tag")
+    if (f.exists(fpPath)) {
+      val in = f.open(fpPath)
+      val prev =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (prev != fp) throw new IllegalStateException(
+        s"append tag '$tag' was already used for a DIFFERENT increment " +
+          s"(fingerprint $prev, this batch $fp): tags are batch identities " +
+          "— reuse would retire the first batch's list files as replay " +
+          "leftovers while its edges survive")
+    } else {
+      f.mkdirs(fpPath.getParent)
+      val out = f.create(fpPath, false)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
+    }
     stagedAppendToIvfIndex(s, s"$dir/ivf", inc, tag)
-    val wk = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("c_id").asc)
     val standing = s.read.parquet(s"$dir/ivf/lists")
       .select(col("vec_id"), col("v"), col("nrm"))
       .join(incIds, Seq("vec_id"), "left_anti")
@@ -890,26 +1028,49 @@ object Similarity {
     // increment members are legitimate candidates via the grown lists)
     val newOut = probeScoredPairs(s, inc, s"$dir/ivf", lit(true))
     val deltaIn = probeScoredPairsAmong(s, standing, s"$dir/ivf", incIds)
-    val oldEdges = s.read.parquet(s"$dir/edges")
-      .select(col("src").as("q_id"), col("dst").as("c_id"), col("cos"))
-    // one global re-rank: standing srcs see old ∪ delta (top-k(top-k(old)
-    // ∪ new) = top-k(old ∪ new)), increment srcs see newOut only — src
-    // sets are disjoint on a first run, and on a REPLAY the overlap is
-    // exact-duplicate rows the dedup removes
-    val merged = oldEdges.unionByName(deltaIn).unionByName(newOut)
+    val wk = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    // src sets are disjoint (newOut: increment, deltaIn: standing), so the
+    // union is duplicate-free under the tag discipline; the dedup guards
+    // the pathological case of duplicated list rows (two tags carrying the
+    // same vectors) claiming two rank slots. The window sees only this
+    // delta's rows — O(increment), never the corpus
+    val delta = newOut.unionByName(deltaIn)
       .dropDuplicates("q_id", "c_id")
       .withColumn("rnk", row_number().over(wk)).filter(col("rnk") <= nswMaxDegree)
-    writeNswEdges(s, dir,
-      merged.select(col("q_id").as("src"), col("c_id").as("dst"),
-        col("rnk"), col("cos")))
+      .select(col("q_id").as("src"), col("c_id").as("dst"), col("cos"))
+    stagedWrite(s, s"$dir/edges_delta/tag=$tag") { tmp =>
+      delta.repartitionByRange(2, col("src")).sortWithinPartitions("src")
+        .write.mode("overwrite").parquet(tmp)
+    }
     // entry points: lowest of (stored ∪ increment) — O(increment), equal
     // to recomputing the global minimum by transitivity of min; distinct
     // makes it idempotent (a replayed increment id is already stored and
     // would otherwise claim two of the fixed entry slots)
     writeNswEntries(s, dir,
-      s.read.parquet(s"$dir/entries").select(col("vec_id"))
+      s.read.parquet(resolveNswTable(s, dir, "entries")).select(col("vec_id"))
         .unionByName(incIds).distinct()
         .orderBy(col("vec_id").asc).limit(nswEntryCount))
+  }
+
+  /** Fold accumulated edge deltas into the base artifact — compaction's
+    * edge half, ANSWERS UNCHANGED (the IVF twin is [[compactIvfIndex]]):
+    * materialize the merged view, rewrite `edges/` (staged), drop
+    * `edges_delta/`. Serving cost returns to a single pre-ranked scan.
+    * The `_append_tags/` fingerprints are kept: a folded tag is still a
+    * spent batch identity (replaying it against the folded base converges
+    * — the merged read's dropDuplicates — but a DIFFERENT batch reusing
+    * it must still be refused). */
+  def foldNswDeltas(s: SparkSession, dir: String): Unit = {
+    val f = hadoopFs(s, dir)
+    val dp = new org.apache.hadoop.fs.Path(s"$dir/edges_delta")
+    if (f.exists(dp)) {
+      val merged = storedNswEdgesMerged(s, dir)
+        .select(col("src"), col("dst"), col("rnk"), col("cos"))
+        .localCheckpoint() // materialize BEFORE replacing what it reads
+      writeNswEdges(s, dir, merged)
+      f.delete(dp, true)
+    }
   }
 
   /** The delete verb (HNSWlib markDelete shape): record ids in the
@@ -927,28 +1088,86 @@ object Similarity {
   }
 
   /** The compaction verb ss43's audit schedules: rebuild a graph index
-    * from the corpus minus the source index's tombstones — retrained
-    * quantizer, alive-only edges and entry points, empty tombstone set
-    * (exactly what ss44's oracle computes under its qn→qal rename).
+    * from the corpus minus the source index's tombstones — alive-only
+    * edges and entry points, empty tombstone set, folded deltas. Two
+    * quantizer policies, MEASURED against each other (ss44 vs ss48, the
+    * ss43-vs-ss44 audit machinery — round-8 VERDICT #4):
+    *  - `retrain = true`: full rebuild, Lloyd rounds retrained on the
+    *    alive corpus (ss44's oracle under its qn→qal rename) — the choice
+    *    when the deletion pattern shifted the distribution;
+    *  - `retrain = false`: REUSE the source index's stored centroids
+    *    ([[compactIvfIndex]]'s frozen shape) — one assignment pass + one
+    *    probe pass, no Lloyd rounds; ss48's oracle trains on the full
+    *    corpus and assigns/serves alive-only, exactly this path.
     * Writes to `dstDir` so the standing index serves until the switch. */
   def compactNswIndex(s: SparkSession, pts: DataFrame, srcDir: String,
-      dstDir: String): Unit =
-    buildNswIndex(s,
-      pts.join(storedNswTombstones(s, srcDir), Seq("vec_id"), "left_anti"),
-      dstDir)
+      dstDir: String, retrain: Boolean = true): Unit = {
+    val alive = pts
+      .join(storedNswTombstones(s, srcDir), Seq("vec_id"), "left_anti")
+    if (retrain) buildNswIndex(s, alive, dstDir)
+    else {
+      val aliveCk = alive.select(col("vec_id"), col("v"), col("nrm"))
+        .localCheckpoint()
+      val cents = s.read
+        .parquet(s"${resolveNswTable(s, srcDir, "ivf")}/centroids")
+        .localCheckpoint()
+      cents.write.mode("overwrite").parquet(s"$dstDir/ivf/centroids")
+      assignToCentroids(aliveCk, cents)
+        .write.mode("overwrite").partitionBy("cent_id")
+        .parquet(s"$dstDir/ivf/lists")
+      val wk = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("c_id").asc)
+      val edges = probeScoredPairs(s, aliveCk, s"$dstDir/ivf", lit(true))
+        .withColumn("rnk", row_number().over(wk))
+        .filter(col("rnk") <= nswMaxDegree)
+      writeNswEdges(s, dstDir,
+        edges.select(col("q_id").as("src"), col("c_id").as("dst"),
+          col("rnk"), col("cos")))
+      writeNswEntries(s, dstDir,
+        aliveCk.select(col("vec_id")).orderBy(col("vec_id").asc)
+          .limit(nswEntryCount))
+      val f = hadoopFs(s, dstDir)
+      for (t <- Seq("tombstones", "edges_delta", "_append_tags"))
+        f.delete(new org.apache.hadoop.fs.Path(s"$dstDir/$t"), true)
+      writeNswManifest(s, dstDir)
+    }
+  }
 
   // One graph build per (artifact, JVM): the suite's serving queries all
   // read the same immutable stored graph — the amortization that replaced
   // ~50 s/round of per-query knnRankedEdges rebuilds (BENCH_r07's ss4x
   // block). First touch in a JVM rebuilds from scratch (overwrite), so a
   // stale artifact from an earlier process can never leak into answers.
-  private val nswBuiltOnce = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // BLOCKING memoization (round-8 advice): computeIfAbsent runs the build
+  // inside the mapping function, so a concurrent caller losing the race
+  // WAITS for the winner's build instead of reading a half-built index.
+  private val nswBuiltOnce =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private[operators] def buildNswOnce(key: String)(build: => Unit): Unit =
+    nswBuiltOnce.computeIfAbsent(key, _ => { build; java.lang.Boolean.TRUE })
 
   private[operators] def ensureNswIndex(s: SparkSession, dir: String): String = {
     val idx = indexPathFor(dir + "#nswidx")
-    if (nswBuiltOnce.add(idx))
+    buildNswOnce(idx) {
       buildNswIndex(s, qvec(s, dir).localCheckpoint(), idx)
+    }
     idx
+  }
+
+  /** The copy-on-write overlay the tombstone-exercising serving queries
+    * share: the shared artifact's edges/entries/ivf by reference, a
+    * private (initially empty) tombstone set. Fresh per JVM — a stale
+    * overlay from an earlier process is dropped on first touch, like
+    * every memoized build. */
+  private[operators] def nswTombOverlayFor(s: SparkSession, dir: String): String = {
+    val idx = ensureNswIndex(s, dir)
+    val ov = indexPathFor(dir + "#nswtomb")
+    buildNswOnce(ov) {
+      hadoopFs(s, ov).delete(new org.apache.hadoop.fs.Path(ov), true)
+      overlayNswIndex(s, idx, ov)
+    }
+    ov
   }
 
   // ---------------------------------------------------------------------
@@ -1352,9 +1571,11 @@ object Similarity {
   // ---------------------------------------------------------------------
   def ss42NswTombstoned(s: SparkSession, dir: String): DataFrame = {
     val base = qvec(s, dir).localCheckpoint()
-    val idx = ensureNswIndex(s, dir)
-    // the delete VERB: record the suite's deletion set (vec_id ≡ 0 mod 9)
-    // in the artifact's tombstone table — idempotent, edges untouched
+    // the delete VERB against the COPY-ON-WRITE overlay: tombstones are
+    // recorded in the overlay's private table while edges/entries resolve
+    // to the shared artifact — ss28/ss36/ss37/ss40 read an index this
+    // query never mutates (round-8 advice: order-independence)
+    val idx = nswTombOverlayFor(s, dir)
     tombstoneNswIndex(s, idx,
       base.filter(col("vec_id") % 9 === 0).select(col("vec_id")))
     val tomb = storedNswTombstones(s, idx).localCheckpoint()
@@ -1444,16 +1665,16 @@ object Similarity {
   // ---------------------------------------------------------------------
   def ss44NswCompacted(s: SparkSession, dir: String): DataFrame = {
     val base = qvec(s, dir).localCheckpoint()
-    val idx = ensureNswIndex(s, dir)
     // compaction is driven by the SOURCE index's recorded tombstones (the
-    // verb ladder: ss42 tombstones, ss43 audits, this rebuilds) — ensure
-    // the suite's deletion set is recorded, then compact into a fresh
-    // artifact (retrained quantizer, alive-only edges/entries), once per
-    // JVM like every index build.
+    // verb ladder: ss42 tombstones into the overlay, ss43 audits, this
+    // rebuilds) — ensure the suite's deletion set is recorded, then
+    // compact into a fresh artifact (retrained quantizer, alive-only
+    // edges/entries), once per JVM like every index build.
+    val idx = nswTombOverlayFor(s, dir)
     tombstoneNswIndex(s, idx,
       base.filter(col("vec_id") % 9 === 0).select(col("vec_id")))
     val idxC = indexPathFor(dir + "#nswcompact")
-    if (nswBuiltOnce.add(idxC)) compactNswIndex(s, base, idx, idxC)
+    buildNswOnce(idxC) { compactNswIndex(s, base, idx, idxC) }
     val alive = base.filter(col("vec_id") % 9 =!= 0).localCheckpoint()
     recallAgainst(bruteAliveTopk(alive),
       nswBeamOver(alive, storedNswEdges(s, idxC, nswServeDegree),
@@ -1549,7 +1770,7 @@ object Similarity {
 
   private[operators] def perLabelNswIndexFor(s: SparkSession, dir: String): String = {
     val idxL = indexPathFor(dir + "#nswlabel")
-    if (nswBuiltOnce.add(idxL)) buildPerLabelNswIndex(s, dir, idxL)
+    buildNswOnce(idxL) { buildPerLabelNswIndex(s, dir, idxL) }
     idxL
   }
 

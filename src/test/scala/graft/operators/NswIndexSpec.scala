@@ -4,16 +4,21 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** The persisted NSW graph index's contract (round 8 — VERDICT r7 #1):
+/** The persisted NSW graph index's contract (rounds 8–9):
   * (1) the stored edge table is bit-identical to the in-query ranked-edge
   * build the oracles pin, so serving from disk cannot drift from the
-  * oracle-checked semantics; (2) appendToNswIndex's O(increment) pieces
-  * land on the same graph a one-shot probe of the grown index computes;
-  * (3) entries are maintained incrementally yet equal the global minimum;
-  * (4) tombstone/compact round-trip: the compacted artifact contains no
-  * dead nodes and starts with a clean tombstone set; (5) the per-label
-  * artifact partition-prunes a single-label probe — the at-scale form of
-  * the pre-filter strategy ss45 measures. */
+  * oracle-checked semantics; (2) appendToNswIndex is O(increment) — it
+  * writes ONE delta partition and NEVER touches a base edge file (pinned
+  * at file level), yet the merge-on-read view equals the one-shot graph
+  * over the grown index; (3) the view stays exact under delta SPRAWL
+  * (several appends), pays exactly one re-rank window, and foldNswDeltas
+  * collapses it back to a pre-ranked base without changing answers;
+  * (4) appends are replay-convergent per tag, and reusing a tag for a
+  * DIFFERENT increment is refused; (5) entries are maintained
+  * incrementally yet equal the global minimum; (6) tombstone/compact
+  * round-trip under both quantizer policies; (7) the per-label artifact
+  * partition-prunes a single-label probe; (8) a crash in stagedWrite's
+  * delete→rename window self-heals on the next read. */
 class NswIndexSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
@@ -21,11 +26,18 @@ class NswIndexSpec extends SparkSpec {
   private def tmpIdx(tag: String): String =
     java.nio.file.Files.createTempDirectory(tag).toString + "/idx"
 
+  /** The SERVING view (merge-on-read), normalized for comparison. */
   private def edgeRows(idx: String, maxRnk: Int = Int.MaxValue) =
-    spark.read.parquet(s"$idx/edges").filter(col("rnk") <= maxRnk)
+    Similarity.storedNswEdgesMerged(spark, idx).filter(col("rnk") <= maxRnk)
       .select(col("src"), col("dst"), col("rnk").cast("int"), col("cos"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
       .toList.sorted
+
+  /** (name, length, mtime) of every data file under the BASE edge dir. */
+  private def baseEdgeFiles(idx: String): List[(String, Long, Long)] =
+    new java.io.File(s"$idx/edges").listFiles().toList
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .map(f => (f.getName, f.length(), f.lastModified())).sorted
 
   test("stored edges equal the in-query ranked-edge build (build/serve law)") {
     val base = Similarity.qvec(spark, dir).localCheckpoint()
@@ -48,14 +60,22 @@ class NswIndexSpec extends SparkSpec {
       new java.io.File(idx).getParentFile)
   }
 
-  test("append lands on the one-shot graph over the grown index (frozen quantizer)") {
+  test("append is O(increment): one delta partition, base edge files untouched, " +
+      "merged view equals the one-shot grown-index graph") {
     val base = Similarity.qvec(spark, dir).localCheckpoint()
     val standing = base.filter(col("vec_id") % 10 =!= 3)
     val inc = base.filter(col("vec_id") % 10 === 3)
     val idx = tmpIdx("nsw-append")
     try {
       Similarity.buildNswIndex(spark, standing, idx)
-      Similarity.appendToNswIndex(spark, idx, inc)
+      val before = baseEdgeFiles(idx)
+      Similarity.appendToNswIndex(spark, idx, inc, "b1")
+      // THE file-level pin (round-9 directive #1): the roll-forward wrote a
+      // delta partition and did not rewrite, resize or touch the base
+      assert(baseEdgeFiles(idx) == before,
+        "append must not touch base edge files (O(increment) contract)")
+      assert(new java.io.File(s"$idx/edges_delta/tag=b1").isDirectory,
+        "append must land as edges_delta/tag=<tag>")
       // ground truth at the analysis degree: probe the GROWN stored IVF
       // (standing-trained centroids, full lists) with every vector — the
       // same frozen-quantizer one-shot the ss38 oracle computes
@@ -63,12 +83,9 @@ class NswIndexSpec extends SparkSpec {
         .select(col("src"), col("dst"), col("rnk").cast("int"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
         .toList.sorted
-      val rolled = spark.read.parquet(s"$idx/edges").filter(col("rnk") <= 3)
-        .select(col("src"), col("dst"), col("rnk").cast("int"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-        .toList.sorted
+      val rolled = edgeRows(idx, maxRnk = 3).map(t => (t._1, t._2, t._3))
       assert(rolled == oneShot,
-        "rolled-forward edges drifted from the one-shot grown-index graph")
+        "merge-on-read view drifted from the one-shot grown-index graph")
       // incremental entry maintenance equals the global minimum
       val stored = spark.read.parquet(s"$idx/entries")
         .collect().map(_.getLong(0)).toList.sorted
@@ -79,10 +96,59 @@ class NswIndexSpec extends SparkSpec {
       new java.io.File(idx).getParentFile)
   }
 
-  test("tombstone + compact: dead nodes gone from edges/entries, tombstones reset") {
+  test("delta sprawl: 3 appends stay exact, serve pays ONE re-rank window, " +
+      "fold collapses to a pre-ranked base with answers unchanged") {
+    val base = Similarity.qvec(spark, dir).localCheckpoint()
+    val standing = base.filter(col("vec_id") % 10 < 5)
+    val idx = tmpIdx("nsw-sprawl")
+    try {
+      Similarity.buildNswIndex(spark, standing, idx)
+      for (r <- 5 to 7)
+        Similarity.appendToNswIndex(spark, idx,
+          base.filter(col("vec_id") % 10 === r), s"b$r")
+      val grown = base.filter(col("vec_id") % 10 <= 7)
+      // exactness under sprawl: merged(base + 3 deltas) == one-shot graph
+      val oneShot = Similarity.oneShotGraph(spark, grown, s"$idx/ivf")
+        .select(col("src"), col("dst"), col("rnk").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toList.sorted
+      val mergedRows = edgeRows(idx)
+      assert(mergedRows.filter(_._3 <= 3).map(t => (t._1, t._2, t._3)) == oneShot)
+      // plan pin (round-9 directive #5): the warm serve re-ranks ONLY the
+      // delta-touched slice — exactly one Window; the untouched base branch
+      // streams through rank-filtered with no window and no sort of base
+      val merged = Similarity.storedNswEdgesMerged(spark, idx)
+      val plan = merged.queryExecution.executedPlan.toString
+      // \bWindow\b deliberately excludes WindowGroupLimit (a pre-filter,
+      // not a second sort-shuffle)
+      assert("\\bWindow\\b".r.findAllIn(plan).size == 1,
+        s"merge-on-read must pay exactly one re-rank window:\n$plan")
+      // and it reads the base dir + exactly the 3 delta partitions
+      val deltaFiles = spark.read.parquet(s"$idx/edges_delta")
+        .select(input_file_name()).distinct().collect().map(_.getString(0))
+      assert(Set("tag=b5", "tag=b6", "tag=b7").forall(t =>
+        deltaFiles.exists(_.contains(t))) &&
+        deltaFiles.forall(_.contains("tag=b")))
+      // fold: answers unchanged, deltas gone, base now pre-ranked
+      Similarity.foldNswDeltas(spark, idx)
+      assert(!new java.io.File(s"$idx/edges_delta").exists(),
+        "fold must drop the delta partitions")
+      assert(edgeRows(idx) == mergedRows,
+        "folding deltas must not change the served edges")
+      val foldedPlan = Similarity.storedNswEdgesMerged(spark, idx)
+        .queryExecution.executedPlan.toString
+      assert(!foldedPlan.contains("Window"),
+        "a folded index must serve rank-filtered scans with no window")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(idx).getParentFile)
+  }
+
+  test("tombstone + compact: dead nodes gone from edges/entries, tombstones reset " +
+      "— under BOTH quantizer policies; frozen reuses the source centroids") {
     val base = Similarity.qvec(spark, dir).localCheckpoint()
     val idx = tmpIdx("nsw-tomb")
     val idxC = tmpIdx("nsw-compact")
+    val idxF = tmpIdx("nsw-frozen")
     try {
       Similarity.buildNswIndex(spark, base, idx)
       val dead = base.filter(col("vec_id") % 9 === 0).select(col("vec_id"))
@@ -93,23 +159,28 @@ class NswIndexSpec extends SparkSpec {
       // the standing graph keeps routing through dead nodes (edges untouched)
       assert(spark.read.parquet(s"$idx/edges")
         .filter(col("src") % 9 === 0).count() > 0)
-      Similarity.compactNswIndex(spark, base, idx, idxC)
-      val ce = spark.read.parquet(s"$idxC/edges")
-      assert(ce.filter(col("src") % 9 === 0 || col("dst") % 9 === 0).count() == 0,
-        "compacted edges must not touch dead nodes")
-      assert(spark.read.parquet(s"$idxC/entries")
-        .filter(col("vec_id") % 9 === 0).count() == 0)
-      assert(Similarity.storedNswTombstones(spark, idxC).count() == 0,
-        "a compacted artifact starts with a clean tombstone set")
-    } finally {
+      for ((dst, retrain) <- Seq((idxC, true), (idxF, false))) {
+        Similarity.compactNswIndex(spark, base, idx, dst, retrain)
+        val ce = spark.read.parquet(s"$dst/edges")
+        assert(ce.filter(col("src") % 9 === 0 || col("dst") % 9 === 0).count() == 0,
+          s"compacted edges (retrain=$retrain) must not touch dead nodes")
+        assert(spark.read.parquet(s"$dst/entries")
+          .filter(col("vec_id") % 9 === 0).count() == 0)
+        assert(Similarity.storedNswTombstones(spark, dst).count() == 0,
+          "a compacted artifact starts with a clean tombstone set")
+      }
+      // frozen: centroids are the SOURCE index's, byte-for-byte
+      def cents(d: String) = spark.read.parquet(s"$d/ivf/centroids")
+        .select(col("cent_id")).collect().map(_.getLong(0)).toList.sorted
+      assert(cents(idxF) == cents(idx),
+        "retrain=false must reuse the source quantizer")
+    } finally for (d <- Seq(idx, idxC, idxF))
       org.apache.commons.io.FileUtils.deleteDirectory(
-        new java.io.File(idx).getParentFile)
-      org.apache.commons.io.FileUtils.deleteDirectory(
-        new java.io.File(idxC).getParentFile)
-    }
+        new java.io.File(d).getParentFile)
   }
 
-  test("append is replay-convergent per tag (streaming at-least-once contract)") {
+  test("append is replay-convergent per tag (streaming at-least-once contract), " +
+      "and a tag REUSED for a different increment is refused") {
     val base = Similarity.qvec(spark, dir).localCheckpoint()
     val standing = base.filter(col("vec_id") % 10 =!= 3)
     val inc = base.filter(col("vec_id") % 10 === 3)
@@ -129,12 +200,19 @@ class NswIndexSpec extends SparkSpec {
       assert(lists(idxA) == lists(idxB),
         "replayed list append must converge to one copy per row")
       assert(edgeRows(idxA) == edgeRows(idxB),
-        "replayed edge merge must converge to the single-append graph")
+        "replayed edge delta must converge to the single-append view")
       val entA = spark.read.parquet(s"$idxA/entries")
         .collect().map(_.getLong(0)).toList.sorted
       val entB = spark.read.parquet(s"$idxB/entries")
         .collect().map(_.getLong(0)).toList.sorted
       assert(entA == entB)
+      // the round-8 corruption trap, now refused loudly: the same tag with
+      // a DIFFERENT increment would retire b3's list files as "leftovers"
+      val ex = intercept[IllegalStateException] {
+        Similarity.appendToNswIndex(spark, idxA,
+          base.filter(col("vec_id") % 10 === 4), "b3")
+      }
+      assert(ex.getMessage.contains("DIFFERENT increment"))
       // the marker-gated streaming body: a committed batchId is a no-op
       // even with different data (the marker, not the content, gates)
       graft.streaming.EventStream.ingestGraphBatch(
@@ -154,6 +232,60 @@ class NswIndexSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(idxB).getParentFile)
     }
+  }
+
+  test("a tombstone OVERLAY keeps the shared artifact immutable: edges and " +
+      "entries resolve to the base, deletes stay private") {
+    val base = Similarity.qvec(spark, dir).localCheckpoint()
+    val idx = tmpIdx("nsw-ovbase")
+    val ov = tmpIdx("nsw-overlay")
+    try {
+      Similarity.buildNswIndex(spark, base, idx)
+      Similarity.overlayNswIndex(spark, idx, ov)
+      // reads resolve through the pointer — identical served view
+      assert(edgeRows(ov) == edgeRows(idx))
+      assert(Similarity.storedNswEntries(spark, ov)
+        .collect().map(_.getLong(0)).toList.sorted ==
+        Similarity.storedNswEntries(spark, idx)
+          .collect().map(_.getLong(0)).toList.sorted)
+      // deletes land in the overlay only; the base stays tombstone-free
+      val dead = base.filter(col("vec_id") % 9 === 0).select(col("vec_id"))
+      Similarity.tombstoneNswIndex(spark, ov, dead)
+      assert(Similarity.storedNswTombstones(spark, ov).count() == dead.count())
+      assert(Similarity.storedNswTombstones(spark, idx).count() == 0,
+        "the shared base must never see an overlay's deletes")
+      assert(!new java.io.File(s"$idx/tombstones").exists())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(idx).getParentFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(ov).getParentFile)
+    }
+  }
+
+  test("a crash between stagedWrite's delete and rename self-heals on read " +
+      "(complete .stage_ dir auto-promoted when the destination is missing)") {
+    val base = Similarity.qvec(spark, dir).localCheckpoint()
+    val idx = tmpIdx("nsw-heal")
+    try {
+      Similarity.buildNswIndex(spark, base, idx)
+      val healthy = edgeRows(idx)
+      // simulate the residual window: the staged copy is complete (it has
+      // _SUCCESS), the destination was deleted, the rename never ran
+      val e = new java.io.File(s"$idx/edges")
+      assert(e.renameTo(new java.io.File(s"$idx/.stage_edges")))
+      assert(edgeRows(idx) == healthy,
+        "a reader must promote the completed stage dir and serve")
+      assert(new java.io.File(s"$idx/edges").isDirectory)
+      // an INCOMPLETE stage (no _SUCCESS) is never promoted
+      val ent = new java.io.File(s"$idx/entries")
+      assert(ent.renameTo(new java.io.File(s"$idx/.stage_entries")))
+      assert(new java.io.File(s"$idx/.stage_entries/_SUCCESS").delete())
+      intercept[Exception] {
+        Similarity.storedNswEntries(spark, idx).collect()
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(idx).getParentFile)
   }
 
   test("per-label artifact partition-prunes a single-label probe") {
