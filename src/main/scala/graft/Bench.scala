@@ -119,6 +119,15 @@ object Bench {
         .mkString("[", ",", "]")
       println(s"""{"metric":"cc20_rounds","rounds":$rj}""")
     }
+    // ss38's phase split (build / append / serve-materialize): the total is
+    // dominated by the deliberate cold standing-index build — the
+    // O(increment) claim lives in the append share, which must NOT grow
+    // with the corpus (round-9 delta-append telemetry, cc20_rounds pattern)
+    graft.operators.Similarity.ss38PhaseLog.get().foreach {
+      case (b, a, sv) => println(
+        s"""{"metric":"ss38_phases","build_sec":${ms(b)},""" +
+          s""""append_sec":${ms(a)},"serve_sec":${ms(sv)}}""")
+    }
     println(json)
     spark.stop()
   }

@@ -25,6 +25,23 @@ object Dev {
       println(s"queries=${q.size} oracles=${o.size}")
       println("rows-only: " + (q -- o).toSeq.sorted.mkString(", "))
       println("orphan oracles: " + (o -- q).toSeq.sorted.mkString(", "))
+    } else if (args(1) == "jobs") {
+      // per-Spark-job wall time + call site for one query — finds which
+      // step of a multi-job verb dominates
+      val starts = new scala.collection.concurrent.TrieMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts(e.jobId) = (e.time,
+            Option(e.properties.getProperty("callSite.short")).getOrElse(""))
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          starts.get(e.jobId).foreach { case (t0, cs) =>
+            println(f"job ${e.jobId}%3d ${(e.time - t0) / 1e3}%7.2f s  $cs") }
+      })
+      for (r <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(args(2))(spark, sfDir).count()
+        println(f"rep$r total ${(System.nanoTime() - t0) / 1e9}%8.2f s ($n rows)")
+      }
     } else if (args(1) == "explain") {
       SparkEntry.queries(args(2))(spark, sfDir).explain("formatted")
     } else if (args(1) == "sql") {
