@@ -5,9 +5,12 @@ Compares each Spark result parquet (written by graft.Verify) against the
 DuckDB result of the corresponding oracle SQL, with columns sorted by name
 and rows sorted by all columns — the same shape the driver hashes.
 
-Usage: python3 scripts/check.py <verify_out_dir> <sf_dir> [query ...]
+Usage: python3 scripts/check.py <verify_out_dir> <sf_dir> [--json out.json] [query ...]
 Extra args restrict the compare to those query names (matches graft.Verify's
 optional filter for the fast local loop); the driver always checks all.
+--json writes a driver-shaped per-query artifact (rows/schema/hash match
+flags + row counts), so an off-gate sweep (e.g. sf0.1) can be committed as
+auditable evidence rather than prose.
 """
 import json, math, sys
 
@@ -32,7 +35,7 @@ def canon(rows, cols):
     return [cols[i] for i in order], out
 
 
-def main(outdir, sfdir, only=()):
+def main(outdir, sfdir, only=(), json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -42,6 +45,7 @@ def main(outdir, sfdir, only=()):
         oracle = {k: v for k, v in oracle.items() if k in only}
     n_ok = 0
     fails = []
+    report = {}
     for name in sorted(oracle):
         sql = oracle[name]
         try:
@@ -62,6 +66,9 @@ def main(outdir, sfdir, only=()):
                 f"SELECT * FROM ({sql}) q LIMIT 0").arrow().schema.types]
         except Exception as e:
             fails.append((name, f"ERROR {e}"))
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None, "err": str(e)[:500]}
             continue
         c1, r1 = canon(sp_rows, sp_cols)
         c2, r2 = canon(du_rows, du_cols)
@@ -75,6 +82,12 @@ def main(outdir, sfdir, only=()):
             return "int" if t in ("int8", "int16", "int32", "int64") else t
         t1 = [norm(t) for _, t in sorted(zip(sp_cols, sp_types))]
         t2 = [norm(t) for _, t in sorted(zip(du_cols, du_types))]
+        schema_ok = c1 == c2 and t1 == t2
+        rows_ok = len(r1) == len(r2)
+        hash_ok = r1 == r2
+        report[name] = {"rows_match": rows_ok, "schema_match": schema_ok,
+                        "hash_match": hash_ok, "spark_rows": len(r1),
+                        "oracle_rows": len(r2), "err": None}
         if c1 != c2:
             fails.append((name, f"schema mismatch spark={c1} duck={c2}"))
         elif t1 != t2:
@@ -94,8 +107,18 @@ def main(outdir, sfdir, only=()):
     for name, msg in fails:
         print(f"FAIL  {name}: {msg}")
     print(f"\n{n_ok}/{len(oracle)} pass")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
+        print(f"wrote {json_out} ({len(report)} queries)")
     return 1 if fails else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:])))
+    args = sys.argv[3:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sys.exit(main(sys.argv[1], sys.argv[2], set(args), json_out))

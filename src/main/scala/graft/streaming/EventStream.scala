@@ -208,14 +208,18 @@ object EventStream {
     * stored graph forward through the batch verb
     * ([[graft.operators.Similarity.appendToNswIndex]]), so streamed and
     * nightly appends cannot drift semantically. Work per batch is
-    * O(batch) probes against the stored lists plus one edge-table
-    * rewrite; the corpus is never re-read. Idempotence is layered: the
-    * commit marker makes a replayed batchId a no-op, and beneath it the
-    * append itself is REPLAY-CONVERGENT per tag (staged list placement +
-    * dedup-then-re-rank edge merge), so even a crash BETWEEN the append
-    * and the marker replays to the same index state — the property the
-    * rank-sensitive edge table needs under at-least-once delivery.
-    * NswIndexSpec proves the convergence law directly. */
+    * O(batch): probes against the partition-pruned stored tables plus ONE
+    * new `edges_delta/tag=b<batchId>` partition — base edge files are
+    * never touched (round 9; the previous append re-ranked and rewrote
+    * the full edge artifact per micro-batch, O(index) ingest). Serving
+    * merges base ∪ deltas on read; compaction folds them. Idempotence is
+    * layered: the commit marker makes a replayed batchId a no-op, and
+    * beneath it the append itself is REPLAY-CONVERGENT per tag (staged
+    * list/probe placement + staged delta overwrite), so even a crash
+    * BETWEEN the append and the marker replays to the same index state —
+    * the property the rank-sensitive edge table needs under
+    * at-least-once delivery. NswIndexSpec proves the convergence law and
+    * the base-files-untouched pin directly. */
   def graphIngestStream(newVecs: DataFrame, idxDir: String,
       checkpointLocation: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {

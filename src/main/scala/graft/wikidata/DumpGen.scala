@@ -27,6 +27,13 @@ import org.apache.spark.sql.SparkSession
   *                 P37 official language — the rows that survive to the
   *                 final cities_languages table, and duplicate label
   *                 emissions exercising the post cleanup's first-wins keys
+  *   - i%1000==97  POISON line (truncated mid-escape) — the PERMISSIVE
+  *                 parse must skip it; a known budget of 1/1000 lines
+  *   - i%1000==98  PATHOLOGY city: unicode-escaped labels (ascii-escaped
+  *                 en — same decoded value; escaped real CJK zh-hans), a
+  *                 >64 KiB description pad with an escaped surrogate-pair
+  *                 emoji, and a 24-level nested unread claim — otherwise a
+  *                 plain city, so every closed form is unchanged
   *   - else        plain city: P17 (one active + one P582-expired), P131,
   *                 dated+undated+P518-disqualified P1082 population, P625
   *                 coords (2/3 of cities), en/de/zh-hans labels, P1705
@@ -59,6 +66,14 @@ object DumpGen {
   def entityJson(i: Long, n: Long): String = {
     val h = mix(i)
     val m = i % 1000
+    // m == 97: POISON line (round-9 — real-dump pathology): a city record
+    // truncated mid-escape, as a corrupted chunk boundary would leave it.
+    // The PERMISSIVE parser must tokenize-fail it to null id and the
+    // extractor must skip it — a KNOWN budget of exactly 1 line per 1000
+    // (DumpGenSpec pins parse count == n - blocks and that Q98 reaches no
+    // table), so every closed form stays a closed form.
+    if (m == 97)
+      return s"""{"id":"${qid(i)}","labels":{"en":{"language":"en","value":"Entity $i trunca\\u00"""
     val nCountries = math.max(1L, (n + 999) / 1000)
     val nLangs = nCountries
     val nTes = math.max(1L, (n / 1000) * 40)
@@ -80,19 +95,41 @@ object DumpGen {
       s""""$p":[{"snaktype":"value","datavalue":{"value":{"time":"$t","timezone":0}}}]"""
 
     sb.append("{\"id\":\"").append(qid(i)).append("\",")
-    // labels (read: language+value map) — en always; de/zh-hans on cities
-    sb.append("\"labels\":{\"en\":{\"language\":\"en\",\"value\":\"Entity ")
-      .append(i).append("\"}")
+    // labels (read: language+value map) — en always; de/zh-hans on cities.
+    // m == 98 is the PATHOLOGY CITY (round-9): its en label arrives
+    // unicode-ESCAPED ascii (decodes to the same "Entity <i>" every other
+    // city carries — the closed-form label values are untouched), its
+    // zh-hans label is escaped real CJK, and below it carries a >64 KiB
+    // description pad with an escaped surrogate-pair emoji plus a deeply
+    // nested unread claim — the JSON shapes a real dump throws at the
+    // tokenizer that the generator previously skipped.
+    if (m == 98)
+      sb.append("\"labels\":{\"en\":{\"language\":\"en\",\"value\":\"\\u0045ntity ")
+        .append(i).append("\"}")
+    else
+      sb.append("\"labels\":{\"en\":{\"language\":\"en\",\"value\":\"Entity ")
+        .append(i).append("\"}")
     if (m >= 47 || m == 44 || m == 45) {
       sb.append(",\"de\":{\"language\":\"de\",\"value\":\"Ort ").append(i).append("\"}")
-      if (h % 4 == 0)
+      if (m == 98)
+        sb.append(",\"zh-hans\":{\"language\":\"zh-hans\",\"value\":\"\\u57ce\\u5e02 ")
+          .append(i % 997).append("\"}")
+      else if (h % 4 == 0)
         sb.append(",\"zh-hans\":{\"language\":\"zh-hans\",\"value\":\"Cs").append(i % 997).append("\"}")
     }
     sb.append("},")
     // unread pad — realistic tokenization load on the PERMISSIVE parser
     sb.append("\"descriptions\":{\"en\":{\"language\":\"en\",\"value\":\"synthetic scale-test entity number ")
       .append(i).append(" block ").append(i / 1000)
-      .append(" generated deterministically for the multi-GB ingest measurement\"}},")
+      .append(" generated deterministically for the multi-GB ingest measurement")
+    if (m == 98) {
+      // >64 KiB line: 1100 × 64-char units + an escaped surrogate pair —
+      // the splitter and parser must stream past it (unread path)
+      sb.append(" \\uD83D\\uDE00 ")
+      val unit = "padding-unit-0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKL "
+      for (_ <- 1 to 1100) sb.append(unit)
+    }
+    sb.append("\"}},")
     sb.append("\"claims\":{")
     m match {
       case 0 => // country
@@ -169,6 +206,15 @@ object DumpGen {
           val lon = (math.abs(mix(h + 13)) % 3600000L) / 10000.0 - 180.0
           claim("P625",
             s"""{"mainsnak":{"snaktype":"value","datavalue":{"value":{"latitude":$lat,"longitude":$lon}}}}""")
+        }
+        if (mm == 98) {
+          // deeply nested UNREAD claim (24 levels of array/object) — the
+          // explicit-schema PERMISSIVE parse must stream past it without
+          // touching the read paths
+          val deep = new java.lang.StringBuilder("1")
+          for (_ <- 1 to 24) { deep.insert(0, "{\"a\":["); deep.append("]}") }
+          claim("P9999",
+            s"""{"mainsnak":{"snaktype":"value","datavalue":{"value":$deep}}}""")
         }
         if (h % 3 == 0)
           claim("P1705",

@@ -234,6 +234,45 @@ class NswIndexSpec extends SparkSpec {
     }
   }
 
+  test("graphIngestStream: each micro-batch lands as ONE delta partition, " +
+      "touches NO base edge file, and the merged view equals the one-shot graph") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val base = Similarity.qvec(spark, dir).localCheckpoint()
+    val standing = base.filter(col("vec_id") % 10 =!= 3)
+    val incRaw = emb.filter(col("vec_id") % 10 === 3)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, String, Array[Float])].collect()
+    val idx = tmpIdx("nsw-stream")
+    try {
+      Similarity.buildNswIndex(spark, standing, idx)
+      val before = baseEdgeFiles(idx)
+      val input = MemoryStream[(Long, String, Array[Float])]
+      val q = graft.streaming.EventStream.graphIngestStream(
+        input.toDF().toDF("vec_id", "label", "embedding"), idx)
+      incRaw.grouped(math.max(1, incRaw.length / 2 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      q.stop()
+      // THE streaming O(increment) pin (round-9 directive #1): live
+      // micro-batches never rewrite, resize or touch the base artifact
+      assert(baseEdgeFiles(idx) == before,
+        "a streaming micro-batch append must not touch base edge files")
+      val tags = new java.io.File(s"$idx/edges_delta").listFiles()
+        .map(_.getName).filter(_.startsWith("tag=b")).sorted
+      assert(tags.length == 2, s"one delta per micro-batch: ${tags.mkString(",")}")
+      // and the rolled-forward serve is exact over the grown corpus
+      val oneShot = Similarity.oneShotGraph(spark, base, s"$idx/ivf")
+        .select(col("src"), col("dst"), col("rnk").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toList.sorted
+      assert(edgeRows(idx, maxRnk = 3).map(t => (t._1, t._2, t._3)) == oneShot)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(idx).getParentFile)
+  }
+
   test("a tombstone OVERLAY keeps the shared artifact immutable: edges and " +
       "entries resolve to the base, deletes stay private") {
     val base = Similarity.qvec(spark, dir).localCheckpoint()
