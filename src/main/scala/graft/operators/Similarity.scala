@@ -2714,16 +2714,25 @@ object Similarity {
     * this rewrites each list as ONE file (repartition ON cent_id), through
     * a temp dir + rename so a crash mid-compact leaves the readable
     * original. Assignments are read, never recomputed — answers unchanged,
-    * probe scans stop paying per-file open costs. */
-  def compactIvfIndex(s: SparkSession, dir: String): Unit = {
-    val tmp = s"$dir/.compact_lists"
-    s.read.parquet(s"$dir/lists")
+    * probe scans stop paying per-file open costs. The NSW artifact's
+    * reverse-probe sidecar accumulates the same per-tag small files —
+    * [[compactNswProbes]] is this verb pointed at it. */
+  def compactIvfIndex(s: SparkSession, dir: String): Unit =
+    compactCentPartitioned(s, s"$dir/lists")
+
+  /** [[compactIvfIndex]] for the NSW artifact's `probes/` table. */
+  def compactNswProbes(s: SparkSession, idxDir: String): Unit =
+    compactCentPartitioned(s, s"$idxDir/probes")
+
+  private def compactCentPartitioned(s: SparkSession, table: String): Unit = {
+    val tmp = table.replaceAll("/([^/]+)$", "/.compact_$1")
+    s.read.parquet(table)
       .withColumn("cent_id", col("cent_id").cast("long"))
       .repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(s"$dir/lists")
+    val dst = new org.apache.hadoop.fs.Path(table)
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }

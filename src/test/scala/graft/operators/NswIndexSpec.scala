@@ -139,6 +139,17 @@ class NswIndexSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert(!foldedPlan.contains("Window"),
         "a folded index must serve rank-filtered scans with no window")
+      // sidecar hygiene: probes compaction folds the 3 appends' per-tag
+      // small files into one file per cent partition, rows unchanged
+      val probeRows = spark.read.parquet(s"$idx/probes").count()
+      Similarity.compactNswProbes(spark, idx)
+      assert(spark.read.parquet(s"$idx/probes").count() == probeRows)
+      val parts = new java.io.File(s"$idx/probes").listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("cent_id="))
+      val probeFiles = spark.read.parquet(s"$idx/probes")
+        .select(input_file_name()).distinct().count()
+      assert(probeFiles == parts,
+        s"one file per compacted probe partition: $probeFiles vs $parts")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(idx).getParentFile)
   }
