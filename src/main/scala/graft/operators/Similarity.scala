@@ -716,23 +716,72 @@ object Similarity {
     // quantizer) is unchanged: the merged view must be indistinguishable
     // from it.
     val base = qvec(s, dir).localCheckpoint()
-    val standing = base.filter(col("vec_id") % 10 =!= 3)
-    val inc = base.filter(col("vec_id") % 10 === 3)
-    val idxDir = indexPathFor(dir + "#graphroll")
-    val t0 = System.nanoTime()
-    buildNswIndex(s, standing, idxDir)
-    val t1 = System.nanoTime()
-    appendToNswIndex(s, idxDir, inc, "roll")
-    val t2 = System.nanoTime()
+    val idxDir = rolledNswIndexFor(s, dir, base)
     val edges = storedNswEdgesMerged(s, idxDir).filter(col("rnk") <= graphK)
       .select(col("src"), col("dst"), col("rnk"), col("cos"))
       .localCheckpoint()
-    val t3 = System.nanoTime()
-    ss38PhaseLog.set(Some(((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)))
     val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
     edges.join(rev.withColumn("m", lit(true)), Seq("src", "dst"), "left")
       .select(col("src"), col("dst"), col("rnk"), col("cos"),
         coalesce(col("m"), lit(false)).as("mutual"))
+  }
+
+  /** The suite's ROLLED-FORWARD index (build on standing, append the
+    * vec_id % 10 == 3 increment as one delta partition), built once per
+    * JVM — ss38 measures the cycle (and records [[ss38PhaseLog]]); ss49
+    * serves a beam over the resulting delta-bearing artifact. Contents
+    * are a pure function of the corpus, so sharing across queries is
+    * order-independent. */
+  private def rolledNswIndexFor(s: SparkSession, dir: String,
+      base: DataFrame): String = {
+    val idxDir = indexPathFor(dir + "#graphroll")
+    buildNswOnce(idxDir) {
+      val t0 = System.nanoTime()
+      buildNswIndex(s, base.filter(col("vec_id") % 10 =!= 3), idxDir)
+      val t1 = System.nanoTime()
+      appendToNswIndex(s, idxDir, base.filter(col("vec_id") % 10 === 3), "roll")
+      val t2 = System.nanoTime()
+      storedNswEdgesMerged(s, idxDir).localCheckpoint().count()
+      val t3 = System.nanoTime()
+      ss38PhaseLog.set(Some(((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)))
+    }
+    idxDir
+  }
+
+  /** ss49: the STREAMED-STATE serving path end-to-end — a beam search over
+    * the rolled-forward index while it still carries its delta partition
+    * (merge-on-read edges, post-append entries): exactly what a
+    * [[graft.streaming.EventStream.graphIngestStream]] deployment serves
+    * between compactions. ss38 oracle-pins the merged EDGE TABLE; this
+    * pins the full serve on top of it — the oracle is the one-shot
+    * relational recurrence (standing-trained quantizer, full-corpus
+    * edges, the beam chain) with no knowledge of the delta layout. */
+  def ss49NswDeltaServe(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val idxDir = rolledNswIndexFor(s, dir, base)
+    nswBeamOver(base, storedNswEdges(s, idxDir, nswServeDegree),
+      materialize = true, beamHops,
+      entriesOverride = Some(storedNswEntries(s, idxDir)))
+  }
+
+  lazy val ss49Oracle: String = {
+    val hops = (1 to beamHops).map(h =>
+      nswGrowSql(s"b${h - 1}", s"u$h") + ",\n" + nswBeamSql(s"u$h", s"b$h"))
+      .mkString(",\n")
+    s"""WITH $qvecSql,
+       |qno AS (SELECT * FROM qn WHERE vec_id % 10 != 3),
+       |${kmChainSql(ivfRounds).replaceAll("\\bqn\\b", "qno")},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |${annProbePrefixSqlFor("TRUE")},
+       |$nswRankedEdgeSql,
+       |ed AS (SELECT src, dst FROM edr WHERE rnk <= $nswServeDegree),
+       |qs AS (SELECT vec_id AS q_id FROM qn WHERE vec_id % 100 = 0),
+       |en AS (SELECT vec_id AS c_id FROM qn ORDER BY vec_id ASC LIMIT $nswEntryCount),
+       |u0 AS (SELECT q_id, c_id FROM qs CROSS JOIN en),
+       |${nswBeamSql("u0", "b0")},
+       |$hops
+       |SELECT q_id, c_id, CAST(rnk AS INT) AS rnk, cos
+       |FROM b$beamHops WHERE rnk <= $K""".stripMargin
   }
 
   lazy val ss38Oracle: String =
@@ -3783,7 +3832,8 @@ object Similarity {
     "ss45_per_label_nsw" -> (ss45PerLabelNsw _),
     "ss46_nsw_index_build" -> (ss46NswIndexBuild _),
     "ss47_nsw_entry_rules" -> (ss47NswEntryRules _),
-    "ss48_nsw_compact_frozen" -> (ss48NswCompactFrozen _))
+    "ss48_nsw_compact_frozen" -> (ss48NswCompactFrozen _),
+    "ss49_nsw_delta_serve" -> (ss49NswDeltaServe _))
 
   val oracles: Map[String, String] = Map(
     "ss34_ann_tombstoned" -> ss34Oracle,
@@ -3800,6 +3850,7 @@ object Similarity {
     "ss45_per_label_nsw" -> ss45Oracle,
     "ss47_nsw_entry_rules" -> ss47Oracle,
     "ss48_nsw_compact_frozen" -> ss48Oracle,
+    "ss49_nsw_delta_serve" -> ss49Oracle,
     // the cold build+serve pays the WHOLE build in-query and must land on
     // exactly the warm serving path's answer — ss36's oracle, shared
     "ss46_nsw_index_build" -> ss36Oracle,
