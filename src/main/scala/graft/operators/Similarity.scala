@@ -935,8 +935,12 @@ object Similarity {
     * over base ∪ delta directly would shuffle the corpus-sized edge table
     * on every serve — the same class of scale-killer the delta layout
     * exists to remove from the append path. */
+  // once-per-JVM latch for the delta-sprawl operational warning below
+  private val deltaSprawlWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private[operators] def storedNswEdgesMerged(s: SparkSession, idxDir: String): DataFrame = {
-    val base = s.read.parquet(resolveNswTable(s, idxDir, "edges"))
+    val basePath = resolveNswTable(s, idxDir, "edges")
+    val base = s.read.parquet(basePath)
       .select(col("src"), col("dst"), col("rnk").cast("int").as("rnk"), col("cos"))
     val deltaDir = resolveNswTable(s, idxDir, "edges_delta")
     promoteStages(s, deltaDir)
@@ -946,6 +950,20 @@ object Similarity {
       st.isDirectory && st.getPath.getName.startsWith("tag="))
     if (!hasDeltas) base
     else {
+      // the merge-on-read regime ASSUMES deltas ≪ base (the touched-src
+      // set is broadcast; compaction cadence keeps that true) — warn
+      // loudly, once per JVM, when folding is overdue rather than let the
+      // broadcast grow quietly toward the driver's memory
+      val deltaBytes = f.getContentSummary(dp).getLength
+      val baseBytes = hadoopFs(s, basePath)
+        .getContentSummary(new org.apache.hadoop.fs.Path(basePath)).getLength
+      if (deltaBytes * 4 > baseBytes &&
+          deltaSprawlWarned.compareAndSet(false, true))
+        System.err.println(
+          f"[graft] WARNING: NSW edge deltas at $idxDir are ${deltaBytes / 1048576.0}%.1f MiB " +
+            f"vs base ${baseBytes / 1048576.0}%.1f MiB — merge-on-read broadcasts the " +
+            "delta-touched src set; run foldNswDeltas (or compactNswIndex) " +
+            "before deltas rival the base")
       val deltas = s.read.parquet(deltaDir)
         .select(col("src"), col("dst"), col("cos"))
       val touched = deltas.select(col("src")).distinct()
