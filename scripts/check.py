@@ -119,6 +119,8 @@ if __name__ == "__main__":
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("usage: check.py <outDir> <sfDir> [query...] [--json <path>]")
         json_out = args[i + 1]
         args = args[:i] + args[i + 2:]
     sys.exit(main(sys.argv[1], sys.argv[2], set(args), json_out))

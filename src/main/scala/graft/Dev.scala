@@ -31,8 +31,9 @@ object Dev {
       val starts = new scala.collection.concurrent.TrieMap[Int, (Long, String)]()
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          starts(e.jobId) = (e.time,
-            Option(e.properties.getProperty("callSite.short")).getOrElse(""))
+          // properties is null for jobs submitted without local properties
+          starts(e.jobId) = (e.time, Option(e.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse(""))
         override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
           starts.get(e.jobId).foreach { case (t0, cs) =>
             println(f"job ${e.jobId}%3d ${(e.time - t0) / 1e3}%7.2f s  $cs") }

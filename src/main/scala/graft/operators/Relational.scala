@@ -176,8 +176,13 @@ object Relational {
         val want = s.conf.getOption("spark.graft.checkpointDir")
         // setCheckpointDir stores <dir>/<UUID>, so compare by prefix —
         // exact equality would false-positive on a dir pre-set to the
-        // SAME configured location (round-8 advice)
-        if (set.nonEmpty && want.nonEmpty && !set.exists(_.startsWith(want.get)))
+        // SAME configured location (round-8 advice). The prefix must end
+        // at a path separator, or a SIBLING dir sharing the string prefix
+        // (want=/tmp/ck, set=/tmp/ck2/<uuid>) false-suppresses the
+        // warning (round-9 advice).
+        val wantDir = want.map(_.stripSuffix("/"))
+        if (set.nonEmpty && want.nonEmpty && !set.exists(d =>
+            d == wantDir.get || d.startsWith(wantDir.get + "/")))
           System.err.println(
             s"[graft] WARNING: spark.graft.checkpointDir=${want.get} is " +
               s"IGNORED — the SparkContext checkpoint dir was already set " +

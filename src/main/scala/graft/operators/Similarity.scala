@@ -935,8 +935,15 @@ object Similarity {
     * over base ∪ delta directly would shuffle the corpus-sized edge table
     * on every serve — the same class of scale-killer the delta layout
     * exists to remove from the append path. */
-  // once-per-JVM latch for the delta-sprawl operational warning below
-  private val deltaSprawlWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // per-index memo for the delta-sprawl check below: idxDir → the delta
+  // tag set last sized. getContentSummary is an O(files) recursive
+  // listing (costly on object stores), so it runs only when the tag set
+  // CHANGED since the last check — and the warning is therefore keyed by
+  // index AND by growth, not by a JVM-global first-warner-wins latch
+  // (round-9 advice: the global latch meant only the first sprawling
+  // index ever warned, and every delta-bearing serve paid the listing).
+  private val deltaSprawlChecked =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
 
   private[operators] def storedNswEdgesMerged(s: SparkSession, idxDir: String): DataFrame = {
     val basePath = resolveNswTable(s, idxDir, "edges")
@@ -946,24 +953,29 @@ object Similarity {
     promoteStages(s, deltaDir)
     val f = hadoopFs(s, deltaDir)
     val dp = new org.apache.hadoop.fs.Path(deltaDir)
-    val hasDeltas = f.exists(dp) && f.listStatus(dp).exists(st =>
-      st.isDirectory && st.getPath.getName.startsWith("tag="))
-    if (!hasDeltas) base
+    val deltaTags = if (!f.exists(dp)) Set.empty[String]
+      else f.listStatus(dp).collect {
+        case st if st.isDirectory && st.getPath.getName.startsWith("tag=") =>
+          st.getPath.getName
+      }.toSet
+    if (deltaTags.isEmpty) base
     else {
       // the merge-on-read regime ASSUMES deltas ≪ base (the touched-src
       // set is broadcast; compaction cadence keeps that true) — warn
-      // loudly, once per JVM, when folding is overdue rather than let the
-      // broadcast grow quietly toward the driver's memory
-      val deltaBytes = f.getContentSummary(dp).getLength
-      val baseBytes = hadoopFs(s, basePath)
-        .getContentSummary(new org.apache.hadoop.fs.Path(basePath)).getLength
-      if (deltaBytes * 4 > baseBytes &&
-          deltaSprawlWarned.compareAndSet(false, true))
-        System.err.println(
-          f"[graft] WARNING: NSW edge deltas at $idxDir are ${deltaBytes / 1048576.0}%.1f MiB " +
-            f"vs base ${baseBytes / 1048576.0}%.1f MiB — merge-on-read broadcasts the " +
-            "delta-touched src set; run foldNswDeltas (or compactNswIndex) " +
-            "before deltas rival the base")
+      // loudly when folding is overdue rather than let the broadcast grow
+      // quietly toward the driver's memory. Sized once per (index, tag
+      // set): appends grow the tag set and re-trigger the check.
+      if (!Option(deltaSprawlChecked.put(idxDir, deltaTags)).contains(deltaTags)) {
+        val deltaBytes = f.getContentSummary(dp).getLength
+        val baseBytes = hadoopFs(s, basePath)
+          .getContentSummary(new org.apache.hadoop.fs.Path(basePath)).getLength
+        if (deltaBytes * 4 > baseBytes)
+          System.err.println(
+            f"[graft] WARNING: NSW edge deltas at $idxDir are ${deltaBytes / 1048576.0}%.1f MiB " +
+              f"vs base ${baseBytes / 1048576.0}%.1f MiB — merge-on-read broadcasts the " +
+              "delta-touched src set; run foldNswDeltas (or compactNswIndex) " +
+              "before deltas rival the base")
+      }
       val deltas = s.read.parquet(deltaDir)
         .select(col("src"), col("dst"), col("cos"))
       val touched = deltas.select(col("src")).distinct()
@@ -1147,6 +1159,14 @@ object Similarity {
       val out = f.create(fpPath, false)
       try out.write(fp.getBytes("UTF-8")) finally out.close()
     }
+    // an EMPTY increment (an idle streaming micro-batch) is a no-op past
+    // the fingerprint: writing its empty `tag=` partition would
+    // permanently flip serves onto the re-rank merge path (one extra
+    // window + broadcast per serve until a fold) for zero new edges, and
+    // the list/probe/entry writes would be identity rewrites (round-9
+    // advice). The fingerprint is still recorded, so a nonempty reuse of
+    // the tag is refused and an empty replay converges.
+    if (fpRow.getLong(0) == 0L) return
     // ONE probe computation (increment × stored centroids, O(inc × k))
     // feeds everything: its crn=1 rows ARE the list rows (same argmax,
     // same tiebreak as assignToCentroids), the full rows are the reverse-

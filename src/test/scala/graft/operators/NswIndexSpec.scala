@@ -96,6 +96,40 @@ class NswIndexSpec extends SparkSpec {
       new java.io.File(idx).getParentFile)
   }
 
+  test("an EMPTY append is a no-op past the fingerprint: no delta partition, " +
+      "serve stays window-free, the tag still refuses a nonempty reuse") {
+    val base = Similarity.qvec(spark, dir).localCheckpoint()
+    val standing = base.filter(col("vec_id") % 10 =!= 3)
+    val idx = tmpIdx("nsw-empty")
+    try {
+      Similarity.buildNswIndex(spark, standing, idx)
+      val before = baseEdgeFiles(idx)
+      val rowsBefore = edgeRows(idx)
+      val empty = base.filter(col("vec_id") < 0)
+      Similarity.appendToNswIndex(spark, idx, empty, "e1")
+      // an idle micro-batch must not flip serves onto the merge path
+      // (round-9 advice: the empty tag= partition cost one extra window +
+      // broadcast per serve until a fold, for zero new edges)
+      assert(!new java.io.File(s"$idx/edges_delta").exists(),
+        "empty append must not write a delta partition")
+      assert(baseEdgeFiles(idx) == before && edgeRows(idx) == rowsBefore)
+      val plan = Similarity.storedNswEdgesMerged(spark, idx)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        "a serve after an empty append must stay window-free")
+      // the fingerprint IS recorded: an empty replay converges, a
+      // DIFFERENT (nonempty) increment under the same tag is refused
+      Similarity.appendToNswIndex(spark, idx, empty, "e1")
+      assert(!new java.io.File(s"$idx/edges_delta").exists())
+      val ex = intercept[IllegalStateException] {
+        Similarity.appendToNswIndex(spark, idx,
+          base.filter(col("vec_id") % 10 === 3), "e1")
+      }
+      assert(ex.getMessage.contains("DIFFERENT increment"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(idx).getParentFile)
+  }
+
   test("delta sprawl: 3 appends stay exact, serve pays ONE re-rank window, " +
       "fold collapses to a pre-ranked base with answers unchanged") {
     val base = Similarity.qvec(spark, dir).localCheckpoint()
