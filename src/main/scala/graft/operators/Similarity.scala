@@ -764,6 +764,37 @@ object Similarity {
       entriesOverride = Some(storedNswEntries(s, idxDir)))
   }
 
+  /** ss50: the MAINTENANCE DECISION itself, oracle-checked — the plan the
+    * auto-maintainer ([[maintainNswIndex]], and graphIngestStream's
+    * autoMaintain) acts on, computed from the shared rolled-forward
+    * artifact's METADATA (footer counts + append fingerprints; one
+    * unfolded delta tag carrying the vec_id % 10 == 3 increment, no
+    * tombstones). The oracle re-derives every count and both decisions
+    * from the corpus alone under the default dials (fold at >5% unfolded
+    * appends or 8 tags; recommend compaction past 25% tombstones — the
+    * measured ss43/ss48 point). READ-ONLY by design: ss49 serves this
+    * same artifact delta-bearing, so the fold ss50 recommends is never
+    * executed here (maintainNswIndex's effects are NswIndexSpec-pinned,
+    * the streaming wiring EventStreamSpec-pinned). */
+  def ss50NswMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    nswMaintenancePlan(s, rolledNswIndexFor(s, dir, base))
+  }
+
+  lazy val ss50Oracle: String =
+    s"""WITH $qvecSql,
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS corpus,
+       |  CAST(SUM(CASE WHEN vec_id % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS appended
+       | FROM qn)
+       |SELECT 'corpus_vecs' AS metric, corpus AS value FROM m
+       |UNION ALL SELECT 'appended_unfolded_vecs', appended FROM m
+       |UNION ALL SELECT 'delta_tags', CAST(1 AS BIGINT) FROM m
+       |UNION ALL SELECT 'tombstoned_vecs', CAST(0 AS BIGINT) FROM m
+       |UNION ALL SELECT 'fold_due',
+       |  CAST(CASE WHEN appended * 100 > corpus * 5 THEN 1 ELSE 0 END AS BIGINT) FROM m
+       |UNION ALL SELECT 'compact_due',
+       |  CAST(CASE WHEN 0 > corpus * 25 THEN 1 ELSE 0 END AS BIGINT) FROM m""".stripMargin
+
   lazy val ss49Oracle: String = {
     val hops = (1 to beamHops).map(h =>
       nswGrowSql(s"b${h - 1}", s"u$h") + ",\n" + nswBeamSql(s"u$h", s"b$h"))
@@ -1317,6 +1348,112 @@ object Similarity {
         f.delete(new org.apache.hadoop.fs.Path(s"$dstDir/$t"), true)
       writeNswManifest(s, dstDir)
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // Index MAINTENANCE POLICY — the "who folds, and when" half of the LSM
+  // layout. The verbs above (foldNswDeltas / compactNswProbes /
+  // compactIvfIndex / compactNswIndex) keep a streamed-into artifact
+  // healthy, but at 100 TB nobody runs them by hand: a graphIngestStream
+  // deployment appends a delta per micro-batch forever, and the
+  // merge-on-read serve degrades (one re-rank window + a growing
+  // touched-src broadcast + per-tag small files) until something folds.
+  // The policy is deliberately COUNT-based, not byte-based: counts are
+  // exact integer arithmetic the DuckDB oracle reproduces from the corpus
+  // (ss50), while file sizes are codec accidents no oracle can see. All
+  // thresholds are integer percents compared cross-multiplied — no
+  // floating point anywhere in a decision.
+  //
+  // Dials (session conf):
+  //  - spark.graft.nsw.foldAppendPct   (default 5): fold when unfolded
+  //    appended vectors exceed this percent of the corpus — bounds the
+  //    touched-src broadcast the merge-on-read serve pays;
+  //  - spark.graft.nsw.foldMaxTags     (default 8): fold when this many
+  //    delta partitions accumulate regardless of size — bounds the
+  //    per-serve file listing and the per-tag small files;
+  //  - spark.graft.nsw.compactTombstonePct (default 25): RECOMMEND
+  //    compaction when tombstones exceed this percent of the corpus.
+  //    25% is measured, not guessed: ss43 serves 95% recall at 11%
+  //    deletions THROUGH tombstones (dead nodes still route) while the
+  //    rebuilt graph serves 92% (ss44/ss48) — early compaction buys
+  //    nothing, so the default waits well past the measured point.
+  // ---------------------------------------------------------------------
+
+  private def confInt(s: SparkSession, key: String, dflt: Int): Int =
+    s.conf.getOption(key).map(_.toInt).getOrElse(dflt)
+
+  /** Maintenance metrics + decisions for a graph index, as a long-form
+    * (metric, value) frame — dictionary-sized, computed from artifact
+    * METADATA (parquet footers + the per-tag append fingerprints), never
+    * a corpus scan. ss50 oracle-checks every row against the corpus. */
+  def nswMaintenancePlan(s: SparkSession, idxDir: String): DataFrame = {
+    import s.implicits._
+    // corpus size: the inverted lists hold each vector exactly once
+    // (crn = 1 assignment) — a footer-only count
+    val corpus = s.read
+      .parquet(s"${resolveNswTable(s, idxDir, "ivf")}/lists").count()
+    val deltaDir = resolveNswTable(s, idxDir, "edges_delta")
+    promoteStages(s, deltaDir)
+    val f = hadoopFs(s, deltaDir)
+    val dp = new org.apache.hadoop.fs.Path(deltaDir)
+    val tags = if (!f.exists(dp)) Seq.empty[String]
+      else f.listStatus(dp).toSeq.collect {
+        case st if st.isDirectory && st.getPath.getName.startsWith("tag=") =>
+          st.getPath.getName.stripPrefix("tag=")
+      }
+    // unfolded appended vectors: each tag's `_append_tags/<tag>` sidecar
+    // records "count:idhash"; tags still present under edges_delta/ are
+    // the unfolded ones (fingerprints survive folds as replay identities,
+    // so the fingerprint dir alone would overcount)
+    val tagRoot = new org.apache.hadoop.fs.Path(deltaDir).getParent
+    val appended = tags.map { t =>
+      val p = new org.apache.hadoop.fs.Path(tagRoot, s"_append_tags/$t")
+      if (!f.exists(p)) 0L
+      else {
+        val in = f.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        txt.trim.split(':')(0).toLong
+      }
+    }.sum
+    val tombstoned = storedNswTombstones(s, idxDir).count()
+    val foldPct = confInt(s, "spark.graft.nsw.foldAppendPct", 5)
+    val foldMaxTags = confInt(s, "spark.graft.nsw.foldMaxTags", 8)
+    val compactPct = confInt(s, "spark.graft.nsw.compactTombstonePct", 25)
+    val foldDue =
+      if (appended * 100L > corpus * foldPct || tags.size >= foldMaxTags) 1L
+      else 0L
+    val compactDue = if (tombstoned * 100L > corpus * compactPct) 1L else 0L
+    Seq(
+      ("corpus_vecs", corpus),
+      ("appended_unfolded_vecs", appended),
+      ("delta_tags", tags.size.toLong),
+      ("tombstoned_vecs", tombstoned),
+      ("fold_due", foldDue),
+      ("compact_due", compactDue)
+    ).toDF("metric", "value")
+  }
+
+  /** Evaluate [[nswMaintenancePlan]] and EXECUTE the in-place-safe half:
+    * when `fold_due`, fold the edge deltas ([[foldNswDeltas]]) and
+    * compact the per-tag small files out of the probe sidecar and the
+    * inverted lists — all three are answers-unchanged (spec-pinned) and
+    * crash-safe (staged write / temp-dir rename), so they are safe from
+    * inside a streaming foreachBatch. `compact_due` is NOT executed here:
+    * compaction rebuilds into a NEW directory ([[compactNswIndex]] —
+    * blue/green by design, the standing index serves until the caller
+    * switches), so an in-place maintainer reporting it is the correct
+    * contract. Returns the PRE-maintenance plan plus what ran. */
+  def maintainNswIndex(s: SparkSession, idxDir: String): Map[String, Long] = {
+    val plan = nswMaintenancePlan(s, idxDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fold = plan("fold_due") == 1L
+    if (fold) {
+      foldNswDeltas(s, idxDir)
+      compactNswProbes(s, idxDir)
+      compactIvfIndex(s, s"$idxDir/ivf")
+    }
+    plan + ("folded" -> (if (fold) 1L else 0L))
   }
 
   // One graph build per (artifact, JVM): the suite's serving queries all
@@ -3871,7 +4008,8 @@ object Similarity {
     "ss46_nsw_index_build" -> (ss46NswIndexBuild _),
     "ss47_nsw_entry_rules" -> (ss47NswEntryRules _),
     "ss48_nsw_compact_frozen" -> (ss48NswCompactFrozen _),
-    "ss49_nsw_delta_serve" -> (ss49NswDeltaServe _))
+    "ss49_nsw_delta_serve" -> (ss49NswDeltaServe _),
+    "ss50_nsw_maintenance" -> (ss50NswMaintenance _))
 
   val oracles: Map[String, String] = Map(
     "ss34_ann_tombstoned" -> ss34Oracle,
@@ -3889,6 +4027,7 @@ object Similarity {
     "ss47_nsw_entry_rules" -> ss47Oracle,
     "ss48_nsw_compact_frozen" -> ss48Oracle,
     "ss49_nsw_delta_serve" -> ss49Oracle,
+    "ss50_nsw_maintenance" -> ss50Oracle,
     // the cold build+serve pays the WHOLE build in-query and must land on
     // exactly the warm serving path's answer — ss36's oracle, shared
     "ss46_nsw_index_build" -> ss36Oracle,

@@ -221,18 +221,33 @@ object EventStream {
     * at-least-once delivery. NswIndexSpec proves the convergence law and
     * the base-files-untouched pin directly. */
   def graphIngestStream(newVecs: DataFrame, idxDir: String,
-      checkpointLocation: Option[String] = None)
+      checkpointLocation: Option[String] = None,
+      autoMaintain: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = newVecs.writeStream.outputMode(OutputMode.Append())
     checkpointLocation.foreach(w.option("checkpointLocation", _))
     w.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      ingestGraphBatch(batch, idxDir, batchId)
+      ingestGraphBatch(batch, idxDir, batchId, autoMaintain)
     }.start()
   }
 
   /** Per-batch body of [[graphIngestStream]] — marker-gated like
-    * [[ingestVectorBatch]], with the batchId as the append's replay tag. */
-  def ingestGraphBatch(batch: DataFrame, idxDir: String, batchId: Long): Unit = {
+    * [[ingestVectorBatch]], with the batchId as the append's replay tag.
+    *
+    * `autoMaintain = true` runs [[graft.operators.Similarity
+    * .maintainNswIndex]] after the commit marker: the count-based policy
+    * (ss50's oracle-checked plan) folds edge deltas and compacts the
+    * per-tag small files once unfolded appends pass the conf'd fraction
+    * of the corpus — the piece that makes an UNATTENDED ingest stream
+    * viable at 100 TB (without it, merge-on-read degrades monotonically:
+    * a growing touched-src broadcast plus one file listing per tag per
+    * serve, forever). Running AFTER the marker is deliberate: the fold is
+    * answers-unchanged and idempotent, so a crash between marker and
+    * maintenance is caught up by any later batch's maintenance, while a
+    * crash between append and marker replays the append (converging by
+    * tag) and then maintains. */
+  def ingestGraphBatch(batch: DataFrame, idxDir: String, batchId: Long,
+      autoMaintain: Boolean = false): Unit = {
     val s = batch.sparkSession
     val f = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(idxDir), s.sparkContext.hadoopConfiguration)
@@ -244,6 +259,7 @@ object EventStream {
       f.mkdirs(marker.getParent)
       f.create(marker, false).close()
     }
+    if (autoMaintain) graft.operators.Similarity.maintainNswIndex(s, idxDir)
   }
 
   /** Streaming INGEST GATE — the per-document admission decision (tx21's

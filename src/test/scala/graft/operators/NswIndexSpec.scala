@@ -318,6 +318,106 @@ class NswIndexSpec extends SparkSpec {
       new java.io.File(idx).getParentFile)
   }
 
+  test("graphIngestStream autoMaintain: the policy folds mid-stream, the final " +
+      "index serves the one-shot answer window-free with no deltas left") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val base = Similarity.qvec(spark, dir).localCheckpoint()
+    val standing = base.filter(col("vec_id") % 10 =!= 3)
+    val incRaw = emb.filter(col("vec_id") % 10 === 3)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, String, Array[Float])].collect()
+    val idx = tmpIdx("nsw-automaint")
+    // force the fold dial low enough that every micro-batch is past it —
+    // the unattended-deployment path where no human ever runs the fold
+    spark.conf.set("spark.graft.nsw.foldAppendPct", "1")
+    try {
+      Similarity.buildNswIndex(spark, standing, idx)
+      val input = MemoryStream[(Long, String, Array[Float])]
+      val q = graft.streaming.EventStream.graphIngestStream(
+        input.toDF().toDF("vec_id", "label", "embedding"), idx,
+        autoMaintain = true)
+      incRaw.grouped(math.max(1, incRaw.length / 2 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      q.stop()
+      assert(!new java.io.File(s"$idx/edges_delta").exists(),
+        "autoMaintain must fold each past-threshold micro-batch's delta")
+      val plan = Similarity.maintainNswIndex(spark, idx)
+      assert(plan("delta_tags") == 0L && plan("appended_unfolded_vecs") == 0L
+        && plan("folded") == 0L)
+      // the folded serve is window-free AND exact over the grown corpus
+      val merged = Similarity.storedNswEdgesMerged(spark, idx)
+      assert(!merged.queryExecution.executedPlan.toString.contains("Window"))
+      val oneShot = Similarity.oneShotGraph(spark, base, s"$idx/ivf")
+        .select(col("src"), col("dst"), col("rnk").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toList.sorted
+      assert(edgeRows(idx, maxRnk = 3).map(t => (t._1, t._2, t._3)) == oneShot)
+    } finally {
+      spark.conf.unset("spark.graft.nsw.foldAppendPct")
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(idx).getParentFile)
+    }
+  }
+
+  test("maintenance policy: below-threshold appends are a no-op, past-threshold " +
+      "appends fold (answers unchanged, deltas gone, sidecars compacted)") {
+    val base = Similarity.qvec(spark, dir).localCheckpoint()
+    val standing = base.filter(col("vec_id") % 10 =!= 3)
+    val idx = tmpIdx("nsw-maint")
+    try {
+      Similarity.buildNswIndex(spark, standing, idx)
+      // a 0.5%-of-corpus append: under the 5% fold dial → maintain must
+      // NOT fold (folding per tiny micro-batch would rewrite the base
+      // artifact per batch — exactly the O(index) cost the LSM layout
+      // removed)
+      Similarity.appendToNswIndex(spark, idx,
+        base.filter(col("vec_id") % 200 === 3), "small")
+      val plan1 = Similarity.maintainNswIndex(spark, idx)
+      assert(plan1("fold_due") == 0L && plan1("folded") == 0L)
+      assert(new java.io.File(s"$idx/edges_delta/tag=small").isDirectory,
+        "a below-threshold maintain must leave the delta in place")
+      // grow past 5% unfolded → the same verb folds
+      Similarity.appendToNswIndex(spark, idx,
+        base.filter(col("vec_id") % 10 === 3 && col("vec_id") % 200 =!= 3),
+        "big")
+      val beforeRows = edgeRows(idx)
+      val plan2 = Similarity.maintainNswIndex(spark, idx)
+      assert(plan2("fold_due") == 1L && plan2("folded") == 1L)
+      assert(plan2("delta_tags") == 2L &&
+        plan2("appended_unfolded_vecs") ==
+          base.filter(col("vec_id") % 10 === 3).count())
+      assert(!new java.io.File(s"$idx/edges_delta").exists(),
+        "a due maintain must fold the deltas")
+      assert(edgeRows(idx) == beforeRows,
+        "maintenance must not change the served edges")
+      // sidecar hygiene rode along: one file per probe/list partition
+      for (t <- Seq("probes", "ivf/lists")) {
+        val parts = new java.io.File(s"$idx/$t").listFiles()
+          .count(f => f.isDirectory && f.getName.startsWith("cent_id="))
+        val files = spark.read.parquet(s"$idx/$t")
+          .select(input_file_name()).distinct().count()
+        assert(files == parts, s"$t: $files files over $parts partitions")
+      }
+      // the tag-count dial: two sub-threshold appends + foldMaxTags=2
+      // trigger a fold on COUNT alone (bounds per-serve file listings)
+      spark.conf.set("spark.graft.nsw.foldMaxTags", "2")
+      try {
+        Similarity.appendToNswIndex(spark, idx,
+          base.filter(col("vec_id") % 400 === 7), "t1")
+        Similarity.appendToNswIndex(spark, idx,
+          base.filter(col("vec_id") % 400 === 9), "t2")
+        val plan3 = Similarity.maintainNswIndex(spark, idx)
+        assert(plan3("fold_due") == 1L && plan3("delta_tags") == 2L)
+        assert(!new java.io.File(s"$idx/edges_delta").exists())
+      } finally spark.conf.unset("spark.graft.nsw.foldMaxTags")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(idx).getParentFile)
+  }
+
   test("a tombstone OVERLAY keeps the shared artifact immutable: edges and " +
       "entries resolve to the base, deletes stay private") {
     val base = Similarity.qvec(spark, dir).localCheckpoint()
