@@ -1723,6 +1723,97 @@ object Similarity {
       entriesOverride = Some(storedNswEntries(s, idx)))
   }
 
+  /** Deterministic EXTERNAL query set for ss51 and the serve-stream spec:
+    * every 100th corpus vector (the % 100 == 50 family — disjoint from
+    * the % 100 == 0 corpus-member query family) perturbed by +1 per
+    * component, with ids moved to a disjoint space so the beam's
+    * self-pair filter can never drop a legitimate candidate. Integer
+    * arithmetic end-to-end — the oracle rebuilds the exact vectors. */
+  private[operators] def externalQueries(base: DataFrame): DataFrame =
+    base.filter(col("vec_id") % 100 === 50)
+      .select((col("vec_id") + lit(10000000L)).as("q_id"),
+        transform(col("v"), x => x + lit(1L)).as("v1"),
+        aggregate(transform(col("v"), x => (x + lit(1L)) * (x + lit(1L))),
+          lit(0L), (a, x) => a + x).as("n1"))
+
+  /** EXTERNAL-QUERY serving — the front door a retrieval deployment
+    * actually exposes: the query vector arrives from OUTSIDE (a user
+    * embedding), the corpus lives in the artifact. Nothing here reads a
+    * corpus table: candidate vectors come from the artifact's own
+    * inverted lists (they carry (vec_id, v, nrm)), edges/entries/
+    * tombstones resolve from the artifact, and results are screened
+    * against tombstones AFTER the walk (dead nodes still route — ss43's
+    * measured law), then re-ranked over the full visited set (the ss42
+    * refill shape, so a screened-out candidate costs recall, not a
+    * short result list). Scale shape: per hop, |queries| × beamWidth
+    * rows equi-join the stored edge table; the only broadcast is the
+    * constant-size entry set. `queries` must be (q_id, v1, n1) with
+    * q_ids disjoint from corpus vec_ids. */
+  def beamServeExternal(s: SparkSession, idxDir: String,
+      queries: DataFrame): DataFrame = {
+    val lists = s.read
+      .parquet(s"${resolveNswTable(s, idxDir, "ivf")}/lists")
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val qs = queries.select(col("q_id"), col("v1"), col("n1"))
+    val visited = nswBeamSearch(lists,
+        storedNswEdges(s, idxDir, nswServeDegree),
+        materialize = true, beamHops,
+        entriesOverride = Some(storedNswEntries(s, idxDir)),
+        qsOverride = Some(qs))._2
+      .join(storedNswTombstones(s, idxDir).withColumnRenamed("vec_id", "c_id"),
+        Seq("c_id"), "left_anti")
+      .localCheckpoint()
+    val cs = lists.select(col("vec_id").as("c_id"), col("v").as("v2"),
+      col("nrm").as("n2"))
+    topK(visited.join(qs, Seq("q_id")).join(cs, Seq("c_id"))
+        .withColumn("cos",
+          expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double"))))
+      .select(col("q_id"), col("c_id"), col("rnk"), col("cos"))
+  }
+
+  /** ss51: [[beamServeExternal]] oracle-checked — external queries (the
+    * deterministic perturbed family) served against the shared stored
+    * graph; the oracle rebuilds the index chain, the perturbed queries,
+    * the beam recurrence AND the visited-set re-rank from the corpus
+    * alone, with no knowledge of the artifact. */
+  def ss51ExternalServe(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    beamServeExternal(s, ensureNswIndex(s, dir), externalQueries(base))
+  }
+
+  lazy val ss51Oracle: String = {
+    val hops = (1 to beamHops).map(h =>
+      nswGrowSql(s"b${h - 1}", s"u$h") + ",\n" +
+        nswBeamSql(s"u$h", s"b$h", "qx")).mkString(",\n")
+    val visUnion = (0 to beamHops).map(h => s"SELECT q_id, c_id FROM u$h")
+      .mkString("\n UNION\n ")
+    s"""WITH $qvecSql,
+       |${kmChainSql(ivfRounds)},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |${annProbePrefixSqlFor("TRUE")},
+       |$nswRankedEdgeSql,
+       |ed AS (SELECT src, dst FROM edr WHERE rnk <= $nswServeDegree),
+       |qx AS (SELECT vec_id + 10000000 AS vec_id,
+       |  list_transform(v, x -> x + 1) AS v,
+       |  CAST(list_sum(list_transform(v, x -> (x + 1) * (x + 1))) AS BIGINT) AS nrm
+       | FROM qn WHERE vec_id % 100 = 50),
+       |en AS (SELECT vec_id AS c_id FROM qn ORDER BY vec_id ASC LIMIT $nswEntryCount),
+       |u0 AS (SELECT vec_id AS q_id, c_id FROM qx CROSS JOIN en),
+       |${nswBeamSql("u0", "b0", "qx")},
+       |$hops,
+       |vis AS ($visUnion),
+       |vs AS (
+       | SELECT vis.q_id, vis.c_id,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT)
+       |    / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos
+       | FROM vis JOIN qx a ON vis.q_id = a.vec_id
+       |  JOIN qn b ON vis.c_id = b.vec_id)
+       |SELECT q_id, c_id, CAST(rnk AS INT) AS rnk, cos FROM (
+       | SELECT q_id, c_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk
+       | FROM vs) t WHERE rnk <= $K""".stripMargin
+  }
+
   /** The beam search proper over a prepared navigation graph: hop from
     * the fixed entry points toward each query, keeping the best
     * beamWidth candidates seen (bounded-budget recurrence — see the
@@ -1749,11 +1840,15 @@ object Similarity {
       materialize: Boolean, hops: Int,
       queryPred: Column = col("vec_id") % 100 === 0,
       initialFrontier: Option[DataFrame] = None,
-      entriesOverride: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+      entriesOverride: Option[DataFrame] = None,
+      qsOverride: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     def ck(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint() else df
-    val qs = base.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1"))
+    // qsOverride carries EXTERNAL queries ((q_id, v1, n1) — not corpus
+    // members); its id space must be disjoint from vec_ids, or the
+    // self-pair filter below would drop a legitimate (query, candidate)
+    val qs = qsOverride.getOrElse(base.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("v1"), col("nrm").as("n1")))
     val cands = base
       .select(col("vec_id").as("c_id"), col("v").as("v2"), col("nrm").as("n2"))
     val w = Window.partitionBy(col("q_id"))
@@ -1798,7 +1893,10 @@ object Similarity {
        | SELECT g.q_id, e.dst AS c_id FROM $b g JOIN $ed e ON e.src = g.c_id)"""
       .stripMargin
 
-  private def nswBeamSql(u: String, b: String): String =
+  /** `qTab` is the query-side vector table (vec_id, v, nrm) — "qn" for
+    * corpus-member queries, an external CTE for [[beamServeExternal]]'s
+    * oracle (ss51), where query ids live in a disjoint id space. */
+  private def nswBeamSql(u: String, b: String, qTab: String = "qn"): String =
     s"""$b AS (
        | SELECT * FROM (
        |  SELECT q_id, c_id, cos,
@@ -1808,7 +1906,7 @@ object Similarity {
        |    CAST(list_sum(list_transform(range(1, len(aa.v) + 1),
        |      i -> aa.v[i] * bb.v[i])) AS BIGINT)
        |      / sqrt(CAST(aa.nrm AS DOUBLE) * CAST(bb.nrm AS DOUBLE)) AS cos
-       |   FROM $u u JOIN qn aa ON u.q_id = aa.vec_id
+       |   FROM $u u JOIN $qTab aa ON u.q_id = aa.vec_id
        |    JOIN qn bb ON u.c_id = bb.vec_id
        |   WHERE u.q_id != u.c_id) s0) s1
        | WHERE rnk <= $beamWidth)""".stripMargin
@@ -4009,7 +4107,8 @@ object Similarity {
     "ss47_nsw_entry_rules" -> (ss47NswEntryRules _),
     "ss48_nsw_compact_frozen" -> (ss48NswCompactFrozen _),
     "ss49_nsw_delta_serve" -> (ss49NswDeltaServe _),
-    "ss50_nsw_maintenance" -> (ss50NswMaintenance _))
+    "ss50_nsw_maintenance" -> (ss50NswMaintenance _),
+    "ss51_external_serve" -> (ss51ExternalServe _))
 
   val oracles: Map[String, String] = Map(
     "ss34_ann_tombstoned" -> ss34Oracle,
@@ -4028,6 +4127,7 @@ object Similarity {
     "ss48_nsw_compact_frozen" -> ss48Oracle,
     "ss49_nsw_delta_serve" -> ss49Oracle,
     "ss50_nsw_maintenance" -> ss50Oracle,
+    "ss51_external_serve" -> ss51Oracle,
     // the cold build+serve pays the WHOLE build in-query and must land on
     // exactly the warm serving path's answer — ss36's oracle, shared
     "ss46_nsw_index_build" -> ss36Oracle,

@@ -262,6 +262,48 @@ object EventStream {
     if (autoMaintain) graft.operators.Similarity.maintainNswIndex(s, idxDir)
   }
 
+  /** Streaming SERVE front door — the other half of the index lifecycle:
+    * [[graphIngestStream]] keeps the artifact current; this answers
+    * QUERY vectors as they arrive. Each micro-batch of (q_id, embedding)
+    * rows is quantized and beam-served against the STORED graph
+    * ([[graft.operators.Similarity.beamServeExternal]] — candidate
+    * vectors from the artifact's inverted lists, never a corpus table),
+    * and the top-k results land under `outDir/batch=<id>`. Marker-gated
+    * + deterministic per-batch dir + overwrite = an at-least-once replay
+    * converges to one copy (spec-pinned), the ingest sinks' contract. */
+  def beamServeStream(queries: DataFrame, idxDir: String, outDir: String,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = queries.writeStream.outputMode(OutputMode.Append())
+    checkpointLocation.foreach(w.option("checkpointLocation", _))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      serveGraphBatch(batch, idxDir, outDir, batchId)
+    }.start()
+  }
+
+  /** Per-batch body of [[beamServeStream]]. */
+  def serveGraphBatch(batch: DataFrame, idxDir: String, outDir: String,
+      batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$outDir/_serve_commits/$batchId")
+    if (!f.exists(marker)) {
+      // quantize the arriving embeddings exactly as the corpus was
+      // (Dedup.quantized's transform — the batch carries (q_id,
+      // embedding), not the corpus's (vec_id, label, embedding))
+      graft.functions.VectorFunctions.register(s)
+      val qs = batch.select(col("q_id"),
+          expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))")
+            .as("v1"))
+        .withColumn("n1", expr("dot_l(v1, v1)"))
+      graft.operators.Similarity.beamServeExternal(s, idxDir, qs)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      f.mkdirs(marker.getParent)
+      f.create(marker, false).close()
+    }
+  }
+
   /** Streaming INGEST GATE — the per-document admission decision (tx21's
     * named quality rules + tx01's language guess) evaluated on documents
     * as they arrive. Both are STATELESS projections (integer

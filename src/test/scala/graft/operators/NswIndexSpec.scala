@@ -363,6 +363,64 @@ class NswIndexSpec extends SparkSpec {
     }
   }
 
+  test("beamServeStream: micro-batched external queries equal the one-shot batch " +
+      "serve, and a replayed batch converges to one copy") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val base = Similarity.qvec(spark, dir).localCheckpoint()
+    val idx = tmpIdx("nsw-serve")
+    val out = java.nio.file.Files.createTempDirectory("nsw-serve-out").toString
+    try {
+      Similarity.buildNswIndex(spark, base, idx)
+      val extRaw = emb.filter(col("vec_id") % 100 === 50)
+        .select((col("vec_id") + lit(10000000L)).as("q_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+      val input = MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.EventStream.beamServeStream(
+        input.toDF().toDF("q_id", "embedding"), idx, out)
+      extRaw.grouped(math.max(1, extRaw.length / 2 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      q.stop()
+      def served = spark.read.parquet(out)
+        .select(col("q_id"), col("c_id"), col("rnk"), col("cos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toList.sorted
+      // lockstep law: the stream's union of batches == the batch serve
+      val oneShot = Similarity.beamServeExternal(spark, idx,
+          base.filter(col("vec_id") % 100 === 50)
+            .select((col("vec_id") + lit(10000000L)).as("q_id"),
+              col("v").as("v1"), col("nrm").as("n1")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toList.sorted
+      val first = served
+      assert(first == oneShot,
+        "streamed serve must equal the one-shot batch serve")
+      // at-least-once replay: the marker gates batchId 0, so a re-drive —
+      // even with different content — must not touch the written results
+      graft.streaming.EventStream.serveGraphBatch(
+        emb.filter(col("vec_id") % 100 === 50).limit(0)
+          .select(col("vec_id").as("q_id"), col("embedding")), idx, out, 0)
+      assert(served == first, "a marker-gated replay must be a no-op")
+      // and with the marker gone, the deterministic per-batch dir
+      // overwrites to identical content (the crash-before-marker path)
+      new java.io.File(s"$out/_serve_commits/1").delete()
+      val replay = emb
+        .filter(col("vec_id") % 100 === 50 &&
+          (col("vec_id") + 10000000L).isin(
+            extRaw.drop(extRaw.length / 2 + 1).map(_._1).toSeq: _*))
+        .select((col("vec_id") + 10000000L).as("q_id"), col("embedding"))
+      graft.streaming.EventStream.serveGraphBatch(replay, idx, out, 1)
+      assert(served == first, "a replay of a crashed batch must converge")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(idx).getParentFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("maintenance policy: below-threshold appends are a no-op, past-threshold " +
       "appends fold (answers unchanged, deltas gone, sidecars compacted)") {
     val base = Similarity.qvec(spark, dir).localCheckpoint()
