@@ -1814,6 +1814,87 @@ object Similarity {
        | FROM vs) t WHERE rnk <= $K""".stripMargin
   }
 
+  /** [[beamServeExternal]]'s IVF sibling — external query vectors probed
+    * against the STORED coarse quantizer and scored only inside their
+    * nprobe pruned list partitions (the classic IVF serving path, for
+    * queries that are not corpus members). The centroid table is the
+    * only broadcast (constant-size); the list join partition-prunes on
+    * the probed cent_ids; each candidate lives in exactly one list
+    * (crn = 1 assignment), so pairs are structurally duplicate-free. */
+  def ivfServeExternal(s: SparkSession, idxDir: String,
+      queries: DataFrame): DataFrame = {
+    val cents = s.read.parquet(s"$idxDir/centroids")
+      .select(col("cent_id"), col("cv").as("v2"), col("cnrm").as("n2"))
+    val qside = queries.select(col("q_id"), col("v1"), col("n1"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val probes = qside.join(broadcast(cents), lit(true))
+      .withColumn("ccos",
+        expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+      .withColumn("crn", row_number().over(wProbe)).filter(col("crn") <= nprobe)
+      .select(col("q_id"), col("cent_id"))
+    val lists = s.read.parquet(s"$idxDir/lists")
+      .select(col("cent_id"), col("vec_id").as("c_id"),
+        col("v").as("v2"), col("nrm").as("n2"))
+    // the query side is request-sized (a serving batch), so it broadcasts
+    // into the scoring join — the probeIvfIndex choice, not AQE's
+    topK(probes.join(lists, Seq("cent_id"))
+        .join(broadcast(qside), Seq("q_id"))
+        .withColumn("cos",
+          expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double"))))
+      .select(col("q_id"), col("c_id"), col("rnk"), col("cos"))
+  }
+
+  /** ss52: [[ivfServeExternal]] oracle-checked over ss05's persisted
+    * index and ss51's perturbed external query family. */
+  def ss52IvfExternalServe(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val idxDir = indexPathFor(dir)
+    buildIvfIndex(base, idxDir)
+    ivfServeExternal(s, idxDir, externalQueries(base))
+  }
+
+  lazy val ss52Oracle: String =
+    s"""WITH $qvecSql,
+       |${kmChainSql(ivfRounds)},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |cscored AS (
+       | SELECT qn.vec_id, cents.cent_id,
+       |  CAST(list_sum(list_transform(range(1, len(qn.v) + 1), i -> qn.v[i] * cents.cv[i])) AS BIGINT)
+       |    / sqrt(CAST(qn.nrm AS DOUBLE) * CAST(cents.cn AS DOUBLE)) AS ccos
+       | FROM qn CROSS JOIN cents),
+       |assigned AS (
+       | SELECT vec_id AS a_id, cent_id FROM (
+       |  SELECT vec_id, cent_id,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS crn
+       |  FROM cscored) t WHERE crn = 1),
+       |qx AS (SELECT vec_id + 10000000 AS vec_id,
+       |  list_transform(v, x -> x + 1) AS v,
+       |  CAST(list_sum(list_transform(v, x -> (x + 1) * (x + 1))) AS BIGINT) AS nrm
+       | FROM qn WHERE vec_id % 100 = 50),
+       |xscored AS (
+       | SELECT qx.vec_id, cents.cent_id,
+       |  CAST(list_sum(list_transform(range(1, len(qx.v) + 1), i -> qx.v[i] * cents.cv[i])) AS BIGINT)
+       |    / sqrt(CAST(qx.nrm AS DOUBLE) * CAST(cents.cn AS DOUBLE)) AS ccos
+       | FROM qx CROSS JOIN cents),
+       |xprobes AS (
+       | SELECT vec_id AS q_id, cent_id FROM (
+       |  SELECT vec_id, cent_id,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS crn
+       |  FROM xscored) t WHERE crn <= $nprobe),
+       |pairs AS (
+       | SELECT p.q_id, a.a_id AS c_id
+       | FROM xprobes p JOIN assigned a ON p.cent_id = a.cent_id),
+       |scored AS (
+       | SELECT pairs.q_id, pairs.c_id,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT)
+       |    / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos
+       | FROM pairs JOIN qx a ON pairs.q_id = a.vec_id JOIN qn b ON pairs.c_id = b.vec_id)
+       |SELECT q_id, c_id, CAST(rnk AS INT) AS rnk, cos FROM (
+       | SELECT q_id, c_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk
+       | FROM scored) t WHERE rnk <= $K""".stripMargin
+
   /** The beam search proper over a prepared navigation graph: hop from
     * the fixed entry points toward each query, keeping the best
     * beamWidth candidates seen (bounded-budget recurrence — see the
@@ -4108,7 +4189,8 @@ object Similarity {
     "ss48_nsw_compact_frozen" -> (ss48NswCompactFrozen _),
     "ss49_nsw_delta_serve" -> (ss49NswDeltaServe _),
     "ss50_nsw_maintenance" -> (ss50NswMaintenance _),
-    "ss51_external_serve" -> (ss51ExternalServe _))
+    "ss51_external_serve" -> (ss51ExternalServe _),
+    "ss52_ivf_external_serve" -> (ss52IvfExternalServe _))
 
   val oracles: Map[String, String] = Map(
     "ss34_ann_tombstoned" -> ss34Oracle,
@@ -4128,6 +4210,7 @@ object Similarity {
     "ss49_nsw_delta_serve" -> ss49Oracle,
     "ss50_nsw_maintenance" -> ss50Oracle,
     "ss51_external_serve" -> ss51Oracle,
+    "ss52_ivf_external_serve" -> ss52Oracle,
     // the cold build+serve pays the WHOLE build in-query and must land on
     // exactly the warm serving path's answer — ss36's oracle, shared
     "ss46_nsw_index_build" -> ss36Oracle,
