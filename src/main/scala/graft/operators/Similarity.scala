@@ -1723,18 +1723,26 @@ object Similarity {
       entriesOverride = Some(storedNswEntries(s, idx)))
   }
 
-  /** Deterministic EXTERNAL query set for ss51 and the serve-stream spec:
-    * every 100th corpus vector (the % 100 == 50 family — disjoint from
-    * the % 100 == 0 corpus-member query family) perturbed by +1 per
-    * component, with ids moved to a disjoint space so the beam's
-    * self-pair filter can never drop a legitimate candidate. Integer
-    * arithmetic end-to-end — the oracle rebuilds the exact vectors. */
-  private[operators] def externalQueries(base: DataFrame): DataFrame =
-    base.filter(col("vec_id") % 100 === 50)
+  /** Deterministic EXTERNAL query set for ss51/ss52/ss53 and the
+    * serve-stream spec: the element-wise SUM of two unrelated corpus
+    * vectors (every 100th, paired with its id-successor — ids are not
+    * locality-correlated, so the midpoint direction lands genuinely
+    * between clusters and the recall audit discriminates; a small
+    * perturbation of a member would just re-find its own neighborhood
+    * at 100%). The sum, not the average: cosine is scale-invariant and
+    * integer addition is exact in both engines with no floor/truncate
+    * divergence. Ids move to a disjoint space so the beam's self-pair
+    * filter can never drop a legitimate candidate. */
+  private[operators] def externalQueries(base: DataFrame): DataFrame = {
+    val a = base.filter(col("vec_id") % 100 === 50)
+      .select(col("vec_id"), col("v").as("va"))
+    val b = base.select((col("vec_id") - lit(1L)).as("vec_id"),
+      col("v").as("vb"))
+    a.join(b, Seq("vec_id"))
       .select((col("vec_id") + lit(10000000L)).as("q_id"),
-        transform(col("v"), x => x + lit(1L)).as("v1"),
-        aggregate(transform(col("v"), x => (x + lit(1L)) * (x + lit(1L))),
-          lit(0L), (a, x) => a + x).as("n1"))
+        zip_with(col("va"), col("vb"), (x, y) => x + y).as("v1"))
+      .withColumn("n1", expr("dot_l(v1, v1)"))
+  }
 
   /** EXTERNAL-QUERY serving — the front door a retrieval deployment
     * actually exposes: the query vector arrives from OUTSIDE (a user
@@ -1793,10 +1801,12 @@ object Similarity {
        |${annProbePrefixSqlFor("TRUE")},
        |$nswRankedEdgeSql,
        |ed AS (SELECT src, dst FROM edr WHERE rnk <= $nswServeDegree),
-       |qx AS (SELECT vec_id + 10000000 AS vec_id,
-       |  list_transform(v, x -> x + 1) AS v,
-       |  CAST(list_sum(list_transform(v, x -> (x + 1) * (x + 1))) AS BIGINT) AS nrm
-       | FROM qn WHERE vec_id % 100 = 50),
+       |qx AS (SELECT a.vec_id + 10000000 AS vec_id,
+       |  list_transform(range(1, len(a.v) + 1), i -> a.v[i] + b.v[i]) AS v,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+       |    i -> (a.v[i] + b.v[i]) * (a.v[i] + b.v[i]))) AS BIGINT) AS nrm
+       | FROM qn a JOIN qn b ON b.vec_id = a.vec_id + 1
+       | WHERE a.vec_id % 100 = 50),
        |en AS (SELECT vec_id AS c_id FROM qn ORDER BY vec_id ASC LIMIT $nswEntryCount),
        |u0 AS (SELECT vec_id AS q_id, c_id FROM qx CROSS JOIN en),
        |${nswBeamSql("u0", "b0", "qx")},
@@ -1868,10 +1878,12 @@ object Similarity {
        |  SELECT vec_id, cent_id,
        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS crn
        |  FROM cscored) t WHERE crn = 1),
-       |qx AS (SELECT vec_id + 10000000 AS vec_id,
-       |  list_transform(v, x -> x + 1) AS v,
-       |  CAST(list_sum(list_transform(v, x -> (x + 1) * (x + 1))) AS BIGINT) AS nrm
-       | FROM qn WHERE vec_id % 100 = 50),
+       |qx AS (SELECT a.vec_id + 10000000 AS vec_id,
+       |  list_transform(range(1, len(a.v) + 1), i -> a.v[i] + b.v[i]) AS v,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+       |    i -> (a.v[i] + b.v[i]) * (a.v[i] + b.v[i]))) AS BIGINT) AS nrm
+       | FROM qn a JOIN qn b ON b.vec_id = a.vec_id + 1
+       | WHERE a.vec_id % 100 = 50),
        |xscored AS (
        | SELECT qx.vec_id, cents.cent_id,
        |  CAST(list_sum(list_transform(range(1, len(qx.v) + 1), i -> qx.v[i] * cents.cv[i])) AS BIGINT)
@@ -1894,6 +1906,62 @@ object Similarity {
        | SELECT q_id, c_id, cos,
        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk
        | FROM scored) t WHERE rnk <= $K""".stripMargin
+
+  /** ss53: the external-serve HONESTY METRIC — recall of BOTH external
+    * serving tiers (graph beam ss51, IVF probe ss52) against the exact
+    * brute-force top-K for the same external query family, side by side
+    * in one audit (the repo's standard: every serving tier ships its
+    * recall instrument — ss06/ss12/ss37/ss41/ss43). The exact side is a
+    * deliberate |queries| × corpus baseline, request-bounded like ss01's:
+    * the audit runs offline per corpus snapshot, never in the serve
+    * path. */
+  def ss53ExternalRecall(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val ext = externalQueries(base).localCheckpoint()
+    val cs = base.select(col("vec_id").as("c_id"), col("v").as("v2"),
+      col("nrm").as("n2"))
+    val exact = topK(ext.join(cs, lit(true))
+        .withColumn("cos",
+          expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double"))))
+      .select(col("q_id"), col("c_id")).localCheckpoint()
+    val beam = beamServeExternal(s, ensureNswIndex(s, dir), ext)
+    val idxDir = indexPathFor(dir)
+    buildIvfIndex(base, idxDir)
+    val ivf = ivfServeExternal(s, idxDir, ext)
+    recallAgainst(exact, beam).withColumn("tier", lit("beam"))
+      .unionByName(recallAgainst(exact, ivf).withColumn("tier", lit("ivf")))
+      .select(col("tier"), col("n_exact"), col("n_hit"), col("recall_pct"))
+  }
+
+  lazy val ss53Oracle: String =
+    s"""WITH $qvecSql,
+       |qx AS (SELECT a.vec_id + 10000000 AS q_id,
+       |  list_transform(range(1, len(a.v) + 1), i -> a.v[i] + b.v[i]) AS v,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+       |    i -> (a.v[i] + b.v[i]) * (a.v[i] + b.v[i]))) AS BIGINT) AS nrm
+       | FROM qn a JOIN qn b ON b.vec_id = a.vec_id + 1
+       | WHERE a.vec_id % 100 = 50),
+       |ex AS (
+       | SELECT q_id, c_id FROM (
+       |  SELECT qx.q_id, c.vec_id AS c_id,
+       |   ROW_NUMBER() OVER (PARTITION BY qx.q_id ORDER BY
+       |     CAST(list_sum(list_transform(range(1, len(qx.v) + 1), i -> qx.v[i] * c.v[i])) AS BIGINT)
+       |       / sqrt(CAST(qx.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)) DESC,
+       |     c.vec_id ASC) AS rnk
+       |  FROM qx CROSS JOIN qn c) t WHERE rnk <= $K),
+       |apb AS (SELECT q_id, c_id FROM ($ss51Oracle) b),
+       |api AS (SELECT q_id, c_id FROM ($ss52Oracle) i)
+       |SELECT 'beam' AS tier, COUNT(*) AS n_exact,
+       | CAST(SUM(CASE WHEN apb.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       | (CAST(SUM(CASE WHEN apb.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
+       |   // COUNT(*) AS recall_pct
+       |FROM ex LEFT JOIN apb USING (q_id, c_id)
+       |UNION ALL
+       |SELECT 'ivf', COUNT(*),
+       | CAST(SUM(CASE WHEN api.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+       | (CAST(SUM(CASE WHEN api.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
+       |   // COUNT(*)
+       |FROM ex LEFT JOIN api USING (q_id, c_id)""".stripMargin
 
   /** The beam search proper over a prepared navigation graph: hop from
     * the fixed entry points toward each query, keeping the best
@@ -4190,7 +4258,8 @@ object Similarity {
     "ss49_nsw_delta_serve" -> (ss49NswDeltaServe _),
     "ss50_nsw_maintenance" -> (ss50NswMaintenance _),
     "ss51_external_serve" -> (ss51ExternalServe _),
-    "ss52_ivf_external_serve" -> (ss52IvfExternalServe _))
+    "ss52_ivf_external_serve" -> (ss52IvfExternalServe _),
+    "ss53_external_recall" -> (ss53ExternalRecall _))
 
   val oracles: Map[String, String] = Map(
     "ss34_ann_tombstoned" -> ss34Oracle,
@@ -4211,6 +4280,7 @@ object Similarity {
     "ss50_nsw_maintenance" -> ss50Oracle,
     "ss51_external_serve" -> ss51Oracle,
     "ss52_ivf_external_serve" -> ss52Oracle,
+    "ss53_external_recall" -> ss53Oracle,
     // the cold build+serve pays the WHOLE build in-query and must land on
     // exactly the warm serving path's answer — ss36's oracle, shared
     "ss46_nsw_index_build" -> ss36Oracle,
