@@ -1444,7 +1444,8 @@ object Similarity {
     * blue/green by design, the standing index serves until the caller
     * switches), so an in-place maintainer reporting it is the correct
     * contract. Returns the PRE-maintenance plan plus what ran. */
-  def maintainNswIndex(s: SparkSession, idxDir: String): Map[String, Long] = {
+  def maintainNswIndex(s: SparkSession, idxDir: String,
+      rotateTo: Option[String] = None): Map[String, Long] = {
     val plan = nswMaintenancePlan(s, idxDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val fold = plan("fold_due") == 1L
@@ -1453,7 +1454,55 @@ object Similarity {
       compactNswProbes(s, idxDir)
       compactIvfIndex(s, s"$idxDir/ivf")
     }
-    plan + ("folded" -> (if (fold) 1L else 0L))
+    val rotate = plan("compact_due") == 1L && rotateTo.isDefined
+    if (rotate) rotateNswIndex(s, idxDir, rotateTo.get)
+    plan + ("folded" -> (if (fold) 1L else 0L)) +
+      ("rotated" -> (if (rotate) 1L else 0L))
+  }
+
+  /** Compaction executed from the ARTIFACT ALONE — the blue/green
+    * executor for [[nswMaintenancePlan]]'s `compact_due`: the alive
+    * lists and probes are FILTERS of the stored tables (anti-join the
+    * tombstones), so the rotate reads no corpus table and runs no
+    * quantizer scoring or assignment pass at all. Correct because the
+    * quantizer is frozen and assignment is per-vector: deleting OTHER
+    * vectors cannot change an alive vector's argmax list or top-nprobe
+    * probes, so filtering the stored assignment IS the frozen
+    * re-assignment — [[compactNswIndex]](retrain = false) minus its two
+    * scoring passes (NswIndexSpec pins table-level equality of the two).
+    * The one remaining compute is the edge re-derivation from the
+    * filtered tables, which every compaction must pay (deleting nodes
+    * re-opens everyone's top-M). Edge deltas need no pre-fold: edges
+    * re-derive from lists × probes, which appends keep complete. The
+    * source is untouched and keeps serving until the caller switches —
+    * then it is the rollback target. */
+  def rotateNswIndex(s: SparkSession, srcDir: String, dstDir: String): Unit = {
+    val tomb = storedNswTombstones(s, srcDir).localCheckpoint()
+    s.read.parquet(s"${resolveNswTable(s, srcDir, "ivf")}/centroids")
+      .localCheckpoint()
+      .write.mode("overwrite").parquet(s"$dstDir/ivf/centroids")
+    // cast the rediscovered partition column back to long before the
+    // rewrite (the compactCentPartitioned discipline — partition
+    // discovery narrows small cent_ids to int)
+    val lists = s.read
+      .parquet(s"${resolveNswTable(s, srcDir, "ivf")}/lists")
+      .withColumn("cent_id", col("cent_id").cast("long"))
+      .join(tomb, Seq("vec_id"), "left_anti").localCheckpoint()
+    lists.write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$dstDir/ivf/lists")
+    s.read.parquet(resolveNswTable(s, srcDir, "probes"))
+      .withColumn("cent_id", col("cent_id").cast("long"))
+      .join(tomb, Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$dstDir/probes")
+    writeNswEdges(s, dstDir, edgesFromStored(s, dstDir))
+    writeNswEntries(s, dstDir,
+      lists.select(col("vec_id")).orderBy(col("vec_id").asc)
+        .limit(nswEntryCount))
+    val f = hadoopFs(s, dstDir)
+    for (t <- Seq("tombstones", "edges_delta", "_append_tags"))
+      f.delete(new org.apache.hadoop.fs.Path(s"$dstDir/$t"), true)
+    writeNswManifest(s, dstDir)
   }
 
   // One graph build per (artifact, JVM): the suite's serving queries all

@@ -476,6 +476,53 @@ class NswIndexSpec extends SparkSpec {
       new java.io.File(idx).getParentFile)
   }
 
+  test("rotateNswIndex: filter-only compaction from the artifact alone equals " +
+      "the frozen-quantizer compact table-for-table; maintain executes it when due") {
+    val base = Similarity.qvec(spark, dir).localCheckpoint()
+    val standing = base.filter(col("vec_id") % 10 =!= 3)
+    val idx = tmpIdx("nsw-rotate")
+    try {
+      Similarity.buildNswIndex(spark, standing, idx)
+      Similarity.appendToNswIndex(spark, idx,
+        base.filter(col("vec_id") % 10 === 3), "b1")
+      Similarity.tombstoneNswIndex(spark, idx,
+        base.filter(col("vec_id") % 9 === 0).select(col("vec_id")))
+      val rotDst = s"$idx-rot"; val cmpDst = s"$idx-cmp"
+      Similarity.rotateNswIndex(spark, idx, rotDst)
+      Similarity.compactNswIndex(spark, base, idx, cmpDst, retrain = false)
+      // table-for-table equality with the scoring-pass variant
+      def pairs(d: String, t: String) = spark.read.parquet(s"$d/$t")
+        .select(col("vec_id"), col("cent_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+      assert(pairs(rotDst, "ivf/lists") == pairs(cmpDst, "ivf/lists"))
+      assert(pairs(rotDst, "probes") == pairs(cmpDst, "probes"))
+      def edges(d: String) = spark.read.parquet(s"$d/edges")
+        .select(col("src"), col("dst"), col("rnk").cast("int"), col("cos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toList.sorted
+      assert(edges(rotDst) == edges(cmpDst))
+      def entries(d: String) = spark.read.parquet(s"$d/entries")
+        .collect().map(_.getLong(0)).toList.sorted
+      assert(entries(rotDst) == entries(cmpDst))
+      // a rotated index is a clean base: no deltas, no tombstones, and the
+      // serve is a pre-ranked window-free scan
+      assert(!new java.io.File(s"$rotDst/edges_delta").exists() &&
+        Similarity.storedNswTombstones(spark, rotDst).count() == 0)
+      assert(!Similarity.storedNswEdgesMerged(spark, rotDst)
+        .queryExecution.executedPlan.toString.contains("Window"))
+      // maintain executes the rotate when compact_due fires (the %9
+      // tombstones are ~11%, so lower the dial under them)
+      spark.conf.set("spark.graft.nsw.compactTombstonePct", "10")
+      try {
+        val plan = Similarity.maintainNswIndex(spark, idx,
+          rotateTo = Some(s"$idx-rot2"))
+        assert(plan("compact_due") == 1L && plan("rotated") == 1L)
+        assert(edges(s"$idx-rot2") == edges(rotDst))
+      } finally spark.conf.unset("spark.graft.nsw.compactTombstonePct")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(idx).getParentFile)
+  }
+
   test("a tombstone OVERLAY keeps the shared artifact immutable: edges and " +
       "entries resolve to the base, deletes stay private") {
     val base = Similarity.qvec(spark, dir).localCheckpoint()
