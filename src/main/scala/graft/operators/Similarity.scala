@@ -1881,7 +1881,15 @@ object Similarity {
     * the probed cent_ids; each candidate lives in exactly one list
     * (crn = 1 assignment), so pairs are structurally duplicate-free. */
   def ivfServeExternal(s: SparkSession, idxDir: String,
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame): DataFrame =
+    ivfServeExternalAt(s, idxDir, queries, nprobe)
+
+  /** [[ivfServeExternal]] with the probe count as a dial — ss54 measures
+    * external recall per nprobe (the ss37-ladder pattern: the dial is
+    * measured per corpus, not guessed; ss53's production reading is the
+    * ladder's first rung). */
+  def ivfServeExternalAt(s: SparkSession, idxDir: String,
+      queries: DataFrame, probeCount: Int): DataFrame = {
     val cents = s.read.parquet(s"$idxDir/centroids")
       .select(col("cent_id"), col("cv").as("v2"), col("cnrm").as("n2"))
     val qside = queries.select(col("q_id"), col("v1"), col("n1"))
@@ -1890,7 +1898,8 @@ object Similarity {
     val probes = qside.join(broadcast(cents), lit(true))
       .withColumn("ccos",
         expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
-      .withColumn("crn", row_number().over(wProbe)).filter(col("crn") <= nprobe)
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= probeCount)
       .select(col("q_id"), col("cent_id"))
     val lists = s.read.parquet(s"$idxDir/lists")
       .select(col("cent_id"), col("vec_id").as("c_id"),
@@ -2011,6 +2020,93 @@ object Similarity {
        | (CAST(SUM(CASE WHEN api.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
        |   // COUNT(*)
        |FROM ex LEFT JOIN api USING (q_id, c_id)""".stripMargin
+
+  // External IVF probe-count ladder (ss54): production serves the first
+  // rung; the audit measures what each extra probe buys for
+  // out-of-corpus queries (ss37's degree-ladder pattern).
+  private val ivfProbeLadder = Seq(2, 4, 8)
+
+  /** ss54: the external-serve NPROBE LADDER — ss53 reads IVF external
+    * recall at the production probe count; this measures the dial
+    * (recall per nprobe against the same brute-force ground truth), so
+    * the answer to a sagging ss53 reading is a measured probe-count
+    * decision, not a guess. */
+  def ss54ExternalNprobeLadder(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val ext = externalQueries(base).localCheckpoint()
+    val cs = base.select(col("vec_id").as("c_id"), col("v").as("v2"),
+      col("nrm").as("n2"))
+    val exact = topK(ext.join(cs, lit(true))
+        .withColumn("cos",
+          expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double"))))
+      .select(col("q_id"), col("c_id")).localCheckpoint()
+    val idxDir = indexPathFor(dir)
+    buildIvfIndex(base, idxDir)
+    ivfProbeLadder.map { np =>
+      recallAgainst(exact, ivfServeExternalAt(s, idxDir, ext, np))
+        .withColumn("nprobe", lit(np.toLong))
+    }.reduce(_.unionByName(_))
+      .select(col("nprobe"), col("n_exact"), col("n_hit"), col("recall_pct"))
+  }
+
+  lazy val ss54Oracle: String = {
+    val maxNp = ivfProbeLadder.max
+    val rungs = ivfProbeLadder.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe, COUNT(*) AS n_exact,
+         | CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         | (CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
+         |   // COUNT(*) AS recall_pct
+         |FROM ex LEFT JOIN (
+         | SELECT q_id, c_id FROM (
+         |  SELECT q_id, c_id,
+         |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk
+         |  FROM xsc WHERE crn <= $np) r WHERE rnk <= $K) ap
+         | USING (q_id, c_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $qvecSql,
+       |${kmChainSql(ivfRounds)},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |cscored AS (
+       | SELECT qn.vec_id, cents.cent_id,
+       |  CAST(list_sum(list_transform(range(1, len(qn.v) + 1), i -> qn.v[i] * cents.cv[i])) AS BIGINT)
+       |    / sqrt(CAST(qn.nrm AS DOUBLE) * CAST(cents.cn AS DOUBLE)) AS ccos
+       | FROM qn CROSS JOIN cents),
+       |assigned AS (
+       | SELECT vec_id AS a_id, cent_id FROM (
+       |  SELECT vec_id, cent_id,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS crn
+       |  FROM cscored) t WHERE crn = 1),
+       |qx AS (SELECT a.vec_id + 10000000 AS q_id,
+       |  list_transform(range(1, len(a.v) + 1), i -> a.v[i] + b.v[i]) AS v,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+       |    i -> (a.v[i] + b.v[i]) * (a.v[i] + b.v[i]))) AS BIGINT) AS nrm
+       | FROM qn a JOIN qn b ON b.vec_id = a.vec_id + 1
+       | WHERE a.vec_id % 100 = 50),
+       |ex AS MATERIALIZED (
+       | SELECT q_id, c_id FROM (
+       |  SELECT qx.q_id, c.vec_id AS c_id,
+       |   ROW_NUMBER() OVER (PARTITION BY qx.q_id ORDER BY
+       |     CAST(list_sum(list_transform(range(1, len(qx.v) + 1), i -> qx.v[i] * c.v[i])) AS BIGINT)
+       |       / sqrt(CAST(qx.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)) DESC,
+       |     c.vec_id ASC) AS rnk
+       |  FROM qx CROSS JOIN qn c) t WHERE rnk <= $K),
+       |xranked AS (
+       | SELECT qx.q_id, cents.cent_id,
+       |  ROW_NUMBER() OVER (PARTITION BY qx.q_id ORDER BY
+       |   CAST(list_sum(list_transform(range(1, len(qx.v) + 1), i -> qx.v[i] * cents.cv[i])) AS BIGINT)
+       |     / sqrt(CAST(qx.nrm AS DOUBLE) * CAST(cents.cn AS DOUBLE)) DESC,
+       |   cents.cent_id ASC) AS crn
+       | FROM qx CROSS JOIN cents),
+       |xsc AS MATERIALIZED (
+       | SELECT p.q_id, p.crn, a.a_id AS c_id,
+       |  CAST(list_sum(list_transform(range(1, len(qv.v) + 1), i -> qv.v[i] * b.v[i])) AS BIGINT)
+       |    / sqrt(CAST(qv.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos
+       | FROM (SELECT q_id, cent_id, crn FROM xranked WHERE crn <= $maxNp) p
+       |  JOIN assigned a ON p.cent_id = a.cent_id
+       |  JOIN qx qv ON p.q_id = qv.q_id
+       |  JOIN qn b ON a.a_id = b.vec_id)
+       |$rungs""".stripMargin
+  }
 
   /** The beam search proper over a prepared navigation graph: hop from
     * the fixed entry points toward each query, keeping the best
@@ -4308,7 +4404,8 @@ object Similarity {
     "ss50_nsw_maintenance" -> (ss50NswMaintenance _),
     "ss51_external_serve" -> (ss51ExternalServe _),
     "ss52_ivf_external_serve" -> (ss52IvfExternalServe _),
-    "ss53_external_recall" -> (ss53ExternalRecall _))
+    "ss53_external_recall" -> (ss53ExternalRecall _),
+    "ss54_external_nprobe_ladder" -> (ss54ExternalNprobeLadder _))
 
   val oracles: Map[String, String] = Map(
     "ss34_ann_tombstoned" -> ss34Oracle,
@@ -4330,6 +4427,7 @@ object Similarity {
     "ss51_external_serve" -> ss51Oracle,
     "ss52_ivf_external_serve" -> ss52Oracle,
     "ss53_external_recall" -> ss53Oracle,
+    "ss54_external_nprobe_ladder" -> ss54Oracle,
     // the cold build+serve pays the WHOLE build in-query and must land on
     // exactly the warm serving path's answer — ss36's oracle, shared
     "ss46_nsw_index_build" -> ss36Oracle,
