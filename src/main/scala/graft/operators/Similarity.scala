@@ -3340,6 +3340,38 @@ object Similarity {
   def compactNswProbes(s: SparkSession, idxDir: String): Unit =
     compactCentPartitioned(s, s"$idxDir/probes")
 
+  /** The IVF tier's maintenance policy — [[nswMaintenancePlan]]'s sibling
+    * for a plain inverted-list index, where appends land directly as
+    * per-tag small files inside the list partitions (no delta layout to
+    * fold): the health metric is FILES PER LIST PARTITION (metadata-only,
+    * one directory listing) and the verb compacts the lists back to one
+    * file per partition when the mean exceeds
+    * `spark.graft.ivf.maxFilesPerList` (default 8 — the foldMaxTags
+    * discipline: probe scans pay one file open per small file per serve,
+    * forever, until someone compacts). File counts are filesystem
+    * accidents no corpus oracle can see, so this policy is SPEC-pinned
+    * (IvfIndexSpec) rather than oracle-checked like ss50's count-based
+    * NSW plan. Compaction is answers-unchanged and crash-safe (temp dir
+    * + rename), hence legal inside a streaming foreachBatch —
+    * [[graft.streaming.EventStream.vectorIngestStream]] wires it as
+    * `autoMaintain`. */
+  def maintainIvfIndex(s: SparkSession, idxDir: String): Map[String, Long] = {
+    val f = hadoopFs(s, idxDir)
+    val lp = new org.apache.hadoop.fs.Path(s"$idxDir/lists")
+    val parts = if (!f.exists(lp)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else f.listStatus(lp).filter(st =>
+        st.isDirectory && st.getPath.getName.startsWith("cent_id="))
+    val nFiles = parts.map(p => f.listStatus(p.getPath).count(st =>
+      st.isFile && !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_")).toLong).sum
+    val nParts = parts.length.toLong
+    val maxPer = confInt(s, "spark.graft.ivf.maxFilesPerList", 8)
+    val due = if (nParts > 0 && nFiles > nParts * maxPer) 1L else 0L
+    if (due == 1L) compactIvfIndex(s, idxDir)
+    Map("list_partitions" -> nParts, "list_files" -> nFiles,
+      "compact_due" -> due, "compacted" -> due)
+  }
+
   private def compactCentPartitioned(s: SparkSession, table: String): Unit = {
     val tmp = table.replaceAll("/([^/]+)$", "/.compact_$1")
     s.read.parquet(table)

@@ -161,12 +161,13 @@ object EventStream {
     * the ss06/ss13 audits' business; compaction of the small appended
     * files stays [[graft.operators.Similarity.compactIvfIndex]]'s. */
   def vectorIngestStream(newVecs: DataFrame, idxDir: String,
-      checkpointLocation: Option[String] = None)
+      checkpointLocation: Option[String] = None,
+      autoMaintain: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = newVecs.writeStream.outputMode(OutputMode.Append())
     checkpointLocation.foreach(w.option("checkpointLocation", _))
     w.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      ingestVectorBatch(batch, idxDir, batchId)
+      ingestVectorBatch(batch, idxDir, batchId, autoMaintain)
     }.start()
   }
 
@@ -186,7 +187,8 @@ object EventStream {
     * with overwrite=false, so a RACING duplicate writer (two concurrent
     * queries on one index dir) fails loudly instead of both committing.
     * IvfIndexSpec replays a batch and proves the lists unchanged. */
-  def ingestVectorBatch(batch: DataFrame, idxDir: String, batchId: Long): Unit = {
+  def ingestVectorBatch(batch: DataFrame, idxDir: String, batchId: Long,
+      autoMaintain: Boolean = false): Unit = {
     val s = batch.sparkSession
     val f = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(idxDir), s.sparkContext.hadoopConfiguration)
@@ -201,6 +203,10 @@ object EventStream {
       // loser must hear about it, not silently double-commit.
       f.create(marker, false).close()
     }
+    // after the marker, like graphIngestStream's autoMaintain: compaction
+    // is answers-unchanged and crash-safe, so a crash between marker and
+    // maintenance is caught up by any later batch
+    if (autoMaintain) graft.operators.Similarity.maintainIvfIndex(s, idxDir)
   }
 
   /** Streaming GRAPH-INDEX MAINTENANCE — [[vectorIngestStream]]'s sibling

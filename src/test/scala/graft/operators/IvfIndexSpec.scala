@@ -82,6 +82,66 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("maintainIvfIndex: below-threshold appends are a no-op; past the file " +
+      "dial it compacts to one file per list, answers unchanged — and the " +
+      "autoMaintain stream keeps an unattended ingest compacted") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val base = graft.operators.Similarity.qvec(spark, dir).localCheckpoint()
+    val old = base.filter(col("vec_id") % 10 =!= 3)
+    val dirA = java.nio.file.Files.createTempDirectory("ivf-maint").toString
+    val dirB = java.nio.file.Files.createTempDirectory("ivf-automaint").toString
+    def listFiles(d: String) = new java.io.File(s"$d/lists").listFiles()
+      .filter(p => p.isDirectory && p.getName.startsWith("cent_id="))
+      .map(_.listFiles().count(f => f.isFile && !f.getName.startsWith(".")
+        && !f.getName.startsWith("_")))
+    def rows(d: String) = spark.read.parquet(s"$d/lists")
+      .select(col("vec_id"), col("cent_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+    try {
+      Similarity.buildIvfIndex(old, dirA)
+      Similarity.stagedAppendToIvfIndex(spark, dirA,
+        base.filter(col("vec_id") % 10 === 3), "t1")
+      // default dial (8 files/list): one append's small files are fine
+      val plan1 = Similarity.maintainIvfIndex(spark, dirA)
+      assert(plan1("compact_due") == 0L && plan1("compacted") == 0L)
+      assert(listFiles(dirA).max > 1,
+        "the below-threshold maintain must leave the append's files")
+      // tighten the dial under the current mean → the same verb compacts
+      val before = rows(dirA)
+      spark.conf.set("spark.graft.ivf.maxFilesPerList", "1")
+      try {
+        val plan2 = Similarity.maintainIvfIndex(spark, dirA)
+        assert(plan2("compact_due") == 1L && plan2("compacted") == 1L)
+        assert(listFiles(dirA).forall(_ == 1),
+          "a due maintain must compact to one file per list partition")
+        assert(rows(dirA) == before, "compaction must not change the lists")
+        assert(Similarity.maintainIvfIndex(spark, dirA)("compacted") == 0L)
+        // the unattended path: autoMaintain keeps the streamed index at
+        // one file per partition with the same rows as the manual one
+        Similarity.buildIvfIndex(old, dirB)
+        val incRaw = emb.filter(col("vec_id") % 10 === 3)
+          .select(col("vec_id"), col("label"), col("embedding"))
+          .as[(Long, String, Array[Float])].collect()
+        val input = MemoryStream[(Long, String, Array[Float])]
+        val q = graft.streaming.EventStream.vectorIngestStream(
+          input.toDF().toDF("vec_id", "label", "embedding"), dirB,
+          autoMaintain = true)
+        incRaw.grouped(math.max(1, incRaw.length / 2 + 1)).foreach { chunk =>
+          input.addData(chunk.toSeq); q.processAllAvailable()
+        }
+        q.stop()
+        assert(listFiles(dirB).forall(_ == 1))
+        assert(rows(dirB) == before)
+      } finally spark.conf.unset("spark.graft.ivf.maxFilesPerList")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirA))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirB))
+    }
+  }
+
   test("crash replay converges: append-without-marker then redelivery leaves ONE copy") {
     val emb = graft.Tables(spark, dir, "embeddings")
     val base = graft.operators.Similarity.qvec(spark, dir).localCheckpoint()
