@@ -1014,10 +1014,11 @@ object Dedup {
     s"""WITH q AS (
        | SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS v
        | FROM embeddings),
-       |n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nrm FROM q),
-       |sigs AS (
-       | SELECT vec_id, v, nrm, CAST(${Similarity.bucketSqlFor(embSigPlanes)} AS BIGINT) AS sig FROM n),
-       |bands AS (
+       |n AS MATERIALIZED (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nrm FROM q),
+       |${Similarity.bucketSigCtesFor(embSigPlanes, "n", "sigv")},
+       |sigs AS MATERIALIZED (
+       | SELECT n.vec_id, n.v, n.nrm, sigv.sig FROM n JOIN sigv USING (vec_id)),
+       |bands AS MATERIALIZED (
        | $bandSelects),
        |cand AS (
        | SELECT DISTINCT a.vec_id AS vec1, a.v AS v1, a.nrm AS n1,

@@ -123,6 +123,30 @@ object Similarity {
 
   private[operators] val bucketSql: String = bucketSqlFor(numPlanes)
 
+  /** Relational twin of [[bucketSqlFor]] for LARGER corpora: the plane
+    * matrix lands ONCE as a VALUES table instead of a per-row inline
+    * literal — DuckDB re-materializes an inline `[[…]][p + 1][d]`
+    * list-of-lists literal per evaluation, which turned dd08's sf0.1
+    * oracle into minutes of literal construction per thousand rows; the
+    * relational form is n plane-join rows per vector. Emits two CTEs:
+    * `planes(p, w)` and `<out>(vec_id, sig)` over `src(vec_id, v)`; join
+    * `<out>` back to the vector CTE for carried columns. Same signature
+    * bits, same `2 ** p` packing. */
+  private[operators] def bucketSigCtesFor(n: Int, src: String,
+      out: String): String = {
+    val rows = planesFor(n).zipWithIndex
+      .map { case (w, p) => s"($p, ${w.mkString("[", ", ", "]")})" }
+      .mkString(",\n   ")
+    s"""planes(p, w) AS MATERIALIZED (
+       | SELECT * FROM (VALUES
+       |   $rows) t(p, w)),
+       |$out AS MATERIALIZED (
+       | SELECT s.vec_id,
+       |  CAST(SUM(CASE WHEN list_sum(list_transform(range(1, len(s.v) + 1),
+       |    d -> s.v[d] * pl.w[d])) > 0 THEN (2 ** pl.p) ELSE 0 END) AS BIGINT) AS sig
+       | FROM $src s CROSS JOIN planes pl GROUP BY s.vec_id)""".stripMargin
+  }
+
   def ss02AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val bucketed = qvec(s, dir).withColumn("bucket", expr(bucketExpr))
     val qs = bucketed.filter(col("vec_id") % 100 === 0)
