@@ -2045,6 +2045,57 @@ object Similarity {
        |   // COUNT(*)
        |FROM ex LEFT JOIN api USING (q_id, c_id)""".stripMargin
 
+  /** ss55: EXTERNAL queries against the DELTA-BEARING rolled-forward
+    * index — the configuration a live deployment actually serves
+    * (graphIngestStream appended a micro-batch, nothing folded yet, and
+    * a user query arrives): merge-on-read edges, post-append entries,
+    * candidates from the grown lists. The oracle is ss49's one-shot
+    * relational recurrence (standing-trained quantizer, grown-corpus
+    * edges) composed with ss51's external family and visited re-rank —
+    * it knows nothing about deltas, so the LSM layout must be
+    * indistinguishable from a pristine index to an outside caller. */
+  def ss55ExternalDeltaServe(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    beamServeExternal(s, rolledNswIndexFor(s, dir, base),
+      externalQueries(base))
+  }
+
+  lazy val ss55Oracle: String = {
+    val hops = (1 to beamHops).map(h =>
+      nswGrowSql(s"b${h - 1}", s"u$h") + ",\n" +
+        nswBeamSql(s"u$h", s"b$h", "qx")).mkString(",\n")
+    val visUnion = (0 to beamHops).map(h => s"SELECT q_id, c_id FROM u$h")
+      .mkString("\n UNION\n ")
+    s"""WITH $qvecSql,
+       |qno AS (SELECT * FROM qn WHERE vec_id % 10 != 3),
+       |${kmChainSql(ivfRounds).replaceAll("\\bqn\\b", "qno")},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |${annProbePrefixSqlFor("TRUE")},
+       |$nswRankedEdgeSql,
+       |ed AS (SELECT src, dst FROM edr WHERE rnk <= $nswServeDegree),
+       |qx AS (SELECT a.vec_id + 10000000 AS vec_id,
+       |  list_transform(range(1, len(a.v) + 1), i -> a.v[i] + b.v[i]) AS v,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+       |    i -> (a.v[i] + b.v[i]) * (a.v[i] + b.v[i]))) AS BIGINT) AS nrm
+       | FROM qn a JOIN qn b ON b.vec_id = a.vec_id + 1
+       | WHERE a.vec_id % 100 = 50),
+       |en AS (SELECT vec_id AS c_id FROM qn ORDER BY vec_id ASC LIMIT $nswEntryCount),
+       |u0 AS (SELECT vec_id AS q_id, c_id FROM qx CROSS JOIN en),
+       |${nswBeamSql("u0", "b0", "qx")},
+       |$hops,
+       |vis AS ($visUnion),
+       |vs AS (
+       | SELECT vis.q_id, vis.c_id,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT)
+       |    / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos
+       | FROM vis JOIN qx a ON vis.q_id = a.vec_id
+       |  JOIN qn b ON vis.c_id = b.vec_id)
+       |SELECT q_id, c_id, CAST(rnk AS INT) AS rnk, cos FROM (
+       | SELECT q_id, c_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk
+       | FROM vs) t WHERE rnk <= $K""".stripMargin
+  }
+
   // External IVF probe-count ladder (ss54): production serves the first
   // rung; the audit measures what each extra probe buys for
   // out-of-corpus queries (ss37's degree-ladder pattern).
@@ -4461,7 +4512,8 @@ object Similarity {
     "ss51_external_serve" -> (ss51ExternalServe _),
     "ss52_ivf_external_serve" -> (ss52IvfExternalServe _),
     "ss53_external_recall" -> (ss53ExternalRecall _),
-    "ss54_external_nprobe_ladder" -> (ss54ExternalNprobeLadder _))
+    "ss54_external_nprobe_ladder" -> (ss54ExternalNprobeLadder _),
+    "ss55_external_delta_serve" -> (ss55ExternalDeltaServe _))
 
   val oracles: Map[String, String] = Map(
     "ss34_ann_tombstoned" -> ss34Oracle,
@@ -4484,6 +4536,7 @@ object Similarity {
     "ss52_ivf_external_serve" -> ss52Oracle,
     "ss53_external_recall" -> ss53Oracle,
     "ss54_external_nprobe_ladder" -> ss54Oracle,
+    "ss55_external_delta_serve" -> ss55Oracle,
     // the cold build+serve pays the WHOLE build in-query and must land on
     // exactly the warm serving path's answer — ss36's oracle, shared
     "ss46_nsw_index_build" -> ss36Oracle,
