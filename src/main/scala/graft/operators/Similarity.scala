@@ -946,6 +946,11 @@ object Similarity {
     * base because the local copy is one rename short of existing. */
   private def resolveNswTable(s: SparkSession, idxDir: String, name: String): String = {
     promoteStages(s, idxDir)
+    // the ivf substrate nests one level down (ivf/lists, ivf/centroids), so
+    // a crashed staged compact of the LISTS leaves `.stage_lists` under
+    // ivf/ where the idxDir-level promote above cannot see it — promote
+    // inside the subdir too before callers read `<resolved>/lists`
+    if (name == "ivf") promoteStages(s, s"$idxDir/ivf")
     val f = hadoopFs(s, idxDir)
     if (f.exists(new org.apache.hadoop.fs.Path(s"$idxDir/$name"))) s"$idxDir/$name"
     else {
@@ -1013,8 +1018,14 @@ object Similarity {
         case st if st.isDirectory && st.getPath.getName.startsWith("tag=") =>
           st.getPath.getName
       }.toSet
-    if (deltaTags.isEmpty) base
-    else {
+    if (deltaTags.isEmpty) {
+      // drop the sprawl memo once the deltas are gone (round-10 advice:
+      // the map grew per JVM, and a reused index path — tests, blue/green
+      // rotation back onto an old dir — could inherit a stale tag set and
+      // silently skip the sizing check on its next delta)
+      deltaSprawlChecked.remove(idxDir)
+      base
+    } else {
       // the merge-on-read regime ASSUMES deltas ≪ base (the touched-src
       // set is broadcast; compaction cadence keeps that true) — warn
       // loudly when folding is overdue rather than let the broadcast grow
@@ -1128,12 +1139,13 @@ object Similarity {
   }
 
   def buildNswIndex(s: SparkSession, pts: DataFrame, dir: String): Unit = {
+    deltaSprawlChecked.remove(dir) // a rebuild invalidates any sized tag set
     buildIvfIndex(pts, s"$dir/ivf")
     // the reverse probe index, then the edges AS A JOIN OF THE TWO STORED
     // TABLES — one training, one assignment, one probe window per build
     // (knnRankedEdges computes the identical graph but pays the quantizer
     // chain twice; NswIndexSpec pins the equality)
-    probeAssignments(s, pts, s"$dir/ivf")
+    probeAssignments(s, pts, s"$dir/ivf").repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/probes")
     writeNswEdges(s, dir, edgesFromStored(s, dir))
     writeNswEntries(s, dir,
@@ -1190,6 +1202,10 @@ object Similarity {
   def appendToNswIndex(s: SparkSession, dir: String, newVecs: DataFrame,
       tag: String): Unit = {
     require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe staging tag: $tag")
+    // heal a crashed staged compact of probes/ (child of dir) or
+    // ivf/lists (child of dir/ivf) before reading either table below
+    promoteStages(s, dir)
+    promoteStages(s, s"$dir/ivf")
     val inc = newVecs.select(col("vec_id"), col("v"), col("nrm")).localCheckpoint()
     val incIds = inc.select(col("vec_id"))
     // batch-identity fingerprint: (count, order-independent id hash XOR —
@@ -1198,21 +1214,18 @@ object Similarity {
       coalesce(bit_xor(xxhash64(col("vec_id"))), lit(0L))).collect()(0)
     val fp = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
     val f = hadoopFs(s, dir)
-    val fpPath = new org.apache.hadoop.fs.Path(s"$dir/_append_tags/$tag")
-    if (f.exists(fpPath)) {
-      val in = f.open(fpPath)
-      val prev =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      if (prev != fp) throw new IllegalStateException(
-        s"append tag '$tag' was already used for a DIFFERENT increment " +
-          s"(fingerprint $prev, this batch $fp): tags are batch identities " +
-          "— reuse would retire the first batch's list files as replay " +
-          "leftovers while its edges survive")
-    } else {
-      f.mkdirs(fpPath.getParent)
-      val out = f.create(fpPath, false)
-      try out.write(fp.getBytes("UTF-8")) finally out.close()
+    appendTagFingerprint(s, dir, tag) match {
+      case Some(prev) =>
+        if (prev != fp) throw new IllegalStateException(
+          s"append tag '$tag' was already used for a DIFFERENT increment " +
+            s"(fingerprint $prev, this batch $fp): tags are batch identities " +
+            "— reuse would retire the first batch's list files as replay " +
+            "leftovers while its edges survive")
+      case None =>
+        val fpPath = new org.apache.hadoop.fs.Path(s"$dir/_append_tags/$tag")
+        f.mkdirs(fpPath.getParent)
+        val out = f.create(fpPath, false)
+        try out.write(fp.getBytes("UTF-8")) finally out.close()
     }
     // an EMPTY increment (an idle streaming micro-batch) is a no-op past
     // the fingerprint: writing its empty `tag=` partition would
@@ -1305,7 +1318,10 @@ object Similarity {
     * The `_append_tags/` fingerprints are kept: a folded tag is still a
     * spent batch identity (replaying it against the folded base converges
     * — the merged read's dropDuplicates — but a DIFFERENT batch reusing
-    * it must still be refused). */
+    * it must still be refused). They are kept COMPACTED: the fold merges
+    * every loose per-tag file into one `_spent_<gen>` manifest
+    * ([[compactAppendTags]]), so an unattended stream's identity sidecar
+    * stays one file instead of one per micro-batch forever. */
   def foldNswDeltas(s: SparkSession, dir: String): Unit = {
     val f = hadoopFs(s, dir)
     val dp = new org.apache.hadoop.fs.Path(s"$dir/edges_delta")
@@ -1315,7 +1331,85 @@ object Similarity {
         .localCheckpoint() // materialize BEFORE replacing what it reads
       writeNswEdges(s, dir, merged)
       f.delete(dp, true)
+      deltaSprawlChecked.remove(dir) // the sized tag set no longer exists
+      compactAppendTags(s, dir)
     }
+  }
+
+  /** The fingerprint recorded for `tag`, if the tag was ever spent —
+    * checked against the loose per-tag file first (tags appended since the
+    * last fold), then against the `_spent_<gen>` manifests a fold compacts
+    * retired fingerprints into. */
+  private def appendTagFingerprint(s: SparkSession, dir: String,
+      tag: String): Option[String] = {
+    val f = hadoopFs(s, dir)
+    val loose = new org.apache.hadoop.fs.Path(s"$dir/_append_tags/$tag")
+    if (f.exists(loose)) {
+      val in = f.open(loose)
+      Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close())
+    } else spentTagManifest(s, dir).get(tag)
+  }
+
+  /** The merged `_spent_<gen>` manifests under `_append_tags/` — tag → fp.
+    * Manifests hold tab-separated `tag\tfp` lines; duplicate tags across
+    * generations carry identical fingerprints by construction (a crash
+    * between writing generation N+1 and deleting its inputs leaves a
+    * redundant SUPERSET, never a conflict). */
+  private def spentTagManifest(s: SparkSession, dir: String): Map[String, String] = {
+    val f = hadoopFs(s, dir)
+    val root = new org.apache.hadoop.fs.Path(s"$dir/_append_tags")
+    if (!f.exists(root)) Map.empty
+    else f.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("_spent_"))
+      .flatMap { st =>
+        val in = f.open(st.getPath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        txt.split('\n').toSeq.map(_.trim).filter(_.contains('\t')).map { line =>
+          val i = line.indexOf('\t')
+          line.substring(0, i) -> line.substring(i + 1)
+        }
+      }.toMap
+  }
+
+  /** Fold-time hygiene for the batch-identity sidecar (round-10 verdict
+    * #5): every micro-batch leaves one fingerprint file under
+    * `_append_tags/` and folds must KEEP the identities (a spent tag's
+    * reuse is refused forever), so an unattended per-minute stream grows
+    * ~500k files/year in one directory — the small-file pathology the
+    * list/probe compaction exists to prevent, one level up. This merges
+    * every loose tag file and every prior `_spent_*` manifest into ONE new
+    * `_spent_<gen+1>` file, then retires the inputs. Crash-ordered: the
+    * new manifest lands via atomic rename BEFORE any input is deleted, so
+    * a death anywhere leaves a superset of spent identities (duplicates
+    * agree on fp — over-refusal is impossible, and replay convergence is
+    * untouched). */
+  private def compactAppendTags(s: SparkSession, dir: String): Unit = {
+    val f = hadoopFs(s, dir)
+    val root = new org.apache.hadoop.fs.Path(s"$dir/_append_tags")
+    if (!f.exists(root)) return
+    val entries = f.listStatus(root).toSeq.filter(_.isFile)
+      .filterNot(_.getPath.getName.startsWith(".")) // crashed tmp manifests
+    val loose = entries.filterNot(_.getPath.getName.startsWith("_spent_"))
+    val gens = entries.filter(_.getPath.getName.startsWith("_spent_"))
+    if (loose.isEmpty && gens.size <= 1) return // already compact
+    val merged = spentTagManifest(s, dir) ++ loose.map { st =>
+      val in = f.open(st.getPath)
+      st.getPath.getName ->
+        (try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+         finally in.close())
+    }
+    val nextGen = (gens.map(_.getPath.getName.stripPrefix("_spent_").toLong)
+      :+ 0L).max + 1L
+    val tmp = new org.apache.hadoop.fs.Path(root, s".tmp_spent_$nextGen")
+    val out = f.create(tmp, true)
+    try out.write(merged.toSeq.sorted
+      .map { case (t, v) => s"$t\t$v" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    // atomic promotion, THEN retire the inputs
+    f.rename(tmp, new org.apache.hadoop.fs.Path(root, s"_spent_$nextGen"))
+    (loose ++ gens).foreach(st => f.delete(st.getPath, false))
   }
 
   /** The delete verb (HNSWlib markDelete shape): record ids in the
@@ -1327,8 +1421,20 @@ object Similarity {
     val add = ids.select(col("vec_id"))
     val merged = storedNswTombstones(s, dir).unionByName(add).distinct()
       .localCheckpoint() // materialize BEFORE overwriting what it reads
+    // write RANGE-PARTITIONED, sized to the set (round-10 verdict #2: the
+    // compact dial deliberately lets tombstones reach 25% of the corpus,
+    // and the old coalesce(1) funneled that — billions of ids at 100 TB —
+    // through ONE task into one file per delete batch; the serving
+    // anti-joins never cared about file count). Sorted within partitions
+    // so row-group min/max stats keep the anti-join probes skippable.
+    val rowsPerFile =
+      confInt(s, "spark.graft.nsw.tombstoneRowsPerFile", 4000000).toLong
+    val parts = math.max(1L,
+      (merged.count() + rowsPerFile - 1L) / rowsPerFile).toInt
     stagedWrite(s, s"$dir/tombstones") { tmp =>
-      merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+      merged.repartitionByRange(parts, col("vec_id"))
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(tmp)
     }
   }
 
@@ -1347,6 +1453,7 @@ object Similarity {
     * Writes to `dstDir` so the standing index serves until the switch. */
   def compactNswIndex(s: SparkSession, pts: DataFrame, srcDir: String,
       dstDir: String, retrain: Boolean = true): Unit = {
+    deltaSprawlChecked.remove(dstDir) // dst may be a reused blue/green dir
     val alive = pts
       .join(storedNswTombstones(s, srcDir), Seq("vec_id"), "left_anti")
     if (retrain) buildNswIndex(s, alive, dstDir)
@@ -1357,10 +1464,10 @@ object Similarity {
         .parquet(s"${resolveNswTable(s, srcDir, "ivf")}/centroids")
         .localCheckpoint()
       cents.write.mode("overwrite").parquet(s"$dstDir/ivf/centroids")
-      assignToCentroids(aliveCk, cents)
+      assignToCentroids(aliveCk, cents).repartition(col("cent_id"))
         .write.mode("overwrite").partitionBy("cent_id")
         .parquet(s"$dstDir/ivf/lists")
-      probeAssignments(s, aliveCk, s"$dstDir/ivf")
+      probeAssignments(s, aliveCk, s"$dstDir/ivf").repartition(col("cent_id"))
         .write.mode("overwrite").partitionBy("cent_id")
         .parquet(s"$dstDir/probes")
       writeNswEdges(s, dstDir, edgesFromStored(s, dstDir))
@@ -1425,20 +1532,16 @@ object Similarity {
         case st if st.isDirectory && st.getPath.getName.startsWith("tag=") =>
           st.getPath.getName.stripPrefix("tag=")
       }
-    // unfolded appended vectors: each tag's `_append_tags/<tag>` sidecar
-    // records "count:idhash"; tags still present under edges_delta/ are
-    // the unfolded ones (fingerprints survive folds as replay identities,
-    // so the fingerprint dir alone would overcount)
-    val tagRoot = new org.apache.hadoop.fs.Path(deltaDir).getParent
+    // unfolded appended vectors: each tag's fingerprint records
+    // "count:idhash"; tags still present under edges_delta/ are the
+    // unfolded ones (fingerprints survive folds as replay identities, so
+    // the fingerprint dir alone would overcount). Resolution goes through
+    // appendTagFingerprint — a replayed POST-FOLD tag re-creates its delta
+    // partition with its fingerprint living only in the _spent_ manifest.
+    val tagRoot = new org.apache.hadoop.fs.Path(deltaDir).getParent.toString
     val appended = tags.map { t =>
-      val p = new org.apache.hadoop.fs.Path(tagRoot, s"_append_tags/$t")
-      if (!f.exists(p)) 0L
-      else {
-        val in = f.open(p)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        txt.trim.split(':')(0).toLong
-      }
+      appendTagFingerprint(s, tagRoot, t)
+        .map(_.split(':')(0).toLong).getOrElse(0L)
     }.sum
     val tombstoned = storedNswTombstones(s, idxDir).count()
     val foldPct = confInt(s, "spark.graft.nsw.foldAppendPct", 5)
@@ -1501,6 +1604,7 @@ object Similarity {
     * source is untouched and keeps serving until the caller switches —
     * then it is the rollback target. */
   def rotateNswIndex(s: SparkSession, srcDir: String, dstDir: String): Unit = {
+    deltaSprawlChecked.remove(dstDir) // dst may be a reused blue/green dir
     val tomb = storedNswTombstones(s, srcDir).localCheckpoint()
     s.read.parquet(s"${resolveNswTable(s, srcDir, "ivf")}/centroids")
       .localCheckpoint()
@@ -1512,11 +1616,13 @@ object Similarity {
       .parquet(s"${resolveNswTable(s, srcDir, "ivf")}/lists")
       .withColumn("cent_id", col("cent_id").cast("long"))
       .join(tomb, Seq("vec_id"), "left_anti").localCheckpoint()
-    lists.write.mode("overwrite").partitionBy("cent_id")
+    lists.repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$dstDir/ivf/lists")
     s.read.parquet(resolveNswTable(s, srcDir, "probes"))
       .withColumn("cent_id", col("cent_id").cast("long"))
       .join(tomb, Seq("vec_id"), "left_anti")
+      .repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$dstDir/probes")
     writeNswEdges(s, dstDir, edgesFromStored(s, dstDir))
@@ -1914,6 +2020,7 @@ object Similarity {
     * ladder's first rung). */
   def ivfServeExternalAt(s: SparkSession, idxDir: String,
       queries: DataFrame, probeCount: Int): DataFrame = {
+    promoteStages(s, idxDir) // heal a crashed staged lists compact first
     val cents = s.read.parquet(s"$idxDir/centroids")
       .select(col("cent_id"), col("cv").as("v2"), col("cnrm").as("n2"))
     val qside = queries.select(col("q_id"), col("v1"), col("n1"))
@@ -3329,8 +3436,11 @@ object Similarity {
     val cents = learnedCentroids(pts, rounds).localCheckpoint()
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     // the build is the ONLY place full-corpus assignment runs; queries
-    // just read lists, and appends assign their increment only.
-    assignToCentroids(pts, cents)
+    // just read lists, and appends assign their increment only. One file
+    // per list from day one (repartition on the partition column) — a
+    // fresh index should look like a compacted one, and probe scans pay
+    // one file open per probed list instead of one per writer task.
+    assignToCentroids(pts, cents).repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/lists")
   }
 
@@ -3343,8 +3453,9 @@ object Similarity {
     * audit; when recall sags, rebuild — exactly the IVF maintenance story
     * of a production ANN service. */
   def appendToIvfIndex(s: SparkSession, dir: String, newVecs: DataFrame): Unit = {
+    promoteStages(s, dir) // heal a crashed staged lists compact first
     val cents = s.read.parquet(s"$dir/centroids")
-    assignToCentroids(newVecs, cents)
+    assignToCentroids(newVecs, cents).repartition(col("cent_id"))
       .write.mode("append").partitionBy("cent_id").parquet(s"$dir/lists")
   }
 
@@ -3363,6 +3474,7 @@ object Similarity {
     * foreachBatch restart contract needs. */
   def stagedAppendToIvfIndex(s: SparkSession, dir: String,
       newVecs: DataFrame, tag: String): Unit = {
+    promoteStages(s, dir) // heal a crashed staged lists compact first
     val cents = s.read.parquet(s"$dir/centroids")
     stagedAppendPartitioned(s, s"$dir/lists",
       assignToCentroids(newVecs, cents), tag)
@@ -3377,7 +3489,13 @@ object Similarity {
       rows: DataFrame, tag: String): Unit = {
     require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe staging tag: $tag")
     val staged = s"$tableDir/.staged_append/$tag"
-    rows.write.mode("overwrite").partitionBy("cent_id").parquet(staged)
+    // one file per touched partition per append (an increment-sized
+    // shuffle): without this, every shuffle partition holding rows for a
+    // list writes its own small file — up to 32 files per list PER BATCH,
+    // which put the file-count maintenance dial permanently past its
+    // threshold on the hottest lists
+    rows.repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(staged)
     val f = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tableDir), s.sparkContext.hadoopConfiguration)
     val tableRoot = new org.apache.hadoop.fs.Path(tableDir)
@@ -3403,11 +3521,15 @@ object Similarity {
   /** Periodic maintenance mirroring [[graft.operators.DedupStore.compact]]:
     * roll-forwards append small files into the inverted-list partitions;
     * this rewrites each list as ONE file (repartition ON cent_id), through
-    * a temp dir + rename so a crash mid-compact leaves the readable
-    * original. Assignments are read, never recomputed — answers unchanged,
-    * probe scans stop paying per-file open costs. The NSW artifact's
-    * reverse-probe sidecar accumulates the same per-tag small files —
-    * [[compactNswProbes]] is this verb pointed at it. */
+    * [[stagedWrite]] so a crash mid-compact leaves the readable original
+    * AND a death inside the delete→rename window self-heals on the next
+    * read via [[promoteStages]] (round-10 verdict #1 — the old bespoke
+    * delete+rename here could leave the table missing with a finished
+    * `.compact_` copy nothing promoted). Assignments are read, never
+    * recomputed — answers unchanged, probe scans stop paying per-file
+    * open costs. The NSW artifact's reverse-probe sidecar accumulates the
+    * same per-tag small files — [[compactNswProbes]] is this verb pointed
+    * at it. */
   def compactIvfIndex(s: SparkSession, dir: String): Unit =
     compactCentPartitioned(s, s"$dir/lists")
 
@@ -3420,10 +3542,12 @@ object Similarity {
     * per-tag small files inside the list partitions (no delta layout to
     * fold): the health metric is FILES PER LIST PARTITION (metadata-only,
     * one directory listing) and the verb compacts the lists back to one
-    * file per partition when the mean exceeds
+    * file per partition when the MAX per-partition count exceeds
     * `spark.graft.ivf.maxFilesPerList` (default 8 — the foldMaxTags
     * discipline: probe scans pay one file open per small file per serve,
-    * forever, until someone compacts). File counts are filesystem
+    * forever, until someone compacts; max not mean, so one hot list under
+    * skewed appends cannot fragment unboundedly while the fleet-wide mean
+    * idles under the dial). File counts are filesystem
     * accidents no corpus oracle can see, so this policy is SPEC-pinned
     * (IvfIndexSpec) rather than oracle-checked like ss50's count-based
     * NSW plan. Compaction is answers-unchanged and crash-safe (temp dir
@@ -3431,33 +3555,46 @@ object Similarity {
     * [[graft.streaming.EventStream.vectorIngestStream]] wires it as
     * `autoMaintain`. */
   def maintainIvfIndex(s: SparkSession, idxDir: String): Map[String, Long] = {
+    promoteStages(s, idxDir) // heal a crashed staged lists compact first
     val f = hadoopFs(s, idxDir)
     val lp = new org.apache.hadoop.fs.Path(s"$idxDir/lists")
     val parts = if (!f.exists(lp)) Array.empty[org.apache.hadoop.fs.FileStatus]
       else f.listStatus(lp).filter(st =>
         st.isDirectory && st.getPath.getName.startsWith("cent_id="))
-    val nFiles = parts.map(p => f.listStatus(p.getPath).count(st =>
+    val perPart = parts.map(p => f.listStatus(p.getPath).count(st =>
       st.isFile && !st.getPath.getName.startsWith(".") &&
-        !st.getPath.getName.startsWith("_")).toLong).sum
+        !st.getPath.getName.startsWith("_")).toLong)
+    val nFiles = perPart.sum
+    val filesMax = if (perPart.isEmpty) 0L else perPart.max
     val nParts = parts.length.toLong
     val maxPer = confInt(s, "spark.graft.ivf.maxFilesPerList", 8)
-    val due = if (nParts > 0 && nFiles > nParts * maxPer) 1L else 0L
+    // trigger on the MAX per-partition count, not the mean (round-10
+    // advice): skewed appends can fragment one hot list indefinitely while
+    // the fleet-wide mean stays under the dial. Frequency stays bounded
+    // because every staged append writes exactly ONE file per touched
+    // partition (stagedAppendPartitioned repartitions on cent_id), so the
+    // hottest list needs maxPer appends between compactions.
+    val due = if (filesMax > maxPer) 1L else 0L
     if (due == 1L) compactIvfIndex(s, idxDir)
     Map("list_partitions" -> nParts, "list_files" -> nFiles,
+      "list_files_max" -> filesMax,
       "compact_due" -> due, "compacted" -> due)
   }
 
   private def compactCentPartitioned(s: SparkSession, table: String): Unit = {
-    val tmp = table.replaceAll("/([^/]+)$", "/.compact_$1")
-    s.read.parquet(table)
-      .withColumn("cent_id", col("cent_id").cast("long"))
-      .repartition(col("cent_id"))
-      .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(table)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // heal a previous compact's crash first (the .stage_ dir may BE this
+    // table), then stage the rewrite like every other index writer: the
+    // round-10 verdict found the old bespoke delete+rename here was the one
+    // writer autoMaintain runs unattended whose mid-window crash left
+    // lists/ or probes/ missing with nothing promoting the finished copy —
+    // stagedWrite + promoteStages is the already-healed shape.
+    promoteStages(s, table.replaceAll("/[^/]+$", ""))
+    stagedWrite(s, table) { tmp =>
+      s.read.parquet(table)
+        .withColumn("cent_id", col("cent_id").cast("long"))
+        .repartition(col("cent_id"))
+        .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
+    }
   }
 
   private[operators] def indexPathFor(dir: String): String = {
@@ -3470,6 +3607,7 @@ object Similarity {
     * rerank within the probed inverted lists — shared by ss05 and ss07.
     * Assignment is never recomputed here (plan-pinned). */
   private def probeIvfIndex(s: SparkSession, base: DataFrame, idxDir: String): DataFrame = {
+    promoteStages(s, idxDir) // heal a crashed staged lists compact first
     val cents = s.read.parquet(s"$idxDir/centroids")
       .select(col("cent_id"), col("cv").as("v2"), col("cnrm").as("n2"))
     val lists = s.read.parquet(s"$idxDir/lists")

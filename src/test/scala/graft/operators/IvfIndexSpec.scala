@@ -191,6 +191,51 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("maintainIvfIndex triggers on the MAX per-partition count: one hot list " +
+      "over the dial fires compaction even while the fleet-wide mean idles") {
+    val base = graft.operators.Similarity.qvec(spark, dir).localCheckpoint()
+    val d = java.nio.file.Files.createTempDirectory("ivf-skew").toString
+    try {
+      Similarity.buildIvfIndex(base, d)
+      def rows() = spark.read.parquet(s"$d/lists")
+        .select(col("vec_id"), col("cent_id").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+      // simulate skewed appends piling small files into ONE hot partition
+      // (the round-10 advice scenario): duplicate that partition's single
+      // data file under append-shaped names until it alone is past the
+      // dial, while every other partition keeps one file — the MEAN stays
+      // far under 8
+      val parts = new java.io.File(s"$d/lists").listFiles()
+        .filter(p => p.isDirectory && p.getName.startsWith("cent_id="))
+        .sortBy(_.getName)
+      val hot = parts.head
+      val seed = hot.listFiles().filter(f =>
+        f.isFile && f.getName.endsWith(".parquet")).head
+      val preSkew = rows()
+      for (i <- 1 to 9)
+        java.nio.file.Files.copy(seed.toPath,
+          new java.io.File(hot, s"ingest-skew$i-0.parquet").toPath)
+      val withDupes = rows()
+      val plan = Similarity.maintainIvfIndex(spark, d)
+      assert(plan("list_files_max") == 10L &&
+        plan("list_files") == (parts.length + 9).toLong,
+        s"metrics must expose the hot partition: $plan")
+      assert(plan("list_files") * 1L <= parts.length.toLong * 8L,
+        "the scenario must keep the MEAN under the dial (else it tests nothing)")
+      assert(plan("compact_due") == 1L && plan("compacted") == 1L,
+        s"max-based trigger must fire on the hot partition: $plan")
+      val after = new java.io.File(s"$d/lists").listFiles()
+        .filter(p => p.isDirectory && p.getName.startsWith("cent_id="))
+        .map(_.listFiles().count(f => f.isFile && !f.getName.startsWith(".")
+          && !f.getName.startsWith("_")))
+      assert(after.forall(_ == 1), "compaction must restore one file per list")
+      assert(rows() == withDupes,
+        "compaction must preserve the table as-read (rows unchanged)")
+      assert(withDupes != preSkew, "the duplicated rows must be visible pre-" +
+        "and post-compact alike — compaction is layout-only")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
+
   test("compactIvfIndex restores one file per list partition; probe answers unchanged") {
     val base = graft.operators.Similarity.qvec(spark, dir).localCheckpoint()
     val idxDir = java.nio.file.Files.createTempDirectory("ivf-compact").toString

@@ -577,6 +577,129 @@ class NswIndexSpec extends SparkSpec {
       new java.io.File(idx).getParentFile)
   }
 
+  test("a crash inside the LIST/PROBE compaction's swap window self-heals: " +
+      "complete .stage_ copy promoted on the next read, answers unchanged") {
+    val base = Similarity.qvec(spark, dir).localCheckpoint()
+    val standing = base.filter(col("vec_id") % 10 =!= 3)
+    val idx = tmpIdx("nsw-cheal")
+    try {
+      Similarity.buildNswIndex(spark, standing, idx)
+      Similarity.appendToNswIndex(spark, idx,
+        base.filter(col("vec_id") % 10 === 3), "b1")
+      def rows(t: String) = spark.read.parquet(s"$idx/$t")
+        .select(col("vec_id")).collect().map(_.getLong(0)).toList.sorted
+      val healthyLists = rows("ivf/lists")
+      val healthyProbes = rows("probes")
+      // run the real compactions once so the staged copies exist, then
+      // simulate the round-10 verdict's crash: the destination was
+      // deleted, the promotion rename never ran — for BOTH nesting levels
+      // (probes/ under the index root, lists/ under ivf/)
+      Similarity.compactNswProbes(spark, idx)
+      Similarity.compactIvfIndex(spark, s"$idx/ivf")
+      val lists = new java.io.File(s"$idx/ivf/lists")
+      val probes = new java.io.File(s"$idx/probes")
+      assert(lists.renameTo(new java.io.File(s"$idx/ivf/.stage_lists")))
+      assert(probes.renameTo(new java.io.File(s"$idx/.stage_probes")))
+      // any reader heals: the maintenance plan (reads lists via the ivf
+      // resolve), and the external serve (reads lists + probes-backed
+      // edges) both promote before reading
+      val plan = Similarity.nswMaintenancePlan(spark, idx)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(plan("corpus_vecs") == base.count())
+      assert(new java.io.File(s"$idx/ivf/lists").isDirectory &&
+        new java.io.File(s"$idx/probes").isDirectory,
+        "the reader must promote both crashed compaction stages")
+      assert(rows("ivf/lists") == healthyLists && rows("probes") == healthyProbes,
+        "the healed tables must carry the pre-crash rows")
+      // and a fresh compact over the healed table is a no-op change
+      Similarity.compactIvfIndex(spark, s"$idx/ivf")
+      assert(rows("ivf/lists") == healthyLists)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(idx).getParentFile)
+  }
+
+  test("tombstone writer is partitioned, not a single-task funnel: file count " +
+      "scales with the set under the conf dial, served answers unchanged") {
+    val base = Similarity.qvec(spark, dir).localCheckpoint()
+    val idx = tmpIdx("nsw-tlayout")
+    // ~1/3 of the corpus tombstoned under a 50-rows-per-file dial: the
+    // write must fan out over multiple range partitions (the round-10
+    // verdict's 25%-of-corpus scenario in miniature)
+    spark.conf.set("spark.graft.nsw.tombstoneRowsPerFile", "50")
+    try {
+      Similarity.buildNswIndex(spark, base, idx)
+      val dead = base.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+      Similarity.tombstoneNswIndex(spark, idx, dead)
+      val files = new java.io.File(s"$idx/tombstones").listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      val expected = ((dead.count() + 49) / 50).toInt
+      assert(files == expected,
+        s"range-partitioned tombstones: $files files, expected $expected")
+      assert(Similarity.storedNswTombstones(spark, idx)
+        .collect().map(_.getLong(0)).toList.sorted ==
+        dead.collect().map(_.getLong(0)).toList.sorted)
+      // merging MORE ids re-sizes the layout and stays a set
+      Similarity.tombstoneNswIndex(spark, idx,
+        base.filter(col("vec_id") % 5 === 0).select(col("vec_id")))
+      val union = base.filter(col("vec_id") % 3 === 0 || col("vec_id") % 5 === 0)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toList.sorted
+      assert(Similarity.storedNswTombstones(spark, idx)
+        .collect().map(_.getLong(0)).toList.sorted == union)
+    } finally {
+      spark.conf.unset("spark.graft.nsw.tombstoneRowsPerFile")
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(idx).getParentFile)
+    }
+  }
+
+  test("fold compacts the _append_tags sidecar into one manifest: reuse of a " +
+      "folded tag is still refused, a same-increment replay still converges") {
+    val base = Similarity.qvec(spark, dir).localCheckpoint()
+    val standing = base.filter(col("vec_id") % 10 < 6)
+    val idx = tmpIdx("nsw-tags")
+    def tagFiles() = new java.io.File(s"$idx/_append_tags").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .map(_.getName).sorted.toList
+    try {
+      Similarity.buildNswIndex(spark, standing, idx)
+      val inc6 = base.filter(col("vec_id") % 10 === 6)
+      val inc7 = base.filter(col("vec_id") % 10 === 7)
+      Similarity.appendToNswIndex(spark, idx, inc6, "b6")
+      Similarity.appendToNswIndex(spark, idx, inc7, "b7")
+      assert(tagFiles() == List("b6", "b7"))
+      Similarity.foldNswDeltas(spark, idx)
+      // ONE manifest where two loose files were — the unattended stream's
+      // sidecar stops growing by one file per micro-batch
+      assert(tagFiles() == List("_spent_1"),
+        s"fold must compact loose tag files into one manifest: ${tagFiles()}")
+      // the refusal law survives the compaction
+      val ex = intercept[IllegalStateException] {
+        Similarity.appendToNswIndex(spark, idx,
+          base.filter(col("vec_id") % 10 === 8), "b6")
+      }
+      assert(ex.getMessage.contains("DIFFERENT increment"))
+      // a same-increment replay of the folded tag still converges
+      val before = edgeRows(idx)
+      Similarity.appendToNswIndex(spark, idx, inc6, "b6")
+      assert(edgeRows(idx) == before,
+        "a folded tag's same-increment replay must leave the view unchanged")
+      // a second fold absorbs the replayed delta AND new loose tags into
+      // the next generation, again one file
+      Similarity.appendToNswIndex(spark, idx,
+        base.filter(col("vec_id") % 10 === 8), "b8")
+      Similarity.foldNswDeltas(spark, idx)
+      assert(tagFiles() == List("_spent_2"))
+      // the maintenance plan still counts a post-fold REPLAYED tag's
+      // vectors from the manifest (no loose file exists for it)
+      Similarity.appendToNswIndex(spark, idx, inc7, "b7")
+      val plan = Similarity.nswMaintenancePlan(spark, idx)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(plan("appended_unfolded_vecs") == inc7.count(),
+        "plan must read a folded-then-replayed tag's count from the manifest")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(idx).getParentFile)
+  }
+
   test("per-label artifact partition-prunes a single-label probe") {
     val idxL = tmpIdx("nsw-label")
     try {
