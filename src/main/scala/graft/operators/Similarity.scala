@@ -2003,16 +2003,59 @@ object Similarity {
        | FROM vs) t WHERE rnk <= $K""".stripMargin
   }
 
+  // The external-serve probe rung, MEASURED not guessed (round-10 verdict
+  // #3: the serve shipped nprobe=2 while its own instrument — ss54 —
+  // read 60% there and 84% one rung up at sf0.1; corpus-member queries
+  // are unaffected, they probe at the build nprobe). Recorded in the IVF
+  // manifest at build time and consumed at serve time; the conf is the
+  // per-deployment override. Oracles model the measured default, so the
+  // correctness gate re-proves the production rung end-to-end.
+  private[operators] val ivfServeNprobeMeasured = 4
+
+  private def ivfServeNprobe(s: SparkSession, idxDir: String): Int =
+    s.conf.getOption("spark.graft.ivf.serveNprobe").map(_.toInt)
+      .orElse(manifestLong(s, s"$idxDir/manifest.json", "serve_nprobe")
+        .map(_.toInt))
+      .getOrElse(ivfServeNprobeMeasured)
+
+  private def writeIvfManifest(s: SparkSession, dir: String): Unit = {
+    val f = hadoopFs(s, dir)
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$dir/manifest.json"), true)
+    try out.write(
+      (s"""{"nprobe":$nprobe,"serve_nprobe":$ivfServeNprobeMeasured,""" +
+        s""""rounds":$ivfRounds}""").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** One numeric field from a JSON manifest, if the file and field exist.
+    * The manifests are single-line flat objects this object writes itself,
+    * so a field regex is the whole parser. */
+  private def manifestLong(s: SparkSession, path: String,
+      field: String): Option[Long] = {
+    val f = hadoopFs(s, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      s""""$field"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong)
+    }
+  }
+
   /** [[beamServeExternal]]'s IVF sibling — external query vectors probed
     * against the STORED coarse quantizer and scored only inside their
     * nprobe pruned list partitions (the classic IVF serving path, for
     * queries that are not corpus members). The centroid table is the
     * only broadcast (constant-size); the list join partition-prunes on
     * the probed cent_ids; each candidate lives in exactly one list
-    * (crn = 1 assignment), so pairs are structurally duplicate-free. */
+    * (crn = 1 assignment), so pairs are structurally duplicate-free.
+    * Probes at the rung ss54 measured — manifest-recorded at build,
+    * conf-overridable (`spark.graft.ivf.serveNprobe`). */
   def ivfServeExternal(s: SparkSession, idxDir: String,
       queries: DataFrame): DataFrame =
-    ivfServeExternalAt(s, idxDir, queries, nprobe)
+    ivfServeExternalAt(s, idxDir, queries, ivfServeNprobe(s, idxDir))
 
   /** [[ivfServeExternal]] with the probe count as a dial — ss54 measures
     * external recall per nprobe (the ss37-ladder pattern: the dial is
@@ -2082,7 +2125,7 @@ object Similarity {
        | SELECT vec_id AS q_id, cent_id FROM (
        |  SELECT vec_id, cent_id,
        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS crn
-       |  FROM xscored) t WHERE crn <= $nprobe),
+       |  FROM xscored) t WHERE crn <= $ivfServeNprobeMeasured),
        |pairs AS (
        | SELECT p.q_id, a.a_id AS c_id
        | FROM xprobes p JOIN assigned a ON p.cent_id = a.cent_id),
@@ -2117,9 +2160,15 @@ object Similarity {
     val idxDir = indexPathFor(dir)
     buildIvfIndex(base, idxDir)
     val ivf = ivfServeExternal(s, idxDir, ext)
+    // each tier reports the DIAL it actually served at (round-10 verdict
+    // #3: the audit must say which rung produced its reading)
+    val ivfDial = s"nprobe=${ivfServeNprobe(s, idxDir)}"
     recallAgainst(exact, beam).withColumn("tier", lit("beam"))
-      .unionByName(recallAgainst(exact, ivf).withColumn("tier", lit("ivf")))
-      .select(col("tier"), col("n_exact"), col("n_hit"), col("recall_pct"))
+      .withColumn("dial", lit(s"hops=$beamHops,width=$beamWidth"))
+      .unionByName(recallAgainst(exact, ivf).withColumn("tier", lit("ivf"))
+        .withColumn("dial", lit(ivfDial)))
+      .select(col("tier"), col("dial"), col("n_exact"), col("n_hit"),
+        col("recall_pct"))
   }
 
   lazy val ss53Oracle: String =
@@ -2140,13 +2189,14 @@ object Similarity {
        |  FROM qx CROSS JOIN qn c) t WHERE rnk <= $K),
        |apb AS (SELECT q_id, c_id FROM ($ss51Oracle) b),
        |api AS (SELECT q_id, c_id FROM ($ss52Oracle) i)
-       |SELECT 'beam' AS tier, COUNT(*) AS n_exact,
+       |SELECT 'beam' AS tier, 'hops=$beamHops,width=$beamWidth' AS dial,
+       | COUNT(*) AS n_exact,
        | CAST(SUM(CASE WHEN apb.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
        | (CAST(SUM(CASE WHEN apb.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
        |   // COUNT(*) AS recall_pct
        |FROM ex LEFT JOIN apb USING (q_id, c_id)
        |UNION ALL
-       |SELECT 'ivf', COUNT(*),
+       |SELECT 'ivf', 'nprobe=$ivfServeNprobeMeasured', COUNT(*),
        | CAST(SUM(CASE WHEN api.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
        | (CAST(SUM(CASE WHEN api.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
        |   // COUNT(*)
@@ -2203,16 +2253,18 @@ object Similarity {
        | FROM vs) t WHERE rnk <= $K""".stripMargin
   }
 
-  // External IVF probe-count ladder (ss54): production serves the first
-  // rung; the audit measures what each extra probe buys for
-  // out-of-corpus queries (ss37's degree-ladder pattern).
+  // External IVF probe-count ladder (ss54): the audit measures what each
+  // extra probe buys for out-of-corpus queries (ss37's degree-ladder
+  // pattern). Production now CONSUMES this measurement — rung 4 (the
+  // sf0.1 knee: 60/84/100% at 2/4/8) is ivfServeNprobeMeasured, recorded
+  // in the manifest and served by ivfServeExternal.
   private val ivfProbeLadder = Seq(2, 4, 8)
 
   /** ss54: the external-serve NPROBE LADDER — ss53 reads IVF external
     * recall at the production probe count; this measures the dial
     * (recall per nprobe against the same brute-force ground truth), so
-    * the answer to a sagging ss53 reading is a measured probe-count
-    * decision, not a guess. */
+    * the production rung is a measured probe-count decision the serve
+    * consumes ([[ivfServeNprobeMeasured]]), not a guess. */
   def ss54ExternalNprobeLadder(s: SparkSession, dir: String): DataFrame = {
     val base = qvec(s, dir).localCheckpoint()
     val ext = externalQueries(base).localCheckpoint()
@@ -3435,6 +3487,11 @@ object Similarity {
   def buildIvfIndex(pts: DataFrame, dir: String, rounds: Int = ivfRounds): Unit = {
     val cents = learnedCentroids(pts, rounds).localCheckpoint()
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    // record the MEASURED external-serve rung with the artifact (ss54's
+    // ladder at sf0.1: 60/84/100% recall at nprobe 2/4/8 — rung 4 is the
+    // knee): ivfServeExternal reads it back, so the dial the audit chose
+    // is the dial production serves, not a constant a human must sync
+    writeIvfManifest(pts.sparkSession, dir)
     // the build is the ONLY place full-corpus assignment runs; queries
     // just read lists, and appends assign their increment only. One file
     // per list from day one (repartition on the partition column) — a
