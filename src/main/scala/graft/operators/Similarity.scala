@@ -1158,14 +1158,25 @@ object Similarity {
     writeNswManifest(s, dir)
   }
 
-  private def writeNswManifest(s: SparkSession, dir: String): Unit = {
+  /** Write the artifact manifest. `maxVecId` defaults to a column-pruned
+    * scan of the local inverted lists (builds/rotations — the lists were
+    * just written); appends pass the max-merged value instead, keeping the
+    * verb O(increment). The recorded max is what [[beamServeExternal]]
+    * checks external q_ids against (the disjoint-id-space contract). */
+  private def writeNswManifest(s: SparkSession, dir: String,
+      maxVecId: Option[Long] = None): Unit = {
+    val mx = maxVecId.getOrElse {
+      val r = s.read.parquet(s"$dir/ivf/lists")
+        .agg(max(col("vec_id"))).collect()(0)
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }
     val f = hadoopFs(s, dir)
     val p = new org.apache.hadoop.fs.Path(s"$dir/manifest.json")
     val out = f.create(p, true)
     try out.write(
       (s"""{"max_degree":$nswMaxDegree,"serve_degree":$nswServeDegree,""" +
         s""""entry_count":$nswEntryCount,"beam_width":$beamWidth,""" +
-        s""""beam_hops":$beamHops}""").getBytes("UTF-8"))
+        s""""beam_hops":$beamHops,"max_vec_id":$mx}""").getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -1209,9 +1220,11 @@ object Similarity {
     val inc = newVecs.select(col("vec_id"), col("v"), col("nrm")).localCheckpoint()
     val incIds = inc.select(col("vec_id"))
     // batch-identity fingerprint: (count, order-independent id hash XOR —
-    // xor, not sum: wrapping sums throw under ANSI mode)
+    // xor, not sum: wrapping sums throw under ANSI mode); max rides along
+    // for the manifest's id-space bound
     val fpRow = inc.agg(count(lit(1)),
-      coalesce(bit_xor(xxhash64(col("vec_id"))), lit(0L))).collect()(0)
+      coalesce(bit_xor(xxhash64(col("vec_id"))), lit(0L)),
+      max(col("vec_id"))).collect()(0)
     val fp = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
     val f = hadoopFs(s, dir)
     appendTagFingerprint(s, dir, tag) match {
@@ -1309,6 +1322,16 @@ object Similarity {
       s.read.parquet(resolveNswTable(s, dir, "entries")).select(col("vec_id"))
         .unionByName(incIds).distinct()
         .orderBy(col("vec_id").asc).limit(nswEntryCount))
+    // id-space bound: max-merge the increment into the manifest — max is
+    // transitive, so this equals a rescan without paying one (replays are
+    // idempotent: same increment, same max). A pre-manifest artifact heals
+    // by one full-lists scan here, once.
+    val incMax = if (fpRow.isNullAt(2)) -1L else fpRow.getLong(2)
+    manifestLong(s, s"$dir/manifest.json", "max_vec_id") match {
+      case Some(cur) =>
+        writeNswManifest(s, dir, maxVecId = Some(math.max(cur, incMax)))
+      case None => writeNswManifest(s, dir)
+    }
   }
 
   /** Fold accumulated edge deltas into the base artifact — compaction's
@@ -1911,14 +1934,30 @@ object Similarity {
     * at 100%). The sum, not the average: cosine is scale-invariant and
     * integer addition is exact in both engines with no floor/truncate
     * divergence. Ids move to a disjoint space so the beam's self-pair
-    * filter can never drop a legitimate candidate. */
+    * filter can never drop a legitimate candidate — and the offset is
+    * DERIVED from the corpus (next 10M multiple past max(vec_id)), not
+    * hard-coded (round-10 advice: a fixed +10M silently broke the
+    * disjointness premise once a corpus reached 10M vectors — exactly
+    * the scale this engine targets). */
+  private[operators] def externalIdOffset(base: DataFrame): Long = {
+    val mx = base.agg(max(col("vec_id"))).collect()(0)
+    val m = if (mx.isNullAt(0)) 0L else mx.getLong(0)
+    (m / 10000000L + 1L) * 10000000L
+  }
+
+  /** The SQL twin of [[externalIdOffset]] — same integer arithmetic
+    * (DuckDB `//` floors like JVM `/` on these non-negative operands). */
+  private val xoffSql: String =
+    "(SELECT ((MAX(vec_id) // 10000000) + 1) * 10000000 FROM qn)"
+
   private[operators] def externalQueries(base: DataFrame): DataFrame = {
+    val off = externalIdOffset(base)
     val a = base.filter(col("vec_id") % 100 === 50)
       .select(col("vec_id"), col("v").as("va"))
     val b = base.select((col("vec_id") - lit(1L)).as("vec_id"),
       col("v").as("vb"))
     a.join(b, Seq("vec_id"))
-      .select((col("vec_id") + lit(10000000L)).as("q_id"),
+      .select((col("vec_id") + lit(off)).as("q_id"),
         zip_with(col("va"), col("vb"), (x, y) => x + y).as("v1"))
       .withColumn("n1", expr("dot_l(v1, v1)"))
   }
@@ -1935,13 +1974,29 @@ object Similarity {
     * short result list). Scale shape: per hop, |queries| × beamWidth
     * rows equi-join the stored edge table; the only broadcast is the
     * constant-size entry set. `queries` must be (q_id, v1, n1) with
-    * q_ids disjoint from corpus vec_ids. */
+    * q_ids ABOVE the corpus id space — ENFORCED against the manifest's
+    * max_vec_id, not just documented (round-10 advice: a colliding q_id
+    * was silently dropped as a self-pair by the walk's q_id != c_id
+    * filter, returning wrong, short results with no error). */
   def beamServeExternal(s: SparkSession, idxDir: String,
       queries: DataFrame): DataFrame = {
+    val qs = queries.select(col("q_id"), col("v1"), col("n1"))
+    manifestLong(s, resolveNswTable(s, idxDir, "manifest.json"),
+        "max_vec_id").foreach { mx =>
+      // metadata-side bound + one request-sized agg: fail LOUDLY on any
+      // id-space collision instead of silently self-pair-dropping it
+      val qmin = qs.agg(min(col("q_id"))).collect()(0)
+      if (!qmin.isNullAt(0) && qmin.getLong(0) <= mx)
+        throw new IllegalArgumentException(
+          s"external query ids must live ABOVE the corpus id space: min " +
+            s"q_id ${qmin.getLong(0)} <= max corpus vec_id $mx (index " +
+            s"$idxDir) — a colliding id would be dropped as a self-pair " +
+            "and return silently short results; offset query ids past the " +
+            "manifest's max_vec_id (externalIdOffset's rule)")
+    }
     val lists = s.read
       .parquet(s"${resolveNswTable(s, idxDir, "ivf")}/lists")
       .select(col("vec_id"), col("v"), col("nrm"))
-    val qs = queries.select(col("q_id"), col("v1"), col("n1"))
     val visited = nswBeamSearch(lists,
         storedNswEdges(s, idxDir, nswServeDegree),
         materialize = true, beamHops,
@@ -1980,7 +2035,7 @@ object Similarity {
        |${annProbePrefixSqlFor("TRUE")},
        |$nswRankedEdgeSql,
        |ed AS (SELECT src, dst FROM edr WHERE rnk <= $nswServeDegree),
-       |qx AS (SELECT a.vec_id + 10000000 AS vec_id,
+       |qx AS (SELECT a.vec_id + $xoffSql AS vec_id,
        |  list_transform(range(1, len(a.v) + 1), i -> a.v[i] + b.v[i]) AS v,
        |  CAST(list_sum(list_transform(range(1, len(a.v) + 1),
        |    i -> (a.v[i] + b.v[i]) * (a.v[i] + b.v[i]))) AS BIGINT) AS nrm
@@ -2110,7 +2165,7 @@ object Similarity {
        |  SELECT vec_id, cent_id,
        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS crn
        |  FROM cscored) t WHERE crn = 1),
-       |qx AS (SELECT a.vec_id + 10000000 AS vec_id,
+       |qx AS (SELECT a.vec_id + $xoffSql AS vec_id,
        |  list_transform(range(1, len(a.v) + 1), i -> a.v[i] + b.v[i]) AS v,
        |  CAST(list_sum(list_transform(range(1, len(a.v) + 1),
        |    i -> (a.v[i] + b.v[i]) * (a.v[i] + b.v[i]))) AS BIGINT) AS nrm
@@ -2173,7 +2228,7 @@ object Similarity {
 
   lazy val ss53Oracle: String =
     s"""WITH $qvecSql,
-       |qx AS (SELECT a.vec_id + 10000000 AS q_id,
+       |qx AS (SELECT a.vec_id + $xoffSql AS q_id,
        |  list_transform(range(1, len(a.v) + 1), i -> a.v[i] + b.v[i]) AS v,
        |  CAST(list_sum(list_transform(range(1, len(a.v) + 1),
        |    i -> (a.v[i] + b.v[i]) * (a.v[i] + b.v[i]))) AS BIGINT) AS nrm
@@ -2230,7 +2285,7 @@ object Similarity {
        |${annProbePrefixSqlFor("TRUE")},
        |$nswRankedEdgeSql,
        |ed AS (SELECT src, dst FROM edr WHERE rnk <= $nswServeDegree),
-       |qx AS (SELECT a.vec_id + 10000000 AS vec_id,
+       |qx AS (SELECT a.vec_id + $xoffSql AS vec_id,
        |  list_transform(range(1, len(a.v) + 1), i -> a.v[i] + b.v[i]) AS v,
        |  CAST(list_sum(list_transform(range(1, len(a.v) + 1),
        |    i -> (a.v[i] + b.v[i]) * (a.v[i] + b.v[i]))) AS BIGINT) AS nrm
@@ -2310,7 +2365,7 @@ object Similarity {
        |  SELECT vec_id, cent_id,
        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS crn
        |  FROM cscored) t WHERE crn = 1),
-       |qx AS (SELECT a.vec_id + 10000000 AS q_id,
+       |qx AS (SELECT a.vec_id + $xoffSql AS q_id,
        |  list_transform(range(1, len(a.v) + 1), i -> a.v[i] + b.v[i]) AS v,
        |  CAST(list_sum(list_transform(range(1, len(a.v) + 1),
        |    i -> (a.v[i] + b.v[i]) * (a.v[i] + b.v[i]))) AS BIGINT) AS nrm

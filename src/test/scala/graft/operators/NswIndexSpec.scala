@@ -700,6 +700,52 @@ class NswIndexSpec extends SparkSpec {
       new java.io.File(idx).getParentFile)
   }
 
+  test("beamServeExternal enforces the disjoint-id-space contract: a q_id " +
+      "inside the corpus id space fails loudly instead of self-pair-dropping") {
+    val base = Similarity.qvec(spark, dir).localCheckpoint()
+    val idx = tmpIdx("nsw-disjoint")
+    try {
+      Similarity.buildNswIndex(spark, base, idx)
+      val off = Similarity.externalIdOffset(base)
+      val maxId = base.agg(max(col("vec_id"))).collect()(0).getLong(0)
+      // the derived offset clears the corpus id space by construction
+      assert(off > maxId && off % 10000000L == 0L)
+      // colliding ids (raw corpus ids as q_ids) must be refused loudly —
+      // the walk's self-pair filter would otherwise silently shorten the
+      // results with no error (round-10 advice)
+      val colliding = base.filter(col("vec_id") % 100 === 50)
+        .select(col("vec_id").as("q_id"), col("v").as("v1"),
+          col("nrm").as("n1"))
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.beamServeExternal(spark, idx, colliding)
+      }
+      assert(ex.getMessage.contains("ABOVE the corpus id space"))
+      // properly offset ids serve normally, and the manifest bound tracks
+      // APPENDS: ids just past the pre-append bound collide after the
+      // append grows the corpus under them
+      val ok = colliding.select((col("q_id") + lit(off)).as("q_id"),
+        col("v1"), col("n1"))
+      assert(Similarity.beamServeExternal(spark, idx, ok).count() > 0)
+      val idx2 = tmpIdx("nsw-disjoint2")
+      Similarity.buildNswIndex(spark,
+        base.filter(col("vec_id") % 10 =!= 3), idx2)
+      Similarity.appendToNswIndex(spark, idx2,
+        base.filter(col("vec_id") % 10 === 3)
+          .select(col("vec_id") + lit(1000000L), col("v"), col("nrm"))
+          .toDF("vec_id", "v", "nrm"), "hi")
+      val justPast = colliding
+        .select((col("q_id") + lit(999000L)).as("q_id"), col("v1"), col("n1"))
+      val ex2 = intercept[IllegalArgumentException] {
+        Similarity.beamServeExternal(spark, idx2, justPast)
+      }
+      assert(ex2.getMessage.contains("ABOVE the corpus id space"),
+        "the manifest bound must track appended ids, not just the build")
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(idx2).getParentFile)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(idx).getParentFile)
+  }
+
   test("per-label artifact partition-prunes a single-label probe") {
     val idxL = tmpIdx("nsw-label")
     try {
