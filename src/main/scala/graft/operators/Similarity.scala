@@ -1713,6 +1713,16 @@ object Similarity {
   // beamWidth × (graphK + 1) rows per query. The beam keeps the best
   // candidates found so far (the union includes the current beam), so
   // quality is monotone in hops; ss37 is the honesty metric.
+  //
+  // The budget is MEASURED on both query families (sf0.1): corpus-member
+  // queries read 98% at (hops=5, width=16) — ss37; external queries read
+  // 83% there, and ss56's hops × width ladder shows the hop axis
+  // saturates at 5 (+<=1 point to hops=8 at every width) while width is
+  // the live dial (71/83/94% at 8/16/32). So hops=5 is the knee and
+  // stays; width=16 stays the default because the corpus-member tier is
+  // already at 98% and an external-heavy deployment can buy 94% with
+  // width=32 at linear request-sized cost (ss56 is the standing
+  // instrument for that decision).
   // ---------------------------------------------------------------------
   private val beamWidth = 16
   private val beamHops = 5
@@ -2397,6 +2407,141 @@ object Similarity {
        |$rungs""".stripMargin
   }
 
+  // ss56's dials: one chain per width to the deepest hop, recall read at
+  // every hop point along the way (monotone visited set ⇒ the shallower
+  // rungs are free prefixes of the deep chain — 9 rungs for 3 walks).
+  private val beamLadderWidths = Seq(8, 16, 32)
+  private val beamLadderHops = Seq(3, 5, 8)
+
+  /** ss56: the EXTERNAL BEAM BUDGET ladder — hops × beamWidth recall for
+    * [[beamServeExternal]] against the brute-force external truth
+    * (round-10 verdict #4: corpus-member queries read 98% at the
+    * production budget while external queries read 83% at sf0.1, so the
+    * budget demonstrably matters out-of-corpus — and had no measurement).
+    * Same serve shape as production: walk the stored graph, re-rank the
+    * full visited set from the artifact's lists. MEASURED at sf0.1:
+    * width 8/16/32 reads 71/83/94% at hops=5, while hops past 5 buy at
+    * most one point at any width — the HOP budget sits at its knee
+    * (kept), and WIDTH is the dial to turn when a deployment needs more
+    * than 83% external recall, at linear cost in the request-sized walk
+    * (never the corpus). See the serving constants below. */
+  def ss56ExternalBeamLadder(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val ext = externalQueries(base).localCheckpoint()
+    val qs = ext.select(col("q_id"), col("v1"), col("n1"))
+    val csb = base.select(col("vec_id").as("c_id"), col("v").as("v2"),
+      col("nrm").as("n2"))
+    val exact = topK(ext.join(csb, lit(true))
+        .withColumn("cos",
+          expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double"))))
+      .select(col("q_id"), col("c_id")).localCheckpoint()
+    val idx = ensureNswIndex(s, dir)
+    // candidates from the ARTIFACT's lists, exactly like the serve
+    val cands = s.read.parquet(s"${resolveNswTable(s, idx, "ivf")}/lists")
+      .select(col("vec_id").as("c_id"), col("v").as("v2"),
+        col("nrm").as("n2")).localCheckpoint()
+    val edges = storedNswEdges(s, idx, nswServeDegree).localCheckpoint()
+    val entries = storedNswEntries(s, idx).localCheckpoint()
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    def beamW(front: DataFrame, width: Int): DataFrame = front
+      .join(cands, Seq("c_id")).join(qs, Seq("q_id"))
+      .withColumn("cos",
+        expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+      .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= width)
+      .select(col("q_id"), col("c_id"), col("cos")).localCheckpoint()
+    val u0 = qs.select(col("q_id")).crossJoin(broadcast(entries))
+      .localCheckpoint()
+    beamLadderWidths.map { width =>
+      var b = beamW(u0, width)
+      var visited = u0
+      val rungs = (1 to beamLadderHops.max).flatMap { h =>
+        val grown = b.select(col("q_id"), col("c_id"))
+          .unionAll(b.join(edges, b("c_id") === edges("src"))
+            .select(col("q_id"), col("dst").as("c_id")))
+          .distinct().localCheckpoint()
+        visited = visited.unionByName(grown)
+        b = beamW(grown, width)
+        if (!beamLadderHops.contains(h)) None
+        else {
+          // the serve at this budget: exact re-rank over everything seen
+          val serve = topK(visited.distinct()
+              .join(qs, Seq("q_id")).join(cands, Seq("c_id"))
+              .withColumn("cos",
+                expr(dotExpr) /
+                  sqrt(col("n1").cast("double") * col("n2").cast("double"))))
+            .select(col("q_id"), col("c_id"))
+          Some(recallAgainst(exact, serve)
+            .select(lit(h.toLong).as("hops"),
+              lit(width.toLong).as("beam_width"),
+              col("n_exact"), col("n_hit"), col("recall_pct")))
+        }
+      }
+      rungs.reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
+  }
+
+  lazy val ss56Oracle: String = {
+    def chainFor(wd: Int): String = {
+      val p = s"w$wd"
+      val head =
+        s"""u${p}_0 AS (SELECT q_id, c_id FROM qsx CROSS JOIN en),
+           |${nswBeamSql(s"u${p}_0", s"b${p}_0", "qx", wd, "qnm")}""".stripMargin
+      val hops = (1 to beamLadderHops.max).map(h =>
+        nswGrowSql(s"b${p}_${h - 1}", s"u${p}_$h") + ",\n" +
+          nswBeamSql(s"u${p}_$h", s"b${p}_$h", "qx", wd, "qnm")).mkString(",\n")
+      head + ",\n" + hops
+    }
+    def rungFor(wd: Int, h: Int): String = {
+      val p = s"w$wd"
+      val vis = (0 to h).map(i => s"SELECT q_id, c_id FROM u${p}_$i")
+        .mkString(" UNION ")
+      s"""SELECT CAST($h AS BIGINT) AS hops, CAST($wd AS BIGINT) AS beam_width,
+         | COUNT(*) AS n_exact,
+         | CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         | (CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
+         |   // COUNT(*) AS recall_pct
+         |FROM ex LEFT JOIN (
+         | SELECT q_id, c_id FROM (
+         |  SELECT q_id, c_id,
+         |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk
+         |  FROM (
+         |   SELECT v.q_id, v.c_id,
+         |    CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b2.v[i])) AS BIGINT)
+         |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b2.nrm AS DOUBLE)) AS cos
+         |   FROM ($vis) v JOIN qx a ON v.q_id = a.vec_id
+         |    JOIN qnm b2 ON v.c_id = b2.vec_id) s0) s1 WHERE rnk <= $K) ap
+         | USING (q_id, c_id)""".stripMargin
+    }
+    val rungs = (for (wd <- beamLadderWidths; h <- beamLadderHops)
+      yield rungFor(wd, h)).mkString("\nUNION ALL\n")
+    s"""WITH $qvecSql,
+       |${kmChainSql(ivfRounds)},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |${annProbePrefixSqlFor("TRUE")},
+       |$nswRankedEdgeSql,
+       |ed AS (SELECT src, dst FROM edr WHERE rnk <= $nswServeDegree),
+       |qnm AS MATERIALIZED (SELECT vec_id, v, nrm FROM qn),
+       |qx AS MATERIALIZED (SELECT a.vec_id + $xoffSql AS vec_id,
+       |  list_transform(range(1, len(a.v) + 1), i -> a.v[i] + b.v[i]) AS v,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+       |    i -> (a.v[i] + b.v[i]) * (a.v[i] + b.v[i]))) AS BIGINT) AS nrm
+       | FROM qn a JOIN qn b ON b.vec_id = a.vec_id + 1
+       | WHERE a.vec_id % 100 = 50),
+       |qsx AS (SELECT vec_id AS q_id FROM qx),
+       |en AS (SELECT vec_id AS c_id FROM qn ORDER BY vec_id ASC LIMIT $nswEntryCount),
+       |ex AS MATERIALIZED (
+       | SELECT q_id, c_id FROM (
+       |  SELECT qx.vec_id AS q_id, c.vec_id AS c_id,
+       |   ROW_NUMBER() OVER (PARTITION BY qx.vec_id ORDER BY
+       |     CAST(list_sum(list_transform(range(1, len(qx.v) + 1), i -> qx.v[i] * c.v[i])) AS BIGINT)
+       |       / sqrt(CAST(qx.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)) DESC,
+       |     c.vec_id ASC) AS rnk
+       |  FROM qx CROSS JOIN qn c) t WHERE rnk <= $K),
+       |${beamLadderWidths.map(chainFor).mkString(",\n")}
+       |$rungs""".stripMargin
+  }
+
   /** The beam search proper over a prepared navigation graph: hop from
     * the fixed entry points toward each query, keeping the best
     * beamWidth candidates seen (bounded-budget recurrence — see the
@@ -2478,8 +2623,14 @@ object Similarity {
 
   /** `qTab` is the query-side vector table (vec_id, v, nrm) — "qn" for
     * corpus-member queries, an external CTE for [[beamServeExternal]]'s
-    * oracle (ss51), where query ids live in a disjoint id space. */
-  private def nswBeamSql(u: String, b: String, qTab: String = "qn"): String =
+    * oracle (ss51), where query ids live in a disjoint id space. `width`
+    * is the beam budget — the production constant by default, a rung
+    * value in ss56's ladder. `cTab` is the candidate-side vector table —
+    * ss56 passes a MATERIALIZED copy of qn, because its 27 beam CTEs
+    * would otherwise each re-open the parquet file (DuckDB evaluates
+    * plain CTE references inline; the ladder exhausted the fd limit). */
+  private def nswBeamSql(u: String, b: String, qTab: String = "qn",
+      width: Int = beamWidth, cTab: String = "qn"): String =
     s"""$b AS (
        | SELECT * FROM (
        |  SELECT q_id, c_id, cos,
@@ -2490,9 +2641,9 @@ object Similarity {
        |      i -> aa.v[i] * bb.v[i])) AS BIGINT)
        |      / sqrt(CAST(aa.nrm AS DOUBLE) * CAST(bb.nrm AS DOUBLE)) AS cos
        |   FROM $u u JOIN $qTab aa ON u.q_id = aa.vec_id
-       |    JOIN qn bb ON u.c_id = bb.vec_id
+       |    JOIN $cTab bb ON u.c_id = bb.vec_id
        |   WHERE u.q_id != u.c_id) s0) s1
-       | WHERE rnk <= $beamWidth)""".stripMargin
+       | WHERE rnk <= $width)""".stripMargin
 
   /** Full-corpus probe pairs, exactly scored (sc28) — the one scoring
     * CTE every graph-tier oracle builds on (ranked edges, per-label
@@ -4763,7 +4914,8 @@ object Similarity {
     "ss52_ivf_external_serve" -> (ss52IvfExternalServe _),
     "ss53_external_recall" -> (ss53ExternalRecall _),
     "ss54_external_nprobe_ladder" -> (ss54ExternalNprobeLadder _),
-    "ss55_external_delta_serve" -> (ss55ExternalDeltaServe _))
+    "ss55_external_delta_serve" -> (ss55ExternalDeltaServe _),
+    "ss56_external_beam_ladder" -> (ss56ExternalBeamLadder _))
 
   val oracles: Map[String, String] = Map(
     "ss34_ann_tombstoned" -> ss34Oracle,
@@ -4787,6 +4939,7 @@ object Similarity {
     "ss53_external_recall" -> ss53Oracle,
     "ss54_external_nprobe_ladder" -> ss54Oracle,
     "ss55_external_delta_serve" -> ss55Oracle,
+    "ss56_external_beam_ladder" -> ss56Oracle,
     // the cold build+serve pays the WHOLE build in-query and must land on
     // exactly the warm serving path's answer — ss36's oracle, shared
     "ss46_nsw_index_build" -> ss36Oracle,
