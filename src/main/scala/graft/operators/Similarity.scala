@@ -924,6 +924,53 @@ object Similarity {
       }
   }
 
+  /** Run `body` (a serve that materializes its result), retrying through
+    * a heal when a CONCURRENT maintenance swap yanked files mid-scan
+    * (round-10 advice: autoMaintain folds/compacts inside foreachBatch
+    * while beamServeStream may be serving the same artifact — a lazy plan
+    * that listed the pre-fold files can hit FileNotFound at task time).
+    * The staged writers guarantee a consistent table exists at every
+    * instant except the delete→rename blink; the retry re-plans from a
+    * fresh listing after promoting any crashed stage, which is exactly
+    * the recovery a restarted reader would perform — bounded, because a
+    * fold is not a livelock source (the policy folds once per due state).
+    * Retries re-execute `body` from scratch, so `body` must be
+    * side-effect-idempotent (the serve sinks are marker-gated or
+    * deterministic overwrites). */
+  private[graft] def retryOnMissingFiles[T](s: SparkSession, idxDir: String)(
+      body: => T): T = {
+    def missingFile(e: Throwable): Boolean = {
+      var cur = e
+      var seen = List.empty[Throwable]
+      while (cur != null && !seen.exists(_ eq cur)) {
+        // task-time (a listed file was yanked mid-scan) and plan-time (a
+        // whole table dir vanished between exists() and read) shapes both
+        // count — the latter is how a raced read of a just-deleted
+        // edges_delta/ or a mid-swap lists/ surfaces
+        if (cur.isInstanceOf[java.io.FileNotFoundException] ||
+            (cur.getMessage != null &&
+              (cur.getMessage.contains("FileNotFoundException") ||
+                cur.getMessage.contains("PATH_NOT_FOUND") ||
+                cur.getMessage.contains("Path does not exist")))) return true
+        seen ::= cur
+        cur = cur.getCause
+      }
+      false
+    }
+    var attempts = 0
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      try out = Some(body)
+      catch {
+        case e: Throwable if attempts < 2 && missingFile(e) =>
+          attempts += 1
+          promoteStages(s, idxDir)
+          promoteStages(s, s"$idxDir/ivf")
+      }
+    }
+    out.get
+  }
+
   /** Create a copy-on-write OVERLAY over a built index: `overlayDir` holds
     * only a `_base` pointer (and, once a caller tombstones it, its own
     * `tombstones/`); reads of ivf/edges/entries resolve through the
@@ -1604,7 +1651,14 @@ object Similarity {
       compactNswProbes(s, idxDir)
       compactIvfIndex(s, s"$idxDir/ivf")
     }
-    val rotate = plan("compact_due") == 1L && rotateTo.isDefined
+    // rotation is ONE-SHOT per destination: compact_due stays true on the
+    // source until the caller switches off it (the tombstones live there
+    // by design), so an unattended maintainer re-checking every
+    // micro-batch must not rebuild an already-finished destination — a
+    // finished rotate is recognized by its manifest (written last).
+    val rotate = plan("compact_due") == 1L && rotateTo.exists(dst =>
+      !hadoopFs(s, dst).exists(
+        new org.apache.hadoop.fs.Path(s"$dst/manifest.json")))
     if (rotate) rotateNswIndex(s, idxDir, rotateTo.get)
     plan + ("folded" -> (if (fold) 1L else 0L)) +
       ("rotated" -> (if (rotate) 1L else 0L))

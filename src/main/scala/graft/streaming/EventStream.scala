@@ -228,12 +228,13 @@ object EventStream {
     * the base-files-untouched pin directly. */
   def graphIngestStream(newVecs: DataFrame, idxDir: String,
       checkpointLocation: Option[String] = None,
-      autoMaintain: Boolean = false)
+      autoMaintain: Boolean = false,
+      rotateTo: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = newVecs.writeStream.outputMode(OutputMode.Append())
     checkpointLocation.foreach(w.option("checkpointLocation", _))
     w.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      ingestGraphBatch(batch, idxDir, batchId, autoMaintain)
+      ingestGraphBatch(batch, idxDir, batchId, autoMaintain, rotateTo)
     }.start()
   }
 
@@ -251,9 +252,18 @@ object EventStream {
     * answers-unchanged and idempotent, so a crash between marker and
     * maintenance is caught up by any later batch's maintenance, while a
     * crash between append and marker replays the append (converging by
-    * tag) and then maintains. */
+    * tag) and then maintains.
+    *
+    * `rotateTo` arms the policy's OTHER decision for unattended runs:
+    * once `compact_due` fires (tombstones past the dial — deletes arrive
+    * via the batch verb even while ingest streams), maintenance rotates
+    * the blue/green compaction into `rotateTo` exactly once (the
+    * finished-manifest guard in maintainNswIndex); the source keeps
+    * serving — and keeps ingesting — until the operator switches, which
+    * stays a human/deployment decision by design. */
   def ingestGraphBatch(batch: DataFrame, idxDir: String, batchId: Long,
-      autoMaintain: Boolean = false): Unit = {
+      autoMaintain: Boolean = false,
+      rotateTo: Option[String] = None): Unit = {
     val s = batch.sparkSession
     val f = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(idxDir), s.sparkContext.hadoopConfiguration)
@@ -265,7 +275,8 @@ object EventStream {
       f.mkdirs(marker.getParent)
       f.create(marker, false).close()
     }
-    if (autoMaintain) graft.operators.Similarity.maintainNswIndex(s, idxDir)
+    if (autoMaintain)
+      graft.operators.Similarity.maintainNswIndex(s, idxDir, rotateTo)
   }
 
   /** Streaming SERVE front door — the other half of the index lifecycle:
@@ -287,7 +298,12 @@ object EventStream {
     }.start()
   }
 
-  /** Per-batch body of [[beamServeStream]]. */
+  /** Per-batch body of [[beamServeStream]]. The serve runs inside
+    * [[graft.operators.Similarity.retryOnMissingFiles]]: a CONCURRENT
+    * autoMaintain fold/compact on the same artifact can yank files
+    * between this serve's listing and its scan (round-10 advice) — the
+    * retry re-plans from a fresh listing, and the deterministic
+    * per-batch output dir makes the re-execution a clean overwrite. */
   def serveGraphBatch(batch: DataFrame, idxDir: String, outDir: String,
       batchId: Long): Unit = {
     val s = batch.sparkSession
@@ -303,8 +319,11 @@ object EventStream {
           expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))")
             .as("v1"))
         .withColumn("n1", expr("dot_l(v1, v1)"))
-      graft.operators.Similarity.beamServeExternal(s, idxDir, qs)
-        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        .localCheckpoint() // pin the batch: retries must re-serve, not re-read
+      graft.operators.Similarity.retryOnMissingFiles(s, idxDir) {
+        graft.operators.Similarity.beamServeExternal(s, idxDir, qs)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
       f.mkdirs(marker.getParent)
       f.create(marker, false).close()
     }

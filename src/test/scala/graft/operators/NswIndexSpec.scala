@@ -746,6 +746,48 @@ class NswIndexSpec extends SparkSpec {
       new java.io.File(idx).getParentFile)
   }
 
+  test("retryOnMissingFiles re-plans a serve raced by a concurrent fold's swap " +
+      "window, heals a crashed stage on the way, and passes other errors through") {
+    val base = Similarity.qvec(spark, dir).localCheckpoint()
+    val idx = tmpIdx("nsw-retry")
+    try {
+      Similarity.buildNswIndex(spark, base, idx)
+      // a missing-file failure wrapped the way Spark surfaces it at task
+      // time is retried; the second attempt sees the healed table
+      var calls = 0
+      val n = Similarity.retryOnMissingFiles(spark, idx) {
+        calls += 1
+        if (calls == 1) throw new org.apache.spark.SparkException("task failed",
+          new java.io.FileNotFoundException(s"$idx/edges/part-0.parquet"))
+        spark.read.parquet(s"$idx/edges").count()
+      }
+      assert(calls == 2 && n > 0)
+      // the retry's heal is real: damage the artifact into the crash shape
+      // (stage complete, destination missing) and let the first attempt
+      // fail on the missing dir — the promote inside the retry fixes it
+      assert(new java.io.File(s"$idx/ivf/lists")
+        .renameTo(new java.io.File(s"$idx/ivf/.stage_lists")))
+      var calls2 = 0
+      val healed = Similarity.retryOnMissingFiles(spark, idx) {
+        calls2 += 1
+        // raw read, no resolveNswTable heal in the body itself
+        spark.read.parquet(s"$idx/ivf/lists").count()
+      }
+      assert(calls2 == 2 && healed == base.count(),
+        "the retry must promote the crashed stage and re-plan")
+      // a non-missing-file error is NOT retried
+      var calls3 = 0
+      intercept[IllegalStateException] {
+        Similarity.retryOnMissingFiles(spark, idx) {
+          calls3 += 1
+          throw new IllegalStateException("unrelated")
+        }
+      }
+      assert(calls3 == 1)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(idx).getParentFile)
+  }
+
   test("per-label artifact partition-prunes a single-label probe") {
     val idxL = tmpIdx("nsw-label")
     try {

@@ -586,6 +586,111 @@ trait StatefulStreamingScenarios { this: SparkSpec =>
     }
   }
 
+  test("unattended index lifecycle: the ingest stream folds past fold-due and " +
+      "rotates past compact-due while the serve stream answers throughout, " +
+      "and the post-rotate serve equals the batch verb") {
+    withProvider {
+      import graft.operators.Similarity
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val sfDir = "/root/testdata/sf0.001"
+      val emb = graft.Tables(spark, sfDir, "embeddings")
+      val vecs = graft.operators.Dedup.quantized(emb)
+        .select(col("vec_id"), col("v"), col("nrm")).localCheckpoint()
+      val standing = vecs.filter(col("vec_id") % 10 =!= 3)
+      val incRaw = emb.filter(col("vec_id") % 10 === 3)
+        .select(col("vec_id"), col("label"), col("embedding"))
+        .as[(Long, String, Array[Float])].collect()
+      val extRaw = emb.filter(col("vec_id") % 100 === 50)
+        .select((col("vec_id") + lit(10000000L)).as("q_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+      val root = java.nio.file.Files.createTempDirectory("nsw-lifecycle").toString
+      val idx = s"$root/idx"; val dst = s"$root/gen2"; val out = s"$root/served"
+      // dials: every micro-batch is past the fold threshold, and the %9
+      // tombstones (~11%) are past the compact threshold
+      spark.conf.set("spark.graft.nsw.foldAppendPct", "1")
+      spark.conf.set("spark.graft.nsw.compactTombstonePct", "10")
+      try {
+        Similarity.buildNswIndex(spark, standing, idx)
+        val ingestIn = MemoryStream[(Long, String, Array[Float])]
+        val serveIn = MemoryStream[(Long, Array[Float])]
+        val ingest = EventStream.graphIngestStream(
+          ingestIn.toDF().toDF("vec_id", "label", "embedding"), idx,
+          autoMaintain = true, rotateTo = Some(dst))
+        val serve = EventStream.beamServeStream(
+          serveIn.toDF().toDF("q_id", "embedding"), idx, out)
+        def feedServe(chunk: Array[(Long, Array[Float])]): Unit = {
+          serveIn.addData(chunk.toSeq); serve.processAllAvailable()
+        }
+        def feedIngest(chunk: Array[(Long, String, Array[Float])]): Unit = {
+          ingestIn.addData(chunk.toSeq); ingest.processAllAvailable()
+        }
+        val chunks = incRaw.grouped(incRaw.length / 3 + 1).toArray
+        val (sa, sb) = extRaw.splitAt(extRaw.length / 2)
+        // phase 1: serve, ingest→fold, serve again
+        feedServe(sa)
+        feedIngest(chunks(0))
+        assert(!new java.io.File(s"$idx/edges_delta").exists(),
+          "past-fold-due micro-batch must leave no delta behind")
+        assert(new java.io.File(s"$idx/_append_tags").listFiles()
+          .filter(f => f.isFile && !f.getName.startsWith(".")).map(_.getName)
+          .forall(_.startsWith("_spent_")),
+          "the fold must compact the batch-identity sidecar")
+        feedServe(sb)
+        // phase 2: deletes arrive via the batch verb; the next micro-batch's
+        // maintenance sees compact_due and rotates ONCE into dst
+        Similarity.tombstoneNswIndex(spark, idx,
+          vecs.filter(col("vec_id") % 9 === 0).select(col("vec_id")))
+        feedIngest(chunks(1))
+        val dstManifest = new java.io.File(s"$dst/manifest.json")
+        assert(dstManifest.isFile, "compact_due must rotate into dst")
+        assert(!new java.io.File(s"$dst/tombstones").exists() &&
+          !new java.io.File(s"$dst/edges_delta").exists(),
+          "the rotated artifact starts with a clean verb ladder")
+        assert(spark.read.parquet(s"$dst/ivf/lists")
+          .filter(col("vec_id") % 9 === 0).count() == 0,
+          "the rotated artifact must hold alive vectors only")
+        val stamp = dstManifest.lastModified()
+        // phase 3: the source keeps ingesting and serving; the finished
+        // destination is NOT re-rotated while compact_due persists
+        feedIngest(chunks(2))
+        assert(dstManifest.lastModified() == stamp,
+          "a finished rotation must not be re-executed per micro-batch")
+        feedServe(sa.take(3))
+        ingest.stop(); serve.stop()
+        // phase 4: the operator switch — a fresh serve stream on dst
+        // answers in lockstep with the batch verb over the same artifact
+        val out2 = s"$root/served2"
+        val serveIn2 = MemoryStream[(Long, Array[Float])]
+        val serve2 = EventStream.beamServeStream(
+          serveIn2.toDF().toDF("q_id", "embedding"), dst, out2)
+        serveIn2.addData(sb.toSeq); serve2.processAllAvailable()
+        serve2.stop()
+        val streamed = spark.read.parquet(out2)
+          .select(col("q_id"), col("c_id"), col("rnk"), col("cos"))
+          .collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+          .toList.sorted
+        val batchQs = emb
+          .filter((col("vec_id") + 10000000L).isin(sb.map(_._1).toSeq: _*))
+          .select((col("vec_id") + lit(10000000L)).as("q_id"),
+            expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))")
+              .as("v1"))
+          .withColumn("n1", expr("dot_l(v1, v1)"))
+        val oneShot = Similarity.beamServeExternal(spark, dst, batchQs)
+          .collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+          .toList.sorted
+        assert(streamed == oneShot,
+          "the post-rotate streamed serve must equal the batch serve")
+      } finally {
+        spark.conf.unset("spark.graft.nsw.foldAppendPct")
+        spark.conf.unset("spark.graft.nsw.compactTombstonePct")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      }
+    }
+  }
 }
 
 /** Drives the streaming operators through a MemoryStream source and memory
