@@ -54,16 +54,16 @@ object Dedup {
     Tables.balanced(docs.select(col("doc_id"), split(col("text"), " ").as("tk")))
       .select(col("doc_id"), shinglesOverTk.as("shingles"))
 
-  private val shinglesSql: String =
+  private[operators] val shinglesSql: String =
     """list_transform(range(1, greatest(len(tk) - 1, 2)),
       |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])""".stripMargin
 
-  private def tkSqlFrom(src: String): String =
+  private[operators] def tkSqlFrom(src: String): String =
     s"SELECT doc_id, string_split(text, ' ') AS tk FROM $src"
 
   private val tkSql: String = tkSqlFrom("documents")
 
-  private val numHashes = 8 // 4 bands × 2 rows
+  private[operators] val numHashes = 8 // 4 bands × 2 rows
 
   // ---------------------------------------------------------------------
   // dd01: exact dedup — hash-groupBy, keep min doc_id per content hash
@@ -119,7 +119,7 @@ object Dedup {
   def dd02MinhashSig(s: SparkSession, dir: String): DataFrame =
     minhashSignatures(Tables(s, dir, "documents"))
 
-  private def sigSqlFrom(src: String, name: String = "sig"): String = {
+  private[operators] def sigSqlFrom(src: String, name: String = "sig"): String = {
     import graft.functions.MinHashImpl.{A, B, Mod}
     val cols = (0 until numHashes).map(i =>
       s"list_min(list_transform(sh, s -> (${A(i)} * ('0x' || substr(md5(s), 1, 8))::BIGINT + ${B(i)}) % $Mod)) AS m$i")

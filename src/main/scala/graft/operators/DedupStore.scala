@@ -30,6 +30,12 @@ import graft.Tables
   *    sidecars over `hashes` and the packed band keys, merged in place on
   *    each roll-forward. The incremental check broadcasts them and screens
   *    the new batch BEFORE either shuffle ([[Dedup.BloomPrefilter]]).
+  *  - `_rf_tags/` — one fingerprint per TAGGED roll-forward (the batch
+  *    identity sidecar, the NSW artifact's `_append_tags/` discipline):
+  *    loose files are the increments appended since the last compaction
+  *    — [[dedupMaintenancePlan]] reads its appended-row counts from them
+  *    — and compaction retires them into a `_spent_<gen>` manifest whose
+  *    identities keep refusing tag reuse forever.
   *
   * Scale notes: `build` makes ONE tokenize+shingle pass over the corpus
   * (the sets are checkpointed, then hashes/bands derive from them);
@@ -41,17 +47,168 @@ object DedupStore {
   final case class Store(hashes: DataFrame, sets: DataFrame, bands: DataFrame,
       blooms: Option[Dedup.BloomPrefilter] = None)
 
+  /** The roll-forward batch-identity sidecar dir name (under the store). */
+  private val RfSidecar = "_rf_tags"
+
   /** Build (or rebuild) the store from a full corpus: one tokenize pass,
-    * three parquet tables. */
-  def build(docs: DataFrame, dir: String): Unit =
+    * three parquet tables. A rebuild also clears the roll-forward identity
+    * sidecar — the appended increments it fingerprinted no longer exist. */
+  def build(docs: DataFrame, dir: String): Unit = {
+    val s = docs.sparkSession
+    fs(s, dir).delete(new org.apache.hadoop.fs.Path(s"$dir/$RfSidecar"), true)
     write(docs, dir, overwrite = true)
+  }
 
   /** Append an ACCEPTED increment (docs that survived dedup) to the store.
     * Reads nothing from the existing store — the increment's own
     * hashes/sets/bands are computed and appended, so the cost is
-    * O(increment), independent of corpus size. */
-  def rollForward(dir: String, accepted: DataFrame): Unit =
-    write(accepted, dir, overwrite = false)
+    * O(increment), independent of corpus size.
+    *
+    * With a `tag` (the batch identity — streaming passes b<batchId>) the
+    * append is REPLAY-CONVERGENT and metadata-accounted: files land under
+    * deterministic `rf-<tag>-i` names (same-tag leftovers of a crashed
+    * attempt retired first), the fingerprint recorded under `_rf_tags/`
+    * last — so a replayed batch is a no-op, a DIFFERENT increment reusing
+    * the tag is refused loudly, and [[dedupMaintenancePlan]] can count
+    * appended rows without scanning anything. Untagged stays the manual
+    * one-shot path (plain parquet append, no identity). */
+  def rollForward(dir: String, accepted: DataFrame,
+      tag: Option[String] = None): Unit = tag match {
+    case None => write(accepted, dir, overwrite = false)
+    case Some(t) => rollForwardTagged(accepted.sparkSession, dir, accepted, t)
+  }
+
+  private def rollForwardTagged(s: SparkSession, dir: String,
+      accepted: DataFrame, tag: String): Unit = {
+    require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe roll-forward tag: $tag")
+    Similarity.promoteStages(s, dir) // heal a crashed staged compact first
+    val inc = accepted.localCheckpoint()
+    val hashesInc = inc.select(md5(col("text")).as("h")).distinct()
+      .localCheckpoint()
+    // batch identity: (set rows, distinct hash rows, order-independent id
+    // XOR — xor, not sum: wrapping sums throw under ANSI mode). The first
+    // two double as the plan's appended-row counts, so maintenance never
+    // rescans an increment to size it.
+    val fpRow = inc.agg(count(lit(1)),
+      coalesce(bit_xor(xxhash64(col("doc_id"))), lit(0L))).collect()(0)
+    val fp = s"${fpRow.getLong(0)}:${hashesInc.count()}:${fpRow.getLong(1)}"
+    Similarity.appendTagFingerprint(s, dir, tag, RfSidecar) match {
+      case Some(prev) =>
+        if (prev != fp) throw new IllegalStateException(
+          s"roll-forward tag '$tag' was already used for a DIFFERENT " +
+            s"increment (fingerprint $prev, this batch $fp): tags are batch " +
+            "identities — reuse would retire the first batch's files as " +
+            "replay leftovers")
+        return // spent identity: already appended (or folded by a compact)
+      case None => ()
+    }
+    // an EMPTY increment (an idle micro-batch, or one where every doc was
+    // flagged) is a no-op past the fingerprint — appending empty files and
+    // merging empty blooms would be identity writes
+    if (fpRow.getLong(0) == 0L) { writeRfFingerprint(s, dir, tag, fp); return }
+    val setsInc = Dedup.shingleSets(inc).localCheckpoint()
+    val bandsInc = Dedup.lshBands(Dedup.minhashSigsFromSets(setsInc).drop("sh"))
+      .localCheckpoint()
+    stagedAppendFiles(s, s"$dir/hashes", hashesInc, tag, partitioned = false)
+    stagedAppendFiles(s, s"$dir/sets", setsInc, tag, partitioned = false)
+    stagedAppendFiles(s, s"$dir/bands", bandsInc, tag, partitioned = true)
+    // blooms BEFORE the fingerprint: a crash after the table moves but
+    // before the bloom merge replays the whole body (fingerprint absent),
+    // and bloom insertion is idempotent — so the sidecars can never be
+    // missing a member whose rows are in the tables (a bloom false
+    // negative here would be silent duplicate admission downstream)
+    appendBloomSidecars(s, dir, hashesInc, bandsInc)
+    writeRfFingerprint(s, dir, tag, fp)
+  }
+
+  private def writeRfFingerprint(s: SparkSession, dir: String, tag: String,
+      fp: String): Unit = {
+    val f = fs(s, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$RfSidecar/$tag")
+    f.mkdirs(p.getParent)
+    // overwrite=false: two writers racing on one tag is a deployment bug
+    // (duplicate concurrent query rolling one store forward) — fail loudly
+    val out = f.create(p, false)
+    try out.write(fp.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Tag-convergent append of `rows` to a store table: stage, then move
+    * the files in under deterministic `rf-<tag>-i` names, retiring any
+    * same-tag leftovers of a previous partially-moved attempt first (the
+    * [[Similarity]] index tiers' staged-append discipline). Files are
+    * sized to the increment (`spark.graft.dedup.rowsPerFile`, default 4M)
+    * — a day-scale accepted batch at 100 TB must not funnel through one
+    * task. */
+  private def stagedAppendFiles(s: SparkSession, tableDir: String,
+      rows: DataFrame, tag: String, partitioned: Boolean): Unit = {
+    val staged = s"$tableDir/.rfstage_$tag"
+    if (partitioned)
+      rows.repartition(col("band"))
+        .write.mode("overwrite").partitionBy("band").parquet(staged)
+    else {
+      val rowsPerFile =
+        Similarity.confInt(s, "spark.graft.dedup.rowsPerFile", 4000000).toLong
+      val n = rows.count()
+      val nFiles = math.max(1L, (n + rowsPerFile - 1L) / rowsPerFile).toInt
+      rows.repartition(nFiles).write.mode("overwrite").parquet(staged)
+    }
+    val f = fs(s, tableDir)
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    def moveInto(src: org.apache.hadoop.fs.Path,
+        dest: org.apache.hadoop.fs.Path): Unit = {
+      f.mkdirs(dest)
+      for (old <- f.listStatus(dest)
+          if old.getPath.getName.startsWith(s"rf-$tag-"))
+        f.delete(old.getPath, false)
+      val files = f.listStatus(src)
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+          && !st.getPath.getName.startsWith("."))
+        .sortBy(_.getPath.getName)
+      for ((st, i) <- files.zipWithIndex)
+        f.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(dest, s"rf-$tag-$i.parquet"))
+    }
+    if (partitioned)
+      for (part <- f.listStatus(new org.apache.hadoop.fs.Path(staged))
+          if part.isDirectory && part.getPath.getName.startsWith("band="))
+        moveInto(part.getPath,
+          new org.apache.hadoop.fs.Path(root, part.getPath.getName))
+    else moveInto(new org.apache.hadoop.fs.Path(staged), root)
+    f.delete(new org.apache.hadoop.fs.Path(staged), true)
+  }
+
+  /** Merge increment-built bloom filters into the standing sidecars (or
+    * rebuild from the full tables when no merge-compatible pair exists —
+    * see the silent-dup trap note in [[write]]). Shared by the manual
+    * append path and the tagged roll-forward. Call AFTER the increment's
+    * table rows are appended: the rebuild path scans the tables. */
+  private def appendBloomSidecars(s: SparkSession, dir: String,
+      hashesInc: DataFrame, bandsInc: DataFrame): Unit = {
+    val (fh, fb) = Dedup.BloomPrefilter.buildFilters(s, hashesInc, bandsInc)
+    val (bh, bb) = readBloomFiles(s, dir) match {
+      case Some((oh, ob)) =>
+        oh.mergeInPlace(fh); ob.mergeInPlace(fb); (oh, ob)
+      case None =>
+        // No merge-compatible sidecars: a pre-version (v1) store, or a
+        // store whose sidecar files were lost. Writing filters built
+        // from the INCREMENT alone here would be the silent-dup trap:
+        // later reads would trust them, the bloom screen drops
+        // screened-out rows BEFORE the verifying joins, and every
+        // standing member would become a false negative. Rebuild from
+        // the FULL on-disk tables instead — the increment was already
+        // appended above, so these scans cover standing + new. One
+        // full pass, paid once per store upgrade/repair, never again.
+        // band is a partition column on disk — pin it back to the INT
+        // the in-memory probe side hashes (xxhash64 is type-sensitive,
+        // so a type-inference drift here would silently change the
+        // filter's key domain).
+        Dedup.BloomPrefilter.buildFilters(s,
+          s.read.parquet(s"$dir/hashes"),
+          s.read.parquet(s"$dir/bands")
+            .withColumn("band", col("band").cast("int")))
+    }
+    writeBloomFiles(s, dir, bh, bb)
+  }
 
   private def write(docs: DataFrame, dir: String, overwrite: Boolean): Unit = {
     val mode = if (overwrite) "overwrite" else "append"
@@ -67,32 +224,10 @@ object DedupStore {
     bands.write.mode(mode).partitionBy("band").parquet(s"$dir/bands")
     // Bloom sidecars: build-from-scratch on overwrite, merge-in-place on
     // roll-forward (same size constants everywhere → merge-compatible).
-    val (fh, fb) = Dedup.BloomPrefilter.buildFilters(s, hashes, bands)
-    val (bh, bb) =
-      if (overwrite) (fh, fb)
-      else readBloomFiles(s, dir) match {
-        case Some((oh, ob)) =>
-          oh.mergeInPlace(fh); ob.mergeInPlace(fb); (oh, ob)
-        case None =>
-          // No merge-compatible sidecars: a pre-version (v1) store, or a
-          // store whose sidecar files were lost. Writing filters built
-          // from the INCREMENT alone here would be the silent-dup trap:
-          // later reads would trust them, the bloom screen drops
-          // screened-out rows BEFORE the verifying joins, and every
-          // standing member would become a false negative. Rebuild from
-          // the FULL on-disk tables instead — the increment was already
-          // appended above, so these scans cover standing + new. One
-          // full pass, paid once per store upgrade/repair, never again.
-          // band is a partition column on disk — pin it back to the INT
-          // the in-memory probe side hashes (xxhash64 is type-sensitive,
-          // so a type-inference drift here would silently change the
-          // filter's key domain).
-          Dedup.BloomPrefilter.buildFilters(s,
-            s.read.parquet(s"$dir/hashes"),
-            s.read.parquet(s"$dir/bands")
-              .withColumn("band", col("band").cast("int")))
-      }
-    writeBloomFiles(s, dir, bh, bb)
+    if (overwrite) {
+      val (fh, fb) = Dedup.BloomPrefilter.buildFilters(s, hashes, bands)
+      writeBloomFiles(s, dir, fh, fb)
+    } else appendBloomSidecars(s, dir, hashes, bands)
   }
 
   private def fs(s: SparkSession, path: String) =
@@ -128,6 +263,10 @@ object DedupStore {
       val dst = new org.apache.hadoop.fs.Path(s"$dir/$name.bin")
       f.delete(dst, false)
       f.rename(tmp, dst)
+      // (a death between that delete and rename leaves BOTH sidecars
+      // unreadable as a pair — readBloomFiles requires the pair — which
+      // readers treat as "no sidecars": screens skipped, answers
+      // unchanged, and the next roll-forward/compact rewrites them)
     }
   }
 
@@ -148,13 +287,20 @@ object DedupStore {
          b <- one(s"bloom_bands_$BloomVersion")) yield (h, b)
   }
 
-  def read(s: SparkSession, dir: String): Store = Store(
-    s.read.parquet(s"$dir/hashes"),
-    s.read.parquet(s"$dir/sets"),
-    s.read.parquet(s"$dir/bands"),
-    readBloomFiles(s, dir).map { case (h, b) =>
-      Dedup.BloomPrefilter(s, h, b)
-    })
+  /** Read the store. Promotes any crashed staged compact first (a death
+    * inside [[compact]]'s delete→rename blink leaves the finished
+    * `.stage_<table>` copy behind — the reader self-heals instead of
+    * failing on a missing table, the index tiers' discipline). */
+  def read(s: SparkSession, dir: String): Store = {
+    Similarity.promoteStages(s, dir)
+    Store(
+      s.read.parquet(s"$dir/hashes"),
+      s.read.parquet(s"$dir/sets"),
+      s.read.parquet(s"$dir/bands"),
+      readBloomFiles(s, dir).map { case (h, b) =>
+        Dedup.BloomPrefilter(s, h, b)
+      })
+  }
 
   /** Periodic maintenance for an append-only store: collapse the duplicate
     * content hashes that accumulate across roll-forwards (appending each
@@ -162,25 +308,40 @@ object DedupStore {
     * and rewrite the file sets the small appends fragmented. Answers are
     * unchanged — consumers semi-join hashes and equi-join bands, both
     * multiplicity-insensitive... but a smaller hash table broadcasts where
-    * a fragmented one shuffles. Runs table-at-a-time through a temp dir so
-    * a crash mid-compact leaves the readable original in place. */
+    * a fragmented one shuffles. Each table rewrite goes through the staged
+    * writer: a crash mid-write leaves the readable original, and a death
+    * inside the delete→rename blink self-heals on the next [[read]] via
+    * promoteStages (the round-10 verdict #1 shape — the old bespoke
+    * delete+rename here could leave a table missing with a finished
+    * `.compact_` copy nothing promoted). Loose roll-forward fingerprints
+    * are retired into a `_spent_<gen>` manifest LAST: the rewrite folded
+    * those increments into the base, so the plan's appended count resets,
+    * while the spent identities keep refusing tag reuse — and a crash
+    * before the retire just leaves `compact_due` still true for the next
+    * maintenance pass to finish (answers unchanged throughout). */
   def compact(s: SparkSession, dir: String): Unit = {
-    val parallelism = s.sparkContext.defaultParallelism
-    def rewrite(table: String, df: DataFrame, partitionCols: Seq[String]): Unit = {
-      val tmp = s"$dir/.compact_$table"
-      val w = df.write.mode("overwrite")
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-        .parquet(tmp)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
-      val dst = new org.apache.hadoop.fs.Path(s"$dir/$table")
-      fs.delete(dst, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    Similarity.promoteStages(s, dir)
+    def rewrite(table: String, df: DataFrame, partitionCols: Seq[String]): Unit =
+      Similarity.stagedWrite(s, s"$dir/$table") { tmp =>
+        val w = df.write.mode("overwrite")
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(tmp)
+      }
+    // file counts sized to the SET (footer-row estimate / rowsPerFile — the
+    // tombstone-writer discipline), not to defaultParallelism: a fixed-width
+    // rewrite leaves a small store fragmented past the file dial (an
+    // immediate re-compact loop) and a 100 TB store funneled into 32 tasks
+    def filesFor(table: String): Int = {
+      val rowsPerFile =
+        Similarity.confInt(s, "spark.graft.dedup.rowsPerFile", 4000000).toLong
+      val rows = s.read.parquet(s"$dir/$table").count() // footer-only
+      math.max(1L, (rows + rowsPerFile - 1L) / rowsPerFile).toInt
     }
     rewrite("hashes",
-      s.read.parquet(s"$dir/hashes").distinct().repartition(parallelism), Seq.empty)
+      s.read.parquet(s"$dir/hashes").distinct().repartition(filesFor("hashes")),
+      Seq.empty)
     rewrite("sets",
-      s.read.parquet(s"$dir/sets").repartition(parallelism), Seq.empty)
+      s.read.parquet(s"$dir/sets").repartition(filesFor("sets")), Seq.empty)
     // Repartition ON the band column so each band's rows land in one task:
     // the rewrite restores ONE file per band partition no matter how many
     // roll-forwards fragmented it. (At sizes where a single band outgrows
@@ -194,6 +355,97 @@ object DedupStore {
     val (rh, rb) = Dedup.BloomPrefilter.buildFilters(s,
       s.read.parquet(s"$dir/hashes"), s.read.parquet(s"$dir/bands"))
     writeBloomFiles(s, dir, rh, rb)
+    Similarity.compactAppendTags(s, dir, RfSidecar)
+  }
+
+  // ---------------------------------------------------------------------
+  // Maintenance POLICY — nswMaintenancePlan's sibling for the dedup store
+  // (the third LSM artifact gets the same policy-driven, in-engine
+  // maintenance as the two vector index tiers). COUNT-based and
+  // metadata-only: parquet footer counts plus the `_rf_tags/` fingerprint
+  // sidecar — never a corpus scan — with exact integer arithmetic the
+  // DuckDB oracle reproduces from the corpus (dd27). The decision dial:
+  //  - spark.graft.dedup.compactAppendPct (default 5): compact when rows
+  //    appended by roll-forwards since the last compaction exceed this
+  //    percent of the base — bounding both the duplicate-hash accumulation
+  //    (each increment's distinct hashes re-append standing members) and
+  //    the small files appends fragment. The NSW foldAppendPct discipline.
+  // ---------------------------------------------------------------------
+
+  /** Maintenance metrics + decision for a dedup store, as a long-form
+    * (metric, value) frame — dictionary-sized, computed from footer counts
+    * and the roll-forward fingerprints. dd27 oracle-checks every row
+    * against the corpus. READ-ONLY: executing the decision is
+    * [[maintainDedupStore]]'s business. */
+  def dedupMaintenancePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.promoteStages(s, dir)
+    // footer-only counts (parquet count() never touches row data)
+    val hashRows = s.read.parquet(s"$dir/hashes").count()
+    val setRows = s.read.parquet(s"$dir/sets").count()
+    val bandRows = s.read.parquet(s"$dir/bands").count()
+    val f = fs(s, dir)
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$RfSidecar")
+    // loose fingerprints = increments appended since the last compaction
+    // (a compact retires them into the _spent_ manifest — folded, but
+    // still spent identities)
+    val loose = if (!f.exists(root)) Seq.empty[String]
+      else f.listStatus(root).toSeq.collect {
+        case st if st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith(".") => st.getPath.getName
+      }
+    val appendedSetRows = loose.map { t =>
+      Similarity.appendTagFingerprint(s, dir, t, RfSidecar)
+        .map(_.split(':')(0).toLong).getOrElse(0L)
+    }.sum
+    val baseSetRows = setRows - appendedSetRows
+    val pct = Similarity.confInt(s, "spark.graft.dedup.compactAppendPct", 5)
+    val due = if (appendedSetRows * 100L > baseSetRows * pct) 1L else 0L
+    Seq(
+      ("store_hash_rows", hashRows),
+      ("store_set_rows", setRows),
+      ("store_band_rows", bandRows),
+      ("appended_set_rows", appendedSetRows),
+      ("rollforwards", loose.size.toLong),
+      ("compact_due", due)
+    ).toDF("metric", "value")
+  }
+
+  /** Evaluate [[dedupMaintenancePlan]] and EXECUTE it: compact when the
+    * count dial says so, or when file sprawl does — max files per band
+    * partition and per flat table against
+    * `spark.graft.dedup.maxFilesPerTable` (default 8; max not mean, the
+    * maintainIvfIndex discipline — one hot table under skewed appends
+    * must not fragment unboundedly while a fleet-wide mean idles). File
+    * counts are filesystem accidents no corpus oracle can see, so the
+    * file half is SPEC-pinned while the count half is dd27's oracle.
+    * Compaction is answers-unchanged and crash-safe, hence legal inside a
+    * streaming foreachBatch — [[graft.streaming.EventStream
+    * .dedupIngestStream]] wires it as `autoMaintain`. Returns the
+    * pre-maintenance plan plus what ran. */
+  def maintainDedupStore(s: SparkSession, dir: String): Map[String, Long] = {
+    val plan = dedupMaintenancePlan(s, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val f = fs(s, dir)
+    def dataFiles(p: org.apache.hadoop.fs.Path): Long =
+      if (!f.exists(p)) 0L
+      else f.listStatus(p).count(st => st.isFile &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_")).toLong
+    val bandsRoot = new org.apache.hadoop.fs.Path(s"$dir/bands")
+    val perBand = if (!f.exists(bandsRoot)) Array.empty[Long]
+      else f.listStatus(bandsRoot).collect {
+        case st if st.isDirectory && st.getPath.getName.startsWith("band=") =>
+          dataFiles(st.getPath)
+      }
+    val filesMax = (perBand.toSeq :+
+      dataFiles(new org.apache.hadoop.fs.Path(s"$dir/hashes")) :+
+      dataFiles(new org.apache.hadoop.fs.Path(s"$dir/sets"))).max
+    val maxPer = Similarity.confInt(s, "spark.graft.dedup.maxFilesPerTable", 8)
+    val due = plan("compact_due") == 1L || filesMax > maxPer
+    if (due) compact(s, dir)
+    plan + ("table_files_max" -> filesMax) +
+      ("compacted" -> (if (due) 1L else 0L))
   }
 
   /** dd09's check with the corpus side READ FROM THE STORE — the plan the
@@ -232,10 +484,142 @@ object DedupStore {
     incrementalAgainstStore(neu, read(s, storeDir))
   }
 
-  val queries: Map[String, Relational.Q] = Map(
-    "dd11_store_incremental" -> (dd11StoreIncremental _))
+  // ---------------------------------------------------------------------
+  // dd27: the store's MAINTENANCE DECISION itself, oracle-checked — the
+  // ss50 shape pointed at the dedup store: build from the standing 80%,
+  // check the new 20%, roll the ACCEPTED docs forward (tagged), then read
+  // the plan the auto-maintainer acts on. Every count and the decision are
+  // exact integer arithmetic the oracle re-derives from the corpus alone
+  // under the default dial (compact at >5% appended rows). READ-ONLY by
+  // design: maintainDedupStore's effects are DedupStoreSpec-pinned, the
+  // streaming wiring EventStreamSpec-pinned.
+  // ---------------------------------------------------------------------
+  def dd27StoreMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 10 < 8)
+    val neu = docs.filter(col("doc_id") % 10 >= 8)
+    val storeDir = storePathFor(dir + "#dd27")
+    build(old, storeDir)
+    val flagged = incrementalAgainstStore(neu, read(s, storeDir))
+      .select(col("doc_id")).localCheckpoint()
+    val accepted = neu.join(flagged, Seq("doc_id"), "left_anti")
+    rollForward(storeDir, accepted, Some("inc1"))
+    dedupMaintenancePlan(s, storeDir)
+  }
 
-  // Same semantics as dd09, so the same oracle must hash-match.
+  // ---------------------------------------------------------------------
+  // dd28: roll-forward CORRECTNESS end-to-end, oracle-checked — the
+  // two-day crawl: build from day 0 (60%), admit day 1 (20%) through the
+  // check, roll the survivors forward, then check day 2 (20%) against the
+  // ROLLED store. Day-2 flags must reflect old ∪ accepted(day 1) — the
+  // law that makes the store a store and not a snapshot. The oracle
+  // re-derives both rounds from the corpus (dd09's CTE structure, twice).
+  // ---------------------------------------------------------------------
+  def dd28RollforwardCheck(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 10 < 6)
+    val inc1 = docs.filter(col("doc_id") % 10 === 6 || col("doc_id") % 10 === 7)
+    val neu = docs.filter(col("doc_id") % 10 >= 8)
+    val storeDir = storePathFor(dir + "#dd28")
+    build(old, storeDir)
+    val flagged1 = incrementalAgainstStore(inc1, read(s, storeDir))
+      .select(col("doc_id")).localCheckpoint()
+    val acc1 = inc1.join(flagged1, Seq("doc_id"), "left_anti")
+    rollForward(storeDir, acc1, Some("day1"))
+    incrementalAgainstStore(neu, read(s, storeDir))
+  }
+
+  private def bandUnionsSql(b: String): String =
+    (0 until Dedup.numHashes / 2).map(i =>
+      s"SELECT doc_id, $i AS band, m${2 * i} AS k1, m${2 * i + 1} AS k2 FROM $b")
+      .mkString("\n UNION ALL ")
+
+  private def setSqlFrom(src: String, name: String): String =
+    s"""$name AS (SELECT doc_id, list_distinct(list_filter(${Dedup.shinglesSql}, x -> x IS NOT NULL)) AS sh
+       |  FROM (${Dedup.tkSqlFrom(src)}) tks)""".stripMargin
+
+  /** One incremental-check round as oracle SQL: CTEs `cand$r`/`near$r`/
+    * `ex$r` flagging `newSig`/`newSet`/`newDocs` against the corpus-side
+    * `oldSig`/`oldSet`/`oldDocs` (dd09's structure, parameterized so dd28
+    * can run it twice). */
+  private def checkRoundSql(r: String, oldDocs: String, newDocs: String,
+      oldSig: String, newSig: String, oldSet: String, newSet: String): String =
+    s"""bands_o$r AS (${bandUnionsSql(oldSig)}),
+       |bands_n$r AS (${bandUnionsSql(newSig)}),
+       |cand$r AS (
+       | SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+       | FROM bands_n$r n JOIN bands_o$r o
+       |  ON n.band = o.band AND n.k1 = o.k1 AND n.k2 = o.k2),
+       |near$r AS (
+       | SELECT DISTINCT c.doc_new AS doc_id
+       | FROM cand$r c JOIN $newSet s1 ON c.doc_new = s1.doc_id
+       |  JOIN $oldSet s2 ON c.doc_old = s2.doc_id
+       | WHERE len(list_intersect(s1.sh, s2.sh)) * 10 >=
+       |  (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) * 7),
+       |ex$r AS (
+       | SELECT DISTINCT n.doc_id FROM $newDocs n
+       | WHERE md5(n.text) IN (SELECT md5(text) FROM $oldDocs))""".stripMargin
+
+  val dd27Oracle: String = {
+    val nBands = Dedup.numHashes / 2
+    s"""WITH docs_old AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+       |docs_new AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+       |${Dedup.sigSqlFrom("docs_old", "sig_o")},
+       |${Dedup.sigSqlFrom("docs_new", "sig_n")},
+       |${setSqlFrom("docs_old", "set_o")},
+       |${setSqlFrom("docs_new", "set_n")},
+       |${checkRoundSql("1", "docs_old", "docs_new", "sig_o", "sig_n", "set_o", "set_n")},
+       |acc AS (SELECT doc_id, text FROM docs_new
+       | WHERE doc_id NOT IN (SELECT doc_id FROM ex1)
+       |   AND doc_id NOT IN (SELECT doc_id FROM near1)),
+       |m AS (SELECT
+       |  (SELECT COUNT(DISTINCT md5(text)) FROM docs_old) AS old_h,
+       |  (SELECT COUNT(DISTINCT md5(text)) FROM acc) AS acc_h,
+       |  (SELECT COUNT(*) FROM docs_old) AS old_n,
+       |  (SELECT COUNT(*) FROM acc) AS acc_n)
+       |SELECT 'store_hash_rows' AS metric, CAST(old_h + acc_h AS BIGINT) AS value FROM m
+       |UNION ALL SELECT 'store_set_rows', CAST(old_n + acc_n AS BIGINT) FROM m
+       |UNION ALL SELECT 'store_band_rows', CAST($nBands * (old_n + acc_n) AS BIGINT) FROM m
+       |UNION ALL SELECT 'appended_set_rows', CAST(acc_n AS BIGINT) FROM m
+       |UNION ALL SELECT 'rollforwards', CAST(1 AS BIGINT) FROM m
+       |UNION ALL SELECT 'compact_due',
+       |  CAST(CASE WHEN acc_n * 100 > old_n * 5 THEN 1 ELSE 0 END AS BIGINT) FROM m""".stripMargin
+  }
+
+  val dd28Oracle: String =
+    s"""WITH docs_old AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 6),
+       |docs_i1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 IN (6, 7)),
+       |docs_new AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+       |${Dedup.sigSqlFrom("docs_old", "sig_o")},
+       |${Dedup.sigSqlFrom("docs_i1", "sig_1")},
+       |${setSqlFrom("docs_old", "set_o")},
+       |${setSqlFrom("docs_i1", "set_1")},
+       |${checkRoundSql("1", "docs_old", "docs_i1", "sig_o", "sig_1", "set_o", "set_1")},
+       |corpus2 AS (SELECT doc_id, text FROM docs_old
+       | UNION ALL
+       | SELECT doc_id, text FROM docs_i1
+       | WHERE doc_id NOT IN (SELECT doc_id FROM ex1)
+       |   AND doc_id NOT IN (SELECT doc_id FROM near1)),
+       |${Dedup.sigSqlFrom("corpus2", "sig_c")},
+       |${Dedup.sigSqlFrom("docs_new", "sig_n")},
+       |${setSqlFrom("corpus2", "set_c")},
+       |${setSqlFrom("docs_new", "set_n")},
+       |${checkRoundSql("2", "corpus2", "docs_new", "sig_c", "sig_n", "set_c", "set_n")}
+       |SELECT doc_id,
+       | doc_id IN (SELECT doc_id FROM ex2) AS dup_exact,
+       | doc_id IN (SELECT doc_id FROM near2) AS dup_near
+       |FROM docs_new
+       |WHERE doc_id IN (SELECT doc_id FROM ex2)
+       |   OR doc_id IN (SELECT doc_id FROM near2)""".stripMargin
+
+  val queries: Map[String, Relational.Q] = Map(
+    "dd11_store_incremental" -> (dd11StoreIncremental _),
+    "dd27_store_maintenance" -> (dd27StoreMaintenance _),
+    "dd28_rollforward_check" -> (dd28RollforwardCheck _))
+
   val oracles: Map[String, String] = Map(
-    "dd11_store_incremental" -> Dedup.dd09Oracle)
+    // Same semantics as dd09, so the same oracle must hash-match.
+    "dd11_store_incremental" -> Dedup.dd09Oracle,
+    "dd27_store_maintenance" -> dd27Oracle,
+    "dd28_rollforward_check" -> dd28Oracle)
 }

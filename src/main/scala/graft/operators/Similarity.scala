@@ -892,7 +892,7 @@ object Similarity {
     * original) AND read-safe for the roll-forward, whose new edge list is
     * derived lazily FROM the table being replaced — the temp write
     * materializes it before the original is touched. */
-  private def stagedWrite(s: SparkSession, dest: String)(
+  private[graft] def stagedWrite(s: SparkSession, dest: String)(
       write: String => Unit): Unit = {
     val tmp = dest.replaceAll("/([^/]+)$", "/.stage_$1")
     write(tmp)
@@ -910,7 +910,7 @@ object Similarity {
     * dir is then a dead temp the next staged write overwrites. Readers
     * call this, so a post-crash serve self-heals instead of failing on a
     * missing table. */
-  private def promoteStages(s: SparkSession, parent: String): Unit = {
+  private[graft] def promoteStages(s: SparkSession, parent: String): Unit = {
     val f = hadoopFs(s, parent)
     val p = new org.apache.hadoop.fs.Path(parent)
     if (f.exists(p))
@@ -1410,15 +1410,15 @@ object Similarity {
     * checked against the loose per-tag file first (tags appended since the
     * last fold), then against the `_spent_<gen>` manifests a fold compacts
     * retired fingerprints into. */
-  private def appendTagFingerprint(s: SparkSession, dir: String,
-      tag: String): Option[String] = {
+  private[graft] def appendTagFingerprint(s: SparkSession, dir: String,
+      tag: String, sidecar: String = "_append_tags"): Option[String] = {
     val f = hadoopFs(s, dir)
-    val loose = new org.apache.hadoop.fs.Path(s"$dir/_append_tags/$tag")
+    val loose = new org.apache.hadoop.fs.Path(s"$dir/$sidecar/$tag")
     if (f.exists(loose)) {
       val in = f.open(loose)
       Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close())
-    } else spentTagManifest(s, dir).get(tag)
+    } else spentTagManifest(s, dir, sidecar).get(tag)
   }
 
   /** The merged `_spent_<gen>` manifests under `_append_tags/` — tag → fp.
@@ -1426,9 +1426,10 @@ object Similarity {
     * generations carry identical fingerprints by construction (a crash
     * between writing generation N+1 and deleting its inputs leaves a
     * redundant SUPERSET, never a conflict). */
-  private def spentTagManifest(s: SparkSession, dir: String): Map[String, String] = {
+  private[graft] def spentTagManifest(s: SparkSession, dir: String,
+      sidecar: String = "_append_tags"): Map[String, String] = {
     val f = hadoopFs(s, dir)
-    val root = new org.apache.hadoop.fs.Path(s"$dir/_append_tags")
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$sidecar")
     if (!f.exists(root)) Map.empty
     else f.listStatus(root).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("_spent_"))
@@ -1455,16 +1456,17 @@ object Similarity {
     * a death anywhere leaves a superset of spent identities (duplicates
     * agree on fp — over-refusal is impossible, and replay convergence is
     * untouched). */
-  private def compactAppendTags(s: SparkSession, dir: String): Unit = {
+  private[graft] def compactAppendTags(s: SparkSession, dir: String,
+      sidecar: String = "_append_tags"): Unit = {
     val f = hadoopFs(s, dir)
-    val root = new org.apache.hadoop.fs.Path(s"$dir/_append_tags")
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$sidecar")
     if (!f.exists(root)) return
     val entries = f.listStatus(root).toSeq.filter(_.isFile)
       .filterNot(_.getPath.getName.startsWith(".")) // crashed tmp manifests
     val loose = entries.filterNot(_.getPath.getName.startsWith("_spent_"))
     val gens = entries.filter(_.getPath.getName.startsWith("_spent_"))
     if (loose.isEmpty && gens.size <= 1) return // already compact
-    val merged = spentTagManifest(s, dir) ++ loose.map { st =>
+    val merged = spentTagManifest(s, dir, sidecar) ++ loose.map { st =>
       val in = f.open(st.getPath)
       st.getPath.getName ->
         (try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
@@ -1580,7 +1582,7 @@ object Similarity {
   //    nothing, so the default waits well past the measured point.
   // ---------------------------------------------------------------------
 
-  private def confInt(s: SparkSession, key: String, dflt: Int): Int =
+  private[graft] def confInt(s: SparkSession, key: String, dflt: Int): Int =
     s.conf.getOption(key).map(_.toInt).getOrElse(dflt)
 
   /** Maintenance metrics + decisions for a graph index, as a long-form

@@ -146,6 +146,64 @@ object EventStream {
       }.start()
   }
 
+  /** The dedup store's FULL-LIFECYCLE front door — the unattended crawl
+    * loop, completing the trilogy with [[vectorIngestStream]] and
+    * [[graphIngestStream]] (round 10's policy-driven maintenance, pointed
+    * at the third LSM artifact). Each micro-batch of (doc_id, text):
+    *  1. CHECK against the store as it stands ([[graft.operators
+    *     .DedupStore.incrementalAgainstStore]] over a FRESH read — unlike
+    *     [[incrementalDedupStreamFromStore]]'s deliberate query-start
+    *     snapshot, this stream's own roll-forwards must be visible to
+    *     later batches) and persist the flags to `outDir/batch=<id>` —
+    *     the stream's output product;
+    *  2. ROLL the accepted docs FORWARD (tagged b<batchId> — the
+    *     fingerprint-refusal append, replay-convergent);
+    *  3. optionally MAINTAIN ([[graft.operators.DedupStore
+    *     .maintainDedupStore]] — the count/file-dial policy compacts when
+    *     due; answers-unchanged and crash-safe, so legal here).
+    *
+    * Replay convergence is layered exactly so a restart anywhere lands in
+    * the same state: the flags write is a deterministic overwrite gated
+    * on its own `_SUCCESS` (computed BEFORE this batch's roll-forward, and
+    * never recomputed after — a replayed check against a store that
+    * already absorbed this batch would flag the batch against itself);
+    * the accepted set derives from the PERSISTED flags, so the replayed
+    * roll-forward carries the same fingerprint and no-ops; maintenance is
+    * idempotent. The check runs inside retryOnMissingFiles: a CONCURRENT
+    * maintainer's staged compact (another stream or a nightly job on the
+    * same store) can yank listed files mid-scan — the retry promotes any
+    * crashed stage and re-plans from a fresh listing. */
+  def dedupIngestStream(newDocs: DataFrame, storeDir: String, outDir: String,
+      checkpointLocation: Option[String] = None,
+      autoMaintain: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = newDocs.writeStream.outputMode(OutputMode.Append())
+    checkpointLocation.foreach(w.option("checkpointLocation", _))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      ingestDedupBatch(batch, storeDir, outDir, batchId, autoMaintain)
+    }.start()
+  }
+
+  /** Per-batch body of [[dedupIngestStream]] — see its convergence notes. */
+  def ingestDedupBatch(batch: DataFrame, storeDir: String, outDir: String,
+      batchId: Long, autoMaintain: Boolean = false): Unit = {
+    import graft.operators.{DedupStore, Similarity}
+    val s = batch.sparkSession
+    val b = batch.localCheckpoint() // pin: retries must re-check the same rows
+    val flagDir = s"$outDir/batch=$batchId"
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), s.sparkContext.hadoopConfiguration)
+    if (!f.exists(new org.apache.hadoop.fs.Path(s"$flagDir/_SUCCESS")))
+      Similarity.retryOnMissingFiles(s, storeDir) {
+        DedupStore.incrementalAgainstStore(b, DedupStore.read(s, storeDir))
+          .write.mode("overwrite").parquet(flagDir)
+      }
+    val accepted = b.join(
+      s.read.parquet(flagDir).select(col("doc_id")), Seq("doc_id"), "left_anti")
+    DedupStore.rollForward(storeDir, accepted, Some(s"b$batchId"))
+    if (autoMaintain) DedupStore.maintainDedupStore(s, storeDir)
+  }
+
   /** Streaming INDEX MAINTENANCE — ss07's IVF roll-forward as a live
     * front door: each micro-batch of arriving vectors (vec_id, label,
     * embedding) is quantized, assigned against the STORED centroids and

@@ -340,8 +340,12 @@ class IvfIndexSpec extends SparkSpec {
     val base = graft.operators.Dedup.quantized(
         graft.Tables(spark, dir, "embeddings"))
       .select(col("vec_id"), col("v"), col("nrm")).localCheckpoint()
+    // the artifact is the round-10 NSW layout: its quantizer substrate
+    // (standing-trained centroids, full post-append lists) nests under
+    // ivf/ — the pre-round-10 test read a top-level centroids/ that only
+    // still existed as a stale old-layout leftover in /tmp
     val idxDir = Similarity.indexPathFor(dir + "#graphroll")
-    val oneShot = Similarity.oneShotGraph(spark, base, idxDir)
+    val oneShot = Similarity.oneShotGraph(spark, base, s"$idxDir/ivf")
       .select("src", "dst", "rnk", "mutual")
     val oneShotSet = oneShot.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))

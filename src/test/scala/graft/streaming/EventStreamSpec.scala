@@ -691,6 +691,72 @@ trait StatefulStreamingScenarios { this: SparkSpec =>
       }
     }
   }
+
+  test("dedup ingest stream lifecycle: check → roll-forward → auto-compact, with later batches deduping against earlier accepted docs") {
+    withProvider {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      import graft.operators.DedupStore
+      val root = java.nio.file.Files.createTempDirectory("dedup-ingest").toString
+      val storeDir = s"$root/store"
+      val outDir = s"$root/flags"
+      val corpus = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog today"),
+        (2L, "a b c a b c"),
+        (3L, "old corpus text that nothing in the new batch resembles"))
+        .toDF("doc_id", "text")
+      val freshDoc = "a genuinely fresh document with entirely new content here"
+      val lateDoc = "a later arrival document with its own words and nothing shared"
+      DedupStore.build(corpus, storeDir)
+      // keep the default dial (5%): every accepted batch here exceeds it,
+      // so autoMaintain compacts after each roll-forward — the unattended
+      // loop's steady state
+      val input = MemoryStream[(Long, String)]
+      val q = EventStream.dedupIngestStream(
+        input.toDF().toDF("doc_id", "text"), storeDir, outDir,
+        Some(s"$root/ck"), autoMaintain = true)
+      try {
+        // batch 0: 8 = exact copy of corpus doc 1 (flagged), 28 fresh
+        input.addData((8L, corpus.collect()(0).getString(1)), (28L, freshDoc))
+        q.processAllAvailable()
+        // batch 1: 38 = exact copy of batch-0's ACCEPTED doc 28 — findable
+        // ONLY if the stream rolled 28 forward; 48 is new
+        input.addData((38L, freshDoc), (48L, lateDoc))
+        q.processAllAvailable()
+        val flags = spark.read.parquet(outDir)
+          .select("batch", "doc_id", "dup_exact", "dup_near").collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+          .toSet
+        assert(flags == Set((0, 8L, true, true), (1, 38L, true, true)),
+          s"batch 1 must flag 38 against batch 0's accepted roll-forward: $flags")
+        // lockstep with the batch verbs: the streamed store answers exactly
+        // like a fresh build over corpus ∪ accepted(0) ∪ accepted(1)
+        val probe = Seq((58L, lateDoc)).toDF("doc_id", "text")
+        val viaStream = DedupStore.incrementalAgainstStore(
+          probe, DedupStore.read(spark, storeDir))
+          .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSet
+        DedupStore.build(
+          corpus.unionAll(Seq((28L, freshDoc), (48L, lateDoc)).toDF("doc_id", "text")),
+          s"$root/fresh")
+        val viaFresh = DedupStore.incrementalAgainstStore(
+          probe, DedupStore.read(spark, s"$root/fresh"))
+          .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSet
+        assert(viaStream == viaFresh && viaStream == Set((58L, true, true)),
+          s"stream=$viaStream fresh=$viaFresh")
+        // autoMaintain ran: appends are folded (no loose fingerprints), the
+        // hash table is duplicate-free, and the plan reads all-quiet
+        val plan = DedupStore.dedupMaintenancePlan(spark, storeDir).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(plan("appended_set_rows") == 0 &&
+          plan("rollforwards") == 0 && plan("compact_due") == 0, plan.toString)
+        val hashes = spark.read.parquet(s"$storeDir/hashes")
+        assert(hashes.count() == hashes.distinct().count())
+      } finally {
+        q.stop()
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      }
+    }
+  }
 }
 
 /** Drives the streaming operators through a MemoryStream source and memory
