@@ -3761,6 +3761,7 @@ object Similarity {
     // one file open per probed list instead of one per writer task.
     assignToCentroids(pts, cents).repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/lists")
+    listsListingMemo.remove(s"$dir/lists") // a rebuild voids the memo
   }
 
   /** Roll the persisted index forward over an increment (dd11's
@@ -3835,6 +3836,10 @@ object Similarity {
           new org.apache.hadoop.fs.Path(dest, s"ingest-$tag-$i.parquet"))
     }
     f.delete(new org.apache.hadoop.fs.Path(staged), true)
+    // the listing-memo bound: this append added at most one file per
+    // partition of this table
+    listsListingMemo.computeIfPresent(tableDir,
+      (_, v) => (v._1, v._2, v._3, v._4 + 1L))
   }
 
   /** Periodic maintenance mirroring [[graft.operators.DedupStore.compact]]:
@@ -3875,30 +3880,59 @@ object Similarity {
     * `autoMaintain`. */
   def maintainIvfIndex(s: SparkSession, idxDir: String): Map[String, Long] = {
     promoteStages(s, idxDir) // heal a crashed staged lists compact first
-    val f = hadoopFs(s, idxDir)
-    val lp = new org.apache.hadoop.fs.Path(s"$idxDir/lists")
-    val parts = if (!f.exists(lp)) Array.empty[org.apache.hadoop.fs.FileStatus]
-      else f.listStatus(lp).filter(st =>
-        st.isDirectory && st.getPath.getName.startsWith("cent_id="))
-    val perPart = parts.map(p => f.listStatus(p.getPath).count(st =>
-      st.isFile && !st.getPath.getName.startsWith(".") &&
-        !st.getPath.getName.startsWith("_")).toLong)
-    val nFiles = perPart.sum
-    val filesMax = if (perPart.isEmpty) 0L else perPart.max
-    val nParts = parts.length.toLong
     val maxPer = confInt(s, "spark.graft.ivf.maxFilesPerList", 8)
-    // trigger on the MAX per-partition count, not the mean (round-10
-    // advice): skewed appends can fragment one hot list indefinitely while
-    // the fleet-wide mean stays under the dial. Frequency stays bounded
-    // because every staged append writes exactly ONE file per touched
-    // partition (stagedAppendPartitioned repartitions on cent_id), so the
-    // hottest list needs maxPer appends between compactions.
-    val due = if (filesMax > maxPer) 1L else 0L
-    if (due == 1L) compactIvfIndex(s, idxDir)
-    Map("list_partitions" -> nParts, "list_files" -> nFiles,
-      "list_files_max" -> filesMax,
-      "compact_due" -> due, "compacted" -> due)
+    val memoKey = s"$idxDir/lists"
+    Option(listsListingMemo.get(memoKey)) match {
+      case Some((mParts, mFiles, mMax, appends))
+          if mMax + appends <= maxPer =>
+        // provably un-due WITHOUT touching the filesystem (round-10 verdict
+        // #8: the per-micro-batch O(list partitions) metadata listing):
+        // every staged append writes at most ONE file per list partition,
+        // so filesMax <= lastListedMax + appendsSince. list_files_max
+        // reports that bound; list_partitions/list_files are as of the
+        // last listing. Files dropped by anything OTHER than the staged
+        // appends stay invisible until the bound (or a cold JVM, or a
+        // compact/build invalidation) forces the next real listing — the
+        // dial is a health policy, not an audited metric, and any other
+        // JVM's maintainer starts cold and sees the truth.
+        Map("list_partitions" -> mParts, "list_files" -> mFiles,
+          "list_files_max" -> (mMax + appends),
+          "compact_due" -> 0L, "compacted" -> 0L)
+      case _ =>
+        val f = hadoopFs(s, idxDir)
+        val lp = new org.apache.hadoop.fs.Path(s"$idxDir/lists")
+        val parts = if (!f.exists(lp)) Array.empty[org.apache.hadoop.fs.FileStatus]
+          else f.listStatus(lp).filter(st =>
+            st.isDirectory && st.getPath.getName.startsWith("cent_id="))
+        val perPart = parts.map(p => f.listStatus(p.getPath).count(st =>
+          st.isFile && !st.getPath.getName.startsWith(".") &&
+            !st.getPath.getName.startsWith("_")).toLong)
+        val nFiles = perPart.sum
+        val filesMax = if (perPart.isEmpty) 0L else perPart.max
+        val nParts = parts.length.toLong
+        // trigger on the MAX per-partition count, not the mean (round-10
+        // advice): skewed appends can fragment one hot list indefinitely
+        // while the fleet-wide mean stays under the dial. Frequency stays
+        // bounded because every staged append writes exactly ONE file per
+        // touched partition (stagedAppendPartitioned repartitions on
+        // cent_id), so the hottest list needs maxPer appends between
+        // compactions.
+        val due = if (filesMax > maxPer) 1L else 0L
+        if (due == 1L) compactIvfIndex(s, idxDir) // removes the memo entry
+        else listsListingMemo.put(memoKey, (nParts, nFiles, filesMax, 0L))
+        Map("list_partitions" -> nParts, "list_files" -> nFiles,
+          "list_files_max" -> filesMax,
+          "compact_due" -> due, "compacted" -> due)
+    }
   }
+
+  // maintainIvfIndex's listing memo: lists dir -> (partitions, files,
+  // filesMax, stagedAppendsSince) as of the last real listing. Appends
+  // bump the counter; compactCentPartitioned and buildIvfIndex invalidate
+  // (the next maintain pays one listing, then skips again) — the
+  // deltaSprawlChecked hygiene discipline.
+  private val listsListingMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long, Long)]()
 
   private def compactCentPartitioned(s: SparkSession, table: String): Unit = {
     // heal a previous compact's crash first (the .stage_ dir may BE this
@@ -3914,6 +3948,7 @@ object Similarity {
         .repartition(col("cent_id"))
         .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
     }
+    listsListingMemo.remove(table) // the memoized listing no longer holds
   }
 
   private[operators] def indexPathFor(dir: String): String = {

@@ -236,6 +236,49 @@ class IvfIndexSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
   }
 
+  test("maintainIvfIndex bounds its listing: a memo-proven un-due state skips " +
+      "the scan; a tracked append past the bound re-lists and sees the truth") {
+    val base = graft.operators.Similarity.qvec(spark, dir).localCheckpoint()
+    val d = java.nio.file.Files.createTempDirectory("ivf-memo").toString
+    try {
+      Similarity.buildIvfIndex(base.filter(col("vec_id") % 10 =!= 3), d)
+      // first call in a JVM: a real listing (max=1 on a fresh build),
+      // priming the memo
+      val m1 = Similarity.maintainIvfIndex(spark, d)
+      assert(m1("list_files_max") == 1L && m1("compacted") == 0L, m1.toString)
+      // drop UNTRACKED small files into one hot partition: the memo can
+      // prove max <= 1 + 0 appends <= dial without listing, so these stay
+      // invisible — the skip path reports the BOUND, not the truth
+      val hot = new java.io.File(s"$d/lists").listFiles()
+        .filter(p => p.isDirectory && p.getName.startsWith("cent_id="))
+        .sortBy(_.getName).head
+      val seed = hot.listFiles().filter(f =>
+        f.isFile && f.getName.endsWith(".parquet")).head
+      for (i <- 1 to 7)
+        java.nio.file.Files.copy(seed.toPath,
+          new java.io.File(hot, s"ingest-memoskew$i-0.parquet").toPath)
+      spark.conf.set("spark.graft.ivf.maxFilesPerList", "1")
+      try {
+        val m2 = Similarity.maintainIvfIndex(spark, d)
+        assert(m2("list_files_max") == 1L && m2("compacted") == 0L,
+          s"bound 1 <= dial 1 must skip the listing: $m2")
+        // ONE tracked staged append pushes the bound to 2 > dial — the
+        // next maintain must pay a real listing, see the 8 piled files,
+        // and compact the hot list back to one
+        Similarity.stagedAppendToIvfIndex(spark, d,
+          base.filter(col("vec_id") % 10 === 3), "memo1")
+        val m3 = Similarity.maintainIvfIndex(spark, d)
+        assert(m3("list_files_max") >= 8L && m3("compacted") == 1L,
+          s"a bound past the dial must re-list and act on the truth: $m3")
+        val after = new java.io.File(s"$d/lists").listFiles()
+          .filter(p => p.isDirectory && p.getName.startsWith("cent_id="))
+          .map(_.listFiles().count(f => f.isFile && !f.getName.startsWith(".")
+            && !f.getName.startsWith("_")))
+        assert(after.forall(_ == 1), "the due maintain must compact")
+      } finally spark.conf.unset("spark.graft.ivf.maxFilesPerList")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
+
   test("compactIvfIndex restores one file per list partition; probe answers unchanged") {
     val base = graft.operators.Similarity.qvec(spark, dir).localCheckpoint()
     val idxDir = java.nio.file.Files.createTempDirectory("ivf-compact").toString
