@@ -56,6 +56,7 @@ object DedupStore {
   def build(docs: DataFrame, dir: String): Unit = {
     val s = docs.sparkSession
     fs(s, dir).delete(new org.apache.hadoop.fs.Path(s"$dir/$RfSidecar"), true)
+    storeBaseCountsMemo.remove(dir) // a rebuild voids the memoized base
     write(docs, dir, overwrite = true)
   }
 
@@ -74,7 +75,10 @@ object DedupStore {
     * one-shot path (plain parquet append, no identity). */
   def rollForward(dir: String, accepted: DataFrame,
       tag: Option[String] = None): Unit = tag match {
-    case None => write(accepted, dir, overwrite = false)
+    case None =>
+      // untagged rows carry no fingerprint the plan could derive from
+      storeBaseCountsMemo.remove(dir)
+      write(accepted, dir, overwrite = false)
     case Some(t) => rollForwardTagged(accepted.sparkSession, dir, accepted, t)
   }
 
@@ -356,6 +360,7 @@ object DedupStore {
       s.read.parquet(s"$dir/hashes"), s.read.parquet(s"$dir/bands"))
     writeBloomFiles(s, dir, rh, rb)
     Similarity.compactAppendTags(s, dir, RfSidecar)
+    storeBaseCountsMemo.remove(dir) // the rewrite changed the base counts
   }
 
   // ---------------------------------------------------------------------
@@ -377,34 +382,56 @@ object DedupStore {
     * and the roll-forward fingerprints. dd27 oracle-checks every row
     * against the corpus. READ-ONLY: executing the decision is
     * [[maintainDedupStore]]'s business. */
+  // dedupMaintenancePlan's base-counts memo: dir -> (hash, set, band) rows
+  // EXCLUDING every loose roll-forward (the base the last real footer
+  // count established). Tagged roll-forwards carry their own row counts
+  // in the fingerprint sidecar, so the steady-state plan derives current
+  // counts as base + Σ(loose fingerprints) with ZERO Spark jobs — the
+  // listsListingMemo discipline one tier over. Compact/build/untagged
+  // appends invalidate (the next plan pays one footer count); a cold JVM
+  // always counts; cross-JVM writers are outside the memo's domain (a
+  // concurrent maintainer starts cold and sees the truth).
+  private val storeBaseCountsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+
   def dedupMaintenancePlan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Similarity.promoteStages(s, dir)
-    // footer-only counts (parquet count() never touches row data)
-    val hashRows = s.read.parquet(s"$dir/hashes").count()
-    val setRows = s.read.parquet(s"$dir/sets").count()
-    val bandRows = s.read.parquet(s"$dir/bands").count()
     val f = fs(s, dir)
     val root = new org.apache.hadoop.fs.Path(s"$dir/$RfSidecar")
     // loose fingerprints = increments appended since the last compaction
     // (a compact retires them into the _spent_ manifest — folded, but
-    // still spent identities)
+    // still spent identities); each records "setRows:hashRows:idXor"
     val loose = if (!f.exists(root)) Seq.empty[String]
       else f.listStatus(root).toSeq.collect {
         case st if st.isFile && !st.getPath.getName.startsWith("_") &&
             !st.getPath.getName.startsWith(".") => st.getPath.getName
       }
-    val appendedSetRows = loose.map { t =>
-      Similarity.appendTagFingerprint(s, dir, t, RfSidecar)
-        .map(_.split(':')(0).toLong).getOrElse(0L)
-    }.sum
-    val baseSetRows = setRows - appendedSetRows
+    val looseCounts = loose.map { t =>
+      val fp = Similarity.appendTagFingerprint(s, dir, t, RfSidecar)
+        .getOrElse("0:0:0").split(':')
+      (fp(0).toLong, fp(1).toLong) // (setRows, hashRows)
+    }
+    val appendedSetRows = looseCounts.map(_._1).sum
+    val appendedHashRows = looseCounts.map(_._2).sum
+    val nBands = (Dedup.numHashes / 2).toLong
+    val (baseH, baseS, baseB) = Option(storeBaseCountsMemo.get(dir)).getOrElse {
+      // footer-only counts (parquet count() never touches row data), paid
+      // once per (store, JVM) and after every invalidating write
+      val hashRows = s.read.parquet(s"$dir/hashes").count()
+      val setRows = s.read.parquet(s"$dir/sets").count()
+      val bandRows = s.read.parquet(s"$dir/bands").count()
+      val base = (hashRows - appendedHashRows, setRows - appendedSetRows,
+        bandRows - nBands * appendedSetRows)
+      storeBaseCountsMemo.put(dir, base)
+      base
+    }
     val pct = Similarity.confInt(s, "spark.graft.dedup.compactAppendPct", 5)
-    val due = if (appendedSetRows * 100L > baseSetRows * pct) 1L else 0L
+    val due = if (appendedSetRows * 100L > baseS * pct) 1L else 0L
     Seq(
-      ("store_hash_rows", hashRows),
-      ("store_set_rows", setRows),
-      ("store_band_rows", bandRows),
+      ("store_hash_rows", baseH + appendedHashRows),
+      ("store_set_rows", baseS + appendedSetRows),
+      ("store_band_rows", baseB + nBands * appendedSetRows),
       ("appended_set_rows", appendedSetRows),
       ("rollforwards", loose.size.toLong),
       ("compact_due", due)

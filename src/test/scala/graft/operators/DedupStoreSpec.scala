@@ -369,6 +369,38 @@ class DedupStoreSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("the plan's memo-derived counts equal a cold footer count after tagged roll-forwards") {
+    import spark.implicits._
+    val (old, _) = fixture
+    val batchB = Seq(
+      (48L, "rolled forward batch document with some novel words in it"),
+      (49L, "the quick brown fox jumps over the lazy dog today")) // dup hash of old 1
+      .toDF("doc_id", "text")
+    val d1 = Files.createTempDirectory("dedup-memo-warm").toFile
+    val d2 = Files.createTempDirectory("dedup-memo-cold").toFile
+    def plan(d: java.io.File): Map[String, Long] =
+      DedupStore.dedupMaintenancePlan(spark, d.getPath).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    try {
+      DedupStore.build(old, d1.getPath)
+      DedupStore.build(old, d2.getPath)
+      plan(d1) // warm d1's base memo BEFORE the increment lands
+      DedupStore.rollForward(d1.getPath, batchB, Some("t1"))
+      DedupStore.rollForward(d2.getPath, batchB, Some("t1"))
+      val warm = plan(d1) // derived: memoized base + fingerprint counts
+      val cold = plan(d2) // first call for d2: real footer counts
+      assert(warm == cold,
+        s"memo-derived plan must equal the footer-counted truth: warm=$warm cold=$cold")
+      // the duplicated-content hash (49 = old 1's text) is an appended
+      // DISTINCT-of-increment row, so hash rows grew by 2, not 1 — the
+      // derivation must reflect the append-only layout, not logical dedup
+      assert(warm("store_hash_rows") == 5 && warm("store_set_rows") == 5, warm.toString)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(d1)
+      org.apache.commons.io.FileUtils.deleteDirectory(d2)
+    }
+  }
+
   test("the file dial compacts a fragmented store even when the count dial idles") {
     import spark.implicits._
     val (old, _) = fixture
