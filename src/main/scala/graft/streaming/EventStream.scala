@@ -135,7 +135,12 @@ object EventStream {
     * corpus, it reads the maintained hashes/sets/bands parquet. The store
     * roll-forward (appending accepted docs) stays the nightly batch job's
     * business (`DedupStore.rollForward`); each micro-batch dedups against
-    * the store as of query start. */
+    * the store as of query start. BECAUSE the corpus-side plans list their
+    * files once at query start, this door must not share a store with a
+    * concurrent compactor (another stream's autoMaintain, a nightly
+    * compact job) — the full-lifecycle door ([[dedupIngestStream]]) reads
+    * the store fresh per batch inside a missing-file retry and is the one
+    * to use when maintenance runs concurrently. */
   def incrementalDedupStreamFromStore(newDocs: DataFrame, storeDir: String)
       (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.DedupStore
@@ -380,6 +385,51 @@ object EventStream {
         .localCheckpoint() // pin the batch: retries must re-serve, not re-read
       graft.operators.Similarity.retryOnMissingFiles(s, idxDir) {
         graft.operators.Similarity.beamServeExternal(s, idxDir, qs)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      f.mkdirs(marker.getParent)
+      f.create(marker, false).close()
+    }
+  }
+
+  /** [[beamServeStream]]'s IVF sibling — external query vectors answered
+    * from the stored inverted-list artifact per micro-batch
+    * ([[graft.operators.Similarity.ivfServeExternal]]: probes at the
+    * manifest-recorded rung ss54 measured, candidates from the probed
+    * list partitions only). Completes the serve half of the IVF tier's
+    * lifecycle the way beamServeStream does the graph tier's:
+    * [[vectorIngestStream]] keeps the artifact current (autoMaintain
+    * compacting the same lists this serve scans — hence the missing-file
+    * retry), this answers queries as they arrive. Marker-gated +
+    * deterministic per-batch dir + overwrite = at-least-once replays
+    * converge to one copy. */
+  def ivfServeStream(queries: DataFrame, idxDir: String, outDir: String,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = queries.writeStream.outputMode(OutputMode.Append())
+    checkpointLocation.foreach(w.option("checkpointLocation", _))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      serveIvfBatch(batch, idxDir, outDir, batchId)
+    }.start()
+  }
+
+  /** Per-batch body of [[ivfServeStream]] — [[serveGraphBatch]]'s shape
+    * pointed at the IVF artifact. */
+  def serveIvfBatch(batch: DataFrame, idxDir: String, outDir: String,
+      batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$outDir/_serve_commits/$batchId")
+    if (!f.exists(marker)) {
+      graft.functions.VectorFunctions.register(s)
+      val qs = batch.select(col("q_id"),
+          expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))")
+            .as("v1"))
+        .withColumn("n1", expr("dot_l(v1, v1)"))
+        .localCheckpoint() // pin the batch: retries must re-serve, not re-read
+      graft.operators.Similarity.retryOnMissingFiles(s, idxDir) {
+        graft.operators.Similarity.ivfServeExternal(s, idxDir, qs)
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       f.mkdirs(marker.getParent)

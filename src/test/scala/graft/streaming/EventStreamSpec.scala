@@ -803,6 +803,64 @@ class EventStreamSpec extends SparkSpec with StatefulStreamingScenarios {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(storeDir)
   }
 
+  test("ivf serve stream: micro-batched external queries equal the batch serve " +
+      "at the measured rung, and a replayed batch converges to one copy") {
+    import graft.operators.Similarity
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+    val base = graft.operators.Dedup.quantized(emb)
+      .select(col("vec_id"), col("v"), col("nrm")).localCheckpoint()
+    val extRaw = emb.filter(col("vec_id") % 100 === 50)
+      .select((col("vec_id") + lit(10000000L)).as("q_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val root = java.nio.file.Files.createTempDirectory("ivf-serve-stream").toString
+    val idx = s"$root/idx"; val out = s"$root/served"
+    try {
+      Similarity.buildIvfIndex(base, idx) // manifest records the measured rung
+      val input = MemoryStream[(Long, Array[Float])]
+      val q = EventStream.ivfServeStream(
+        input.toDF().toDF("q_id", "embedding"), idx, out)
+      val (sa, sb) = extRaw.splitAt(extRaw.length / 2)
+      try {
+        input.addData(sa.toSeq); q.processAllAvailable()
+        input.addData(sb.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      def served(): List[(Long, Long, Int, Double)] =
+        spark.read.parquet(out)
+          .select(col("q_id"), col("c_id"), col("rnk"), col("cos"))
+          .collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+          .toList.sorted
+      val streamed = served()
+      val batchQs = emb
+        .filter((col("vec_id") + 10000000L).isin(extRaw.map(_._1).toSeq: _*))
+        .select((col("vec_id") + lit(10000000L)).as("q_id"),
+          expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))")
+            .as("v1"))
+        .withColumn("n1", expr("dot_l(v1, v1)"))
+      val oneShot = Similarity.ivfServeExternal(spark, idx, batchQs)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toList.sorted
+      assert(streamed == oneShot,
+        "the streamed micro-batches must equal the one-shot batch serve")
+      // at-least-once redelivery: replaying batch 0 with its marker in
+      // place is a no-op; replaying after LOSING the marker (crash between
+      // write and marker) overwrites to the same rows
+      val b0 = input.toDF().sparkSession.createDataFrame(sa.toSeq)
+        .toDF("q_id", "embedding")
+      EventStream.serveIvfBatch(b0, idx, out, 0L)
+      assert(served() == streamed, "a marker-gated replay must be a no-op")
+      new java.io.File(s"$out/_serve_commits/0").delete()
+      EventStream.serveIvfBatch(b0, idx, out, 0L)
+      assert(served() == streamed,
+        "a replay after a pre-marker crash must converge to the same rows")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("stream-static enrichment joins each batch against the broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
