@@ -215,23 +215,41 @@ object DedupStore {
   }
 
   private def write(docs: DataFrame, dir: String, overwrite: Boolean): Unit = {
-    val mode = if (overwrite) "overwrite" else "append"
-    // ONE tokenize+shingle pass: sets are materialized first, bands derive
-    // from the checkpointed sets, and the hash table needs no tokens at all.
     val s = docs.sparkSession
-    val sets = Dedup.shingleSets(docs).localCheckpoint()
-    val hashes = docs.select(md5(col("text")).as("h")).distinct().localCheckpoint()
-    val bands = Dedup.lshBands(Dedup.minhashSigsFromSets(sets).drop("sh"))
-      .localCheckpoint()
-    hashes.write.mode(mode).parquet(s"$dir/hashes")
-    sets.write.mode(mode).parquet(s"$dir/sets")
-    bands.write.mode(mode).partitionBy("band").parquet(s"$dir/bands")
-    // Bloom sidecars: build-from-scratch on overwrite, merge-in-place on
-    // roll-forward (same size constants everywhere → merge-compatible).
     if (overwrite) {
-      val (fh, fb) = Dedup.BloomPrefilter.buildFilters(s, hashes, bands)
+      // ONE tokenize+shingle pass, with the store's own tables as the
+      // spill surface: sets land on disk first and bands derive from the
+      // WRITTEN parquet — at corpus scale (the 100 TB build) a
+      // localCheckpoint of the shingle sets would pin a corpus-sized
+      // intermediate to executor storage for no reason when the job is
+      // about to persist exactly that table anyway. The hash table needs
+      // no tokens at all.
+      Dedup.shingleSets(docs).write.mode("overwrite").parquet(s"$dir/sets")
+      val setsBack = s.read.parquet(s"$dir/sets")
+      docs.select(md5(col("text")).as("h")).distinct()
+        .write.mode("overwrite").parquet(s"$dir/hashes")
+      Dedup.lshBands(Dedup.minhashSigsFromSets(setsBack).drop("sh"))
+        .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
+      // sidecars from the written tables — one source of truth (band comes
+      // back as a discovered partition column: pin it to the INT the
+      // in-memory probe side hashes, the appendBloomSidecars discipline)
+      val (fh, fb) = Dedup.BloomPrefilter.buildFilters(s,
+        s.read.parquet(s"$dir/hashes"),
+        s.read.parquet(s"$dir/bands")
+          .withColumn("band", col("band").cast("int")))
       writeBloomFiles(s, dir, fh, fb)
-    } else appendBloomSidecars(s, dir, hashes, bands)
+    } else {
+      // the manual (untagged) append path: increments are batch-sized, so
+      // localCheckpoint is the right materialization here
+      val sets = Dedup.shingleSets(docs).localCheckpoint()
+      val hashes = docs.select(md5(col("text")).as("h")).distinct().localCheckpoint()
+      val bands = Dedup.lshBands(Dedup.minhashSigsFromSets(sets).drop("sh"))
+        .localCheckpoint()
+      hashes.write.mode("append").parquet(s"$dir/hashes")
+      sets.write.mode("append").parquet(s"$dir/sets")
+      bands.write.mode("append").partitionBy("band").parquet(s"$dir/bands")
+      appendBloomSidecars(s, dir, hashes, bands)
+    }
   }
 
   private def fs(s: SparkSession, path: String) =
