@@ -234,6 +234,32 @@ object EventStream {
     }.start()
   }
 
+  /** Retention for the per-batch commit-marker dirs (`_ingest_commits/`,
+    * `_serve_commits/`): one marker per micro-batch, kept forever, is the
+    * `_append_tags/` small-file pathology one level out (~500k files/year
+    * at per-minute batches). Markers are SKIP-OPTIMIZATIONS, not
+    * correctness gates — every sink beneath them is replay-convergent on
+    * its own (tag-convergent staged appends, deterministic per-batch
+    * overwrites) — so markers older than the retention window
+    * (`spark.graft.stream.commitRetention`, default 4096 batches; far
+    * beyond any restart's replay window, which is the last uncommitted
+    * batch) are safe to drop: a replay of a pruned batchId re-executes
+    * and converges. Pruning is amortized — one listing every 256 batches,
+    * not per batch. */
+  private def pruneCommitMarkers(s: org.apache.spark.sql.SparkSession,
+      f: org.apache.hadoop.fs.FileSystem, markerDir: org.apache.hadoop.fs.Path,
+      batchId: Long): Unit = {
+    if (batchId % 256L != 0L || batchId == 0L) return
+    val keep = graft.operators.Similarity
+      .confInt(s, "spark.graft.stream.commitRetention", 4096).toLong
+    val floor = batchId - keep
+    if (floor <= 0 || !f.exists(markerDir)) return
+    for (st <- f.listStatus(markerDir) if st.isFile;
+         id <- scala.util.Try(st.getPath.getName.toLong).toOption
+         if id < floor)
+      f.delete(st.getPath, false)
+  }
+
   /** The per-batch ingest body, IDEMPOTENT per batchId: a commit marker
     * under `_ingest_commits/` makes a REPLAYED micro-batch (restart
     * reprocessing) a no-op. The IVF lists are RANK-SENSITIVE — a
@@ -266,6 +292,7 @@ object EventStream {
       // loser must hear about it, not silently double-commit.
       f.create(marker, false).close()
     }
+    pruneCommitMarkers(s, f, marker.getParent, batchId)
     // after the marker, like graphIngestStream's autoMaintain: compaction
     // is answers-unchanged and crash-safe, so a crash between marker and
     // maintenance is caught up by any later batch
@@ -338,6 +365,7 @@ object EventStream {
       f.mkdirs(marker.getParent)
       f.create(marker, false).close()
     }
+    pruneCommitMarkers(s, f, marker.getParent, batchId)
     if (autoMaintain)
       graft.operators.Similarity.maintainNswIndex(s, idxDir, rotateTo)
   }
@@ -390,6 +418,7 @@ object EventStream {
       f.mkdirs(marker.getParent)
       f.create(marker, false).close()
     }
+    pruneCommitMarkers(s, f, marker.getParent, batchId)
   }
 
   /** [[beamServeStream]]'s IVF sibling — external query vectors answered
@@ -435,6 +464,7 @@ object EventStream {
       f.mkdirs(marker.getParent)
       f.create(marker, false).close()
     }
+    pruneCommitMarkers(s, f, marker.getParent, batchId)
   }
 
   /** Streaming INGEST GATE — the per-document admission decision (tx21's

@@ -861,6 +861,47 @@ class EventStreamSpec extends SparkSpec with StatefulStreamingScenarios {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("commit-marker retention: markers past the window are pruned, and a " +
+      "replay of a pruned batch re-serves to the same rows") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = graft.operators.Dedup.quantized(emb)
+      .select(col("vec_id"), col("v"), col("nrm")).localCheckpoint()
+    val b0 = emb.filter(col("vec_id") % 100 === 50)
+      .select((col("vec_id") + lit(10000000L)).as("q_id"), col("embedding"))
+      .localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("marker-prune").toString
+    val idx = s"$root/idx"; val out = s"$root/served"
+    spark.conf.set("spark.graft.stream.commitRetention", "16")
+    try {
+      Similarity.buildIvfIndex(base, idx)
+      EventStream.serveIvfBatch(b0, idx, out, 0L)
+      def rows(batch: Long) = spark.read.parquet(s"$out/batch=$batch")
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toList.sorted
+      val rows0 = rows(0L)
+      def marker(id: Long) = new java.io.File(s"$out/_serve_commits/$id")
+      assert(marker(0L).isFile)
+      // batch 256 lands on the amortized prune boundary: markers below
+      // 256 - 16 go; the marker dir stays bounded on an unattended stream
+      EventStream.serveIvfBatch(b0, idx, out, 256L)
+      assert(!marker(0L).exists(), "markers past the retention window must go")
+      assert(marker(256L).isFile)
+      // the pruned batch replays without its marker: the deterministic
+      // overwrite converges to the same rows (markers are optimizations,
+      // not the correctness gate)
+      EventStream.serveIvfBatch(b0, idx, out, 0L)
+      assert(rows(0L) == rows0, "a pruned-marker replay must converge")
+      assert(marker(0L).isFile, "the replay re-commits its marker")
+    } finally {
+      spark.conf.unset("spark.graft.stream.commitRetention")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("stream-static enrichment joins each batch against the broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
