@@ -16,9 +16,13 @@ import graft.Tables
   * SQLite unique index.
   *
   * Layout under `dir`:
-  *  - `hashes/` — (h: md5 hex of text). Exact-dup membership; append-only
-  *    (duplicate h across roll-forwards is harmless — consumers only ever
-  *    semi-join against it; a periodic compaction can rewrite it distinct).
+  *  - `hashes/` — (h: md5 hex of text, doc_id). Exact-dup membership;
+  *    ONE ROW PER ADMITTED DOC, not per distinct text (round 11): the
+  *    consumers only ever semi-join on `h` (multiplicity-invisible), and
+  *    per-doc rows are what make [[erase]] an exact anti-join — a hash
+  *    stays a member exactly while some surviving doc carries it, with
+  *    no admission-discipline caveat. Append-only; compaction rewrites
+  *    the file layout (and drops replay-duplicate rows).
   *  - `sets/`   — (doc_id, sh: array of word-trigram shingles). Feeds the
   *    exact-Jaccard verification of LSH candidates.
   *  - `bands/`  — (doc_id, k1, k2) partitioned by `band`. The LSH band
@@ -86,16 +90,18 @@ object DedupStore {
       accepted: DataFrame, tag: String): Unit = {
     require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe roll-forward tag: $tag")
     Similarity.promoteStages(s, dir) // heal a crashed staged compact first
+    requireErasableLayout(s, dir)
     val inc = accepted.localCheckpoint()
-    val hashesInc = inc.select(md5(col("text")).as("h")).distinct()
+    val hashesInc = inc.select(md5(col("text")).as("h"), col("doc_id"))
       .localCheckpoint()
-    // batch identity: (set rows, distinct hash rows, order-independent id
-    // XOR — xor, not sum: wrapping sums throw under ANSI mode). The first
-    // two double as the plan's appended-row counts, so maintenance never
-    // rescans an increment to size it.
+    // batch identity: (set rows, hash rows — equal under the per-doc hash
+    // layout, kept as two fields for format stability — and an order-
+    // independent id XOR; xor, not sum: wrapping sums throw under ANSI
+    // mode). The counts double as the plan's appended-row counts, so
+    // maintenance never rescans an increment to size it.
     val fpRow = inc.agg(count(lit(1)),
       coalesce(bit_xor(xxhash64(col("doc_id"))), lit(0L))).collect()(0)
-    val fp = s"${fpRow.getLong(0)}:${hashesInc.count()}:${fpRow.getLong(1)}"
+    val fp = s"${fpRow.getLong(0)}:${fpRow.getLong(0)}:${fpRow.getLong(1)}"
     Similarity.appendTagFingerprint(s, dir, tag, RfSidecar) match {
       case Some(prev) =>
         if (prev != fp) throw new IllegalStateException(
@@ -226,7 +232,7 @@ object DedupStore {
       // no tokens at all.
       Dedup.shingleSets(docs).write.mode("overwrite").parquet(s"$dir/sets")
       val setsBack = s.read.parquet(s"$dir/sets")
-      docs.select(md5(col("text")).as("h")).distinct()
+      docs.select(md5(col("text")).as("h"), col("doc_id"))
         .write.mode("overwrite").parquet(s"$dir/hashes")
       Dedup.lshBands(Dedup.minhashSigsFromSets(setsBack).drop("sh"))
         .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
@@ -242,7 +248,8 @@ object DedupStore {
       // the manual (untagged) append path: increments are batch-sized, so
       // localCheckpoint is the right materialization here
       val sets = Dedup.shingleSets(docs).localCheckpoint()
-      val hashes = docs.select(md5(col("text")).as("h")).distinct().localCheckpoint()
+      val hashes = docs.select(md5(col("text")).as("h"), col("doc_id"))
+        .localCheckpoint()
       val bands = Dedup.lshBands(Dedup.minhashSigsFromSets(sets).drop("sh"))
         .localCheckpoint()
       hashes.write.mode("append").parquet(s"$dir/hashes")
@@ -324,13 +331,12 @@ object DedupStore {
       })
   }
 
-  /** Periodic maintenance for an append-only store: collapse the duplicate
-    * content hashes that accumulate across roll-forwards (appending each
-    * increment's DISTINCT hashes still duplicates hashes already present)
-    * and rewrite the file sets the small appends fragmented. Answers are
-    * unchanged — consumers semi-join hashes and equi-join bands, both
-    * multiplicity-insensitive... but a smaller hash table broadcasts where
-    * a fragmented one shuffles. Each table rewrite goes through the staged
+  /** Periodic maintenance for an append-only store: rewrite the file sets
+    * the small appends fragmented (and drop any replay-duplicate rows —
+    * under the per-doc hash layout there is no cross-increment hash
+    * duplication left to collapse). Answers are unchanged — consumers
+    * semi-join hashes and equi-join bands, both multiplicity-insensitive.
+    * Each table rewrite goes through the staged
     * writer: a crash mid-write leaves the readable original, and a death
     * inside the delete→rename blink self-heals on the next [[read]] via
     * promoteStages (the round-10 verdict #1 shape — the old bespoke
@@ -493,6 +499,65 @@ object DedupStore {
       ("compacted" -> (if (due) 1L else 0L))
   }
 
+  /** GDPR/right-to-be-forgotten erasure for the DERIVED artifact — the
+    * missing half of tp12's corpus-table erasure: the store retains
+    * content fingerprints (hashes, shingle sets, band keys, bloom bits)
+    * of every admitted document, so erasing a doc from the corpus alone
+    * leaves its ghost flagging future occurrences of the erased content
+    * as duplicates forever. This removes the erased doc_ids' rows from
+    * all three tables — exact anti-joins, because every table carries
+    * doc_id (the per-doc hash layout exists for precisely this verb: a
+    * hash stays a member exactly while some SURVIVING doc carries it,
+    * so erasing one of two admitted exact twins keeps the other's
+    * membership) — through staged rewrites (compact's crash discipline),
+    * then rebuilds the bloom sidecars from the rewritten tables (a bloom
+    * cannot unlearn a member; a stale sidecar only costs verify work for
+    * answers, but it still FINGERPRINTS the erased content — the privacy
+    * half is why the rebuild is not optional). Loose roll-forward
+    * fingerprints keep their original counts, so the maintenance plan's
+    * appended/base split turns conservative (earlier compaction) until
+    * the next compact retires them — reported totals stay exact. */
+  def erase(s: SparkSession, dir: String, erasedIds: DataFrame): Unit = {
+    Similarity.promoteStages(s, dir)
+    requireErasableLayout(s, dir)
+    val ids = erasedIds.select(col("doc_id")).localCheckpoint()
+    def rewrite(table: String, df: DataFrame, partitionCols: Seq[String]): Unit =
+      Similarity.stagedWrite(s, s"$dir/$table") { tmp =>
+        val w = df.write.mode("overwrite")
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(tmp)
+      }
+    rewrite("hashes",
+      s.read.parquet(s"$dir/hashes").join(ids, Seq("doc_id"), "left_anti"),
+      Seq.empty)
+    rewrite("sets",
+      s.read.parquet(s"$dir/sets").join(ids, Seq("doc_id"), "left_anti"),
+      Seq.empty)
+    rewrite("bands",
+      s.read.parquet(s"$dir/bands")
+        .withColumn("band", col("band").cast("int"))
+        .join(ids, Seq("doc_id"), "left_anti")
+        .repartition(col("band")), Seq("band"))
+    val (rh, rb) = Dedup.BloomPrefilter.buildFilters(s,
+      s.read.parquet(s"$dir/hashes"),
+      s.read.parquet(s"$dir/bands")
+        .withColumn("band", col("band").cast("int")))
+    writeBloomFiles(s, dir, rh, rb)
+    storeBaseCountsMemo.remove(dir) // the rewrite changed the base counts
+  }
+
+  /** The verbs that depend on the per-doc hash layout fail loudly on a
+    * pre-round-11 store (hashes without doc_id) instead of appending a
+    * mixed schema or erasing incorrectly — rebuild the store once. */
+  private def requireErasableLayout(s: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/hashes")
+    if (fs(s, dir).exists(p) &&
+        !s.read.parquet(s"$dir/hashes").columns.contains("doc_id"))
+      throw new IllegalStateException(
+        s"store at $dir uses the pre-round-11 hash layout (no doc_id); " +
+          "rebuild it before tagged roll-forwards or erasure")
+  }
+
   /** dd09's check with the corpus side READ FROM THE STORE — the plan the
     * daily job actually runs: the old side is three parquet scans (no
     * split/minhash anywhere on it), the new side is tokenized once and
@@ -574,6 +639,30 @@ object DedupStore {
     incrementalAgainstStore(neu, read(s, storeDir))
   }
 
+  // ---------------------------------------------------------------------
+  // dd29: STORE ERASURE, oracle-checked — tp12's right-to-be-forgotten
+  // pointed at the derived artifact: build from the standing 80%, erase
+  // decile 7's doc_ids, then run the incremental check. The flags must be
+  // EXACTLY those of a store that never admitted decile 7 (the oracle is
+  // dd09's structure with the corpus side = deciles 0-6): erased content
+  // stops flagging new arrivals — the erased doc's near-twins and exact
+  // copies become admissible again — while every surviving doc's
+  // membership is untouched (including a surviving exact twin of an
+  // erased doc, which the per-doc hash rows keep alive).
+  // ---------------------------------------------------------------------
+  def dd29StoreErasure(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 10 < 8)
+    val neu = docs.filter(col("doc_id") % 10 >= 8)
+    val storeDir = storePathFor(dir + "#dd29")
+    build(old, storeDir)
+    erase(s, storeDir, old.filter(col("doc_id") % 10 === 7).select(col("doc_id")))
+    incrementalAgainstStore(neu, read(s, storeDir))
+  }
+
+  val dd29Oracle: String =
+    Dedup.dd09Oracle.replace("WHERE doc_id % 10 < 8", "WHERE doc_id % 10 < 7")
+
   private def bandUnionsSql(b: String): String =
     (0 until Dedup.numHashes / 2).map(i =>
       s"SELECT doc_id, $i AS band, m${2 * i} AS k1, m${2 * i + 1} AS k2 FROM $b")
@@ -618,11 +707,9 @@ object DedupStore {
        | WHERE doc_id NOT IN (SELECT doc_id FROM ex1)
        |   AND doc_id NOT IN (SELECT doc_id FROM near1)),
        |m AS (SELECT
-       |  (SELECT COUNT(DISTINCT md5(text)) FROM docs_old) AS old_h,
-       |  (SELECT COUNT(DISTINCT md5(text)) FROM acc) AS acc_h,
        |  (SELECT COUNT(*) FROM docs_old) AS old_n,
        |  (SELECT COUNT(*) FROM acc) AS acc_n)
-       |SELECT 'store_hash_rows' AS metric, CAST(old_h + acc_h AS BIGINT) AS value FROM m
+       |SELECT 'store_hash_rows' AS metric, CAST(old_n + acc_n AS BIGINT) AS value FROM m
        |UNION ALL SELECT 'store_set_rows', CAST(old_n + acc_n AS BIGINT) FROM m
        |UNION ALL SELECT 'store_band_rows', CAST($nBands * (old_n + acc_n) AS BIGINT) FROM m
        |UNION ALL SELECT 'appended_set_rows', CAST(acc_n AS BIGINT) FROM m
@@ -660,11 +747,13 @@ object DedupStore {
   val queries: Map[String, Relational.Q] = Map(
     "dd11_store_incremental" -> (dd11StoreIncremental _),
     "dd27_store_maintenance" -> (dd27StoreMaintenance _),
-    "dd28_rollforward_check" -> (dd28RollforwardCheck _))
+    "dd28_rollforward_check" -> (dd28RollforwardCheck _),
+    "dd29_store_erasure" -> (dd29StoreErasure _))
 
   val oracles: Map[String, String] = Map(
     // Same semantics as dd09, so the same oracle must hash-match.
     "dd11_store_incremental" -> Dedup.dd09Oracle,
     "dd27_store_maintenance" -> dd27Oracle,
-    "dd28_rollforward_check" -> dd28Oracle)
+    "dd28_rollforward_check" -> dd28Oracle,
+    "dd29_store_erasure" -> dd29Oracle)
 }

@@ -125,11 +125,13 @@ class DedupStoreSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
-  test("compact() preserves answers and collapses duplicate hashes") {
+  test("compact() preserves answers and the per-doc hash rows") {
     import spark.implicits._
     val (old, neu) = fixture
-    // Roll forward a batch whose first doc repeats an old text verbatim, so
-    // the append duplicates a hash the store already holds.
+    // The batch's first doc repeats an old text verbatim — under the
+    // per-doc hash layout BOTH rows stay (each admitted doc keeps its own
+    // membership row; that's what makes erase an exact anti-join), so
+    // compaction is layout-only here.
     val batchB = Seq(
       (48L, "the quick brown fox jumps over the lazy dog today"),
       (49L, "rolled forward batch document with some novel words in it"))
@@ -148,11 +150,64 @@ class DedupStoreSpec extends SparkSpec {
       assert(DedupStore.read(spark, dir.getPath).blooms.isDefined,
         "compaction must rebuild the bloom sidecars")
       val hashes = spark.read.parquet(s"${dir.getPath}/hashes")
-      assert(hashes.count() < hashesBefore, "compaction should drop the duplicate hash")
+      assert(hashes.count() == hashesBefore && hashesBefore == 5,
+        "per-doc hash rows must survive compaction (3 built + 2 rolled)")
       assert(hashes.count() == hashes.distinct().count())
       // bands must come back still partitioned by band (the column survives).
       assert(spark.read.parquet(s"${dir.getPath}/bands").columns.contains("band"))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("erase removes a doc's fingerprints exactly: erased content is re-admissible, a surviving exact twin keeps membership") {
+    import spark.implicits._
+    val (old, neu) = fixture // neu: 8 = exact copy of old 1, 9 = near twin of old 2
+    val dir = Files.createTempDirectory("dedup-store-erase").toFile
+    val dir2 = Files.createTempDirectory("dedup-store-erase-twin").toFile
+    def ids(i: Long*) = i.toSeq.toDF("doc_id")
+    try {
+      DedupStore.build(old, dir.getPath)
+      DedupStore.erase(spark, dir.getPath, ids(1L))
+      val flags = flagsSeq(DedupStore.incrementalAgainstStore(
+        neu, DedupStore.read(spark, dir.getPath)))
+      // 8's only dup source (old 1) is erased: not flagged at all — the
+      // erased content is admissible again. 9 still near-dups old 2.
+      assert(flags == Seq(Row(9L, false, true)), flags.toString)
+      // and the erased store answers exactly like one that never admitted 1
+      val fresh = Files.createTempDirectory("dedup-store-erase-fresh").toFile
+      try {
+        DedupStore.build(old.filter(
+          org.apache.spark.sql.functions.col("doc_id") =!= 1L), fresh.getPath)
+        val viaFresh = flagsSeq(DedupStore.incrementalAgainstStore(
+          neu, DedupStore.read(spark, fresh.getPath)))
+        assert(flags == viaFresh, s"erased=$flags fresh=$viaFresh")
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(fresh)
+      // surviving exact twin: a corpus that admitted 1's text TWICE (doc 4)
+      // must keep flagging copies after erasing only doc 1 — the per-doc
+      // hash rows are what keep the survivor's membership alive
+      DedupStore.build(old.unionAll(
+        Seq((4L, "the quick brown fox jumps over the lazy dog today"))
+          .toDF("doc_id", "text")), dir2.getPath)
+      DedupStore.erase(spark, dir2.getPath, ids(1L))
+      val twinFlags = flagsSeq(DedupStore.incrementalAgainstStore(
+        neu, DedupStore.read(spark, dir2.getPath)))
+      assert(twinFlags == Seq(Row(8L, true, true), Row(9L, false, true)),
+        twinFlags.toString)
+      // a pre-round-11 store (hashes without doc_id) is refused loudly by
+      // the layout-dependent verbs instead of erasing wrongly
+      val legacy = spark.read.parquet(s"${dir2.getPath}/hashes")
+        .select("h").localCheckpoint()
+      legacy.write.mode("overwrite").parquet(s"${dir2.getPath}/hashes")
+      intercept[IllegalStateException] {
+        DedupStore.erase(spark, dir2.getPath, ids(4L))
+      }
+      intercept[IllegalStateException] {
+        DedupStore.rollForward(dir2.getPath,
+          Seq((99L, "whatever new text")).toDF("doc_id", "text"), Some("t9"))
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir2)
+    }
   }
 
   test("store-backed check plan never re-tokenizes the corpus") {
@@ -391,9 +446,8 @@ class DedupStoreSpec extends SparkSpec {
       val cold = plan(d2) // first call for d2: real footer counts
       assert(warm == cold,
         s"memo-derived plan must equal the footer-counted truth: warm=$warm cold=$cold")
-      // the duplicated-content hash (49 = old 1's text) is an appended
-      // DISTINCT-of-increment row, so hash rows grew by 2, not 1 — the
-      // derivation must reflect the append-only layout, not logical dedup
+      // hash rows are PER-DOC (49 repeats old 1's text and still adds its
+      // own row — the erase verb's requirement), so the increment added 2
       assert(warm("store_hash_rows") == 5 && warm("store_set_rows") == 5, warm.toString)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(d1)
