@@ -3997,6 +3997,48 @@ object Similarity {
     probeIvfIndex(s, base, idxDir)
   }
 
+  /** PHYSICAL erasure for the standalone IVF artifact — the verb between
+    * tombstone screening (ss34: rows stay, serves hide them) and a full
+    * rebuild: remove the ids' list rows in place. Exact by the frozen-
+    * quantizer argument ([[rotateNswIndex]]'s): assignment is per-vector
+    * against frozen centroids, so deleting OTHER vectors cannot change an
+    * alive vector's argmax list — filtering the stored assignment IS the
+    * frozen re-assignment. GDPR-wise this is the embedding-side twin of
+    * [[DedupStore.erase]]: a tombstone keeps the erased vector's bytes in
+    * the artifact; this removes them. Staged rewrite (crash self-heals on
+    * the next read), centroids untouched — they are aggregate statistics,
+    * not member fingerprints. */
+  def eraseFromIvfIndex(s: SparkSession, idxDir: String, ids: DataFrame): Unit = {
+    promoteStages(s, idxDir)
+    val gone = ids.select(col("vec_id")).localCheckpoint()
+    stagedWrite(s, s"$idxDir/lists") { tmp =>
+      s.read.parquet(s"$idxDir/lists")
+        .withColumn("cent_id", col("cent_id").cast("long"))
+        .join(gone, Seq("vec_id"), "left_anti")
+        .repartition(col("cent_id"))
+        .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
+    }
+    listsListingMemo.remove(s"$idxDir/lists")
+  }
+
+  // ---------------------------------------------------------------------
+  // ss57: IVF PHYSICAL ERASURE, oracle-checked by an equality worth
+  // stating — build on the full corpus, erase the % 9 == 0 ids from the
+  // lists, probe with the alive queries: the answers must equal ss34's
+  // tombstone-SCREENED serve over the standing index (the oracle IS
+  // ss34's), because under a frozen quantizer hiding rows at serve time
+  // and removing them from the artifact are the same function. What
+  // differs is what remains on disk: nothing of the erased vectors.
+  // ---------------------------------------------------------------------
+  def ss57IvfErased(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val idxDir = indexPathFor(dir + "#erase")
+    buildIvfIndex(base, idxDir)
+    eraseFromIvfIndex(s, idxDir,
+      base.filter(col("vec_id") % 9 === 0).select(col("vec_id")))
+    probeIvfIndex(s, base.filter(col("vec_id") % 9 =!= 0), idxDir)
+  }
+
   // ---------------------------------------------------------------------
   // ss07: IVF index ROLL-FORWARD — the maintenance story ss05 lacked:
   // an index built on the standing corpus (vec_id % 10 != 3 — the
@@ -4985,6 +5027,7 @@ object Similarity {
     "ss14_ivf_pq_rerank" -> (ss14IvfPqRerank _),
     "ss15_rerank_recall" -> (ss15RerankRecall _),
     "ss34_ann_tombstoned" -> (ss34AnnTombstoned _),
+    "ss57_ivf_erased" -> (ss57IvfErased _),
     "ss35_tombstone_recall" -> (ss35TombstoneRecall _),
     "ss36_nsw_beam" -> (ss36NswBeam _),
     "ss38_knn_graph_rollforward" -> (ss38KnnGraphRollforward _),
@@ -5010,6 +5053,8 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ss34_ann_tombstoned" -> ss34Oracle,
+    // physical erase ≡ tombstone screening under a frozen quantizer
+    "ss57_ivf_erased" -> ss34Oracle,
     "ss35_tombstone_recall" -> ss35Oracle,
     "ss36_nsw_beam" -> ss36Oracle,
     "ss38_knn_graph_rollforward" -> ss38Oracle,

@@ -279,6 +279,35 @@ class IvfIndexSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
   }
 
+  test("eraseFromIvfIndex removes exactly the ids' rows: lists equal a frozen " +
+      "re-assignment of the alive set, centroids untouched") {
+    val base = graft.operators.Similarity.qvec(spark, dir).localCheckpoint()
+    val d = java.nio.file.Files.createTempDirectory("ivf-erase").toString
+    try {
+      Similarity.buildIvfIndex(base, d)
+      def cents() = spark.read.parquet(s"$d/centroids")
+        .selectExpr("cent_id", "cast(cv as string)", "cnrm").collect()
+        .map(_.toString).toList.sorted
+      def listRows() = spark.read.parquet(s"$d/lists")
+        .select(col("vec_id"), col("cent_id").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+      val centsBefore = cents()
+      Similarity.eraseFromIvfIndex(spark, d,
+        base.filter(col("vec_id") % 9 === 0).select(col("vec_id")))
+      assert(cents() == centsBefore,
+        "centroids are aggregate statistics, not member rows — untouched")
+      assert(!listRows().exists(_._1 % 9 == 0), "no erased id may remain")
+      // the frozen-quantizer law: the erased lists ARE the one-shot
+      // assignment of the alive set under the stored centroids
+      val alive = base.filter(col("vec_id") % 9 =!= 0)
+      val expected = Similarity
+        .assignToCentroids(alive, spark.read.parquet(s"$d/centroids"))
+        .select(col("vec_id"), col("cent_id").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+      assert(listRows() == expected)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
+
   test("compactIvfIndex restores one file per list partition; probe answers unchanged") {
     val base = graft.operators.Similarity.qvec(spark, dir).localCheckpoint()
     val idxDir = java.nio.file.Files.createTempDirectory("ivf-compact").toString
