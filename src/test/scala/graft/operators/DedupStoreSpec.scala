@@ -455,6 +455,109 @@ class DedupStoreSpec extends SparkSpec {
     }
   }
 
+  test("crash-injection sweep: a tagged roll-forward killed at ANY filesystem mutation replays to the never-crashed state") {
+    import spark.implicits._
+    val (old, _) = fixture
+    val batchB = Seq(
+      (48L, "rolled forward batch document with some novel words in it"),
+      (49L, "a second accepted increment doc with different words"))
+      .toDF("doc_id", "text").localCheckpoint()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.crash.impl", classOf[CrashFs].getName)
+    val root = Files.createTempDirectory("dedup-crash-sweep").toFile
+    def snap(path: String): (List[String], List[String], List[String], Boolean) = {
+      def rows(t: String, cols: String) =
+        spark.read.parquet(s"$path/$t").selectExpr(s"concat_ws('|', $cols)")
+          .collect().map(_.getString(0)).toList.sorted
+      (rows("hashes", "h, doc_id"),
+       rows("sets", "doc_id, concat_ws(',', sh)"),
+       rows("bands", "doc_id, band, k1, k2"),
+       DedupStore.read(spark, path).blooms.isDefined)
+    }
+    try {
+      // the never-crashed reference
+      val golden = new java.io.File(root, "golden").getPath
+      DedupStore.build(old, golden)
+      DedupStore.rollForward(golden, batchB, Some("b1"))
+      val goldenSnap = snap(golden)
+      // template standing store, copied fresh per trial
+      val tmpl = new java.io.File(root, "tmpl")
+      DedupStore.build(old, tmpl.getPath)
+      def freshTrial(name: String): String = {
+        val d = new java.io.File(root, name)
+        org.apache.commons.io.FileUtils.copyDirectory(tmpl, d)
+        s"crash://${d.getPath}" // route every FS mutation through CrashFs
+      }
+      // measure the mutation count M of a clean roll-forward, then sweep
+      // a sample of every-prefix budgets 0..M (plus the no-crash tail)
+      CrashFs.unlimited(); CrashFs.resetObserved()
+      val dry = freshTrial("dry")
+      DedupStore.rollForward(dry, batchB, Some("b1"))
+      assert(snap(dry) == goldenSnap, "crash-scheme parity before any injection")
+      val m = CrashFs.observed.get()
+      assert(m > 20, s"the sweep must have real prefixes to cover (saw $m)")
+      val budgets = (Seq(0L, 1L, 2L, 3L) ++ (1 to 9).map(i => m * i / 10) ++
+        Seq(m - 2, m - 1, m)).distinct.filter(n => n >= 0 && n <= m)
+      for (n <- budgets) {
+        val trial = freshTrial(s"t$n")
+        CrashFs.armed(n)
+        val died =
+          try { DedupStore.rollForward(trial, batchB, Some("b1")); false }
+          catch { case _: Throwable => true }
+        CrashFs.unlimited() // reboot
+        DedupStore.rollForward(trial, batchB, Some("b1")) // the replay
+        assert(snap(trial) == goldenSnap,
+          s"budget=$n (died=$died): replay must converge to the golden state")
+      }
+      // ---- sweep 2: COMPACT killed at any mutation → a reader answers
+      // correctly on the crashed state (self-heal + answers-unchanged),
+      // and a re-compact converges to the golden compacted state
+      val (_, probe) = fixture
+      val rolled = new java.io.File(root, "rolled")
+      org.apache.commons.io.FileUtils.copyDirectory(tmpl, rolled)
+      DedupStore.rollForward(rolled.getPath, batchB, Some("b1"))
+      val goldenC = new java.io.File(root, "goldenc")
+      org.apache.commons.io.FileUtils.copyDirectory(rolled, goldenC)
+      DedupStore.compact(spark, goldenC.getPath)
+      val goldenCSnap = snap(goldenC.getPath)
+      val goldenFlags = flagsSeq(DedupStore.incrementalAgainstStore(
+        probe, DedupStore.read(spark, goldenC.getPath)))
+      def freshC(name: String): String = {
+        val d = new java.io.File(root, name)
+        org.apache.commons.io.FileUtils.copyDirectory(rolled, d)
+        s"crash://${d.getPath}"
+      }
+      CrashFs.unlimited(); CrashFs.resetObserved()
+      val dryC = freshC("dryc")
+      DedupStore.compact(spark, dryC)
+      assert(snap(dryC) == goldenCSnap, "compact crash-scheme parity")
+      val mc = CrashFs.observed.get()
+      val budgetsC = (Seq(0L, 1L, 2L) ++ (1 to 9).map(i => mc * i / 10) ++
+        Seq(mc - 1, mc)).distinct.filter(n => n >= 0 && n <= mc)
+      for (n <- budgetsC) {
+        val trial = freshC(s"c$n")
+        CrashFs.armed(n)
+        val died =
+          try { DedupStore.compact(spark, trial); false }
+          catch { case _: Throwable => true }
+        CrashFs.unlimited()
+        // the crashed state must ANSWER like the golden store before any
+        // repair runs — promote-on-read self-heal + answers-unchanged
+        val flags = flagsSeq(DedupStore.incrementalAgainstStore(
+          probe, DedupStore.read(spark, trial)))
+        assert(flags == goldenFlags,
+          s"budget=$n (died=$died): a reader of the crashed state must answer")
+        DedupStore.compact(spark, trial)
+        assert(snap(trial) == goldenCSnap,
+          s"budget=$n (died=$died): re-compact must converge")
+      }
+    } finally {
+      CrashFs.unlimited()
+      hconf.unset("fs.crash.impl")
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    }
+  }
+
   test("the file dial compacts a fragmented store even when the count dial idles") {
     import spark.implicits._
     val (old, _) = fixture
