@@ -3960,7 +3960,8 @@ object Similarity {
   /** The disk-index probe path: nearest nprobe centroids per query, exact
     * rerank within the probed inverted lists — shared by ss05 and ss07.
     * Assignment is never recomputed here (plan-pinned). */
-  private def probeIvfIndex(s: SparkSession, base: DataFrame, idxDir: String): DataFrame = {
+  private[operators] def probeIvfIndex(s: SparkSession, base: DataFrame,
+      idxDir: String): DataFrame = {
     promoteStages(s, idxDir) // heal a crashed staged lists compact first
     val cents = s.read.parquet(s"$idxDir/centroids")
       .select(col("cent_id"), col("cv").as("v2"), col("cnrm").as("n2"))

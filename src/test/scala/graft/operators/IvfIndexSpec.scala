@@ -308,6 +308,95 @@ class IvfIndexSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
   }
 
+  test("crash-injection sweep: a streamed ingest batch and a lists compaction " +
+      "killed at ANY filesystem mutation recover — replay to one copy, reader self-heals") {
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val base = graft.operators.Similarity.qvec(spark, dir).localCheckpoint()
+    val standing = base.filter(col("vec_id") % 10 =!= 3)
+    val incRaw = emb.filter(col("vec_id") % 10 === 3)
+      .select(col("vec_id"), col("label"), col("embedding")).localCheckpoint()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.crash.impl", classOf[CrashFs].getName)
+    val root = java.nio.file.Files.createTempDirectory("ivf-crash-sweep").toFile
+    def rows(path: String): List[(Long, Long)] =
+      spark.read.parquet(s"$path/lists")
+        .select(col("vec_id"), col("cent_id").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+    def budgetsOf(m: Long): Seq[Long] =
+      (Seq(0L, 1L, 2L) ++ (1 to 9).map(i => m * i / 10) ++ Seq(m - 1, m))
+        .distinct.filter(n => n >= 0 && n <= m)
+    try {
+      // ---- sweep 1: marker-gated streamed ingest (stagedAppendToIvfIndex
+      // beneath) killed anywhere → redelivery leaves exactly ONE copy
+      val golden = new java.io.File(root, "golden").getPath
+      Similarity.buildIvfIndex(standing, golden)
+      graft.streaming.EventStream.ingestVectorBatch(incRaw, golden, 7L)
+      val goldenRows = rows(golden)
+      val tmpl = new java.io.File(root, "tmpl")
+      Similarity.buildIvfIndex(standing, tmpl.getPath)
+      def fresh(name: String): String = {
+        val d = new java.io.File(root, name)
+        org.apache.commons.io.FileUtils.copyDirectory(tmpl, d)
+        s"crash://${d.getPath}"
+      }
+      CrashFs.unlimited(); CrashFs.resetObserved()
+      val dry = fresh("dry")
+      graft.streaming.EventStream.ingestVectorBatch(incRaw, dry, 7L)
+      assert(rows(dry) == goldenRows, "crash-scheme parity before injection")
+      val m = CrashFs.observed.get()
+      for (n <- budgetsOf(m)) {
+        val trial = fresh(s"t$n")
+        CrashFs.armed(n)
+        val died =
+          try { graft.streaming.EventStream.ingestVectorBatch(incRaw, trial, 7L); false }
+          catch { case _: Throwable => true }
+        CrashFs.unlimited()
+        graft.streaming.EventStream.ingestVectorBatch(incRaw, trial, 7L)
+        assert(rows(trial) == goldenRows,
+          s"budget=$n (died=$died): redelivery must leave exactly one copy")
+      }
+      // ---- sweep 2: the lists compaction (the round-10 verdict #1 window,
+      // exercised per micro-batch by autoMaintain) killed anywhere → a
+      // probe of the crashed state self-heals and answers like the golden
+      // index; a re-compact converges
+      val goldenC = new java.io.File(root, "goldenc")
+      org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(golden), goldenC)
+      Similarity.compactIvfIndex(spark, goldenC.getPath)
+      val goldenCRows = rows(goldenC.getPath)
+      val goldenProbe = Similarity.probeIvfIndex(spark, base, goldenC.getPath)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList.sorted
+      def freshC(name: String): String = {
+        val d = new java.io.File(root, name)
+        org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(golden), d)
+        s"crash://${d.getPath}"
+      }
+      CrashFs.unlimited(); CrashFs.resetObserved()
+      val dryC = freshC("dryc")
+      Similarity.compactIvfIndex(spark, dryC)
+      assert(rows(dryC) == goldenCRows)
+      val mc = CrashFs.observed.get()
+      for (n <- budgetsOf(mc)) {
+        val trial = freshC(s"c$n")
+        CrashFs.armed(n)
+        val died =
+          try { Similarity.compactIvfIndex(spark, trial); false }
+          catch { case _: Throwable => true }
+        CrashFs.unlimited()
+        val probed = Similarity.probeIvfIndex(spark, base, trial)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList.sorted
+        assert(probed == goldenProbe,
+          s"budget=$n (died=$died): a probe of the crashed state must answer")
+        Similarity.compactIvfIndex(spark, trial)
+        assert(rows(trial) == goldenCRows,
+          s"budget=$n (died=$died): re-compact must converge")
+      }
+    } finally {
+      CrashFs.unlimited()
+      hconf.unset("fs.crash.impl")
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    }
+  }
+
   test("compactIvfIndex restores one file per list partition; probe answers unchanged") {
     val base = graft.operators.Similarity.qvec(spark, dir).localCheckpoint()
     val idxDir = java.nio.file.Files.createTempDirectory("ivf-compact").toString
