@@ -810,4 +810,94 @@ class NswIndexSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(idxL).getParentFile)
   }
+
+  test("crash-injection sweep: graph ingest and delta fold killed at ANY filesystem mutation recover") {
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val base = Similarity.qvec(spark, dir).localCheckpoint()
+    val standing = base.filter(col("vec_id") % 10 =!= 3)
+    val incRaw = emb.filter(col("vec_id") % 10 === 3)
+      .select(col("vec_id"), col("label"), col("embedding")).localCheckpoint()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.crash.impl", classOf[CrashFs].getName)
+    val root = java.nio.file.Files.createTempDirectory("nsw-crash-sweep").toFile
+    def tableRows(path: String, t: String, cols: String): List[String] =
+      spark.read.parquet(s"$path/$t").selectExpr(s"concat_ws('|', $cols)")
+        .collect().map(_.getString(0)).toList.sorted
+    def snap(idx: String) = (
+      edgeRows(idx), // the SERVING view — the answers contract
+      tableRows(idx, "ivf/lists", "vec_id, cast(cent_id as bigint)"),
+      tableRows(idx, "probes", "vec_id, cast(cent_id as bigint), crn"),
+      tableRows(idx, "entries", "vec_id"))
+    def budgetsOf(m: Long): Seq[Long] =
+      (Seq(0L, 1L, 2L) ++ (1 to 4).map(i => m * i / 5) ++ Seq(m - 1, m))
+        .distinct.filter(n => n >= 0 && n <= m)
+    try {
+      // ---- sweep 1: the marker-gated graph ingest (fingerprinted,
+      // tag-convergent appendToNswIndex beneath) killed anywhere →
+      // redelivery converges to the never-crashed artifact
+      val golden = new java.io.File(root, "golden").getPath
+      Similarity.buildNswIndex(spark, standing, golden)
+      graft.streaming.EventStream.ingestGraphBatch(incRaw, golden, 7L)
+      val goldenSnap = snap(golden)
+      val tmpl = new java.io.File(root, "tmpl")
+      Similarity.buildNswIndex(spark, standing, tmpl.getPath)
+      def fresh(name: String): String = {
+        val d = new java.io.File(root, name)
+        org.apache.commons.io.FileUtils.copyDirectory(tmpl, d)
+        s"crash://${d.getPath}"
+      }
+      CrashFs.unlimited(); CrashFs.resetObserved()
+      val dry = fresh("dry")
+      graft.streaming.EventStream.ingestGraphBatch(incRaw, dry, 7L)
+      assert(snap(dry) == goldenSnap, "crash-scheme parity before injection")
+      val m = CrashFs.observed.get()
+      for (n <- budgetsOf(m)) {
+        val trial = fresh(s"t$n")
+        CrashFs.armed(n)
+        val died =
+          try { graft.streaming.EventStream.ingestGraphBatch(incRaw, trial, 7L); false }
+          catch { case _: Throwable => true }
+        CrashFs.unlimited()
+        graft.streaming.EventStream.ingestGraphBatch(incRaw, trial, 7L)
+        assert(snap(trial) == goldenSnap,
+          s"budget=$n (died=$died): redelivery must converge to the golden artifact")
+      }
+      // ---- sweep 2: foldNswDeltas (run unattended by autoMaintain)
+      // killed anywhere → the merged view still answers like the folded
+      // golden before any repair, and a re-fold converges delta-free
+      val goldenF = new java.io.File(root, "goldenf")
+      org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(golden), goldenF)
+      Similarity.foldNswDeltas(spark, goldenF.getPath)
+      val goldenEdges = edgeRows(goldenF.getPath)
+      def freshF(name: String): String = {
+        val d = new java.io.File(root, name)
+        org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(golden), d)
+        s"crash://${d.getPath}"
+      }
+      CrashFs.unlimited(); CrashFs.resetObserved()
+      val dryF = freshF("dryf")
+      Similarity.foldNswDeltas(spark, dryF)
+      assert(edgeRows(dryF) == goldenEdges)
+      val mf = CrashFs.observed.get()
+      for (n <- budgetsOf(mf)) {
+        val trial = freshF(s"f$n")
+        CrashFs.armed(n)
+        val died =
+          try { Similarity.foldNswDeltas(spark, trial); false }
+          catch { case _: Throwable => true }
+        CrashFs.unlimited()
+        assert(edgeRows(trial) == goldenEdges,
+          s"budget=$n (died=$died): the crashed state must serve the folded answers")
+        Similarity.foldNswDeltas(spark, trial)
+        assert(edgeRows(trial) == goldenEdges,
+          s"budget=$n (died=$died): re-fold must converge")
+        assert(!new java.io.File(trial.stripPrefix("crash://"), "edges_delta").exists(),
+          s"budget=$n: re-fold must leave no deltas")
+      }
+    } finally {
+      CrashFs.unlimited()
+      hconf.unset("fs.crash.impl")
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    }
+  }
 }
