@@ -894,6 +894,46 @@ class NswIndexSpec extends SparkSpec {
         assert(!new java.io.File(trial.stripPrefix("crash://"), "edges_delta").exists(),
           s"budget=$n: re-fold must leave no deltas")
       }
+      // ---- sweep 3: the blue/green rotation killed anywhere → the SOURCE
+      // is untouched at file level and keeps serving (that is the whole
+      // point of blue/green), the unfinished destination has no manifest
+      // (so an unattended maintainer re-executes it), and a re-rotate
+      // converges to the golden rotated artifact
+      Similarity.tombstoneNswIndex(spark, goldenF.getPath,
+        base.filter(col("vec_id") % 9 === 0).select(col("vec_id")))
+      val goldenR = new java.io.File(root, "goldenr").getPath
+      Similarity.rotateNswIndex(spark, goldenF.getPath, goldenR)
+      val goldenRSnap = snap(goldenR)
+      def srcFiles(): List[(String, Long)] = {
+        def walk(f: java.io.File): List[java.io.File] =
+          if (f.isDirectory) f.listFiles().toList.flatMap(walk) else List(f)
+        walk(goldenF).filter(f => !f.getName.startsWith(".") &&
+            !f.getPath.contains("graft_")) // tmp-scheme noise guard
+          .map(f => (f.getPath, f.length())).sorted
+      }
+      val srcBefore = srcFiles()
+      CrashFs.unlimited(); CrashFs.resetObserved()
+      val dryR = new java.io.File(root, "dryr").getPath
+      Similarity.rotateNswIndex(spark, s"crash://${goldenF.getPath}", s"crash://$dryR")
+      assert(snap(dryR) == goldenRSnap, "rotate crash-scheme parity")
+      val mr = CrashFs.observed.get()
+      val budgetsR = (Seq(0L, 2L) ++ (1 to 3).map(i => mr * i / 4) ++ Seq(mr - 1))
+        .distinct.filter(n => n >= 0 && n <= mr)
+      for (n <- budgetsR) {
+        val dst = new java.io.File(root, s"r$n").getPath
+        CrashFs.armed(n)
+        val died =
+          try { Similarity.rotateNswIndex(spark, s"crash://${goldenF.getPath}", s"crash://$dst"); false }
+          catch { case _: Throwable => true }
+        CrashFs.unlimited()
+        assert(srcFiles() == srcBefore,
+          s"budget=$n (died=$died): a crashed rotate must not touch the source")
+        if (died) assert(!new java.io.File(dst, "manifest.json").exists(),
+          s"budget=$n: an unfinished rotation must not carry the finished marker")
+        Similarity.rotateNswIndex(spark, s"crash://${goldenF.getPath}", s"crash://$dst")
+        assert(snap(dst) == goldenRSnap,
+          s"budget=$n (died=$died): re-rotate must converge")
+      }
     } finally {
       CrashFs.unlimited()
       hconf.unset("fs.crash.impl")
