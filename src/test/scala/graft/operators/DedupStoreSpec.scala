@@ -551,6 +551,37 @@ class DedupStoreSpec extends SparkSpec {
         assert(snap(trial) == goldenCSnap,
           s"budget=$n (died=$died): re-compact must converge")
       }
+      // ---- sweep 3: ERASE killed at any mutation. Erasure is answers-
+      // CHANGING by design, so the mid-crash claim is weaker than
+      // compact's: a reader of the crashed state must still ANSWER (the
+      // staged tables self-heal; a table-mix mid-erase is transient), and
+      // a re-erase must converge to the golden erased state.
+      val goldenE = new java.io.File(root, "goldene")
+      org.apache.commons.io.FileUtils.copyDirectory(rolled, goldenE)
+      import spark.implicits._
+      DedupStore.erase(spark, goldenE.getPath, Seq(48L).toDF("doc_id"))
+      val goldenESnap = snap(goldenE.getPath)
+      CrashFs.unlimited(); CrashFs.resetObserved()
+      val dryE = freshC("drye")
+      DedupStore.erase(spark, dryE, Seq(48L).toDF("doc_id"))
+      assert(snap(dryE) == goldenESnap, "erase crash-scheme parity")
+      val me = CrashFs.observed.get()
+      val budgetsE = (Seq(0L, 2L) ++ (1 to 4).map(i => me * i / 5) ++ Seq(me - 1))
+        .distinct.filter(n => n >= 0 && n <= me)
+      for (n <- budgetsE) {
+        val trial = freshC(s"e$n")
+        CrashFs.armed(n)
+        val died =
+          try { DedupStore.erase(spark, trial, Seq(48L).toDF("doc_id")); false }
+          catch { case _: Throwable => true }
+        CrashFs.unlimited()
+        // must not throw — whatever the table mix, the store stays readable
+        flagsSeq(DedupStore.incrementalAgainstStore(
+          probe, DedupStore.read(spark, trial)))
+        DedupStore.erase(spark, trial, Seq(48L).toDF("doc_id"))
+        assert(snap(trial) == goldenESnap,
+          s"budget=$n (died=$died): re-erase must converge")
+      }
     } finally {
       CrashFs.unlimited()
       hconf.unset("fs.crash.impl")

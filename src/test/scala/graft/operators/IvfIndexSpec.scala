@@ -390,6 +390,34 @@ class IvfIndexSpec extends SparkSpec {
         assert(rows(trial) == goldenCRows,
           s"budget=$n (died=$died): re-compact must converge")
       }
+      // ---- sweep 3: physical ERASURE killed anywhere → the index stays
+      // probe-able (self-heal; erasure changes answers by design, so no
+      // answers pin mid-crash) and a re-erase converges
+      import spark.implicits._
+      val eraseIds = rows(golden).map(_._1).filter(_ % 9 == 0).toDF("vec_id")
+        .localCheckpoint()
+      val goldenE = new java.io.File(root, "goldene")
+      org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(golden), goldenE)
+      Similarity.eraseFromIvfIndex(spark, goldenE.getPath, eraseIds)
+      val goldenERows = rows(goldenE.getPath)
+      CrashFs.unlimited(); CrashFs.resetObserved()
+      val dryE = freshC("drye")
+      Similarity.eraseFromIvfIndex(spark, dryE, eraseIds)
+      assert(rows(dryE) == goldenERows)
+      val me = CrashFs.observed.get()
+      for (n <- (Seq(0L, 2L) ++ (1 to 4).map(i => me * i / 5) ++ Seq(me - 1))
+          .distinct.filter(x => x >= 0 && x <= me)) {
+        val trial = freshC(s"e$n")
+        CrashFs.armed(n)
+        val died =
+          try { Similarity.eraseFromIvfIndex(spark, trial, eraseIds); false }
+          catch { case _: Throwable => true }
+        CrashFs.unlimited()
+        Similarity.probeIvfIndex(spark, base, trial).collect() // must answer
+        Similarity.eraseFromIvfIndex(spark, trial, eraseIds)
+        assert(rows(trial) == goldenERows,
+          s"budget=$n (died=$died): re-erase must converge")
+      }
     } finally {
       CrashFs.unlimited()
       hconf.unset("fs.crash.impl")
