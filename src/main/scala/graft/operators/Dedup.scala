@@ -2058,6 +2058,58 @@ object Dedup {
         coalesce(col("dup_near"), lit(false)).as("dup_near"))
   }
 
+  /** INTRA-batch dedup flags — the within-micro-batch half of the
+    * streaming ingest door's admission decision ([[graft.streaming
+    * .EventStream.ingestDedupBatch]]): [[incrementalFlags]] checks a batch
+    * against the standing store, so two copies arriving in the SAME batch
+    * were both unflagged and both admitted (round-12 advice). This flags
+    * every doc that duplicates a SMALLER-id doc of its own batch, in the
+    * same (dup_exact, dup_near) shape:
+    *  - exact: non-min doc_id per content hash — precisely the reference's
+    *    row-at-a-time insert-conflict semantics
+    *    (`/root/reference/src/database.rs:99-110`: within one batch the
+    *    first writer lands, every later identical row conflicts; equality
+    *    is transitive, so order-of-insert and flag-non-min agree);
+    *  - near: LSH-candidate + exact-Jaccard ≥ 0.7 against ANY smaller-id
+    *    batch doc. Deliberately a superset of strict sequential admission
+    *    (there, a doc flagged against the store is absent, so a later
+    *    near-twin of ONLY that doc would be admitted): the reference has
+    *    no near-dup verb to defer to, and for dedup the conservative
+    *    convention — never admit two near-twins from one batch — is the
+    *    useful one. Documented divergence, spec-pinned.
+    * Cost is the dd03 candidate shape over one micro-batch: banded
+    * equi-join with `doc_old < doc_new`, verification on candidates only
+    * — never all-pairs, O(batch) at any corpus size. */
+  def intraBatchFlags(batch: DataFrame): DataFrame = {
+    val hashed = batch.select(col("doc_id"), md5(col("text")).as("h"))
+    val exact = hashed
+      .withColumn("mn", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .filter(col("doc_id") > col("mn"))
+      .select(col("doc_id")).distinct()
+    val sets = shingleSets(batch).localCheckpoint()
+    val bands = lshBands(minhashSigsFromSets(sets).drop("sh"))
+    val cand = bands.as("n").join(bands.as("o"),
+        col("n.band") === col("o.band") && col("n.k1") === col("o.k1") &&
+          col("n.k2") === col("o.k2") && col("n.doc_id") > col("o.doc_id"))
+      .select(col("n.doc_id").as("doc_new"), col("o.doc_id").as("doc_old"))
+      .distinct()
+    val near = cand
+      .join(sets.select(col("doc_id").as("doc_new"), col("sh").as("sh_n")),
+        Seq("doc_new"))
+      .join(sets.select(col("doc_id").as("doc_old"), col("sh").as("sh_o")),
+        Seq("doc_old"))
+      .filter(expr("""size(array_intersect(sh_n, sh_o)) * 10 >=
+        (size(sh_n) + size(sh_o) - size(array_intersect(sh_n, sh_o))) * 7"""))
+      .select(col("doc_new").as("doc_id")).distinct()
+    batch.select(col("doc_id"))
+      .join(exact.withColumn("dup_exact", lit(true)), Seq("doc_id"), "left")
+      .join(near.withColumn("dup_near", lit(true)), Seq("doc_id"), "left")
+      .filter(col("dup_exact").isNotNull || col("dup_near").isNotNull)
+      .select(col("doc_id"),
+        coalesce(col("dup_exact"), lit(false)).as("dup_exact"),
+        coalesce(col("dup_near"), lit(false)).as("dup_near"))
+  }
+
   def dd09IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val old = docs.filter(col("doc_id") % 10 < 8)

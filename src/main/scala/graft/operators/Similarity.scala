@@ -1714,6 +1714,83 @@ object Similarity {
     writeNswManifest(s, dstDir)
   }
 
+  /** PHYSICAL erasure for the NSW graph artifact — [[eraseFromIvfIndex]]
+    * lifted one tier up (round-11 verdict "missing #1": the graph tier
+    * retained an erased vector's bytes in TWO tables — `ivf/lists` once
+    * and `probes/` nprobe×, since the reverse probe index CARRIES the
+    * vector by design — while [[tombstoneNswIndex]] only hid them at
+    * serve time; a GDPR deployment had no right-to-be-forgotten verb
+    * short of a full blue/green rotation). This is [[rotateNswIndex]]
+    * pointed AT ITSELF, in place:
+    *  - lists and probes anti-join the erased ids — EXACT by the frozen-
+    *    quantizer argument verbatim (assignment and top-nprobe probes are
+    *    per-vector against frozen centroids, so deleting OTHER vectors
+    *    cannot change an alive vector's rows: filtering the stored tables
+    *    IS the frozen re-assignment);
+    *  - edges re-derive from the filtered probes × lists exactly as the
+    *    rotate does (every compaction pays that — deleting nodes re-opens
+    *    everyone's top-M), which SUBSUMES any accumulated `edges_delta/`
+    *    (appends keep lists/probes complete), so the deltas drop;
+    *  - entries refresh (min over survivors is re-derivable);
+    *  - erased ids leave the tombstone set — their bytes are gone, there
+    *    is nothing left to screen — while OTHER tombstones keep
+    *    screening;
+    *  - loose append-tag fingerprints retire into the `_spent_` manifest
+    *    ([[DedupStore.erase]]'s accounting): the rewrite folded those
+    *    increments into the base, identities keep refusing tag reuse.
+    * Each table rewrite is staged (a crash leaves the previous readable
+    * table; a killed erase re-runs to convergence — CrashFs-swept), and
+    * the centroids are untouched: aggregate statistics, not member
+    * fingerprints. In-place semantics require a MATERIALIZED artifact —
+    * erasing through an overlay `_base` pointer would mutate the shared
+    * base, so overlays are refused loudly. */
+  def eraseFromNswIndex(s: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val f = hadoopFs(s, dir)
+    require(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/_base")),
+      s"eraseFromNswIndex needs a materialized artifact; $dir is an overlay")
+    deltaSprawlChecked.remove(dir) // the sized tag set is about to vanish
+    promoteStages(s, dir)
+    promoteStages(s, s"$dir/ivf")
+    val gone = ids.select(col("vec_id")).localCheckpoint()
+    stagedWrite(s, s"$dir/ivf/lists") { tmp =>
+      s.read.parquet(s"$dir/ivf/lists")
+        .withColumn("cent_id", col("cent_id").cast("long"))
+        .join(gone, Seq("vec_id"), "left_anti")
+        .repartition(col("cent_id"))
+        .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
+    }
+    listsListingMemo.remove(s"$dir/ivf/lists")
+    stagedWrite(s, s"$dir/probes") { tmp =>
+      s.read.parquet(s"$dir/probes")
+        .withColumn("cent_id", col("cent_id").cast("long"))
+        .join(gone, Seq("vec_id"), "left_anti")
+        .repartition(col("cent_id"))
+        .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
+    }
+    listsListingMemo.remove(s"$dir/probes")
+    writeNswEdges(s, dir, edgesFromStored(s, dir))
+    f.delete(new org.apache.hadoop.fs.Path(s"$dir/edges_delta"), true)
+    writeNswEntries(s, dir,
+      s.read.parquet(s"$dir/ivf/lists").select(col("vec_id"))
+        .orderBy(col("vec_id").asc).limit(nswEntryCount))
+    val tp = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    if (f.exists(tp)) {
+      val left = storedNswTombstones(s, dir)
+        .join(gone, Seq("vec_id"), "left_anti").localCheckpoint()
+      val rowsPerFile =
+        confInt(s, "spark.graft.nsw.tombstoneRowsPerFile", 4000000).toLong
+      val parts = math.max(1L,
+        (left.count() + rowsPerFile - 1L) / rowsPerFile).toInt
+      stagedWrite(s, s"$dir/tombstones") { tmp =>
+        left.repartitionByRange(parts, col("vec_id"))
+          .sortWithinPartitions("vec_id")
+          .write.mode("overwrite").parquet(tmp)
+      }
+    }
+    compactAppendTags(s, dir)
+    writeNswManifest(s, dir)
+  }
+
   // One graph build per (artifact, JVM): the suite's serving queries all
   // read the same immutable stored graph — the amortization that replaced
   // ~50 s/round of per-query knnRankedEdges rebuilds (BENCH_r07's ss4x
@@ -1970,6 +2047,62 @@ object Similarity {
        | (CAST(SUM(CASE WHEN ap.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100)
        |   // COUNT(*) AS recall_pct
        |FROM ex LEFT JOIN ap USING (q_id, c_id)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // ss58: NSW PHYSICAL ERASURE, oracle-checked by the equality one tier
+  // up from ss57 (round-11 verdict "missing #1"): build the graph
+  // artifact on the full corpus, physically erase the % 9 == 0 ids from
+  // EVERY stored table (lists, probes, edges, entries, tombstones —
+  // eraseFromNswIndex), then beam-serve the alive queries. Under the
+  // frozen quantizer the erased artifact's tables equal rotateNswIndex's
+  // blue/green output — compactNswIndex(retrain = false) minus its two
+  // scoring passes, the table-level equality NswIndexSpec pins — so the
+  // serve must land exactly on ss48's frozen-compaction answers: the
+  // oracle is ss48's frozen chain (quantizer trained on the FULL corpus,
+  // everything downstream alive-only) emitting the beam's top-K rows.
+  // What distinguishes this from ss42's tombstoned serve is BOTH what
+  // remains on disk (nothing of the erased vectors — the GDPR half) and
+  // the walk itself (erased nodes no longer route; ranks re-close over
+  // survivors).
+  // ---------------------------------------------------------------------
+  def ss58NswErased(s: SparkSession, dir: String): DataFrame = {
+    val base = qvec(s, dir).localCheckpoint()
+    val idxE = indexPathFor(dir + "#nswerase")
+    buildNswOnce(idxE) {
+      buildNswIndex(s, base, idxE)
+      eraseFromNswIndex(s, idxE,
+        base.filter(col("vec_id") % 9 === 0).select(col("vec_id")))
+    }
+    val alive = base.filter(col("vec_id") % 9 =!= 0).localCheckpoint()
+    nswBeamOver(alive, storedNswEdges(s, idxE, nswServeDegree),
+      materialize = true, beamHops,
+      entriesOverride = Some(storedNswEntries(s, idxE)))
+  }
+
+  lazy val ss58Oracle: String = {
+    val hops = (1 to beamHops).map(h =>
+      nswGrowSql(s"b${h - 1}", s"u$h") + ",\n" + nswBeamSql(s"u$h", s"b$h"))
+      .mkString(",\n")
+    // ss48's frozen chain: quantizer CTEs stay OUTSIDE the qn→qal rename
+    // (trained on the full corpus); assignment, probes, edges, entries,
+    // queries and beams all read alive only — exactly the erased artifact.
+    val frozenChain = Seq(
+      annProbePrefixSqlFor("TRUE"),
+      nswRankedEdgeSql,
+      s"ed AS (SELECT src, dst FROM edr WHERE rnk <= $nswServeDegree)",
+      "qs AS (SELECT vec_id AS q_id FROM qn WHERE vec_id % 100 = 0)",
+      s"en AS (SELECT vec_id AS c_id FROM qn ORDER BY vec_id ASC LIMIT $nswEntryCount)",
+      "u0 AS (SELECT q_id, c_id FROM qs CROSS JOIN en)",
+      nswBeamSql("u0", "b0"),
+      hops).mkString(",\n").replaceAll("\\bqn\\b", "qal")
+    s"""WITH $qvecSql,
+       |qal AS (SELECT vec_id, v, nrm FROM qn WHERE vec_id % 9 != 0),
+       |${kmChainSql(ivfRounds)},
+       |cents AS (SELECT cent_id, cv, cnrm AS cn FROM c$ivfRounds),
+       |$frozenChain
+       |SELECT q_id, c_id, CAST(rnk AS INT) AS rnk, cos
+       |FROM b$beamHops WHERE rnk <= $K""".stripMargin
   }
 
   /** The serving path: beam search over the STORED graph (round 8 — the
@@ -5043,6 +5176,7 @@ object Similarity {
     "ss46_nsw_index_build" -> (ss46NswIndexBuild _),
     "ss47_nsw_entry_rules" -> (ss47NswEntryRules _),
     "ss48_nsw_compact_frozen" -> (ss48NswCompactFrozen _),
+    "ss58_nsw_erased" -> (ss58NswErased _),
     "ss49_nsw_delta_serve" -> (ss49NswDeltaServe _),
     "ss50_nsw_maintenance" -> (ss50NswMaintenance _),
     "ss51_external_serve" -> (ss51ExternalServe _),
@@ -5069,6 +5203,8 @@ object Similarity {
     "ss45_per_label_nsw" -> ss45Oracle,
     "ss47_nsw_entry_rules" -> ss47Oracle,
     "ss48_nsw_compact_frozen" -> ss48Oracle,
+    // physical graph erasure ≡ the frozen-quantizer compaction's serve
+    "ss58_nsw_erased" -> ss58Oracle,
     "ss49_nsw_delta_serve" -> ss49Oracle,
     "ss50_nsw_maintenance" -> ss50Oracle,
     "ss51_external_serve" -> ss51Oracle,

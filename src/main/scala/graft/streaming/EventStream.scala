@@ -189,10 +189,19 @@ object EventStream {
     }.start()
   }
 
-  /** Per-batch body of [[dedupIngestStream]] — see its convergence notes. */
+  /** Per-batch body of [[dedupIngestStream]] — see its convergence notes.
+    * The flags are the union of TWO passes (round-12 advice): the batch
+    * against the standing store ([[graft.operators.DedupStore
+    * .incrementalAgainstStore]]) and the batch against ITSELF
+    * ([[graft.operators.Dedup.intraBatchFlags]] — flag every doc
+    * duplicating a smaller-id doc of the same micro-batch). Without the
+    * intra pass, two identical docs arriving in one batch were both
+    * unflagged and both rolled forward — diverging from the row-at-a-time
+    * insert-conflict model (reference `src/database.rs`) the store cites,
+    * where later rows of a batch see earlier ones. */
   def ingestDedupBatch(batch: DataFrame, storeDir: String, outDir: String,
       batchId: Long, autoMaintain: Boolean = false): Unit = {
-    import graft.operators.{DedupStore, Similarity}
+    import graft.operators.{Dedup, DedupStore, Similarity}
     val s = batch.sparkSession
     val b = batch.localCheckpoint() // pin: retries must re-check the same rows
     val flagDir = s"$outDir/batch=$batchId"
@@ -201,6 +210,10 @@ object EventStream {
     if (!f.exists(new org.apache.hadoop.fs.Path(s"$flagDir/_SUCCESS")))
       Similarity.retryOnMissingFiles(s, storeDir) {
         DedupStore.incrementalAgainstStore(b, DedupStore.read(s, storeDir))
+          .unionByName(Dedup.intraBatchFlags(b))
+          .groupBy(col("doc_id"))
+          .agg(max(col("dup_exact")).as("dup_exact"),
+            max(col("dup_near")).as("dup_near"))
           .write.mode("overwrite").parquet(flagDir)
       }
     val accepted = b.join(
@@ -240,25 +253,50 @@ object EventStream {
     * at per-minute batches). Markers are SKIP-OPTIMIZATIONS, not
     * correctness gates — every sink beneath them is replay-convergent on
     * its own (tag-convergent staged appends, deterministic per-batch
-    * overwrites) — so markers older than the retention window
-    * (`spark.graft.stream.commitRetention`, default 4096 batches; far
-    * beyond any restart's replay window, which is the last uncommitted
-    * batch) are safe to drop: a replay of a pruned batchId re-executes
-    * and converges. Pruning is amortized — one listing every 256 batches,
-    * not per batch. */
-  private def pruneCommitMarkers(s: org.apache.spark.sql.SparkSession,
+    * overwrites) — so all but the newest `spark.graft.stream
+    * .commitRetention` markers (default 4096; far beyond any restart's
+    * replay window, which is the last uncommitted batch) are safe to
+    * drop: a replay of a pruned batchId re-executes and converges.
+    * Survivors are the NEWEST by (mtime, id), NOT an id window keyed on
+    * the current batchId (round-11 verdict #3's low: a stream restarted
+    * with a FRESH checkpoint resets batchId to 0, so an id-floor
+    * `batchId − keep` never went positive again and the predecessor
+    * incarnation's markers leaked forever — count-based retention prunes
+    * them regardless of what the current incarnation numbers its
+    * batches). Pruning is amortized — one listing every
+    * `spark.graft.stream.commitPruneInterval` batches (default 256),
+    * counted per (marker dir, JVM) rather than by `batchId % interval`
+    * for the same reset-proofness. */
+  private[streaming] def pruneCommitMarkers(s: org.apache.spark.sql.SparkSession,
       f: org.apache.hadoop.fs.FileSystem, markerDir: org.apache.hadoop.fs.Path,
       batchId: Long): Unit = {
-    if (batchId % 256L != 0L || batchId == 0L) return
+    val interval = graft.operators.Similarity
+      .confInt(s, "spark.graft.stream.commitPruneInterval", 256).toLong
+    val seen = markerBatchCounter
+      .computeIfAbsent(markerDir.toString,
+        _ => new java.util.concurrent.atomic.AtomicLong(0L))
+      .incrementAndGet()
+    if (seen % math.max(1L, interval) != 0L) return
     val keep = graft.operators.Similarity
-      .confInt(s, "spark.graft.stream.commitRetention", 4096).toLong
-    val floor = batchId - keep
-    if (floor <= 0 || !f.exists(markerDir)) return
-    for (st <- f.listStatus(markerDir) if st.isFile;
-         id <- scala.util.Try(st.getPath.getName.toLong).toOption
-         if id < floor)
-      f.delete(st.getPath, false)
+      .confInt(s, "spark.graft.stream.commitRetention", 4096)
+    if (!f.exists(markerDir)) return
+    val markers = f.listStatus(markerDir).filter(st => st.isFile &&
+      !st.getPath.getName.startsWith(".") &&
+      !st.getPath.getName.startsWith("_"))
+    if (markers.length <= keep) return
+    // oldest first by (mtime, numeric id): a reset incarnation's fresh
+    // markers carry newer mtimes even though their ids restarted at 0
+    val doomed = markers.sortBy(st => (st.getModificationTime,
+        scala.util.Try(st.getPath.getName.toLong).getOrElse(Long.MaxValue)))
+      .dropRight(keep)
+    doomed.foreach(st => f.delete(st.getPath, false))
   }
+
+  // pruneCommitMarkers' amortization counter: marker dir -> batches seen
+  // this JVM. In-memory only (a fresh JVM just waits one interval before
+  // its first listing — amortization, not correctness).
+  private val markerBatchCounter = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
 
   /** The per-batch ingest body, IDEMPOTENT per batchId: a commit marker
     * under `_ingest_commits/` makes a REPLAYED micro-batch (restart
