@@ -128,6 +128,14 @@ object Bench {
         s"""{"metric":"ss38_phases","build_sec":${ms(b)},""" +
           s""""append_sec":${ms(a)},"serve_sec":${ms(sv)}}""")
     }
+    // ss11's train-phase split (coarse Lloyd / PQ codebooks): the ADC join
+    // share is ss11's benched total minus these — holds the r11 watch item
+    // (a 1.5× capture drift) apart from host noise without a re-run
+    graft.operators.Similarity.pqPhaseLog.get().foreach {
+      case (c, p) => println(
+        s"""{"metric":"ss11_phases","coarse_train_sec":${ms(c)},""" +
+          s""""pq_train_sec":${ms(p)}}""")
+    }
     println(json)
     spark.stop()
   }

@@ -4354,15 +4354,30 @@ object Similarity {
   // BROADCAST query LUTs — one map-side pass over the index, and the
   // only per-query shuffle is the final top-k window.
   // ---------------------------------------------------------------------
+  /** Phase wall-times of the LAST IVF-PQ build in this JVM — (coarse
+    * Lloyd train, PQ train) seconds, printed by Bench as an `ss11_phases`
+    * part-line (cc20_rounds' pattern — round-11 verdict watch #2: ss11
+    * drifted ~1.5× in one driver capture with no telemetry to separate
+    * code from host). Both phases materialize eagerly inside their
+    * builders (per-round localCheckpoints), so the timestamps cost
+    * nothing extra; the ADC join share is ss11's benched total minus
+    * these two — a capture where the TRAIN shares hold and only the
+    * total inflates is host contention, a grown train share is a real
+    * regression in the shared Lloyd/assignment helpers. */
+  val pqPhaseLog = new java.util.concurrent.atomic.AtomicReference[
+    Option[(Double, Double)]](None)
+
   /** The IVF-PQ candidate stream shared by ss11 (ADC top-k is the answer)
     * and ss14 (ADC is the SCREEN, exact rerank is the answer): distinct
     * (q_id, c_id, adc_d2) for candidates inside the probed lists. Returns
     * (base, adcScored). */
   private def ivfPqScored(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = qvec(s, dir).localCheckpoint()
+    val tCoarse0 = System.nanoTime()
     // coarse quantizer: identical machinery and tiebreaks to ss03
     val cents = learnedCentroids(base, ivfRounds)
       .select(col("cent_id"), col("cv").as("v2"), col("cnrm").as("n2"))
+    val tCoarse1 = System.nanoTime()
     def centScored(src: DataFrame, idCol: String): DataFrame =
       src.select(col("vec_id").as(idCol), col("v").as("v1"), col("nrm").as("n1"))
         .join(broadcast(cents), lit(true))
@@ -4378,7 +4393,10 @@ object Similarity {
       .withColumn("crn", row_number().over(wProbe)).filter(col("crn") <= nprobe)
       .select(col("q_id"), col("cent_id"))
     // PQ side: codebooks + codes, then the stored list-codes layout
+    val tPq0 = System.nanoTime()
     val (pts, pcents, codes) = pqAll(base)
+    pqPhaseLog.set(Some(
+      ((tCoarse1 - tCoarse0) / 1e9, (System.nanoTime() - tPq0) / 1e9)))
     val listCodes = assigned.join(pqCodesWide(codes),
         col("a_id") === col("vec_id"))
       .select(col("cent_id"), col("vec_id"), col("codes"))

@@ -589,6 +589,149 @@ class DedupStoreSpec extends SparkSpec {
     }
   }
 
+  test("the file dial never livelocks: a freshly compacted store whose flat tables " +
+      "legitimately exceed maxFilesPerTable stays all-quiet, while real fragmentation still compacts") {
+    import spark.implicits._
+    val (old, _) = fixture // 3 docs
+    val dir = Files.createTempDirectory("dedup-store-livelock").toFile
+    // rowsPerFile=1 makes compact() itself size every flat table to one
+    // file PER ROW — the shape any >32M-row store has at the defaults
+    // (round-11 verdict #1: the old absolute dial fired on that immediately
+    // after each compact, re-running the O(store) rewrite every micro-batch)
+    spark.conf.set("spark.graft.dedup.rowsPerFile", "1")
+    spark.conf.set("spark.graft.dedup.compactAppendPct", "100000") // count dial off
+    spark.conf.set("spark.graft.dedup.maxFilesPerTable", "2")
+    def roll(i: Int): Unit = DedupStore.rollForward(dir.getPath,
+      Seq((100L + i, s"increment number $i with its own words entirely distinct"))
+        .toDF("doc_id", "text"), Some(s"b$i"))
+    try {
+      DedupStore.build(old, dir.getPath)
+      for (i <- 1 to 3) roll(i)
+      val m1 = DedupStore.maintainDedupStore(spark, dir.getPath)
+      assert(m1("compacted") == 1, m1.toString) // bands fragmented past the dial
+      // the compacted store now holds ceil(6 rows / 1) = 6 files per flat
+      // table — legitimately past maxFilesPerTable. The dial must read that
+      // as the COMPACTED BASELINE, not as fragmentation:
+      val hashFiles = new java.io.File(dir, "hashes").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(hashFiles > 2, s"fixture: compact must legitimately exceed the dial ($hashFiles)")
+      val m2 = DedupStore.maintainDedupStore(spark, dir.getPath)
+      assert(m2("compacted") == 0 && m2("flat_files_excess") == 0,
+        s"a freshly compacted store must stay all-quiet (no re-compact loop): $m2")
+      // genuine fragmentation (new appends) still trips the dial...
+      for (i <- 4 to 6) roll(i)
+      val m3 = DedupStore.maintainDedupStore(spark, dir.getPath)
+      assert(m3("compacted") == 1, m3.toString)
+      // ...and the store settles all-quiet again
+      val m4 = DedupStore.maintainDedupStore(spark, dir.getPath)
+      assert(m4("compacted") == 0, m4.toString)
+    } finally {
+      spark.conf.unset("spark.graft.dedup.rowsPerFile")
+      spark.conf.unset("spark.graft.dedup.compactAppendPct")
+      spark.conf.unset("spark.graft.dedup.maxFilesPerTable")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
+  test("the roll-forward fingerprint is content-aware: same doc_ids with different texts refuse the tag") {
+    import spark.implicits._
+    val (old, _) = fixture
+    val batchB = Seq(
+      (48L, "rolled forward batch document with some novel words in it"))
+      .toDF("doc_id", "text")
+    // the round-12 advice hole: an id-only fingerprint matched this
+    // corrected batch (same doc_ids, different content) and silently
+    // swallowed it as a replay no-op — its content never entered the store
+    val batchB2 = Seq(
+      (48L, "a corrected rewrite of the same document with changed words"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("dedup-store-fp").toFile
+    try {
+      DedupStore.build(old, dir.getPath)
+      DedupStore.rollForward(dir.getPath, batchB, Some("b1"))
+      val e = intercept[IllegalStateException] {
+        DedupStore.rollForward(dir.getPath, batchB2, Some("b1"))
+      }
+      assert(e.getMessage.contains("DIFFERENT"), e.getMessage)
+      // the true replay still converges as a no-op
+      val before = spark.read.parquet(s"${dir.getPath}/hashes").count()
+      DedupStore.rollForward(dir.getPath, batchB, Some("b1"))
+      assert(spark.read.parquet(s"${dir.getPath}/hashes").count() == before)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("replaying a crashed fingerprint-less append keeps the plan's totals exact " +
+      "(memo invalidated when leftovers are retired)") {
+    import spark.implicits._
+    val (old, _) = fixture // 3 docs
+    val batchB = Seq(
+      (48L, "rolled forward batch document with some novel words in it"),
+      (49L, "a second accepted increment doc with different words"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("dedup-store-memoexact").toFile
+    def plan(): Map[String, Long] =
+      DedupStore.dedupMaintenancePlan(spark, dir.getPath).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    try {
+      DedupStore.build(old, dir.getPath)
+      DedupStore.rollForward(dir.getPath, batchB, Some("b1"))
+      // simulate the crash window: every table file moved, fingerprint
+      // (written LAST) missing — the replay-convergent partial state
+      for (n <- Seq("b1", ".b1.crc"))
+        new java.io.File(dir, s"_rf_tags/$n").delete()
+      // a cold plan taken NOW bakes the leftover rf rows into the base
+      // (it can subtract only fingerprinted loose counts)
+      val stale = plan()
+      assert(stale("appended_set_rows") == 0 && stale("store_set_rows") == 5,
+        stale.toString)
+      // the replay retires the leftovers and re-appends WITH a fingerprint;
+      // the memoized base must be invalidated or totals double-count
+      DedupStore.rollForward(dir.getPath, batchB, Some("b1"))
+      val p = plan()
+      val truth = spark.read.parquet(s"${dir.getPath}/sets").count()
+      assert(truth == 5, s"fixture: replay must converge to 5 rows, saw $truth")
+      assert(p("store_set_rows") == truth && p("appended_set_rows") == 2,
+        s"memo-derived totals must equal the footer truth after the replay: $p")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("erase retires loose roll-forward fingerprints: the plan stays exact post-erase " +
+      "and spent identities keep refusing reuse") {
+    import spark.implicits._
+    val (old, _) = fixture // 3 docs
+    val batchB = Seq(
+      (48L, "rolled forward batch document with some novel words in it"))
+      .toDF("doc_id", "text")
+    val batchC = Seq(
+      (58L, "another increment with its own distinct content"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("dedup-store-erasetags").toFile
+    def plan(): Map[String, Long] =
+      DedupStore.dedupMaintenancePlan(spark, dir.getPath).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    try {
+      DedupStore.build(old, dir.getPath)
+      DedupStore.rollForward(dir.getPath, batchB, Some("b1"))
+      DedupStore.erase(spark, dir.getPath, Seq(48L).toDF("doc_id"))
+      // round-11 verdict #5: the loose b1 fingerprint used to keep claiming
+      // 1 appended row the rewrite already folded (and erased) — the plan
+      // went conservative. Now it is retired: exact counts, zero appended.
+      val p = plan()
+      assert(p("rollforwards") == 0 && p("appended_set_rows") == 0 &&
+        p("store_set_rows") == 3 && p("compact_due") == 0, p.toString)
+      val sidecar = new java.io.File(dir, "_rf_tags").listFiles().map(_.getName)
+        .filterNot(_.startsWith("."))
+      assert(sidecar.forall(_.startsWith("_spent_")), sidecar.toSeq.toString)
+      // the identity survives: a different batch on the tag is refused,
+      // a replay of the original no-ops
+      intercept[IllegalStateException] {
+        DedupStore.rollForward(dir.getPath, batchC, Some("b1"))
+      }
+      DedupStore.rollForward(dir.getPath, batchB, Some("b1"))
+      assert(plan() == p, "a spent replay must not change the erased store")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("the file dial compacts a fragmented store even when the count dial idles") {
     import spark.implicits._
     val (old, _) = fixture

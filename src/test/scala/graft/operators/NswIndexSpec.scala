@@ -523,6 +523,91 @@ class NswIndexSpec extends SparkSpec {
       new java.io.File(idx).getParentFile)
   }
 
+  test("eraseFromNswIndex: in-place physical erasure equals the blue/green rotate " +
+      "table-for-table, and NO stored table retains an erased vec_id") {
+    val base = Similarity.qvec(spark, dir).localCheckpoint()
+    val standing = base.filter(col("vec_id") % 10 =!= 3)
+    val idx = tmpIdx("nsw-erase")
+    try {
+      Similarity.buildNswIndex(spark, standing, idx)
+      // live artifact shape: an unfolded delta tag AND recorded tombstones
+      Similarity.appendToNswIndex(spark, idx,
+        base.filter(col("vec_id") % 10 === 3), "b1")
+      val gone = base.filter(col("vec_id") % 9 === 0).select(col("vec_id"))
+        .localCheckpoint()
+      Similarity.tombstoneNswIndex(spark, idx, gone)
+      // golden: the blue/green rotation of the same artifact (reads the
+      // source untouched, so it can run before the in-place erase)
+      val rotDst = s"$idx-rot"
+      Similarity.rotateNswIndex(spark, idx, rotDst)
+      val eDir = s"$idx-er"
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(idx), new java.io.File(eDir))
+      Similarity.eraseFromNswIndex(spark, eDir, gone)
+      // table-for-table equality with the rotate (= frozen-quantizer
+      // compaction, by the rotate test's own equality)
+      def pairs(d: String, t: String) = spark.read.parquet(s"$d/$t")
+        .select(col("vec_id"), col("cent_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+      assert(pairs(eDir, "ivf/lists") == pairs(rotDst, "ivf/lists"))
+      assert(pairs(eDir, "probes") == pairs(rotDst, "probes"))
+      def edges(d: String) = spark.read.parquet(s"$d/edges")
+        .select(col("src"), col("dst"), col("rnk").cast("int"), col("cos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toList.sorted
+      assert(edges(eDir) == edges(rotDst))
+      def entries(d: String) = spark.read.parquet(s"$d/entries")
+        .collect().map(_.getLong(0)).toList.sorted
+      assert(entries(eDir) == entries(rotDst))
+      // the GDPR pin: no stored table retains an erased vec_id — lists,
+      // probes (which CARRY the vector nprobe×), edges (either side),
+      // entries, tombstones, deltas (dir dropped entirely)
+      val goneIds = gone.collect().map(_.getLong(0)).toSet
+      def ids(t: String, c: String) = spark.read.parquet(s"$eDir/$t")
+        .select(col(c)).collect().map(_.getLong(0)).toSet
+      assert(ids("ivf/lists", "vec_id").intersect(goneIds).isEmpty)
+      assert(ids("probes", "vec_id").intersect(goneIds).isEmpty)
+      assert((ids("edges", "src") ++ ids("edges", "dst"))
+        .intersect(goneIds).isEmpty)
+      assert(ids("entries", "vec_id").intersect(goneIds).isEmpty)
+      assert(Similarity.storedNswTombstones(spark, eDir).count() == 0,
+        "fully-erased ids need no screening — the tombstone set empties")
+      assert(!new java.io.File(s"$eDir/edges_delta").exists(),
+        "the re-derived edges subsume the deltas")
+      // serve sanity: a clean pre-ranked base, window-free
+      assert(!Similarity.storedNswEdgesMerged(spark, eDir)
+        .queryExecution.executedPlan.toString.contains("Window"))
+      // spent identities survive the erase: a DIFFERENT increment reusing
+      // the folded tag is still refused
+      intercept[IllegalStateException] {
+        Similarity.appendToNswIndex(spark, eDir,
+          base.filter(col("vec_id") % 10 === 5), "b1")
+      }
+      // tombstones NOT named by the erase keep screening: re-copy, add an
+      // extra tombstone, erase only the %9 set — the extra survives
+      val eDir2 = s"$idx-er2"
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(idx), new java.io.File(eDir2))
+      val extraId = standing.filter(col("vec_id") % 9 =!= 0)
+        .agg(org.apache.spark.sql.functions.max(col("vec_id")))
+        .collect()(0).getLong(0)
+      import spark.implicits._
+      Similarity.tombstoneNswIndex(spark, eDir2, Seq(extraId).toDF("vec_id"))
+      Similarity.eraseFromNswIndex(spark, eDir2, gone)
+      val left = Similarity.storedNswTombstones(spark, eDir2)
+        .collect().map(_.getLong(0)).toSet
+      assert(left == Set(extraId), left.toString)
+      // erase refuses an overlay: in-place rewrites through a _base
+      // pointer would mutate the shared artifact
+      val ov = s"$idx-ov"
+      Similarity.overlayNswIndex(spark, idx, ov)
+      intercept[IllegalArgumentException] {
+        Similarity.eraseFromNswIndex(spark, ov, gone)
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(idx).getParentFile)
+  }
+
   test("a tombstone OVERLAY keeps the shared artifact immutable: edges and " +
       "entries resolve to the base, deletes stay private") {
     val base = Similarity.qvec(spark, dir).localCheckpoint()
@@ -933,6 +1018,43 @@ class NswIndexSpec extends SparkSpec {
         Similarity.rotateNswIndex(spark, s"crash://${goldenF.getPath}", s"crash://$dst")
         assert(snap(dst) == goldenRSnap,
           s"budget=$n (died=$died): re-rotate must converge")
+      }
+      // ---- sweep 4: the in-place PHYSICAL ERASE killed anywhere → every
+      // table stays readable (staged rewrites leave the previous or the
+      // new copy, never neither), and a re-erase converges to the golden
+      // erased artifact. Erasure is answers-changing by design, so the
+      // mid-crash claim is readability + convergence (the DedupStore
+      // erase sweep's contract), not answers-unchanged.
+      val goneIds = base.filter(col("vec_id") % 9 === 0)
+        .select(col("vec_id")).localCheckpoint()
+      val goldenE = new java.io.File(root, "goldene")
+      org.apache.commons.io.FileUtils.copyDirectory(goldenF, goldenE)
+      Similarity.eraseFromNswIndex(spark, goldenE.getPath, goneIds)
+      val goldenESnap = snap(goldenE.getPath)
+      def freshE(name: String): String = {
+        val d = new java.io.File(root, name)
+        org.apache.commons.io.FileUtils.copyDirectory(goldenF, d)
+        s"crash://${d.getPath}"
+      }
+      CrashFs.unlimited(); CrashFs.resetObserved()
+      val dryE = freshE("drye")
+      Similarity.eraseFromNswIndex(spark, dryE, goneIds)
+      assert(snap(dryE) == goldenESnap, "erase crash-scheme parity")
+      val me = CrashFs.observed.get()
+      val budgetsE = (Seq(0L, 2L) ++ (1 to 3).map(i => me * i / 4) ++ Seq(me - 1))
+        .distinct.filter(n => n >= 0 && n <= me)
+      for (n <- budgetsE) {
+        val trial = freshE(s"e$n")
+        CrashFs.armed(n)
+        val died =
+          try { Similarity.eraseFromNswIndex(spark, trial, goneIds); false }
+          catch { case _: Throwable => true }
+        CrashFs.unlimited()
+        // must not throw — whatever the table mix, the artifact reads
+        snap(trial)
+        Similarity.eraseFromNswIndex(spark, trial, goneIds)
+        assert(snap(trial) == goldenESnap,
+          s"budget=$n (died=$died): re-erase must converge")
       }
     } finally {
       CrashFs.unlimited()

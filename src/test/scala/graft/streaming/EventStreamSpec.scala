@@ -874,7 +874,8 @@ class EventStreamSpec extends SparkSpec with StatefulStreamingScenarios {
       .localCheckpoint()
     val root = java.nio.file.Files.createTempDirectory("marker-prune").toString
     val idx = s"$root/idx"; val out = s"$root/served"
-    spark.conf.set("spark.graft.stream.commitRetention", "16")
+    spark.conf.set("spark.graft.stream.commitRetention", "1")
+    spark.conf.set("spark.graft.stream.commitPruneInterval", "2")
     try {
       Similarity.buildIvfIndex(base, idx)
       EventStream.serveIvfBatch(b0, idx, out, 0L)
@@ -885,8 +886,9 @@ class EventStreamSpec extends SparkSpec with StatefulStreamingScenarios {
       val rows0 = rows(0L)
       def marker(id: Long) = new java.io.File(s"$out/_serve_commits/$id")
       assert(marker(0L).isFile)
-      // batch 256 lands on the amortized prune boundary: markers below
-      // 256 - 16 go; the marker dir stays bounded on an unattended stream
+      // the second batch hits the amortized prune boundary: only the
+      // newest `commitRetention` markers survive — the marker dir stays
+      // bounded on an unattended stream
       EventStream.serveIvfBatch(b0, idx, out, 256L)
       assert(!marker(0L).exists(), "markers past the retention window must go")
       assert(marker(256L).isFile)
@@ -898,8 +900,84 @@ class EventStreamSpec extends SparkSpec with StatefulStreamingScenarios {
       assert(marker(0L).isFile, "the replay re-commits its marker")
     } finally {
       spark.conf.unset("spark.graft.stream.commitRetention")
+      spark.conf.unset("spark.graft.stream.commitPruneInterval")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }
+  }
+
+  test("commit-marker retention is reset-proof: a fresh-checkpoint incarnation " +
+      "(batchId restarts at 0) still prunes its predecessor's markers") {
+    val root = java.nio.file.Files.createTempDirectory("marker-reset").toString
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val md = new org.apache.hadoop.fs.Path(s"$root/_serve_commits")
+    f.mkdirs(md)
+    // the PREDECESSOR incarnation's markers: high batchIds, old mtimes —
+    // an id-floor `batchId − keep` keyed on the NEW incarnation's batchId
+    // (which restarted at 0) would never go positive, leaking these forever
+    // (round-11 verdict #3)
+    for (i <- 100 to 109) {
+      val p = new org.apache.hadoop.fs.Path(md, i.toString)
+      f.create(p, true).close()
+      f.setTimes(p, 1000000000L + i, -1)
+    }
+    spark.conf.set("spark.graft.stream.commitRetention", "4")
+    spark.conf.set("spark.graft.stream.commitPruneInterval", "1")
+    try {
+      for (b <- 0L to 2L) {
+        f.create(new org.apache.hadoop.fs.Path(md, b.toString), false).close()
+        EventStream.pruneCommitMarkers(spark, f, md, b)
+      }
+      val left = f.listStatus(md).filter(_.isFile)
+        .map(_.getPath.getName).filterNot(_.startsWith(".")).toSet
+      // newest 4 by (mtime, id): the fresh incarnation's 0..2 plus the
+      // newest predecessor marker — everything older is pruned
+      assert(left == Set("0", "1", "2", "109"), left.toString)
+    } finally {
+      spark.conf.unset("spark.graft.stream.commitRetention")
+      spark.conf.unset("spark.graft.stream.commitPruneInterval")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("ingest dedup flags WITHIN a micro-batch: same-batch exact twins follow " +
+      "insert-conflict order (first lands, later flagged), near twins are flagged too") {
+    import spark.implicits._
+    import graft.operators.DedupStore
+    val root = java.nio.file.Files.createTempDirectory("dedup-intra").toString
+    val storeDir = s"$root/store"; val outDir = s"$root/flags"
+    val corpus = Seq(
+      (3L, "old corpus text that nothing in the new batch resembles"))
+      .toDF("doc_id", "text")
+    DedupStore.build(corpus, storeDir)
+    try {
+      // one micro-batch: 10/11 exact twins OF EACH OTHER (neither in the
+      // store), 12 a near twin of them — before the intra pass all three
+      // were admitted (round-12 advice)
+      val batch = Seq(
+        (10L, "a b c a b c"),
+        (11L, "a b c a b c"),
+        (12L, "a b c a b c a b c")).toDF("doc_id", "text").localCheckpoint()
+      EventStream.ingestDedupBatch(batch, storeDir, outDir, 0L)
+      val flags = spark.read.parquet(s"$outDir/batch=0")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+        .toSet
+      assert(flags == Set((11L, true, true), (12L, false, true)),
+        s"later same-batch rows must see earlier ones: $flags")
+      // only the first twin was rolled forward
+      val admitted = spark.read.parquet(s"$storeDir/hashes")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(admitted == Set(3L, 10L), admitted.toString)
+      // and the NEXT batch dedups against the admitted min — proving the
+      // roll-forward carried exactly the insert-conflict survivor
+      val batch1 = Seq((20L, "a b c a b c")).toDF("doc_id", "text")
+        .localCheckpoint()
+      EventStream.ingestDedupBatch(batch1, storeDir, outDir, 1L)
+      val flags1 = spark.read.parquet(s"$outDir/batch=1")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+        .toSet
+      assert(flags1 == Set((20L, true, true)), flags1.toString)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
   test("stream-static enrichment joins each batch against the broadcast dim") {
