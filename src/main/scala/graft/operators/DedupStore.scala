@@ -541,10 +541,17 @@ object DedupStore {
     val filesMax = (perBand.toSeq :+ hashFiles :+ setFiles).max
     val due = plan("compact_due") == 1L || perBandMax > maxPer ||
       flatExcess > maxPer
-    if (due) compact(s, dir)
+    // due work runs under the cross-JVM lease: a concurrent maintainer
+    // (another stream's autoMaintain, a nightly job) holding it makes this
+    // turn YIELD — compaction is re-triggered by the same dial later
+    val (ran, yielded) =
+      if (!due) (0L, 0L)
+      else Similarity.withMaintenanceLease(s, dir)((0L, 1L)) {
+        compact(s, dir); (1L, 0L)
+      }
     plan + ("table_files_max" -> filesMax) +
       ("flat_files_excess" -> math.max(0L, flatExcess)) +
-      ("compacted" -> (if (due) 1L else 0L))
+      ("compacted" -> ran) + ("yielded" -> yielded)
   }
 
   /** GDPR/right-to-be-forgotten erasure for the DERIVED artifact — the

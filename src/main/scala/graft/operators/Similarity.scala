@@ -1585,6 +1585,41 @@ object Similarity {
   private[graft] def confInt(s: SparkSession, key: String, dflt: Int): Int =
     s.conf.getOption(key).map(_.toInt).getOrElse(dflt)
 
+  /** Cross-JVM MAINTENANCE LEASE (round-11 verdict #8): two unattended
+    * maintainers on one artifact — separate JVMs, so the in-memory memos
+    * cannot serialize them — can both pass a dial and race their staged
+    * compacts; the marker/tag creates beneath fail loudly, but a fleet
+    * deployment wants the loser to YIELD, not crash. The lease is one
+    * file under `_maintenance/`: `create(overwrite = false)` is the
+    * acquisition (atomic on HDFS-like stores), the holder deletes it when
+    * done, and a holder that DIED is broken by age — a lease older than
+    * `spark.graft.maintenance.leaseTtlSec` (default 3600; set it above
+    * the worst compaction wall-time) is deleted and re-contended.
+    * Yielding is always safe: every guarded verb is answers-unchanged
+    * and re-triggered by the same dial on a later maintain, so a skipped
+    * turn only defers compaction, never loses it. Returns `yieldValue`
+    * when the lease is held elsewhere (or lost in the create race),
+    * else runs `body` holding the lease and releases it. */
+  private[graft] def withMaintenanceLease[T](s: SparkSession, dir: String)(
+      yieldValue: => T)(body: => T): T = {
+    val f = hadoopFs(s, dir)
+    val root = new org.apache.hadoop.fs.Path(s"$dir/_maintenance")
+    val lease = new org.apache.hadoop.fs.Path(root, "lease")
+    val ttlMs = confInt(s, "spark.graft.maintenance.leaseTtlSec", 3600) * 1000L
+    f.mkdirs(root)
+    if (f.exists(lease)) {
+      val age = System.currentTimeMillis() -
+        f.getFileStatus(lease).getModificationTime
+      if (age <= ttlMs) return yieldValue
+      f.delete(lease, false) // the holder died past the TTL: break it
+    }
+    val acquired =
+      try { f.create(lease, false).close(); true }
+      catch { case _: java.io.IOException => false } // lost the race: yield
+    if (!acquired) return yieldValue
+    try body finally f.delete(lease, false)
+  }
+
   /** Maintenance metrics + decisions for a graph index, as a long-form
     * (metric, value) frame — dictionary-sized, computed from artifact
     * METADATA (parquet footers + the per-tag append fingerprints), never
@@ -1647,23 +1682,31 @@ object Similarity {
       rotateTo: Option[String] = None): Map[String, Long] = {
     val plan = nswMaintenancePlan(s, idxDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val fold = plan("fold_due") == 1L
-    if (fold) {
-      foldNswDeltas(s, idxDir)
-      compactNswProbes(s, idxDir)
-      compactIvfIndex(s, s"$idxDir/ivf")
-    }
+    val foldDue = plan("fold_due") == 1L
     // rotation is ONE-SHOT per destination: compact_due stays true on the
     // source until the caller switches off it (the tombstones live there
     // by design), so an unattended maintainer re-checking every
     // micro-batch must not rebuild an already-finished destination — a
     // finished rotate is recognized by its manifest (written last).
-    val rotate = plan("compact_due") == 1L && rotateTo.exists(dst =>
+    val rotateDue = plan("compact_due") == 1L && rotateTo.exists(dst =>
       !hadoopFs(s, dst).exists(
         new org.apache.hadoop.fs.Path(s"$dst/manifest.json")))
-    if (rotate) rotateNswIndex(s, idxDir, rotateTo.get)
-    plan + ("folded" -> (if (fold) 1L else 0L)) +
-      ("rotated" -> (if (rotate) 1L else 0L))
+    // due work runs under the cross-JVM lease ([[withMaintenanceLease]]):
+    // a concurrent maintainer holding it makes this turn yield — the same
+    // dials re-trigger the work on a later maintain
+    val (folded, rotated, yielded) =
+      if (!foldDue && !rotateDue) (0L, 0L, 0L)
+      else withMaintenanceLease(s, idxDir)((0L, 0L, 1L)) {
+        if (foldDue) {
+          foldNswDeltas(s, idxDir)
+          compactNswProbes(s, idxDir)
+          compactIvfIndex(s, s"$idxDir/ivf")
+        }
+        if (rotateDue) rotateNswIndex(s, idxDir, rotateTo.get)
+        (if (foldDue) 1L else 0L, if (rotateDue) 1L else 0L, 0L)
+      }
+    plan + ("folded" -> folded) + ("rotated" -> rotated) +
+      ("yielded" -> yielded)
   }
 
   /** Compaction executed from the ARTIFACT ALONE — the blue/green
@@ -4030,7 +4073,7 @@ object Similarity {
         // JVM's maintainer starts cold and sees the truth.
         Map("list_partitions" -> mParts, "list_files" -> mFiles,
           "list_files_max" -> (mMax + appends),
-          "compact_due" -> 0L, "compacted" -> 0L)
+          "compact_due" -> 0L, "compacted" -> 0L, "yielded" -> 0L)
       case _ =>
         val f = hadoopFs(s, idxDir)
         val lp = new org.apache.hadoop.fs.Path(s"$idxDir/lists")
@@ -4051,11 +4094,14 @@ object Similarity {
         // cent_id), so the hottest list needs maxPer appends between
         // compactions.
         val due = if (filesMax > maxPer) 1L else 0L
-        if (due == 1L) compactIvfIndex(s, idxDir) // removes the memo entry
-        else listsListingMemo.put(memoKey, (nParts, nFiles, filesMax, 0L))
+        val (ran, yielded) =
+          if (due == 0L) { listsListingMemo.put(memoKey, (nParts, nFiles, filesMax, 0L)); (0L, 0L) }
+          else withMaintenanceLease(s, idxDir)((0L, 1L)) {
+            compactIvfIndex(s, idxDir); (1L, 0L) // removes the memo entry
+          }
         Map("list_partitions" -> nParts, "list_files" -> nFiles,
           "list_files_max" -> filesMax,
-          "compact_due" -> due, "compacted" -> due)
+          "compact_due" -> due, "compacted" -> ran, "yielded" -> yielded)
     }
   }
 

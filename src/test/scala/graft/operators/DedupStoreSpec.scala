@@ -732,6 +732,41 @@ class DedupStoreSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("maintenance lease: a maintainer yields to a concurrent holder, breaks a stale " +
+      "lease past the TTL, and releases after its own compaction") {
+    import spark.implicits._
+    val (old, _) = fixture
+    val batchB = Seq(
+      (48L, "rolled forward batch document with some novel words in it"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("dedup-store-lease").toFile
+    val lease = new java.io.File(dir, "_maintenance/lease")
+    try {
+      DedupStore.build(old, dir.getPath)
+      DedupStore.rollForward(dir.getPath, batchB, Some("b1"))
+      // 1 appended over base 3 exceeds the default 5% dial → compact is due.
+      // Another maintainer "holds" the lease (fresh file): this turn yields.
+      lease.getParentFile.mkdirs()
+      lease.createNewFile()
+      val m1 = DedupStore.maintainDedupStore(spark, dir.getPath)
+      assert(m1("compact_due") == 1 && m1("compacted") == 0 &&
+        m1("yielded") == 1, m1.toString)
+      assert(lease.isFile, "a yielding maintainer must not touch the holder's lease")
+      // the holder DIED: age the lease past the TTL — the next maintainer
+      // breaks it, compacts, and releases
+      spark.conf.set("spark.graft.maintenance.leaseTtlSec", "1")
+      try {
+        lease.setLastModified(System.currentTimeMillis() - 10000L)
+        val m2 = DedupStore.maintainDedupStore(spark, dir.getPath)
+        assert(m2("compacted") == 1 && m2("yielded") == 0, m2.toString)
+        assert(!lease.exists(), "the lease must be released after the compaction")
+        // steady state: nothing due, no lease churn
+        val m3 = DedupStore.maintainDedupStore(spark, dir.getPath)
+        assert(m3("compacted") == 0 && m3("yielded") == 0, m3.toString)
+      } finally spark.conf.unset("spark.graft.maintenance.leaseTtlSec")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("the file dial compacts a fragmented store even when the count dial idles") {
     import spark.implicits._
     val (old, _) = fixture
