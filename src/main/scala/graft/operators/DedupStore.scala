@@ -54,12 +54,19 @@ object DedupStore {
   /** The roll-forward batch-identity sidecar dir name (under the store). */
   private val RfSidecar = "_rf_tags"
 
+  /** The deferred-erasure ledger dir name (under the store) — see
+    * [[requestErase]]. */
+  private val ErasePending = "_erase_pending"
+
   /** Build (or rebuild) the store from a full corpus: one tokenize pass,
     * three parquet tables. A rebuild also clears the roll-forward identity
     * sidecar — the appended increments it fingerprinted no longer exist. */
   def build(docs: DataFrame, dir: String): Unit = {
     val s = docs.sparkSession
-    fs(s, dir).delete(new org.apache.hadoop.fs.Path(s"$dir/$RfSidecar"), true)
+    // a rebuild resets the sidecars: the fingerprinted increments and the
+    // pending erasure requests both referred to the replaced content
+    for (sidecar <- Seq(RfSidecar, ErasePending))
+      fs(s, dir).delete(new org.apache.hadoop.fs.Path(s"$dir/$sidecar"), true)
     storeBaseCountsMemo.remove(dir) // a rebuild voids the memoized base
     write(docs, dir, overwrite = true)
   }
@@ -339,16 +346,60 @@ object DedupStore {
          b <- one(s"bloom_bands_$BloomVersion")) yield (h, b)
   }
 
+  /** DEFERRED erasure — the right-to-be-forgotten verb a 100 TB store can
+    * actually afford per request: [[erase]] is a full staged rewrite of
+    * all three tables (correct, but O(store) — running it per arriving
+    * GDPR request is the dedup-side twin of the maintenance livelock this
+    * round fixed), so requests land in an append-only `_erase_pending/`
+    * ledger at O(ids) cost and take effect IMMEDIATELY through [[read]]'s
+    * screen: every consumer anti-joins the pending ids before answering,
+    * which equals the physically-erased store's answers exactly (the
+    * anti-joins are [[erase]]'s own, applied at read — dd30 oracle-checks
+    * the equality against dd29's oracle). The bloom sidecars keep the
+    * erased members until the physical pass — harmless: blooms are
+    * superset PRE-screens on the new batch; the verifying joins run
+    * against the screened tables, so a new copy of erased content reads
+    * as admissible (the dd29 law) — though the BYTES persist until then,
+    * which is why the physical pass is not optional. Execution is the
+    * maintenance policy's business: [[dedupMaintenancePlan]] reports
+    * `pending_erasures`/`erase_due` (dial
+    * `spark.graft.dedup.erasePendingPct`, default 1 — erase when pending
+    * exceeds 1% of the base), [[maintainDedupStore]] runs [[erase]] over
+    * the ledger under the lease and the ledger self-clears. At-least-once
+    * request delivery is absorbed structurally: the ledger is read
+    * DISTINCT, and erasing an already-erased id is a no-op anti-join. */
+  def requestErase(s: SparkSession, dir: String, ids: DataFrame): Unit = {
+    requireErasableLayout(s, dir)
+    ids.select(col("doc_id")).write.mode("append")
+      .parquet(s"$dir/$ErasePending")
+  }
+
+  /** The distinct pending-erasure ids, or None when the ledger is absent
+    * (the steady state — [[read]] and the plan then pay zero extra work). */
+  private def pendingErasures(s: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$ErasePending")
+    if (!fs(s, dir).exists(p)) None
+    else Some(s.read.parquet(s"$dir/$ErasePending")
+      .select(col("doc_id")).distinct())
+  }
+
   /** Read the store. Promotes any crashed staged compact first (a death
     * inside [[compact]]'s delete→rename blink leaves the finished
     * `.stage_<table>` copy behind — the reader self-heals instead of
-    * failing on a missing table, the index tiers' discipline). */
+    * failing on a missing table, the index tiers' discipline). Pending
+    * deferred erasures ([[requestErase]]) are SCREENED here — a broadcast
+    * anti-join per table, so erasure semantics hold from the moment a
+    * request lands, not from the physical pass; absent ledger = identity
+    * (no plan change, the steady state). */
   def read(s: SparkSession, dir: String): Store = {
     Similarity.promoteStages(s, dir)
+    val pending = pendingErasures(s, dir).map(_.localCheckpoint())
+    def screen(df: DataFrame): DataFrame = pending.fold(df)(p =>
+      df.join(broadcast(p), Seq("doc_id"), "left_anti"))
     Store(
-      s.read.parquet(s"$dir/hashes"),
-      s.read.parquet(s"$dir/sets"),
-      s.read.parquet(s"$dir/bands"),
+      screen(s.read.parquet(s"$dir/hashes")),
+      screen(s.read.parquet(s"$dir/sets")),
+      screen(s.read.parquet(s"$dir/bands")),
       readBloomFiles(s, dir).map { case (h, b) =>
         Dedup.BloomPrefilter(s, h, b)
       })
@@ -475,13 +526,23 @@ object DedupStore {
     }
     val pct = Similarity.confInt(s, "spark.graft.dedup.compactAppendPct", 5)
     val due = if (appendedSetRows * 100L > baseS * pct) 1L else 0L
+    // deferred-erasure half: pending requests screened at read cost a
+    // broadcast anti-join per consumer until the physical pass retires
+    // them — the dial bounds how long that (and the erased bytes) lingers.
+    // Zero cost when the ledger is absent, the steady state.
+    val pendingN = pendingErasures(s, dir).map(_.count()).getOrElse(0L)
+    val erasePct = Similarity.confInt(s, "spark.graft.dedup.erasePendingPct", 1)
+    val eraseDue = if (pendingN > 0L &&
+      pendingN * 100L > (baseS + appendedSetRows) * erasePct) 1L else 0L
     Seq(
       ("store_hash_rows", baseH + appendedHashRows),
       ("store_set_rows", baseS + appendedSetRows),
       ("store_band_rows", baseB + nBands * appendedSetRows),
       ("appended_set_rows", appendedSetRows),
       ("rollforwards", loose.size.toLong),
-      ("compact_due", due)
+      ("compact_due", due),
+      ("pending_erasures", pendingN),
+      ("erase_due", eraseDue)
     ).toDF("metric", "value")
   }
 
@@ -541,17 +602,26 @@ object DedupStore {
     val filesMax = (perBand.toSeq :+ hashFiles :+ setFiles).max
     val due = plan("compact_due") == 1L || perBandMax > maxPer ||
       flatExcess > maxPer
+    val eraseDue = plan("erase_due") == 1L
     // due work runs under the cross-JVM lease: a concurrent maintainer
     // (another stream's autoMaintain, a nightly job) holding it makes this
-    // turn YIELD — compaction is re-triggered by the same dial later
-    val (ran, yielded) =
-      if (!due) (0L, 0L)
-      else Similarity.withMaintenanceLease(s, dir)((0L, 1L)) {
-        compact(s, dir); (1L, 0L)
+    // turn YIELD — both verbs are re-triggered by their dials later. The
+    // physical erase is ANSWERS-UNCHANGED here (reads were already
+    // screening the pending ids — dd30's oracle equality), hence legal
+    // inside a streaming foreachBatch like compaction; it is itself a full
+    // sized rewrite that retires the rf tags, so an erase turn skips the
+    // compact (the next plan re-evaluates from the folded state).
+    val (erased, ran, yielded) =
+      if (!due && !eraseDue) (0L, 0L, 0L)
+      else Similarity.withMaintenanceLease(s, dir)((0L, 0L, 1L)) {
+        if (eraseDue) {
+          pendingErasures(s, dir).foreach(p => erase(s, dir, p))
+          (1L, 0L, 0L)
+        } else { compact(s, dir); (0L, 1L, 0L) }
       }
     plan + ("table_files_max" -> filesMax) +
       ("flat_files_excess" -> math.max(0L, flatExcess)) +
-      ("compacted" -> ran) + ("yielded" -> yielded)
+      ("erased" -> erased) + ("compacted" -> ran) + ("yielded" -> yielded)
   }
 
   /** GDPR/right-to-be-forgotten erasure for the DERIVED artifact — the
@@ -602,6 +672,21 @@ object DedupStore {
       s.read.parquet(s"$dir/bands")
         .withColumn("band", col("band").cast("int")))
     writeBloomFiles(s, dir, rh, rb)
+    // fulfilled deferred requests leave the ledger ([[requestErase]]):
+    // rewrite pending minus the erased ids (staged), delete when empty —
+    // a maintenance-run erase self-clears and the read screen returns to
+    // the zero-cost steady state. A crash before this fold just leaves
+    // no-op screens (the rows are already gone) and a re-firing dial
+    // whose next erase is a no-op anti-join — convergent.
+    pendingErasures(s, dir).foreach { p =>
+      val left = p.join(ids, Seq("doc_id"), "left_anti").localCheckpoint()
+      if (left.isEmpty)
+        fs(s, dir).delete(
+          new org.apache.hadoop.fs.Path(s"$dir/$ErasePending"), true)
+      else Similarity.stagedWrite(s, s"$dir/$ErasePending") { tmp =>
+        left.coalesce(1).write.mode("overwrite").parquet(tmp)
+      }
+    }
     Similarity.compactAppendTags(s, dir, RfSidecar)
     storeBaseCountsMemo.remove(dir) // the rewrite changed the base counts
   }
@@ -723,6 +808,28 @@ object DedupStore {
   val dd29Oracle: String =
     Dedup.dd09Oracle.replace("WHERE doc_id % 10 < 8", "WHERE doc_id % 10 < 7")
 
+  // ---------------------------------------------------------------------
+  // dd30: DEFERRED erasure, oracle-checked by the equality that makes it
+  // deployable — dd29's scenario with requestErase instead of the O(store)
+  // physical rewrite: build from the standing 80%, LEDGER decile 7's
+  // doc_ids (an O(ids) append), run the incremental check against the
+  // SCREENED store. The flags must be byte-identical to dd29's (the
+  // physically-erased store — the oracle IS dd29's): read-time screening
+  // and physical erasure are the same function over answers, which is
+  // exactly why the expensive rewrite can wait for the maintenance dial
+  // while the right-to-be-forgotten takes effect at request time.
+  // ---------------------------------------------------------------------
+  def dd30DeferredErasure(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 10 < 8)
+    val neu = docs.filter(col("doc_id") % 10 >= 8)
+    val storeDir = storePathFor(dir + "#dd30")
+    build(old, storeDir)
+    requestErase(s, storeDir,
+      old.filter(col("doc_id") % 10 === 7).select(col("doc_id")))
+    incrementalAgainstStore(neu, read(s, storeDir))
+  }
+
   private def bandUnionsSql(b: String): String =
     (0 until Dedup.numHashes / 2).map(i =>
       s"SELECT doc_id, $i AS band, m${2 * i} AS k1, m${2 * i + 1} AS k2 FROM $b")
@@ -775,7 +882,9 @@ object DedupStore {
        |UNION ALL SELECT 'appended_set_rows', CAST(acc_n AS BIGINT) FROM m
        |UNION ALL SELECT 'rollforwards', CAST(1 AS BIGINT) FROM m
        |UNION ALL SELECT 'compact_due',
-       |  CAST(CASE WHEN acc_n * 100 > old_n * 5 THEN 1 ELSE 0 END AS BIGINT) FROM m""".stripMargin
+       |  CAST(CASE WHEN acc_n * 100 > old_n * 5 THEN 1 ELSE 0 END AS BIGINT) FROM m
+       |UNION ALL SELECT 'pending_erasures', CAST(0 AS BIGINT) FROM m
+       |UNION ALL SELECT 'erase_due', CAST(0 AS BIGINT) FROM m""".stripMargin
   }
 
   val dd28Oracle: String =
@@ -808,12 +917,15 @@ object DedupStore {
     "dd11_store_incremental" -> (dd11StoreIncremental _),
     "dd27_store_maintenance" -> (dd27StoreMaintenance _),
     "dd28_rollforward_check" -> (dd28RollforwardCheck _),
-    "dd29_store_erasure" -> (dd29StoreErasure _))
+    "dd29_store_erasure" -> (dd29StoreErasure _),
+    "dd30_deferred_erasure" -> (dd30DeferredErasure _))
 
   val oracles: Map[String, String] = Map(
     // Same semantics as dd09, so the same oracle must hash-match.
     "dd11_store_incremental" -> Dedup.dd09Oracle,
     "dd27_store_maintenance" -> dd27Oracle,
     "dd28_rollforward_check" -> dd28Oracle,
-    "dd29_store_erasure" -> dd29Oracle)
+    "dd29_store_erasure" -> dd29Oracle,
+    // read-time screening ≡ physical erasure — dd29's oracle verbatim
+    "dd30_deferred_erasure" -> dd29Oracle)
 }

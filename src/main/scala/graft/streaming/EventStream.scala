@@ -222,6 +222,35 @@ object EventStream {
     if (autoMaintain) DedupStore.maintainDedupStore(s, storeDir)
   }
 
+  /** Streaming ERASE-REQUEST front door — the GDPR half of the dedup
+    * store's lifecycle ([[dedupIngestStream]] admits, this forgets): each
+    * micro-batch of (doc_id) erase requests lands in the store's
+    * `_erase_pending/` ledger via [[graft.operators.DedupStore
+    * .requestErase]] — an O(ids) append, never the O(store) rewrite —
+    * and takes effect on the NEXT check through [[graft.operators
+    * .DedupStore.read]]'s screen. `autoMaintain` lets the maintenance
+    * policy run the physical pass when the pending dial fires
+    * (answers-unchanged at that point — the screen already applied the
+    * semantics — so it is legal inside foreachBatch like compaction).
+    * No commit marker: at-least-once redelivery appends duplicate ledger
+    * rows, which the DISTINCT ledger read absorbs structurally, and
+    * erasing an already-erased id is a no-op anti-join. */
+  def eraseRequestStream(ids: DataFrame, storeDir: String,
+      checkpointLocation: Option[String] = None,
+      autoMaintain: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = ids.writeStream.outputMode(OutputMode.Append())
+    checkpointLocation.foreach(w.option("checkpointLocation", _))
+    w.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.operators.DedupStore.requestErase(
+        batch.sparkSession, storeDir, batch)
+      if (autoMaintain)
+        graft.operators.DedupStore.maintainDedupStore(
+          batch.sparkSession, storeDir)
+      ()
+    }.start()
+  }
+
   /** Streaming INDEX MAINTENANCE — ss07's IVF roll-forward as a live
     * front door: each micro-batch of arriving vectors (vec_id, label,
     * embedding) is quantized, assigned against the STORED centroids and

@@ -732,6 +732,54 @@ class DedupStoreSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("deferred erasure: a ledgered request screens immediately (answers ≡ physical " +
+      "erase while the bytes await the dial), maintenance executes the pass, ledger self-clears") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val (old, neu) = fixture // neu: 8 = exact copy of old 1, 9 = near twin of old 2
+    val dir = Files.createTempDirectory("dedup-store-deferred").toFile
+    def plan(): Map[String, Long] =
+      DedupStore.dedupMaintenancePlan(spark, dir.getPath).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def hashDoc1(): Long = spark.read.parquet(s"${dir.getPath}/hashes")
+      .filter(col("doc_id") === 1L).count()
+    try {
+      DedupStore.build(old, dir.getPath)
+      // the O(ids) request: no table rewrite — doc 1's bytes still present
+      DedupStore.requestErase(spark, dir.getPath, Seq(1L).toDF("doc_id"))
+      assert(hashDoc1() == 1, "the request must not rewrite the store")
+      // ...but every answer already equals the physically-erased store's
+      // (dd30's oracle law): 8's only dup source is gone, 9 still flags
+      val screened = flagsSeq(DedupStore.incrementalAgainstStore(
+        neu, DedupStore.read(spark, dir.getPath)))
+      assert(screened == Seq(Row(9L, false, true)), screened.toString)
+      // at-least-once redelivery: a duplicate request is absorbed
+      DedupStore.requestErase(spark, dir.getPath, Seq(1L).toDF("doc_id"))
+      val p1 = plan()
+      assert(p1("pending_erasures") == 1 && p1("erase_due") == 1, p1.toString)
+      // a dial set above the pending fraction defers the physical pass —
+      // the screen keeps answering in the meantime
+      spark.conf.set("spark.graft.dedup.erasePendingPct", "100000")
+      try {
+        val idle = DedupStore.maintainDedupStore(spark, dir.getPath)
+        assert(idle("erased") == 0 && hashDoc1() == 1, idle.toString)
+      } finally spark.conf.unset("spark.graft.dedup.erasePendingPct")
+      // the default dial (1%) fires: physical pass runs, bytes leave,
+      // the ledger self-clears, the store settles all-quiet
+      val m = DedupStore.maintainDedupStore(spark, dir.getPath)
+      assert(m("erased") == 1 && m("yielded") == 0, m.toString)
+      assert(hashDoc1() == 0, "the physical pass must remove the bytes")
+      assert(!new java.io.File(dir, "_erase_pending").exists(),
+        "fulfilled requests must leave the ledger")
+      val p2 = plan()
+      assert(p2("pending_erasures") == 0 && p2("erase_due") == 0 &&
+        p2("store_set_rows") == 2, p2.toString)
+      val after = flagsSeq(DedupStore.incrementalAgainstStore(
+        neu, DedupStore.read(spark, dir.getPath)))
+      assert(after == screened, s"screened=$screened erased=$after")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("maintenance lease: a maintainer yields to a concurrent holder, breaks a stale " +
       "lease past the TTL, and releases after its own compaction") {
     import spark.implicits._

@@ -940,6 +940,48 @@ class EventStreamSpec extends SparkSpec with StatefulStreamingScenarios {
     }
   }
 
+  test("erase-request stream: a request screens the very next check, and autoMaintain " +
+      "runs the physical pass once the pending dial fires") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.DedupStore
+    val root = java.nio.file.Files.createTempDirectory("erase-stream").toString
+    val storeDir = s"$root/store"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "a b c a b c"),
+      (3L, "old corpus text that nothing in the new batch resembles"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (8L, "the quick brown fox jumps over the lazy dog today"), // = doc 1
+      (9L, "a b c a b c a b c")) // near twin of doc 2
+      .toDF("doc_id", "text")
+    def flags() = DedupStore.incrementalAgainstStore(
+        probe, DedupStore.read(spark, storeDir))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSet
+    DedupStore.build(corpus, storeDir)
+    assert(flags() == Set((8L, true, true), (9L, false, true)))
+    val input = MemoryStream[Long]
+    val q = EventStream.eraseRequestStream(
+      input.toDF().toDF("doc_id"), storeDir, Some(s"$root/ck"),
+      autoMaintain = true)
+    try {
+      input.addData(1L)
+      q.processAllAvailable()
+      // default dial (1%): 1 pending over base 3 fires the physical pass
+      assert(!new java.io.File(storeDir, "_erase_pending").exists(),
+        "autoMaintain must run the physical pass and clear the ledger")
+      assert(spark.read.parquet(s"$storeDir/hashes")
+        .filter(org.apache.spark.sql.functions.col("doc_id") === 1L)
+        .count() == 0, "the bytes must be gone")
+      // 8's dup source is forgotten; 9 still near-dups the surviving doc 2
+      assert(flags() == Set((9L, false, true)), flags().toString)
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("ingest dedup flags WITHIN a micro-batch: same-batch exact twins follow " +
       "insert-conflict order (first lands, later flagged), near twins are flagged too") {
     import spark.implicits._
