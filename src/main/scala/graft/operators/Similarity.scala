@@ -1678,35 +1678,61 @@ object Similarity {
     * blue/green by design, the standing index serves until the caller
     * switches), so an in-place maintainer reporting it is the correct
     * contract. Returns the PRE-maintenance plan plus what ran. */
+  /** `autoErase = true` arms the graph tier's UNATTENDED GDPR path (the
+    * dedup store's deferred-erasure shape one tier up): it declares this
+    * deployment's tombstones to be PRIVACY deletes — recorded at O(ids)
+    * by [[tombstoneNswIndex]], hidden from serves immediately by the
+    * screens — whose bytes must also leave the artifact without an
+    * operator in the loop. Once tombstones exceed
+    * `spark.graft.nsw.erasePendingPct` (default 10, integer percent of
+    * the corpus), maintenance runs [[eraseFromNswIndex]] over them IN
+    * PLACE: tombstones clear, every stored table drops the ids, edges
+    * re-close over survivors. Deliberately OPT-IN and distinct from the
+    * blue/green rotation: physical erasure changes the walk (erased
+    * nodes stop routing — ss43 measured tombstoned 95% vs rebuilt 92%
+    * recall at 11% deletions), so a recall-first deployment keeps the
+    * default (tombstones route until rotation), while a
+    * privacy-deadline deployment trades the points for the purge. An
+    * erase turn subsumes the fold (edges re-derive from lists × probes)
+    * and makes rotation moot (nothing tombstoned remains), so it runs
+    * alone. */
   def maintainNswIndex(s: SparkSession, idxDir: String,
-      rotateTo: Option[String] = None): Map[String, Long] = {
+      rotateTo: Option[String] = None,
+      autoErase: Boolean = false): Map[String, Long] = {
     val plan = nswMaintenancePlan(s, idxDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val foldDue = plan("fold_due") == 1L
+    val erasePct = confInt(s, "spark.graft.nsw.erasePendingPct", 10)
+    val eraseDue = autoErase && plan("tombstoned_vecs") > 0L &&
+      plan("tombstoned_vecs") * 100L > plan("corpus_vecs") * erasePct
+    val foldDue = !eraseDue && plan("fold_due") == 1L
     // rotation is ONE-SHOT per destination: compact_due stays true on the
     // source until the caller switches off it (the tombstones live there
     // by design), so an unattended maintainer re-checking every
     // micro-batch must not rebuild an already-finished destination — a
     // finished rotate is recognized by its manifest (written last).
-    val rotateDue = plan("compact_due") == 1L && rotateTo.exists(dst =>
-      !hadoopFs(s, dst).exists(
+    val rotateDue = !eraseDue && plan("compact_due") == 1L &&
+      rotateTo.exists(dst => !hadoopFs(s, dst).exists(
         new org.apache.hadoop.fs.Path(s"$dst/manifest.json")))
     // due work runs under the cross-JVM lease ([[withMaintenanceLease]]):
     // a concurrent maintainer holding it makes this turn yield — the same
     // dials re-trigger the work on a later maintain
-    val (folded, rotated, yielded) =
-      if (!foldDue && !rotateDue) (0L, 0L, 0L)
-      else withMaintenanceLease(s, idxDir)((0L, 0L, 1L)) {
+    val (erased, folded, rotated, yielded) =
+      if (!eraseDue && !foldDue && !rotateDue) (0L, 0L, 0L, 0L)
+      else withMaintenanceLease(s, idxDir)((0L, 0L, 0L, 1L)) {
+        if (eraseDue)
+          eraseFromNswIndex(s, idxDir,
+            storedNswTombstones(s, idxDir).localCheckpoint())
         if (foldDue) {
           foldNswDeltas(s, idxDir)
           compactNswProbes(s, idxDir)
           compactIvfIndex(s, s"$idxDir/ivf")
         }
         if (rotateDue) rotateNswIndex(s, idxDir, rotateTo.get)
-        (if (foldDue) 1L else 0L, if (rotateDue) 1L else 0L, 0L)
+        (if (eraseDue) 1L else 0L, if (foldDue) 1L else 0L,
+          if (rotateDue) 1L else 0L, 0L)
       }
-    plan + ("folded" -> folded) + ("rotated" -> rotated) +
-      ("yielded" -> yielded)
+    plan + ("erased" -> erased) + ("folded" -> folded) +
+      ("rotated" -> rotated) + ("yielded" -> yielded)
   }
 
   /** Compaction executed from the ARTIFACT ALONE — the blue/green

@@ -386,12 +386,14 @@ object EventStream {
   def graphIngestStream(newVecs: DataFrame, idxDir: String,
       checkpointLocation: Option[String] = None,
       autoMaintain: Boolean = false,
-      rotateTo: Option[String] = None)
+      rotateTo: Option[String] = None,
+      autoErase: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = newVecs.writeStream.outputMode(OutputMode.Append())
     checkpointLocation.foreach(w.option("checkpointLocation", _))
     w.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      ingestGraphBatch(batch, idxDir, batchId, autoMaintain, rotateTo)
+      ingestGraphBatch(batch, idxDir, batchId, autoMaintain, rotateTo,
+        autoErase)
     }.start()
   }
 
@@ -420,7 +422,8 @@ object EventStream {
     * stays a human/deployment decision by design. */
   def ingestGraphBatch(batch: DataFrame, idxDir: String, batchId: Long,
       autoMaintain: Boolean = false,
-      rotateTo: Option[String] = None): Unit = {
+      rotateTo: Option[String] = None,
+      autoErase: Boolean = false): Unit = {
     val s = batch.sparkSession
     val f = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(idxDir), s.sparkContext.hadoopConfiguration)
@@ -434,7 +437,8 @@ object EventStream {
     }
     pruneCommitMarkers(s, f, marker.getParent, batchId)
     if (autoMaintain)
-      graft.operators.Similarity.maintainNswIndex(s, idxDir, rotateTo)
+      graft.operators.Similarity.maintainNswIndex(s, idxDir, rotateTo,
+        autoErase)
   }
 
   /** Streaming SERVE front door — the other half of the index lifecycle:

@@ -608,6 +608,41 @@ class NswIndexSpec extends SparkSpec {
       new java.io.File(idx).getParentFile)
   }
 
+  test("maintainNswIndex autoErase: past the dial the tombstoned ids are physically " +
+      "purged in place; off by default; the purged index settles all-quiet") {
+    val base = Similarity.qvec(spark, dir).localCheckpoint()
+    val idx = tmpIdx("nsw-autoerase")
+    try {
+      Similarity.buildNswIndex(spark, base, idx)
+      val gone = base.filter(col("vec_id") % 9 === 0).select(col("vec_id"))
+        .localCheckpoint()
+      Similarity.tombstoneNswIndex(spark, idx, gone)
+      // default (autoErase = false): tombstones keep routing — no erase
+      val off = Similarity.maintainNswIndex(spark, idx)
+      assert(off("erased") == 0 &&
+        Similarity.storedNswTombstones(spark, idx).count() == gone.count(),
+        off.toString)
+      // armed, with the %9 set (~11%) past the 10% default dial: the
+      // physical pass runs under the lease, tombstones clear, no table
+      // retains a purged id
+      val on = Similarity.maintainNswIndex(spark, idx, autoErase = true)
+      assert(on("erased") == 1 && on("yielded") == 0, on.toString)
+      assert(Similarity.storedNswTombstones(spark, idx).count() == 0)
+      val goneIds = gone.collect().map(_.getLong(0)).toSet
+      def ids(t: String, c: String) = spark.read.parquet(s"$idx/$t")
+        .select(col(c)).collect().map(_.getLong(0)).toSet
+      assert(ids("ivf/lists", "vec_id").intersect(goneIds).isEmpty)
+      assert(ids("probes", "vec_id").intersect(goneIds).isEmpty)
+      assert((ids("edges", "src") ++ ids("edges", "dst"))
+        .intersect(goneIds).isEmpty)
+      // settled: nothing pending, a second armed maintain is a no-op
+      val again = Similarity.maintainNswIndex(spark, idx, autoErase = true)
+      assert(again("erased") == 0 && again("tombstoned_vecs") == 0,
+        again.toString)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(idx).getParentFile)
+  }
+
   test("a tombstone OVERLAY keeps the shared artifact immutable: edges and " +
       "entries resolve to the base, deletes stay private") {
     val base = Similarity.qvec(spark, dir).localCheckpoint()
