@@ -83,20 +83,33 @@ object DedupStore {
     * last — so a replayed batch is a no-op, a DIFFERENT increment reusing
     * the tag is refused loudly, and [[dedupMaintenancePlan]] can count
     * appended rows without scanning anything. Untagged stays the manual
-    * one-shot path (plain parquet append, no identity). */
+    * one-shot path (plain parquet append, no identity).
+    *
+    * Both paths append under the WRITER LEASE ([[Similarity
+    * .withWriterLease]] — round-12 advice, high): a concurrent
+    * maintainer's staged table rewrite (erase/compact on another thread
+    * or JVM — e.g. [[graft.streaming.EventStream.eraseRequestStream]]'s
+    * autoMaintain beside the ingest stream) snapshots the file listing
+    * and then delete+renames the table, so rf files appended inside that
+    * window were silently swept at the swap while the batch's
+    * fingerprint survived — the replay then no-oped on the spent
+    * identity and the admitted rows were permanently lost. The lease
+    * serializes every mutating verb on the store; appends BLOCK (a
+    * micro-batch cannot yield), maintenance yields. */
   def rollForward(dir: String, accepted: DataFrame,
       tag: Option[String] = None): Unit = tag match {
     case None =>
       // untagged rows carry no fingerprint the plan could derive from
-      storeBaseCountsMemo.remove(dir)
-      write(accepted, dir, overwrite = false)
+      Similarity.withWriterLease(accepted.sparkSession, dir) {
+        storeBaseCountsMemo.remove(dir)
+        write(accepted, dir, overwrite = false)
+      }
     case Some(t) => rollForwardTagged(accepted.sparkSession, dir, accepted, t)
   }
 
   private def rollForwardTagged(s: SparkSession, dir: String,
       accepted: DataFrame, tag: String): Unit = {
     require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe roll-forward tag: $tag")
-    Similarity.promoteStages(s, dir) // heal a crashed staged compact first
     requireErasableLayout(s, dir)
     val inc = accepted.localCheckpoint()
     val hashesInc = inc.select(md5(col("text")).as("h"), col("doc_id"))
@@ -116,43 +129,61 @@ object DedupStore {
       coalesce(bit_xor(xxhash64(
         concat(col("doc_id").cast("string"), lit(":"), col("h")))), lit(0L)))
       .collect()(0)
-    val fp = s"${fpRow.getLong(0)}:${fpRow.getLong(0)}:${fpRow.getLong(1)}"
-    Similarity.appendTagFingerprint(s, dir, tag, RfSidecar) match {
-      case Some(prev) =>
-        if (prev != fp) throw new IllegalStateException(
-          s"roll-forward tag '$tag' was already used for a DIFFERENT " +
-            s"increment (fingerprint $prev, this batch $fp): tags are batch " +
-            "identities — reuse would retire the first batch's files as " +
-            "replay leftovers")
-        return // spent identity: already appended (or folded by a compact)
-      case None => ()
+    // format v2 (round-12 advice, low): v1 was "n:n:idXor" (an id-only
+    // XOR), v2 is "v2:n:n:contentXor" — versioned so a store carrying
+    // pre-change tags does not hard-crash a legitimate restart replay on
+    // the changed xor. A v1 prev for the same tag SOFT-matches on the two
+    // count fields (the id-only v1 xor cannot distinguish content, so
+    // counts are the strongest v1-comparable check) and no-ops as a
+    // replay; mismatched counts stay the loud refusal.
+    val fp = s"v2:${fpRow.getLong(0)}:${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    Similarity.withWriterLease(s, dir) {
+      Similarity.promoteStages(s, dir) // heal a crashed staged compact first
+      val spent = Similarity.appendTagFingerprint(s, dir, tag, RfSidecar) match {
+        case Some(prev) =>
+          val soft = !prev.startsWith("v2:") &&
+            prev.split(':').take(2).sameElements(
+              fp.stripPrefix("v2:").split(':').take(2))
+          if (prev != fp && !soft) throw new IllegalStateException(
+            s"roll-forward tag '$tag' was already used for a DIFFERENT " +
+              s"increment (fingerprint $prev, this batch $fp): tags are " +
+              "batch identities — reuse would retire the first batch's " +
+              "files as replay leftovers")
+          true // spent identity: already appended (or folded by a compact)
+        case None => false
+      }
+      // an EMPTY increment (an idle micro-batch, or one where every doc
+      // was flagged) is a no-op past the fingerprint — appending empty
+      // files and merging empty blooms would be identity writes
+      if (!spent && fpRow.getLong(0) == 0L) writeRfFingerprint(s, dir, tag, fp)
+      else if (!spent) {
+        val setsInc = Dedup.shingleSets(inc).localCheckpoint()
+        val bandsInc =
+          Dedup.lshBands(Dedup.minhashSigsFromSets(setsInc).drop("sh"))
+            .localCheckpoint()
+        val retired =
+          stagedAppendFiles(s, s"$dir/hashes", hashesInc, tag, partitioned = false) |
+          stagedAppendFiles(s, s"$dir/sets", setsInc, tag, partitioned = false) |
+          stagedAppendFiles(s, s"$dir/bands", bandsInc, tag, partitioned = true)
+        // If this append actually RETIRED same-tag leftovers (the replay
+        // of a crashed, fingerprint-less attempt), any memoized base
+        // counts are stale: a cold-JVM plan taken while the leftovers sat
+        // on disk baked their rows into the base (it subtracts only
+        // FINGERPRINTED loose counts), and the rows just moved from
+        // "base" to "appended" — invalidate, so the next plan pays one
+        // footer count and stays exact instead of double-counting the
+        // increment (round-12 advice).
+        if (retired) storeBaseCountsMemo.remove(dir)
+        // blooms BEFORE the fingerprint: a crash after the table moves but
+        // before the bloom merge replays the whole body (fingerprint
+        // absent), and bloom insertion is idempotent — so the sidecars can
+        // never be missing a member whose rows are in the tables (a bloom
+        // false negative here would be silent duplicate admission
+        // downstream)
+        appendBloomSidecars(s, dir, hashesInc, bandsInc)
+        writeRfFingerprint(s, dir, tag, fp)
+      }
     }
-    // an EMPTY increment (an idle micro-batch, or one where every doc was
-    // flagged) is a no-op past the fingerprint — appending empty files and
-    // merging empty blooms would be identity writes
-    if (fpRow.getLong(0) == 0L) { writeRfFingerprint(s, dir, tag, fp); return }
-    val setsInc = Dedup.shingleSets(inc).localCheckpoint()
-    val bandsInc = Dedup.lshBands(Dedup.minhashSigsFromSets(setsInc).drop("sh"))
-      .localCheckpoint()
-    val retired =
-      stagedAppendFiles(s, s"$dir/hashes", hashesInc, tag, partitioned = false) |
-      stagedAppendFiles(s, s"$dir/sets", setsInc, tag, partitioned = false) |
-      stagedAppendFiles(s, s"$dir/bands", bandsInc, tag, partitioned = true)
-    // If this append actually RETIRED same-tag leftovers (the replay of a
-    // crashed, fingerprint-less attempt), any memoized base counts are
-    // stale: a cold-JVM plan taken while the leftovers sat on disk baked
-    // their rows into the base (it subtracts only FINGERPRINTED loose
-    // counts), and the rows just moved from "base" to "appended" —
-    // invalidate, so the next plan pays one footer count and stays exact
-    // instead of double-counting the increment (round-12 advice).
-    if (retired) storeBaseCountsMemo.remove(dir)
-    // blooms BEFORE the fingerprint: a crash after the table moves but
-    // before the bloom merge replays the whole body (fingerprint absent),
-    // and bloom insertion is idempotent — so the sidecars can never be
-    // missing a member whose rows are in the tables (a bloom false
-    // negative here would be silent duplicate admission downstream)
-    appendBloomSidecars(s, dir, hashesInc, bandsInc)
-    writeRfFingerprint(s, dir, tag, fp)
   }
 
   private def writeRfFingerprint(s: SparkSession, dir: String, tag: String,
@@ -370,32 +401,73 @@ object DedupStore {
     * DISTINCT, and erasing an already-erased id is a no-op anti-join. */
   def requestErase(s: SparkSession, dir: String, ids: DataFrame): Unit = {
     requireErasableLayout(s, dir)
-    ids.select(col("doc_id")).write.mode("append")
-      .parquet(s"$dir/$ErasePending")
+    // pin first: an EMPTY batch (idle micro-batch, duplicate-only
+    // redelivery window) must not materialize the ledger — the "absent
+    // ledger = zero read cost" steady state would never be restored by a
+    // no-op append (round-12 advice, low)
+    val batch = ids.select(col("doc_id")).localCheckpoint()
+    if (!batch.isEmpty)
+      // under the writer lease: [[erase]]'s ledger fold is a staged
+      // read→rewrite of `_erase_pending/` — a request file appended inside
+      // that window would be swept at the swap, silently dropping the
+      // erase request (the rollForward lost-append shape, one sidecar over)
+      Similarity.withWriterLease(s, dir) {
+        batch.write.mode("append").parquet(s"$dir/$ErasePending")
+      }
   }
 
   /** The distinct pending-erasure ids, or None when the ledger is absent
-    * (the steady state — [[read]] and the plan then pay zero extra work). */
+    * (the steady state — [[read]] and the plan then pay zero extra work).
+    * The exists→read window races a concurrent erase's ledger delete
+    * (round-12 advice, low): the missing-path shape is caught and treated
+    * as the absent ledger it has just become, not a crash. */
   private def pendingErasures(s: SparkSession, dir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$ErasePending")
-    if (!fs(s, dir).exists(p)) None
-    else Some(s.read.parquet(s"$dir/$ErasePending")
-      .select(col("doc_id")).distinct())
+    try {
+      if (!fs(s, dir).exists(p)) None
+      else Some(s.read.parquet(s"$dir/$ErasePending")
+        .select(col("doc_id")).distinct())
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage != null &&
+            (e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("Path does not exist") ||
+              // a ledger dir holding no readable data files (a crash
+              // between a fold's dir create and its first part file) is
+              // "no pending", not a crash
+              e.getMessage.contains("UNABLE_TO_INFER_SCHEMA")) => None
+      case _: java.io.FileNotFoundException => None
+    }
   }
 
   /** Read the store. Promotes any crashed staged compact first (a death
     * inside [[compact]]'s delete→rename blink leaves the finished
     * `.stage_<table>` copy behind — the reader self-heals instead of
     * failing on a missing table, the index tiers' discipline). Pending
-    * deferred erasures ([[requestErase]]) are SCREENED here — a broadcast
+    * deferred erasures ([[requestErase]]) are SCREENED here — an
     * anti-join per table, so erasure semantics hold from the moment a
     * request lands, not from the physical pass; absent ledger = identity
-    * (no plan change, the steady state). */
+    * (no plan change, the steady state). The screen is SIZE-AWARE
+    * (round-12 verdict #1): the broadcast hint is applied only while the
+    * ledger fits `spark.graft.dedup.eraseScreenBroadcastRows` (default
+    * 4M ids ≈ tens of MB) — past that, the un-hinted anti-join lets AQE
+    * pick (shuffle when big), because a FORCED broadcast of a
+    * corpus-proportional id set onto the driver and every executor on
+    * every store read is exactly the driver-state class the engine
+    * exists to avoid at 100 TB. */
   def read(s: SparkSession, dir: String): Store = {
     Similarity.promoteStages(s, dir)
-    val pending = pendingErasures(s, dir).map(_.localCheckpoint())
-    def screen(df: DataFrame): DataFrame = pending.fold(df)(p =>
-      df.join(broadcast(p), Seq("doc_id"), "left_anti"))
+    val pending = Similarity.retryOnMissingFiles(s, dir) {
+      // checkpoint pins the ledger snapshot against a concurrent erase's
+      // ledger delete; the retry covers the listing→checkpoint window
+      pendingErasures(s, dir).map(_.localCheckpoint())
+    }
+    val hintCap = Similarity.confInt(
+      s, "spark.graft.dedup.eraseScreenBroadcastRows", 4000000).toLong
+    val pendingSide = pending.map(p =>
+      if (p.count() <= hintCap) broadcast(p) else p)
+    def screen(df: DataFrame): DataFrame = pendingSide.fold(df)(p =>
+      df.join(p, Seq("doc_id"), "left_anti"))
     Store(
       screen(s.read.parquet(s"$dir/hashes")),
       screen(s.read.parquet(s"$dir/sets")),
@@ -421,7 +493,8 @@ object DedupStore {
     * while the spent identities keep refusing tag reuse — and a crash
     * before the retire just leaves `compact_due` still true for the next
     * maintenance pass to finish (answers unchanged throughout). */
-  def compact(s: SparkSession, dir: String): Unit = {
+  def compact(s: SparkSession, dir: String): Unit =
+      Similarity.withWriterLease(s, dir) {
     Similarity.promoteStages(s, dir)
     def rewrite(table: String, df: DataFrame, partitionCols: Seq[String]): Unit =
       Similarity.stagedWrite(s, s"$dir/$table") { tmp =>
@@ -508,7 +581,8 @@ object DedupStore {
     val looseCounts = loose.map { t =>
       val fp = Similarity.appendTagFingerprint(s, dir, t, RfSidecar)
         .getOrElse("0:0:0").split(':')
-      (fp(0).toLong, fp(1).toLong) // (setRows, hashRows)
+      val off = if (fp(0) == "v2") 1 else 0 // v1 tags have no version field
+      (fp(off).toLong, fp(off + 1).toLong) // (setRows, hashRows)
     }
     val appendedSetRows = looseCounts.map(_._1).sum
     val appendedHashRows = looseCounts.map(_._2).sum
@@ -526,14 +600,22 @@ object DedupStore {
     }
     val pct = Similarity.confInt(s, "spark.graft.dedup.compactAppendPct", 5)
     val due = if (appendedSetRows * 100L > baseS * pct) 1L else 0L
-    // deferred-erasure half: pending requests screened at read cost a
-    // broadcast anti-join per consumer until the physical pass retires
-    // them — the dial bounds how long that (and the erased bytes) lingers.
-    // Zero cost when the ledger is absent, the steady state.
+    // deferred-erasure half: pending requests screened at read cost an
+    // anti-join per consumer until the physical pass retires them — the
+    // dial bounds how long that (and the erased bytes) lingers. Zero cost
+    // when the ledger is absent, the steady state. TWO triggers (round-12
+    // verdict #1): the percent dial, and an ABSOLUTE row cap
+    // (`erasePendingMaxRows`, default the read screen's broadcast-hint
+    // cap) — a percent alone GROWS with the corpus, so at 10B docs the
+    // screen's working set would reach 100M ids before the pct fired;
+    // the absolute cap bounds it by a constant at any corpus size.
     val pendingN = pendingErasures(s, dir).map(_.count()).getOrElse(0L)
     val erasePct = Similarity.confInt(s, "spark.graft.dedup.erasePendingPct", 1)
+    val eraseMaxRows = Similarity.confInt(
+      s, "spark.graft.dedup.erasePendingMaxRows", 4000000).toLong
     val eraseDue = if (pendingN > 0L &&
-      pendingN * 100L > (baseS + appendedSetRows) * erasePct) 1L else 0L
+      (pendingN * 100L > (baseS + appendedSetRows) * erasePct ||
+        pendingN > eraseMaxRows)) 1L else 0L
     Seq(
       ("store_hash_rows", baseH + appendedHashRows),
       ("store_set_rows", baseS + appendedSetRows),
@@ -603,26 +685,64 @@ object DedupStore {
     val due = plan("compact_due") == 1L || perBandMax > maxPer ||
       flatExcess > maxPer
     val eraseDue = plan("erase_due") == 1L
+    // ledger small-file hygiene (round-12 verdict #4): requestErase
+    // appends one file per micro-batch, and every read pays a distinct
+    // over all of them until the physical pass — which the erase dial may
+    // legitimately keep far away. Past `maxEraseLedgerFiles` the ledger
+    // is FOLDED in place (distinct → few sized files, staged) without
+    // erasing anything: answers unchanged (the screen reads the same
+    // distinct id set), the per-read listing re-bounded — the
+    // marker-pruning amortization pointed at the erase ledger.
+    val ledgerN = dataFiles(new org.apache.hadoop.fs.Path(s"$dir/$ErasePending"))
+    val maxLedger =
+      Similarity.confInt(s, "spark.graft.dedup.maxEraseLedgerFiles", 8)
+    val ledgerFoldDue = !eraseDue && ledgerN > maxLedger
     // due work runs under the cross-JVM lease: a concurrent maintainer
     // (another stream's autoMaintain, a nightly job) holding it makes this
-    // turn YIELD — both verbs are re-triggered by their dials later. The
+    // turn YIELD — all verbs are re-triggered by their dials later. The
     // physical erase is ANSWERS-UNCHANGED here (reads were already
     // screening the pending ids — dd30's oracle equality), hence legal
     // inside a streaming foreachBatch like compaction; it is itself a full
     // sized rewrite that retires the rf tags, so an erase turn skips the
     // compact (the next plan re-evaluates from the folded state).
-    val (erased, ran, yielded) =
-      if (!due && !eraseDue) (0L, 0L, 0L)
-      else Similarity.withMaintenanceLease(s, dir)((0L, 0L, 1L)) {
+    val (erased, ran, folded, yielded) =
+      if (!due && !eraseDue && !ledgerFoldDue) (0L, 0L, 0L, 0L)
+      else Similarity.withMaintenanceLease(s, dir)((0L, 0L, 0L, 1L)) {
         if (eraseDue) {
           pendingErasures(s, dir).foreach(p => erase(s, dir, p))
-          (1L, 0L, 0L)
-        } else { compact(s, dir); (0L, 1L, 0L) }
+          (1L, 0L, 0L, 0L)
+        } else {
+          val didFold = if (ledgerFoldDue) { foldEraseLedger(s, dir); 1L }
+            else 0L
+          if (due) { compact(s, dir); (0L, 1L, didFold, 0L) }
+          else (0L, 0L, didFold, 0L)
+        }
       }
     plan + ("table_files_max" -> filesMax) +
       ("flat_files_excess" -> math.max(0L, flatExcess)) +
+      ("ledger_files" -> ledgerN) + ("ledger_folded" -> folded) +
       ("erased" -> erased) + ("compacted" -> ran) + ("yielded" -> yielded)
   }
+
+  /** Rewrite the pending-erasure ledger as its distinct id set in sized
+    * files — content-identical to what [[read]]'s screen already derives,
+    * so answers are unchanged; only the per-read file listing shrinks.
+    * Runs under the writer lease (reentrant from [[maintainDedupStore]]):
+    * a concurrent [[requestErase]] append inside the staged delete+rename
+    * window would otherwise be swept — the lost-append shape. */
+  private def foldEraseLedger(s: SparkSession, dir: String): Unit =
+    Similarity.withWriterLease(s, dir) {
+      pendingErasures(s, dir).foreach { p =>
+        val pinned = p.localCheckpoint()
+        val rowsPerFile = Similarity.confInt(
+          s, "spark.graft.dedup.rowsPerFile", 4000000).toLong
+        val nFiles = math.max(1L,
+          (pinned.count() + rowsPerFile - 1L) / rowsPerFile).toInt
+        Similarity.stagedWrite(s, s"$dir/$ErasePending") { tmp =>
+          pinned.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+        }
+      }
+    }
 
   /** GDPR/right-to-be-forgotten erasure for the DERIVED artifact — the
     * missing half of tp12's corpus-table erasure: the store retains
@@ -647,9 +767,14 @@ object DedupStore {
     * refusing tag reuse, the plan's appended count resets to zero, and
     * the next plan's one footer count is the exact post-erase truth. */
   def erase(s: SparkSession, dir: String, erasedIds: DataFrame): Unit = {
-    Similarity.promoteStages(s, dir)
     requireErasableLayout(s, dir)
+    // pin the id set BEFORE taking the lease (it may derive from the
+    // pending ledger this verb rewrites), then rewrite under the writer
+    // lease so a concurrent roll-forward cannot append into the
+    // delete+rename window (the lost-append hole — see rollForward)
     val ids = erasedIds.select(col("doc_id")).localCheckpoint()
+    Similarity.withWriterLease(s, dir) {
+    Similarity.promoteStages(s, dir)
     def rewrite(table: String, df: DataFrame, partitionCols: Seq[String]): Unit =
       Similarity.stagedWrite(s, s"$dir/$table") { tmp =>
         val w = df.write.mode("overwrite")
@@ -689,6 +814,7 @@ object DedupStore {
     }
     Similarity.compactAppendTags(s, dir, RfSidecar)
     storeBaseCountsMemo.remove(dir) // the rewrite changed the base counts
+    }
   }
 
   /** The verbs that depend on the per-doc hash layout fail loudly on a

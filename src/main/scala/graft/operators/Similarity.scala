@@ -1593,8 +1593,23 @@ object Similarity {
     * file under `_maintenance/`: `create(overwrite = false)` is the
     * acquisition (atomic on HDFS-like stores), the holder deletes it when
     * done, and a holder that DIED is broken by age — a lease older than
-    * `spark.graft.maintenance.leaseTtlSec` (default 3600; set it above
-    * the worst compaction wall-time) is deleted and re-contended.
+    * `spark.graft.maintenance.leaseTtlSec` (default 3600) is broken and
+    * re-contended. Three round-12-advice hardenings:
+    *  - RENEWAL: a live holder's daemon thread re-touches the lease mtime
+    *    every TTL/4, so a legitimately long compaction can no longer have
+    *    its lease broken mid-run — the TTL now only has to outlive a
+    *    renewal gap, not the worst compaction wall-time;
+    *  - race-free BREAK: an expired lease is RENAMED to a unique name
+    *    first (exactly one of N contenders wins the rename — the old
+    *    unconditional delete let a second breaker delete the first
+    *    breaker's freshly created lease), then the renamed corpse is
+    *    deleted and only the rename winner contends the create;
+    *  - the exists→getFileStatus window (holder releases in between)
+    *    yields instead of crashing on FileNotFoundException.
+    * REENTRANT per (artifact, thread): a verb that already holds the
+    * lease (e.g. [[graft.operators.DedupStore.erase]] invoked from
+    * inside `maintainDedupStore`'s leased turn) runs its body directly —
+    * public verbs can each take the lease without nesting deadlocks.
     * Yielding is always safe: every guarded verb is answers-unchanged
     * and re-triggered by the same dial on a later maintain, so a skipped
     * turn only defers compaction, never loses it. Returns `yieldValue`
@@ -1605,19 +1620,82 @@ object Similarity {
     val f = hadoopFs(s, dir)
     val root = new org.apache.hadoop.fs.Path(s"$dir/_maintenance")
     val lease = new org.apache.hadoop.fs.Path(root, "lease")
+    val key = lease.toString
+    if (leaseHolders.get(key) eq Thread.currentThread()) return body
     val ttlMs = confInt(s, "spark.graft.maintenance.leaseTtlSec", 3600) * 1000L
     f.mkdirs(root)
     if (f.exists(lease)) {
-      val age = System.currentTimeMillis() -
-        f.getFileStatus(lease).getModificationTime
-      if (age <= ttlMs) return yieldValue
-      f.delete(lease, false) // the holder died past the TTL: break it
+      val fresh =
+        try System.currentTimeMillis() -
+          f.getFileStatus(lease).getModificationTime <= ttlMs
+        catch { // released between exists and stat: contend the create
+          case _: java.io.FileNotFoundException => false
+        }
+      if (fresh) return yieldValue
+      // the holder died past the TTL: break by RENAME — atomic, so exactly
+      // one contender owns the corpse; losers yield (the winner is about
+      // to create, and the dial re-triggers this turn's work later anyway)
+      val corpse = new org.apache.hadoop.fs.Path(root,
+        s".lease_broken_${java.util.UUID.randomUUID().toString.take(8)}")
+      val won = try f.rename(lease, corpse)
+        catch { case _: java.io.IOException => false }
+      if (!won && f.exists(lease)) return yieldValue
+      if (won) f.delete(corpse, false)
     }
     val acquired =
       try { f.create(lease, false).close(); true }
       catch { case _: java.io.IOException => false } // lost the race: yield
     if (!acquired) return yieldValue
-    try body finally f.delete(lease, false)
+    leaseHolders.put(key, Thread.currentThread())
+    // holder-side renewal: touch the lease mtime every TTL/4 so a live
+    // body outlasting the TTL is never broken; daemon + interrupt on
+    // release, and a touch failure (lease stolen despite renewal — clock
+    // skew) is left to the create/tag guards beneath, as pre-lease
+    val renewer = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(math.max(1000L, ttlMs / 4))
+          try f.setTimes(lease, System.currentTimeMillis(), -1)
+          catch { case _: java.io.IOException => () }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lease-renewer")
+    renewer.setDaemon(true)
+    renewer.start()
+    try body finally {
+      renewer.interrupt()
+      leaseHolders.remove(key)
+      f.delete(lease, false)
+    }
+  }
+
+  // withMaintenanceLease's reentrancy map: lease path -> holding thread.
+  // In-memory only — cross-JVM holders are what the lease FILE serializes.
+  private val leaseHolders =
+    new java.util.concurrent.ConcurrentHashMap[String, Thread]()
+
+  /** BLOCKING writer-exclusive form of [[withMaintenanceLease]] — the
+    * round-12-advice fix for the lost-append hole: a store APPEND
+    * (e.g. [[graft.operators.DedupStore.rollForward]]) racing a
+    * concurrent maintainer's staged table rewrite (erase/compact snapshot
+    * the listing, then delete+rename) has its freshly appended files
+    * silently swept at the swap while the append's fingerprint survives —
+    * the batch replay then no-ops on the spent identity and the rows are
+    * permanently lost. Appends cannot YIELD (the micro-batch must land),
+    * so this variant retries the acquisition until it wins, serializing
+    * every mutating verb on one artifact through the same lease file the
+    * maintainers hold. Reentrant like the base form; a dead holder's
+    * lease is TTL-broken by the loop, so the wait is bounded. */
+  private[graft] def withWriterLease[T](s: SparkSession, dir: String)(
+      body: => T): T = {
+    val waitMs =
+      confInt(s, "spark.graft.maintenance.leaseWaitMs", 2000).toLong
+    while (true) {
+      val r = withMaintenanceLease(s, dir)(Option.empty[T])(Some(body))
+      if (r.isDefined) return r.get
+      Thread.sleep(waitMs)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Maintenance metrics + decisions for a graph index, as a long-form

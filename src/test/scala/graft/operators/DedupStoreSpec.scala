@@ -464,6 +464,13 @@ class DedupStoreSpec extends SparkSpec {
       .toDF("doc_id", "text").localCheckpoint()
     val hconf = spark.sparkContext.hadoopConfiguration
     hconf.set("fs.crash.impl", classOf[CrashFs].getName)
+    // the swept verbs all hold the writer lease, and a kill -9 (sticky
+    // budget exhaustion) leaves the lease FILE behind like a real dead
+    // holder would — TTL 0 makes the replay break it immediately instead
+    // of waiting out the production TTL, and the short retry keeps the
+    // blocking writer loop tight
+    spark.conf.set("spark.graft.maintenance.leaseTtlSec", "0")
+    spark.conf.set("spark.graft.maintenance.leaseWaitMs", "50")
     val root = Files.createTempDirectory("dedup-crash-sweep").toFile
     def snap(path: String): (List[String], List[String], List[String], Boolean) = {
       def rows(t: String, cols: String) =
@@ -585,6 +592,8 @@ class DedupStoreSpec extends SparkSpec {
     } finally {
       CrashFs.unlimited()
       hconf.unset("fs.crash.impl")
+      spark.conf.unset("spark.graft.maintenance.leaseTtlSec")
+      spark.conf.unset("spark.graft.maintenance.leaseWaitMs")
       org.apache.commons.io.FileUtils.deleteDirectory(root)
     }
   }
@@ -836,6 +845,205 @@ class DedupStoreSpec extends SparkSpec {
     } finally {
       spark.conf.unset("spark.graft.dedup.compactAppendPct")
       spark.conf.unset("spark.graft.dedup.maxFilesPerTable")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
+  test("writer lease serializes appends against a held rewrite: a roll-forward BLOCKS " +
+      "while a maintainer holds the lease and lands intact on release (round-12 advice, high)") {
+    import spark.implicits._
+    val (old, _) = fixture
+    val batch = Seq(
+      (48L, "rolled forward batch document with some novel words in it"))
+      .toDF("doc_id", "text").localCheckpoint()
+    val dir = Files.createTempDirectory("dedup-store-writerlease").toFile
+    val lease = new java.io.File(dir, "_maintenance/lease")
+    spark.conf.set("spark.graft.maintenance.leaseWaitMs", "100")
+    try {
+      DedupStore.build(old, dir.getPath)
+      // a "maintainer" (another stream's erase/compact) holds the lease:
+      // pre-lease, the roll-forward's rf files appended inside the
+      // rewrite's snapshot→swap window were swept while its fingerprint
+      // survived — the replay then no-oped and the rows were lost forever
+      lease.getParentFile.mkdirs()
+      lease.createNewFile()
+      @volatile var done = false
+      val t = new Thread(() => {
+        DedupStore.rollForward(dir.getPath, batch, Some("b1")); done = true
+      })
+      t.start()
+      Thread.sleep(2000)
+      assert(!done,
+        "an append must BLOCK while the lease is held, not interleave with the rewrite")
+      lease.delete() // the maintainer releases
+      t.join(60000)
+      assert(done, "the append must land once the lease releases")
+      assert(spark.read.parquet(s"${dir.getPath}/hashes")
+        .filter(org.apache.spark.sql.functions.col("doc_id") === 48L)
+        .count() == 1, "the blocked roll-forward's rows must be in the store")
+      assert(new java.io.File(dir, "_rf_tags/b1").isFile,
+        "the fingerprint lands with (after) the rows")
+    } finally {
+      spark.conf.unset("spark.graft.maintenance.leaseWaitMs")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
+  test("lease renewal: a LIVE holder outlasting the TTL keeps its lease (contenders " +
+      "still yield), where a dead holder's lease breaks — round-12 advice, medium") {
+    val dir = Files.createTempDirectory("dedup-store-renewal").toFile
+    spark.conf.set("spark.graft.maintenance.leaseTtlSec", "2")
+    try {
+      val contender = new java.util.concurrent.atomic.AtomicReference[String]("")
+      val held = Similarity.withMaintenanceLease(spark, dir.getPath)("outer-yield") {
+        // 2.5 TTLs of "work": without holder-side renewal the lease would
+        // read expired and a contender would break it mid-run
+        Thread.sleep(5000)
+        // the contender must run on ANOTHER thread (same thread re-enters)
+        val t = new Thread(() => contender.set(
+          Similarity.withMaintenanceLease(spark, dir.getPath)("yielded")("ran")))
+        t.start(); t.join(10000)
+        "held"
+      }
+      assert(held == "held")
+      assert(contender.get() == "yielded",
+        "a renewed live lease past the TTL must still be honored")
+      assert(!new java.io.File(dir, "_maintenance/lease").exists(),
+        "the lease releases with the body")
+    } finally {
+      spark.conf.unset("spark.graft.maintenance.leaseTtlSec")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
+  test("fingerprint v2: a v1-format tag soft-matches a same-count replay as spent " +
+      "(no crash on a pre-upgrade store), while a different-count reuse still refuses") {
+    import spark.implicits._
+    val (old, _) = fixture
+    val one = Seq(
+      (48L, "rolled forward batch document with some novel words in it"))
+      .toDF("doc_id", "text")
+    val two = Seq(
+      (48L, "rolled forward batch document with some novel words in it"),
+      (49L, "a second accepted increment doc with different words"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("dedup-store-fpv1").toFile
+    try {
+      DedupStore.build(old, dir.getPath)
+      // plant a PRE-UPGRADE (v1, id-only xor) fingerprint for tag b1 as a
+      // store that appended `one` before the content-hash change would carry
+      val tags = new java.io.File(dir, "_rf_tags"); tags.mkdirs()
+      java.nio.file.Files.write(new java.io.File(tags, "b1").toPath,
+        "1:1:12345".getBytes("UTF-8"))
+      // a legitimate restart replay of that batch: counts match → spent
+      // identity, no append, no crash (round-12 advice, low)
+      DedupStore.rollForward(dir.getPath, one, Some("b1"))
+      assert(spark.read.parquet(s"${dir.getPath}/hashes").count() == 3,
+        "a v1 soft-match replay must not re-append")
+      // a DIFFERENT increment reusing the tag stays the loud refusal
+      val e = intercept[IllegalStateException] {
+        DedupStore.rollForward(dir.getPath, two, Some("b1"))
+      }
+      assert(e.getMessage.contains("DIFFERENT"), e.getMessage)
+      // and the maintenance plan parses both fingerprint formats: roll a
+      // fresh v2 tag forward next to the planted v1 and count both
+      DedupStore.rollForward(dir.getPath,
+        Seq((49L, "a second accepted increment doc with different words"))
+          .toDF("doc_id", "text"), Some("b2"))
+      val p = DedupStore.dedupMaintenancePlan(spark, dir.getPath).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(p("rollforwards") == 2 && p("appended_set_rows") == 2,
+        p.toString) // v1's counted 1 + v2's counted 1
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("erase-ledger hygiene: empty requests never materialize the ledger, file sprawl " +
+      "folds below the erase dial, and the absolute row cap fires the physical pass") {
+    import spark.implicits._
+    val (old, _) = fixture
+    val dir = Files.createTempDirectory("dedup-store-ledger").toFile
+    val ledger = new java.io.File(dir, "_erase_pending")
+    def ledgerFiles(): Int =
+      if (!ledger.exists()) 0
+      else ledger.listFiles().count(f => f.isFile &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    // pct dial out of the way: these cases pin the fold and the row cap
+    spark.conf.set("spark.graft.dedup.erasePendingPct", "100000")
+    try {
+      DedupStore.build(old, dir.getPath)
+      // an EMPTY batch (idle micro-batch): the ledger must stay absent —
+      // the zero-cost steady state is never broken by a no-op append
+      DedupStore.requestErase(spark, dir.getPath,
+        Seq.empty[Long].toDF("doc_id"))
+      assert(!ledger.exists(),
+        "an empty request must not materialize the ledger")
+      // ten one-id micro-batches = ten small files; below the erase dial
+      // nothing would ever fold them without ledger hygiene
+      for (i <- 1 to 10)
+        DedupStore.requestErase(spark, dir.getPath,
+          Seq(100L + i).toDF("doc_id"))
+      assert(ledgerFiles() == 10, s"saw ${ledgerFiles()}")
+      val m = DedupStore.maintainDedupStore(spark, dir.getPath)
+      assert(m("erased") == 0 && m("ledger_folded") == 1, m.toString)
+      assert(ledgerFiles() == 1,
+        s"the fold must leave sized files, saw ${ledgerFiles()}")
+      val p = DedupStore.dedupMaintenancePlan(spark, dir.getPath).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(p("pending_erasures") == 10,
+        "the fold must preserve the distinct pending ids")
+      // the ABSOLUTE row cap (round-12 verdict #1): a percent dial grows
+      // with the corpus; the cap bounds the screen's working set by a
+      // constant — 10 pending over cap 2 fires the physical pass even
+      // with the pct dial parked out of reach
+      spark.conf.set("spark.graft.dedup.erasePendingMaxRows", "2")
+      val m2 = DedupStore.maintainDedupStore(spark, dir.getPath)
+      assert(m2("erase_due") == 1 && m2("erased") == 1, m2.toString)
+      assert(!ledger.exists(), "the physical pass self-clears the ledger")
+    } finally {
+      spark.conf.unset("spark.graft.dedup.erasePendingPct")
+      spark.conf.unset("spark.graft.dedup.erasePendingMaxRows")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
+  test("the deferred-erasure read screen is size-aware: under the cap the broadcast " +
+      "hint pins, past it the pending side is un-hinted (AQE decides at runtime)") {
+    import spark.implicits._
+    val (old, neu) = fixture
+    val dir = Files.createTempDirectory("dedup-store-screen").toFile
+    def joinHints(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.hint
+      }
+    try {
+      DedupStore.build(old, dir.getPath)
+      DedupStore.requestErase(spark, dir.getPath, Seq(1L).toDF("doc_id"))
+      // default cap (4M): a request-sized ledger broadcasts by hint
+      val hinted = DedupStore.read(spark, dir.getPath).hashes
+      assert(joinHints(hinted).exists(h =>
+          h.rightHint.exists(_.strategy.isDefined)),
+        s"expected a broadcast hint under the cap:\n${hinted.queryExecution.optimizedPlan}")
+      // past the cap: NO hint anywhere — a forced broadcast of a
+      // corpus-proportional id set onto the driver and every executor is
+      // the round-12 verdict's 100×-scale defect; AQE still broadcasts
+      // small ledgers at runtime from actual sizes
+      spark.conf.set("spark.graft.dedup.eraseScreenBroadcastRows", "0")
+      val unhinted = DedupStore.read(spark, dir.getPath).hashes
+      assert(joinHints(unhinted).nonEmpty, "the screen must still be present")
+      assert(joinHints(unhinted).forall(h =>
+          h.leftHint.forall(_.strategy.isEmpty) &&
+            h.rightHint.forall(_.strategy.isEmpty)),
+        s"expected no join-strategy hint past the cap:\n${unhinted.queryExecution.optimizedPlan}")
+      // and the ANSWERS are cap-invariant: dd30's oracle equality holds
+      // through either join strategy
+      val flags = flagsSeq(DedupStore.incrementalAgainstStore(
+        neu, DedupStore.read(spark, dir.getPath)))
+      spark.conf.unset("spark.graft.dedup.eraseScreenBroadcastRows")
+      val flagsHinted = flagsSeq(DedupStore.incrementalAgainstStore(
+        neu, DedupStore.read(spark, dir.getPath)))
+      assert(flags == flagsHinted, s"unhinted=$flags hinted=$flagsHinted")
+    } finally {
+      spark.conf.unset("spark.graft.dedup.eraseScreenBroadcastRows")
       org.apache.commons.io.FileUtils.deleteDirectory(dir)
     }
   }
