@@ -267,12 +267,13 @@ object EventStream {
     * files stays [[graft.operators.Similarity.compactIvfIndex]]'s. */
   def vectorIngestStream(newVecs: DataFrame, idxDir: String,
       checkpointLocation: Option[String] = None,
-      autoMaintain: Boolean = false)
+      autoMaintain: Boolean = false,
+      autoErase: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = newVecs.writeStream.outputMode(OutputMode.Append())
     checkpointLocation.foreach(w.option("checkpointLocation", _))
     w.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      ingestVectorBatch(batch, idxDir, batchId, autoMaintain)
+      ingestVectorBatch(batch, idxDir, batchId, autoMaintain, autoErase)
     }.start()
   }
 
@@ -344,7 +345,7 @@ object EventStream {
     * queries on one index dir) fails loudly instead of both committing.
     * IvfIndexSpec replays a batch and proves the lists unchanged. */
   def ingestVectorBatch(batch: DataFrame, idxDir: String, batchId: Long,
-      autoMaintain: Boolean = false): Unit = {
+      autoMaintain: Boolean = false, autoErase: Boolean = false): Unit = {
     val s = batch.sparkSession
     val f = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(idxDir), s.sparkContext.hadoopConfiguration)
@@ -362,8 +363,14 @@ object EventStream {
     pruneCommitMarkers(s, f, marker.getParent, batchId)
     // after the marker, like graphIngestStream's autoMaintain: compaction
     // is answers-unchanged and crash-safe, so a crash between marker and
-    // maintenance is caught up by any later batch
-    if (autoMaintain) graft.operators.Similarity.maintainIvfIndex(s, idxDir)
+    // maintenance is caught up by any later batch. autoErase arms the
+    // tier's unattended GDPR path (tombstones past the pending dial are
+    // physically purged — see maintainIvfIndex); it, too, is answers-
+    // unchanged at execution time because serves already screen the
+    // tombstoned ids.
+    if (autoMaintain || autoErase)
+      graft.operators.Similarity.maintainIvfIndex(s, idxDir,
+        autoErase = autoErase)
   }
 
   /** Streaming GRAPH-INDEX MAINTENANCE — [[vectorIngestStream]]'s sibling

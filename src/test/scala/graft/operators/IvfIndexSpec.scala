@@ -308,6 +308,136 @@ class IvfIndexSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
   }
 
+  test("IVF unattended GDPR (ss59 pins): tombstones screen serves immediately, " +
+      "autoErase is OFF by default, the dial is respected, and past it the physical " +
+      "pass purges every stored table and self-clears the ledger") {
+    val base = graft.operators.Similarity.qvec(spark, dir).localCheckpoint()
+    val gone = base.filter(col("vec_id") % 9 === 0)
+      .select(col("vec_id")).localCheckpoint()
+    val alive = base.filter(col("vec_id") % 9 =!= 0).localCheckpoint()
+    val d = java.nio.file.Files.createTempDirectory("ivf-autoerase").toString
+    val dG = java.nio.file.Files.createTempDirectory("ivf-autoerase-g").toString
+    def probeRows(idx: String) =
+      Similarity.probeIvfIndex(spark, alive, idx)
+        .select(col("q_id"), col("c_id"), col("rnk")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList.sorted
+    try {
+      // golden: the hand-run physical erase (ss57's verb) on a twin index
+      Similarity.buildIvfIndex(base, dG)
+      Similarity.eraseFromIvfIndex(spark, dG, gone)
+      val golden = probeRows(dG)
+      Similarity.buildIvfIndex(base, d)
+      // the delete verb: O(ids) ledger — serves screen from this moment
+      Similarity.tombstoneIvfIndex(spark, d, gone)
+      assert(probeRows(d) == golden,
+        "a tombstone-screened serve must equal the physically-erased serve")
+      // OFF by default: an unarmed maintain never purges (recall-first
+      // deployments keep tombstone routing until their own rebuild)
+      val off = Similarity.maintainIvfIndex(spark, d)
+      assert(off("erased") == 0 && off("erase_due") == 0, off.toString)
+      assert(new java.io.File(d, "tombstones").exists(),
+        "unarmed maintenance must leave the ledger")
+      assert(spark.read.parquet(s"$d/lists")
+        .filter(col("vec_id") % 9 === 0).count() > 0,
+        "unarmed maintenance must leave the bytes")
+      // armed BELOW the dial (~11% pending vs 50): counted, not purged
+      spark.conf.set("spark.graft.ivf.erasePendingPct", "50")
+      val below = try Similarity.maintainIvfIndex(spark, d, autoErase = true)
+        finally spark.conf.unset("spark.graft.ivf.erasePendingPct")
+      assert(below("tombstoned_vecs") == gone.count() &&
+        below("erase_due") == 0 && below("erased") == 0, below.toString)
+      // armed at the default dial (10): ~11% pending fires the physical
+      // pass under the lease; the ledger self-clears
+      val on = Similarity.maintainIvfIndex(spark, d, autoErase = true)
+      assert(on("erase_due") == 1 && on("erased") == 1 &&
+        on("yielded") == 0, on.toString)
+      assert(!new java.io.File(d, "tombstones").exists(),
+        "the physical pass must clear the tombstone ledger")
+      assert(spark.read.parquet(s"$d/lists")
+        .filter(col("vec_id") % 9 === 0).count() == 0,
+        "no stored table may retain a purged id")
+      assert(probeRows(d) == golden,
+        "the purged serve must still equal the screened serve (answers unchanged)")
+      // settled: a second armed maintain is a no-op
+      val again = Similarity.maintainIvfIndex(spark, d, autoErase = true)
+      assert(again("tombstoned_vecs") == 0 && again("erased") == 0,
+        again.toString)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dG))
+    }
+  }
+
+  test("crash-injection sweep: maintainIvfIndex(autoErase) killed at ANY filesystem " +
+      "mutation leaves a servable artifact and a re-maintain converges to the purged state") {
+    val base = graft.operators.Similarity.qvec(spark, dir).localCheckpoint()
+    val gone = base.filter(col("vec_id") % 9 === 0)
+      .select(col("vec_id")).localCheckpoint()
+    val alive = base.filter(col("vec_id") % 9 =!= 0).localCheckpoint()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.crash.impl", classOf[CrashFs].getName)
+    // a kill leaves the lease file behind like a real dead holder — TTL 0
+    // lets the replay break it immediately (the DedupStore sweep shape)
+    spark.conf.set("spark.graft.maintenance.leaseTtlSec", "0")
+    val root = java.nio.file.Files.createTempDirectory("ivf-autoerase-sweep").toFile
+    def probeRows(idx: String) =
+      Similarity.probeIvfIndex(spark, alive, idx)
+        .select(col("q_id"), col("c_id"), col("rnk")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList.sorted
+    try {
+      // template: built + tombstoned (the pre-maintenance state)
+      val tmpl = new java.io.File(root, "tmpl")
+      Similarity.buildIvfIndex(base, tmpl.getPath)
+      Similarity.tombstoneIvfIndex(spark, tmpl.getPath, gone)
+      // golden: a never-crashed armed maintain
+      val goldenD = new java.io.File(root, "golden")
+      org.apache.commons.io.FileUtils.copyDirectory(tmpl, goldenD)
+      val g = Similarity.maintainIvfIndex(spark, goldenD.getPath, autoErase = true)
+      assert(g("erased") == 1, g.toString)
+      val golden = probeRows(goldenD.getPath)
+      def fresh(name: String): String = {
+        val dd = new java.io.File(root, name)
+        org.apache.commons.io.FileUtils.copyDirectory(tmpl, dd)
+        s"crash://${dd.getPath}"
+      }
+      CrashFs.unlimited(); CrashFs.resetObserved()
+      val dry = fresh("dry")
+      assert(Similarity.maintainIvfIndex(spark, dry, autoErase = true)("erased") == 1L)
+      assert(probeRows(dry) == golden, "crash-scheme parity before injection")
+      val m = CrashFs.observed.get()
+      val budgets = (Seq(0L, 1L, 3L) ++ (1 to 4).map(i => m * i / 5) ++ Seq(m - 1))
+        .distinct.filter(n => n >= 0 && n <= m)
+      for (n <- budgets) {
+        val trial = fresh(s"t$n")
+        CrashFs.armed(n)
+        val died =
+          try { Similarity.maintainIvfIndex(spark, trial, autoErase = true); false }
+          catch { case _: Throwable => true }
+        CrashFs.unlimited()
+        // whatever the crash left, the artifact must still SERVE (staged
+        // rewrite keeps a readable lists table at every instant) and the
+        // answers must already equal the purged golden — the screen covers
+        // whatever the interrupted pass did not physically finish
+        assert(probeRows(trial) == golden,
+          s"budget=$n (died=$died): the crashed artifact must serve the screened answers")
+        // the dial re-fires until the purge lands; then it settles
+        Similarity.maintainIvfIndex(spark, trial, autoErase = true)
+        assert(probeRows(trial) == golden,
+          s"budget=$n (died=$died): re-maintain must converge")
+        assert(spark.read.parquet(s"$trial/lists")
+          .filter(col("vec_id") % 9 === 0).count() == 0,
+          s"budget=$n: the purge must land on replay")
+        assert(!new java.io.File(trial.stripPrefix("crash://"), "tombstones").exists(),
+          s"budget=$n: the ledger must self-clear on replay")
+      }
+    } finally {
+      CrashFs.unlimited()
+      hconf.unset("fs.crash.impl")
+      spark.conf.unset("spark.graft.maintenance.leaseTtlSec")
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    }
+  }
+
   test("crash-injection sweep: a streamed ingest batch and a lists compaction " +
       "killed at ANY filesystem mutation recover — replay to one copy, reader self-heals") {
     val emb = graft.Tables(spark, dir, "embeddings")
