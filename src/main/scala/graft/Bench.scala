@@ -136,6 +136,21 @@ object Bench {
         s"""{"metric":"ss11_phases","coarse_train_sec":${ms(c)},""" +
           s""""pq_train_sec":${ms(p)}}""")
     }
+    // cc15's split (graph build / star-contraction rounds / CC wall) and
+    // dd25's (candidate pairs / candidate wall): the last two heavies
+    // without self-adjudicating telemetry (round-12 verdict #5) — a
+    // contended capture now reads as "same rounds / same pair count,
+    // uniform wall inflation" from the artifact alone
+    graft.operators.Similarity.cc15PhaseLog.get().foreach {
+      case (g, r, c) => println(
+        s"""{"metric":"cc15_phases","graph_sec":${ms(g)},""" +
+          s""""star_rounds":$r,"cc_sec":${ms(c)}}""")
+    }
+    graft.operators.Dedup.dd25PhaseLog.get().foreach {
+      case (n, w) => println(
+        s"""{"metric":"dd25_phases","cand_pairs":$n,""" +
+          s""""cand_sec":${ms(w)}}""")
+    }
     println(json)
     spark.stop()
   }

@@ -2249,7 +2249,16 @@ object Dedup {
   // dots touch only candidate pairs' postings, never the O(n²) cross
   // join.
   // ---------------------------------------------------------------------
+  /** dd25's phase split of the LAST run in this JVM: (candidate pairs,
+    * candidate-generation wall). The exact-verify share is dd25's benched
+    * total minus this wall (the ss11_phases arithmetic), so a contended
+    * capture self-adjudicates: same pair count + uniform wall inflation =
+    * host noise; a pair-count jump = the posting-band dial drifted. */
+  val dd25PhaseLog = new java.util.concurrent.atomic.AtomicReference[
+    Option[(Long, Double)]](None)
+
   def dd25CosinePairs(s: SparkSession, dir: String): DataFrame = {
+    val t0 = System.nanoTime()
     val docs = Tables(s, dir, "documents")
     val sc0 = shingled(docs)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
@@ -2264,6 +2273,10 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .distinct()
+      // pinned: the pair set feeds one join but is ALSO the telemetry —
+      // the count below reads the checkpoint, not a recompute
+      .localCheckpoint()
+    dd25PhaseLog.set(Some((cand.count(), (System.nanoTime() - t0) / 1e9)))
     val dot = cand
       .join(sc0.select(col("doc_id").as("doc1"), col("s"), col("ct").as("ct1")), Seq("doc1"))
       .join(sc0.select(col("doc_id").as("doc2"), col("s"), col("ct").as("ct2")), Seq("doc2", "s"))

@@ -544,9 +544,19 @@ object Similarity {
   // neighbor) keep their own id as cluster — the corpus never vanishes
   // from the report. Oracle = the same graph chain + recursive closure.
   // ---------------------------------------------------------------------
+  /** cc15's phase split of the LAST run in this JVM: (mutual-graph build
+    * wall, star-contraction rounds, CC loop wall). Bench prints it as a
+    * part-line (the cc20_rounds discipline): a contended capture reads as
+    * "same rounds, wall inflated uniformly" from the artifact alone —
+    * extra rounds are a real regression, nothing else is. */
+  val cc15PhaseLog = new java.util.concurrent.atomic.AtomicReference[
+    Option[(Double, Int, Double)]](None)
+
   def cc15EmbeddingClusters(s: SparkSession, dir: String): DataFrame = {
+    val t0 = System.nanoTime()
     val mutual = ss28KnnGraph(s, dir).filter(col("mutual"))
       .select(col("src").as("a"), col("dst").as("b")).localCheckpoint()
+    val graphWall = (System.nanoTime() - t0) / 1e9
     // Star-contraction CC (provably O(log n) rounds) rather than the
     // O(d) min-label variant: identical components (both converge to the
     // per-component min id — cc02 proves the equivalence against cc01's
@@ -556,8 +566,13 @@ object Similarity {
     // first and REJECTED: on shuffled-id chains its label(label) lookup
     // hops across id space, not along the path, and degenerates to the
     // same linear creep as min-label (see connectedComponentsJump's doc).
-    val comp = Relational.connectedComponentsStar(mutual)
+    var rounds = 0
+    val t1 = System.nanoTime()
+    // the loop materializes per round (loopCheckpoint), so timing the call
+    // captures the CC wall; the report join below is edge-free and cheap
+    val comp = Relational.connectedComponentsStar(mutual, r => rounds = r)
       .select(col("node").as("vec_id"), col("component"))
+    cc15PhaseLog.set(Some((graphWall, rounds, (System.nanoTime() - t1) / 1e9)))
     Tables(s, dir, "embeddings").select(col("vec_id"))
       .join(comp, Seq("vec_id"), "left")
       .select(col("vec_id"),
