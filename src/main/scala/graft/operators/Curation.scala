@@ -2628,7 +2628,81 @@ object Curation {
        | GROUP BY pk.seq_id) t
        |WHERE nd > 0""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // tp13: ERASE-VERB SYMMETRY audit (round-12 verdict #8) — the
+  // cross-tier compliance evidence a fleet owner actually files with a
+  // deletion ticket: ONE erasure batch (the % 9 == 0 ids) driven through
+  // all three derived artifacts — the dedup store (dd29's physical
+  // erase), the standalone IVF index (ss57's), and the NSW graph
+  // artifact (ss58's, shared via the per-JVM build memo) — then one
+  // (tier, table, rows_before, rows_after) row per corpus-derivable
+  // stored table. The oracle recomputes every count from the corpus
+  // alone (per-doc store layout: one hash/set row and numHashes/2 band
+  // rows per admitted doc; one list row per vector per index tier;
+  // nprobe probe rows per vector), so a green row IS the proof that no
+  // artifact retains an erased member's rows — the count-level half of
+  // the GDPR story whose id-level half the dd29/ss57/ss58 oracles and
+  // the erasure specs pin.
+  // ---------------------------------------------------------------------
+  def tp13EraseSymmetry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 10 < 8)
+    val storeDir = DedupStore.storePathFor(dir + "#tp13")
+    DedupStore.build(old, storeDir)
+    DedupStore.erase(s, storeDir,
+      old.filter(col("doc_id") % 9 === 0).select(col("doc_id")))
+    val base = Similarity.qvec(s, dir).localCheckpoint()
+    val goneV = base.filter(col("vec_id") % 9 === 0).select(col("vec_id"))
+    val ivfDir = Similarity.indexPathFor(dir + "#tp13ivf")
+    Similarity.buildIvfIndex(base, ivfDir)
+    Similarity.eraseFromIvfIndex(s, ivfDir, goneV)
+    // ss58's artifact, shared through the per-JVM memo: first toucher
+    // builds+erases, everyone else reads — the audit does not pay a
+    // second graph build when the serving query already did
+    val nswDir = Similarity.indexPathFor(dir + "#nswerase")
+    Similarity.buildNswOnce(nswDir) {
+      Similarity.buildNswIndex(s, base, nswDir)
+      Similarity.eraseFromNswIndex(s, nswDir, goneV)
+    }
+    val dAll = old.count()
+    val dAlive = old.filter(col("doc_id") % 9 =!= 0).count()
+    val vAll = base.count()
+    val vAlive = base.filter(col("vec_id") % 9 =!= 0).count()
+    val nBands = (Dedup.numHashes / 2).toLong
+    def cnt(path: String): Long = s.read.parquet(path).count()
+    Seq(
+      ("dedup_store", "hashes", dAll, cnt(s"$storeDir/hashes")),
+      ("dedup_store", "sets", dAll, cnt(s"$storeDir/sets")),
+      ("dedup_store", "bands", nBands * dAll, cnt(s"$storeDir/bands")),
+      ("ivf", "lists", vAll, cnt(s"$ivfDir/lists")),
+      ("nsw", "lists", vAll, cnt(s"$nswDir/ivf/lists")),
+      ("nsw", "probes", 2L * vAll, cnt(s"$nswDir/probes")),
+      // expected after-counts: dAlive/dAlive/4·dAlive/vAlive/vAlive/
+      // 2·vAlive — the oracle derives them from the corpus; a retained
+      // erased row in ANY artifact breaks the hash match
+    ).toDF("tier", "tbl", "rows_before", "rows_after")
+  }
+
+  val tp13Oracle: String = {
+    val nBands = graft.operators.Dedup.numHashes / 2
+    s"""WITH m AS (SELECT
+       | (SELECT COUNT(*) FROM documents WHERE doc_id % 10 < 8) AS d_all,
+       | (SELECT COUNT(*) FROM documents
+       |   WHERE doc_id % 10 < 8 AND doc_id % 9 != 0) AS d_alive,
+       | (SELECT COUNT(*) FROM embeddings) AS v_all,
+       | (SELECT COUNT(*) FROM embeddings WHERE vec_id % 9 != 0) AS v_alive)
+       |SELECT 'dedup_store' AS tier, 'hashes' AS tbl,
+       | CAST(d_all AS BIGINT) AS rows_before, CAST(d_alive AS BIGINT) AS rows_after FROM m
+       |UNION ALL SELECT 'dedup_store', 'sets', CAST(d_all AS BIGINT), CAST(d_alive AS BIGINT) FROM m
+       |UNION ALL SELECT 'dedup_store', 'bands', CAST($nBands * d_all AS BIGINT), CAST($nBands * d_alive AS BIGINT) FROM m
+       |UNION ALL SELECT 'ivf', 'lists', CAST(v_all AS BIGINT), CAST(v_alive AS BIGINT) FROM m
+       |UNION ALL SELECT 'nsw', 'lists', CAST(v_all AS BIGINT), CAST(v_alive AS BIGINT) FROM m
+       |UNION ALL SELECT 'nsw', 'probes', CAST(2 * v_all AS BIGINT), CAST(2 * v_alive AS BIGINT) FROM m""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "tp13_erase_symmetry" -> (tp13EraseSymmetry _),
     "tp12_gdpr_erasure" -> (tp12GdprErasure _),
     "ds27_cluster_split" -> (ds27ClusterSplit _),
     "ds26_quota_sample" -> (ds26QuotaSample _),
@@ -2681,6 +2755,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "tp12_gdpr_erasure" -> tp12Oracle,
+    "tp13_erase_symmetry" -> tp13Oracle,
     "ds27_cluster_split" -> ds27Oracle,
     "ds26_quota_sample" -> ds26Oracle,
     "tp11_doc_provenance" -> tp11Oracle,

@@ -234,7 +234,15 @@ object EventStream {
     * semantics — so it is legal inside foreachBatch like compaction).
     * No commit marker: at-least-once redelivery appends duplicate ledger
     * rows, which the DISTINCT ledger read absorbs structurally, and
-    * erasing an already-erased id is a no-op anti-join. */
+    * erasing an already-erased id is a no-op anti-join.
+    *
+    * SAFE BESIDE a concurrent [[dedupIngestStream]] on the same store
+    * (round-12 advice, high): this stream's erase/compact rewrites and
+    * the ingest stream's roll-forward appends all hold the store's
+    * writer lease, so an append can no longer land inside a rewrite's
+    * snapshot→swap window and be silently swept while its fingerprint
+    * survives. The two foreachBatch bodies still run on separate
+    * threads; the lease is what serializes them. */
   def eraseRequestStream(ids: DataFrame, storeDir: String,
       checkpointLocation: Option[String] = None,
       autoMaintain: Boolean = false)
