@@ -1273,7 +1273,13 @@ object Similarity {
     * and REFUSED before anything is written (round-8 advice — the
     * fingerprints survive [[foldNswDeltas]] for the same reason). */
   def appendToNswIndex(s: SparkSession, dir: String, newVecs: DataFrame,
-      tag: String): Unit = {
+      tag: String): Unit = withWriterLease(s, dir) {
+    // under the WRITER LEASE (the DedupStore roll-forward discipline,
+    // round 13): a concurrent maintainer's fold deletes edges_delta/
+    // wholesale and its compact swaps lists/ — files this append lands
+    // inside that window are swept while the tag fingerprint and the
+    // stream's commit marker survive, so the replay skips and the batch
+    // is silently lost. Appends block; maintainers yield.
     require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe staging tag: $tag")
     // heal a crashed staged compact of probes/ (child of dir) or
     // ivf/lists (child of dir/ivf) before reading either table below
@@ -1407,7 +1413,8 @@ object Similarity {
     * every loose per-tag file into one `_spent_<gen>` manifest
     * ([[compactAppendTags]]), so an unattended stream's identity sidecar
     * stays one file instead of one per micro-batch forever. */
-  def foldNswDeltas(s: SparkSession, dir: String): Unit = {
+  def foldNswDeltas(s: SparkSession, dir: String): Unit =
+      withWriterLease(s, dir) {
     val f = hadoopFs(s, dir)
     val dp = new org.apache.hadoop.fs.Path(s"$dir/edges_delta")
     if (f.exists(dp)) {
@@ -1504,7 +1511,10 @@ object Similarity {
     * routing (severing them collapses the small-world shortcuts, ss43
     * measured 95% tombstoned vs 92% rebuilt at 11% deletions); serving
     * screens queries and results against this table. Idempotent. */
-  def tombstoneNswIndex(s: SparkSession, dir: String, ids: DataFrame): Unit = {
+  def tombstoneNswIndex(s: SparkSession, dir: String, ids: DataFrame): Unit =
+      withWriterLease(s, dir) {
+    // leased: the merge below read-modify-writes tombstones/, which a
+    // concurrent erase's tombstone fold also rewrites
     val add = ids.select(col("vec_id"))
     val merged = storedNswTombstones(s, dir).unionByName(add).distinct()
       .localCheckpoint() // materialize BEFORE overwriting what it reads
@@ -1906,7 +1916,8 @@ object Similarity {
     * fingerprints. In-place semantics require a MATERIALIZED artifact —
     * erasing through an overlay `_base` pointer would mutate the shared
     * base, so overlays are refused loudly. */
-  def eraseFromNswIndex(s: SparkSession, dir: String, ids: DataFrame): Unit = {
+  def eraseFromNswIndex(s: SparkSession, dir: String, ids: DataFrame): Unit =
+      withWriterLease(s, dir) {
     val f = hadoopFs(s, dir)
     require(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/_base")),
       s"eraseFromNswIndex needs a materialized artifact; $dir is an overlay")
@@ -4072,12 +4083,13 @@ object Similarity {
     * drift under appended data is bounded offline by the ss06 recall
     * audit; when recall sags, rebuild — exactly the IVF maintenance story
     * of a production ANN service. */
-  def appendToIvfIndex(s: SparkSession, dir: String, newVecs: DataFrame): Unit = {
-    promoteStages(s, dir) // heal a crashed staged lists compact first
-    val cents = s.read.parquet(s"$dir/centroids")
-    assignToCentroids(newVecs, cents).repartition(col("cent_id"))
-      .write.mode("append").partitionBy("cent_id").parquet(s"$dir/lists")
-  }
+  def appendToIvfIndex(s: SparkSession, dir: String, newVecs: DataFrame): Unit =
+    withWriterLease(s, dir) {
+      promoteStages(s, dir) // heal a crashed staged lists compact first
+      val cents = s.read.parquet(s"$dir/centroids")
+      assignToCentroids(newVecs, cents).repartition(col("cent_id"))
+        .write.mode("append").partitionBy("cent_id").parquet(s"$dir/lists")
+    }
 
   /** [[appendToIvfIndex]] with REPLAY-SAFE file placement for at-least-once
     * callers (the streaming ingest sink): the increment's assigned rows are
@@ -4093,7 +4105,11 @@ object Similarity {
     * format; this makes replays CONVERGENT, which is what the
     * foreachBatch restart contract needs. */
   def stagedAppendToIvfIndex(s: SparkSession, dir: String,
-      newVecs: DataFrame, tag: String): Unit = {
+      newVecs: DataFrame, tag: String): Unit = withWriterLease(s, dir) {
+    // leased: a concurrent compact/erase swaps lists/ — an append's
+    // ingest-<tag> files landing inside the snapshot→swap window are
+    // swept while the stream's commit marker survives, so the replay
+    // skips and the batch is lost (the DedupStore round-13 discipline)
     promoteStages(s, dir) // heal a crashed staged lists compact first
     val cents = s.read.parquet(s"$dir/centroids")
     stagedAppendPartitioned(s, s"$dir/lists",
@@ -4155,11 +4171,11 @@ object Similarity {
     * same per-tag small files — [[compactNswProbes]] is this verb pointed
     * at it. */
   def compactIvfIndex(s: SparkSession, dir: String): Unit =
-    compactCentPartitioned(s, s"$dir/lists")
+    withWriterLease(s, dir) { compactCentPartitioned(s, s"$dir/lists") }
 
   /** [[compactIvfIndex]] for the NSW artifact's `probes/` table. */
   def compactNswProbes(s: SparkSession, idxDir: String): Unit =
-    compactCentPartitioned(s, s"$idxDir/probes")
+    withWriterLease(s, idxDir) { compactCentPartitioned(s, s"$idxDir/probes") }
 
   /** The IVF tier's maintenance policy — [[nswMaintenancePlan]]'s sibling
     * for a plain inverted-list index, where appends land directly as
@@ -4357,8 +4373,11 @@ object Similarity {
     * the next read), centroids untouched — they are aggregate statistics,
     * not member fingerprints. */
   def eraseFromIvfIndex(s: SparkSession, idxDir: String, ids: DataFrame): Unit = {
-    promoteStages(s, idxDir)
+    // pin the id set BEFORE the lease (it may derive from the tombstone
+    // table this verb rewrites), then rewrite under the writer lease
     val gone = ids.select(col("vec_id")).localCheckpoint()
+    withWriterLease(s, idxDir) {
+    promoteStages(s, idxDir)
     stagedWrite(s, s"$idxDir/lists") { tmp =>
       s.read.parquet(s"$idxDir/lists")
         .withColumn("cent_id", col("cent_id").cast("long"))
@@ -4381,6 +4400,7 @@ object Similarity {
       }
     }
     listsListingMemo.remove(s"$idxDir/lists")
+    }
   }
 
   /** The IVF artifact's DELETE verb — [[tombstoneNswIndex]] one tier down
@@ -4391,7 +4411,8 @@ object Similarity {
     * leave when [[eraseFromIvfIndex]] runs — manually, or unattended via
     * [[maintainIvfIndex]]`(autoErase = true)` once the pending set passes
     * `spark.graft.ivf.erasePendingPct`. Idempotent (distinct merge). */
-  def tombstoneIvfIndex(s: SparkSession, idxDir: String, ids: DataFrame): Unit = {
+  def tombstoneIvfIndex(s: SparkSession, idxDir: String, ids: DataFrame): Unit =
+      withWriterLease(s, idxDir) {
     val merged = storedNswTombstones(s, idxDir)
       .unionByName(ids.select(col("vec_id"))).distinct()
       .localCheckpoint() // materialize BEFORE overwriting what it reads

@@ -939,6 +939,11 @@ class NswIndexSpec extends SparkSpec {
       .select(col("vec_id"), col("label"), col("embedding")).localCheckpoint()
     val hconf = spark.sparkContext.hadoopConfiguration
     hconf.set("fs.crash.impl", classOf[CrashFs].getName)
+    // the swept verbs hold the writer lease (round 13), and a kill -9
+    // (sticky budget exhaustion) leaves the lease file behind like a real
+    // dead holder — TTL 0 lets the replay break it immediately
+    spark.conf.set("spark.graft.maintenance.leaseTtlSec", "0")
+    spark.conf.set("spark.graft.maintenance.leaseWaitMs", "50")
     val root = java.nio.file.Files.createTempDirectory("nsw-crash-sweep").toFile
     def tableRows(path: String, t: String, cols: String): List[String] =
       spark.read.parquet(s"$path/$t").selectExpr(s"concat_ws('|', $cols)")
@@ -1094,6 +1099,8 @@ class NswIndexSpec extends SparkSpec {
     } finally {
       CrashFs.unlimited()
       hconf.unset("fs.crash.impl")
+      spark.conf.unset("spark.graft.maintenance.leaseTtlSec")
+      spark.conf.unset("spark.graft.maintenance.leaseWaitMs")
       org.apache.commons.io.FileUtils.deleteDirectory(root)
     }
   }
