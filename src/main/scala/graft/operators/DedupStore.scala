@@ -68,7 +68,7 @@ object DedupStore {
     for (sidecar <- Seq(RfSidecar, ErasePending))
       fs(s, dir).delete(new org.apache.hadoop.fs.Path(s"$dir/$sidecar"), true)
     storeBaseCountsMemo.remove(dir) // a rebuild voids the memoized base
-    write(docs, dir, overwrite = true)
+    write(docs, dir)
   }
 
   /** Append an ACCEPTED increment (docs that survived dedup) to the store.
@@ -85,24 +85,43 @@ object DedupStore {
     * appended rows without scanning anything. Untagged stays the manual
     * one-shot path (plain parquet append, no identity).
     *
-    * Both paths append under the WRITER LEASE ([[Similarity
-    * .withWriterLease]] — round-12 advice, high): a concurrent
-    * maintainer's staged table rewrite (erase/compact on another thread
-    * or JVM — e.g. [[graft.streaming.EventStream.eraseRequestStream]]'s
-    * autoMaintain beside the ingest stream) snapshots the file listing
-    * and then delete+renames the table, so rf files appended inside that
-    * window were silently swept at the swap while the batch's
-    * fingerprint survived — the replay then no-oped on the spent
-    * identity and the admitted rows were permanently lost. The lease
-    * serializes every mutating verb on the store; appends BLOCK (a
-    * micro-batch cannot yield), maintenance yields. */
+    * Both paths append under the store's MUTATION LOCK ([[Similarity
+    * .withTableLock]] — round 14; the round-13 writer lease closed the
+    * same hole but made every micro-batch wait out a full store rewrite):
+    * a concurrent maintainer's staged table rewrite (erase/compact on
+    * another thread or JVM — e.g. [[graft.streaming.EventStream
+    * .eraseRequestStream]]'s autoMaintain beside the ingest stream)
+    * snapshots the file listing and then delete+renames the table, so rf
+    * files appended inside that window were silently swept at the swap
+    * while the batch's fingerprint survived — the replay then no-oped on
+    * the spent identity and the admitted rows were permanently lost. Now
+    * the rewrite holds the lock only for its snapshot→swap BLINK and
+    * CARRIES files appended since its snapshot across the swap
+    * ([[Similarity.blinkSwap]]); the append computes and stages its
+    * increment outside any lock and holds the lock only for its file
+    * moves + sidecar merges — O(increment) both sides, so an ingest
+    * stream beside an hours-long 100 TB erase stalls for a file-move
+    * window, not the rewrite's wall. */
   def rollForward(dir: String, accepted: DataFrame,
       tag: Option[String] = None): Unit = tag match {
     case None =>
-      // untagged rows carry no fingerprint the plan could derive from
-      Similarity.withWriterLease(accepted.sparkSession, dir) {
+      // untagged rows carry no fingerprint the plan could derive from:
+      // compute the increment outside the lock, append + merge blooms
+      // inside it (the manual one-shot path)
+      val s = accepted.sparkSession
+      val inc = accepted.localCheckpoint()
+      val sets = Dedup.shingleSets(inc).localCheckpoint()
+      val hashes = inc.select(md5(col("text")).as("h"), col("doc_id"))
+        .localCheckpoint()
+      val bands = Dedup.lshBands(Dedup.minhashSigsFromSets(sets).drop("sh"))
+        .localCheckpoint()
+      Similarity.withTableLock(s, dir) {
+        Similarity.promoteStages(s, dir)
         storeBaseCountsMemo.remove(dir)
-        write(accepted, dir, overwrite = false)
+        hashes.write.mode("append").parquet(s"$dir/hashes")
+        sets.write.mode("append").parquet(s"$dir/sets")
+        bands.write.mode("append").partitionBy("band").parquet(s"$dir/bands")
+        appendBloomSidecars(s, dir, hashes, bands)
       }
     case Some(t) => rollForwardTagged(accepted.sparkSession, dir, accepted, t)
   }
@@ -125,25 +144,27 @@ object DedupStore {
     // silently swallowed as a replay no-op — now it is refused loudly,
     // the documented contract. The counts double as the plan's
     // appended-row counts, so maintenance never rescans an increment.
+    // The v1-format id-only xor rides along in the same aggregate (zero
+    // extra jobs) for the pre-upgrade soft-match below.
     val fpRow = hashesInc.agg(count(lit(1)),
       coalesce(bit_xor(xxhash64(
-        concat(col("doc_id").cast("string"), lit(":"), col("h")))), lit(0L)))
+        concat(col("doc_id").cast("string"), lit(":"), col("h")))), lit(0L)),
+      coalesce(bit_xor(xxhash64(col("doc_id"))), lit(0L)))
       .collect()(0)
     // format v2 (round-12 advice, low): v1 was "n:n:idXor" (an id-only
     // XOR), v2 is "v2:n:n:contentXor" — versioned so a store carrying
     // pre-change tags does not hard-crash a legitimate restart replay on
-    // the changed xor. A v1 prev for the same tag SOFT-matches on the two
-    // count fields (the id-only v1 xor cannot distinguish content, so
-    // counts are the strongest v1-comparable check) and no-ops as a
-    // replay; mismatched counts stay the loud refusal.
+    // the changed xor. A v1 prev for the same tag SOFT-matches only when
+    // ALL THREE v1 fields match — the id-only xor is recomputed from the
+    // increment above (round-13 advice: counts alone let a different
+    // batch with the same row count silently no-op and lose its rows) —
+    // and no-ops as a replay; any mismatch stays the loud refusal.
     val fp = s"v2:${fpRow.getLong(0)}:${fpRow.getLong(0)}:${fpRow.getLong(1)}"
-    Similarity.withWriterLease(s, dir) {
-      Similarity.promoteStages(s, dir) // heal a crashed staged compact first
-      val spent = Similarity.appendTagFingerprint(s, dir, tag, RfSidecar) match {
+    val fpV1 = s"${fpRow.getLong(0)}:${fpRow.getLong(0)}:${fpRow.getLong(2)}"
+    def checkSpent(): Boolean =
+      Similarity.appendTagFingerprint(s, dir, tag, RfSidecar) match {
         case Some(prev) =>
-          val soft = !prev.startsWith("v2:") &&
-            prev.split(':').take(2).sameElements(
-              fp.stripPrefix("v2:").split(':').take(2))
+          val soft = !prev.startsWith("v2:") && prev == fpV1
           if (prev != fp && !soft) throw new IllegalStateException(
             s"roll-forward tag '$tag' was already used for a DIFFERENT " +
               s"increment (fingerprint $prev, this batch $fp): tags are " +
@@ -152,19 +173,44 @@ object DedupStore {
           true // spent identity: already appended (or folded by a compact)
         case None => false
       }
-      // an EMPTY increment (an idle micro-batch, or one where every doc
-      // was flagged) is a no-op past the fingerprint — appending empty
-      // files and merging empty blooms would be identity writes
-      if (!spent && fpRow.getLong(0) == 0L) writeRfFingerprint(s, dir, tag, fp)
-      else if (!spent) {
-        val setsInc = Dedup.shingleSets(inc).localCheckpoint()
-        val bandsInc =
-          Dedup.lshBands(Dedup.minhashSigsFromSets(setsInc).drop("sh"))
-            .localCheckpoint()
+    // fast replay peek, unlocked: a spent identical tag (the common
+    // restart replay) no-ops without computing sets/bands or taking the
+    // lock; a reused tag refuses here before any work
+    if (checkSpent()) return
+    // an EMPTY increment (an idle micro-batch, or one where every doc
+    // was flagged) is a no-op past the fingerprint — appending empty
+    // files and merging empty blooms would be identity writes
+    if (fpRow.getLong(0) == 0L) {
+      Similarity.withTableLock(s, dir) {
+        if (!checkSpent()) writeRfFingerprint(s, dir, tag, fp)
+      }
+      return
+    }
+    // the increment's O(increment) compute + root-level staging runs
+    // OUTSIDE the lock (reads nothing from the store); only the file
+    // moves, bloom merge and fingerprint hold it
+    val setsInc = Dedup.shingleSets(inc).localCheckpoint()
+    val bandsInc =
+      Dedup.lshBands(Dedup.minhashSigsFromSets(setsInc).drop("sh"))
+        .localCheckpoint()
+    stageAppendWrite(s, dir, "hashes", hashesInc, tag, partitioned = false)
+    stageAppendWrite(s, dir, "sets", setsInc, tag, partitioned = false)
+    stageAppendWrite(s, dir, "bands", bandsInc, tag, partitioned = true)
+    Similarity.withTableLock(s, dir) {
+      Similarity.promoteStages(s, dir) // heal a crashed staged compact first
+      // re-check under the lock: a concurrent replica of this batch may
+      // have landed it since the peek (two live writers on one tag is a
+      // deployment bug writeRfFingerprint refuses loudly; a finished
+      // replay is a clean no-op here)
+      if (checkSpent()) {
+        for (t <- Seq("hashes", "sets", "bands"))
+          fs(s, dir).delete(
+            new org.apache.hadoop.fs.Path(stagePathFor(dir, t, tag)), true)
+      } else {
         val retired =
-          stagedAppendFiles(s, s"$dir/hashes", hashesInc, tag, partitioned = false) |
-          stagedAppendFiles(s, s"$dir/sets", setsInc, tag, partitioned = false) |
-          stagedAppendFiles(s, s"$dir/bands", bandsInc, tag, partitioned = true)
+          moveStagedAppend(s, dir, "hashes", tag) |
+          moveStagedAppend(s, dir, "sets", tag) |
+          moveStagedAppend(s, dir, "bands", tag)
         // If this append actually RETIRED same-tag leftovers (the replay
         // of a crashed, fingerprint-less attempt), any memoized base
         // counts are stale: a cold-JVM plan taken while the leftovers sat
@@ -197,18 +243,24 @@ object DedupStore {
     try out.write(fp.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Tag-convergent append of `rows` to a store table: stage, then move
-    * the files in under deterministic `rf-<tag>-i` names, retiring any
-    * same-tag leftovers of a previous partially-moved attempt first (the
-    * [[Similarity]] index tiers' staged-append discipline). Files are
+  /** Where a tagged roll-forward stages `table`'s increment: at the STORE
+    * root, not inside the table dir (round 14) — a concurrent two-phase
+    * rewrite's swap deletes the table dir wholesale, and the stage must
+    * survive it. Hidden (dot) name: invisible to readers and to rewrite
+    * snapshots. */
+  private def stagePathFor(dir: String, table: String, tag: String): String =
+    s"$dir/.rfstage_${tag}_$table"
+
+  /** Phase 1 of a tag-convergent table append: write the increment's
+    * files into the root-level stage dir ([[stagePathFor]]) — the
+    * append's O(increment) Spark job, run OUTSIDE any lock. Files are
     * sized to the increment (`spark.graft.dedup.rowsPerFile`, default 4M)
     * — a day-scale accepted batch at 100 TB must not funnel through one
-    * task. Returns whether any same-tag leftovers were retired — the
-    * caller's signal that a crashed partial append was replayed (and any
-    * base counts memoized over the leftovers are stale). */
-  private def stagedAppendFiles(s: SparkSession, tableDir: String,
-      rows: DataFrame, tag: String, partitioned: Boolean): Boolean = {
-    val staged = s"$tableDir/.rfstage_$tag"
+    * task. Overwrite mode: a crashed prior attempt's stage is replaced
+    * wholesale on replay. */
+  private def stageAppendWrite(s: SparkSession, dir: String, table: String,
+      rows: DataFrame, tag: String, partitioned: Boolean): Unit = {
+    val staged = stagePathFor(dir, table, tag)
     if (partitioned)
       rows.repartition(col("band"))
         .write.mode("overwrite").partitionBy("band").parquet(staged)
@@ -219,6 +271,19 @@ object DedupStore {
       val nFiles = math.max(1L, (n + rowsPerFile - 1L) / rowsPerFile).toInt
       rows.repartition(nFiles).write.mode("overwrite").parquet(staged)
     }
+  }
+
+  /** Phase 2 (call under the mutation lock): move the staged files into
+    * the table under deterministic `rf-<tag>-i` names, retiring any
+    * same-tag leftovers of a previous partially-moved attempt first (the
+    * [[Similarity]] index tiers' staged-append discipline). Returns
+    * whether any same-tag leftovers were retired — the caller's signal
+    * that a crashed partial append was replayed (and any base counts
+    * memoized over the leftovers are stale). */
+  private def moveStagedAppend(s: SparkSession, dir: String, table: String,
+      tag: String): Boolean = {
+    val staged = stagePathFor(dir, table, tag)
+    val tableDir = s"$dir/$table"
     val f = fs(s, tableDir)
     val root = new org.apache.hadoop.fs.Path(tableDir)
     var retired = false
@@ -238,13 +303,15 @@ object DedupStore {
         f.rename(st.getPath,
           new org.apache.hadoop.fs.Path(dest, s"rf-$tag-$i.parquet"))
     }
-    if (partitioned)
-      for (part <- f.listStatus(new org.apache.hadoop.fs.Path(staged))
-          if part.isDirectory && part.getPath.getName.startsWith("band="))
+    val stagedRoot = new org.apache.hadoop.fs.Path(staged)
+    val parts = f.listStatus(stagedRoot)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("band="))
+    if (parts.nonEmpty)
+      for (part <- parts)
         moveInto(part.getPath,
           new org.apache.hadoop.fs.Path(root, part.getPath.getName))
-    else moveInto(new org.apache.hadoop.fs.Path(staged), root)
-    f.delete(new org.apache.hadoop.fs.Path(staged), true)
+    else moveInto(stagedRoot, root)
+    f.delete(stagedRoot, true)
     retired
   }
 
@@ -281,43 +348,29 @@ object DedupStore {
     writeBloomFiles(s, dir, bh, bb)
   }
 
-  private def write(docs: DataFrame, dir: String, overwrite: Boolean): Unit = {
+  private def write(docs: DataFrame, dir: String): Unit = {
     val s = docs.sparkSession
-    if (overwrite) {
-      // ONE tokenize+shingle pass, with the store's own tables as the
-      // spill surface: sets land on disk first and bands derive from the
-      // WRITTEN parquet — at corpus scale (the 100 TB build) a
-      // localCheckpoint of the shingle sets would pin a corpus-sized
-      // intermediate to executor storage for no reason when the job is
-      // about to persist exactly that table anyway. The hash table needs
-      // no tokens at all.
-      Dedup.shingleSets(docs).write.mode("overwrite").parquet(s"$dir/sets")
-      val setsBack = s.read.parquet(s"$dir/sets")
-      docs.select(md5(col("text")).as("h"), col("doc_id"))
-        .write.mode("overwrite").parquet(s"$dir/hashes")
-      Dedup.lshBands(Dedup.minhashSigsFromSets(setsBack).drop("sh"))
-        .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
-      // sidecars from the written tables — one source of truth (band comes
-      // back as a discovered partition column: pin it to the INT the
-      // in-memory probe side hashes, the appendBloomSidecars discipline)
-      val (fh, fb) = Dedup.BloomPrefilter.buildFilters(s,
-        s.read.parquet(s"$dir/hashes"),
-        s.read.parquet(s"$dir/bands")
-          .withColumn("band", col("band").cast("int")))
-      writeBloomFiles(s, dir, fh, fb)
-    } else {
-      // the manual (untagged) append path: increments are batch-sized, so
-      // localCheckpoint is the right materialization here
-      val sets = Dedup.shingleSets(docs).localCheckpoint()
-      val hashes = docs.select(md5(col("text")).as("h"), col("doc_id"))
-        .localCheckpoint()
-      val bands = Dedup.lshBands(Dedup.minhashSigsFromSets(sets).drop("sh"))
-        .localCheckpoint()
-      hashes.write.mode("append").parquet(s"$dir/hashes")
-      sets.write.mode("append").parquet(s"$dir/sets")
-      bands.write.mode("append").partitionBy("band").parquet(s"$dir/bands")
-      appendBloomSidecars(s, dir, hashes, bands)
-    }
+    // ONE tokenize+shingle pass, with the store's own tables as the
+    // spill surface: sets land on disk first and bands derive from the
+    // WRITTEN parquet — at corpus scale (the 100 TB build) a
+    // localCheckpoint of the shingle sets would pin a corpus-sized
+    // intermediate to executor storage for no reason when the job is
+    // about to persist exactly that table anyway. The hash table needs
+    // no tokens at all.
+    Dedup.shingleSets(docs).write.mode("overwrite").parquet(s"$dir/sets")
+    val setsBack = s.read.parquet(s"$dir/sets")
+    docs.select(md5(col("text")).as("h"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/hashes")
+    Dedup.lshBands(Dedup.minhashSigsFromSets(setsBack).drop("sh"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
+    // sidecars from the written tables — one source of truth (band comes
+    // back as a discovered partition column: pin it to the INT the
+    // in-memory probe side hashes, the appendBloomSidecars discipline)
+    val (fh, fb) = Dedup.BloomPrefilter.buildFilters(s,
+      s.read.parquet(s"$dir/hashes"),
+      s.read.parquet(s"$dir/bands")
+        .withColumn("band", col("band").cast("int")))
+    writeBloomFiles(s, dir, fh, fb)
   }
 
   private def fs(s: SparkSession, path: String) =
@@ -407,11 +460,14 @@ object DedupStore {
     // no-op append (round-12 advice, low)
     val batch = ids.select(col("doc_id")).localCheckpoint()
     if (!batch.isEmpty)
-      // under the writer lease: [[erase]]'s ledger fold is a staged
+      // under the mutation lock: [[erase]]'s ledger fold is a staged
       // read→rewrite of `_erase_pending/` — a request file appended inside
       // that window would be swept at the swap, silently dropping the
-      // erase request (the rollForward lost-append shape, one sidecar over)
-      Similarity.withWriterLease(s, dir) {
+      // erase request (the rollForward lost-append shape, one sidecar
+      // over). The ledger folds are O(pending) and hold the same lock for
+      // their whole (short) body, so the request lands without waiting
+      // out a table rewrite (round 14).
+      Similarity.withTableLock(s, dir) {
         batch.write.mode("append").parquet(s"$dir/$ErasePending")
       }
   }
@@ -496,8 +552,17 @@ object DedupStore {
   def compact(s: SparkSession, dir: String): Unit =
       Similarity.withWriterLease(s, dir) {
     Similarity.promoteStages(s, dir)
+    // TWO-PHASE (round 14, [[Similarity.blinkSwap]]): the O(store)
+    // rewrites derive from SNAPSHOT listings and land in the promotable
+    // .stage_ dirs while appends keep landing in the live tables; the
+    // mutation lock is held only for the carry+swap blink at the end.
+    val snaps = Seq("hashes", "sets", "bands")
+      .map(t => t -> Similarity.listTableFiles(s, s"$dir/$t")).toMap
+    def snapped(table: String): DataFrame =
+      Similarity.readTableSnapshot(s, s"$dir/$table", snaps(table))
+    Similarity.testRewriteDelay(s)
     def rewrite(table: String, df: DataFrame, partitionCols: Seq[String]): Unit =
-      Similarity.stagedWrite(s, s"$dir/$table") { tmp =>
+      Similarity.prepareStage(s, s"$dir/$table") { tmp =>
         val w = df.write.mode("overwrite")
         (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
           .parquet(tmp)
@@ -509,29 +574,63 @@ object DedupStore {
     def filesFor(table: String): Int = {
       val rowsPerFile =
         Similarity.confInt(s, "spark.graft.dedup.rowsPerFile", 4000000).toLong
-      val rows = s.read.parquet(s"$dir/$table").count() // footer-only
+      val rows = snapped(table).count() // footer-only
       math.max(1L, (rows + rowsPerFile - 1L) / rowsPerFile).toInt
     }
     rewrite("hashes",
-      s.read.parquet(s"$dir/hashes").distinct().repartition(filesFor("hashes")),
+      snapped("hashes").distinct().repartition(filesFor("hashes")),
       Seq.empty)
     rewrite("sets",
-      s.read.parquet(s"$dir/sets").repartition(filesFor("sets")), Seq.empty)
+      snapped("sets").repartition(filesFor("sets")), Seq.empty)
     // Repartition ON the band column so each band's rows land in one task:
     // the rewrite restores ONE file per band partition no matter how many
     // roll-forwards fragmented it. (At sizes where a single band outgrows
     // one task, add a second split key here — the partition layout and its
     // consumers don't change.)
     rewrite("bands",
-      s.read.parquet(s"$dir/bands").repartition(col("band")), Seq("band"))
-    // Rebuild the bloom sidecars from the compacted tables — same content
-    // (blooms have no deletes to lose), but derived from one source of
-    // truth instead of a merge chain.
+      snapped("bands").repartition(col("band")), Seq("band"))
+    // Rebuild the bloom sidecars from the compacted (staged) tables —
+    // same content (blooms have no deletes to lose), but derived from one
+    // source of truth instead of a merge chain. Carried appends' members
+    // merge in at the blink below, so the sidecars can never miss a
+    // member whose rows are in the tables.
     val (rh, rb) = Dedup.BloomPrefilter.buildFilters(s,
-      s.read.parquet(s"$dir/hashes"), s.read.parquet(s"$dir/bands"))
+      s.read.parquet(s"$dir/.stage_hashes"),
+      s.read.option("basePath", s"$dir/.stage_bands")
+        .parquet(s"$dir/.stage_bands")
+        .withColumn("band", col("band").cast("int")))
+    Similarity.withTableLock(s, dir) {
+      swapAndMergeCarried(s, dir, snaps, rh, rb)
+      Similarity.compactAppendTags(s, dir, RfSidecar)
+      storeBaseCountsMemo.remove(dir) // the rewrite changed the base counts
+    }
+  }
+
+  /** The store rewrite's BLINK (call under the mutation lock): swap all
+    * three staged tables in — [[Similarity.blinkSwap]] carries any files
+    * appended since the snapshots across each swap — then write the
+    * sidecar blooms, folding the carried increments' members into the
+    * stage-built filters first (an increment-sized build + bitwise OR,
+    * the appendBloomSidecars merge shape; never an O(store) rescan). */
+  private def swapAndMergeCarried(s: SparkSession, dir: String,
+      snaps: Map[String, Set[String]],
+      rh: org.apache.spark.util.sketch.BloomFilter,
+      rb: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val carH = Similarity.blinkSwap(s, s"$dir/hashes", snaps("hashes"))
+    Similarity.blinkSwap(s, s"$dir/sets", snaps("sets"))
+    val carB = Similarity.blinkSwap(s, s"$dir/bands", snaps("bands"))
+    if (carH.nonEmpty || carB.nonEmpty) {
+      def carriedDf(table: String, rels: Seq[String]): DataFrame =
+        if (rels.isEmpty) s.read.parquet(s"$dir/$table").limit(0)
+        else s.read.option("basePath", s"$dir/$table")
+          .parquet(rels.map(r => s"$dir/$table/$r"): _*)
+      val (ih, ib) = Dedup.BloomPrefilter.buildFilters(s,
+        carriedDf("hashes", carH),
+        carriedDf("bands", carB).withColumn("band", col("band").cast("int")))
+      rh.mergeInPlace(ih)
+      rb.mergeInPlace(ib)
+    }
     writeBloomFiles(s, dir, rh, rb)
-    Similarity.compactAppendTags(s, dir, RfSidecar)
-    storeBaseCountsMemo.remove(dir) // the rewrite changed the base counts
   }
 
   // ---------------------------------------------------------------------
@@ -727,11 +826,13 @@ object DedupStore {
   /** Rewrite the pending-erasure ledger as its distinct id set in sized
     * files — content-identical to what [[read]]'s screen already derives,
     * so answers are unchanged; only the per-read file listing shrinks.
-    * Runs under the writer lease (reentrant from [[maintainDedupStore]]):
-    * a concurrent [[requestErase]] append inside the staged delete+rename
-    * window would otherwise be swept — the lost-append shape. */
+    * Runs under the rewrite lease (reentrant from [[maintainDedupStore]])
+    * AND the mutation lock: a concurrent [[requestErase]] append inside
+    * the staged delete+rename window would otherwise be swept — the
+    * lost-append shape. O(pending) body, so holding the lock is cheap. */
   private def foldEraseLedger(s: SparkSession, dir: String): Unit =
     Similarity.withWriterLease(s, dir) {
+      Similarity.withTableLock(s, dir) {
       pendingErasures(s, dir).foreach { p =>
         val pinned = p.localCheckpoint()
         val rowsPerFile = Similarity.confInt(
@@ -741,6 +842,7 @@ object DedupStore {
         Similarity.stagedWrite(s, s"$dir/$ErasePending") { tmp =>
           pinned.repartition(nFiles).write.mode("overwrite").parquet(tmp)
         }
+      }
       }
     }
 
@@ -769,51 +871,73 @@ object DedupStore {
   def erase(s: SparkSession, dir: String, erasedIds: DataFrame): Unit = {
     requireErasableLayout(s, dir)
     // pin the id set BEFORE taking the lease (it may derive from the
-    // pending ledger this verb rewrites), then rewrite under the writer
-    // lease so a concurrent roll-forward cannot append into the
-    // delete+rename window (the lost-append hole — see rollForward)
+    // pending ledger this verb rewrites), then rewrite under the REWRITE
+    // lease. Appends keep landing throughout the O(store) anti-join
+    // rewrites (round 14): files appended since the snapshots are carried
+    // across the swap blink — semantically identical to the round-13
+    // blocking order (erase, then append), because an increment admitted
+    // after the erase began was never subject to it.
     val ids = erasedIds.select(col("doc_id")).localCheckpoint()
     Similarity.withWriterLease(s, dir) {
     Similarity.promoteStages(s, dir)
+    val snaps = Seq("hashes", "sets", "bands")
+      .map(t => t -> Similarity.listTableFiles(s, s"$dir/$t")).toMap
+    def snapped(table: String): DataFrame =
+      Similarity.readTableSnapshot(s, s"$dir/$table", snaps(table))
+    Similarity.testRewriteDelay(s)
     def rewrite(table: String, df: DataFrame, partitionCols: Seq[String]): Unit =
-      Similarity.stagedWrite(s, s"$dir/$table") { tmp =>
+      Similarity.prepareStage(s, s"$dir/$table") { tmp =>
         val w = df.write.mode("overwrite")
         (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
           .parquet(tmp)
       }
     rewrite("hashes",
-      s.read.parquet(s"$dir/hashes").join(ids, Seq("doc_id"), "left_anti"),
+      snapped("hashes").join(ids, Seq("doc_id"), "left_anti"),
       Seq.empty)
     rewrite("sets",
-      s.read.parquet(s"$dir/sets").join(ids, Seq("doc_id"), "left_anti"),
+      snapped("sets").join(ids, Seq("doc_id"), "left_anti"),
       Seq.empty)
     rewrite("bands",
-      s.read.parquet(s"$dir/bands")
+      snapped("bands")
         .withColumn("band", col("band").cast("int"))
         .join(ids, Seq("doc_id"), "left_anti")
         .repartition(col("band")), Seq("band"))
+    // blooms from the staged (erased) tables: the rebuild is the privacy
+    // half — the sidecars must stop fingerprinting the erased content
     val (rh, rb) = Dedup.BloomPrefilter.buildFilters(s,
-      s.read.parquet(s"$dir/hashes"),
-      s.read.parquet(s"$dir/bands")
+      s.read.parquet(s"$dir/.stage_hashes"),
+      s.read.option("basePath", s"$dir/.stage_bands")
+        .parquet(s"$dir/.stage_bands")
         .withColumn("band", col("band").cast("int")))
-    writeBloomFiles(s, dir, rh, rb)
-    // fulfilled deferred requests leave the ledger ([[requestErase]]):
-    // rewrite pending minus the erased ids (staged), delete when empty —
-    // a maintenance-run erase self-clears and the read screen returns to
-    // the zero-cost steady state. A crash before this fold just leaves
-    // no-op screens (the rows are already gone) and a re-firing dial
-    // whose next erase is a no-op anti-join — convergent.
-    pendingErasures(s, dir).foreach { p =>
-      val left = p.join(ids, Seq("doc_id"), "left_anti").localCheckpoint()
-      if (left.isEmpty)
-        fs(s, dir).delete(
-          new org.apache.hadoop.fs.Path(s"$dir/$ErasePending"), true)
-      else Similarity.stagedWrite(s, s"$dir/$ErasePending") { tmp =>
-        left.coalesce(1).write.mode("overwrite").parquet(tmp)
+    Similarity.withTableLock(s, dir) {
+      swapAndMergeCarried(s, dir, snaps, rh, rb)
+      // fulfilled deferred requests leave the ledger ([[requestErase]]):
+      // rewrite pending minus the erased ids (staged), delete when empty —
+      // a maintenance-run erase self-clears and the read screen returns to
+      // the zero-cost steady state. A crash before this fold just leaves
+      // no-op screens (the rows are already gone) and a re-firing dial
+      // whose next erase is a no-op anti-join — convergent. Inside the
+      // blink (a concurrent requestErase appends under the same lock),
+      // reading the LIVE ledger so requests that arrived mid-rewrite
+      // stay pending; sized files, not coalesce(1) (round-13 advice).
+      pendingErasures(s, dir).foreach { p =>
+        val left = p.join(ids, Seq("doc_id"), "left_anti").localCheckpoint()
+        if (left.isEmpty)
+          fs(s, dir).delete(
+            new org.apache.hadoop.fs.Path(s"$dir/$ErasePending"), true)
+        else {
+          val rowsPerFile = Similarity.confInt(
+            s, "spark.graft.dedup.rowsPerFile", 4000000).toLong
+          val nFiles = math.max(1L,
+            (left.count() + rowsPerFile - 1L) / rowsPerFile).toInt
+          Similarity.stagedWrite(s, s"$dir/$ErasePending") { tmp =>
+            left.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+          }
+        }
       }
+      Similarity.compactAppendTags(s, dir, RfSidecar)
+      storeBaseCountsMemo.remove(dir) // the rewrite changed the base counts
     }
-    Similarity.compactAppendTags(s, dir, RfSidecar)
-    storeBaseCountsMemo.remove(dir) // the rewrite changed the base counts
     }
   }
 

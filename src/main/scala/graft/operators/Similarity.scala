@@ -939,6 +939,85 @@ object Similarity {
       }
   }
 
+  // ---------------------------------------------------------------------
+  // TWO-PHASE rewrite (round-13 verdict #1 — the no-stall-then-lands
+  // discipline): an O(artifact) rewrite must not exclude O(increment)
+  // appends for its whole wall. PREPARE (under the rewrite lease only):
+  // snapshot the table's file listing, derive the replacement from
+  // EXACTLY those files, write it into the promotable `.stage_<table>`
+  // dir — appends keep landing in the live table throughout. BLINK
+  // (under [[withTableLock]]): diff the live listing against the
+  // snapshot, COPY every file appended since into the stage dir (copy,
+  // not move — a crash before the swap must leave the live table intact,
+  // and a crash inside the delete→rename window then promotes a stage
+  // that already CONTAINS the carried appends), then delete+rename.
+  // promoteStages ignores a complete stage whose destination exists, so
+  // the finished phase-1 stage is inert to concurrent readers until the
+  // swap.
+  // ---------------------------------------------------------------------
+
+  /** Recursive data-file listing of a table dir as table-relative paths —
+    * the same set a parquet reader loads (hidden dot/underscore names are
+    * skipped at every level). Absent dir = empty. */
+  private[graft] def listTableFiles(s: SparkSession, tableDir: String)
+      : Set[String] = {
+    val f = hadoopFs(s, tableDir)
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    if (!f.exists(root)) return Set.empty
+    val out = scala.collection.mutable.Set.empty[String]
+    def walk(p: org.apache.hadoop.fs.Path, rel: String): Unit =
+      for (st <- f.listStatus(p)) {
+        val n = st.getPath.getName
+        if (!n.startsWith(".") && !n.startsWith("_")) {
+          val r = if (rel.isEmpty) n else s"$rel/$n"
+          if (st.isDirectory) walk(st.getPath, r) else out += r
+        }
+      }
+    walk(root, "")
+    out.toSet
+  }
+
+  /** Read exactly the snapshotted files of a table (basePath recovers any
+    * hive partition columns), so a rewrite's input is pinned to its
+    * snapshot — a file appended between the snapshot and the read is
+    * neither double-counted by the rewrite nor missed by the blink's
+    * carry diff. */
+  private[graft] def readTableSnapshot(s: SparkSession, tableDir: String,
+      files: Set[String]): DataFrame =
+    if (files.isEmpty) s.read.parquet(tableDir)
+    else s.read.option("basePath", tableDir)
+      .parquet(files.toSeq.sorted.map(r => s"$tableDir/$r"): _*)
+
+  /** Phase 1 of a two-phase rewrite: write the replacement into the
+    * promotable `.stage_<table>` dir WITHOUT swapping. */
+  private[graft] def prepareStage(s: SparkSession, dest: String)(
+      write: String => Unit): Unit =
+    write(dest.replaceAll("/([^/]+)$", "/.stage_$1"))
+
+  /** Phase 2 (call under [[withTableLock]]): carry files appended since
+    * `snapshot` into the stage dir by COPY, then swap. Returns the
+    * carried table-relative paths (under the NEW live table) so the
+    * caller can fold their rows into any derived sidecars. */
+  private[graft] def blinkSwap(s: SparkSession, tableDir: String,
+      snapshot: Set[String]): Seq[String] = {
+    val f = hadoopFs(s, tableDir)
+    val stage = new org.apache.hadoop.fs.Path(
+      tableDir.replaceAll("/([^/]+)$", "/.stage_$1"))
+    val live = new org.apache.hadoop.fs.Path(tableDir)
+    val carried = (listTableFiles(s, tableDir) -- snapshot).toSeq.sorted
+    for (rel <- carried) {
+      val dst = new org.apache.hadoop.fs.Path(stage, rel)
+      f.mkdirs(dst.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(f, new org.apache.hadoop.fs.Path(live, rel),
+        f, dst, false, true, s.sparkContext.hadoopConfiguration)
+    }
+    f.delete(live, true)
+    if (!f.rename(stage, live) && !f.exists(live))
+      throw new java.io.IOException(
+        s"two-phase swap failed to promote $stage over $tableDir")
+    carried
+  }
+
   /** Run `body` (a serve that materializes its result), retrying through
     * a heal when a CONCURRENT maintenance swap yanked files mid-scan
     * (round-10 advice: autoMaintain folds/compacts inside foreachBatch
@@ -1641,13 +1720,30 @@ object Similarity {
     * when the lease is held elsewhere (or lost in the create race),
     * else runs `body` holding the lease and releases it. */
   private[graft] def withMaintenanceLease[T](s: SparkSession, dir: String)(
-      yieldValue: => T)(body: => T): T = {
+      yieldValue: => T)(body: => T): T =
+    withLockFile(s, dir, "lease",
+      confInt(s, "spark.graft.maintenance.leaseTtlSec", 3600) * 1000L)(
+      yieldValue)(body)
+
+  /** FILESYSTEM REQUIREMENT (round-13 verdict): acquisition is
+    * `create(overwrite=false)`, break is rename, renewal is `setTimes` —
+    * all atomic/reliable on HDFS-class filesystems (HDFS, local,
+    * maprfs). On object stores (S3A), `setTimes` is a NO-OP and
+    * create/rename are not atomic, so a live holder's lease would read
+    * expired and be broken mid-run. The renewer below DETECTS a
+    * non-advancing mtime after its first touch and falls back to
+    * re-writing the lock file's content (which does advance mtime on
+    * every Hadoop store), logging loudly either way — so a no-op
+    * `setTimes` degrades to a still-renewed lease instead of silently
+    * reopening the lost-append race. [[leaseRenewalFallbacks]] counts the
+    * fallbacks for telemetry and the portability spec. */
+  private def withLockFile[T](s: SparkSession, dir: String, name: String,
+      ttlMs: Long)(yieldValue: => T)(body: => T): T = {
     val f = hadoopFs(s, dir)
     val root = new org.apache.hadoop.fs.Path(s"$dir/_maintenance")
-    val lease = new org.apache.hadoop.fs.Path(root, "lease")
+    val lease = new org.apache.hadoop.fs.Path(root, name)
     val key = lease.toString
     if (leaseHolders.get(key) eq Thread.currentThread()) return body
-    val ttlMs = confInt(s, "spark.graft.maintenance.leaseTtlSec", 3600) * 1000L
     f.mkdirs(root)
     if (f.exists(lease)) {
       val fresh =
@@ -1672,16 +1768,47 @@ object Similarity {
       catch { case _: java.io.IOException => false } // lost the race: yield
     if (!acquired) return yieldValue
     leaseHolders.put(key, Thread.currentThread())
+    leaseAcquisitions.incrementAndGet()
     // holder-side renewal: touch the lease mtime every TTL/4 so a live
     // body outlasting the TTL is never broken; daemon + interrupt on
-    // release, and a touch failure (lease stolen despite renewal — clock
-    // skew) is left to the create/tag guards beneath, as pre-lease
+    // release. A setTimes that FAILS or silently does nothing (object
+    // stores — see the scaladoc) falls back to re-writing the file, and
+    // both paths log loudly so an operator can see whether the lease is
+    // actually protecting the artifact (round-13 advice).
     val renewer = new Thread(() => {
+      var useFallback = false
       try {
         while (!Thread.currentThread().isInterrupted) {
           Thread.sleep(math.max(1000L, ttlMs / 4))
-          try f.setTimes(lease, System.currentTimeMillis(), -1)
-          catch { case _: java.io.IOException => () }
+          val now = System.currentTimeMillis()
+          if (!useFallback) {
+            val advanced =
+              try {
+                f.setTimes(lease, now, -1)
+                f.getFileStatus(lease).getModificationTime >= now - 1000L
+              } catch { case _: java.io.IOException => false }
+            if (!advanced) {
+              useFallback = true
+              System.err.println(s"[graft] lease renewal via setTimes is " +
+                s"not advancing the mtime of $lease (object-store " +
+                "filesystem?); falling back to content-rewrite renewal")
+            }
+          }
+          if (useFallback) {
+            try {
+              // overwrite=true on the path we already hold: advances mtime
+              // on every Hadoop store; contenders that TTL-broke the lease
+              // in the meantime are caught by the create/tag guards beneath
+              val out = f.create(lease, true)
+              try out.write(now.toString.getBytes("UTF-8"))
+              finally out.close()
+              leaseRenewalFallbacks.incrementAndGet()
+            } catch {
+              case e: java.io.IOException => System.err.println(
+                s"[graft] lease renewal FAILED for $lease: ${e.getMessage}" +
+                  " — a contender may break this live lease past the TTL")
+            }
+          }
         }
       } catch { case _: InterruptedException => () }
     }, s"graft-lease-renewer")
@@ -1694,34 +1821,89 @@ object Similarity {
     }
   }
 
-  // withMaintenanceLease's reentrancy map: lease path -> holding thread.
-  // In-memory only — cross-JVM holders are what the lease FILE serializes.
+  // withLockFile's reentrancy map: lock-file path -> holding thread.
+  // In-memory only — cross-JVM holders are what the lock FILE serializes.
   private val leaseHolders =
     new java.util.concurrent.ConcurrentHashMap[String, Thread]()
 
-  /** BLOCKING writer-exclusive form of [[withMaintenanceLease]] — the
-    * round-12-advice fix for the lost-append hole: a store APPEND
-    * (e.g. [[graft.operators.DedupStore.rollForward]]) racing a
-    * concurrent maintainer's staged table rewrite (erase/compact snapshot
-    * the listing, then delete+rename) has its freshly appended files
-    * silently swept at the swap while the append's fingerprint survives —
-    * the batch replay then no-ops on the spent identity and the rows are
-    * permanently lost. Appends cannot YIELD (the micro-batch must land),
-    * so this variant retries the acquisition until it wins, serializing
-    * every mutating verb on one artifact through the same lease file the
-    * maintainers hold. Reentrant like the base form; a dead holder's
-    * lease is TTL-broken by the loop, so the wait is bounded. */
-  private[graft] def withWriterLease[T](s: SparkSession, dir: String)(
-      body: => T): T = {
-    val waitMs =
-      confInt(s, "spark.graft.maintenance.leaseWaitMs", 2000).toLong
+  // Lock telemetry (round-13 verdict #4): successful acquisitions, total
+  // wall-ms spent blocked waiting for a held lock, and renewal fallbacks
+  // (see withLockFile). Bench snapshots these around each query and emits
+  // a part-line, so the lease protocol's cost is attributed, not inferred.
+  private[graft] val leaseAcquisitions =
+    new java.util.concurrent.atomic.AtomicLong()
+  private[graft] val leaseBlockedMs =
+    new java.util.concurrent.atomic.AtomicLong()
+  private[graft] val leaseRenewalFallbacks =
+    new java.util.concurrent.atomic.AtomicLong()
+  private[graft] def leaseStatsSnapshot(): (Long, Long, Long) =
+    (leaseAcquisitions.get(), leaseBlockedMs.get(), leaseRenewalFallbacks.get())
+
+  /** Blocking acquisition of one of the artifact's lock files: retries
+    * until it wins (a dead holder is TTL-broken by the loop, so the wait
+    * is bounded). Reentrant per (lock file, thread). */
+  private def blockingLock[T](s: SparkSession, dir: String, name: String,
+      ttlMs: Long, waitMs: Long)(body: => T): T = {
+    var blockedSince = -1L
     while (true) {
-      val r = withMaintenanceLease(s, dir)(Option.empty[T])(Some(body))
-      if (r.isDefined) return r.get
+      val r = withLockFile(s, dir, name, ttlMs)(Option.empty[T])(Some(body))
+      if (r.isDefined) {
+        if (blockedSince >= 0)
+          leaseBlockedMs.addAndGet(System.currentTimeMillis() - blockedSince)
+        return r.get
+      }
+      if (blockedSince < 0) blockedSince = System.currentTimeMillis()
       Thread.sleep(waitMs)
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** The artifact's MUTATION lock (`_maintenance/wlock`) — the short,
+    * blocking blink lock of the round-13-verdict no-stall discipline.
+    * Held ONLY for work bounded by an increment, never by the artifact:
+    * an append's staged-file moves + sidecar merges, a rewrite's
+    * carry-new-files + delete/rename swap, a ledger append. O(artifact)
+    * rewrites hold the REWRITE lease (`_maintenance/lease`,
+    * [[withMaintenanceLease]]/[[withWriterLease]]) for their whole run
+    * and this lock only for the swap blink — so a streaming append beside
+    * an hours-long 100 TB erase waits out a file-move window, not the
+    * rewrite. Lock ordering is always lease → wlock (never the reverse),
+    * so the two can never deadlock. TTL defaults to min(60 s,
+    * leaseTtlSec) — short, because a dead holder blocks every append —
+    * renewed by the holder like the lease. */
+  private[graft] def withTableLock[T](s: SparkSession, dir: String)(
+      body: => T): T = {
+    val ttlSec = confInt(s, "spark.graft.maintenance.lockTtlSec",
+      math.min(60, confInt(s, "spark.graft.maintenance.leaseTtlSec", 3600)))
+    val waitMs = confInt(s, "spark.graft.maintenance.lockWaitMs", 100).toLong
+    blockingLock(s, dir, "wlock", ttlSec * 1000L, waitMs)(body)
+  }
+
+  /** Test hook: `spark.graft.test.rewriteDelayMs` stretches the unleased
+    * PREPARE phase of every two-phase rewrite, giving the no-stall specs
+    * a deterministic window to land an append inside. Zero (the default)
+    * is a no-op. */
+  private[graft] def testRewriteDelay(s: SparkSession): Unit = {
+    val ms = confInt(s, "spark.graft.test.rewriteDelayMs", 0)
+    if (ms > 0) Thread.sleep(ms.toLong)
+  }
+
+  /** BLOCKING form of the REWRITE lease ([[withMaintenanceLease]]'s
+    * file): serializes O(artifact) rewriters — erase / compact / fold /
+    * tombstone read-modify-writes — against each other when called
+    * directly rather than from a yielding maintainer. Round 14 narrowed
+    * its scope: APPENDS no longer take this lease (the round-13 blanket
+    * serialization made every micro-batch wait out a full store rewrite —
+    * hours at 100 TB); they take the short [[withTableLock]] instead, and
+    * rewrites hold this lease for their whole run plus the table lock for
+    * the snapshot→swap blink, carrying any concurrently appended files
+    * across the swap. Reentrant; a dead holder's lease is TTL-broken by
+    * the loop, so the wait is bounded. */
+  private[graft] def withWriterLease[T](s: SparkSession, dir: String)(
+      body: => T): T =
+    blockingLock(s, dir, "lease",
+      confInt(s, "spark.graft.maintenance.leaseTtlSec", 3600) * 1000L,
+      confInt(s, "spark.graft.maintenance.leaseWaitMs", 2000).toLong)(body)
 
   /** Maintenance metrics + decisions for a graph index, as a long-form
     * (metric, value) frame — dictionary-sized, computed from artifact
@@ -4055,6 +4237,10 @@ object Similarity {
 
   def buildIvfIndex(pts: DataFrame, dir: String, rounds: Int = ivfRounds): Unit = {
     val cents = learnedCentroids(pts, rounds).localCheckpoint()
+    // under the rewrite lease (round-13 advice): a concurrent
+    // tombstoneIvfIndex recording a privacy delete during this rebuild's
+    // tombstone clear would otherwise be silently discarded
+    withWriterLease(pts.sparkSession, dir) {
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     // record the MEASURED external-serve rung with the artifact (ss54's
     // ladder at sf0.1: 60/84/100% recall at nprobe 2/4/8 — rung 4 is the
@@ -4073,6 +4259,7 @@ object Similarity {
     hadoopFs(pts.sparkSession, dir)
       .delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
     listsListingMemo.remove(s"$dir/lists") // a rebuild voids the memo
+    }
   }
 
   /** Roll the persisted index forward over an increment (dd11's
@@ -4083,13 +4270,19 @@ object Similarity {
     * drift under appended data is bounded offline by the ss06 recall
     * audit; when recall sags, rebuild — exactly the IVF maintenance story
     * of a production ANN service. */
-  def appendToIvfIndex(s: SparkSession, dir: String, newVecs: DataFrame): Unit =
-    withWriterLease(s, dir) {
-      promoteStages(s, dir) // heal a crashed staged lists compact first
-      val cents = s.read.parquet(s"$dir/centroids")
-      assignToCentroids(newVecs, cents).repartition(col("cent_id"))
+  def appendToIvfIndex(s: SparkSession, dir: String, newVecs: DataFrame): Unit = {
+    promoteStages(s, dir) // heal a crashed staged lists compact first
+    val cents = s.read.parquet(s"$dir/centroids")
+    // the assignment (the append's only non-trivial compute) materializes
+    // OUTSIDE the lock; the mutation lock covers only the increment-sized
+    // write, so the append never waits out a rewrite's wall (round 14)
+    val assigned = assignToCentroids(newVecs, cents).localCheckpoint()
+    withTableLock(s, dir) {
+      promoteStages(s, dir)
+      assigned.repartition(col("cent_id"))
         .write.mode("append").partitionBy("cent_id").parquet(s"$dir/lists")
     }
+  }
 
   /** [[appendToIvfIndex]] with REPLAY-SAFE file placement for at-least-once
     * callers (the streaming ingest sink): the increment's assigned rows are
@@ -4105,11 +4298,15 @@ object Similarity {
     * format; this makes replays CONVERGENT, which is what the
     * foreachBatch restart contract needs. */
   def stagedAppendToIvfIndex(s: SparkSession, dir: String,
-      newVecs: DataFrame, tag: String): Unit = withWriterLease(s, dir) {
-    // leased: a concurrent compact/erase swaps lists/ — an append's
-    // ingest-<tag> files landing inside the snapshot→swap window are
-    // swept while the stream's commit marker survives, so the replay
-    // skips and the batch is lost (the DedupStore round-13 discipline)
+      newVecs: DataFrame, tag: String): Unit = {
+    // no-stall (round 14): the append computes and stages outside any
+    // lock, and [[stagedAppendPartitioned]] takes the short mutation lock
+    // for its file moves only. A concurrent compact/erase carries files
+    // moved in before its swap blink across the swap ([[blinkSwap]]), so
+    // the ingest-<tag> files can no longer be swept while the stream's
+    // commit marker survives — and the append no longer waits out the
+    // rewrite's O(artifact) wall as it did under the round-13 blanket
+    // writer lease.
     promoteStages(s, dir) // heal a crashed staged lists compact first
     val cents = s.read.parquet(s"$dir/centroids")
     stagedAppendPartitioned(s, s"$dir/lists",
@@ -4124,38 +4321,53 @@ object Similarity {
   private def stagedAppendPartitioned(s: SparkSession, tableDir: String,
       rows: DataFrame, tag: String): Unit = {
     require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe staging tag: $tag")
-    val staged = s"$tableDir/.staged_append/$tag"
-    // one file per touched partition per append (an increment-sized
+    val lockRoot = tableDir.replaceAll("/[^/]+$", "")
+    val tableName = tableDir.substring(tableDir.lastIndexOf('/') + 1)
+    // stage OUTSIDE the table dir (round 14: a concurrent two-phase
+    // rewrite's swap deletes the table dir wholesale — the stage must
+    // survive it) and OUTSIDE any lock: this Spark job is the append's
+    // O(increment) compute, and the mutation lock below is held only for
+    // the file moves, so an append never waits out a rewrite's wall.
+    // One file per touched partition per append (an increment-sized
     // shuffle): without this, every shuffle partition holding rows for a
     // list writes its own small file — up to 32 files per list PER BATCH,
     // which put the file-count maintenance dial permanently past its
     // threshold on the hottest lists
+    val staged = s"$lockRoot/.staged_append_$tableName/$tag"
     rows.repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(staged)
     val f = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tableDir), s.sparkContext.hadoopConfiguration)
     val tableRoot = new org.apache.hadoop.fs.Path(tableDir)
-    for (part <- f.listStatus(new org.apache.hadoop.fs.Path(staged))
-        if part.isDirectory && part.getPath.getName.startsWith("cent_id=")) {
-      val dest = new org.apache.hadoop.fs.Path(tableRoot, part.getPath.getName)
-      f.mkdirs(dest)
-      // retire leftovers of a previous attempt at this tag, then move in
-      for (old <- f.listStatus(dest)
-          if old.getPath.getName.startsWith(s"ingest-$tag-"))
-        f.delete(old.getPath, false)
-      val files = f.listStatus(part.getPath)
-        .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
-          && !st.getPath.getName.startsWith("."))
-        .sortBy(_.getPath.getName)
-      for ((st, i) <- files.zipWithIndex)
-        f.rename(st.getPath,
-          new org.apache.hadoop.fs.Path(dest, s"ingest-$tag-$i.parquet"))
+    withTableLock(s, lockRoot) {
+      // heal a crashed rewrite's delete→rename window BEFORE moving in:
+      // renaming into a missing table dir would mkdirs a fresh one and
+      // strand the staged base forever
+      promoteStages(s, lockRoot)
+      for (part <- f.listStatus(new org.apache.hadoop.fs.Path(staged))
+          if part.isDirectory && part.getPath.getName.startsWith("cent_id=")) {
+        val dest = new org.apache.hadoop.fs.Path(tableRoot, part.getPath.getName)
+        f.mkdirs(dest)
+        // retire leftovers of a previous attempt at this tag, then move in
+        for (old <- f.listStatus(dest)
+            if old.getPath.getName.startsWith(s"ingest-$tag-"))
+          f.delete(old.getPath, false)
+        val files = f.listStatus(part.getPath)
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+            && !st.getPath.getName.startsWith("."))
+          .sortBy(_.getPath.getName)
+        for ((st, i) <- files.zipWithIndex)
+          f.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(dest, s"ingest-$tag-$i.parquet"))
+      }
+      // only this tag's staging leaves — a concurrent append of another
+      // tag may be staging under the same parent right now
+      f.delete(new org.apache.hadoop.fs.Path(staged), true)
+      // the listing-memo bound: this append added at most one file per
+      // partition of this table
+      listsListingMemo.computeIfPresent(tableDir,
+        (_, v) => (v._1, v._2, v._3, v._4 + 1L))
     }
-    f.delete(new org.apache.hadoop.fs.Path(staged), true)
-    // the listing-memo bound: this append added at most one file per
-    // partition of this table
-    listsListingMemo.computeIfPresent(tableDir,
-      (_, v) => (v._1, v._2, v._3, v._4 + 1L))
   }
 
   /** Periodic maintenance mirroring [[graft.operators.DedupStore.compact]]:
@@ -4295,18 +4507,22 @@ object Similarity {
 
   private def compactCentPartitioned(s: SparkSession, table: String): Unit = {
     // heal a previous compact's crash first (the .stage_ dir may BE this
-    // table), then stage the rewrite like every other index writer: the
-    // round-10 verdict found the old bespoke delete+rename here was the one
-    // writer autoMaintain runs unattended whose mid-window crash left
-    // lists/ or probes/ missing with nothing promoting the finished copy —
-    // stagedWrite + promoteStages is the already-healed shape.
-    promoteStages(s, table.replaceAll("/[^/]+$", ""))
-    stagedWrite(s, table) { tmp =>
-      s.read.parquet(table)
+    // table), then run the TWO-PHASE rewrite (round 14): prepare the
+    // compacted layout from a snapshot listing while appends keep
+    // landing, then carry+swap under the short mutation lock. The
+    // round-10 crash discipline carries over unchanged — the blink's
+    // delete→rename window still self-heals via promoteStages.
+    val lockRoot = table.replaceAll("/[^/]+$", "")
+    promoteStages(s, lockRoot)
+    val snap = listTableFiles(s, table)
+    testRewriteDelay(s)
+    prepareStage(s, table) { tmp =>
+      readTableSnapshot(s, table, snap)
         .withColumn("cent_id", col("cent_id").cast("long"))
         .repartition(col("cent_id"))
         .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
     }
+    withTableLock(s, lockRoot) { blinkSwap(s, table, snap) }
     listsListingMemo.remove(table) // the memoized listing no longer holds
   }
 
@@ -4374,12 +4590,18 @@ object Similarity {
     * not member fingerprints. */
   def eraseFromIvfIndex(s: SparkSession, idxDir: String, ids: DataFrame): Unit = {
     // pin the id set BEFORE the lease (it may derive from the tombstone
-    // table this verb rewrites), then rewrite under the writer lease
+    // table this verb rewrites), then rewrite under the REWRITE lease —
+    // other rewriters and tombstone read-modify-writes serialize here,
+    // while appends keep landing and are carried across the swap blink
+    // (round 14, the two-phase no-stall discipline).
     val gone = ids.select(col("vec_id")).localCheckpoint()
     withWriterLease(s, idxDir) {
     promoteStages(s, idxDir)
-    stagedWrite(s, s"$idxDir/lists") { tmp =>
-      s.read.parquet(s"$idxDir/lists")
+    val lists = s"$idxDir/lists"
+    val snap = listTableFiles(s, lists)
+    testRewriteDelay(s)
+    prepareStage(s, lists) { tmp =>
+      readTableSnapshot(s, lists, snap)
         .withColumn("cent_id", col("cent_id").cast("long"))
         .join(gone, Seq("vec_id"), "left_anti")
         .repartition(col("cent_id"))
@@ -4390,16 +4612,31 @@ object Similarity {
     // empty — the serve screens return to the zero-cost steady state. A
     // crash before this fold leaves no-op screens (the rows are already
     // gone) and a still-armed dial whose next erase is a no-op anti-join.
+    // Safe outside the blink: tombstone writers all hold the rewrite
+    // lease this verb is holding. Sized files, not coalesce(1) — the
+    // residual set is corpus-proportional at the dial limit (round-13
+    // advice).
     val tombLeft = storedNswTombstones(s, idxDir)
       .join(gone, Seq("vec_id"), "left_anti").localCheckpoint()
     val tombPath = new org.apache.hadoop.fs.Path(s"$idxDir/tombstones")
-    if (hadoopFs(s, idxDir).exists(tombPath)) {
-      if (tombLeft.isEmpty) hadoopFs(s, idxDir).delete(tombPath, true)
-      else stagedWrite(s, s"$idxDir/tombstones") { tmp =>
-        tombLeft.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val haveTombs = hadoopFs(s, idxDir).exists(tombPath)
+    if (haveTombs && !tombLeft.isEmpty) {
+      val rowsPerFile =
+        confInt(s, "spark.graft.nsw.tombstoneRowsPerFile", 4000000).toLong
+      val parts = math.max(1L,
+        (tombLeft.count() + rowsPerFile - 1L) / rowsPerFile).toInt
+      stagedWrite(s, s"$idxDir/tombstones") { tmp =>
+        tombLeft.repartitionByRange(parts, col("vec_id"))
+          .sortWithinPartitions("vec_id")
+          .write.mode("overwrite").parquet(tmp)
       }
     }
-    listsListingMemo.remove(s"$idxDir/lists")
+    withTableLock(s, idxDir) {
+      blinkSwap(s, lists, snap)
+      if (haveTombs && tombLeft.isEmpty)
+        hadoopFs(s, idxDir).delete(tombPath, true)
+      listsListingMemo.remove(lists)
+    }
     }
   }
 

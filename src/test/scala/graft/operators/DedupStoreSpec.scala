@@ -849,42 +849,128 @@ class DedupStoreSpec extends SparkSpec {
     }
   }
 
-  test("writer lease serializes appends against a held rewrite: a roll-forward BLOCKS " +
-      "while a maintainer holds the lease and lands intact on release (round-12 advice, high)") {
+  test("appends do not stall behind a held REWRITE lease: a roll-forward lands intact " +
+      "(rows + fingerprint) while a maintainer holds the lease (round-13 verdict #1)") {
     import spark.implicits._
     val (old, _) = fixture
     val batch = Seq(
       (48L, "rolled forward batch document with some novel words in it"))
       .toDF("doc_id", "text").localCheckpoint()
-    val dir = Files.createTempDirectory("dedup-store-writerlease").toFile
+    val dir = Files.createTempDirectory("dedup-store-nostall-lease").toFile
     val lease = new java.io.File(dir, "_maintenance/lease")
-    spark.conf.set("spark.graft.maintenance.leaseWaitMs", "100")
     try {
       DedupStore.build(old, dir.getPath)
-      // a "maintainer" (another stream's erase/compact) holds the lease:
-      // pre-lease, the roll-forward's rf files appended inside the
-      // rewrite's snapshot→swap window were swept while its fingerprint
-      // survived — the replay then no-oped and the rows were lost forever
+      // a "maintainer" (another stream's erase/compact) holds the REWRITE
+      // lease for its whole O(store) run. Round 13 made the append block
+      // for that entire wall; round 14 splits the locks — the append
+      // takes only the short mutation lock, and the rewrite carries any
+      // files appended since its snapshot across the swap blink.
       lease.getParentFile.mkdirs()
       lease.createNewFile()
+      DedupStore.rollForward(dir.getPath, batch, Some("b1"))
+      assert(lease.isFile,
+        "the append must not break or release the held rewrite lease")
+      assert(spark.read.parquet(s"${dir.getPath}/hashes")
+        .filter(org.apache.spark.sql.functions.col("doc_id") === 48L)
+        .count() == 1, "the roll-forward's rows must be in the store")
+      assert(new java.io.File(dir, "_rf_tags/b1").isFile,
+        "the fingerprint lands with (after) the rows")
+    } finally {
+      new java.io.File(dir, "_maintenance/lease").delete()
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
+  test("appends BLOCK on a held mutation lock (the swap blink) and land on release") {
+    import spark.implicits._
+    val (old, _) = fixture
+    val batch = Seq(
+      (48L, "rolled forward batch document with some novel words in it"))
+      .toDF("doc_id", "text").localCheckpoint()
+    val dir = Files.createTempDirectory("dedup-store-wlock").toFile
+    val wlock = new java.io.File(dir, "_maintenance/wlock")
+    spark.conf.set("spark.graft.maintenance.lockWaitMs", "50")
+    try {
+      DedupStore.build(old, dir.getPath)
+      // a rewrite is inside its carry+swap blink (or a sibling append is
+      // mid-move): the file-level mutation window stays exclusive
+      wlock.getParentFile.mkdirs()
+      wlock.createNewFile()
       @volatile var done = false
       val t = new Thread(() => {
         DedupStore.rollForward(dir.getPath, batch, Some("b1")); done = true
       })
       t.start()
-      Thread.sleep(2000)
+      Thread.sleep(1500)
       assert(!done,
-        "an append must BLOCK while the lease is held, not interleave with the rewrite")
-      lease.delete() // the maintainer releases
+        "an append must not move files into a table mid-blink")
+      wlock.delete() // the blink ends
       t.join(60000)
-      assert(done, "the append must land once the lease releases")
+      assert(done, "the append must land once the lock releases")
       assert(spark.read.parquet(s"${dir.getPath}/hashes")
         .filter(org.apache.spark.sql.functions.col("doc_id") === 48L)
         .count() == 1, "the blocked roll-forward's rows must be in the store")
       assert(new java.io.File(dir, "_rf_tags/b1").isFile,
         "the fingerprint lands with (after) the rows")
     } finally {
-      spark.conf.unset("spark.graft.maintenance.leaseWaitMs")
+      spark.conf.unset("spark.graft.maintenance.lockWaitMs")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
+  test("no-stall-then-lands: a roll-forward lands WHILE a physical erase is mid-rewrite, " +
+      "and both effects survive the swap — rows, fingerprint, AND bloom membership " +
+      "(round-13 verdict #1)") {
+    import spark.implicits._
+    val (old, _) = fixture // docs 1, 2, 3
+    val batchText = "rolled forward batch document with some novel words in it"
+    val batch = Seq((48L, batchText)).toDF("doc_id", "text").localCheckpoint()
+    val dir = Files.createTempDirectory("dedup-store-nostall").toFile
+    // stretch the erase's unleased PREPARE phase so the append provably
+    // overlaps the O(store) rewrite, not a lucky gap before/after it
+    spark.conf.set("spark.graft.test.rewriteDelayMs", "10000")
+    spark.conf.set("spark.graft.maintenance.lockWaitMs", "50")
+    try {
+      DedupStore.build(old, dir.getPath)
+      @volatile var eraseDone = false
+      val eraser = new Thread(() => {
+        DedupStore.erase(spark, dir.getPath, Seq(2L).toDF("doc_id"))
+        eraseDone = true
+      })
+      eraser.start()
+      Thread.sleep(1000) // the erase is now inside its stretched prepare
+      DedupStore.rollForward(dir.getPath, batch, Some("b1"))
+      assert(!eraseDone,
+        "the erase must still be mid-flight when the append returns — " +
+          "this is the no-stall half (round 13 proved blocks-then-lands)")
+      eraser.join(180000)
+      assert(eraseDone, "the erase must finish")
+      val hashes = spark.read.parquet(s"${dir.getPath}/hashes")
+      // the erase took effect on the snapshot...
+      assert(hashes.filter(org.apache.spark.sql.functions.col("doc_id") === 2L)
+        .count() == 0, "the erased doc's rows must be gone")
+      // ...AND the mid-rewrite append was carried across the swap
+      assert(hashes.filter(org.apache.spark.sql.functions.col("doc_id") === 48L)
+        .count() == 1, "the carried append's rows must survive the swap")
+      assert(spark.read.parquet(s"${dir.getPath}/sets")
+        .filter(org.apache.spark.sql.functions.col("doc_id") === 48L)
+        .count() == 1, "sets too")
+      assert(new java.io.File(dir, "_rf_tags/b1").isFile ||
+        new java.io.File(dir, "_rf_tags").listFiles()
+          .exists(_.getName.startsWith("_spent_")),
+        "the append's identity survives (loose or retired into _spent_)")
+      // the bloom sidecars must KNOW the carried member: the screen drops
+      // non-members before the verifying joins, so a missed merge here
+      // would silently admit an exact copy of doc 48 downstream
+      val flags = DedupStore.incrementalAgainstStore(
+        Seq((99L, batchText)).toDF("doc_id", "text"),
+        DedupStore.read(spark, dir.getPath))
+        .orderBy("doc_id").collect().toSeq
+      assert(flags == Seq(Row(99L, true, true)),
+        s"an exact copy of the carried doc must flag as a duplicate: $flags")
+    } finally {
+      spark.conf.unset("spark.graft.test.rewriteDelayMs")
+      spark.conf.unset("spark.graft.maintenance.lockWaitMs")
       org.apache.commons.io.FileUtils.deleteDirectory(dir)
     }
   }
@@ -916,6 +1002,38 @@ class DedupStoreSpec extends SparkSpec {
     }
   }
 
+  test("lease portability: on a filesystem whose setTimes is a no-op (the object-store " +
+      "shape), renewal falls back to content-rewrite and a LIVE holder still keeps its " +
+      "lease past the TTL (round-13 verdict #5)") {
+    val dir = Files.createTempDirectory("dedup-store-notouch").toFile
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.notouch.impl", classOf[NoTouchFs].getName)
+    spark.conf.set("spark.graft.maintenance.leaseTtlSec", "2")
+    val ndir = s"notouch://${dir.getPath}"
+    try {
+      val fallbacksBefore = Similarity.leaseStatsSnapshot()._3
+      val contender = new java.util.concurrent.atomic.AtomicReference[String]("")
+      val held = Similarity.withMaintenanceLease(spark, ndir)("outer-yield") {
+        // 2.5 TTLs of "work": with setTimes a no-op and NO fallback, the
+        // lease mtime never advances, the contender reads it expired and
+        // breaks a live holder — the silent race the probe must prevent
+        Thread.sleep(5000)
+        val t = new Thread(() => contender.set(
+          Similarity.withMaintenanceLease(spark, ndir)("yielded")("ran")))
+        t.start(); t.join(10000)
+        "held"
+      }
+      assert(held == "held")
+      assert(contender.get() == "yielded",
+        "a live lease on a no-op-setTimes store must still be honored")
+      assert(Similarity.leaseStatsSnapshot()._3 > fallbacksBefore,
+        "the renewer must have detected the no-op setTimes and fallen back")
+    } finally {
+      spark.conf.unset("spark.graft.maintenance.leaseTtlSec")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
   test("fingerprint v2: a v1-format tag soft-matches a same-count replay as spent " +
       "(no crash on a pre-upgrade store), while a different-count reuse still refuses") {
     import spark.implicits._
@@ -931,12 +1049,18 @@ class DedupStoreSpec extends SparkSpec {
     try {
       DedupStore.build(old, dir.getPath)
       // plant a PRE-UPGRADE (v1, id-only xor) fingerprint for tag b1 as a
-      // store that appended `one` before the content-hash change would carry
+      // store that appended `one` before the content-hash change would
+      // carry — with the xor v1 actually computed (xxhash64 over doc_id),
+      // because the soft match now recomputes and compares all THREE v1
+      // fields, not just the counts (round-13 advice: a count-only match
+      // let a different same-count batch silently no-op and lose rows)
+      val v1Xor = spark.range(1).select(org.apache.spark.sql.functions
+        .xxhash64(org.apache.spark.sql.functions.lit(48L))).head().getLong(0)
       val tags = new java.io.File(dir, "_rf_tags"); tags.mkdirs()
       java.nio.file.Files.write(new java.io.File(tags, "b1").toPath,
-        "1:1:12345".getBytes("UTF-8"))
-      // a legitimate restart replay of that batch: counts match → spent
-      // identity, no append, no crash (round-12 advice, low)
+        s"1:1:$v1Xor".getBytes("UTF-8"))
+      // a legitimate restart replay of that batch: v1 fields match →
+      // spent identity, no append, no crash (round-12 advice, low)
       DedupStore.rollForward(dir.getPath, one, Some("b1"))
       assert(spark.read.parquet(s"${dir.getPath}/hashes").count() == 3,
         "a v1 soft-match replay must not re-append")
@@ -945,6 +1069,15 @@ class DedupStoreSpec extends SparkSpec {
         DedupStore.rollForward(dir.getPath, two, Some("b1"))
       }
       assert(e.getMessage.contains("DIFFERENT"), e.getMessage)
+      // and a SAME-COUNT different-id batch — the round-13-advice hole:
+      // the old count-only soft match silently swallowed it as a replay
+      val sameCount = Seq(
+        (51L, "an unrelated one-doc batch that reuses the pre-upgrade tag"))
+        .toDF("doc_id", "text")
+      val e2 = intercept[IllegalStateException] {
+        DedupStore.rollForward(dir.getPath, sameCount, Some("b1"))
+      }
+      assert(e2.getMessage.contains("DIFFERENT"), e2.getMessage)
       // and the maintenance plan parses both fingerprint formats: roll a
       // fresh v2 tag forward next to the planted v1 and count both
       DedupStore.rollForward(dir.getPath,

@@ -308,6 +308,52 @@ class IvfIndexSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
   }
 
+  test("no-stall-then-lands (IVF tier): a staged append lands WHILE a physical erase " +
+      "is mid-rewrite, and both effects survive the swap (round-13 verdict #1)") {
+    val base = graft.operators.Similarity.qvec(spark, dir).localCheckpoint()
+    val d = java.nio.file.Files.createTempDirectory("ivf-nostall").toString
+    // stretch the erase's unleased prepare phase so the append provably
+    // overlaps the O(artifact) rewrite rather than a lucky gap around it
+    spark.conf.set("spark.graft.test.rewriteDelayMs", "10000")
+    spark.conf.set("spark.graft.maintenance.lockWaitMs", "50")
+    try {
+      val standing = base.filter(col("vec_id") % 10 =!= 3)
+      val inc = base.filter(col("vec_id") % 10 === 3).localCheckpoint()
+      Similarity.buildIvfIndex(standing, d)
+      @volatile var eraseDone = false
+      val eraser = new Thread(() => {
+        Similarity.eraseFromIvfIndex(spark, d,
+          standing.filter(col("vec_id") % 9 === 0).select(col("vec_id")))
+        eraseDone = true
+      })
+      eraser.start()
+      Thread.sleep(1000) // the erase is now inside its stretched prepare
+      Similarity.stagedAppendToIvfIndex(spark, d, inc, "b1")
+      assert(!eraseDone,
+        "the erase must still be mid-flight when the append returns — " +
+          "round 13 proved blocks-then-lands; the target is no-stall")
+      eraser.join(180000)
+      assert(eraseDone, "the erase must finish")
+      val lists = spark.read.parquet(s"$d/lists")
+        .select(col("vec_id"), col("cent_id").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+      assert(!lists.exists(t => t._1 % 9 == 0 && t._1 % 10 != 3),
+        "the erased standing ids' rows must be gone")
+      // the mid-rewrite append was carried across the swap, at the
+      // frozen-quantizer assignment the stored centroids dictate
+      val expectedInc = Similarity
+        .assignToCentroids(inc, spark.read.parquet(s"$d/centroids"))
+        .select(col("vec_id"), col("cent_id").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+      assert(lists.filter(_._1 % 10 == 3) == expectedInc,
+        "the carried append's rows must survive the swap intact")
+    } finally {
+      spark.conf.unset("spark.graft.test.rewriteDelayMs")
+      spark.conf.unset("spark.graft.maintenance.lockWaitMs")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+    }
+  }
+
   test("IVF unattended GDPR (ss59 pins): tombstones screen serves immediately, " +
       "autoErase is OFF by default, the dial is respected, and past it the physical " +
       "pass purges every stored table and self-clears the ledger") {
