@@ -4,7 +4,17 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: each SparkEntry query counted once on
   * SPARK_GRAFT_SF_DIR, one JSON line on stdout. */
 object Bench {
+  /** The host's 1/5/15-min load averages — stamped into the artifact so a
+    * contended capture is self-labeled (round-13 verdict #3: three
+    * consecutive driver captures landed contended and each needed manual
+    * adjudication against idle re-runs). */
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split(" ").take(3).mkString(",")
+    catch { case _: Throwable => "" }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
@@ -14,6 +24,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // arm the bench-only telemetry (dd25's pinned pair count): the
+      // serving path keeps its streaming plan, the captures keep their
+      // self-adjudicating part-lines
+      .config("spark.graft.bench.telemetry", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (executor threads, codegen, shuffle machinery) so the
@@ -43,8 +57,13 @@ object Bench {
     // the driver passes none and benches everything).
     val picked = if (args.isEmpty) SparkEntry.queries
                  else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    // per-query lock-protocol cost (round-13 verdict #4): acquisitions and
+    // blocked-ms attributed to each query, so a lease-cost regression is
+    // read from the artifact instead of inferred from wall deltas
+    val leaseOps = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      val (acq0, blk0, _) = graft.operators.Similarity.leaseStatsSnapshot()
       // Sub-second queries are dominated by shared-host scheduling noise
       // (a 0.24 s join was captured at 1.69 s in one driver round), so
       // they get a median-of-3; anything slower is measured once — its
@@ -54,6 +73,8 @@ object Bench {
       val first = timed(fn)
       val runs = if (first >= 0 && first < 0.5) Seq(first, timed(fn), timed(fn))
                  else Seq(first)
+      val (acq1, blk1, _) = graft.operators.Similarity.leaseStatsSnapshot()
+      if (acq1 > acq0 || blk1 > blk0) leaseOps(name) = (acq1 - acq0, blk1 - blk0)
       // Nudge the ContextCleaner: accumulated broadcast/checkpoint blocks
       // from one query otherwise bleed GC pressure into the next timing.
       System.gc()
@@ -151,6 +172,20 @@ object Bench {
         s"""{"metric":"dd25_phases","cand_pairs":$n,""" +
           s""""cand_sec":${ms(w)}}""")
     }
+    // lock-protocol attribution: every query that acquired an artifact
+    // lock, with its blocked wall — the store/index families in practice
+    if (leaseOps.nonEmpty) {
+      val lj = leaseOps.toSeq.map { case (k, (a, b)) =>
+        s""""$k":{"acq":$a,"blocked_ms":$b}""" }
+      lj.grouped(20).zipWithIndex.foreach { case (chunk, i) =>
+        println(s"""{"metric":"lease_ops","idx":${i + 1},"queries":${chunk.mkString("{", ",", "}")}}""")
+      }
+    }
+    // host window label (start + end loadavg): a contended capture now
+    // reads as contended from the artifact alone — BASELINE.md keys the
+    // clean-band comparison off this line
+    println(s"""{"metric":"host","loadavg_start":"$loadStart",""" +
+      s""""loadavg_end":"${loadavg()}","cpus":$cpus}""")
     println(json)
     spark.stop()
   }

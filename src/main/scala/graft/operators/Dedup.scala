@@ -2269,14 +2269,23 @@ object Dedup {
     val n2 = sc0.groupBy(col("doc_id")).agg(sum(col("ct") * col("ct")).as("n2"))
     val rare = sc0.join(dfreq.filter(col("df").between(2, 20)).select("s"), Seq("s"))
       .select(col("doc_id"), col("s"))
-    val cand = rare.as("a").join(rare.as("b"),
+    val candRaw = rare.as("a").join(rare.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .distinct()
-      // pinned: the pair set feeds one join but is ALSO the telemetry —
-      // the count below reads the checkpoint, not a recompute
-      .localCheckpoint()
-    dd25PhaseLog.set(Some((cand.count(), (System.nanoTime() - t0) / 1e9)))
+    // telemetry is BENCH-only (round-13 advice): the checkpoint+count pins
+    // the full candidate-pair set in executor block-manager storage, which
+    // the serving path must not pay — unflagged, the pairs stream straight
+    // through the verify join below. Bench sets the flag, so the captures
+    // keep their self-adjudicating pair count.
+    val cand =
+      if (s.conf.getOption("spark.graft.bench.telemetry").contains("true")) {
+        // pinned: the pair set feeds one join but is ALSO the telemetry —
+        // the count reads the checkpoint, not a recompute
+        val pinned = candRaw.localCheckpoint()
+        dd25PhaseLog.set(Some((pinned.count(), (System.nanoTime() - t0) / 1e9)))
+        pinned
+      } else candRaw
     val dot = cand
       .join(sc0.select(col("doc_id").as("doc1"), col("s"), col("ct").as("ct1")), Seq("doc1"))
       .join(sc0.select(col("doc_id").as("doc2"), col("s"), col("ct").as("ct2")), Seq("doc2", "s"))
