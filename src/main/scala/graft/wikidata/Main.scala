@@ -6,7 +6,10 @@ import org.apache.spark.sql.SparkSession
   *
   *   fetch <url> <destFile>                    — resumable dump download
   *   ingest <dumpPath> <outDir> [closureFile]  — dump → 9 parquet tables
-  *   post <tablesDir> <outDir>                 — 9 tables → final 3 tables
+  *   post [--only-cleanup|--no-cleanup] <tablesDir> <outDir>
+  *                                             — 9 tables → final 3 tables
+  *                                               (flags mirror main.rs:98-111:
+  *                                               cascade-only / cleanup-only)
   *   entity <jsonFile> [closureFile]           — debug: show the 9 outputs
   *                                               for a single-entity file
   *
@@ -45,17 +48,59 @@ object Main {
           .getOrElse(ClassSets.seedsOnly)
         val t = Extract.fromDump(spark, dump, classes)
         write(t, out)
-      case "post" :: in :: out :: Nil =>
+      case "post" :: rest if rest.filterNot(_.startsWith("--")).size == 2 =>
+        // flag parity with the reference (src/main.rs:98-111): default runs
+        // cascade + cleanup; --no-cleanup stops after the 10-stage cascade
+        // (debug: inspect the enriched 9-table state); --only-cleanup runs
+        // the 9 cleanup scripts over a dir whose cities a previous
+        // --no-cleanup run already enriched; both flags together is the
+        // reference's hard error.
+        val flags = rest.filter(_.startsWith("--")).toSet
+        val unknown = flags -- Set("--only-cleanup", "--no-cleanup")
+        require(unknown.isEmpty, s"unknown post flags: ${unknown.mkString(" ")}")
+        val (doPost, doCleanup) =
+          (flags("--only-cleanup"), flags("--no-cleanup")) match {
+            case (true, true) =>
+              System.err.println("Can't both do cleanup and not do cleanup")
+              sys.exit(-1)
+            case (true, false) => (false, true)
+            case (false, true) => (true, false)
+            case (false, false) => (true, true)
+          }
+        val Seq(in, out) = rest.filterNot(_.startsWith("--"))
         def rd(n: String) = spark.read.parquet(s"$in/$n")
-        val f = Post(rd("countries"), rd("object_languages"), rd("languages"),
-          rd("territorial_entities"), rd("territorial_entities_parents"),
-          rd("cities"), rd("cities_countries"), rd("object_labels"))
-        // country-partitioned layout = the reference's cities(country) index
-        // (setup.sql:48) as partition pruning
-        f.cities.write.mode("overwrite").partitionBy("country")
-          .parquet(s"$out/cities")
-        f.citiesLabels.write.mode("overwrite").parquet(s"$out/cities_labels")
-        f.citiesLanguages.write.mode("overwrite").parquet(s"$out/cities_languages")
+        val enriched =
+          if (doPost)
+            Post.cascade(rd("countries"), rd("object_languages"),
+              rd("languages"), rd("territorial_entities"),
+              rd("territorial_entities_parents"), rd("cities"),
+              rd("cities_countries"), rd("object_labels"))
+          else {
+            val c = rd("cities")
+            require(c.columns.contains("native_label"),
+              s"$in/cities is not cascade-enriched — run post (or post " +
+                "--no-cleanup) before post --only-cleanup, the reference's " +
+                "own precondition")
+            c
+          }
+        if (!doCleanup) {
+          // the reference's --no-cleanup leaves the 9-table layout in the
+          // database with cities enriched in place; immutable storage
+          // mirrors that as a copy: enriched cities + the 8 untouched
+          // tables, so a later `post --only-cleanup <out> <final>` composes
+          enriched.write.mode("overwrite").parquet(s"$out/cities")
+          for (n <- nineTables if n != "cities")
+            rd(n).write.mode("overwrite").parquet(s"$out/$n")
+        } else {
+          val f = Post.cleanup(rd("countries"), rd("object_languages"),
+            rd("languages"), rd("object_labels"), enriched)
+          // country-partitioned layout = the reference's cities(country)
+          // index (setup.sql:48) as partition pruning
+          f.cities.write.mode("overwrite").partitionBy("country")
+            .parquet(s"$out/cities")
+          f.citiesLabels.write.mode("overwrite").parquet(s"$out/cities_labels")
+          f.citiesLanguages.write.mode("overwrite").parquet(s"$out/cities_languages")
+        }
       case "entity" :: file :: rest =>
         val classes = rest.headOption.map(loadClasses)
           .getOrElse(ClassSets.seedsOnly)
@@ -77,7 +122,8 @@ object Main {
       case _ =>
         System.err.println(
           "usage: fetch <url> <dest> | ingest <dump> <outDir> [closure] | " +
-            "post <in> <out> | entity <file> [closure]")
+            "post [--only-cleanup|--no-cleanup] <in> <out> | " +
+            "entity <file> [closure]")
         sys.exit(2)
     }
     progress.stop(spark)

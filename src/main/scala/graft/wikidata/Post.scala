@@ -51,7 +51,26 @@ object Post {
       cities0: DataFrame,          // (id, population, lat, lon)
       citiesCountries: DataFrame,  // (city, priority, country)
       objectLabels: DataFrame      // (id, lang, label, native_order)
-  ): FinalTables = {
+  ): FinalTables =
+    cleanup(countries, objectLanguages, languages, objectLabels,
+      cascade(countries, objectLanguages, languages, territorialEntities,
+        teParents, cities0, citiesCountries, objectLabels))
+
+  /** The 10-stage label cascade alone (the reference's `do_post` half —
+    * `post --no-cleanup`, src/main.rs:98-111 / src/post/mod.rs:114-155):
+    * returns the ENRICHED cities table (country pick, subdivision, the
+    * four label columns, 2nd_iso) with every input city still present —
+    * pruning and the final 3-table shape are [[cleanup]]'s business. */
+  def cascade(
+      countries: DataFrame,        // (id, iso)
+      objectLanguages: DataFrame,  // (id, lang_id, lang_index)
+      languages: DataFrame,        // (id, code)
+      territorialEntities: DataFrame, // (id, is_2nd, iso)
+      teParents: DataFrame,        // (id, parent)
+      cities0: DataFrame,          // (id, population, lat, lon)
+      citiesCountries: DataFrame,  // (city, priority, country)
+      objectLabels: DataFrame      // (id, lang, label, native_order)
+  ): DataFrame = {
 
     // ------------------------------------------------------------------
     // Stage 1 — city_countries.sql: drop countries that don't exist (C1),
@@ -283,8 +302,22 @@ object Post {
     // ------------------------------------------------------------------
     val isoSrc = territorialEntities.filter(col("is_2nd"))
       .select(col("id").as("iso_id"), col("iso").as("te_iso"))
-    val c11 = c10.join(isoSrc, c10("2nd_id") === col("iso_id"), "left")
+    c10.join(isoSrc, c10("2nd_id") === col("iso_id"), "left")
       .select(c10("*"), col("te_iso").as("2nd_iso"))
+  }
+
+  /** The 9 cleanup scripts alone (the reference's `do_cleanup` half —
+    * `post --only-cleanup`): prune, dedup and rename into the final
+    * 3-table schema. `citiesEnriched` is [[cascade]]'s output (or a table
+    * a previous `--no-cleanup` run wrote). */
+  def cleanup(
+      countries: DataFrame,        // (id, iso)
+      objectLanguages: DataFrame,  // (id, lang_id, lang_index)
+      languages: DataFrame,        // (id, code)
+      objectLabels: DataFrame,     // (id, lang, label, native_order)
+      citiesEnriched: DataFrame    // cascade's 11-column cities
+  ): FinalTables = {
+    val c11 = citiesEnriched
 
     // ------------------------------------------------------------------
     // Cleanup 05/06 (C18/C19): keep cities whose country survived, repoint

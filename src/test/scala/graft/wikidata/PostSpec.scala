@@ -13,7 +13,12 @@ import graft.SparkSpec
 class PostSpec extends SparkSpec {
   import spark.implicits._
 
-  lazy val result: Post.FinalTables = {
+  // the 8 input tables, reused by the full-post result and the split
+  // cascade/cleanup (--no-cleanup / --only-cleanup) cases
+  lazy val inputs: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val countries = Seq(("C1", "de"), ("C2", "fr")).toDF("id", "iso")
     val languages = Seq(("LDE", "de"), ("LFR", "fr"), ("LEO", "eo"),
       ("LZH", "zh")).toDF("id", "code")
@@ -53,8 +58,44 @@ class PostSpec extends SparkSpec {
       ("TB", "de", "TBde", None)
     ).toDF("id", "lang", "label", "native_order")
 
+    (countries, objectLanguages, languages, tes, teParents,
+      cities, citiesCountries, objectLabels)
+  }
+
+  lazy val result: Post.FinalTables = {
+    val (countries, objectLanguages, languages, tes, teParents,
+      cities, citiesCountries, objectLabels) = inputs
     Post(countries, objectLanguages, languages, tes, teParents,
       cities, citiesCountries, objectLabels)
+  }
+
+  test("--no-cleanup half (cascade): enriched schema, every input city survives " +
+      "(pruning is the cleanup's business — main.rs:98-111 flag parity)") {
+    val (countries, objectLanguages, languages, tes, teParents,
+      cities, citiesCountries, objectLabels) = inputs
+    val enriched = Post.cascade(countries, objectLanguages, languages, tes,
+      teParents, cities, citiesCountries, objectLabels)
+    assert(enriched.columns.toSet == Set("id", "country", "population",
+      "lat", "lon", "2nd_id", "native_label", "eo_label",
+      "2nd_native_label", "2nd_eo_label", "2nd_iso"), enriched.columns.toSeq)
+    val ids = enriched.select("id").collect().map(_.getString(0)).toSet
+    assert(ids == Set("X1", "X2", "X3", "X4", "X5", "X6"),
+      s"the cascade must keep unlabeled/dead-country cities: $ids")
+  }
+
+  test("--only-cleanup half composes: cleanup over the cascade's output equals " +
+      "the one-shot post") {
+    val (countries, objectLanguages, languages, tes, teParents,
+      cities, citiesCountries, objectLabels) = inputs
+    val enriched = Post.cascade(countries, objectLanguages, languages, tes,
+      teParents, cities, citiesCountries, objectLabels)
+    val split = Post.cleanup(countries, objectLanguages, languages,
+      objectLabels, enriched)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(split.cities) == rows(result.cities))
+    assert(rows(split.citiesLabels) == rows(result.citiesLabels))
+    assert(rows(split.citiesLanguages) == rows(result.citiesLanguages))
   }
 
   lazy val byId: Map[String, Row] =
