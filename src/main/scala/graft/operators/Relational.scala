@@ -902,10 +902,16 @@ object Relational {
     // confirmed by the real closing-edge semi-join below), it just grows
     // gradually less selective. Rebuild only when the edge set collapses
     // ≥4× below the build size: that caps the driver-side aggregate (a
-    // full pass over e, collected to the driver) and the per-round bloom
-    // literal in the task binary (~115 MB at 10^8 edges) at O(log n)
-    // builds instead of one per round — the round-5 scale hazard.
-    var bloomSer: Array[Byte] = null
+    // full pass over e, collected to the driver) at O(log n) builds
+    // instead of one per round — the round-5 scale hazard. The filter
+    // travels as a BROADCAST handle, not a binary literal (round 14): the
+    // sf1 scaling decade measured round 1 at 73× for 10× data, and the
+    // dominant cost was the ~14 MB literal Catalyst re-hashed on every
+    // analysis/canonicalization pass of the round's plan (the
+    // BloomMightContainBC note's +2-3 s at 3.5 MB, compounding with plan
+    // size) — the broadcast form ships only the handle in the plan.
+    var bloomBc: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter] = null
     var bloomBuiltAt = 0L
     while (round < maxRounds && result == null) {
       val roundT0 = System.nanoTime()
@@ -923,24 +929,41 @@ object Relational {
       // (n == 0 skips the screen entirely: Spark's bloomFilter aggregate
       // has no buffer for zero rows, and an empty graph is at fixpoint)
       val wedges = if (n == 0) wedges0 else {
-        if (bloomSer == null || n * 4 <= bloomBuiltAt) {
-          bloomSer = graft.functions.BloomMightContain.serialize(
+        if (bloomBc == null || n * 4 <= bloomBuiltAt) {
+          val retired = bloomBc
+          bloomBc = e.sparkSession.sparkContext.broadcast(
             e.select(xxhash64(col("a"), col("b")).as("h"))
               .stat.bloomFilter("h", math.max(n, 1000L), 0.01))
+          // prior rounds' jobs are fully materialized (count per round),
+          // so the replaced handle has no live consumers
+          if (retired != null) retired.unpersist(false)
           bloomBuiltAt = n
           if (sys.env.contains("GRAFT_CC_DEBUG"))
             System.err.println(s"[truss] bloom build at n=$n (round ${round + 1})")
         }
-        wedges0.filter(call_function("bloom_might_contain",
-          xxhash64(col("w1"), col("w2")), lit(bloomSer)))
+        wedges0.filter(org.apache.spark.sql.graft.ColumnShim.column(
+          graft.functions.BloomMightContainBC(
+            org.apache.spark.sql.graft.ColumnShim.expression(
+              xxhash64(col("w1"), col("w2"))), bloomBc)))
       }
       // closing edge is undirected; e stores it as (min, max) = (w1, w2)
       val tri = wedges.join(e.select(col("a").as("w1"), col("b").as("w2")),
         Seq("w1", "w2"), "left_semi")
+      // ONE pass over the triangle stream: explode each triangle into its
+      // three edges, then count. The previous 3-way unionAll of `tri`
+      // planned the whole wedge+closure subtree three times — at sf0.1
+      // exchange reuse papered over it, but the sf1 scaling decade showed
+      // the duplicated subtrees re-running (round 1 at 73× for 10× data);
+      // the explode shape (triangleCounts' discipline) makes single
+      // execution structural rather than an optimizer favor.
       val sup = tri
-        .select(least(col("u"), col("w1")).as("a"), greatest(col("u"), col("w1")).as("b"))
-        .unionAll(tri.select(least(col("u"), col("w2")).as("a"), greatest(col("u"), col("w2")).as("b")))
-        .unionAll(tri.select(col("w1").as("a"), col("w2").as("b")))
+        .select(explode(array(
+          struct(least(col("u"), col("w1")).as("a"),
+            greatest(col("u"), col("w1")).as("b")),
+          struct(least(col("u"), col("w2")).as("a"),
+            greatest(col("u"), col("w2")).as("b")),
+          struct(col("w1").as("a"), col("w2").as("b")))).as("t"))
+        .select(col("t.a").as("a"), col("t.b").as("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= minSup)
       val e2 = e.join(sup.select("a", "b"), Seq("a", "b"), "left_semi")
