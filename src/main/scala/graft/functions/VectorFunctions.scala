@@ -324,6 +324,72 @@ case class NGramHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Runtime helper for [[SparseDotLong]]: two-pointer merge over two
+  * key-sorted parallel posting arrays — Σ c1[i]·c2[j] over positions with
+  * equal keys. Keys must be sorted by Spark's binary string ordering (what
+  * `sort_array` over `struct(s, ct)` produces), so equality scans are one
+  * linear merge with no hashing and no per-pair allocation. */
+object SparseDotImpl {
+  def compute(s1: ArrayData, c1: ArrayData, s2: ArrayData, c2: ArrayData): Long = {
+    val n1 = s1.numElements()
+    val n2 = s2.numElements()
+    var i = 0
+    var j = 0
+    var acc = 0L
+    while (i < n1 && j < n2) {
+      val c = s1.getUTF8String(i).compareTo(s2.getUTF8String(j))
+      if (c == 0) { acc += c1.getLong(i) * c2.getLong(j); i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    acc
+  }
+}
+
+/** `sparse_dot_l(keys1, cts1, keys2, cts2)` → the sparse dot product of two
+  * (key-sorted array<string>, array<bigint>) count-vector encodings:
+  * Σ cts1[i]·cts2[j] over matching keys. Semantically the posting-list join
+  * `SELECT SUM(a.ct*b.ct) FROM p1 a JOIN p2 b USING (s)` per pair, but as
+  * one codegen'd merge over the pair's two arrays — the candidate-verify
+  * hot path pays O(|p1|+|p2|) per pair with zero intermediate rows, where
+  * the join form materializes |pairs|×|postings-per-doc| rows into a
+  * shuffle+aggregate (71.6M rows for 1.12M candidates at sf0.1). */
+case class SparseDotLong(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(first, third).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }) && Seq(second, fourth).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "sparse_dot_l expects (array<string>, array<bigint>, array<string>, " +
+        s"array<bigint>), got (${first.dataType.sql}, ${second.dataType.sql}, " +
+        s"${third.dataType.sql}, ${fourth.dataType.sql})")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sparse_dot_l"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    SparseDotImpl.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.SparseDotImpl.compute($a, $b, $c, $d)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
+}
+
 /** Runtime helper for [[IntersectSize]]. */
 object IntersectSizeImpl {
   /** Count of DISTINCT common elements, null matching null — exactly
@@ -407,6 +473,8 @@ object VectorFunctions {
     add("rp_project")(args =>
       RpProject(args(0), args(1).eval().asInstanceOf[Int]))
     add("intersect_size")(args => IntersectSize(args(0), args(1)))
+    add("sparse_dot_l")(args =>
+      SparseDotLong(args(0), args(1), args(2), args(3)))
     add("ngram_hashes")(args =>
       NGramHashes(args(0), args(1).eval().asInstanceOf[Int]))
     add("zorder2") { args =>

@@ -2258,6 +2258,7 @@ object Dedup {
     Option[(Long, Double)]](None)
 
   def dd25CosinePairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val t0 = System.nanoTime()
     val docs = Tables(s, dir, "documents")
     val sc0 = shingled(docs)
@@ -2286,11 +2287,26 @@ object Dedup {
         dd25PhaseLog.set(Some((pinned.count(), (System.nanoTime() - t0) / 1e9)))
         pinned
       } else candRaw
+    // Exact verify WITHOUT the posting-join blowup (r14, guide §2.3/§3.3):
+    // the join form (cand ⋈ postings(doc1) ⋈ postings(doc2) on s, then
+    // SUM) materializes |cand| × postings-per-doc rows — 71.6M at sf0.1
+    // for 1.12M candidates — through a hash probe and an aggregate. Each
+    // doc's count vector is instead packed ONCE into s-sorted parallel
+    // arrays, the pair join attaches two array handles per candidate
+    // (1:1 equi-joins, request-sized output), and the exact dot is one
+    // codegen'd two-pointer merge per pair (sparse_dot_l). Same BIGINT
+    // arithmetic, same rows: every candidate shares ≥1 rare shingle, so
+    // the inner posting join emitted every candidate too.
+    val docvec = sc0.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("ct")))).as("post"))
+      .select(col("doc_id"), col("post.s").as("ss"), col("post.ct").as("cs"))
     val dot = cand
-      .join(sc0.select(col("doc_id").as("doc1"), col("s"), col("ct").as("ct1")), Seq("doc1"))
-      .join(sc0.select(col("doc_id").as("doc2"), col("s"), col("ct").as("ct2")), Seq("doc2", "s"))
-      .groupBy(col("doc1"), col("doc2"))
-      .agg(sum(col("ct1") * col("ct2")).as("dot"))
+      .join(docvec.select(col("doc_id").as("doc1"),
+        col("ss").as("ss1"), col("cs").as("cs1")), Seq("doc1"))
+      .join(docvec.select(col("doc_id").as("doc2"),
+        col("ss").as("ss2"), col("cs").as("cs2")), Seq("doc2"))
+      .select(col("doc1"), col("doc2"),
+        expr("sparse_dot_l(ss1, cs1, ss2, cs2)").as("dot"))
     dot
       .join(n2.select(col("doc_id").as("doc1"), col("n2").as("n2a")), Seq("doc1"))
       .join(n2.select(col("doc_id").as("doc2"), col("n2").as("n2b")), Seq("doc2"))
