@@ -2160,6 +2160,36 @@ object Similarity {
   private[operators] def buildNswOnce(key: String)(build: => Unit): Unit =
     nswBuiltOnce.computeIfAbsent(key, _ => { build; java.lang.Boolean.TRUE })
 
+  /** Run a ladder's independent rungs from a small thread pool so each
+    * rung's jobs back-fill the executor slots the previous rung's stage
+    * tail leaves idle (guide §2.6: actions are only sequential because
+    * the driver calls them sequentially). Result order is the input
+    * order — execution overlap never reorders the returned Seq — and
+    * each rung's lineage is its own (the memoized artifact builds the
+    * rungs share are blocking computeIfAbsent, so a racing first-touch
+    * waits instead of double-building). Pool is per-call and bounded:
+    * 2-3 in-flight jobs fill a stage tail; more just contend. */
+  private[operators] def parLadder[A, B](xs: Seq[A], par: Int = 3)(f: A => B): Seq[B] =
+    if (xs.lengthCompare(2) < 0) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(par, xs.size))
+      try {
+        val futs = xs.map { x =>
+          pool.submit(new java.util.concurrent.Callable[B] {
+            override def call(): B = f(x)
+          })
+        }
+        futs.map { fut =>
+          try fut.get()
+          catch { // surface the rung's own failure, not the wrapper
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+      } finally pool.shutdown()
+    }
+
   private[operators] def ensureNswIndex(s: SparkSession, dir: String): String = {
     val idx = indexPathFor(dir + "#nswidx")
     buildNswOnce(idx) {
@@ -2301,8 +2331,10 @@ object Similarity {
           entriesOverride = Some(ents)))
         .select(lit(rule).as("entry_rule"), col("n_exact"), col("n_hit"),
           col("recall_pct"))
-    audit("lowid", storedNswEntries(s, idx))
-      .unionByName(audit("centroid", centroidEntries(s, idx)))
+    parLadder(Seq(
+      () => audit("lowid", storedNswEntries(s, idx)),
+      () => audit("centroid", centroidEntries(s, idx))))(_.apply())
+      .reduce(_ unionByName _)
   }
 
   lazy val ss47Oracle: String = {
@@ -2886,7 +2918,7 @@ object Similarity {
       .select(col("q_id"), col("c_id")).localCheckpoint()
     val idxDir = indexPathFor(dir)
     buildIvfIndex(base, idxDir)
-    ivfProbeLadder.map { np =>
+    parLadder(ivfProbeLadder) { np =>
       recallAgainst(exact, ivfServeExternalAt(s, idxDir, ext, np))
         .withColumn("nprobe", lit(np.toLong))
     }.reduce(_.unionByName(_))
@@ -2997,14 +3029,17 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos")).localCheckpoint()
     val u0 = qs.select(col("q_id")).crossJoin(broadcast(entries))
       .localCheckpoint()
-    beamLadderWidths.map { width =>
+    parLadder(beamLadderWidths) { width =>
       var b = beamW(u0, width)
       var visited = u0
       val rungs = (1 to beamLadderHops.max).flatMap { h =>
+        // one exchange per hop: q_id partitioning serves both the dedup
+        // and beamW's window (see nswBeamSearch)
         val grown = b.select(col("q_id"), col("c_id"))
           .unionAll(b.join(edges, b("c_id") === edges("src"))
             .select(col("q_id"), col("dst").as("c_id")))
-          .distinct().localCheckpoint()
+          .repartition(col("q_id"))
+          .dropDuplicates(Seq("q_id", "c_id")).localCheckpoint()
         visited = visited.unionByName(grown)
         b = beamW(grown, width)
         if (!beamLadderHops.contains(h)) None
@@ -3147,10 +3182,18 @@ object Similarity {
     var b = ck(beam(u0))
     var visited = u0
     for (_ <- 1 to hops) {
+      // ONE exchange per hop (r14, guide §2.4): hash the grown frontier by
+      // q_id once — the (q_id, c_id) dedup is an aggregate whose clustering
+      // requirement a q_id partitioning already satisfies, and beam()'s
+      // top-beamWidth window is partitioned by q_id too, so neither inserts
+      // its own exchange. The previous distinct() partitioned by
+      // (q_id, c_id), which the window could NOT reuse — every hop paid a
+      // second request-sized shuffle just to re-cluster by q_id.
       val grown = b.select(col("q_id"), col("c_id"))
         .unionAll(b.join(edges, b("c_id") === edges("src"))
           .select(col("q_id"), col("dst").as("c_id")))
-        .distinct()
+        .repartition(col("q_id"))
+        .dropDuplicates(Seq("q_id", "c_id"))
       visited = visited.unionByName(grown)
       b = ck(beam(grown))
     }
@@ -3248,7 +3291,7 @@ object Similarity {
     val exact = ss01BruteTopk(s, dir).select(col("q_id"), col("c_id"))
       .localCheckpoint()
     val entries = Some(storedNswEntries(s, idx))
-    nswDegrees.map { m =>
+    parLadder(nswDegrees) { m =>
       recallAgainst(exact,
         nswBeamOver(base, storedNswEdges(s, idx, m), materialize = true,
           beamHops, entriesOverride = entries))
