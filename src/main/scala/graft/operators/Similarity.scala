@@ -1239,8 +1239,18 @@ object Similarity {
     * tiebreaks as [[assignToCentroids]]). Space: nprobe× the corpus —
     * the standard space-for-time trade of a reverse link table. */
   private def probeAssignments(s: SparkSession, pts: DataFrame,
-      ivfDir: String): DataFrame = {
-    val cents = s.read.parquet(s"$ivfDir/centroids")
+      ivfDir: String): DataFrame =
+    probeAssignmentsFrom(pts,
+      s.read.parquet(s"$ivfDir/centroids"))
+
+  /** [[probeAssignments]] against an in-memory centroid table — the build
+    * path passes the just-trained centroids directly so the corpus is
+    * scored ONCE (the crn=1 slice IS the argmax assignment, same score
+    * expression and (ccos desc, cent_id asc) tie-break as
+    * [[assignToCentroids]]). */
+  private def probeAssignmentsFrom(pts: DataFrame,
+      centsRaw: DataFrame): DataFrame = {
+    val cents = centsRaw
       .select(col("cent_id"), col("cv").as("v2"), col("cnrm").as("n2"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id").asc)
@@ -1281,13 +1291,30 @@ object Similarity {
 
   def buildNswIndex(s: SparkSession, pts: DataFrame, dir: String): Unit = {
     deltaSprawlChecked.remove(dir) // a rebuild invalidates any sized tag set
-    buildIvfIndex(pts, s"$dir/ivf")
-    // the reverse probe index, then the edges AS A JOIN OF THE TWO STORED
-    // TABLES — one training, one assignment, one probe window per build
-    // (knnRankedEdges computes the identical graph but pays the quantizer
-    // chain twice; NswIndexSpec pins the equality)
-    probeAssignments(s, pts, s"$dir/ivf").repartition(col("cent_id"))
+    // ONE corpus scoring pass (r14, guide §1.2 "remove unnecessary
+    // passes"): the probe window's crn=1 slice IS the argmax assignment
+    // (same score, same tie-break — see probeAssignmentsFrom), so the
+    // inverted lists are derived from the stored probe table instead of
+    // paying assignToCentroids' second corpus × centroids score + its
+    // groupBy/self-join exchanges. buildIvfIndex keeps its own pass for
+    // standalone IVF callers; NswIndexSpec pins both derivations equal.
+    val ivfDir = s"$dir/ivf"
+    val cents = learnedCentroids(pts, ivfRounds).localCheckpoint()
+    probeAssignmentsFrom(pts, cents).repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/probes")
+    withWriterLease(s, ivfDir) {
+      cents.write.mode("overwrite").parquet(s"$ivfDir/centroids")
+      writeIvfManifest(s, ivfDir)
+      s.read.parquet(s"$dir/probes").filter(col("crn") === 1)
+        .select(col("cent_id"), col("vec_id"), col("v"), col("nrm"))
+        .repartition(col("cent_id"))
+        .write.mode("overwrite").partitionBy("cent_id").parquet(s"$ivfDir/lists")
+      // a rebuilt index has no deletes: stale tombstones from the replaced
+      // artifact must not screen the fresh corpus
+      hadoopFs(s, ivfDir)
+        .delete(new org.apache.hadoop.fs.Path(s"$ivfDir/tombstones"), true)
+      listsListingMemo.remove(s"$ivfDir/lists")
+    }
     writeNswEdges(s, dir, edgesFromStored(s, dir))
     writeNswEntries(s, dir,
       pts.select(col("vec_id")).orderBy(col("vec_id").asc).limit(nswEntryCount))
