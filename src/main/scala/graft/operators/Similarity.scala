@@ -1289,6 +1289,28 @@ object Similarity {
         col("rnk"), col("cos"))
   }
 
+  /** [[edgesFromStored]] reading the probe table ONLY — valid right after
+    * a fresh build, where lists/ is by construction the probes' crn=1
+    * slice, so the edge job need not wait for the lists write. */
+  private def edgesFromProbes(s: SparkSession, dir: String): DataFrame = {
+    val p = s.read.parquet(s"$dir/probes")
+    val probes = p.select(col("cent_id"), col("vec_id").as("q_id"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val lists = p.filter(col("crn") === 1)
+      .select(col("cent_id"), col("vec_id").as("c_id"),
+        col("v").as("v2"), col("nrm").as("n2"))
+    val wk = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    probes.join(lists, Seq("cent_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos",
+        expr(dotExpr) / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= nswMaxDegree)
+      .select(col("q_id").as("src"), col("c_id").as("dst"),
+        col("rnk"), col("cos"))
+  }
+
   def buildNswIndex(s: SparkSession, pts: DataFrame, dir: String): Unit = {
     deltaSprawlChecked.remove(dir) // a rebuild invalidates any sized tag set
     // ONE corpus scoring pass (r14, guide §1.2 "remove unnecessary
@@ -1302,22 +1324,28 @@ object Similarity {
     val cents = learnedCentroids(pts, ivfRounds).localCheckpoint()
     probeAssignmentsFrom(pts, cents).repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/probes")
-    withWriterLease(s, ivfDir) {
-      cents.write.mode("overwrite").parquet(s"$ivfDir/centroids")
-      writeIvfManifest(s, ivfDir)
-      s.read.parquet(s"$dir/probes").filter(col("crn") === 1)
-        .select(col("cent_id"), col("vec_id"), col("v"), col("nrm"))
-        .repartition(col("cent_id"))
-        .write.mode("overwrite").partitionBy("cent_id").parquet(s"$ivfDir/lists")
-      // a rebuilt index has no deletes: stale tombstones from the replaced
-      // artifact must not screen the fresh corpus
-      hadoopFs(s, ivfDir)
-        .delete(new org.apache.hadoop.fs.Path(s"$ivfDir/tombstones"), true)
-      listsListingMemo.remove(s"$ivfDir/lists")
-    }
-    writeNswEdges(s, dir, edgesFromStored(s, dir))
-    writeNswEntries(s, dir,
-      pts.select(col("vec_id")).orderBy(col("vec_id").asc).limit(nswEntryCount))
+    // the three derived tables all read ONLY the just-written probes (the
+    // lists side of the edge join is the crn=1 slice, identical rows to
+    // lists/), so they are independent jobs — overlap them (guide §2.6)
+    // instead of serializing three stage tails
+    parLadder(Seq[() => Unit](
+      () => withWriterLease(s, ivfDir) {
+        cents.write.mode("overwrite").parquet(s"$ivfDir/centroids")
+        writeIvfManifest(s, ivfDir)
+        s.read.parquet(s"$dir/probes").filter(col("crn") === 1)
+          .select(col("cent_id"), col("vec_id"), col("v"), col("nrm"))
+          .repartition(col("cent_id"))
+          .write.mode("overwrite").partitionBy("cent_id").parquet(s"$ivfDir/lists")
+        // a rebuilt index has no deletes: stale tombstones from the
+        // replaced artifact must not screen the fresh corpus
+        hadoopFs(s, ivfDir)
+          .delete(new org.apache.hadoop.fs.Path(s"$ivfDir/tombstones"), true)
+        listsListingMemo.remove(s"$ivfDir/lists")
+      },
+      () => writeNswEdges(s, dir, edgesFromProbes(s, dir)),
+      () => writeNswEntries(s, dir,
+        pts.select(col("vec_id")).orderBy(col("vec_id").asc).limit(nswEntryCount))
+    ))(_.apply())
     val f = hadoopFs(s, dir)
     // a rebuild resets the whole verb ladder: no deletes, no deltas, and
     // append tags start fresh against the new base
