@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BitmapAgg, BitmapAndCardinality, BitmapCardinality, BloomMightContain, DotProductLong, IntersectSize, LshBucket, MinHashSigs, NGramHashes, SparseDotLong, ZOrder2}
+import graft.functions.{BitmapAgg, BitmapAndCardinality, BitmapCardinality, BloomMightContain, DotProductLong, IntersectSize, LshBucket, MinHashSigs, NGramHashes, PqAdcLong, SparseDotLong, ZOrder2}
 import graft.plans.{RewriteBoundedLevenshtein, RewriteIntersectSize, RewriteRangeJoin}
 
 /** Spark extension entry point: registers the engine's native Catalyst
@@ -43,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SparseDotLong].getName, "sparse_dot_l"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SparseDotLong(args(0), args(1), args(2), args(3))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc_l"),
+      new ExpressionInfo(classOf[PqAdcLong].getName, "pq_adc_l"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PqAdcLong(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("ngram_hashes"),
       new ExpressionInfo(classOf[NGramHashes].getName, "ngram_hashes"),

@@ -390,6 +390,84 @@ case class SparseDotLong(first: Expression, second: Expression,
       fourth = newFourth)
 }
 
+/** Runtime helper for [[PqAdcLong]]: Σ_m luts[m][codes[m]] over parallel
+  * arrays — the PQ asymmetric-distance accumulation. Key lookup is a
+  * linear scan of each map's key array (codebooks are dictionary-sized),
+  * but in one compiled loop instead of M interpreted element_at lambdas.
+  * A missing key yields null, matching
+  * `aggregate(zip_with(luts, codes, (mp, cd) -> element_at(mp, cd)), ...)`. */
+object PqAdcImpl {
+  def compute(luts: ArrayData, codes: ArrayData): Any = {
+    // zip_with pads the shorter side with null → element_at → null sum,
+    // so ANY length mismatch nulls the HOF form's result; mirror it
+    if (luts.numElements() != codes.numElements()) return null
+    val m = luts.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < m) {
+      val mp = luts.getMap(i)
+      val code = codes.getLong(i)
+      val keys = mp.keyArray()
+      val n = keys.numElements()
+      var j = 0
+      var found = false
+      while (j < n && !found) {
+        if (keys.getLong(j) == code) {
+          acc += mp.valueArray().getLong(j)
+          found = true
+        }
+        j += 1
+      }
+      if (!found) return null
+      i += 1
+    }
+    acc
+  }
+}
+
+/** `pq_adc_l(luts, codes)` ≡
+  * `aggregate(zip_with(luts, codes, (mp, cd) -> element_at(mp, cd)), 0L,
+  * (acc, x) -> acc + x)` for (array<map<bigint,bigint>>, array<bigint>) —
+  * the ADC hot path as one codegen'd loop. The HOF form interprets two
+  * lambdas and a per-element map probe for every (query, candidate) row. */
+case class PqAdcLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (left.dataType match {
+      case ArrayType(org.apache.spark.sql.types.MapType(LongType, LongType, _), _) => true
+      case _ => false
+    }) && (right.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "pq_adc_l expects (array<map<bigint,bigint>>, array<bigint>), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc_l"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqAdcImpl.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = graft.functions.PqAdcImpl.compute($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) $r).longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Runtime helper for [[IntersectSize]]. */
 object IntersectSizeImpl {
   /** Count of DISTINCT common elements, null matching null — exactly
@@ -475,6 +553,7 @@ object VectorFunctions {
     add("intersect_size")(args => IntersectSize(args(0), args(1)))
     add("sparse_dot_l")(args =>
       SparseDotLong(args(0), args(1), args(2), args(3)))
+    add("pq_adc_l")(args => PqAdcLong(args(0), args(1)))
     add("ngram_hashes")(args =>
       NGramHashes(args(0), args(1).eval().asInstanceOf[Int]))
     add("zorder2") { args =>

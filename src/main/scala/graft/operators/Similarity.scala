@@ -4972,8 +4972,13 @@ object Similarity {
         expr(s"transform(sequence(0, ${pqM - 1}), i -> element_at(mpm, i))"))
       .select(col("q_id"), col("mps"))
 
-  private val pqAdcExpr: String =
-    "aggregate(zip_with(mps, codes, (mp, cd) -> element_at(mp, cd)), 0L, (acc, x) -> acc + x)"
+  // Codegen'd ADC accumulation (r14, guide step 2 "per-task work"): the
+  // HOF form — aggregate(zip_with(mps, codes, (mp, cd) ->
+  // element_at(mp, cd)), 0L, (acc, x) -> acc + x) — interprets two
+  // lambdas and M map probes per (query, candidate) row; pq_adc_l is the
+  // same Σ_m lut[m][code[m]] (null on a missing key, like element_at) as
+  // one compiled loop. PqAdcSpec pins the equivalence on the HOF form.
+  private val pqAdcExpr: String = "pq_adc_l(mps, codes)"
 
   def ss10PqAdc(s: SparkSession, dir: String): DataFrame = {
     val (pts, cents, codes) = pqAll(qvec(s, dir).localCheckpoint())
