@@ -1298,19 +1298,34 @@ object TextOps {
   // ---------------------------------------------------------------------
   def tx27Edit1Pairs(s: SparkSession, dir: String): DataFrame = {
     val v = Tables(s, dir, "customer").select(col("c_name").as("w")).distinct()
+    // join on the 64-bit hash of the deletion key, not the key string
+    // (r14, guide §2.3 "narrower types"): the key index shuffles 8-byte
+    // hashes instead of |w|+1-char strings, and the hash join compares
+    // longs. Result-identical: FastSS completeness puts every true edit-1
+    // pair on a SHARED key (hence equal hashes), and the exact
+    // levenshtein confirm below already screens every candidate — a hash
+    // collision can only admit a candidate the confirm re-judges, and any
+    // pair passing lev ≤ 1 belongs in the answer by definition.
     val vr = v.select(col("w"), explode(expr(
       """array_distinct(concat(array(w),
         |  transform(sequence(1, length(w)),
         |    i -> concat(substring(w, 1, i - 1), substring(w, i + 1)))))""".stripMargin))
-      .as("vr"))
+      .as("vk"))
+      .select(col("w"), xxhash64(col("vk")).as("vr"))
     vr.as("a").join(vr.as("b"),
         col("a.vr") === col("b.vr") && col("a.w") < col("b.w"))
       .select(col("a.w").as("w1"), col("b.w").as("w2"))
-      .distinct()
       // the natural predicate; RewriteBoundedLevenshtein turns it into
       // the early-exit threshold form levenshtein(w1, w2, 1) >= 0 —
-      // O(|w|) per pair instead of O(|w|²) (PlanShapeSpec pins this)
+      // O(|w|) per pair instead of O(|w|²) (PlanShapeSpec pins this).
+      // Confirm BEFORE the pair dedup (r14, guide §2.3 "aggregate before
+      // you shuffle" inverted: filter before you shuffle): key-collision
+      // multiplicity is ~1.02 (977k raw vs 956k distinct pairs at
+      // sf0.1), so running the O(|w|) confirm on the raw stream costs
+      // ~2% extra evals and shrinks the distinct's exchange to the
+      // 262k survivors instead of 956k candidates.
       .filter(levenshtein(col("w1"), col("w2")) <= 1)
+      .distinct()
   }
 
   val tx27Oracle: String =
