@@ -2162,41 +2162,55 @@ object Similarity {
     promoteStages(s, dir)
     promoteStages(s, s"$dir/ivf")
     val gone = ids.select(col("vec_id")).localCheckpoint()
-    stagedWrite(s, s"$dir/ivf/lists") { tmp =>
-      s.read.parquet(s"$dir/ivf/lists")
-        .withColumn("cent_id", col("cent_id").cast("long"))
-        .join(gone, Seq("vec_id"), "left_anti")
-        .repartition(col("cent_id"))
-        .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
-    }
-    listsListingMemo.remove(s"$dir/ivf/lists")
-    stagedWrite(s, s"$dir/probes") { tmp =>
-      s.read.parquet(s"$dir/probes")
-        .withColumn("cent_id", col("cent_id").cast("long"))
-        .join(gone, Seq("vec_id"), "left_anti")
-        .repartition(col("cent_id"))
-        .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
-    }
-    listsListingMemo.remove(s"$dir/probes")
-    writeNswEdges(s, dir, edgesFromStored(s, dir))
-    f.delete(new org.apache.hadoop.fs.Path(s"$dir/edges_delta"), true)
-    writeNswEntries(s, dir,
-      s.read.parquet(s"$dir/ivf/lists").select(col("vec_id"))
-        .orderBy(col("vec_id").asc).limit(nswEntryCount))
-    val tp = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    if (f.exists(tp)) {
-      val left = storedNswTombstones(s, dir)
-        .join(gone, Seq("vec_id"), "left_anti").localCheckpoint()
-      val rowsPerFile =
-        confInt(s, "spark.graft.nsw.tombstoneRowsPerFile", 4000000).toLong
-      val parts = math.max(1L,
-        (left.count() + rowsPerFile - 1L) / rowsPerFile).toInt
-      stagedWrite(s, s"$dir/tombstones") { tmp =>
-        left.repartitionByRange(parts, col("vec_id"))
-          .sortWithinPartitions("vec_id")
-          .write.mode("overwrite").parquet(tmp)
-      }
-    }
+    // the two survivor rewrites are independent anti-join passes over
+    // different tables — overlap them (guide §2.6), then derive
+    // edges/entries/tombstones (which need the rewritten tables) with the
+    // independent ones overlapped too
+    parLadder(Seq[() => Unit](
+      () => {
+        stagedWrite(s, s"$dir/ivf/lists") { tmp =>
+          s.read.parquet(s"$dir/ivf/lists")
+            .withColumn("cent_id", col("cent_id").cast("long"))
+            .join(gone, Seq("vec_id"), "left_anti")
+            .repartition(col("cent_id"))
+            .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
+        }
+        listsListingMemo.remove(s"$dir/ivf/lists")
+      },
+      () => {
+        stagedWrite(s, s"$dir/probes") { tmp =>
+          s.read.parquet(s"$dir/probes")
+            .withColumn("cent_id", col("cent_id").cast("long"))
+            .join(gone, Seq("vec_id"), "left_anti")
+            .repartition(col("cent_id"))
+            .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
+        }
+        listsListingMemo.remove(s"$dir/probes")
+      }))(_.apply())
+    parLadder(Seq[() => Unit](
+      () => {
+        writeNswEdges(s, dir, edgesFromStored(s, dir))
+        f.delete(new org.apache.hadoop.fs.Path(s"$dir/edges_delta"), true)
+      },
+      () => writeNswEntries(s, dir,
+        s.read.parquet(s"$dir/ivf/lists").select(col("vec_id"))
+          .orderBy(col("vec_id").asc).limit(nswEntryCount)),
+      () => {
+        val tp = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+        if (f.exists(tp)) {
+          val left = storedNswTombstones(s, dir)
+            .join(gone, Seq("vec_id"), "left_anti").localCheckpoint()
+          val rowsPerFile =
+            confInt(s, "spark.graft.nsw.tombstoneRowsPerFile", 4000000).toLong
+          val parts = math.max(1L,
+            (left.count() + rowsPerFile - 1L) / rowsPerFile).toInt
+          stagedWrite(s, s"$dir/tombstones") { tmp =>
+            left.repartitionByRange(parts, col("vec_id"))
+              .sortWithinPartitions("vec_id")
+              .write.mode("overwrite").parquet(tmp)
+          }
+        }
+      }))(_.apply())
     compactAppendTags(s, dir)
     writeNswManifest(s, dir)
   }
