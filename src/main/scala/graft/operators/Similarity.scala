@@ -1695,16 +1695,22 @@ object Similarity {
         .parquet(s"${resolveNswTable(s, srcDir, "ivf")}/centroids")
         .localCheckpoint()
       cents.write.mode("overwrite").parquet(s"$dstDir/ivf/centroids")
-      assignToCentroids(aliveCk, cents).repartition(col("cent_id"))
-        .write.mode("overwrite").partitionBy("cent_id")
-        .parquet(s"$dstDir/ivf/lists")
-      probeAssignments(s, aliveCk, s"$dstDir/ivf").repartition(col("cent_id"))
+      // one alive × centroids scoring pass, then three independent
+      // derived-table jobs overlapped — the buildNswIndex r14 shape
+      // (lists ≡ the probes' crn=1 slice, same score and tie-break)
+      probeAssignmentsFrom(aliveCk, cents).repartition(col("cent_id"))
         .write.mode("overwrite").partitionBy("cent_id")
         .parquet(s"$dstDir/probes")
-      writeNswEdges(s, dstDir, edgesFromStored(s, dstDir))
-      writeNswEntries(s, dstDir,
-        aliveCk.select(col("vec_id")).orderBy(col("vec_id").asc)
-          .limit(nswEntryCount))
+      parLadder(Seq[() => Unit](
+        () => s.read.parquet(s"$dstDir/probes").filter(col("crn") === 1)
+          .select(col("cent_id"), col("vec_id"), col("v"), col("nrm"))
+          .repartition(col("cent_id"))
+          .write.mode("overwrite").partitionBy("cent_id")
+          .parquet(s"$dstDir/ivf/lists"),
+        () => writeNswEdges(s, dstDir, edgesFromProbes(s, dstDir)),
+        () => writeNswEntries(s, dstDir,
+          aliveCk.select(col("vec_id")).orderBy(col("vec_id").asc)
+            .limit(nswEntryCount))))(_.apply())
       val f = hadoopFs(s, dstDir)
       for (t <- Seq("tombstones", "edges_delta", "_append_tags"))
         f.delete(new org.apache.hadoop.fs.Path(s"$dstDir/$t"), true)
